@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke of the driver's t1 contract: `SparkEntry.entry` must return
+  * rows>0 on sf0.001. Run: `sbt "runMain graft.EntrySmoke"`.
+  */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(5, truncate = false)
+    println(s"ENTRY_ROWS=$n")
+    require(n > 0, "entry() returned no rows — driver t1 smoke would fail")
+    val missingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    require(missingOracle.isEmpty, s"oracleSql keys without queries: $missingOracle")
+    println(s"QUERIES=${SparkEntry.queries.size} ORACLES=${SparkEntry.oracleSql.size}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Connector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3-A — connector-semantics queries over the `events` table. Each has a
+  * DuckDB oracle twin in [[ConnectorQueries.oracle]]. Output columns are
+  * restricted to BIGINT / DOUBLE / VARCHAR with a total ORDER BY so the
+  * driver's sort-columns-then-hash compare is deterministic across engines.
+  */
+object ConnectorQueries {
+
+  /** R3 — tolerant JSON field extraction; corrupt/missing → NULL, dropped. */
+  def eParse(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
+      .where(col("k_val").isNotNull)
+      .orderBy("event_id")
+
+  /** R4 — timestamp + rawstring projection (app.py:116-120). */
+  def eProjectTs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("props").as("rawstring"))
+      .orderBy("event_id")
+
+  /** R5 — KV-array flatten, last-wins on duplicate keys. The KV array is
+    * synthesized in-query from the row (duplicate key "et": raw then upper;
+    * last must win), flattened through the real map path.
+    */
+  def eKvFlatten(s: SparkSession, dir: String): DataFrame = {
+    Connector.lastWinPolicy(s)
+    val kv = array(
+      struct(lit("et").as("Key"), col("event_type").as("ValueString")),
+      struct(lit("k").as("Key"), get_json_object(col("props"), "$.k").as("ValueString")),
+      struct(lit("et").as("Key"), upper(col("event_type")).as("ValueString")))
+    Tables.events(s, dir)
+      .withColumn("m", Connector.kvFlatten(kv))
+      .select(col("event_id"),
+        col("m")("et").as("kv_et"),
+        col("m")("k").cast("bigint").as("kv_k"))
+      .orderBy("event_id")
+  }
+
+  /** R6 — static-metadata enrich; event fields win on collision. */
+  def eEnrich(s: SparkSession, dir: String): DataFrame = {
+    Connector.lastWinPolicy(s)
+    val metadata = map(lit("host"), lit("graft-host"),
+                       lit("stream"), lit("graft"),
+                       lit("type"), lit("meta-default"))
+    val event = map(lit("type"), col("event_type"))
+    Tables.events(s, dir)
+      .withColumn("m", Connector.enrichMerge(metadata, event))
+      .select(col("event_id"),
+        col("m")("host").as("host_c"),
+        col("m")("stream").as("stream_c"),
+        col("m")("type").as("type_c"))
+      .orderBy("event_id")
+  }
+
+  /** R7 + Humio filter surface — predicate filter, pushed to the scan. */
+  def eFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .where(col("event_type").isin("click", "purchase") &&
+             col("value") > 50.0 && col("value") <= 500.0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value_r"))
+      .orderBy("event_id")
+
+  /** R9 — per-partition resume offsets (partition ≙ user_id % 4). */
+  def eOffsets(s: SparkSession, dir: String): DataFrame =
+    Connector.resumeOffsets(Tables.events(s, dir),
+        (col("user_id") % 4).cast("bigint"), col("event_id"))
+      .orderBy("partition")
+
+  /** R8 — count-trigger batch replay: batches of 200 per partition in
+    * offset order; one summary row per batch.
+    */
+  def eBatches(s: SparkSession, dir: String): DataFrame =
+    Connector.countTriggerBatches(Tables.events(s, dir),
+        (col("user_id") % 4).cast("bigint"), col("event_id"), 200)
+      .groupBy("partition", "batch_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_id"),
+        max("event_id").as("last_id"))
+      .orderBy("partition", "batch_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_parse"      -> eParse _,
+    "e_project_ts" -> eProjectTs _,
+    "e_kv_flatten" -> eKvFlatten _,
+    "e_enrich"     -> eEnrich _,
+    "e_filter"     -> eFilter _,
+    "e_offsets"    -> eOffsets _,
+    "e_batches"    -> eBatches _)
+
+  val oracle: Map[String, String] = Map(
+    "e_parse" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val
+        |FROM events WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "e_project_ts" ->
+      """SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, props AS rawstring
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e_kv_flatten" ->
+      """SELECT event_id, upper(event_type) AS kv_et,
+        |       CAST(props->>'$.k' AS BIGINT) AS kv_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e_enrich" ->
+      """SELECT event_id, 'graft-host' AS host_c, 'graft' AS stream_c,
+        |       event_type AS type_c
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e_filter" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value_r
+        |FROM events
+        |WHERE event_type IN ('click','purchase') AND value > 50.0 AND value <= 500.0
+        |ORDER BY event_id""".stripMargin,
+    "e_offsets" ->
+      """SELECT CAST(user_id % 4 AS BIGINT) AS partition,
+        |       CAST(max(event_id) + 1 AS BIGINT) AS next_offset
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    "e_batches" ->
+      """WITH numbered AS (
+        |  SELECT CAST(user_id % 4 AS BIGINT) AS partition, event_id,
+        |         CAST((row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1) // 200 AS BIGINT) AS batch_id
+        |  FROM events)
+        |SELECT partition, batch_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(event_id) AS first_id, max(event_id) AS last_id
+        |FROM numbered GROUP BY partition, batch_id
+        |ORDER BY partition, batch_id""".stripMargin)
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Dev-only emulation of the driver's DuckDB oracle compare (NOT engine code).
+
+Usage: python3 tools/check.py <outDir> <sfDir> [query ...]
+Reads <outDir>/<name>/ parquet (written by graft.Verify) and
+<outDir>/oracle_sql.json, runs each SQL in DuckDB with the sf tables
+registered as views, and compares rows/schema/values.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_bad += 1; continue
+        try:
+            exp = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_bad += 1; continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        # driver sorts columns by name before hashing
+        ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
+        if ecols != gcols:
+            print(f"FAIL {name}: cols exp={ecols} got={gcols}"); n_bad += 1; continue
+        erows = [[norm(v) for v in row] for row in zip(*[exp.column(c).to_pylist() for c in ecols])]
+        grows = [[norm(v) for v in row] for row in zip(*[got.column(c).to_pylist() for c in ecols])]
+        if len(erows) != len(grows):
+            print(f"FAIL {name}: rows exp={len(erows)} got={len(grows)}"); n_bad += 1; continue
+        if erows != grows:
+            bad = next(i for i, (a, b) in enumerate(zip(erows, grows)) if a != b)
+            print(f"FAIL {name}: first diff row {bad}:\n  exp={erows[bad]}\n  got={grows[bad]}")
+            n_bad += 1; continue
+        # schema (arrow logical types) — driver also checks schema match
+        etypes = {c: str(exp.schema.field(c).type) for c in ecols}
+        gtypes = {c: str(got.schema.field(c).type) for c in ecols}
+        flag = "" if etypes == gtypes else f"  [type-diff exp={etypes} got={gtypes}]"
+        print(f"OK   {name}: {len(erows)} rows{flag}")
+        n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
