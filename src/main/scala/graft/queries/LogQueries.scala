@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.LogAnalytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3-B — log-analytics queries over `events`, each with a DuckDB oracle.
+  * Same determinism contract as [[ConnectorQueries]]: BIGINT/DOUBLE/VARCHAR
+  * outputs, rounded floats, total ORDER BY.
+  */
+object LogQueries {
+
+  def lTimechart(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.timechart(Tables.events(s, dir), "hour", col("event_type"))
+      .withColumnRenamed("dim", "event_type")
+      .orderBy("bucket_ms", "event_type")
+
+  def lSliding(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+    ev.select(col("event_id"),
+        ConnectorQueries.detRound4(
+          LogAnalytics.slidingAvg(ev, col("event_type"), col("value"), 3600000L))
+          .as("avg_1h"))
+      .orderBy("event_id")
+  }
+
+  def lSession(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.sessionize(Tables.events(s, dir), col("user_id"), 1800000L)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"))
+      .orderBy("user_id", "session_id")
+
+  def lTopk(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.topK(Tables.events(s, dir), col("event_type"), 3)
+      .withColumnRenamed("dim", "event_type")
+
+  def lDistinct(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.distinctUsers(Tables.events(s, dir), col("event_type"), col("user_id"))
+      .withColumnRenamed("dim", "event_type")
+      .drop("n_approx") // HLL twin not oracle-comparable; exercised in tests
+      .orderBy("event_type")
+
+  def lPercentile(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.percentiles(Tables.events(s, dir), col("event_type"), col("value"),
+        Seq(0.5, 0.9, 0.99))
+      .withColumnRenamed("dim", "event_type")
+      .orderBy("event_type")
+
+  def lDedup(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.dedupKeepFirst(Tables.events(s, dir),
+        Seq(col("user_id"), col("event_type")),
+        Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type")
+
+  def lLate(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.dropLate(Tables.events(s, dir),
+        (col("user_id") % 4).cast("bigint"), col("event_id"), 600000L)
+      .select("event_id")
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l_timechart"  -> lTimechart _,
+    "l_sliding"    -> lSliding _,
+    "l_session"    -> lSession _,
+    "l_topk"       -> lTopk _,
+    "l_distinct"   -> lDistinct _,
+    "l_percentile" -> lPercentile _,
+    "l_dedup"      -> lDedup _,
+    "l_late"       -> lLate _)
+
+  val oracle: Map[String, String] = Map(
+    "l_timechart" ->
+      """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,
+        |       event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    "l_sliding" ->
+      s"""SELECT event_id,
+        |       ${ConnectorQueries.detRound4Sql(
+              "CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE) / (count(*) OVER w * 100.0)")} AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "l_session" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+        |                   - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), se AS (
+        |  SELECT user_id, event_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       epoch_ms(CAST(min(ts) AS TIMESTAMP)) AS start_ms,
+        |       epoch_ms(CAST(max(ts) AS TIMESTAMP)) AS end_ms
+        |FROM se GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "l_topk" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
+    "l_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "l_percentile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "l_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "l_late" ->
+      """WITH m AS (
+        |  SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |         max(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+        |           PARTITION BY user_id % 4 ORDER BY event_id
+        |           ROWS UNBOUNDED PRECEDING) AS max_ts_ms
+        |  FROM events)
+        |SELECT event_id FROM m WHERE ts_ms >= max_ts_ms - 600000
+        |ORDER BY event_id""".stripMargin)
+}
