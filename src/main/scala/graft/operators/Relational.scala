@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond what a single built-in call expresses —
+  * chiefly a scale-correct as-of join. Everything else in the C-pack
+  * (broadcast/SMJ joins, semi/anti, rollup, set ops, top-k) composes
+  * Spark built-ins directly in the query layer; re-wrapping those would
+  * only hide the planner.
+  */
+object Relational {
+
+  /** As-of join: for each left row, the most recent right row of the same
+    * key with `right.ts <(=) left.ts`.
+    *
+    * Implemented with the union + ordered-window pattern rather than a
+    * range join: both sides are tagged and unioned, then a single window
+    * sorted by (ts, side) carries the last right-side payload forward
+    * within each key. Cost = ONE shuffle on the key + a sorted window —
+    * no O(left × right-per-key) range-join blowup, no driver collect; at
+    * 100 TB this is the standard trick that keeps as-of linear and fully
+    * distributed (AQE handles skewed keys).
+    *
+    * @param leftCols  columns of `left` to carry through (must exist in left)
+    * @param payload   single column of `right` to surface, already named
+    * @param strict    true → right.ts strictly before left.ts; false → at-or-before
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: Column, rightTs: Column,
+               leftTie: Column, rightTie: Column,
+               leftCols: Seq[String], payload: Column, strict: Boolean): DataFrame = {
+    val payloadName = "__asof_payload"
+    // side marker breaks the (ts, tie) tie between a row's left and right
+    // copies: strict → right copy sorts after its left twin (self-match
+    // excluded from the frame); inclusive → before (self-match included).
+    val rightSide = if (strict) lit(1) else lit(-1)
+    val l = left.select(
+      (col(key).as("__k") +: leftTs.as("__ts") +: leftTie.as("__tie")
+        +: lit(0).as("__side")
+        +: lit(null).cast("double").as(payloadName)
+        +: leftCols.map(col)): _*)
+    val r = right.select(
+      (col(key).as("__k") +: rightTs.as("__ts") +: rightTie.as("__tie")
+        +: rightSide.as("__side")
+        +: payload.cast("double").as(payloadName)
+        +: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__tie"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(payloadName + "_ff", last(col(payloadName), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select((leftCols.map(col) :+ col(payloadName + "_ff").as("asof_value")): _*)
+  }
+
+  /** Running total with an explicit ROWS frame — exact over integer cents
+    * so parallel accumulation order can't perturb the value.
+    */
+  def runningCentsSum(value: Column, part: Column, order: Seq[Column]): Column = {
+    val w = Window.partitionBy(part).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sum(round(value * 100).cast("bigint")).over(w) / 100.0
+  }
+}

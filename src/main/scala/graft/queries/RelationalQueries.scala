@@ -1,0 +1,298 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3-C — relational backbone over the TPC-H-ish star schema.
+  *
+  * Scale notes baked into each query: dimension sides are `broadcast()`
+  * so fact-table joins never shuffle the big side; money aggregates sum
+  * exact integer cents (fixture values are 2-decimal) so parallel
+  * accumulation order cannot perturb results vs the oracle; every output
+  * is BIGINT/DOUBLE/VARCHAR with a total ORDER BY.
+  */
+object RelationalQueries {
+  import ConnectorQueries.{detRound4, detRound4Sql}
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("bigint")
+
+  /** TPC-H Q1-style sort-agg: one shuffle of 4-ish grouped rows after
+    * map-side partial agg over the full lineitem scan.
+    */
+  def qPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("bigint")) / 10000.0).as("sum_disc_price"),
+        detRound4(sum(cents(col("l_extendedprice"))) / (count(lit(1)) * 100.0))
+          .as("avg_price"),
+        detRound4(sum(cents(col("l_discount"))) / (count(lit(1)) * 100.0))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast-hash equi join: filtered customer dim (small) is broadcast
+    * to the orders fact scan; aggregation shuffles only custkey groups.
+    */
+  def qJoinBcast(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("sum_total"))
+      .orderBy("c_custkey")
+  }
+
+  /** 4-way join: lineitem ⋈ orders (big-big, shuffled hash/SMJ under AQE)
+    * with customer⋈nation pre-joined and broadcast as one small dim.
+    */
+  def qJoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("bigint")) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  /** Left-semi: customers having at least one order. The orders side is
+    * reduced to distinct keys by the semi join itself — no payload moves.
+    */
+  def qSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti: customers with no high-value order (every customer has
+    * SOME order in the fixture, so the filter keeps the result non-empty
+    * and the anti join meaningful).
+    */
+  def qAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).where(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** row_number top-1 order per customer, with the customer's order count. */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_orders",
+        count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .where(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "n_orders")
+      .orderBy("o_custkey")
+  }
+
+  /** Explicit ROWS frame: per-customer running total in order-date order. */
+  def qRunning(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("running_total",
+        Relational.runningCentsSum(col("o_totalprice"), col("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey"))))
+      .select("o_custkey", "o_orderkey", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+
+  /** rollup(n_name, c_mktsegment) subtotal grid; NULL grouping slots are
+    * coalesced to a sentinel so Spark/DuckDB NULL-ordering differences
+    * can't bite.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    // DataFrame-API rollup hits an ambiguous-column quirk when the
+    // grouping columns are re-selected through coalesce (the Expand node
+    // re-exposes the join child's attributes); the SQL form is clean.
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_mktsegment", "c_acctbal")
+      .createOrReplaceTempView("graft_rollup_in")
+    s.sql(
+      """SELECT coalesce(n_name, '__ALL__') AS nation,
+        |       coalesce(c_mktsegment, '__ALL__') AS segment,
+        |       count(*) AS n_cust,
+        |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
+        |FROM graft_rollup_in
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin)
+  }
+
+  /** Set algebra: (AUTOMOBILE customers ∪ big spenders) ∖ F-status customers. */
+  def qSetops(s: SparkSession, dir: String): DataFrame = {
+    val auto = Tables.customer(s, dir)
+      .where(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("k"))
+    val big = Tables.orders(s, dir)
+      .where(col("o_totalprice") > 400000.0).select(col("o_custkey").as("k"))
+    val fstat = Tables.orders(s, dir)
+      .where(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    auto.union(big).except(fstat).orderBy("k")
+  }
+
+  /** Global top-10 by price — Spark plans TakeOrderedAndProject: each
+    * partition keeps 10 rows, no full sort materializes.
+    */
+  def qSortlimit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  /** Scalar-function batch: string, date, conditional, arithmetic. */
+  def qScalar(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        lower(col("o_orderstatus")).as("status_lc"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+          .cast("bigint").as("days_since"),
+        when(col("o_totalprice") > 300000.0, "high")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("low").as("bucket"),
+        (col("o_orderpriority") === "1-URGENT").cast("bigint").as("is_urgent"))
+      .orderBy("o_orderkey")
+
+  /** As-of join via the union+window pattern ([[Relational.asofJoin]]):
+    * for each event, the value of the same user's most recent purchase
+    * strictly before it.
+    */
+  def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.where(col("event_type") === "purchase")
+    Relational.asofJoin(
+        left = ev, right = purchases, key = "user_id",
+        leftTs = col("ts_us"), rightTs = col("ts_us"),
+        leftTie = col("event_id"), rightTie = col("event_id"),
+        leftCols = Seq("event_id"), payload = col("value"), strict = true)
+      .select(col("event_id"),
+        detRound4(col("asof_value")).as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing"    -> qPricing _,
+    "q_join_bcast" -> qJoinBcast _,
+    "q_join_multi" -> qJoinMulti _,
+    "q_semi"       -> qSemi _,
+    "q_anti"       -> qAnti _,
+    "q_window"     -> qWindow _,
+    "q_running"    -> qRunning _,
+    "q_rollup"     -> qRollup _,
+    "q_setops"     -> qSetops _,
+    "q_sortlimit"  -> qSortlimit _,
+    "q_scalar"     -> qScalar _,
+    "q_asof"       -> qAsof _)
+
+  val oracle: Map[String, String] = Map(
+    "q_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+        |       CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_disc_price,
+        |       ${detRound4Sql("CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/(count(*)*100.0)")} AS avg_price,
+        |       ${detRound4Sql("CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/(count(*)*100.0)")} AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_bcast" ->
+      """SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_join_multi" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, n_orders
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100.0 AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(n_name, '__ALL__') AS nation,
+        |       coalesce(c_mktsegment, '__ALL__') AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin,
+    "q_setops" ->
+      """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        | UNION ALL
+        | SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000.0)
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+    "q_sortlimit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+    "q_scalar" ->
+      """SELECT o_orderkey,
+        |       substring(o_orderpriority, 1, 1) AS prio_code,
+        |       lower(o_orderstatus) AS status_lc,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |       CASE WHEN o_totalprice > 300000.0 THEN 'high'
+        |            WHEN o_totalprice > 100000.0 THEN 'mid'
+        |            ELSE 'low' END AS bucket,
+        |       CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS is_urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_asof" ->
+      s"""WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT event_id,
+        |       ${detRound4Sql(
+             """last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin)} AS last_purchase_value
+        |FROM e ORDER BY event_id""".stripMargin)
+}
