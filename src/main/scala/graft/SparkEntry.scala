@@ -8,9 +8,11 @@ object SparkEntry {
     ConnectorQueries.eParse(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ConnectorQueries.queries ++ LogQueries.queries ++ RelationalQueries.queries
+    ConnectorQueries.queries ++ LogQueries.queries ++
+      RelationalQueries.queries ++ PipelineQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ConnectorQueries.oracle ++ LogQueries.oracle ++ RelationalQueries.oracle
+    ConnectorQueries.oracle ++ LogQueries.oracle ++
+      RelationalQueries.oracle ++ PipelineQueries.oracle
 }

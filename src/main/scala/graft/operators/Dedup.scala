@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for the training-data pipeline: exact
+  * (content hash), MinHash+LSH (near-dup candidates), and n-gram Jaccard
+  * verification.
+  *
+  * Scale shape: exact dedup is one hash-groupBy (map-side partial, tiny
+  * shuffle). MinHash/LSH turns the O(n²) near-dup problem into
+  * (a) per-row signature computation — narrow, codegen'd — and (b) an
+  * equi-join on (band, signature) buckets — shuffle proportional to data,
+  * not pairs. Only candidate pairs (bucket collisions) pay the exact
+  * Jaccard verification. This is the standard shape that survives 100 TB;
+  * nothing here ever materializes the pair matrix.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups by content hash (md5 of the raw text). */
+  def exactGroups(docs: DataFrame, text: Column): DataFrame =
+    docs.groupBy(md5(text.cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+
+  /** Per-doc salted MinHash signature columns sig0..sig{k-1} over 3-word
+    * shingles.
+    */
+  def withMinhashSigs(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    val sh = Text.shingles(Text.tokens(text), 3)
+    (0 until k).foldLeft(docs.withColumn("__sh", sh)) { (df, j) =>
+      df.withColumn(s"sig$j", Text.minhashSig(col("__sh"), j))
+    }.drop("__sh")
+  }
+
+  /** LSH candidate pairs: docs sharing any one signature band (band size
+    * 1 here — highest recall at these corpus sizes). Returns distinct
+    * (doc_a < doc_b) pairs via a bucket equi-join.
+    */
+  def lshCandidates(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    val sigs = withMinhashSigs(docs, text, k).select(
+      (col("doc_id") +: (0 until k).map(j => col(s"sig$j"))): _*)
+    // long format: (band, sig, doc_id) — explode instead of k self-joins
+    val long = sigs.select(col("doc_id"),
+      explode(array((0 until k).map(j =>
+        struct(lit(j).as("band"), col(s"sig$j").as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val a = long.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = long.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact word-set Jaccard similarity between two token-array columns. */
+  def jaccard(ta: Column, tb: Column): Column = {
+    val inter = size(array_distinct(array_intersect(ta, tb))).cast("double")
+    val uni = size(array_distinct(concat(ta, tb))).cast("double")
+    inter / uni
+  }
+}

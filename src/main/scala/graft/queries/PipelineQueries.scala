@@ -1,0 +1,309 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Knn}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3-D — LLM-training-data pipeline pack over `documents`/`embeddings`:
+  * text analysis, language ID, quality scoring, fingerprinting, exact +
+  * MinHash/LSH dedup, n-gram Jaccard, brute-force and LSH similarity
+  * search, multimodal join. md5 is the cross-engine exact hash that makes
+  * MinHash signatures oracle-replayable in DuckDB.
+  */
+object PipelineQueries {
+  import ConnectorQueries.{detRound4, detRound4Sql}
+
+  val DIM = 64
+  val MINHASH_K = 4
+  val PROBE_CAP = 500  // brute-force probe bound: keeps x_cosine O(cap·n), not O(n²)
+  val KNN_CAP = 100
+  val LSH_PLANES = 8
+
+  // ---- text analysis -------------------------------------------------
+
+  def xTokens(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .where(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
+  def xTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Text.nWords(Text.tokens(col("text"))).as("n_words"),
+        Text.tokenCountEstimate(col("text")).as("est_tokens"),
+        length(col("text")).cast("bigint").as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  def xLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val hitCols = Text.stopwordSets.map { case (lang, sw) =>
+      Text.stopwordHits(toks, sw).cast("bigint").as(s"${lang}_hits")
+    }
+    Tables.documents(s, dir)
+      .select((col("doc_id") +: col("lang").as("labeled_lang") +: hitCols :+
+        Text.langId(toks).as("pred_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  def xQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks)
+    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), n.as("n_words"),
+        detRound4(Text.sumWordLen(toks).cast("double") / n).as("avg_word_len"),
+        detRound4(enHits.cast("double") / n).as("stopword_ratio"),
+        (n.between(5, 2000) && (enHits.cast("double") / n) < 0.4)
+          .cast("bigint").as("quality_ok"))
+      .orderBy("doc_id")
+  }
+
+  def xFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---- dedup ---------------------------------------------------------
+
+  def xDocdedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), col("text"))
+      .orderBy("content_hash")
+
+  def xMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.withMinhashSigs(
+        Tables.documents(s, dir).select("doc_id", "text"), col("text"), MINHASH_K)
+      .drop("text")
+      .orderBy("doc_id")
+
+  def xLshpairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidates(Tables.documents(s, dir), col("text"), MINHASH_K)
+      .orderBy("doc_a", "doc_b")
+
+  def xJaccard(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        detRound4(Dedup.jaccard(col("ta"), col("tb"))).as("jac"))
+      .orderBy("doc_a")
+  }
+
+  // ---- similarity search --------------------------------------------
+
+  def xCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Knn.bruteForceTopK(emb.where(col("vec_id") < PROBE_CAP), emb, DIM, 1)
+      .select(col("probe_id").as("vec_id"),
+        detRound4(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
+  def xKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Knn.bruteForceTopK(emb.where(col("vec_id") < KNN_CAP), emb, DIM, 3)
+      .select(col("probe_id").as("vec_id"), col("cand_id"),
+        col("rank").cast("bigint").as("rank"),
+        detRound4(col("sim")).as("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  def xLshknn(s: SparkSession, dir: String): DataFrame =
+    Knn.lshTopK(Tables.embeddings(s, dir),
+        Vectors.signPlanes(LSH_PLANES, DIM), DIM, 1)
+      .select(col("probe_id").as("vec_id"), col("cand_id"),
+        detRound4(col("sim")).as("sim"))
+      .orderBy("vec_id")
+
+  // ---- multimodal ----------------------------------------------------
+
+  def xMultimodal(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"),
+        Text.nWords(Text.tokens(col("text"))).as("n_words"),
+        col("label").cast("bigint").as("label"),
+        detRound4(Vectors.norm(col("embedding"), DIM)).as("vec_norm"))
+      .orderBy("doc_id")
+
+  def xBinary(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("bigint").as("byte_len"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        md5(col("text").cast("binary")).as("content_md5"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_tokens"      -> xTokens _,
+    "x_token_count" -> xTokenCount _,
+    "x_langid"      -> xLangid _,
+    "x_quality"     -> xQuality _,
+    "x_fingerprint" -> xFingerprint _,
+    "x_docdedup"    -> xDocdedup _,
+    "x_minhash"     -> xMinhash _,
+    "x_lshpairs"    -> xLshpairs _,
+    "x_jaccard"     -> xJaccard _,
+    "x_cosine"      -> xCosine _,
+    "x_knn"         -> xKnn _,
+    "x_lshknn"      -> xLshknn _,
+    "x_multimodal"  -> xMultimodal _,
+    "x_binary"      -> xBinary _)
+
+  // ---- oracles -------------------------------------------------------
+
+  private val enList = Text.stopwordSets.head._2.map(w => s"'$w'").mkString(", ")
+
+  private def hitsSql(lang: String): String = {
+    val sw = Text.stopwordSets.find(_._1 == lang).get._2
+      .map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text,' '), x -> x IN ($sw))) AS BIGINT)"
+  }
+
+  /** CASE chain equivalent of the [[Text.langId]] fold (strict-greater
+    * beats the running max; earlier language wins ties).
+    */
+  private val langCaseSql: String =
+    """CASE WHEN zh_hits > greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'zh'
+      |     WHEN fr_hits > greatest(en_hits, de_hits, es_hits) THEN 'fr'
+      |     WHEN es_hits > greatest(en_hits, de_hits) THEN 'es'
+      |     WHEN de_hits > en_hits THEN 'de'
+      |     ELSE 'en' END""".stripMargin
+
+  /** Shingle + salted-min-md5 CTE prefix shared by minhash oracles. */
+  private def sigSql(salt: Int): String =
+    s"CASE WHEN len(toks) >= 3 THEN list_aggregate(list_transform(" +
+      s"range(1, len(toks) - 1), i -> md5('$salt:' || array_to_string(list_slice(toks, i, i + 2), ' '))), 'min') " +
+      s"ELSE md5('$salt:' || array_to_string(toks, ' ')) END"
+
+  private val dotSql =
+    "list_aggregate(list_transform(range(1, 65), i -> CAST(pe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')"
+  private def normSql(v: String) =
+    s"sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), 'sum'))"
+
+  val oracle: Map[String, String] = Map(
+    "x_tokens" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY lang, word),
+        |r AS (SELECT lang, word, cnt,
+        |             CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS BIGINT) AS rn
+        |      FROM c)
+        |SELECT lang, word, cnt, rn FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "x_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |       CAST(list_aggregate(list_transform(string_split(text,' '),
+        |              w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS BIGINT) AS est_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_langid" ->
+      s"""WITH h AS (SELECT doc_id, lang AS labeled_lang,
+        |       ${hitsSql("en")} AS en_hits, ${hitsSql("de")} AS de_hits,
+        |       ${hitsSql("es")} AS es_hits, ${hitsSql("fr")} AS fr_hits,
+        |       ${hitsSql("zh")} AS zh_hits
+        |FROM documents)
+        |SELECT doc_id, labeled_lang, en_hits, de_hits, es_hits, fr_hits, zh_hits,
+        |       $langCaseSql AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "x_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |       CAST(len(list_filter(string_split(text,' '), x -> x IN ($enList))) AS BIGINT) AS en_hits
+        |FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |       ${detRound4Sql("CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS DOUBLE) / len(toks)")} AS avg_word_len,
+        |       ${detRound4Sql("CAST(en_hits AS DOUBLE) / len(toks)")} AS stopword_ratio,
+        |       CAST(len(toks) BETWEEN 5 AND 2000
+        |            AND CAST(en_hits AS DOUBLE) / len(toks) < 0.4 AS BIGINT) AS quality_ok
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "x_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+        |SELECT doc_id, ${sigSql(0)} AS fp FROM t ORDER BY doc_id""".stripMargin,
+    "x_docdedup" ->
+      """SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS keep_doc
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "x_minhash" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+        |SELECT doc_id, ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
+        |       ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "x_lshpairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sigs AS (SELECT doc_id, ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
+        |                ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3 FROM t),
+        |long AS (
+        |  SELECT doc_id, 0 AS band, sig0 AS sig FROM sigs UNION ALL
+        |  SELECT doc_id, 1, sig1 FROM sigs UNION ALL
+        |  SELECT doc_id, 2, sig2 FROM sigs UNION ALL
+        |  SELECT doc_id, 3, sig3 FROM sigs)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       ${detRound4Sql("CAST(len(list_distinct(list_intersect(a.toks, b.toks))) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks)))")} AS jac
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "x_cosine" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < $PROBE_CAP),
+        |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+        |pairs AS (
+        |  SELECT probe_id, ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |  FROM p JOIN c ON probe_id <> cand_id)
+        |SELECT probe_id AS vec_id, ${detRound4Sql("max(sim)")} AS max_sim
+        |FROM pairs GROUP BY probe_id ORDER BY vec_id""".stripMargin,
+    "x_knn" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < $KNN_CAP),
+        |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+        |pairs AS (
+        |  SELECT probe_id, cand_id,
+        |         ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |  FROM p JOIN c ON probe_id <> cand_id),
+        |r AS (SELECT probe_id, cand_id, sim,
+        |             CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        |      FROM pairs)
+        |SELECT probe_id AS vec_id, cand_id, rank, ${detRound4Sql("sim")} AS sim
+        |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "x_lshknn" -> {
+      val planes = Vectors.signPlanes(LSH_PLANES, DIM)
+      val bucketSql = planes.zipWithIndex.map { case (plane, j) =>
+        val lit = Vectors.planeSqlLiteral(plane)
+        s"(CASE WHEN list_aggregate(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), 'sum') > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         (list_aggregate(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+        |         / (${normSql("a.embedding")} * ${normSql("c.embedding")}) AS sim
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        |r AS (SELECT probe_id, cand_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+        |      FROM pairs)
+        |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
+        |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin
+    },
+    "x_multimodal" ->
+      s"""SELECT doc_id, lang,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |       CAST(label AS BIGINT) AS label,
+        |       ${detRound4Sql(normSql("embedding"))} AS vec_norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "x_binary" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
