@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.operators.Connector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference connector's steady-state data path (cses2humio
+  * `app.py:65-216`) as a Structured Streaming pipeline:
+  *
+  *   source lines → tolerant parse → project → KV flatten → enrich →
+  *   micro-batch trigger → bulk sink with post-success checkpointing.
+  *
+  * What the reference hand-rolls, the engine gets from the runtime:
+  *  - per-partition threads + supervision/restart (app.py:225-241,305-326)
+  *    → one task per source partition, task retry, query restart;
+  *  - offset checkpoint file under a process lock (app.py:38-58)
+  *    → the checkpointLocation offset WAL + commit log (crash-atomic,
+  *      which the reference's read-modify-write is not);
+  *  - count-or-time flush trigger (app.py:139-144) → ProcessingTime
+  *    trigger + per-batch chunking in the sink (documented deviation:
+  *    Spark's trigger also fires on a quiet stream, strictly better than
+  *    the reference's flush-only-on-next-event quirk);
+  *  - at-least-once delivery (checkpoint written only after sink success,
+  *    app.py:151-176) → foreachBatch: a thrown sink error fails the batch
+  *    before the commit log records it, so the batch replays.
+  */
+object ConnectorPipeline {
+
+  /** The per-event transform chain (R2–R6), usable identically on batch
+    * and streaming DataFrames of `value: STRING` lines.
+    */
+  def transform(lines: DataFrame, host: String, streamId: String): DataFrame = {
+    Connector.lastWinPolicy(lines.sparkSession)
+    val parsed = lines
+      .where(length(col("value")) > 0)                       // R2 empty-line drop
+      .withColumn("parsed", Connector.parseLine(col("value")))
+      .where(col("parsed").isNotNull &&
+        col("parsed.metadata").isNotNull)                    // R3 corrupt drop
+    val kv = col("parsed.event.AuditKeyValues")
+    parsed.select(
+      col("parsed.metadata.eventCreationTime").as("timestamp"), // R4
+      col("value").as("rawstring"),                             // R4
+      col("parsed.metadata.offset").as("offset"),
+      lit(host).as("host"),                                     // R6
+      lit(streamId).as("stream"),                               // R6
+      when(kv.isNotNull,
+        Connector.kvFlatten(kv)).otherwise(map())
+        .as("event_fields"))                                    // R5
+  }
+
+  /** Bulk-delivery contract of the Humio sink (app.py:151-176). `post`
+    * returns false / throws on failure; the pipeline translates that
+    * into a failed micro-batch, which Structured Streaming replays —
+    * the same at-least-once contract as the reference.
+    */
+  trait BulkSink extends Serializable {
+    def post(events: Seq[String]): Boolean
+  }
+
+  /** Start the pipeline: ProcessingTime trigger ≙ flush-wait-time,
+    * `bulkMaxSize` chunking inside the batch ≙ bulk-max-size. Events are
+    * shipped per PARTITION (the reference's thread-per-partition), driver
+    * never collects.
+    */
+  def run(lines: DataFrame, sink: BulkSink, checkpointDir: String,
+          host: String, streamId: String,
+          triggerMs: Long = 10000L, bulkMaxSize: Int = 200): StreamingQuery = {
+    transform(lines, host, streamId)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val shipped = batch.select(to_json(struct(
+          col("timestamp"), col("rawstring"), col("host"),
+          col("stream"), col("event_fields"))))
+        shipped.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.map(_.getString(0)).grouped(bulkMaxSize).foreach { chunk =>
+            if (!sink.post(chunk))
+              // fail the task → fail the batch → replay: at-least-once,
+              // no checkpoint advance (mirror of app.py:157-162)
+              throw new RuntimeException(s"bulk sink rejected ${chunk.size} events")
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming twins of the log-analytics layer: event-time tumbling
+    * counts with late-data handling — `withWatermark` is the principled
+    * version of the reference's wall-clock buffering.
+    */
+  def timechartStream(events: DataFrame, watermark: String, window: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .count()
+
+  /** Streaming dedup within the watermark — upgrades the reference's
+    * at-least-once delivery to effectively-once consumption.
+    */
+  def dedupStream(events: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Streaming sessionization: native session_window grouping. */
+  def sessionStream(events: DataFrame, watermark: String, gap: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Connector
+import graft.streaming.ConnectorPipeline
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the connector operators, pinned to the reference
+  * behaviors in SURVEY.md §2.1 (fixtures: FIXTURES.md §B1).
+  */
+class ConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodLine =
+    """{"metadata": {"eventType": "UserActivityAuditEvent", "offset": 1234,
+      |"eventCreationTime": 1648464000000, "version": "1.0"},
+      |"event": {"UserId": "user@example.com", "OperationName": "detection_update",
+      |"AuditKeyValues": [
+      |  {"Key": "detection_id", "ValueString": "ldt:abc:123"},
+      |  {"Key": "action", "ValueString": "update"},
+      |  {"Key": "action", "ValueString": "update2"}]}}""".stripMargin.replace("\n", " ")
+
+  test("corrupt JSON lines are dropped, not failed (app.py:106-114)") {
+    val lines = Seq(goodLine, "{not json at all", "", "   garbage").toDF("value")
+    val out = ConnectorPipeline.transform(lines, "h", "s").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("offset") == 1234L)
+  }
+
+  test("empty lines are dropped before parse (app.py:101-102)") {
+    val lines = Seq("", goodLine).toDF("value")
+    assert(ConnectorPipeline.transform(lines, "h", "s").count() == 1)
+  }
+
+  test("KV flatten is last-wins on duplicate keys (app.py:126)") {
+    val out = ConnectorPipeline.transform(Seq(goodLine).toDF("value"), "h", "s")
+      .select(col("event_fields")("action")).as[String].head()
+    assert(out == "update2")
+  }
+
+  test("flatten without AuditKeyValues is a no-op, not a null (app.py:123-124)") {
+    val noKv = """{"metadata": {"offset": 7, "eventCreationTime": 1}, "event": {"UserId": "x"}}"""
+    val out = ConnectorPipeline.transform(Seq(noKv).toDF("value"), "h", "s")
+      .select(size(col("event_fields"))).as[Int].head()
+    assert(out == 0)
+  }
+
+  test("enrich merge: event fields win over metadata on collision (app.py:130)") {
+    Connector.lastWinPolicy(spark)
+    val df = Seq(1).toDF("x").select(
+      Connector.enrichMerge(
+        map(lit("type"), lit("meta"), lit("host"), lit("h")),
+        map(lit("type"), lit("event-wins")))("type").as("t"))
+    assert(df.as[String].head() == "event-wins")
+  }
+
+  test("resume offset is max(offset)+1 per partition (app.py:145-149)") {
+    val df = Seq((0L, 10L), (0L, 42L), (1L, 7L)).toDF("part", "off")
+    val out = Connector.resumeOffsets(df, col("part"), col("off"))
+      .orderBy("partition").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 43L), (1L, 8L)))
+  }
+
+  test("count-trigger batches cut every bulkMaxSize rows in offset order (app.py:139-144)") {
+    val df = (1L to 450L).map(i => (0L, i)).toDF("part", "off")
+    val out = Connector.countTriggerBatches(df, col("part"), col("off"), 200)
+      .groupBy("batch_id").count().orderBy("batch_id")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 200L), (1L, 200L), (2L, 50L)))
+  }
+}

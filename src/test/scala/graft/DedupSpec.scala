@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Near-dup detection on synthetic documents with KNOWN duplicates (the
+  * fixture corpus is checked separately by the oracle; this proves the
+  * operators actually catch planted near-dups).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tomorrow")  // 1-word edit
+  private val unrelated = "completely different content with no overlap whatsoever in any words"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated), (3L, base))  // 3 = exact dup of 0
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exactGroups(docs, col("text"))
+      .where(col("n_docs") > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n_docs") == 2L)
+    assert(g.head.getAs[Long]("keep_doc") == 0L)
+  }
+
+  test("minhash LSH surfaces the near-dup pair, not the unrelated doc") {
+    val pairs = Dedup.lshCandidates(docs, col("text"), 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "near-dup pair must be a candidate")
+    assert(pairs.contains((0L, 3L)), "exact dup pair must be a candidate")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc shares no shingles, must not be a candidate")
+  }
+
+  test("jaccard ranks near-dup far above unrelated") {
+    val t = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val a = t.where(col("doc_id") === 0).select(col("toks").as("ta"))
+    val near = a.crossJoin(t.where(col("doc_id") === 1).select(col("toks").as("tb")))
+      .select(Dedup.jaccard(col("ta"), col("tb"))).as[Double].head()
+    val far = a.crossJoin(t.where(col("doc_id") === 2).select(col("toks").as("tb")))
+      .select(Dedup.jaccard(col("ta"), col("tb"))).as[Double].head()
+    assert(near > 0.8 && far < 0.1)
+  }
+
+  test("fingerprint is stable under distant edits but changes locally") {
+    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) == fp(3L), "identical docs share a fingerprint")
+    assert(fp(0L) != fp(2L), "different docs differ")
+  }
+}

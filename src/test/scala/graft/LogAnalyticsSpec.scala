@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.LogAnalytics
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class LogAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("sessionize: gap strictly greater than threshold starts a new session") {
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(30), 2L),   // exactly 30 min gap → SAME session
+      (1L, ts(61), 3L),                    // 31 min gap → new session
+      (2L, ts(0), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val out = LogAnalytics.sessionize(df, col("user_id"), 30 * 60000L)
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L), (2L, 4L, 0L)))
+  }
+
+  test("dedupKeepFirst keeps the earliest by (ts, tiebreak)") {
+    val df = Seq(
+      (1L, "a", ts(5), 10L), (1L, "a", ts(1), 11L),  // keep 11 (earlier ts)
+      (1L, "a", ts(1), 9L))                          // same ts as 11 → keep 9 (lower id)
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val kept = LogAnalytics.dedupKeepFirst(df,
+        Seq(col("user_id"), col("event_type")), Seq(col("ts"), col("event_id")))
+      .select("event_id").as[Long].collect().toSeq
+    assert(kept == Seq(9L))
+  }
+
+  test("dropLate drops events behind the running max by more than lateness") {
+    val df = Seq(
+      (0L, 1L, ts(100)), (0L, 2L, ts(50)),   // 50 min behind max(100) → dropped
+      (0L, 3L, ts(95)),                      // 5 min behind → kept
+      (0L, 4L, ts(200)))
+      .toDF("part", "event_id", "ts")
+    val kept = LogAnalytics.dropLate(df, col("part"), col("event_id"), 10 * 60000L)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("topK orders by count desc then key") {
+    val df = Seq("a", "a", "b", "b", "c").toDF("k")
+    val top = LogAnalytics.topK(df, col("k"), 2).as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 2L), ("b", 2L)))  // tie a/b broken by key order
+  }
+}

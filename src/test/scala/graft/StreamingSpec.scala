@@ -1,0 +1,123 @@
+package graft
+
+import graft.streaming.ConnectorPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** End-to-end Structured Streaming semantics: delivery, at-least-once
+  * replay after sink failure, checkpoint restart without reprocessing,
+  * watermark windows, streaming dedup — the R1/R3–R11/R15 surface.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventLine(offset: Long, t: Long = 1648464000000L): String =
+    s"""{"metadata": {"offset": $offset, "eventCreationTime": $t, "eventType": "T"}, "event": {"UserId": "u"}}"""
+
+  import StreamingSpec.RecordingSink
+
+  test("pipeline delivers parsed events through foreachBatch sink") {
+    RecordingSink.reset()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData((1L to 5L).map(eventLine(_)): _*)
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+      "testhost", "graft", triggerMs = 50L, bulkMaxSize = 2)
+    q.processAllAvailable(); q.stop()
+    val got = RecordingSink.received.asScala.toSeq
+    assert(got.size == 5)
+    assert(got.forall(_.contains("\"host\":\"testhost\"")))
+  }
+
+  test("failed sink POST fails the batch and replays: at-least-once, no loss") {
+    RecordingSink.reset()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData((1L to 3L).map(eventLine(_)): _*)
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = ConnectorPipeline.run(mem.toDF(), new RecordingSink(true), cp,
+      "h", "s", triggerMs = 50L, bulkMaxSize = 10)
+    // first batch fails; the query surfaces the error on processAllAvailable
+    intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    // restart on the same checkpoint — the failed batch replays
+    val q2 = ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+      "h", "s", triggerMs = 50L, bulkMaxSize = 10)
+    q2.processAllAvailable(); q2.stop()
+    assert(RecordingSink.received.asScala.size == 3) // delivered exactly the lost batch
+  }
+
+  test("checkpoint restart resumes past committed batches (app.py:38-58 upgraded)") {
+    RecordingSink.reset()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-cp").toString
+    mem.addData(eventLine(1), eventLine(2))
+    val q = ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+      "h", "s", triggerMs = 50L)
+    q.processAllAvailable(); q.stop()
+    val afterFirst = RecordingSink.received.asScala.size
+    mem.addData(eventLine(3))
+    val q2 = ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+      "h", "s", triggerMs = 50L)
+    q2.processAllAvailable(); q2.stop()
+    val total = RecordingSink.received.asScala.size
+    assert(afterFirst == 2)
+    assert(total == 3, "restart must deliver only the new event, not replay committed ones")
+  }
+
+  test("watermarked tumbling window counts late data correctly") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val out = ConnectorPipeline.timechartStream(df, "10 minutes", "1 hour")
+    val q = out.writeStream.format("memory").queryName("tc")
+      .outputMode("update").trigger(Trigger.ProcessingTime(50L)).start()
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    mem.addData((t(0), "click"), (t(10), "click"), (t(70), "view"))
+    q.processAllAvailable()
+    val rows = spark.sql("select event_type, count from tc").as[(String, Long)]
+      .collect().toMap
+    q.stop()
+    assert(rows("click") == 2L)
+    assert(rows("view") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark upgrades at-least-once to effectively-once") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+    val out = ConnectorPipeline.dedupStream(df, "1 hour", Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dd")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50L)).start()
+    val ts = new java.sql.Timestamp(1000L)
+    mem.addData((ts, 1L), (ts, 1L), (ts, 2L))   // duplicate delivery of event 1
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("select count(*) from dd").as[Long].head() == 2L)
+  }
+}
+
+object StreamingSpec {
+  /** Top-level (serializable closure) recording sink; failFirst simulates
+    * the Humio endpoint rejecting the first flush (app.py:157-162 retry
+    * path). State lives in the companion so executor-side instances in
+    * local mode share it.
+    */
+  class RecordingSink(failFirst: Boolean) extends ConnectorPipeline.BulkSink {
+    override def post(events: Seq[String]): Boolean = {
+      if (failFirst && RecordingSink.failures.incrementAndGet() == 1) false
+      else { events.foreach(RecordingSink.received.add); true }
+    }
+  }
+  object RecordingSink {
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reset(): Unit = { received.clear(); failures.set(0) }
+  }
+}
