@@ -33,18 +33,34 @@ object Text {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** One salted MinHash signature value: min over shingles of
-    * md5(salt:shingle). md5 is an exact cross-engine hash (same UTF-8
-    * bytes → same hex), which is what lets the oracle replay signatures.
+  /** md5 per shingle — the ONE hash pass the signature family shares.
+    * md5 is an exact cross-engine hash (same UTF-8 bytes → same hex),
+    * which is what lets the oracle replay signatures.
     */
-  def minhashSig(shingleCol: Column, salt: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat(lit(s"$salt:"), s).cast("binary"))))
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => md5(s.cast("binary")))
+
+  /** Hex-string rotation by 8·salt chars — a cheap order permutation of
+    * md5 values, shared by the signature family (no re-hash).
+    */
+  def rotateHex(m: Column, salt: Int): Column = {
+    val rot = (salt % 4) * 8
+    if (rot == 0) m
+    else concat(substring(m, rot + 1, 32 - rot), substring(m, 1, rot))
+  }
+
+  /** The j-th MinHash signature from precomputed shingle md5s: min over
+    * ROTATED hex strings, so k signatures cost one md5 pass instead of
+    * k — and the DuckDB oracle replays the same substrings.
+    */
+  def minhashSig(hashesCol: Column, salt: Int): Column =
+    array_min(transform(hashesCol, m => rotateHex(m, salt)))
 
   /** Document fingerprint: the single-permutation MinHash (min md5 over
     * 3-word shingles) — winnowing-lite, stable under small edits.
     */
   def fingerprint(text: Column): Column =
-    minhashSig(shingles(tokens(text), 3), 0)
+    minhashSig(shingleHashes(shingles(tokens(text), 3)), 0)
 
   /** Stopword hit count (total, not distinct) for a language's list. */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =

@@ -23,14 +23,19 @@ object Dedup {
     docs.groupBy(md5(text.cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
 
-  /** Per-doc salted MinHash signature columns sig0..sig{k-1} over 3-word
-    * shingles.
+  /** Per-doc salted MinHash signatures sig0..sig{k-1} over 3-word
+    * shingles, as (doc_id, sig*) rows. The shingle md5s are EXPLODED and
+    * each signature is a min-aggregate over a rotated copy — this
+    * guarantees exactly one md5 evaluation per shingle (a stacked
+    * withColumn formulation collapses into one projection and recomputes
+    * the hash pass per signature). The groupBy shuffles one short hash
+    * row per shingle, partial-min'd map-side.
     */
   def withMinhashSigs(docs: DataFrame, text: Column, k: Int): DataFrame = {
-    val sh = Text.shingles(Text.tokens(text), 3)
-    (0 until k).foldLeft(docs.withColumn("__sh", sh)) { (df, j) =>
-      df.withColumn(s"sig$j", Text.minhashSig(col("__sh"), j))
-    }.drop("__sh")
+    val hashes = Text.shingleHashes(Text.shingles(Text.tokens(text), 3))
+    val exploded = docs.select(col("doc_id"), explode(hashes).as("__m"))
+    val aggs = (0 until k).map(j => min(Text.rotateHex(col("__m"), j)).as(s"sig$j"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing any one signature band (band size
@@ -38,8 +43,7 @@ object Dedup {
     * (doc_a < doc_b) pairs via a bucket equi-join.
     */
   def lshCandidates(docs: DataFrame, text: Column, k: Int): DataFrame = {
-    val sigs = withMinhashSigs(docs, text, k).select(
-      (col("doc_id") +: (0 until k).map(j => col(s"sig$j"))): _*)
+    val sigs = withMinhashSigs(docs, text, k)
     // long format: (band, sig, doc_id) — explode instead of k self-joins
     val long = sigs.select(col("doc_id"),
       explode(array((0 until k).map(j =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.FloatDot
 import graft.functions.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -21,15 +22,16 @@ object Knn {
     * should be the smaller / broadcastable side at scale.
     */
   def bruteForceTopK(probes: DataFrame, candidates: DataFrame, dim: Int, k: Int): DataFrame = {
+    FloatDot.register(probes.sparkSession)
     // norms once per row, not once per pair — the pair loop then does a
-    // single dot product and one division
+    // single codegen'd primitive dot and one division
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
       Vectors.norm(col("embedding"), dim).as("pn"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
       Vectors.norm(col("embedding"), dim).as("cn"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     p.join(broadcast(c), col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", Vectors.dot(col("pe"), col("ce"), dim) / (col("pn") * col("cn")))
+      .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("probe_id", "cand_id", "rank", "sim")
@@ -39,6 +41,7 @@ object Knn {
     * their bucket get no row (inner join) — the recall/cost trade of LSH.
     */
   def lshTopK(vectors: DataFrame, planes: Seq[Seq[Double]], dim: Int, k: Int): DataFrame = {
+    FloatDot.register(vectors.sparkSession)
     val bucketed = vectors.select(col("vec_id"), col("embedding"),
       Vectors.lshBucket(col("embedding"), planes, dim).as("bucket"),
       Vectors.norm(col("embedding"), dim).as("nrm"))
@@ -49,7 +52,7 @@ object Knn {
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     a.join(b, Seq("bucket"))
       .where(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", Vectors.dot(col("pe"), col("ce"), dim) / (col("pn") * col("cn")))
+      .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("probe_id", "cand_id", "rank", "sim")

@@ -46,15 +46,21 @@ object ConnectorQueries {
     */
   def eKvFlatten(s: SparkSession, dir: String): DataFrame = {
     Connector.lastWinPolicy(s)
+    // parse props ONCE via from_json (get_json_object re-parses per call,
+    // and projection collapse would evaluate the flatten map once per
+    // extracted key — extracting from an exploded entry row avoids both)
     val kv = array(
       struct(lit("et").as("Key"), col("event_type").as("ValueString")),
-      struct(lit("k").as("Key"), get_json_object(col("props"), "$.k").as("ValueString")),
+      struct(lit("k").as("Key"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k")
+          .cast("string").as("ValueString")),
       struct(lit("et").as("Key"), upper(col("event_type")).as("ValueString")))
     Tables.events(s, dir)
-      .withColumn("m", Connector.kvFlatten(kv))
-      .select(col("event_id"),
-        col("m")("et").as("kv_et"),
-        col("m")("k").cast("bigint").as("kv_k"))
+      .select(col("event_id"), explode(map_entries(Connector.kvFlatten(kv))).as("e"))
+      .groupBy("event_id")
+      .agg(max(when(col("e.key") === "et", col("e.value"))).as("kv_et"),
+        max(when(col("e.key") === "k", col("e.value"))).cast("bigint").as("kv_k"))
       .orderBy("event_id")
   }
 

@@ -67,8 +67,11 @@ object PipelineQueries {
   }
 
   def xFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    // sig0 of the MinHash family == the fingerprint; the explode+min-agg
+    // path evaluates md5 once per shingle as a scalar (the per-row
+    // array-transform formulation is ~2× slower under codegen)
+    Dedup.withMinhashSigs(Tables.documents(s, dir), col("text"), 1)
+      .withColumnRenamed("sig0", "fp")
       .orderBy("doc_id")
 
   // ---- dedup ---------------------------------------------------------
@@ -179,11 +182,22 @@ object PipelineQueries {
       |     WHEN de_hits > en_hits THEN 'de'
       |     ELSE 'en' END""".stripMargin
 
-  /** Shingle + salted-min-md5 CTE prefix shared by minhash oracles. */
-  private def sigSql(salt: Int): String =
-    s"CASE WHEN len(toks) >= 3 THEN list_aggregate(list_transform(" +
-      s"range(1, len(toks) - 1), i -> md5('$salt:' || array_to_string(list_slice(toks, i, i + 2), ' '))), 'min') " +
-      s"ELSE md5('$salt:' || array_to_string(toks, ' ')) END"
+  /** DuckDB twin of the shingle-hash pass: md5 per 3-word shingle (the
+    * `hs` column the sig oracles rotate over).
+    */
+  private val hashesSql: String =
+    "CASE WHEN len(toks) >= 3 THEN list_transform(" +
+      "range(1, len(toks) - 1), i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) " +
+      "ELSE [md5(array_to_string(toks, ' '))] END"
+
+  /** DuckDB twin of [[Text.minhashSig]]: min over 8·salt-char-rotated
+    * hex strings of the shared md5 list.
+    */
+  private def sigSql(salt: Int): String = {
+    val rot = (salt % 4) * 8
+    if (rot == 0) "list_aggregate(hs, 'min')"
+    else s"list_aggregate(list_transform(hs, m -> substr(m, ${rot + 1}, ${32 - rot}) || substr(m, 1, $rot)), 'min')"
+  }
 
   private val dotSql =
     "list_aggregate(list_transform(range(1, 65), i -> CAST(pe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')"
@@ -225,21 +239,24 @@ object PipelineQueries {
         |            AND CAST(en_hits AS DOUBLE) / len(toks) < 0.4 AS BIGINT) AS quality_ok
         |FROM t ORDER BY doc_id""".stripMargin,
     "x_fingerprint" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
-        |SELECT doc_id, ${sigSql(0)} AS fp FROM t ORDER BY doc_id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |h AS (SELECT doc_id, $hashesSql AS hs FROM t)
+        |SELECT doc_id, ${sigSql(0)} AS fp FROM h ORDER BY doc_id""".stripMargin,
     "x_docdedup" ->
       """SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
         |       min(doc_id) AS keep_doc
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "x_minhash" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |h AS (SELECT doc_id, $hashesSql AS hs FROM t)
         |SELECT doc_id, ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
         |       ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |FROM h ORDER BY doc_id""".stripMargin,
     "x_lshpairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |h AS (SELECT doc_id, $hashesSql AS hs FROM t),
         |sigs AS (SELECT doc_id, ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
-        |                ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3 FROM t),
+        |                ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3 FROM h),
         |long AS (
         |  SELECT doc_id, 0 AS band, sig0 AS sig FROM sigs UNION ALL
         |  SELECT doc_id, 1, sig1 FROM sigs UNION ALL
