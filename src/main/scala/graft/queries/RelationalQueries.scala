@@ -173,6 +173,39 @@ object RelationalQueries {
         (col("o_orderpriority") === "1-URGENT").cast("bigint").as("is_urgent"))
       .orderBy("o_orderkey")
 
+  /** Pivot (long → wide): per-user event-type counts as columns — the
+    * generalized form of the reference's KV-array flatten for a FIXED key
+    * set (SURVEY R5 note). Map-side partial agg; output one row per user.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** cube(returnflag, linestatus): the full subtotal lattice. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("__ALL__")).as("rf"),
+        coalesce(col("l_linestatus"), lit("__ALL__")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** HLL sketch distinct counts (no oracle — approximate by design; the
+    * driver records a rows-only check). At 100 TB this replaces exact
+    * distinct: fixed-size sketch per group, partial-merged map-side.
+    */
+  def qApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("n_approx"))
+      .orderBy("event_type")
+
   /** As-of join via the union+window pattern ([[Relational.asofJoin]]):
     * for each event, the value of the same user's most recent purchase
     * strictly before it.
@@ -202,6 +235,9 @@ object RelationalQueries {
     "q_setops"     -> qSetops _,
     "q_sortlimit"  -> qSortlimit _,
     "q_scalar"     -> qScalar _,
+    "q_pivot"      -> qPivot _,
+    "q_cube"       -> qCube _,
+    "q_approx"     -> qApprox _,
     "q_asof"       -> qAsof _)
 
   val oracle: Map[String, String] = Map(
@@ -285,6 +321,21 @@ object RelationalQueries {
         |            ELSE 'low' END AS bucket,
         |       CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS is_urgent
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, '__ALL__') AS rf,
+        |       coalesce(l_linestatus, '__ALL__') AS ls,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
     "q_asof" ->
       s"""WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 source with the Falcon Event Streams protocol shape
+  * (reference `app.py`): partitioned, offset-addressed, resumable event
+  * streams behind a discovery + session-refresh control plane.
+  *
+  * Protocol mapping (SURVEY §2.1):
+  *  - stream discovery (R13, app.py:261-302)  → [[FalconClient.discoverStreams]],
+  *    called in [[FalconMicroBatchStream#planInputPartitions]];
+  *  - session refresh at 85% of the server interval (R12, app.py:178-197,
+  *    factor app.py:256) → driver-side [[FalconMicroBatchStream#latestOffset]]
+  *    tick, where the reference schedules it between events;
+  *  - offset-addressed chunked reads (R1, app.py:92-102) →
+  *    [[FalconPartitionReader]], one per stream partition per micro-batch;
+  *  - the offset checkpoint file `{"<partition>": nextOffset}` (R11,
+  *    app.py:38-58) → [[FalconOffset]] JSON, persisted by the engine's
+  *    offset WAL (crash-atomic, unlike the reference's read-modify-write).
+  *
+  * The client is pluggable; [[StubFalconClient]] is the in-JVM stand-in
+  * for the HTTPS protocol (zero-egress environment — swap `StubFalconClient`
+  * for an HTTP implementation to go live; the Spark plumbing is identical).
+  * Usage: `spark.readStream.format(classOf[FalconTableProvider].getName)
+  * .option("appId", …).load()` → rows of (partition, offset, value).
+  */
+class FalconTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FalconSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FalconTable(properties.asScala.toMap)
+}
+
+object FalconSource {
+  val schema: StructType = StructType(Seq(
+    StructField("partition", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+/** One discovered stream partition (parse_stream, app.py:244-258). */
+case class StreamDesc(partition: Int, refreshIntervalSec: Int)
+
+/** The Falcon protocol surface the source depends on. */
+trait FalconClient extends Serializable {
+  def discoverStreams(appId: String): Seq[StreamDesc]
+  def refreshSession(appId: String, partition: Int): Boolean
+  def latestOffset(appId: String, partition: Int): Long
+  /** events with offset in [from, until), in offset order */
+  def fetch(appId: String, partition: Int, from: Long, until: Long): Seq[(Long, String)]
+}
+
+/** Deterministic in-JVM stub of the Falcon endpoints, keyed by appId.
+  * Tests (and the demo) feed it; executors reach it through the shared
+  * registry (single-JVM local mode — an HTTP client replaces this on a
+  * real cluster).
+  */
+object StubFalconServer {
+  private val streams = new java.util.concurrent.ConcurrentHashMap[String, Seq[StreamDesc]]()
+  private val events =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.util.concurrent.ConcurrentSkipListMap[Long, String]]()
+  val refreshCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def reset(): Unit = { streams.clear(); events.clear(); refreshCalls.set(0) }
+
+  def register(appId: String, descs: Seq[StreamDesc]): Unit = {
+    streams.put(appId, descs)
+    descs.foreach(d => events.putIfAbsent((appId, d.partition),
+      new java.util.concurrent.ConcurrentSkipListMap[Long, String]()))
+  }
+
+  def push(appId: String, partition: Int, offset: Long, line: String): Unit =
+    events.get((appId, partition)).put(offset, line)
+
+  class Client extends FalconClient {
+    override def discoverStreams(appId: String): Seq[StreamDesc] =
+      Option(streams.get(appId)).getOrElse(Seq.empty)
+    override def refreshSession(appId: String, partition: Int): Boolean = {
+      refreshCalls.incrementAndGet(); true
+    }
+    override def latestOffset(appId: String, partition: Int): Long =
+      Option(events.get((appId, partition)))
+        .filterNot(_.isEmpty).map(_.lastKey() + 1).getOrElse(0L)
+    override def fetch(appId: String, partition: Int, from: Long, until: Long): Seq[(Long, String)] =
+      Option(events.get((appId, partition))).map {
+        m => m.subMap(from, until).asScala.toSeq.map { case (k, v) => (k, v) }
+      }.getOrElse(Seq.empty)
+  }
+}
+
+class FalconTable(properties: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"falcon(${properties.getOrElse("appId", "default")})"
+  override def schema(): StructType = FalconSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = FalconSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new FalconMicroBatchStream(options.asScala.getOrElse("appId", "default"))
+      }
+    }
+}
+
+/** Offset = the reference's checkpoint file shape: partition → next
+  * offset to request (resume-exclusive, app.py:146).
+  */
+case class FalconOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p": $o""" }.mkString("{", ", ", "}")
+}
+
+object FalconOffset {
+  def parse(json: String): FalconOffset = FalconOffset(
+    """"(\d+)":\s*(\d+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+class FalconMicroBatchStream(appId: String) extends MicroBatchStream {
+  private val client = new StubFalconServer.Client
+  // session refresh cadence: the reference refreshes at 85% of the
+  // server-provided interval (app.py:256); here one control tick per
+  // latestOffset poll models the admin thread
+  private var lastRefreshMs = 0L
+
+  private def descs: Seq[StreamDesc] = client.discoverStreams(appId)
+
+  override def initialOffset(): Offset =
+    FalconOffset(descs.map(d => d.partition -> 0L).toMap)
+
+  override def latestOffset(): Offset = {
+    val now = System.currentTimeMillis()
+    descs.foreach { d =>
+      val due = lastRefreshMs + (d.refreshIntervalSec * 850L) // 85% in ms
+      if (now >= due) { client.refreshSession(appId, d.partition); lastRefreshMs = now }
+    }
+    FalconOffset(descs.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset = FalconOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FalconOffset].offsets
+    val e = end.asInstanceOf[FalconOffset].offsets
+    e.toSeq.sortBy(_._1).flatMap { case (p, until) =>
+      val from = s.getOrElse(p, 0L)
+      if (until > from) Some(FalconInputPartition(appId, p, from, until)) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+        new FalconPartitionReader(partition.asInstanceOf[FalconInputPartition])
+    }
+
+  override def commit(end: Offset): Unit = ()   // offset WAL handles durability
+  override def stop(): Unit = ()
+}
+
+case class FalconInputPartition(appId: String, partition: Int,
+                                from: Long, until: Long) extends InputPartition
+
+class FalconPartitionReader(p: FalconInputPartition)
+    extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  private val it = new StubFalconServer.Client()
+    .fetch(p.appId, p.partition, p.from, p.until).iterator
+  private var current: (Long, String) = _
+
+  override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
+  override def get(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(
+      p.partition.toLong, current._1, UTF8String.fromString(current._2))
+  override def close(): Unit = ()
+}

@@ -55,6 +55,31 @@ object StreamDemo {
     q.stop()
     println(s"SHIPPED=${shipped.get} DROPPED=${total - shipped.get} (expect 500/25)")
     require(shipped.get == 500L, "all valid events must ship; corrupt lines drop")
+
+    // Phase 2: the same pipeline fed by the Falcon-protocol DSv2 source
+    // (discovery → partitioned offset reads → checkpointed resume),
+    // against the in-JVM stub server.
+    import graft.sources.{StreamDesc, StubFalconServer, FalconTableProvider}
+    StubFalconServer.reset()
+    StubFalconServer.register("demo", Seq(StreamDesc(0, 1800), StreamDesc(1, 1800)))
+    (0L until 120L).foreach { o =>
+      val p = (o % 2).toInt
+      StubFalconServer.push("demo", p, o,
+        s"""{"metadata": {"offset": $o, "eventCreationTime": ${1648464000000L + o}, "eventType": "T"}, "event": {"UserId": "u$p"}}""")
+    }
+    shipped.set(0)
+    val cp2 = Files.createTempDirectory("graft-falcon-cp").toString
+    val falconLines = spark.readStream
+      .format(classOf[FalconTableProvider].getName)
+      .option("appId", "demo").load()
+      .select(col("value"))
+    val q2 = ConnectorPipeline.run(falconLines, new CountingSink, cp2,
+      host = "demo-host", streamId = "falcon-demo",
+      triggerMs = 200L, bulkMaxSize = 50)
+    q2.processAllAvailable()
+    q2.stop()
+    println(s"FALCON_SHIPPED=${shipped.get} REFRESH_CALLS=${StubFalconServer.refreshCalls.get} (expect 120/>=1)")
+    require(shipped.get == 120L, "all stub-server events must flow through the DSv2 source")
     spark.stop()
   }
 }

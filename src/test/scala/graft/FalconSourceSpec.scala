@@ -1,0 +1,76 @@
+package graft
+
+import graft.sources.{FalconOffset, FalconTableProvider, StreamDesc, StubFalconServer}
+import org.apache.spark.sql.streaming.Trigger
+
+import scala.jdk.CollectionConverters._
+
+/** The custom DataSource V2 source end-to-end: discovery → partitioned
+  * offset-addressed reads → checkpointed resume → session refresh ticks.
+  */
+class FalconSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def line(p: Int, o: Long) = s"""{"p": $p, "o": $o}"""
+
+  test("reads all partitions from offset 0 and resumes from checkpoint") {
+    StubFalconServer.reset()
+    StubFalconServer.register("app1", Seq(StreamDesc(0, 1800), StreamDesc(1, 1800)))
+    (0L until 10L).foreach(o => StubFalconServer.push("app1", 0, o, line(0, o)))
+    (0L until 5L).foreach(o => StubFalconServer.push("app1", 1, o, line(1, o)))
+
+    val cp = java.nio.file.Files.createTempDirectory("falcon-cp").toString
+    // foreachBatch, not the memory sink: only foreachBatch supports
+    // recovering from an existing checkpoint, which the resume half needs
+    def start() = spark.readStream
+      .format(classOf[FalconTableProvider].getName)
+      .option("appId", "app1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          FalconSourceSpec.seen.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(50L)).start()
+
+    val q = start()
+    q.processAllAvailable(); q.stop()
+    val got = FalconSourceSpec.seen.asScala.toSeq
+    assert(got.count(_._1 == 0L) == 10 && got.count(_._1 == 1L) == 5)
+
+    // new events arrive; a fresh query on the SAME checkpoint must read
+    // only them (offset resume, not replay)
+    FalconSourceSpec.seen.clear()
+    (10L until 13L).foreach(o => StubFalconServer.push("app1", 0, o, line(0, o)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val resumed = FalconSourceSpec.seen.asScala.toSeq.filter(_._1 == 0L).map(_._2).sorted
+    assert(resumed == Seq(10L, 11L, 12L), s"expected only new offsets, got $resumed")
+  }
+
+  test("session refresh control calls happen while polling") {
+    StubFalconServer.reset()
+    StubFalconServer.register("app2", Seq(StreamDesc(0, 0)))  // interval 0 → refresh every poll
+    StubFalconServer.push("app2", 0, 0L, line(0, 0))
+    val cp = java.nio.file.Files.createTempDirectory("falcon-cp").toString
+    val q = spark.readStream.format(classOf[FalconTableProvider].getName)
+      .option("appId", "app2").load()
+      .writeStream.format("memory").queryName("falcon3")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime(50L)).start()
+    q.processAllAvailable(); q.stop()
+    assert(StubFalconServer.refreshCalls.get() >= 1)
+  }
+
+  test("offset JSON round-trips the reference checkpoint-file shape") {
+    val o = FalconOffset(Map(0 -> 1235L, 1 -> 87L))
+    assert(o.json() == """{"0": 1235, "1": 87}""")
+    assert(FalconOffset.parse(o.json()) == o)
+  }
+}
+
+object FalconSourceSpec {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+}
