@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any previous run's output: stale parquet here would make
+        // the driver hash-compare an OLD result instead of recording the
+        // failure
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

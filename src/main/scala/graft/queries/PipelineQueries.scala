@@ -127,6 +127,28 @@ object PipelineQueries {
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
 
+  /** Embedding-cosine near-duplicate detection: LSH-bucketed pairs above
+    * a similarity threshold — the vector twin of x_lshpairs. Same
+    * scale shape: bucket equi-join, never the pair matrix.
+    */
+  def xEmbdup(s: SparkSession, dir: String): DataFrame =
+    Knn.lshTopK(Tables.embeddings(s, dir),
+        Vectors.signPlanes(LSH_PLANES, DIM), DIM, 1)
+      .where(col("sim") > 0.3)
+      .select(col("probe_id").as("vec_id"), col("cand_id"),
+        detRound4(col("sim")).as("sim"))
+      .orderBy("vec_id")
+
+  /** Regex tokenization (BPE-ish splitter): alnum runs, not whitespace —
+    * the second tokenizer family of the text checklist.
+    */
+  def xRegexTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0))
+          .cast("bigint").as("n_regex_tokens"))
+      .orderBy("doc_id")
+
   // ---- multimodal ----------------------------------------------------
 
   def xMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -159,6 +181,8 @@ object PipelineQueries {
     "x_cosine"      -> xCosine _,
     "x_knn"         -> xKnn _,
     "x_lshknn"      -> xLshknn _,
+    "x_embdup"      -> xEmbdup _,
+    "x_regex_tokens" -> xRegexTokens _,
     "x_multimodal"  -> xMultimodal _,
     "x_binary"      -> xBinary _)
 
@@ -310,6 +334,29 @@ object PipelineQueries {
         |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
         |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin
     },
+    "x_embdup" -> {
+      val planes = Vectors.signPlanes(LSH_PLANES, DIM)
+      val bucketSql = planes.zipWithIndex.map { case (plane, j) =>
+        val lit = Vectors.planeSqlLiteral(plane)
+        s"(CASE WHEN list_aggregate(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), 'sum') > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         (list_aggregate(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+        |         / (${normSql("a.embedding")} * ${normSql("c.embedding")}) AS sim
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        |r AS (SELECT probe_id, cand_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+        |      FROM pairs)
+        |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
+        |FROM r WHERE rank = 1 AND sim > 0.3 ORDER BY vec_id""".stripMargin
+    },
+    "x_regex_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            w -> length(w) > 0)) AS BIGINT) AS n_regex_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_multimodal" ->
       s"""SELECT doc_id, lang,
         |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,

@@ -147,6 +147,15 @@ object RelationalQueries {
     auto.union(big).except(fstat).orderBy("k")
   }
 
+  /** Intersect: AUTOMOBILE customers who also placed an URGENT order. */
+  def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val auto = Tables.customer(s, dir)
+      .where(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("k"))
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+    auto.intersect(urgent).orderBy("k")
+  }
+
   /** Global top-10 by price — Spark plans TakeOrderedAndProject: each
     * partition keeps 10 rows, no full sort materializes.
     */
@@ -233,6 +242,7 @@ object RelationalQueries {
     "q_running"    -> qRunning _,
     "q_rollup"     -> qRollup _,
     "q_setops"     -> qSetops _,
+    "q_intersect"  -> qIntersect _,
     "q_sortlimit"  -> qSortlimit _,
     "q_scalar"     -> qScalar _,
     "q_pivot"      -> qPivot _,
@@ -304,6 +314,11 @@ object RelationalQueries {
         | SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000.0)
         |EXCEPT
         |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY k""".stripMargin,
     "q_sortlimit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -89,6 +89,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows("view") == 1L)
   }
 
+  test("session_window groups events by 30-min gaps per user") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val out = ConnectorPipeline.sessionStream(df, "1 minute", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(50L)).start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // user 1: two events 10 min apart (one session), then one 40 min later
+    mem.addData((t(0), 1L), (t(10), 1L), (t(50), 1L), (t(0), 2L))
+    q.processAllAvailable()
+    val sessions = spark.sql("select user_id, n_events from sess")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    q.stop()
+    assert(sessions(1L) == Seq(1L, 2L), "user 1: a 2-event session and a 1-event session")
+    assert(sessions(2L) == Seq(1L))
+  }
+
   test("dropDuplicatesWithinWatermark upgrades at-least-once to effectively-once") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
