@@ -105,6 +105,19 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** The same top-1-per-customer as q_window, but through the two-phase
+    * SALTED top-k ([[graft.operators.Scale.saltedTopKPerKey]]) — the skew
+    * path for hot keys. The oracle is the PLAIN windowed SQL: the driver
+    * hash-match is a differential proof that salting preserves semantics.
+    */
+  def qWindowSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.saltedTopKPerKey(
+        Tables.orders(s, dir), col("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 1, salts = 8, tiebreak = col("o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+
   /** Explicit ROWS frame: per-customer running total in order-date order. */
   def qRunning(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -239,6 +252,7 @@ object RelationalQueries {
     "q_semi"       -> qSemi _,
     "q_anti"       -> qAnti _,
     "q_window"     -> qWindow _,
+    "q_window_salted" -> qWindowSalted _,
     "q_running"    -> qRunning _,
     "q_rollup"     -> qRollup _,
     "q_setops"     -> qSetops _,
@@ -293,6 +307,14 @@ object RelationalQueries {
         |         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
         |  FROM orders)
         |SELECT o_custkey, o_orderkey, o_totalprice, n_orders
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_window_salted" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice
         |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q_running" ->
       """SELECT o_custkey, o_orderkey,

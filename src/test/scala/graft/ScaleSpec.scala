@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted top-k equals direct window top-k (skewed keys)") {
+    val rnd = new Random(1)
+    // hot key 0 has 80% of rows — the skew case salting exists for
+    val rows = (1 to 2000).map { i =>
+      val key = if (rnd.nextInt(10) < 8) 0L else rnd.nextInt(5).toLong + 1
+      (key, rnd.nextDouble() * 1000, i.toLong)
+    }
+    val df = rows.toDF("key", "score", "id")
+    val direct = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("score").desc, col("id"))
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select("key", "id").as[(Long, Long)].collect().toSet
+    }
+    val salted = Scale.saltedTopKPerKey(df, col("key"),
+        Seq(col("score").desc, col("id")), k = 3, salts = 8, tiebreak = col("id"))
+      .select("key", "id").as[(Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("scalableCountDistinct equals count_distinct") {
+    val rnd = new Random(2)
+    val df = (1 to 1000).map(_ => (rnd.nextInt(4), rnd.nextInt(50))).toDF("dim", "v")
+    val exact = df.groupBy("dim").agg(count_distinct(col("v")).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val scalable = Scale.scalableCountDistinct(df, col("dim"), col("v"))
+      .as[(Int, Long)].collect().toMap
+    assert(scalable == exact)
+  }
+
+  test("bucketed tables join without an Exchange") {
+    // the warehouse dir outlives the in-memory catalog across JVM runs;
+    // saveAsTable refuses an existing unmanaged location — clean both
+    Seq("graft_bucket_a", "graft_bucket_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    val a = (0L until 200L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (0L until 200L).map(i => (i, i * 2)).toDF("k", "vb")
+    Scale.writeBucketed(a, "graft_bucket_a", Seq("k"), 4)
+    Scale.writeBucketed(b, "graft_bucket_b", Seq("k"), 4)
+    val joined = Scale.readTable(spark, "graft_bucket_a")
+      .join(Scale.readTable(spark, "graft_bucket_b"), "k")
+    // disable broadcast so the join would NEED a shuffle if not bucketed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free, got:\n$plan")
+      assert(joined.count() == 200L)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
