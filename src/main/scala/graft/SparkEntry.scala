@@ -9,10 +9,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ConnectorQueries.queries ++ LogQueries.queries ++
-      RelationalQueries.queries ++ PipelineQueries.queries
+      RelationalQueries.queries ++ PipelineQueries.queries ++ HumioQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ConnectorQueries.oracle ++ LogQueries.oracle ++
-      RelationalQueries.oracle ++ PipelineQueries.oracle
+      RelationalQueries.oracle ++ PipelineQueries.oracle ++ HumioQueries.oracle
 }

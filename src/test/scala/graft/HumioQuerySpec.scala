@@ -1,0 +1,57 @@
+package graft
+
+import graft.query.HumioQuery
+import org.apache.spark.sql.functions._
+
+class HumioQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "click", 10.0, 100L), (2L, "view", 20.0, 200L),
+    (3L, "click", 30.0, 300L), (4L, "error", 40.0, 400L))
+    .toDF("event_id", "event_type", "value", "user_id")
+
+  test("filter + select + sort") {
+    val out = HumioQuery.run(df, "value >= 20.0 | select(event_id) | sort(event_id, order=desc)")
+      .as[Long].collect().toSeq
+    assert(out == Seq(4L, 3L, 2L))
+  }
+
+  test("equality, inequality, wildcard filters") {
+    assert(HumioQuery.run(df, "event_type = click").count() == 2)
+    assert(HumioQuery.run(df, "event_type != click").count() == 2)
+    assert(HumioQuery.run(df, "event_type = c*").count() == 2)
+    assert(HumioQuery.run(df, "event_type = *i*").count() == 3)
+    assert(HumioQuery.run(df, """event_type = "click"""").count() == 2)
+  }
+
+  test("groupBy with aggregate functions") {
+    val counts = HumioQuery.run(df, "groupBy(event_type) | sort(event_type)")
+      .as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("click", 2L), ("error", 1L), ("view", 1L)))
+    val sums = HumioQuery.run(df, "groupBy(event_type, function=sum(value)) | sort(event_type)")
+      .as[(String, Double)].collect().toMap
+    assert(sums("click") == 40.0)
+  }
+
+  test("head limits") {
+    assert(HumioQuery.run(df, "sort(event_id) | head(2)").count() == 2)
+  }
+
+  test("chained pipeline matches hand-built DataFrame") {
+    val dsl = HumioQuery.run(df,
+      "event_type != error | groupBy(user_id, function=max(value)) | sort(user_id)")
+      .as[(Long, Double)].collect().toSeq
+    val hand = df.where(col("event_type") =!= "error")
+      .groupBy("user_id").agg(max("value")).orderBy("user_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(dsl == hand)
+  }
+
+  test("bad stage errors name the stage") {
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.run(df, "frobnicate(3)")
+    }
+    assert(e.getMessage.contains("frobnicate"))
+  }
+}
