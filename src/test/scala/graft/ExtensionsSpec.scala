@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions deployment path: a session built with
+  * GraftExtensions resolves graft_dot in plain SQL.
+  *
+  * Needs its OWN SparkSession (extensions apply at session build), but
+  * must not disturb the suite-shared one: clear the default/active
+  * session so getOrCreate builds fresh over the same SparkContext,
+  * restore afterwards, and never call stop() (that would kill the
+  * shared context for every later spec).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  test("graft_dot resolves via spark.sql.extensions") {
+    SparkSpec.session  // ensure the shared context exists first
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions: the conf-string form (spark.sql.extensions=…) only
+    // applies when the SparkContext itself is born, which a shared-JVM
+    // suite can't do; the programmatic form applies to any new session
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.expressions.GraftExtensions())
+      .getOrCreate()
+    try {
+      val out = spark.sql(
+        "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .collect().head.getDouble(0)
+      assert(out == 11.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
