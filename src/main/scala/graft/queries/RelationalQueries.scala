@@ -149,6 +149,23 @@ object RelationalQueries {
         |ORDER BY nation, segment""".stripMargin)
   }
 
+  /** GROUPING SETS: independent subtotal rows by nation and by segment —
+    * the general form rollup/cube specialize.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_mktsegment", "c_acctbal")
+      .createOrReplaceTempView("graft_gsets_in")
+    s.sql(
+      """SELECT coalesce(n_name, '__ALL__') AS nation,
+        |       coalesce(c_mktsegment, '__ALL__') AS segment,
+        |       count(*) AS n_cust
+        |FROM graft_gsets_in
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        |ORDER BY nation, segment""".stripMargin)
+  }
+
   /** Set algebra: (AUTOMOBILE customers ∪ big spenders) ∖ F-status customers. */
   def qSetops(s: SparkSession, dir: String): DataFrame = {
     val auto = Tables.customer(s, dir)
@@ -255,6 +272,7 @@ object RelationalQueries {
     "q_window_salted" -> qWindowSalted _,
     "q_running"    -> qRunning _,
     "q_rollup"     -> qRollup _,
+    "q_gsets"      -> qGroupingSets _,
     "q_setops"     -> qSetops _,
     "q_intersect"  -> qIntersect _,
     "q_sortlimit"  -> qSortlimit _,
@@ -329,6 +347,13 @@ object RelationalQueries {
         |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin,
+    "q_gsets" ->
+      """SELECT coalesce(n_name, '__ALL__') AS nation,
+        |       coalesce(c_mktsegment, '__ALL__') AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
         |ORDER BY nation, segment""".stripMargin,
     "q_setops" ->
       """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'

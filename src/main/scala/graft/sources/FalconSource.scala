@@ -51,6 +51,25 @@ object FalconSource {
 /** One discovered stream partition (parse_stream, app.py:244-258). */
 case class StreamDesc(partition: Int, refreshIntervalSec: Int)
 
+/** Discovery-resource parsing, mirroring the reference exactly
+  * (FIXTURES.md §B2): the partition number is the LAST PATH SEGMENT of
+  * `dataFeedURL` (app.py:61-62), the app id is its `appId` query param
+  * (app.py:251), and the refresh deadline is 85% of the server-provided
+  * interval (app.py:256).
+  */
+object StreamResource {
+  case class Parsed(partition: Int, appId: Option[String], refreshDelaySec: Long)
+
+  def parse(dataFeedUrl: String, refreshIntervalSec: Int): Parsed = {
+    val uri = new java.net.URI(dataFeedUrl)
+    val partition = uri.getPath.split('/').last.toInt
+    val appId = Option(uri.getQuery).flatMap(
+      _.split('&').map(_.split("=", 2))
+        .collectFirst { case Array("appId", v) => v })
+    Parsed(partition, appId, (refreshIntervalSec * 0.85).toLong)
+  }
+}
+
 /** The Falcon protocol surface the source depends on. */
 trait FalconClient extends Serializable {
   def discoverStreams(appId: String): Seq[StreamDesc]
@@ -66,7 +85,11 @@ trait FalconClient extends Serializable {
   * real cluster).
   */
 object StubFalconServer {
-  private val streams = new java.util.concurrent.ConcurrentHashMap[String, Seq[StreamDesc]]()
+  // discovery resources are stored as (dataFeedURL, refreshInterval) —
+  // the WIRE shape — and re-parsed on every discovery via
+  // [[StreamResource.parse]], exactly like the reference client does
+  private val streams =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int)]]()
   private val events =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), java.util.concurrent.ConcurrentSkipListMap[Long, String]]()
   val refreshCalls = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -74,7 +97,9 @@ object StubFalconServer {
   def reset(): Unit = { streams.clear(); events.clear(); refreshCalls.set(0) }
 
   def register(appId: String, descs: Seq[StreamDesc]): Unit = {
-    streams.put(appId, descs)
+    streams.put(appId, descs.map(d =>
+      (s"https://stub.local/sensors/entities/datafeed/v1/${d.partition}?appId=$appId",
+        d.refreshIntervalSec)))
     descs.foreach(d => events.putIfAbsent((appId, d.partition),
       new java.util.concurrent.ConcurrentSkipListMap[Long, String]()))
   }
@@ -84,7 +109,10 @@ object StubFalconServer {
 
   class Client extends FalconClient {
     override def discoverStreams(appId: String): Seq[StreamDesc] =
-      Option(streams.get(appId)).getOrElse(Seq.empty)
+      Option(streams.get(appId)).getOrElse(Seq.empty).map {
+        case (url, interval) =>
+          StreamDesc(StreamResource.parse(url, interval).partition, interval)
+      }
     override def refreshSession(appId: String, partition: Int): Boolean = {
       refreshCalls.incrementAndGet(); true
     }

@@ -64,6 +64,15 @@ class FalconSourceSpec extends SparkSpec {
     assert(StubFalconServer.refreshCalls.get() >= 1)
   }
 
+  test("stream resource parsing matches the reference (FIXTURES §B2)") {
+    val p = graft.sources.StreamResource.parse(
+      "https://firehose.crowdstrike.com/sensors/entities/datafeed/v1/0?appId=cses2humio",
+      1800)
+    assert(p.partition == 0)
+    assert(p.appId.contains("cses2humio"))
+    assert(p.refreshDelaySec == 1530L)  // 85% of 1800
+  }
+
   test("offset JSON round-trips the reference checkpoint-file shape") {
     val o = FalconOffset(Map(0 -> 1235L, 1 -> 87L))
     assert(o.json() == """{"0": 1235, "1": 87}""")
