@@ -126,6 +126,33 @@ object StubFalconServer {
   }
 }
 
+/** Discovery retry policy (app.py:261-302): poll until streams appear,
+  * and after `randomizeAfter` consecutive empty results switch to a
+  * randomized app id (`appId` + digits, app.py:30-35) — the reference's
+  * workaround for a saturated app-id slot.
+  */
+object FalconDiscovery {
+  case class Outcome(appId: String, streams: Seq[StreamDesc], attempts: Int)
+
+  def discoverWithRetry(client: FalconClient, appId: String,
+                        maxAttempts: Int, randomizeAfter: Int,
+                        sleepMs: Long = 0L,
+                        seed: Long = 42L): Outcome = {
+    val rnd = new scala.util.Random(seed)
+    var currentId = appId
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val found = client.discoverStreams(currentId)
+      attempt += 1
+      if (found.nonEmpty) return Outcome(currentId, found, attempt)
+      if (attempt % randomizeAfter == 0)
+        currentId = appId + (1000 + rnd.nextInt(9000))  // 4 random digits
+      if (sleepMs > 0) Thread.sleep(sleepMs)
+    }
+    Outcome(currentId, Seq.empty, attempt)
+  }
+}
+
 class FalconTable(properties: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"falcon(${properties.getOrElse("appId", "default")})"
   override def schema(): StructType = FalconSource.schema

@@ -73,12 +73,15 @@ object StreamDemo {
       .format(classOf[FalconTableProvider].getName)
       .option("appId", "demo").load()
       .select(col("value"))
-    val q2 = ConnectorPipeline.run(falconLines, new CountingSink, cp2,
-      host = "demo-host", streamId = "falcon-demo",
-      triggerMs = 200L, bulkMaxSize = 50)
-    q2.processAllAvailable()
-    q2.stop()
-    println(s"FALCON_SHIPPED=${shipped.get} REFRESH_CALLS=${StubFalconServer.refreshCalls.get} (expect 120/>=1)")
+    // the supervised form (R15): restart-on-failure with checkpoint resume
+    val supervised = Supervisor.run(
+      start = () => ConnectorPipeline.run(falconLines, new CountingSink, cp2,
+        host = "demo-host", streamId = "falcon-demo",
+        triggerMs = 200L, bulkMaxSize = 50),
+      drain = q => { q.processAllAvailable(); q.stop() },
+      maxRestarts = 2)
+    println(s"FALCON_SHIPPED=${shipped.get} REFRESH_CALLS=${StubFalconServer.refreshCalls.get} " +
+      s"RESTARTS=${supervised.restarts} (expect 120/>=1/0)")
     require(shipped.get == 120L, "all stub-server events must flow through the DSv2 source")
     spark.stop()
   }

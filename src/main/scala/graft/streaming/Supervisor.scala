@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference's controller loop (app.py:305-326): watch the running
+  * pipeline, restart it when it dies, give up after too many failures.
+  *
+  * Spark already restarts TASKS; this supervises the QUERY — the analog
+  * of the reference's thread-per-partition watchdog (a dead partition
+  * thread is re-fetched and restarted every keepalive tick). Each restart
+  * resumes from the checkpoint, so supervision composes with
+  * at-least-once delivery instead of re-reading history.
+  */
+object Supervisor {
+
+  /** Outcome of a supervised run: how many restarts happened and the
+    * terminal error if the budget was exhausted.
+    */
+  case class Result(restarts: Int, fatal: Option[Throwable])
+
+  /** Run `start` to completion, restarting on failure. `start` must build
+    * a FRESH query on the SAME checkpoint each attempt (app.py:316-317
+    * re-fetches the stream and restarts the thread).
+    *
+    * `drain` makes the query do its work and return — in production
+    * `_.awaitTermination()`, in tests `q => { q.processAllAvailable(); q.stop() }`.
+    */
+  def run(start: () => StreamingQuery,
+          drain: StreamingQuery => Unit,
+          maxRestarts: Int,
+          backoffMs: Long = 0L): Result = {
+    var attempt = 0
+    while (true) {
+      val q = start()
+      try {
+        drain(q)
+        return Result(attempt, None)
+      } catch {
+        case e: Throwable =>
+          try q.stop() catch { case _: Throwable => () }
+          if (attempt >= maxRestarts) return Result(attempt, Some(e))
+          attempt += 1
+          if (backoffMs > 0) Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -78,6 +78,27 @@ class FalconSourceSpec extends SparkSpec {
     assert(o.json() == """{"0": 1235, "1": 87}""")
     assert(FalconOffset.parse(o.json()) == o)
   }
+
+  test("discovery retry falls back to a randomized app id (app.py:261-302, :30-35)") {
+    import graft.sources.FalconDiscovery
+    StubFalconServer.reset()
+    // the base id has no streams; the seeded random fallback id does
+    val fallback = "app" + (1000 + new scala.util.Random(42L).nextInt(9000))
+    StubFalconServer.register(fallback, Seq(StreamDesc(0, 1800)))
+    val out = FalconDiscovery.discoverWithRetry(new StubFalconServer.Client(),
+      "app", maxAttempts = 5, randomizeAfter = 1, seed = 42L)
+    assert(out.appId == fallback)
+    assert(out.streams.map(_.partition) == Seq(0))
+    assert(out.attempts == 2, "one empty try on the base id, then the fallback hit")
+  }
+
+  test("discovery retry gives up after maxAttempts when nothing exists") {
+    import graft.sources.FalconDiscovery
+    StubFalconServer.reset()
+    val out = FalconDiscovery.discoverWithRetry(new StubFalconServer.Client(),
+      "ghost", maxAttempts = 3, randomizeAfter = 2, seed = 7L)
+    assert(out.streams.isEmpty && out.attempts == 3)
+  }
 }
 
 object FalconSourceSpec {

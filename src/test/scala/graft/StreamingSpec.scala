@@ -72,6 +72,42 @@ class StreamingSpec extends SparkSpec {
     assert(total == 3, "restart must deliver only the new event, not replay committed ones")
   }
 
+  test("Supervisor restarts a failed query from the checkpoint and delivers everything") {
+    import graft.streaming.Supervisor
+    RecordingSink.reset()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData((1L to 4L).map(eventLine(_)): _*)
+    val cp = Files.createTempDirectory("graft-cp").toString
+    // first attempt's sink rejects its first POST → batch fails → the
+    // supervisor restarts; the replacement run replays the batch
+    val result = Supervisor.run(
+      start = () => ConnectorPipeline.run(mem.toDF(), new RecordingSink(true), cp,
+        "h", "s", triggerMs = 50L, bulkMaxSize = 10),
+      drain = q => { q.processAllAvailable(); q.stop() },
+      maxRestarts = 3)
+    assert(result.fatal.isEmpty)
+    assert(result.restarts == 1, s"expected exactly one restart, got $result")
+    assert(RecordingSink.received.asScala.size == 4, "replay delivers the failed batch")
+  }
+
+  test("Supervisor surfaces the error when the restart budget is exhausted") {
+    import graft.streaming.Supervisor
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(eventLine(1))
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val alwaysFail = new ConnectorPipeline.BulkSink {
+      override def post(events: Seq[String]): Boolean = false
+    }
+    val result = Supervisor.run(
+      start = () => ConnectorPipeline.run(mem.toDF(), alwaysFail, cp,
+        "h", "s", triggerMs = 50L, bulkMaxSize = 10),
+      drain = q => { q.processAllAvailable(); q.stop() },
+      maxRestarts = 2)
+    assert(result.restarts == 2 && result.fatal.nonEmpty)
+  }
+
   test("watermarked tumbling window counts late data correctly") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
