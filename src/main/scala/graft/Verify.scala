@@ -15,11 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // per-query timeout: one hung query must not wedge the whole
+      // correctness round. The job group lets the timeout path cancel the
+      // stuck Spark jobs before moving on.
+      val worker = new Thread(() => {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }, s"verify-$name")
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      worker.setUncaughtExceptionHandler((_, e) => failure.set(e))
+      worker.start()
+      worker.join(timeoutSec * 1000)
+      val err: Option[String] =
+        if (worker.isAlive) {
+          spark.sparkContext.cancelJobGroup(name)
+          worker.join(30000)
+          Some(s"timed out after ${timeoutSec}s")
+        } else Option(failure.get).map(_.getMessage)
+      err.foreach { msg =>
+        System.err.println(s"[verify] $name failed: $msg")
         // remove any previous run's output: stale parquet here would make
         // the driver hash-compare an OLD result instead of recording the
         // failure

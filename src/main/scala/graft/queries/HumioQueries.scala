@@ -24,6 +24,18 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "event_type = c* | groupBy(event_type) | sort(event_type)")
 
+  /** extract + typed filter on the promoted field — R3's parse surfaced
+    * as a pipe stage.
+    */
+  def hqExtract(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "extract(props, k) | k >= 95 | select(event_id, k) | sort(event_id)")
+
+  /** regex filter over event_type. */
+  def hqRegex(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "event_type = /^(click|view)$/ | groupBy(event_type) | sort(event_type)")
+
   def hqTimechart(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "timechart(event_type, span=6h) | sort(_bucket_ms, event_type)")
@@ -32,6 +44,8 @@ object HumioQueries {
     "hq_filter"    -> hqFilter _,
     "hq_group"     -> hqGroup _,
     "hq_wildcard"  -> hqWildcard _,
+    "hq_extract"   -> hqExtract _,
+    "hq_regex"     -> hqRegex _,
     "hq_timechart" -> hqTimechart _)
 
   val oracle: Map[String, String] = Map(
@@ -45,6 +59,14 @@ object HumioQueries {
     "hq_wildcard" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE event_type LIKE 'c%'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hq_extract" ->
+      """SELECT event_id, props->>'$.k' AS k FROM events
+        |WHERE CAST(props->>'$.k' AS BIGINT) >= 95
+        |ORDER BY event_id""".stripMargin,
+    "hq_regex" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS _count
+        |FROM events WHERE regexp_matches(event_type, '^(click|view)$')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hq_timechart" ->
       """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000) * 21600000 AS _bucket_ms,

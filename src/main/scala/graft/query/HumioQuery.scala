@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * Grammar (pragmatic subset):
   * {{{
   *   query     := stage ('|' stage)*
-  *   stage     := filter | groupBy | sort | head | select | timechart
+  *   stage     := filter | regex | search | extract | groupBy | sort | head | select | timechart
   *   filter    := field op value (op ∈ =, !=, >, >=, <, <=; '*' wildcard in =/!= values)
+  *   regex     := field = /pattern/          — RLIKE partial match
+  *   search    := search(text)               — substring over every string column
+  *   extract   := extract(jsonField, key)    — promote $.key to a column named key
   *   groupBy   := groupBy(field[, function=count()|sum(f)|avg(f)|min(f)|max(f)])
   *   sort      := sort(field[, order=asc|desc])
   *   head      := head(n)
@@ -81,6 +84,8 @@ object HumioQuery {
 
   private def predicate(field: String, op: String, raw: String): Column = {
     val c = col(field)
+    if (op == "=" && raw.length > 1 && raw.startsWith("/") && raw.endsWith("/"))
+      return c.rlike(raw.substring(1, raw.length - 1))
     val wildcard = (op == "=" || op == "!=") && raw.contains("*") && !raw.startsWith("\"")
     (op, wildcard) match {
       case ("=", true)  => c.like(raw.replace("*", "%"))
@@ -119,6 +124,18 @@ object HumioQuery {
         df.orderBy(pos.map(f => if (desc) col(f).desc else col(f).asc): _*)
       case "head" => df.limit(pos.headOption.map(_.toInt).getOrElse(10))
       case "select" => df.select(pos.map(col): _*)
+      case "search" =>
+        // free-text: substring match over every string-typed column
+        val needle = pos.head.stripPrefix("\"").stripSuffix("\"")
+        val stringCols = df.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(f => col(f.name).contains(needle))
+        if (stringCols.isEmpty) df.where(lit(false))
+        else df.where(stringCols.reduce(_ || _))
+      case "extract" =>
+        // promote $.key of a JSON string field to a real column named key
+        val Seq(jsonField, key) = pos.take(2)
+        df.withColumn(key, get_json_object(col(jsonField), s"$$.$key"))
       case "timechart" =>
         val spanMs = named.getOrElse("span", "1h") match {
           case Span(n, "s") => n.toLong * 1000

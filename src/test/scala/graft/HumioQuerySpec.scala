@@ -48,6 +48,21 @@ class HumioQuerySpec extends SparkSpec {
     assert(dsl == hand)
   }
 
+  test("regex filter, free-text search, json extract") {
+    val d = Seq(
+      (1L, "click", """{"k": 9}"""), (2L, "view", """{"k": 99}"""),
+      (3L, "error", "not json"))
+      .toDF("event_id", "event_type", "props")
+    assert(HumioQuery.run(d, "event_type = /^(click|view)$/").count() == 2)
+    assert(HumioQuery.run(d, "search(json)").count() == 1)  // only "not json" contains it
+    assert(HumioQuery.run(d, "search(k)").count() == 2)     // {"k":...} rows; "error"/"not json" lack k
+    assert(HumioQuery.run(d, "search(nothere)").count() == 0)
+    val ks = HumioQuery.run(d, "extract(props, k) | select(event_id, k) | sort(event_id)")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(ks == Seq((1L, Some("9")), (2L, Some("99")), (3L, None)),
+      "corrupt JSON extracts to null, not failure")
+  }
+
   test("bad stage errors name the stage") {
     val e = intercept[IllegalArgumentException] {
       HumioQuery.run(df, "frobnicate(3)")
