@@ -24,18 +24,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
 
   /** Per-doc salted MinHash signatures sig0..sig{k-1} over 3-word
-    * shingles, as (doc_id, sig*) rows. The shingle md5s are EXPLODED and
-    * each signature is a min-aggregate over a rotated copy — this
-    * guarantees exactly one md5 evaluation per shingle (a stacked
-    * withColumn formulation collapses into one projection and recomputes
-    * the hash pass per signature). The groupBy shuffles one short hash
-    * row per shingle, partial-min'd map-side.
+    * shingles, as (doc_id, sig*) rows — one native single-pass expression
+    * per row ([[graft.expressions.ShingleMinHash]]): md5 once per
+    * shingle, all k rotation-minima folded in the same loop. No shingle
+    * arrays, no explode, no shuffle; the signature step stays co-located
+    * with the scan and the LSH band join is the only exchange left.
     */
   def withMinhashSigs(docs: DataFrame, text: Column, k: Int): DataFrame = {
-    val hashes = Text.shingleHashes(Text.shingles(Text.tokens(text), 3))
-    val exploded = docs.select(col("doc_id"), explode(hashes).as("__m"))
-    val aggs = (0 until k).map(j => min(Text.rotateHex(col("__m"), j)).as(s"sig$j"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    graft.expressions.ShingleMinHash.register(docs.sparkSession)
+    val sigs = call_function("graft_shingle_minhash", Text.tokens(text), lit(3), lit(k))
+    docs.select((col("doc_id") +: Seq(sigs.as("__sigs"))): _*)
+      .select((col("doc_id") +: (0 until k).map(j =>
+        element_at(col("__sigs"), j + 1).as(s"sig$j"))): _*)
   }
 
   /** LSH candidate pairs: docs sharing any one signature band (band size
