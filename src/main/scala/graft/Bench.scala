@@ -15,13 +15,21 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.range(1000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
       .count().collect()
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: evaluates every output column and ordering without
       // writing — count() would let Catalyst prune projection work and
-      // under-measure expression-heavy queries
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      // under-measure expression-heavy queries. Watchdog thread + job
+      // group so one hung query can't stall the whole bench.
+      val worker = new Thread(() => {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => () }
+      }, s"bench-$name")
+      worker.start()
+      worker.join(timeoutSec * 1000)
+      if (worker.isAlive) { spark.sparkContext.cancelJobGroup(name); worker.join(30000) }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -52,4 +52,14 @@ object Scale {
       .saveAsTable(table)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Hive-style partitioned layout: at 100 TB the date/category partition
+    * column is the first pruning lever — a filter on it skips whole
+    * directories before any IO (see ScaleSpec's PartitionFilters
+    * assertion).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -63,6 +63,25 @@ class HumioQuerySpec extends SparkSpec {
       "corrupt JSON extracts to null, not failure")
   }
 
+  test("the pipe language runs unchanged on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "event_type")
+    // same compiler, streaming input: timechart becomes a streaming agg
+    val out = HumioQuery.run(stream, "event_type != error | timechart(event_type, span=1h)")
+    val q = out.writeStream.format("memory").queryName("dslstream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(50L)).start()
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    mem.addData((t(0), "click"), (t(5), "click"), (t(10), "error"))
+    q.processAllAvailable()
+    val rows = spark.sql("select event_type, _count from dslstream")
+      .as[(String, Long)].collect().toMap
+    q.stop()
+    assert(rows == Map("click" -> 2L), "error filtered; clicks bucketed")
+  }
+
   test("bad stage errors name the stage") {
     val e = intercept[IllegalArgumentException] {
       HumioQuery.run(df, "frobnicate(3)")

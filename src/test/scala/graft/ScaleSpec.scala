@@ -38,6 +38,18 @@ class ScaleSpec extends SparkSpec {
     assert(scalable == exact)
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (1 to 300).map(i => (i.toLong, s"t${i % 3}", i * 1.0))
+      .toDF("id", "category", "v")
+    Scale.writePartitioned(df, dir, Seq("category"))
+    val q = spark.read.parquet(dir).where(col("category") === "t1")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(category"),
+      s"category filter must prune partitions, got:\n${plan.take(800)}")
+    assert(q.count() == 100L)
+  }
+
   test("bucketed tables join without an Exchange") {
     // the warehouse dir outlives the in-memory catalog across JVM runs;
     // saveAsTable refuses an existing unmanaged location — clean both
