@@ -56,6 +56,20 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** 64-bit SimHash bit-string per doc ([[graft.expressions.SimHash64]]);
+    * near-dups cluster at small Hamming distance. Narrow per-row op.
+    */
+  def withSimhash(docs: DataFrame, text: Column): DataFrame = {
+    graft.expressions.SimHash64.register(docs.sparkSession)
+    docs.withColumn("simhash", call_function("graft_simhash64", Text.tokens(text)))
+  }
+
+  /** Hamming distance between two equal-length bit strings — the SimHash
+    * near-dup verifier, as a declarative expression.
+    */
+  def hammingBits(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), d => d))
+
   /** Exact word-set Jaccard similarity between two token-array columns. */
   def jaccard(ta: Column, tb: Column): Column = {
     val inter = size(array_distinct(array_intersect(ta, tb))).cast("double")

@@ -90,6 +90,11 @@ object PipelineQueries {
     Dedup.lshCandidates(Tables.documents(s, dir), col("text"), MINHASH_K)
       .orderBy("doc_a", "doc_b")
 
+  def xSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.withSimhash(Tables.documents(s, dir), col("text"))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
   def xJaccard(s: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -177,6 +182,7 @@ object PipelineQueries {
     "x_docdedup"    -> xDocdedup _,
     "x_minhash"     -> xMinhash _,
     "x_lshpairs"    -> xLshpairs _,
+    "x_simhash"     -> xSimhash _,
     "x_jaccard"     -> xJaccard _,
     "x_cosine"      -> xCosine _,
     "x_knn"         -> xKnn _,
@@ -290,6 +296,19 @@ object PipelineQueries {
         |FROM long a JOIN long b ON a.band = b.band AND a.sig = b.sig
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |h AS (SELECT doc_id, md5(word) AS m FROM w),
+        |bits AS (
+        |  SELECT doc_id, t.i,
+        |         sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, 1 + CAST(t.i // 4 AS INTEGER), 1)) - 1)
+        |                        >> (3 - CAST(t.i % 4 AS INTEGER))) & 1 = 1
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN range(0, 64) t(i)
+        |  GROUP BY doc_id, t.i)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -46,6 +46,24 @@ class DedupSpec extends SparkSpec {
     assert(near > 0.8 && far < 0.1)
   }
 
+  test("simhash: near-dups at small Hamming distance, unrelated far apart") {
+    val sh = Dedup.withSimhash(docs, col("text"))
+      .select(col("doc_id"), col("simhash"))
+    val m = sh.as[(Long, String)].collect().toMap
+    assert(m(0L).length == 64 && m(0L).matches("[01]{64}"))
+    assert(m(0L) == m(3L), "identical docs hash identically")
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val near = ham(m(0L), m(1L))
+    val far = ham(m(0L), m(2L))
+    assert(near < far, s"near-dup distance $near must be below unrelated $far")
+    assert(near <= 16, s"1-word edit should move few bits, got $near")
+    // the declarative hamming verifier agrees with the Scala one
+    val viaExpr = sh.where(col("doc_id") === 0).select(col("simhash").as("a"))
+      .crossJoin(sh.where(col("doc_id") === 1).select(col("simhash").as("b")))
+      .select(Dedup.hammingBits(col("a"), col("b"))).as[Int].head()
+    assert(viaExpr == near)
+  }
+
   test("fingerprint is stable under distant edits but changes locally") {
     val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap
