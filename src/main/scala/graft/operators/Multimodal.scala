@@ -61,6 +61,47 @@ object Multimodal {
     }
   }
 
+  case class ResizedRow(doc_id: Long, media_type: String,
+                        width: Int, height: Int, scale_num: Int, scale_den: Int)
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB resize: rescales the decoded dimensions to fit a bounding box,
+    * preserving aspect ratio — the arithmetic is real (it is what a
+    * resize node must compute), only the pixel resampling a codec would
+    * do is absent.
+    */
+  def resize(decoded: Dataset[DecodedRow], maxW: Int, maxH: Int): Dataset[ResizedRow] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      // integer scale num/den chosen so w*num/den <= maxW and h*num/den <= maxH
+      val (n, dd) =
+        if (d.width <= maxW && d.height <= maxH) (1, 1)
+        else if (maxW.toLong * d.height <= maxH.toLong * d.width) (maxW, d.width)
+        else (maxH, d.height)
+      ResizedRow(d.doc_id, d.media_type,
+        (d.width.toLong * n / dd).toInt.max(1), (d.height.toLong * n / dd).toInt.max(1),
+        n, dd)
+    }
+  }
+
+  /** Frame sampling: split a (stub) video payload into every `stride`-th
+    * fixed-size frame chunk, one output row per sampled frame — the
+    * batch shape (binary in → indexed binary rows out) a real
+    * frame-sampler produces. flatMap keeps it partition-parallel and
+    * memory-bounded: one payload's frames never materialize as a Spark
+    * row array larger than the payload itself.
+    */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, idx) => idx % stride == 0 }
+        .map { case (chunk, idx) => FrameRow(m.doc_id, idx, chunk) }
+    }
+  }
+
   /** Feature extraction over decoded metadata: fixed-width histogram of
     * byte values per doc (stand-in for pixel/spectral features), as a
     * plain DataFrame op so it stays codegen'd.

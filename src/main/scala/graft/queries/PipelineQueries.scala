@@ -165,6 +165,23 @@ object PipelineQueries {
         detRound4(Vectors.norm(col("embedding"), DIM)).as("vec_norm"))
       .orderBy("doc_id")
 
+  /** The typed multimodal pipeline end-to-end: packetize documents as
+    * binary payloads, frame-sample every 2nd 64-byte chunk, count frames
+    * per doc. The oracle replays the arithmetic (frames = ⌈⌈len/64⌉/2⌉),
+    * so the Dataset plumbing — encoders, flatMap batching, chunk
+    * boundaries — is what's actually being checked.
+    */
+  def xFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.frameSample(
+        Multimodal.packetize(Tables.documents(s, dir), "video/fake"),
+        frameBytes = 64, stride = 2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(octet_length(col("frame_bytes")).cast("bigint")).as("sampled_bytes"))
+      .orderBy("doc_id")
+  }
+
   def xBinary(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -190,6 +207,7 @@ object PipelineQueries {
     "x_embdup"      -> xEmbdup _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_multimodal"  -> xMultimodal _,
+    "x_frames"      -> xFrames _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -383,6 +401,14 @@ object PipelineQueries {
         |       ${detRound4Sql(normSql("embedding"))} AS vec_norm
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+    "x_frames" ->
+      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents),
+        |c AS (SELECT doc_id, bl, CAST(ceil(bl / 64.0) AS BIGINT) AS chunks FROM t)
+        |SELECT doc_id, CAST((chunks + 1) // 2 AS BIGINT) AS n_frames,
+        |       CAST(CASE WHEN (chunks - 1) % 2 = 0
+        |            THEN 64 * ((chunks + 1) // 2 - 1) + (bl - 64 * (chunks - 1))
+        |            ELSE 64 * ((chunks + 1) // 2) END AS BIGINT) AS sampled_bytes
+        |FROM c ORDER BY doc_id""".stripMargin,
     "x_binary" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

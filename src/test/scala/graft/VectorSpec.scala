@@ -39,6 +39,27 @@ class VectorSpec extends SparkSpec {
     assert(df(0L) != df(2L), "antipodal vectors flip every sign bit")
   }
 
+  test("multimodal resize preserves aspect ratio within the bounding box") {
+    val docs = Seq((1L, "x" * 5000)).toDF("doc_id", "text")
+    val decoded = Multimodal.decode(Multimodal.packetize(docs, "image/fake"))
+    val r = Multimodal.resize(decoded, 100, 100).collect().head
+    val d = decoded.collect().head
+    assert(r.width <= 100 && r.height <= 100)
+    assert(r.width >= 1 && r.height >= 1)
+    // aspect ratio preserved to integer rounding
+    assert(math.abs(r.width.toDouble / r.height - d.width.toDouble / d.height) < 0.2)
+  }
+
+  test("multimodal frame sampling: every stride-th fixed-size chunk, indexed") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")  // 10 bytes
+    val frames = Multimodal.frameSample(Multimodal.packetize(docs, "video/fake"),
+        frameBytes = 2, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4), "frames 0,2,4 of 5")
+    assert(frames.forall(_.frame_bytes.length == 2))
+    assert(new String(frames.head.frame_bytes) == "ab")
+  }
+
   test("multimodal stub pipeline: packetize → decode → features is deterministic") {
     val docs = Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text")
     val decoded = Multimodal.decode(Multimodal.packetize(docs, "image/fake"))
