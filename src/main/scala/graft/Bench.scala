@@ -27,6 +27,8 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case _: Throwable => () }
       }, s"bench-$name")
+      // daemon: a query that ignores cancellation must not block JVM exit
+      worker.setDaemon(true)
       worker.start()
       worker.join(timeoutSec * 1000)
       if (worker.isAlive) { spark.sparkContext.cancelJobGroup(name); worker.join(30000) }

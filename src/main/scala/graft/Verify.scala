@@ -27,6 +27,8 @@ object Verify {
       }, s"verify-$name")
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       worker.setUncaughtExceptionHandler((_, e) => failure.set(e))
+      // daemon: a query that ignores cancellation must not block JVM exit
+      worker.setDaemon(true)
       worker.start()
       worker.join(timeoutSec * 1000)
       val err: Option[String] =
