@@ -11,9 +11,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * per-session path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "graft_shingle_minhash"),
+      (children: Seq[Expression]) => ShingleMinHash(
+        children.head,
+        children(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int],
+        children(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+  }
 }

@@ -34,7 +34,13 @@ case class ShingleMinHash(child: Expression, shingleWords: Int, k: Int)
   override def prettyName: String = "graft_shingle_minhash"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      // rotation by 8·j chars has period 4 on a 32-char hex string: k > 4
+      // would silently produce duplicate signatures (j and j+4 identical),
+      // gutting LSH recall — reject at analysis time instead
+      if (k < 1 || k > 4) TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_minhash supports 1..4 signatures (rotation period), got k=$k")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_shingle_minhash expects array<string>, got ${other.simpleString}")
   }

@@ -37,7 +37,9 @@ object LogAnalytics {
     * cannot perturb the result, engine to engine.
     */
   def slidingAvg(events: DataFrame, part: Column, valueCol: Column, windowMs: Long): Column = {
-    val w = Window.partitionBy(part).orderBy(col("ts_ms"))
+    // order by epoch millis derived from ts directly — no hidden
+    // precondition of a pre-computed ts_ms column
+    val w = Window.partitionBy(part).orderBy(unix_millis(col("ts")))
       .rangeBetween(-windowMs, Window.currentRow)
     val cents = round(valueCol * 100).cast("bigint")
     sum(cents).over(w) / (count(lit(1)).over(w) * 100.0)

@@ -109,7 +109,7 @@ object Multimodal {
   def byteFeatures(media: Dataset[MediaRow], bins: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.flatMap(m => m.payload.map(b => (m.doc_id, (b & 0xff) % bins)))
+    media.flatMap(m => m.payload.map(b => (m.doc_id, ((b & 0xff) * bins) / 256)))
       .toDF("doc_id", "bin")
       .groupBy("doc_id", "bin").agg(count(lit(1)).as("n"))
   }

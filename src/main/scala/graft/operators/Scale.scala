@@ -37,7 +37,9 @@ object Scale {
     * contrast drags every occurrence of a hot key to one reducer.
     */
   def scalableCountDistinct(df: DataFrame, dim: Column, value: Column): DataFrame =
-    df.select(dim.as("dim"), value.as("v")).distinct()
+    df.select(dim.as("dim"), value.as("v"))
+      .where(col("v").isNotNull)   // COUNT(DISTINCT) ignores NULLs
+      .distinct()
       .groupBy("dim").agg(count(lit(1)).as("n_distinct"))
 
   /** Bucketed write: pre-shuffles once at write time so every future

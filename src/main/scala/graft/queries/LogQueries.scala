@@ -17,7 +17,7 @@ object LogQueries {
       .orderBy("bucket_ms", "event_type")
 
   def lSliding(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+    val ev = Tables.events(s, dir)
     ev.select(col("event_id"),
         ConnectorQueries.detRound4(
           LogAnalytics.slidingAvg(ev, col("event_type"), col("value"), 3600000L))

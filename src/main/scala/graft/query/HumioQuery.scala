@@ -33,15 +33,22 @@ object HumioQuery {
     splitPipes(query).map(_.trim).filter(_.nonEmpty)
       .foldLeft(df)((acc, stage) => applyStage(acc, stage))
 
-  /** split on '|' not inside parentheses */
+  /** split on '|' not inside parentheses and not inside a /regex/
+    * literal (alternation in a regex must survive: `f = /click|view/`).
+    * A '/' only opens a regex when it directly follows '=', so plain
+    * slashes in values don't start one.
+    */
   private def splitPipes(q: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
+    var inRegex = false
     q.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case '|' if depth == 0 => out += cur.result(); cur.clear()
+      case '/' if inRegex => inRegex = false; cur += '/'
+      case '/' if cur.toString.trim.endsWith("=") => inRegex = true; cur += '/'
+      case '(' if !inRegex => depth += 1; cur += '('
+      case ')' if !inRegex => depth -= 1; cur += ')'
+      case '|' if depth == 0 && !inRegex => out += cur.result(); cur.clear()
       case c => cur += c
     }
     out += cur.result()
@@ -145,7 +152,9 @@ object HumioQuery {
           case other => throw new IllegalArgumentException(s"bad span: $other")
         }
         val (aggCol, aggName) = aggregate(named.getOrElse("function", "count()"))
-        val bucket = (unix_millis(col("ts")) / spanMs).cast("long") * spanMs
+        // floor, not cast-truncation: pre-1970 timestamps must bucket
+        // downward like the oracle's // floor division
+        val bucket = floor(unix_millis(col("ts")) / spanMs).cast("long") * spanMs
         val keys = col("_bucket_ms") +: pos.map(col)
         df.withColumn("_bucket_ms", bucket)
           .groupBy(keys: _*).agg(aggCol.as(aggName))

@@ -145,7 +145,9 @@ object FalconDiscovery {
       val found = client.discoverStreams(currentId)
       attempt += 1
       if (found.nonEmpty) return Outcome(currentId, found, attempt)
-      if (attempt % randomizeAfter == 0)
+      // randomizeAfter <= 0 disables randomization (and must not be a
+      // modulus: --appid-random 0 would otherwise divide by zero)
+      if (randomizeAfter > 0 && attempt % randomizeAfter == 0)
         currentId = appId + (1000 + rnd.nextInt(9000))  // 4 random digits
       if (sleepMs > 0) Thread.sleep(sleepMs)
     }
@@ -185,10 +187,11 @@ object FalconOffset {
 
 class FalconMicroBatchStream(appId: String) extends MicroBatchStream {
   private val client = new StubFalconServer.Client
-  // session refresh cadence: the reference refreshes at 85% of the
-  // server-provided interval (app.py:256); here one control tick per
-  // latestOffset poll models the admin thread
-  private var lastRefreshMs = 0L
+  // session refresh cadence: the reference refreshes each partition's
+  // session at 85% of the server-provided interval (app.py:256); the
+  // deadline is PER PARTITION — a shared clock would let the first due
+  // partition starve the rest forever
+  private val lastRefreshMs = scala.collection.mutable.Map.empty[Int, Long]
 
   private def descs: Seq[StreamDesc] = client.discoverStreams(appId)
 
@@ -198,8 +201,11 @@ class FalconMicroBatchStream(appId: String) extends MicroBatchStream {
   override def latestOffset(): Offset = {
     val now = System.currentTimeMillis()
     descs.foreach { d =>
-      val due = lastRefreshMs + (d.refreshIntervalSec * 850L) // 85% in ms
-      if (now >= due) { client.refreshSession(appId, d.partition); lastRefreshMs = now }
+      val due = lastRefreshMs.getOrElse(d.partition, 0L) + (d.refreshIntervalSec * 850L)
+      if (now >= due) {
+        client.refreshSession(appId, d.partition)
+        lastRefreshMs(d.partition) = now
+      }
     }
     FalconOffset(descs.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap)
   }

@@ -31,13 +31,17 @@ object Supervisor {
           backoffMs: Long = 0L): Result = {
     var attempt = 0
     while (true) {
-      val q = start()
+      // start() INSIDE the try: a failure while (re)starting — transient
+      // checkpoint lock, IO error — must count against the budget too,
+      // not crash the supervisor
+      var q: StreamingQuery = null
       try {
+        q = start()
         drain(q)
         return Result(attempt, None)
       } catch {
         case e: Throwable =>
-          try q.stop() catch { case _: Throwable => () }
+          if (q != null) { try q.stop() catch { case _: Throwable => () } }
           if (attempt >= maxRestarts) return Result(attempt, Some(e))
           attempt += 1
           if (backoffMs > 0) Thread.sleep(backoffMs)

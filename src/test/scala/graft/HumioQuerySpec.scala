@@ -54,6 +54,10 @@ class HumioQuerySpec extends SparkSpec {
       (3L, "error", "not json"))
       .toDF("event_id", "event_type", "props")
     assert(HumioQuery.run(d, "event_type = /^(click|view)$/").count() == 2)
+    // top-level alternation: the '|' inside /…/ must not split the pipe
+    assert(HumioQuery.run(d, "event_type = /click|view/ | head(10)").count() == 2)
+    // a plain slash in a value must NOT open a regex
+    assert(HumioQuery.run(d.withColumn("p", lit("a/b")), "p = a/b | head(10)").count() == 3)
     assert(HumioQuery.run(d, "search(json)").count() == 1)  // only "not json" contains it
     assert(HumioQuery.run(d, "search(k)").count() == 2)     // {"k":...} rows; "error"/"not json" lack k
     assert(HumioQuery.run(d, "search(nothere)").count() == 0)
