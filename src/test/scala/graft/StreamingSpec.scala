@@ -125,6 +125,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows("view") == 1L)
   }
 
+  test("stream-stream interval join: events match orders within the time bound") {
+    implicit val sq = spark.sqlContext
+    val evMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val orMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val ev = evMem.toDF().toDF("ev_ts", "ev_user", "event_id")
+      .withWatermark("ev_ts", "1 hour")
+    val or = orMem.toDF().toDF("or_ts", "or_user", "order_id")
+      .withWatermark("or_ts", "1 hour")
+    // event joins orders of the same user within the preceding 30 minutes
+    val joined = ev.join(or,
+      expr("""ev_user = or_user AND
+              or_ts BETWEEN ev_ts - INTERVAL 30 MINUTES AND ev_ts"""))
+    val q = joined.select("event_id", "order_id")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50L)).start()
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    orMem.addData((t(0), 1L, 100L), (t(0), 2L, 200L))
+    evMem.addData((t(10), 1L, 1L),   // within 30 min of order 100 → match
+                  (t(50), 1L, 2L),   // 50 min after → no match
+                  (t(10), 3L, 3L))   // no such user → no match
+    q.processAllAvailable()
+    val rows = spark.sql("select event_id, order_id from ssj")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 100L)), s"only the in-window same-user pair joins, got $rows")
+  }
+
   test("session_window groups events by 30-min gaps per user") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
