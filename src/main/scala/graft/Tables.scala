@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   * pushdown-capable). Nothing below this line ever sees a file path.
   */
 object Tables {
+  // per-(session, path) plan cache: a DataFrame is an immutable logical
+  // plan, so reusing it skips re-listing files and re-reading footers on
+  // every one of the ~57 queries that touch the same ten tables.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (micros) cannot hold; read it as raw nanos and rebuild a timestamp.
