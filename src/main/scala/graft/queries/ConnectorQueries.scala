@@ -89,6 +89,25 @@ object ConnectorQueries {
         round(col("value"), 4).as("value_r"))
       .orderBy("event_id")
 
+  /** R7 — raw (no-enrich) pass-through mode (app.py:135-137): lines ship
+    * verbatim — no parse, no drop of corrupt JSON, no decoration. The
+    * synthesized stream plants a corrupt line every 97th event; unlike
+    * [[eParse]] (the enrich path, which drops them) every non-empty line
+    * survives unmodified.
+    */
+  def eRaw(s: SparkSession, dir: String): DataFrame = {
+    val line = when(col("event_id") % 97 === 0,
+        concat(lit("corrupt<"), col("event_id").cast("string"), lit(">")))
+      .otherwise(concat(lit("{\"metadata\": {\"offset\": "),
+        col("event_id").cast("string"), lit("}}")))
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        (col("user_id") % 4).cast("bigint").as("partition"),
+        line.as("line"))
+      .where(length(col("line")) > 0)                          // R2 empty drop only
+      .orderBy("event_id")
+  }
+
   /** R9 — per-partition resume offsets (partition ≙ user_id % 4). */
   def eOffsets(s: SparkSession, dir: String): DataFrame =
     Connector.resumeOffsets(Tables.events(s, dir),
@@ -113,6 +132,7 @@ object ConnectorQueries {
     "e_kv_flatten" -> eKvFlatten _,
     "e_enrich"     -> eEnrich _,
     "e_filter"     -> eFilter _,
+    "e_raw"        -> eRaw _,
     "e_offsets"    -> eOffsets _,
     "e_batches"    -> eBatches _)
 
@@ -136,6 +156,16 @@ object ConnectorQueries {
       """SELECT event_id, user_id, event_type, round(value, 4) AS value_r
         |FROM events
         |WHERE event_type IN ('click','purchase') AND value > 50.0 AND value <= 500.0
+        |ORDER BY event_id""".stripMargin,
+    "e_raw" ->
+      """SELECT event_id, partition, line FROM (
+        |  SELECT event_id, CAST(user_id % 4 AS BIGINT) AS partition,
+        |         CASE WHEN event_id % 97 = 0
+        |              THEN 'corrupt<' || CAST(event_id AS VARCHAR) || '>'
+        |              ELSE '{"metadata": {"offset": ' || CAST(event_id AS VARCHAR) || '}}'
+        |         END AS line
+        |  FROM events)
+        |WHERE length(line) > 0
         |ORDER BY event_id""".stripMargin,
     "e_offsets" ->
       """SELECT CAST(user_id % 4 AS BIGINT) AS partition,

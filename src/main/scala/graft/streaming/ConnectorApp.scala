@@ -55,12 +55,17 @@ object ConnectorApp {
   }
 
   /** Stand-in for the Humio bulk HTTP client: logs instead of POSTing
-    * (zero-egress build; swap `post` for an HTTP call to go live).
+    * (zero-egress build; swap `post` for an HTTP call to go live). The
+    * endpoint path and payload keyword follow the enrich mode exactly as
+    * the reference selects them (app.py:365-374).
     */
-  class LoggingSink(humioHost: String) extends ConnectorPipeline.BulkSink {
+  class LoggingSink(humioHost: String, enrich: Boolean) extends ConnectorPipeline.BulkSink {
+    private val endpoint = ConnectorPipeline.HumioWire.endpoint(enrich)
     override def post(events: Seq[String]): Boolean = {
       ConnectorApp.posted.addAndGet(events.size)
-      println(s"[sink] POST $humioHost/api/v1/ingest: ${events.size} events")
+      val body = ConnectorPipeline.HumioWire.body(enrich, events)
+      println(s"[sink] POST $humioHost${endpoint.path}: ${events.size} " +
+        s"${endpoint.keyword} (${body.length} bytes)")
       true
     }
   }
@@ -109,15 +114,22 @@ object ConnectorApp {
       .option("appId", found.appId).load()
       .select(col("value"))
 
+    // R16 — SIGINT/SIGTERM stop the active query cleanly via a JVM
+    // shutdown hook (the signal analog of app.py:219-222, :353-354)
+    val shutdown = new Supervisor.Shutdown
+    shutdown.installHook()
+
     val result = Supervisor.run(
-      start = () => ConnectorPipeline.run(lines, new LoggingSink(cfg.humioHost), cp,
+      start = () => ConnectorPipeline.run(lines, new LoggingSink(cfg.humioHost, cfg.enrich), cp,
         host = java.net.InetAddress.getLocalHost.getHostName,
         streamId = cfg.appId,
         triggerMs = cfg.flushWaitTimeSec * 1000L,
-        bulkMaxSize = cfg.bulkMaxSize),
+        bulkMaxSize = cfg.bulkMaxSize,
+        enrich = cfg.enrich),
       drain = q => if (cfg.stub) { q.processAllAvailable(); q.stop() }
                    else q.awaitTermination(),
-      maxRestarts = cfg.maxRestarts)
+      maxRestarts = cfg.maxRestarts,
+      shutdown = Some(shutdown))
 
     println(s"[app] done: shipped=${posted.get} restarts=${result.restarts}" +
       result.fatal.map(e => s" FATAL=${e.getMessage}").getOrElse(""))

@@ -49,6 +49,16 @@ object ConnectorPipeline {
         .as("event_fields"))                                    // R5
   }
 
+  /** R7 — the no-enrich ("raw") data path (app.py:135-137): non-empty
+    * lines ship UNDECORATED — no parse, no projection, no flatten, no
+    * metadata; corrupt JSON passes through too (nothing ever parses it).
+    * Offset progress comes from the source's offset WAL, mirroring the
+    * reference's parse-only-the-last-line shortcut (app.py:147-149) —
+    * both avoid per-event parsing on this path.
+    */
+  def transformRaw(lines: DataFrame): DataFrame =
+    lines.where(length(col("value")) > 0).select(col("value"))
+
   /** Bulk-delivery contract of the Humio sink (app.py:151-176). `post`
     * returns false / throws on failure; the pipeline translates that
     * into a failed micro-batch, which Structured Streaming replays —
@@ -58,23 +68,60 @@ object ConnectorPipeline {
     def post(events: Seq[String]): Boolean
   }
 
+  /** The two Humio ingest wire shapes, selected by the enrich mode
+    * (app.py:365-374): structured events vs unstructured raw messages.
+    * [[body]] renders one bulk POST payload `[{<keyword>: [...]}]` —
+    * enriched events are already JSON objects and embed verbatim; raw
+    * lines are arbitrary strings and get JSON-escaped.
+    */
+  object HumioWire {
+    final case class Endpoint(path: String, keyword: String)
+    def endpoint(enrich: Boolean): Endpoint =
+      if (enrich) Endpoint("/api/v1/ingest/humio-structured", "events")
+      else Endpoint("/api/v1/ingest/humio-unstructured", "messages")
+
+    def jsonString(s: String): String = {
+      val sb = new StringBuilder(s.length + 2).append('"')
+      s.foreach {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+
+    def body(enrich: Boolean, events: Seq[String]): String = {
+      val rendered = if (enrich) events else events.map(jsonString)
+      rendered.mkString(s"""[{"${endpoint(enrich).keyword}": [""", ", ", "]}]")
+    }
+  }
+
   /** Start the pipeline: ProcessingTime trigger ≙ flush-wait-time,
     * `bulkMaxSize` chunking inside the batch ≙ bulk-max-size. Events are
     * shipped per PARTITION (the reference's thread-per-partition), driver
-    * never collects.
+    * never collects. `enrich = false` selects the raw pass-through path
+    * (R7): undecorated lines, unstructured wire shape.
     */
   def run(lines: DataFrame, sink: BulkSink, checkpointDir: String,
           host: String, streamId: String,
-          triggerMs: Long = 10000L, bulkMaxSize: Int = 200): StreamingQuery = {
-    transform(lines, host, streamId)
+          triggerMs: Long = 10000L, bulkMaxSize: Int = 200,
+          enrich: Boolean = true): StreamingQuery = {
+    val staged =
+      if (enrich) transform(lines, host, streamId)
+        .select(to_json(struct(
+          col("timestamp"), col("rawstring"), col("host"),
+          col("stream"), col("event_fields"))).as("payload"))
+      else transformRaw(lines).select(col("value").as("payload"))
+    staged
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val shipped = batch.select(to_json(struct(
-          col("timestamp"), col("rawstring"), col("host"),
-          col("stream"), col("event_fields"))))
-        shipped.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           rows.map(_.getString(0)).grouped(bulkMaxSize).foreach { chunk =>
             if (!sink.post(chunk))
               // fail the task → fail the batch → replay: at-least-once,

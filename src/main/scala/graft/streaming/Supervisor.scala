@@ -18,6 +18,32 @@ object Supervisor {
     */
   case class Result(restarts: Int, fatal: Option[Throwable])
 
+  /** R16 — graceful shutdown (app.py:219-222, :353-354). The reference
+    * installs SIGINT/SIGTERM handlers that set `exit_event` so stream
+    * threads drain and exit; the JVM analog is a shutdown hook (the JVM
+    * runs hooks on both signals). `requestStop` stops the ACTIVE query
+    * cooperatively — the in-flight micro-batch completes and commits its
+    * checkpoint, so nothing is lost or replayed on the next start — and
+    * marks the supervisor so a stop-induced exit is never "restarted".
+    */
+  final class Shutdown {
+    private val active =
+      new java.util.concurrent.atomic.AtomicReference[StreamingQuery](null)
+    @volatile private var requested = false
+    def stopRequested: Boolean = requested
+    private[streaming] def track(q: StreamingQuery): Unit = active.set(q)
+    def requestStop(): Unit = {
+      requested = true
+      Option(active.get()).foreach(q => try q.stop() catch { case _: Throwable => () })
+    }
+    /** Install as a JVM shutdown hook; returns the hook thread. */
+    def installHook(): Thread = {
+      val t = new Thread(() => requestStop(), "graft-shutdown")
+      Runtime.getRuntime.addShutdownHook(t)
+      t
+    }
+  }
+
   /** Run `start` to completion, restarting on failure. `start` must build
     * a FRESH query on the SAME checkpoint each attempt (app.py:316-317
     * re-fetches the stream and restarts the thread).
@@ -28,7 +54,8 @@ object Supervisor {
   def run(start: () => StreamingQuery,
           drain: StreamingQuery => Unit,
           maxRestarts: Int,
-          backoffMs: Long = 0L): Result = {
+          backoffMs: Long = 0L,
+          shutdown: Option[Shutdown] = None): Result = {
     var attempt = 0
     while (true) {
       // start() INSIDE the try: a failure while (re)starting — transient
@@ -36,12 +63,17 @@ object Supervisor {
       // not crash the supervisor
       var q: StreamingQuery = null
       try {
+        if (shutdown.exists(_.stopRequested)) return Result(attempt, None)
         q = start()
+        shutdown.foreach(_.track(q))
         drain(q)
         return Result(attempt, None)
       } catch {
         case e: Throwable =>
           if (q != null) { try q.stop() catch { case _: Throwable => () } }
+          // a requested stop that raced a failing drain is a clean exit,
+          // not a crash — never restart past it
+          if (shutdown.exists(_.stopRequested)) return Result(attempt, None)
           if (attempt >= maxRestarts) return Result(attempt, Some(e))
           attempt += 1
           if (backoffMs > 0) Thread.sleep(backoffMs)

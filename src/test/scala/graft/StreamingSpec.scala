@@ -35,6 +35,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_.contains("\"host\":\"testhost\"")))
   }
 
+  test("R7 raw mode ships undecorated lines — corrupt JSON included, empties dropped") {
+    RecordingSink.reset()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(eventLine(1), "definitely{not json", "", eventLine(2))
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+      "testhost", "graft", triggerMs = 50L, bulkMaxSize = 10, enrich = false)
+    q.processAllAvailable(); q.stop()
+    val got = RecordingSink.received.asScala.toSet
+    // verbatim pass-through: nothing parsed, nothing enriched, corrupt kept
+    assert(got == Set(eventLine(1), "definitely{not json", eventLine(2)))
+    assert(!got.exists(_.contains("\"host\"")), "raw mode must not decorate")
+  }
+
+  test("HumioWire selects endpoint + payload shape by enrich mode (app.py:356-374)") {
+    import ConnectorPipeline.HumioWire
+    assert(HumioWire.endpoint(enrich = true) ==
+      HumioWire.Endpoint("/api/v1/ingest/humio-structured", "events"))
+    assert(HumioWire.endpoint(enrich = false) ==
+      HumioWire.Endpoint("/api/v1/ingest/humio-unstructured", "messages"))
+    // structured: events are JSON objects, embedded verbatim
+    assert(HumioWire.body(enrich = true, Seq("""{"a":1}""", """{"b":2}""")) ==
+      """[{"events": [{"a":1}, {"b":2}]}]""")
+    // unstructured: raw strings, JSON-escaped
+    assert(HumioWire.body(enrich = false, Seq("line \"x\"", "tab\there")) ==
+      """[{"messages": ["line \"x\"", "tab\there"]}]""")
+  }
+
+  test("Shutdown.requestStop stops the active query cleanly with no restart (R16)") {
+    import graft.streaming.Supervisor
+    RecordingSink.reset()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(eventLine(1))
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val shutdown = new Supervisor.Shutdown
+    val result = Supervisor.run(
+      start = () => ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+        "h", "s", triggerMs = 50L),
+      drain = q => { q.processAllAvailable(); shutdown.requestStop(); q.awaitTermination() },
+      maxRestarts = 3, shutdown = Some(shutdown))
+    assert(result.fatal.isEmpty && result.restarts == 0, s"clean stop, got $result")
+    assert(RecordingSink.received.asScala.size == 1)
+    // the stop committed its batch: a restart on the same checkpoint
+    // delivers nothing new
+    val q2 = ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+      "h", "s", triggerMs = 50L)
+    q2.processAllAvailable(); q2.stop()
+    assert(RecordingSink.received.asScala.size == 1, "no replay after graceful stop")
+  }
+
   test("failed sink POST fails the batch and replays: at-least-once, no loss") {
     RecordingSink.reset()
     implicit val sq = spark.sqlContext
