@@ -48,35 +48,52 @@ object FalconSource {
     StructField("value", StringType, nullable = false)))
 }
 
-/** One discovered stream partition (parse_stream, app.py:244-258). */
-case class StreamDesc(partition: Int, refreshIntervalSec: Int)
+/** One discovered stream partition (parse_stream, app.py:244-258),
+  * including the per-stream session token the data-feed GET must carry
+  * as `Authorization: Token <token>` (app.py:68-69, parsed app.py:247).
+  */
+case class StreamDesc(partition: Int, refreshIntervalSec: Int, token: String = "")
 
 /** Discovery-resource parsing, mirroring the reference exactly
   * (FIXTURES.md §B2): the partition number is the LAST PATH SEGMENT of
   * `dataFeedURL` (app.py:61-62), the app id is its `appId` query param
-  * (app.py:251), and the refresh deadline is 85% of the server-provided
-  * interval (app.py:256).
+  * (app.py:251), the session token is `sessionToken.token` of the
+  * discovery resource (app.py:247), and the refresh deadline is 85% of
+  * the server-provided interval (app.py:256).
   */
 object StreamResource {
-  case class Parsed(partition: Int, appId: Option[String], refreshDelaySec: Long)
+  case class Parsed(partition: Int, appId: Option[String], refreshDelaySec: Long,
+                    token: String)
 
-  def parse(dataFeedUrl: String, refreshIntervalSec: Int): Parsed = {
+  def parse(dataFeedUrl: String, refreshIntervalSec: Int,
+            sessionToken: String = ""): Parsed = {
     val uri = new java.net.URI(dataFeedUrl)
     val partition = uri.getPath.split('/').last.toInt
     val appId = Option(uri.getQuery).flatMap(
       _.split('&').map(_.split("=", 2))
         .collectFirst { case Array("appId", v) => v })
-    Parsed(partition, appId, (refreshIntervalSec * 0.85).toLong)
+    Parsed(partition, appId, (refreshIntervalSec * 0.85).toLong, sessionToken)
   }
 }
 
-/** The Falcon protocol surface the source depends on. */
+/** Auth failure on a data-feed fetch — the protocol's 401 (wrong or
+  * expired session token).
+  */
+class FalconAuthException(msg: String) extends RuntimeException(msg)
+
+/** The Falcon protocol surface the source depends on. `fetch` carries the
+  * discovered session token (bearer credential of every stream GET,
+  * app.py:68-75) and the stream timeout (`requests.get(timeout=...)`,
+  * app.py:96 / `--stream-timeout`); implementations reject a bad token
+  * with [[FalconAuthException]] and a slow read with a timeout error.
+  */
 trait FalconClient extends Serializable {
   def discoverStreams(appId: String): Seq[StreamDesc]
   def refreshSession(appId: String, partition: Int): Boolean
   def latestOffset(appId: String, partition: Int): Long
   /** events with offset in [from, until), in offset order */
-  def fetch(appId: String, partition: Int, from: Long, until: Long): Seq[(Long, String)]
+  def fetch(appId: String, partition: Int, token: String,
+            from: Long, until: Long, timeoutMs: Long): Seq[(Long, String)]
 }
 
 /** Deterministic in-JVM stub of the Falcon endpoints, keyed by appId.
@@ -85,21 +102,27 @@ trait FalconClient extends Serializable {
   * real cluster).
   */
 object StubFalconServer {
-  // discovery resources are stored as (dataFeedURL, refreshInterval) —
-  // the WIRE shape — and re-parsed on every discovery via
+  // discovery resources are stored as (dataFeedURL, refreshInterval,
+  // sessionToken) — the WIRE shape — and re-parsed on every discovery via
   // [[StreamResource.parse]], exactly like the reference client does
   private val streams =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int, String)]]()
   private val events =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), java.util.concurrent.ConcurrentSkipListMap[Long, String]]()
   val refreshCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  // simulated per-fetch latency, for stream-timeout tests
+  val fetchDelayMs = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def reset(): Unit = { streams.clear(); events.clear(); refreshCalls.set(0) }
+  def reset(): Unit =
+    { streams.clear(); events.clear(); refreshCalls.set(0); fetchDelayMs.set(0) }
+
+  /** Deterministic session token the server would mint per stream. */
+  def tokenFor(appId: String, partition: Int): String = s"sess-$appId-$partition"
 
   def register(appId: String, descs: Seq[StreamDesc]): Unit = {
     streams.put(appId, descs.map(d =>
       (s"https://stub.local/sensors/entities/datafeed/v1/${d.partition}?appId=$appId",
-        d.refreshIntervalSec)))
+        d.refreshIntervalSec, tokenFor(appId, d.partition))))
     descs.foreach(d => events.putIfAbsent((appId, d.partition),
       new java.util.concurrent.ConcurrentSkipListMap[Long, String]()))
   }
@@ -110,8 +133,9 @@ object StubFalconServer {
   class Client extends FalconClient {
     override def discoverStreams(appId: String): Seq[StreamDesc] =
       Option(streams.get(appId)).getOrElse(Seq.empty).map {
-        case (url, interval) =>
-          StreamDesc(StreamResource.parse(url, interval).partition, interval)
+        case (url, interval, token) =>
+          val p = StreamResource.parse(url, interval, token)
+          StreamDesc(p.partition, interval, p.token)
       }
     override def refreshSession(appId: String, partition: Int): Boolean = {
       refreshCalls.incrementAndGet(); true
@@ -119,10 +143,20 @@ object StubFalconServer {
     override def latestOffset(appId: String, partition: Int): Long =
       Option(events.get((appId, partition)))
         .filterNot(_.isEmpty).map(_.lastKey() + 1).getOrElse(0L)
-    override def fetch(appId: String, partition: Int, from: Long, until: Long): Seq[(Long, String)] =
+    override def fetch(appId: String, partition: Int, token: String,
+                       from: Long, until: Long, timeoutMs: Long): Seq[(Long, String)] = {
+      if (token != tokenFor(appId, partition))
+        throw new FalconAuthException(
+          s"401: bad session token for $appId/$partition")
+      // the HTTP client enforces its timeout socket-side; the stub
+      // simulates it against the configured artificial latency
+      if (fetchDelayMs.get() > timeoutMs)
+        throw new java.net.SocketTimeoutException(
+          s"stream read exceeded ${timeoutMs}ms")
       Option(events.get((appId, partition))).map {
         m => m.subMap(from, until).asScala.toSeq.map { case (k, v) => (k, v) }
       }.getOrElse(Seq.empty)
+    }
   }
 }
 
@@ -165,7 +199,9 @@ class FalconTable(properties: Map[String, String]) extends Table with SupportsRe
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = FalconSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new FalconMicroBatchStream(options.asScala.getOrElse("appId", "default"))
+          new FalconMicroBatchStream(
+            options.asScala.getOrElse("appId", "default"),
+            streamTimeoutSec = options.asScala.getOrElse("streamTimeoutSec", "60").toInt)
       }
     }
 }
@@ -185,39 +221,59 @@ object FalconOffset {
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
 }
 
-class FalconMicroBatchStream(appId: String) extends MicroBatchStream {
+class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60)
+    extends MicroBatchStream {
   private val client = new StubFalconServer.Client
   // session refresh cadence: the reference refreshes each partition's
   // session at 85% of the server-provided interval (app.py:256); the
   // deadline is PER PARTITION — a shared clock would let the first due
   // partition starve the rest forever
   private val lastRefreshMs = scala.collection.mutable.Map.empty[Int, Long]
+  // every partition offset this stream has ever seen: discovery is
+  // transiently fallible, and the reference's offset file never forgets a
+  // partition (app.py:38-58) — without carry-forward, one empty discovery
+  // tick would reset a reappearing partition to 0 and re-read its history
+  private var knownOffsets = Map.empty[Int, Long]
+  private def remember(o: FalconOffset): FalconOffset = synchronized {
+    knownOffsets = knownOffsets ++ o.offsets
+    FalconOffset(knownOffsets)
+  }
 
   private def descs: Seq[StreamDesc] = client.discoverStreams(appId)
 
   override def initialOffset(): Offset =
-    FalconOffset(descs.map(d => d.partition -> 0L).toMap)
+    remember(FalconOffset(descs.map(d => d.partition -> 0L).toMap))
 
   override def latestOffset(): Offset = {
     val now = System.currentTimeMillis()
-    descs.foreach { d =>
+    val ds = descs
+    ds.foreach { d =>
       val due = lastRefreshMs.getOrElse(d.partition, 0L) + (d.refreshIntervalSec * 850L)
       if (now >= due) {
         client.refreshSession(appId, d.partition)
         lastRefreshMs(d.partition) = now
       }
     }
-    FalconOffset(descs.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap)
+    remember(FalconOffset(
+      ds.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap))
   }
 
-  override def deserializeOffset(json: String): Offset = FalconOffset.parse(json)
+  override def deserializeOffset(json: String): Offset =
+    remember(FalconOffset.parse(json))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FalconOffset].offsets
     val e = end.asInstanceOf[FalconOffset].offsets
+    // session tokens come from the CURRENT discovery (a refresh may have
+    // rotated them); a partition absent from this tick's discovery keeps
+    // no token and simply has no new data to plan
+    val tokens = descs.map(d => d.partition -> d.token).toMap
     e.toSeq.sortBy(_._1).flatMap { case (p, until) =>
       val from = s.getOrElse(p, 0L)
-      if (until > from) Some(FalconInputPartition(appId, p, from, until)) else None
+      if (until > from)
+        Some(FalconInputPartition(appId, p, tokens.getOrElse(p, ""), from, until,
+          streamTimeoutSec * 1000L))
+      else None
     }.toArray
   }
 
@@ -231,13 +287,14 @@ class FalconMicroBatchStream(appId: String) extends MicroBatchStream {
   override def stop(): Unit = ()
 }
 
-case class FalconInputPartition(appId: String, partition: Int,
-                                from: Long, until: Long) extends InputPartition
+case class FalconInputPartition(appId: String, partition: Int, token: String,
+                                from: Long, until: Long,
+                                timeoutMs: Long) extends InputPartition
 
 class FalconPartitionReader(p: FalconInputPartition)
     extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   private val it = new StubFalconServer.Client()
-    .fetch(p.appId, p.partition, p.from, p.until).iterator
+    .fetch(p.appId, p.partition, p.token, p.from, p.until, p.timeoutMs).iterator
   private var current: (Long, String) = _
 
   override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }

@@ -24,7 +24,7 @@ object ConnectorApp {
   case class Config(appId: String, humioHost: String, humioToken: String,
                     enrich: Boolean, bulkMaxSize: Int, flushWaitTimeSec: Int,
                     retryTimerSec: Int, appidRandom: Int, stub: Boolean,
-                    maxRestarts: Int)
+                    maxRestarts: Int, streamTimeoutSec: Int, keepaliveSec: Int)
 
   /** CLI + env merge, env wins; typed coercion; required validation. */
   def parseConfig(args: Array[String], env: Map[String, String]): Either[Seq[String], Config] = {
@@ -51,7 +51,9 @@ object ConnectorApp {
       retryTimerSec = int("retry-timer", 300),
       appidRandom = int("appid-random", 1),
       stub = flag("stub", default = false),
-      maxRestarts = int("max-restarts", 3)))
+      maxRestarts = int("max-restarts", 3),
+      streamTimeoutSec = int("stream-timeout", 60),
+      keepaliveSec = int("keepalive", 10)))
   }
 
   /** Stand-in for the Humio bulk HTTP client: logs instead of POSTing
@@ -111,7 +113,9 @@ object ConnectorApp {
       java.nio.file.Files.createTempDirectory("graft-connector-cp").toString)
     val lines = spark.readStream
       .format(classOf[FalconTableProvider].getName)
-      .option("appId", found.appId).load()
+      .option("appId", found.appId)
+      .option("streamTimeoutSec", cfg.streamTimeoutSec.toString)  // app.py:96
+      .load()
       .select(col("value"))
 
     // R16 — SIGINT/SIGTERM stop the active query cleanly via a JVM
@@ -129,6 +133,10 @@ object ConnectorApp {
       drain = q => if (cfg.stub) { q.processAllAvailable(); q.stop() }
                    else q.awaitTermination(),
       maxRestarts = cfg.maxRestarts,
+      // the reference controller sleeps `keepalive` between liveness
+      // checks of its stream threads (app.py:305-326); here that cadence
+      // paces restart attempts after a query failure
+      backoffMs = if (cfg.stub) 0L else cfg.keepaliveSec * 1000L,
       shutdown = Some(shutdown))
 
     println(s"[app] done: shipped=${posted.get} restarts=${result.restarts}" +

@@ -67,10 +67,60 @@ class FalconSourceSpec extends SparkSpec {
   test("stream resource parsing matches the reference (FIXTURES §B2)") {
     val p = graft.sources.StreamResource.parse(
       "https://firehose.crowdstrike.com/sensors/entities/datafeed/v1/0?appId=cses2humio",
-      1800)
+      1800, "sess-abc123")
     assert(p.partition == 0)
     assert(p.appId.contains("cses2humio"))
     assert(p.refreshDelaySec == 1530L)  // 85% of 1800
+    assert(p.token == "sess-abc123")    // sessionToken.token, app.py:247
+  }
+
+  test("fetch without the discovered session token is rejected (app.py:68-75)") {
+    StubFalconServer.reset()
+    StubFalconServer.register("app4", Seq(StreamDesc(0, 1800)))
+    StubFalconServer.push("app4", 0, 0L, line(0, 0))
+    val client = new StubFalconServer.Client()
+    val desc = client.discoverStreams("app4").head
+    assert(desc.token == StubFalconServer.tokenFor("app4", 0))
+    // the discovered token works; a stale/forged one is a 401
+    assert(client.fetch("app4", 0, desc.token, 0L, 10L, 60000L).size == 1)
+    intercept[graft.sources.FalconAuthException] {
+      client.fetch("app4", 0, "forged", 0L, 10L, 60000L)
+    }
+  }
+
+  test("fetch enforces the stream timeout (requests timeout, app.py:96)") {
+    StubFalconServer.reset()
+    StubFalconServer.register("app5", Seq(StreamDesc(0, 1800)))
+    StubFalconServer.push("app5", 0, 0L, line(0, 0))
+    val client = new StubFalconServer.Client()
+    val tok = StubFalconServer.tokenFor("app5", 0)
+    StubFalconServer.fetchDelayMs.set(100L)
+    intercept[java.net.SocketTimeoutException] {
+      client.fetch("app5", 0, tok, 0L, 10L, timeoutMs = 50L)
+    }
+    // a generous timeout tolerates the same latency
+    assert(client.fetch("app5", 0, tok, 0L, 10L, timeoutMs = 60000L).size == 1)
+    StubFalconServer.fetchDelayMs.set(0L)
+  }
+
+  test("latestOffset carries forward partitions missing from a discovery blip") {
+    import graft.sources.{FalconMicroBatchStream, FalconOffset => FO}
+    StubFalconServer.reset()
+    StubFalconServer.register("app6", Seq(StreamDesc(0, 1800), StreamDesc(1, 1800)))
+    (0L until 7L).foreach(o => StubFalconServer.push("app6", 0, o, line(0, o)))
+    (0L until 3L).foreach(o => StubFalconServer.push("app6", 1, o, line(1, o)))
+    val stream = new FalconMicroBatchStream("app6")
+    val first = stream.latestOffset().asInstanceOf[FO]
+    assert(first.offsets == Map(0 -> 7L, 1 -> 3L))
+    // discovery transiently loses partition 1 (re-register with only 0):
+    // the offset must RETAIN partition 1 at 3, not drop it — a drop would
+    // replay its full history when it reappears
+    StubFalconServer.reset()
+    StubFalconServer.register("app6", Seq(StreamDesc(0, 1800)))
+    (0L until 7L).foreach(o => StubFalconServer.push("app6", 0, o, line(0, o)))
+    val blip = stream.latestOffset().asInstanceOf[FO]
+    assert(blip.offsets == Map(0 -> 7L, 1 -> 3L),
+      s"partition 1 must survive the discovery blip, got ${blip.offsets}")
   }
 
   test("offset JSON round-trips the reference checkpoint-file shape") {
