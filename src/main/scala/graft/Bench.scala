@@ -22,21 +22,34 @@ object Bench {
       // writing — count() would let Catalyst prune projection work and
       // under-measure expression-heavy queries. Watchdog thread + job
       // group so one hung query can't stall the whole bench.
+      val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
       val worker = new Thread(() => {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed.set(true)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
       }, s"bench-$name")
       // daemon: a query that ignores cancellation must not block JVM exit
       worker.setDaemon(true)
       worker.start()
       worker.join(timeoutSec * 1000)
-      if (worker.isAlive) { spark.sparkContext.cancelJobGroup(name); worker.join(30000) }
-      name -> (System.nanoTime() - t0) / 1e9
+      if (worker.isAlive) {
+        failed.set(true)
+        System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
+        spark.sparkContext.cancelJobGroup(name); worker.join(30000)
+      }
+      // a failed/timed-out query records -1, never a fast-looking
+      // wall-time — a 0.2s crash must not read as the best number
+      name -> (if (failed.get) -1.0 else (System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // any failed query invalidates the headline number: report total=-1
+    // (with the failing queries at -1 in the map) rather than a partial
+    // sum that reads like a fast clean run
+    val total = if (results.values.exists(_ < 0)) -1.0 else results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

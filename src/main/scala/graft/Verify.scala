@@ -42,10 +42,14 @@ object Verify {
         // remove any previous run's output: stale parquet here would make
         // the driver hash-compare an OLD result instead of recording the
         // failure
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete()); dir.delete()
+        // depth-first recursive delete: an interrupted parquet write can
+        // leave nested _temporary dirs a flat listFiles sweep misses
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+          f.delete(); ()
         }
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) rmTree(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -52,6 +52,15 @@ object Vectors {
       when(dot(v, planeLit, dim) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** L independent plane tables for multi-table LSH: table t is seeded
+    * `baseSeed + t`, so Scala code and spliced oracle SQL agree on every
+    * constant. Multi-table is the recall lever — a near pair is missed
+    * only if every table splits it.
+    */
+  def signPlaneTables(nTables: Int, nPlanes: Int, dim: Int,
+                      baseSeed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    (0 until nTables).map(t => signPlanes(nPlanes, dim, baseSeed + t))
+
   /** SQL literal for a plane, for splicing into oracle queries. */
   def planeSqlLiteral(plane: Seq[Double]): String =
     plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")

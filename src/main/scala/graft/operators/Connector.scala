@@ -79,7 +79,6 @@ object Connector {
   def countTriggerBatches(events: DataFrame, partitionExpr: Column,
                           offsetCol: Column, bulkMaxSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(partitionExpr).orderBy(offsetCol)
     events
       .withColumn("partition", partitionExpr)
       .withColumn("batch_id", ((row_number().over(

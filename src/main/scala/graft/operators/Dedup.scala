@@ -56,6 +56,49 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** n-permutation seeded MinHash signatures as one `sigs` array column
+    * ([[graft.expressions.ShinglePermMinHash]]: permutation i of a shingle
+    * is md5("i:"+shingle)). Unlike [[withMinhashSigs]]'s rotation family
+    * (period-capped at k=4) this family extends to the 16–128 permutations
+    * real banding needs — the scale-grade signature path.
+    */
+  def withPermMinhashSigs(docs: DataFrame, text: Column, numPerms: Int): DataFrame = {
+    graft.expressions.ShinglePermMinHash.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("graft_shingle_perm_minhash",
+        Text.tokens(text), lit(3), lit(numPerms)).as("sigs"))
+  }
+
+  /** Banded LSH candidate pairs over the n-permutation family: signatures
+    * are cut into `numPerms / rowsPerBand` bands of `rowsPerBand` rows;
+    * docs sharing ANY band key become a candidate pair. The standard
+    * s-curve knobs: more rows per band → higher precision, more bands →
+    * higher recall (match threshold ≈ (1/b)^(1/r)).
+    *
+    * Scale shape: one narrow signature projection, an explode to
+    * (band, key) rows — keys are fixed-width strings, not documents —
+    * and a single equi-join on (band, key). Candidate count is governed
+    * by banding, never the O(n²) pair matrix.
+    */
+  def bandedCandidates(docs: DataFrame, text: Column,
+                       numPerms: Int, rowsPerBand: Int): DataFrame = {
+    require(numPerms % rowsPerBand == 0,
+      s"numPerms=$numPerms must be divisible by rowsPerBand=$rowsPerBand")
+    val nBands = numPerms / rowsPerBand
+    val sigs = withPermMinhashSigs(docs, text, numPerms)
+    val long = sigs.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b.toLong).as("band"),
+          concat_ws("|", slice(col("sigs"), b * rowsPerBand + 1, rowsPerBand))
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val a = long.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = long.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** 64-bit SimHash bit-string per doc ([[graft.expressions.SimHash64]]);
     * near-dups cluster at small Hamming distance. Narrow per-row op.
     */

@@ -11,15 +11,22 @@ import org.apache.spark.sql.functions._
   * Two tiers, mirroring what survives at scale:
   *  - [[bruteForceTopK]]: probe × candidate broadcast cross join — exact,
   *    O(|probe|·|candidates|); correct baseline, bounded probe set.
-  *  - [[lshTopK]]: sign-LSH bucket equi-join — each vector hashes to one
-  *    bucket key, the join only pairs same-bucket vectors. At 100 TB the
-  *    bucket count scales with data while per-bucket work stays local;
-  *    recall is tunable via plane count (here 8 planes → 256 buckets).
+  *  - [[lshTopK]]: MULTI-TABLE sign-LSH — L independent hyperplane tables
+  *    of p planes each. Each vector hashes to one bucket per table; the
+  *    join pairs only same-(table, bucket) vectors, and a per-bucket
+  *    candidate cap bounds the worst bucket. Multi-table is the standard
+  *    recall lever (a near pair is missed only if it splits in ALL L
+  *    tables); p is the per-bucket-size lever (2^p buckets per table —
+  *    size p to the data so buckets stay O(1)-ish); the cap is the skew
+  *    backstop that kills the O(n²/2^p) blowup a hot bucket would cause.
   */
 object Knn {
 
   /** Exact top-k cosine neighbors for each probe vector. `candidates`
-    * should be the smaller / broadcastable side at scale.
+    * MUST be the smaller / broadcastable side: the build side is
+    * broadcast to every task, so a multi-GB candidate set belongs in
+    * [[lshTopK]] instead — this tier is the exact baseline for bounded
+    * candidate sets (the caller bounds probes).
     */
   def bruteForceTopK(probes: DataFrame, candidates: DataFrame, dim: Int, k: Int): DataFrame = {
     FloatDot.register(probes.sparkSession)
@@ -37,23 +44,50 @@ object Knn {
       .select("probe_id", "cand_id", "rank", "sim")
   }
 
-  /** Sign-LSH top-1 neighbor within the probe's bucket. Vectors alone in
-    * their bucket get no row (inner join) — the recall/cost trade of LSH.
+  /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes
+    * each (see [[Vectors.signPlaneTables]]), `bucketCap` caps candidates
+    * per (table, bucket). Vectors alone in their buckets get no row
+    * (inner join) — the recall/cost trade of LSH.
+    *
+    * Scale shape, deliberately in three joins:
+    *  1. bucket keys are exploded as (table, bucket, vec_id) ID rows —
+    *     embeddings are NOT duplicated L times through the shuffle;
+    *  2. the bucket equi-join pairs IDs only, candidate side capped by a
+    *     per-bucket row_number, then pairs dedup across tables BEFORE
+    *     any scoring — each surviving pair is scored exactly once;
+    *  3. embeddings rejoin by id for the one dot product per pair
+    *     (id-keyed joins co-locate under AQE / pre-bucketed storage).
     */
-  def lshTopK(vectors: DataFrame, planes: Seq[Seq[Double]], dim: Int, k: Int): DataFrame = {
+  def lshTopK(vectors: DataFrame, tables: Seq[Seq[Seq[Double]]], dim: Int,
+              k: Int, bucketCap: Int): DataFrame = {
     FloatDot.register(vectors.sparkSession)
-    val bucketed = vectors.select(col("vec_id"), col("embedding"),
-      Vectors.lshBucket(col("embedding"), planes, dim).as("bucket"),
+    val emb = vectors.select(col("vec_id"), col("embedding"),
       Vectors.norm(col("embedding"), dim).as("nrm"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("probe_id"),
-      col("embedding").as("pe"), col("nrm").as("pn"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("cand_id"),
-      col("embedding").as("ce"), col("nrm").as("cn"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    a.join(b, Seq("bucket"))
+    // (table, bucket, vec_id) — one row per vector per table, ids only
+    val keyed = vectors.select(col("vec_id"),
+      explode(array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t.toLong).as("tbl"),
+          Vectors.lshBucket(col("embedding"), planes, dim).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
+    // candidate side capped per (table, bucket): deterministic (vec_id
+    // order) skew bound; probe side uncapped so every vector still probes
+    val wCap = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    val capped = keyed.withColumn("pos", row_number().over(wCap))
+      .where(col("pos") <= bucketCap).drop("pos")
+    val pairs = keyed.select(col("tbl"), col("bucket"), col("vec_id").as("probe_id"))
+      .join(capped.select(col("tbl"), col("bucket"), col("vec_id").as("cand_id")),
+        Seq("tbl", "bucket"))
       .where(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
+    val scored = pairs
+      .join(emb.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
+      .join(emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
       .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("probe_id", "cand_id", "rank", "sim")
   }

@@ -20,7 +20,16 @@ object PipelineQueries {
   val MINHASH_K = 4
   val PROBE_CAP = 500  // brute-force probe bound: keeps x_cosine O(cap·n), not O(n²)
   val KNN_CAP = 100
-  val LSH_PLANES = 8
+  // n-permutation MinHash banding: 16 perms cut as 8 bands × 2 rows —
+  // match threshold ≈ (1/8)^(1/2) ≈ 0.35 Jaccard; scale by raising perms
+  val N_PERMS = 16
+  val ROWS_PER_BAND = 2
+  // multi-table sign-LSH: 4 tables × 6 planes (64 buckets each) + a
+  // per-bucket candidate cap — L is the recall lever, p the bucket-size
+  // lever (size p so buckets stay O(1)-ish), the cap the skew backstop
+  val LSH_TABLES = 4
+  val LSH_TABLE_PLANES = 6
+  val LSH_BUCKET_CAP = 128
 
   // ---- text analysis -------------------------------------------------
 
@@ -90,6 +99,25 @@ object PipelineQueries {
     Dedup.lshCandidates(Tables.documents(s, dir), col("text"), MINHASH_K)
       .orderBy("doc_a", "doc_b")
 
+  /** n-permutation seeded MinHash signatures in long (doc, perm, sig)
+    * format — the scale-grade family ([[Dedup.withPermMinhashSigs]],
+    * 16 permutations; the rotation family caps at 4).
+    */
+  def xMinhashPerm(s: SparkSession, dir: String): DataFrame =
+    Dedup.withPermMinhashSigs(
+        Tables.documents(s, dir).select("doc_id", "text"), col("text"), N_PERMS)
+      .select(col("doc_id"), posexplode(col("sigs")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("perm"), col("col").as("sig"))
+      .orderBy("doc_id", "perm")
+
+  /** Banded LSH near-dup candidates over the 16-perm family: 8 bands ×
+    * 2 rows ([[Dedup.bandedCandidates]]).
+    */
+  def xLshpairsBanded(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandedCandidates(Tables.documents(s, dir), col("text"),
+        N_PERMS, ROWS_PER_BAND)
+      .orderBy("doc_a", "doc_b")
+
   def xSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.withSimhash(Tables.documents(s, dir), col("text"))
       .select("doc_id", "simhash")
@@ -125,20 +153,29 @@ object PipelineQueries {
       .orderBy("vec_id", "rank")
   }
 
-  def xLshknn(s: SparkSession, dir: String): DataFrame =
+  /** The ONE multi-table LSH computation both ANN queries derive from —
+    * x_lshknn takes the per-probe best neighbor, x_embdup filters the
+    * same ranked pairs by threshold; each query's plan contains a single
+    * bucket join, never two.
+    */
+  private def lshRanked(s: SparkSession, dir: String): DataFrame =
     Knn.lshTopK(Tables.embeddings(s, dir),
-        Vectors.signPlanes(LSH_PLANES, DIM), DIM, 1)
+      Vectors.signPlaneTables(LSH_TABLES, LSH_TABLE_PLANES, DIM), DIM,
+      k = 1, bucketCap = LSH_BUCKET_CAP)
+
+  def xLshknn(s: SparkSession, dir: String): DataFrame =
+    lshRanked(s, dir)
       .select(col("probe_id").as("vec_id"), col("cand_id"),
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
 
-  /** Embedding-cosine near-duplicate detection: LSH-bucketed pairs above
-    * a similarity threshold — the vector twin of x_lshpairs. Same
-    * scale shape: bucket equi-join, never the pair matrix.
+  /** Embedding-cosine near-duplicate detection: the SAME ranked LSH pairs
+    * as x_lshknn, filtered above a similarity threshold — the vector twin
+    * of x_lshpairs. Same scale shape: bucket equi-join, never the pair
+    * matrix.
     */
   def xEmbdup(s: SparkSession, dir: String): DataFrame =
-    Knn.lshTopK(Tables.embeddings(s, dir),
-        Vectors.signPlanes(LSH_PLANES, DIM), DIM, 1)
+    lshRanked(s, dir)
       .where(col("sim") > 0.3)
       .select(col("probe_id").as("vec_id"), col("cand_id"),
         detRound4(col("sim")).as("sim"))
@@ -198,7 +235,9 @@ object PipelineQueries {
     "x_fingerprint" -> xFingerprint _,
     "x_docdedup"    -> xDocdedup _,
     "x_minhash"     -> xMinhash _,
+    "x_minhash_perm" -> xMinhashPerm _,
     "x_lshpairs"    -> xLshpairs _,
+    "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_simhash"     -> xSimhash _,
     "x_jaccard"     -> xJaccard _,
     "x_cosine"      -> xCosine _,
@@ -252,6 +291,56 @@ object PipelineQueries {
   private def normSql(v: String) =
     s"sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), 'sum'))"
 
+  /** DuckDB twin of the n-permutation signature pass: raw 3-word shingles,
+    * then per (doc, perm) minima of md5(perm || ':' || shingle) — exactly
+    * [[graft.expressions.ShinglePermMinHash]]'s math in long format.
+    */
+  private val permSigsSql: String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+      |             i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      |         ELSE [array_to_string(toks, ' ')] END AS shingles FROM t),
+      |lng AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |sigs AS (SELECT doc_id, p.i AS perm,
+      |           min(md5(CAST(p.i AS VARCHAR) || ':' || shingle)) AS sig
+      |         FROM lng CROSS JOIN range(0, $N_PERMS) p(i)
+      |         GROUP BY doc_id, p.i)""".stripMargin
+
+  /** Shared WITH-prefix of the multi-table-LSH oracles: replays the L
+    * plane tables (same seeded constants as [[Vectors.signPlaneTables]]),
+    * the per-bucket cap, cross-table pair dedup, scoring, and ranking —
+    * the exact dataflow of [[Knn.lshTopK]].
+    */
+  private def lshMtPrefix: String = {
+    val tables = Vectors.signPlaneTables(LSH_TABLES, LSH_TABLE_PLANES, DIM)
+    val keyedSelects = tables.zipWithIndex.map { case (planes, t) =>
+      val bucketSql = planes.zipWithIndex.map { case (plane, j) =>
+        val l = Vectors.planeSqlLiteral(plane)
+        s"(CASE WHEN list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($l)[i]), 'sum') > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucketSql AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH keyed AS (
+      |$keyedSelects),
+      |capped AS (SELECT tbl, bucket, vec_id FROM (
+      |    SELECT tbl, bucket, vec_id,
+      |           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS pos
+      |    FROM keyed) WHERE pos <= $LSH_BUCKET_CAP),
+      |pairs AS (SELECT DISTINCT a.vec_id AS probe_id, c.vec_id AS cand_id
+      |  FROM keyed a JOIN capped c ON a.tbl = c.tbl AND a.bucket = c.bucket
+      |  WHERE a.vec_id <> c.vec_id),
+      |scored AS (SELECT probe_id, cand_id,
+      |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(pe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)), 'sum'))
+      |    / (${normSql("pe.embedding")} * ${normSql("ce.embedding")}) AS sim
+      |  FROM pairs
+      |  JOIN embeddings pe ON probe_id = pe.vec_id
+      |  JOIN embeddings ce ON cand_id = ce.vec_id),
+      |r AS (SELECT probe_id, cand_id, sim,
+      |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+      |      FROM scored)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_tokens" ->
       """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
@@ -300,6 +389,19 @@ object PipelineQueries {
         |SELECT doc_id, ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
         |       ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3
         |FROM h ORDER BY doc_id""".stripMargin,
+    "x_minhash_perm" ->
+      s"""WITH $permSigsSql
+        |SELECT doc_id, CAST(perm AS BIGINT) AS perm, sig
+        |FROM sigs ORDER BY doc_id, perm""".stripMargin,
+    "x_lshpairs_banded" ->
+      s"""WITH $permSigsSql,
+        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x_lshpairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |h AS (SELECT doc_id, $hashesSql AS hs FROM t),
@@ -353,42 +455,14 @@ object PipelineQueries {
         |      FROM pairs)
         |SELECT probe_id AS vec_id, cand_id, rank, ${detRound4Sql("sim")} AS sim
         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
-    "x_lshknn" -> {
-      val planes = Vectors.signPlanes(LSH_PLANES, DIM)
-      val bucketSql = planes.zipWithIndex.map { case (plane, j) =>
-        val lit = Vectors.planeSqlLiteral(plane)
-        s"(CASE WHEN list_aggregate(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), 'sum') > 0.0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS probe_id, c.vec_id AS cand_id,
-        |         (list_aggregate(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
-        |         / (${normSql("a.embedding")} * ${normSql("c.embedding")}) AS sim
-        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
-        |r AS (SELECT probe_id, cand_id, sim,
-        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
-        |      FROM pairs)
+    "x_lshknn" ->
+      s"""$lshMtPrefix
         |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
-        |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin
-    },
-    "x_embdup" -> {
-      val planes = Vectors.signPlanes(LSH_PLANES, DIM)
-      val bucketSql = planes.zipWithIndex.map { case (plane, j) =>
-        val lit = Vectors.planeSqlLiteral(plane)
-        s"(CASE WHEN list_aggregate(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), 'sum') > 0.0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS probe_id, c.vec_id AS cand_id,
-        |         (list_aggregate(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
-        |         / (${normSql("a.embedding")} * ${normSql("c.embedding")}) AS sim
-        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
-        |r AS (SELECT probe_id, cand_id, sim,
-        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
-        |      FROM pairs)
+        |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "x_embdup" ->
+      s"""$lshMtPrefix
         |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
-        |FROM r WHERE rank = 1 AND sim > 0.3 ORDER BY vec_id""".stripMargin
-    },
+        |FROM r WHERE rank = 1 AND sim > 0.3 ORDER BY vec_id""".stripMargin,
     "x_regex_tokens" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -408,7 +482,7 @@ object PipelineQueries {
         |       CAST(CASE WHEN (chunks - 1) % 2 = 0
         |            THEN 64 * ((chunks + 1) // 2 - 1) + (bl - 64 * (chunks - 1))
         |            ELSE 64 * ((chunks + 1) // 2) END AS BIGINT) AS sampled_bytes
-        |FROM c ORDER BY doc_id""".stripMargin,
+        |FROM c WHERE chunks > 0 ORDER BY doc_id""".stripMargin,
     "x_binary" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

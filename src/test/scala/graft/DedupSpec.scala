@@ -36,6 +36,32 @@ class DedupSpec extends SparkSpec {
       "unrelated doc shares no shingles, must not be a candidate")
   }
 
+  test("n-permutation minhash: 16 independent signatures, stable across dups") {
+    val sigs = Dedup.withPermMinhashSigs(docs, col("text"), 16)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(0L).length == 16)
+    assert(sigs(0L).forall(_.matches("[0-9a-f]{32}")))
+    // a seeded FAMILY: permutations are independent draws, not rotations
+    // of one digest — 16 perms must be 16 distinct values (w.h.p.)
+    assert(sigs(0L).distinct.length == 16,
+      "permutations must not collapse to duplicates")
+    assert(sigs(0L) == sigs(3L), "identical docs sign identically")
+    // near-dup agrees on most permutations, unrelated on none
+    val nearAgree = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val farAgree = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(nearAgree > 8, s"1-word edit should keep most minima, got $nearAgree/16")
+    assert(farAgree == 0, s"no shared shingles → no shared minima, got $farAgree")
+  }
+
+  test("banded LSH (8 bands × 2 rows) finds near-dups, drops unrelated") {
+    val pairs = Dedup.bandedCandidates(docs, col("text"), 16, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "near-dup pair must band-collide")
+    assert(pairs.contains((0L, 3L)), "exact dup pair must band-collide")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc must not band-collide")
+  }
+
   test("jaccard ranks near-dup far above unrelated") {
     val t = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     val a = t.where(col("doc_id") === 0).select(col("toks").as("ta"))

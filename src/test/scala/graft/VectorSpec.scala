@@ -39,6 +39,29 @@ class VectorSpec extends SparkSpec {
     assert(df(0L) != df(2L), "antipodal vectors flip every sign bit")
   }
 
+  test("multi-table LSH finds the planted near pair; bucket cap bounds candidates") {
+    // 4 near-identical vectors + noise: the pair must collide in at least
+    // one of the L tables (that's the multi-table recall argument)
+    val rnd = new scala.util.Random(7)
+    val noise = (10L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val vecs = (Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.1f))) ++ noise)
+      .toDF("vec_id", "embedding")
+    val tables = Vectors.signPlaneTables(nTables = 4, nPlanes = 4, dim = 8)
+    val top = Knn.lshTopK(vecs, tables, dim = 8, k = 1, bucketCap = 64)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toMap
+    assert(top(0L) == 1L && top(1L) == 0L,
+      s"near-identical pair must be mutual top-1, got $top")
+    // bucketCap = 1: each (table, bucket) keeps ONE candidate — probe 0
+    // (lowest id in its buckets) can never be its own candidate, so the
+    // candidate sets shrink but the join still returns rows
+    val capped = Knn.lshTopK(vecs, tables, dim = 8, k = 10, bucketCap = 1)
+      .groupBy("probe_id").count().as[(Long, Long)].collect().toMap
+    assert(capped.values.forall(_ <= 4L),
+      s"with cap 1, each probe sees at most one candidate per table, got $capped")
+  }
+
   test("multimodal resize preserves aspect ratio within the bounding box") {
     val docs = Seq((1L, "x" * 5000)).toDF("doc_id", "text")
     val decoded = Multimodal.decode(Multimodal.packetize(docs, "image/fake"))
