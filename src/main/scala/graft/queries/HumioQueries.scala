@@ -40,13 +40,49 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "timechart(event_type, span=6h) | sort(_bucket_ms, event_type)")
 
+  /** computed fields, both forms: eval(f = expr) and the `:=` stage. */
+  def hqEval(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(bucket = user_id % 16) | b2 := bucket * 2 + 1 | b2 = 7 " +
+        "| groupBy(event_type) | sort(event_type)")
+
+  /** case block: first matching arm assigns, non-matching events drop. */
+  def hqCase(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      """case { event_type = click | kind := "interactive" ;
+        |       event_type = purchase | kind := "interactive" ;
+        |       event_type = view | kind := "passive" }
+        || groupBy(kind) | sort(kind)""".stripMargin.replace("\n", " "))
+
+  /** parseJson promotes several keys; absent keys become NULL columns. */
+  def hqParsejson(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "parseJson(props, k, missing) | k >= 95 | select(event_id, k, missing) | sort(event_id)")
+
+  /** named-capture regex extraction (drops non-matching events). */
+  def hqRegexExtract(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      """regex(/"k": (?<knum>[0-9]+)/, field=props) | knum >= 95 """ +
+        "| select(event_id, knum) | sort(event_id)")
+
+  /** multi-aggregate groupBy (function=[…] list form). */
+  def hqMultiagg(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "event_type != error | groupBy(event_type, function=[count(), sum(user_id), max(value)]) " +
+        "| sort(event_type)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hq_filter"    -> hqFilter _,
     "hq_group"     -> hqGroup _,
     "hq_wildcard"  -> hqWildcard _,
     "hq_extract"   -> hqExtract _,
     "hq_regex"     -> hqRegex _,
-    "hq_timechart" -> hqTimechart _)
+    "hq_timechart" -> hqTimechart _,
+    "hq_eval"      -> hqEval _,
+    "hq_case"      -> hqCase _,
+    "hq_parsejson" -> hqParsejson _,
+    "hq_regex_extract" -> hqRegexExtract _,
+    "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
     "hq_filter" ->
@@ -71,5 +107,33 @@ object HumioQueries {
     "hq_timechart" ->
       """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000) * 21600000 AS _bucket_ms,
         |       event_type, CAST(count(*) AS BIGINT) AS _count
-        |FROM events GROUP BY 1, 2 ORDER BY _bucket_ms, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY _bucket_ms, event_type""".stripMargin,
+    "hq_eval" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS _count
+        |FROM events WHERE (user_id % 16) * 2 + 1 = 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hq_case" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS _count FROM (
+        |  SELECT CASE WHEN event_type = 'click' THEN 'interactive'
+        |              WHEN event_type = 'purchase' THEN 'interactive'
+        |              WHEN event_type = 'view' THEN 'passive' END AS kind
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'view'))
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+    "hq_parsejson" ->
+      """SELECT event_id, props->>'$.k' AS k, props->>'$.missing' AS missing
+        |FROM events WHERE CAST(props->>'$.k' AS BIGINT) >= 95
+        |ORDER BY event_id""".stripMargin,
+    "hq_regex_extract" ->
+      """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS knum
+        |FROM events
+        |WHERE regexp_matches(props, '"k": ([0-9]+)')
+        |  AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) >= 95
+        |ORDER BY event_id""".stripMargin,
+    "hq_multiagg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS _count,
+        |       CAST(sum(user_id) AS BIGINT) AS _sum_user_id,
+        |       max(value) AS _max_value
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -12,12 +12,25 @@ import org.apache.spark.sql.functions._
   * Grammar (pragmatic subset):
   * {{{
   *   query     := stage ('|' stage)*
-  *   stage     := filter | regex | search | extract | groupBy | sort | head | select | timechart
+  *   stage     := filter | regex | search | extract | parseJson | assign |
+  *                eval | caseBlk | regexEx | groupBy | sort | head | select | timechart
   *   filter    := field op value (op ∈ =, !=, >, >=, <, <=; '*' wildcard in =/!= values)
   *   regex     := field = /pattern/          — RLIKE partial match
+  *   regexEx   := regex(/pat/, field=f)      — named-capture groups become
+  *                columns; non-matching events are DROPPED (LogScale regex)
   *   search    := search(text)               — substring over every string column
   *   extract   := extract(jsonField, key)    — promote $.key to a column named key
-  *   groupBy   := groupBy(field[, function=count()|sum(f)|avg(f)|min(f)|max(f)])
+  *   parseJson := parseJson(jsonField, k1, k2, …) — promote several keys
+  *                (absent keys become NULL columns)
+  *   assign    := field := expr              — computed field (LogScale `:=`);
+  *                expr is + - * / % arithmetic over fields/literals with parens
+  *   eval      := eval(field = expr)         — function form of assign
+  *   caseBlk   := case { cond | f := v ; … [; * | f := v] }
+  *                — first matching arm assigns; events matching NO arm are
+  *                DROPPED unless a `*` catch-all arm exists (LogScale case)
+  *   groupBy   := groupBy(field[, function=agg | function=[agg, agg, …]])
+  *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f); list form names
+  *                results _count / _sum_f / _avg_f / _min_f / _max_f
   *   sort      := sort(field[, order=asc|desc])
   *   head      := head(n)
   *   select    := select(f1, f2, …)
@@ -33,22 +46,27 @@ object HumioQuery {
     splitPipes(query).map(_.trim).filter(_.nonEmpty)
       .foldLeft(df)((acc, stage) => applyStage(acc, stage))
 
-  /** split on '|' not inside parentheses and not inside a /regex/
-    * literal (alternation in a regex must survive: `f = /click|view/`).
-    * A '/' only opens a regex when it directly follows '=', so plain
-    * slashes in values don't start one.
+  /** split on '|' not inside parentheses, braces (a `case { … | … }`
+    * block owns its pipes), or a /regex/ literal (alternation in a regex
+    * must survive: `f = /click|view/`). A '/' only opens a regex when it
+    * directly follows '=' or '(', so plain slashes in values don't start
+    * one.
     */
   private def splitPipes(q: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
+    var braces = 0
     var inRegex = false
     q.foreach {
       case '/' if inRegex => inRegex = false; cur += '/'
-      case '/' if cur.toString.trim.endsWith("=") => inRegex = true; cur += '/'
+      case '/' if cur.toString.trim.endsWith("=") ||
+                  cur.toString.trim.endsWith("(") => inRegex = true; cur += '/'
       case '(' if !inRegex => depth += 1; cur += '('
       case ')' if !inRegex => depth -= 1; cur += ')'
-      case '|' if depth == 0 && !inRegex => out += cur.result(); cur.clear()
+      case '{' if !inRegex => braces += 1; cur += '{'
+      case '}' if !inRegex => braces -= 1; cur += '}'
+      case '|' if depth == 0 && braces == 0 && !inRegex => out += cur.result(); cur.clear()
       case c => cur += c
     }
     out += cur.result()
@@ -57,8 +75,16 @@ object HumioQuery {
 
   private val FnCall   = """(\w+)\s*\((.*)\)\s*""".r
   private val Compare  = """([\w.]+)\s*(!=|>=|<=|=|>|<)\s*(.+)""".r
+  private val Assign   = """([\w.]+)\s*:=\s*(.+)""".r
+  private val CaseBlk  = """case\s*\{(.*)\}\s*""".r
+  // the regex-extract stage is matched whole (its pattern may hold
+  // unbalanced escaped parens that would confuse the generic arg split)
+  private val RegexEx  = """regex\(\s*/(.*)/\s*,\s*field\s*=\s*([\w.]+)\s*\)\s*""".r
 
   private def applyStage(df: DataFrame, stage: String): DataFrame = stage match {
+    case CaseBlk(body) => applyCase(df, body)
+    case RegexEx(pattern, field) => applyRegexExtract(df, pattern, field)
+    case Assign(field, expr) => df.withColumn(field, parseExpr(expr))
     case FnCall(name, args) => applyFn(df, name, parseArgs(args))
     case Compare(field, op, raw) => df.where(predicate(field, op, raw.trim))
     case other => throw new IllegalArgumentException(s"cannot parse stage: '$other'")
@@ -66,19 +92,22 @@ object HumioQuery {
 
   /** split "a, b, function=count()" into positional + named args */
   private def parseArgs(s: String): (Seq[String], Map[String, String]) = {
-    val parts = {  // comma-split at paren depth 0
-      val out = Seq.newBuilder[String]; val cur = new StringBuilder; var d = 0
-      s.foreach {
-        case '(' => d += 1; cur += '('
-        case ')' => d -= 1; cur += ')'
-        case ',' if d == 0 => out += cur.result(); cur.clear()
-        case c => cur += c
-      }
-      out += cur.result(); out.result().map(_.trim).filter(_.nonEmpty)
-    }
+    val parts = splitTop(s, ',')
     val (named, positional) = parts.partition(_.matches("""\w+\s*=[^=].*"""))
     (positional,
       named.map { kv => val Array(k, v) = kv.split("=", 2); k.trim -> v.trim }.toMap)
+  }
+
+  /** split on `sep` at paren/bracket depth 0, trimmed, empties dropped. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder; var d = 0
+    s.foreach {
+      case c @ ('(' | '[') => d += 1; cur += c
+      case c @ (')' | ']') => d -= 1; cur += c
+      case c if c == sep && d == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result(); out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private def literal(raw: String): Column = {
@@ -107,14 +136,168 @@ object HumioQuery {
     }
   }
 
-  /** function=count() etc. → (aggregate column, its output name) */
-  private def aggregate(spec: String): (Column, String) = spec match {
-    case FnCall("count", "") => (count(lit(1)), "_count")
-    case FnCall("sum", f)    => (sum(col(f.trim)), s"_sum")
-    case FnCall("avg", f)    => (avg(col(f.trim)), s"_avg")
-    case FnCall("min", f)    => (min(col(f.trim)), s"_min")
-    case FnCall("max", f)    => (max(col(f.trim)), s"_max")
-    case other => throw new IllegalArgumentException(s"unknown function: $other")
+  /** function=count() etc. → (aggregate column, its output name).
+    * `qualified` (the function=[…] list form) names results _sum_f /
+    * _avg_f / … so several aggregates of different fields can't collide;
+    * the single form keeps the legacy _sum/_avg names.
+    */
+  private def aggregate(spec: String, qualified: Boolean = false): (Column, String) = {
+    def nm(fn: String, f: String) = if (qualified) s"_${fn}_${f.trim}" else s"_$fn"
+    spec match {
+      case FnCall("count", "") => (count(lit(1)), "_count")
+      case FnCall("sum", f)    => (sum(col(f.trim)), nm("sum", f))
+      case FnCall("avg", f)    => (avg(col(f.trim)), nm("avg", f))
+      case FnCall("min", f)    => (min(col(f.trim)), nm("min", f))
+      case FnCall("max", f)    => (max(col(f.trim)), nm("max", f))
+      case other => throw new IllegalArgumentException(s"unknown function: $other")
+    }
+  }
+
+  /** function=count() | function=[count(), sum(f), …] → aggregate list */
+  private def aggregates(spec: String): Seq[(Column, String)] =
+    if (spec.startsWith("[") && spec.endsWith("]"))
+      splitTop(spec.substring(1, spec.length - 1), ',')
+        .map(aggregate(_, qualified = true))
+    else Seq(aggregate(spec))
+
+  /** `case { cond | field := value ; … }` — first matching arm assigns;
+    * events matching no arm are dropped unless a `*` arm exists
+    * (LogScale case semantics). All arms must assign the same field.
+    */
+  private def applyCase(df: DataFrame, body: String): DataFrame = {
+    val arms = splitTop(body, ';').map { arm =>
+      val sides = splitTop(arm, '|')
+      (sides, arm) match {
+        case (Seq(condS, Assign(f, v)), _) =>
+          val cond = if (condS.trim == "*") lit(true) else condS.trim match {
+            case Compare(field, op, raw) => predicate(field, op, raw.trim)
+            case other => throw new IllegalArgumentException(s"bad case condition: '$other'")
+          }
+          (cond, f, parseExpr(v))
+        case _ => throw new IllegalArgumentException(s"bad case arm: '$arm'")
+      }
+    }
+    require(arms.nonEmpty, "empty case block")
+    val targets = arms.map(_._2).distinct
+    require(targets.size == 1,
+      s"case arms must assign one field, got ${targets.mkString(", ")}")
+    val assigned = arms.tail.foldLeft(when(arms.head._1, arms.head._3)) {
+      case (w, (c, _, v)) => w.when(c, v)
+    }
+    df.where(arms.map(_._1).reduce(_ || _)).withColumn(targets.head, assigned)
+  }
+
+  /** `regex(/pat/, field=f)`: named-capture groups become columns; the
+    * stage FILTERS to matching events first (LogScale regex drops
+    * non-matching events), so every extracted group is real.
+    */
+  private def applyRegexExtract(df: DataFrame, pattern: String, field: String): DataFrame = {
+    val groups = namedGroups(pattern)
+    require(groups.nonEmpty, s"regex() pattern has no (?<name>…) groups: /$pattern/")
+    groups.foldLeft(df.where(col(field).rlike(pattern))) {
+      case (d, (nm, idx)) => d.withColumn(nm, regexp_extract(col(field), pattern, idx))
+    }
+  }
+
+  /** (name, capture-group index) for each (?<name>…) group: capturing
+    * groups are numbered left-to-right by their '(' — plain and named
+    * count, (?:…)/(?=…)/(?<=…)/(?<!…) don't.
+    */
+  private[graft] def namedGroups(pattern: String): Seq[(String, Int)] = {
+    val out = Seq.newBuilder[(String, Int)]
+    var idx = 0
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern(i)
+      if (c == '\\') i += 2
+      else {
+        if (c == '(') {
+          if (i + 1 < pattern.length && pattern(i + 1) == '?') {
+            // named group is "(?<name>"; lookbehinds are "(?<=" / "(?<!"
+            if (i + 2 < pattern.length && pattern(i + 2) == '<' &&
+                i + 3 < pattern.length && pattern(i + 3) != '=' && pattern(i + 3) != '!') {
+              val end = pattern.indexOf('>', i + 3)
+              require(end > 0, s"unterminated group name in /$pattern/")
+              idx += 1
+              out += ((pattern.substring(i + 3, end), idx))
+            }
+            // every other (?… construct is non-capturing
+          } else idx += 1
+        }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Arithmetic over fields and literals: + - * / % with parens, standard
+    * precedence — the expression language of `:=` / eval() / case values.
+    */
+  private[graft] def parseExpr(s: String): Column = new ExprParser(s).parseAll()
+
+  private final class ExprParser(input: String) {
+    private var pos = 0
+    private def ws(): Unit =
+      while (pos < input.length && input(pos).isWhitespace) pos += 1
+    private def peek: Char = if (pos < input.length) input(pos) else ' '
+
+    def parseAll(): Column = {
+      val c = addSub(); ws()
+      require(pos == input.length, s"trailing input in expression: '$input'")
+      c
+    }
+    private def addSub(): Column = {
+      var left = mulDiv(); ws()
+      while (peek == '+' || peek == '-') {
+        val op = peek; pos += 1
+        val right = mulDiv()
+        left = if (op == '+') left + right else left - right
+        ws()
+      }
+      left
+    }
+    private def mulDiv(): Column = {
+      var left = atom(); ws()
+      while (peek == '*' || peek == '/' || peek == '%') {
+        val op = peek; pos += 1
+        val right = atom()
+        left = op match {
+          case '*' => left * right
+          case '/' => left / right
+          case '%' => left % right
+        }
+        ws()
+      }
+      left
+    }
+    private def atom(): Column = {
+      ws()
+      peek match {
+        case '(' =>
+          pos += 1
+          val c = addSub(); ws()
+          require(peek == ')', s"missing ')' in expression: '$input'")
+          pos += 1; c
+        case '"' =>
+          val end = input.indexOf('"', pos + 1)
+          require(end > 0, s"unterminated string in expression: '$input'")
+          val v = lit(input.substring(pos + 1, end)); pos = end + 1; v
+        case c if c.isDigit =>
+          val start = pos
+          while (pos < input.length && (input(pos).isDigit || input(pos) == '.')) pos += 1
+          val tok = input.substring(start, pos)
+          if (tok.contains('.')) lit(tok.toDouble) else lit(tok.toLong)
+        case c if c.isLetter || c == '_' || c == '@' =>
+          val start = pos
+          while (pos < input.length &&
+            (input(pos).isLetterOrDigit || input(pos) == '_' ||
+             input(pos) == '.' || input(pos) == '@')) pos += 1
+          col(input.substring(start, pos))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unexpected '$other' at $pos in expression: '$input'")
+      }
+    }
   }
 
   private val Span = """(\d+)([smhd])""".r
@@ -124,8 +307,19 @@ object HumioQuery {
     val (pos, named) = args
     name match {
       case "groupBy" =>
-        val (aggCol, aggName) = aggregate(named.getOrElse("function", "count()"))
-        df.groupBy(pos.map(col): _*).agg(aggCol.as(aggName))
+        val aggs = aggregates(named.getOrElse("function", "count()"))
+        df.groupBy(pos.map(col): _*)
+          .agg(aggs.head._1.as(aggs.head._2),
+            aggs.tail.map { case (c, n) => c.as(n) }: _*)
+      case "eval" =>
+        require(named.size == 1 && pos.isEmpty,
+          s"eval expects exactly one field=expression, got '$args'")
+        val (field, expr) = named.head
+        df.withColumn(field, parseExpr(expr))
+      case "parseJson" =>
+        val jsonField = pos.head
+        pos.tail.foldLeft(df)((d, k) =>
+          d.withColumn(k, get_json_object(col(jsonField), s"$$.$k")))
       case "sort" =>
         val desc = named.get("order").contains("desc")
         df.orderBy(pos.map(f => if (desc) col(f).desc else col(f).asc): _*)

@@ -86,6 +86,69 @@ class HumioQuerySpec extends SparkSpec {
     assert(rows == Map("click" -> 2L), "error filtered; clicks bucketed")
   }
 
+  test("eval / := compute fields with standard precedence and parens") {
+    val out = HumioQuery.run(df,
+      "eval(a = value + user_id * 2) | b := (value + user_id) * 2 | select(event_id, a, b) | sort(event_id)")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out.head == ((1L, 210.0, 220.0)), s"precedence/parens wrong: ${out.head}")
+    // % and division
+    val m = HumioQuery.run(df, "m := user_id % 3 | select(event_id, m) | sort(event_id)")
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
+  }
+
+  test("case assigns first matching arm and drops non-matching events") {
+    val out = HumioQuery.run(df,
+      """case { event_type = click | kind := "a" ; value >= 20.0 | kind := "b" } | select(event_id, kind) | sort(event_id)""")
+      .as[(Long, String)].collect().toSeq
+    // event 1: click → a; 2: value≥20 → b; 3: click wins over value≥20 (first arm);
+    // 4 is error with value 40 → matches arm 2 → b
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")))
+    // without a matching arm the event is DROPPED; '*' catches all
+    val dropped = HumioQuery.run(df,
+      """case { event_type = click | kind := "a" }""").count()
+    assert(dropped == 2)
+    val caught = HumioQuery.run(df,
+      """case { event_type = click | kind := "a" ; * | kind := "other" } | groupBy(kind) | sort(kind)""")
+      .as[(String, Long)].collect().toSeq
+    assert(caught == Seq(("a", 2L), ("other", 2L)))
+  }
+
+  test("parseJson promotes several keys; absent keys are null") {
+    val d = Seq((1L, """{"k": 9, "tag": "x"}"""), (2L, """{"k": 99}"""))
+      .toDF("event_id", "props")
+    val out = HumioQuery.run(d, "parseJson(props, k, tag) | select(event_id, k, tag) | sort(event_id)")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(out == Seq((1L, "9", Some("x")), (2L, "99", None)))
+  }
+
+  test("regex() extracts named groups and drops non-matching events") {
+    val d = Seq((1L, "code=42 ok"), (2L, "code=7 bad"), (3L, "no digits here"))
+      .toDF("event_id", "msg")
+    val out = HumioQuery.run(d,
+      "regex(/code=(?<code>[0-9]+) (?<status>\\w+)/, field=msg) | select(event_id, code, status) | sort(event_id)")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((1L, "42", "ok"), (2L, "7", "bad")), "row 3 must drop")
+  }
+
+  test("namedGroups numbers capturing groups like the regex engine") {
+    // plain group 1, named group 2, non-capturing skipped, named group 3
+    assert(HumioQuery.namedGroups("""(a)(?<x>b)(?:c)(?<y>d)""") ==
+      Seq(("x", 2), ("y", 3)))
+    // lookbehind is not a capture group; escaped parens are literals
+    assert(HumioQuery.namedGroups("""(?<=pre)\((?<v>\d+)\)""") == Seq(("v", 1)))
+  }
+
+  test("multi-aggregate groupBy names results by function and field") {
+    val out = HumioQuery.run(df,
+      "groupBy(event_type, function=[count(), sum(user_id), max(value)]) | sort(event_type)")
+    assert(out.columns.toSeq ==
+      Seq("event_type", "_count", "_sum_user_id", "_max_value"))
+    val click = out.where(col("event_type") === "click")
+      .as[(String, Long, Long, Double)].head()
+    assert(click == (("click", 2L, 400L, 30.0)))
+  }
+
   test("bad stage errors name the stage") {
     val e = intercept[IllegalArgumentException] {
       HumioQuery.run(df, "frobnicate(3)")
