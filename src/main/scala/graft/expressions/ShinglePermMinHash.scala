@@ -50,9 +50,7 @@ case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: In
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(md: MessageDigest, s: String): String = {
-    md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def toHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -63,20 +61,44 @@ case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: In
     new String(out)
   }
 
+  // hex encoding is order-preserving byte-for-byte (00→"00" … ff→"ff"),
+  // so UNSIGNED lexicographic order on raw digests equals the hex-string
+  // order the oracle's varchar min uses
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val words = Array.tabulate(n)(i => arr.getUTF8String(i).toString)
     val md = MessageDigest.getInstance("MD5")
-    val mins = new Array[String](numPerms)
-    val prefixes = Array.tabulate(numPerms)(i => s"$i:")
+    // minima are tracked as raw 16-byte digests and hex-encoded ONCE per
+    // permutation at the end; the shingle is UTF-8-encoded once, not once
+    // per permutation, and digest(buf,…) keeps the loop allocation-free
+    val prefixes = Array.tabulate(numPerms)(i =>
+      s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val mins = Array.ofDim[Byte](numPerms, 16)
+    var filled = false
+    val buf = new Array[Byte](16)
     def fold(shingle: String): Unit = {
+      val sb = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var j = 0
       while (j < numPerms) {
-        val h = md5Hex(md, prefixes(j) + shingle)
-        if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+        md.update(prefixes(j))
+        md.update(sb)
+        md.digest(buf, 0, 16)   // writes and resets
+        if (!filled || unsignedLess(buf, mins(j)))
+          System.arraycopy(buf, 0, mins(j), 0, 16)
         j += 1
       }
+      filled = true
     }
     if (n >= shingleWords) {
       val sb = new java.lang.StringBuilder
@@ -95,7 +117,7 @@ case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: In
     } else {
       fold(words.mkString(" "))
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
+    new GenericArrayData(mins.map(m => UTF8String.fromString(toHex(m)): Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
