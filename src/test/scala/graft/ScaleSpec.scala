@@ -50,6 +50,51 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() == 100L)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // one hot key owns ~97% of the fact bytes: the static plan puts it in
+    // one shuffle partition (the classic straggler); AQE's skew-join
+    // rewrite must split it at runtime. Thresholds are lowered so the
+    // megabyte-scale fixture crosses them the way terabytes would in
+    // production — the REWRITE under test is identical.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // enough partitions that the MEDIAN partition is a cold one — skew
+      // is judged against the median, which 2 partitions can't establish
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // incompressible payloads: skew detection sees COMPRESSED shuffle
+      // sizes, so a repetitive pad would deflate below the threshold
+      val rnd = new Random(3)
+      val hot = (1 to 60000).map(i =>
+        (0L, new String(Array.fill(48)((rnd.nextInt(94) + 33).toChar))))
+      val cold = (1 to 400).map(i => (i.toLong % 8 + 1, "small"))
+      val fact = (hot ++ cold).toDF("k", "payload")
+      val dim = (0L until 16L).map(i => (i, s"d$i")).toDF("k", "dv")
+      val joined = fact.join(dim, "k")
+      // collect() (not count(): that builds a separate QueryExecution)
+      // so THIS plan instance executes and AQE finalizes it
+      assert(joined.collect().length == 60400)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join split, got:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without an Exchange") {
     // the warehouse dir outlives the in-memory catalog across JVM runs;
     // saveAsTable refuses an existing unmanaged location — clean both
