@@ -45,19 +45,9 @@ case class ShingleMinHash(child: Expression, shingleWords: Int, k: Int)
       s"graft_shingle_minhash expects array<string>, got ${other.simpleString}")
   }
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
   private def md5Hex(md: MessageDigest, s: String): String = {
     md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexDigits(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
+    HexBytes.toHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   private def rotate(h: String, by: Int): String =

@@ -48,19 +48,6 @@ case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: In
       s"graft_shingle_perm_minhash expects array<string>, got ${other.simpleString}")
   }
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
-  private def toHex(d: Array[Byte]): String = {
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexDigits(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
   // hex encoding is order-preserving byte-for-byte (00→"00" … ff→"ff"),
   // so UNSIGNED lexicographic order on raw digests equals the hex-string
   // order the oracle's varchar min uses
@@ -74,6 +61,12 @@ case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: In
     false
   }
 
+  // per-instance, not per-row: a pure function of numPerms (transient —
+  // rebuilt lazily on the executor after serialization)
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(numPerms)(i =>
+      s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -82,8 +75,6 @@ case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: In
     // minima are tracked as raw 16-byte digests and hex-encoded ONCE per
     // permutation at the end; the shingle is UTF-8-encoded once, not once
     // per permutation, and digest(buf,…) keeps the loop allocation-free
-    val prefixes = Array.tabulate(numPerms)(i =>
-      s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val mins = Array.ofDim[Byte](numPerms, 16)
     var filled = false
     val buf = new Array[Byte](16)
@@ -117,7 +108,7 @@ case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: In
     } else {
       fold(words.mkString(" "))
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(toHex(m)): Any))
+    new GenericArrayData(mins.map(m => UTF8String.fromString(HexBytes.toHex(m)): Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

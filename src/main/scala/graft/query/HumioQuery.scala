@@ -207,9 +207,15 @@ object HumioQuery {
     val out = Seq.newBuilder[(String, Int)]
     var idx = 0
     var i = 0
+    var inClass = false
     while (i < pattern.length) {
       val c = pattern(i)
       if (c == '\\') i += 2
+      else if (inClass) {
+        // a '(' inside [...] is a literal, not a group
+        if (c == ']') inClass = false
+        i += 1
+      } else if (c == '[') { inClass = true; i += 1 }
       else {
         if (c == '(') {
           if (i + 1 < pattern.length && pattern(i + 1) == '?') {
@@ -239,7 +245,7 @@ object HumioQuery {
     private var pos = 0
     private def ws(): Unit =
       while (pos < input.length && input(pos).isWhitespace) pos += 1
-    private def peek: Char = if (pos < input.length) input(pos) else ' '
+    private def peek: Char = if (pos < input.length) input(pos) else '\u0000'
 
     def parseAll(): Column = {
       val c = addSub(); ws()

@@ -258,8 +258,15 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60)
       ds.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap))
   }
 
-  override def deserializeOffset(json: String): Offset =
-    remember(FalconOffset.parse(json))
+  override def deserializeOffset(json: String): Offset = {
+    // feed carry-forward, but return the PARSED offset verbatim: this is
+    // a committed batch boundary, and merging knownOffsets into it would
+    // fast-forward a replayed batch's start past data the batch never
+    // read (e.g. a new partition's backlog would be skipped silently)
+    val o = FalconOffset.parse(json)
+    remember(o)
+    o
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FalconOffset].offsets

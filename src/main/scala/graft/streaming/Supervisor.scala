@@ -65,7 +65,13 @@ object Supervisor {
       try {
         if (shutdown.exists(_.stopRequested)) return Result(attempt, None)
         q = start()
-        shutdown.foreach(_.track(q))
+        shutdown.foreach { s =>
+          s.track(q)
+          // close the start()/track() race: a stop requested while the
+          // query was starting found nothing to stop — deliver it now,
+          // or drain would block on a query nobody will ever stop
+          if (s.stopRequested) q.stop()
+        }
         drain(q)
         return Result(attempt, None)
       } catch {

@@ -103,6 +103,22 @@ class FalconSourceSpec extends SparkSpec {
     StubFalconServer.fetchDelayMs.set(0L)
   }
 
+  test("deserializeOffset returns the parsed offset verbatim (replay safety)") {
+    import graft.sources.{FalconMicroBatchStream, FalconOffset => FO}
+    StubFalconServer.reset()
+    StubFalconServer.register("app7", Seq(StreamDesc(0, 1800), StreamDesc(1, 1800)))
+    (0L until 9L).foreach(o => StubFalconServer.push("app7", 0, o, line(0, o)))
+    (0L until 5L).foreach(o => StubFalconServer.push("app7", 1, o, line(1, o)))
+    val stream = new FalconMicroBatchStream("app7")
+    stream.latestOffset()   // carry-forward state is now {0: 9, 1: 5}
+    // a committed batch boundary from the WAL names only partition 0:
+    // merging carry-forward state into it would fast-forward partition 1
+    // past its entire backlog (planInputPartitions would see from=5)
+    val start = stream.deserializeOffset("""{"0": 5}""").asInstanceOf[FO]
+    assert(start.offsets == Map(0 -> 5L),
+      s"parsed offset must come back verbatim, got ${start.offsets}")
+  }
+
   test("latestOffset carries forward partitions missing from a discovery blip") {
     import graft.sources.{FalconMicroBatchStream, FalconOffset => FO}
     StubFalconServer.reset()

@@ -137,6 +137,8 @@ class HumioQuerySpec extends SparkSpec {
       Seq(("x", 2), ("y", 3)))
     // lookbehind is not a capture group; escaped parens are literals
     assert(HumioQuery.namedGroups("""(?<=pre)\((?<v>\d+)\)""") == Seq(("v", 1)))
+    // '(' inside a character class is a literal, not a group
+    assert(HumioQuery.namedGroups("""[(](?<v>[0-9]+)[)]""") == Seq(("v", 1)))
   }
 
   test("multi-aggregate groupBy names results by function and field") {

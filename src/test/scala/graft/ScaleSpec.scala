@@ -57,6 +57,7 @@ class ScaleSpec extends SparkSpec {
     // megabyte-scale fixture crosses them the way terabytes would in
     // production — the REWRITE under test is identical.
     val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
