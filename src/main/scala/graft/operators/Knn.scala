@@ -44,6 +44,48 @@ object Knn {
       .select("probe_id", "cand_id", "rank", "sim")
   }
 
+  /** IVF cell assignment: each vector goes to its nearest centroid by
+    * cosine (argmax dot over the broadcast centroid set, ties to the
+    * lower cent_id). Centroids here are a deterministic sample of the
+    * data (callers pass e.g. the first k vectors) standing in for a
+    * k-means codebook — the ASSIGNMENT and probe dataflow, which is what
+    * must scale, is the real thing: n·k codegen'd dot products, narrow
+    * per row, centroids broadcast, no shuffle until the cell join.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, dim: Int): DataFrame = {
+    FloatDot.register(vectors.sparkSession)
+    val c = centroids.select(col("cent_id"), col("cvec"),
+      Vectors.norm(col("cvec"), dim).as("cnrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    vectors.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding"), dim).as("nrm"))
+      .join(broadcast(c))
+      .withColumn("csim", expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+  }
+
+  /** IVF top-k with nprobe=1: search only the probe's own cell — the
+    * learned-bucket sibling of [[lshTopK]] (equi-join on cell, never the
+    * pair matrix). Raising recall means probing more cells (nprobe > 1),
+    * which multiplies the join fan-out linearly, not quadratically.
+    */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, dim: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, centroids, dim)
+    val a = assigned.select(col("cell"), col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), col("nrm").as("pn"))
+    val b = assigned.select(col("cell"), col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    a.join(b, Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("probe_id", "cand_id", "rank", "sim")
+  }
+
   /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes
     * each (see [[Vectors.signPlaneTables]]), `bucketCap` caps candidates
     * per (table, bucket). Vectors alone in their buckets get no row

@@ -65,6 +65,10 @@ object HumioQueries {
       """regex(/"k": (?<knum>[0-9]+)/, field=props) | knum >= 95 """ +
         "| select(event_id, knum) | sort(event_id)")
 
+  /** top(field): most frequent values, count-desc with tie-break. */
+  def hqTop(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir), "user_id < 50 | top(event_type, limit=3)")
+
   /** multi-aggregate groupBy (function=[…] list form). */
   def hqMultiagg(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -82,6 +86,7 @@ object HumioQueries {
     "hq_case"      -> hqCase _,
     "hq_parsejson" -> hqParsejson _,
     "hq_regex_extract" -> hqRegexExtract _,
+    "hq_top"       -> hqTop _,
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
@@ -130,6 +135,10 @@ object HumioQueries {
         |WHERE regexp_matches(props, '"k": ([0-9]+)')
         |  AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) >= 95
         |ORDER BY event_id""".stripMargin,
+    "hq_top" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS _count
+        |FROM events WHERE user_id < 50
+        |GROUP BY event_type ORDER BY _count DESC, event_type LIMIT 3""".stripMargin,
     "hq_multiagg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS _count,
         |       CAST(sum(user_id) AS BIGINT) AS _sum_user_id,

@@ -30,6 +30,9 @@ object PipelineQueries {
   val LSH_TABLES = 4
   val LSH_TABLE_PLANES = 6
   val LSH_BUCKET_CAP = 128
+  // IVF: 16 deterministic centroids (first 16 vectors as the codebook
+  // stand-in); cells ~n/16 — scale k with data so cells stay bounded
+  val IVF_K = 16
 
   // ---- text analysis -------------------------------------------------
 
@@ -181,6 +184,31 @@ object PipelineQueries {
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
 
+  private def ivfCentroids(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") < IVF_K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+
+  /** IVF cell occupancy — the codebook-assignment half of the IVF index
+    * ([[Knn.ivfAssign]]): n·k broadcast dot products, one row per vector.
+    */
+  def xIvfCells(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Knn.ivfAssign(emb, ivfCentroids(emb), DIM)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("cell")
+  }
+
+  /** IVF ANN (nprobe=1): nearest neighbor within the probe's own cell —
+    * the learned-bucket sibling of x_lshknn.
+    */
+  def xIvfknn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Knn.ivfTopK(emb, ivfCentroids(emb), DIM, 1)
+      .select(col("probe_id").as("vec_id"), col("cand_id"),
+        detRound4(col("sim")).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** Regex tokenization (BPE-ish splitter): alnum runs, not whitespace —
     * the second tokenizer family of the text checklist.
     */
@@ -244,6 +272,8 @@ object PipelineQueries {
     "x_knn"         -> xKnn _,
     "x_lshknn"      -> xLshknn _,
     "x_embdup"      -> xEmbdup _,
+    "x_ivf_cells"   -> xIvfCells _,
+    "x_ivfknn"      -> xIvfknn _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_multimodal"  -> xMultimodal _,
     "x_frames"      -> xFrames _,
@@ -341,7 +371,38 @@ object PipelineQueries {
       |      FROM scored)""".stripMargin
   }
 
+  /** Shared WITH-prefix of the IVF oracles: centroid sample, argmax-dot
+    * cell assignment — the exact dataflow of [[Knn.ivfAssign]].
+    */
+  private def ivfAsgnPrefix: String = {
+    val cdot = s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')"
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+      |              FROM embeddings WHERE vec_id < $IVF_K),
+      |scoredc AS (SELECT e.vec_id, e.embedding, c.cent_id,
+      |    ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) AS csim
+      |  FROM embeddings e CROSS JOIN cent c),
+      |asgn AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+      |    SELECT vec_id, embedding, cent_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+      |    FROM scoredc) WHERE rk = 1)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_ivf_cells" ->
+      s"""$ivfAsgnPrefix
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM asgn GROUP BY cell ORDER BY cell""".stripMargin,
+    "x_ivfknn" ->
+      s"""$ivfAsgnPrefix,
+        |pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+        |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |r AS (SELECT probe_id, cand_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+        |      FROM pairs)
+        |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
+        |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin,
     "x_tokens" ->
       """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
         |c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY lang, word),

@@ -317,6 +317,13 @@ object HumioQuery {
         df.groupBy(pos.map(col): _*)
           .agg(aggs.head._1.as(aggs.head._2),
             aggs.tail.map { case (c, n) => c.as(n) }: _*)
+      case "top" =>
+        // top(field[, limit=n]) — most frequent values, ties broken by
+        // the group values for determinism (LogScale defaults to 10)
+        val limit = named.get("limit").map(_.toInt).getOrElse(10)
+        df.groupBy(pos.map(col): _*).agg(count(lit(1)).as("_count"))
+          .orderBy(col("_count").desc +: pos.map(col(_).asc): _*)
+          .limit(limit)
       case "eval" =>
         require(named.size == 1 && pos.isEmpty,
           s"eval expects exactly one field=expression, got '$args'")

@@ -62,6 +62,25 @@ class VectorSpec extends SparkSpec {
       s"with cap 1, each probe sees at most one candidate per table, got $capped")
   }
 
+  test("IVF assigns every vector to its nearest centroid and finds in-cell neighbors") {
+    // two well-separated clusters around the two centroid vectors
+    val vecs = Seq(
+      (0L, Array(10.0f, 0.0f)), (1L, Array(0.0f, 10.0f)),       // centroids
+      (2L, Array(9.0f, 1.0f)), (3L, Array(8.0f, 0.5f)),          // cluster of 0
+      (4L, Array(1.0f, 9.0f)), (5L, Array(0.5f, 8.0f)))          // cluster of 1
+      .toDF("vec_id", "embedding")
+    val cents = vecs.where(col("vec_id") < 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val cells = Knn.ivfAssign(vecs, cents, 2)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    val top = Knn.ivfTopK(vecs, cents, 2, 1)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toMap
+    // neighbors come from the OWN cluster only (nprobe=1 searches one cell)
+    assert(Set(0L, 2L, 3L).contains(top(2L)) && top(2L) != 2L)
+    assert(Set(1L, 4L, 5L).contains(top(4L)) && top(4L) != 4L)
+  }
+
   test("multimodal resize preserves aspect ratio within the bounding box") {
     val docs = Seq((1L, "x" * 5000)).toDF("doc_id", "text")
     val decoded = Multimodal.decode(Multimodal.packetize(docs, "image/fake"))
