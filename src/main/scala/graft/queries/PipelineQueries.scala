@@ -184,6 +184,26 @@ object PipelineQueries {
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
 
+  /** Group-level MinHash via the typed [[graft.functions.SigUnion]]
+    * Aggregator: MinHash is mergeable (signature of a union = element-wise
+    * min of signatures), so a per-language near-dup signature aggregates
+    * WITHOUT re-hashing text — partial map-side merge, one signature per
+    * group shuffled. The SURVEY §2.2 custom-UDAF surface.
+    */
+  def xGroupSig(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ShinglePermMinHash.register(s)
+    import graft.functions.{SigUnion, Text}
+    val withSigs = Tables.documents(s, dir)
+      .select(col("lang"),
+        call_function("graft_shingle_perm_minhash",
+          Text.tokens(col("text")), lit(3), lit(N_PERMS)).as("sigs"))
+    withSigs.groupBy("lang")
+      .agg(udaf(SigUnion).apply(col("sigs")).as("gsig"))
+      .select(col("lang"), posexplode(col("gsig")))
+      .select(col("lang"), col("pos").cast("bigint").as("perm"), col("col").as("sig"))
+      .orderBy("lang", "perm")
+  }
+
   private def ivfCentroids(emb: DataFrame): DataFrame =
     emb.where(col("vec_id") < IVF_K)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
@@ -264,6 +284,7 @@ object PipelineQueries {
     "x_docdedup"    -> xDocdedup _,
     "x_minhash"     -> xMinhash _,
     "x_minhash_perm" -> xMinhashPerm _,
+    "x_group_sig"   -> xGroupSig _,
     "x_lshpairs"    -> xLshpairs _,
     "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_simhash"     -> xSimhash _,
@@ -454,6 +475,12 @@ object PipelineQueries {
       s"""WITH $permSigsSql
         |SELECT doc_id, CAST(perm AS BIGINT) AS perm, sig
         |FROM sigs ORDER BY doc_id, perm""".stripMargin,
+    "x_group_sig" ->
+      s"""WITH $permSigsSql
+        |SELECT d.lang, CAST(s.perm AS BIGINT) AS perm, min(s.sig) AS sig
+        |FROM sigs s JOIN documents d ON s.doc_id = d.doc_id
+        |GROUP BY d.lang, s.perm
+        |ORDER BY lang, perm""".stripMargin,
     "x_lshpairs_banded" ->
       s"""WITH $permSigsSql,
         |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,

@@ -62,6 +62,17 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not band-collide")
   }
 
+  test("SigUnion aggregates the element-wise minimum signature (mergeable sketch)") {
+    import org.apache.spark.sql.functions.udaf
+    val perDoc = Dedup.withPermMinhashSigs(docs, col("text"), 8)
+      .as[(Long, Seq[String])].collect().toMap
+    val expected = (0 until 8).map(i => perDoc.values.map(_(i)).min)
+    val grouped = Dedup.withPermMinhashSigs(docs, col("text"), 8)
+      .groupBy().agg(udaf(graft.functions.SigUnion).apply(col("sigs")).as("g"))
+      .as[Seq[String]].head()
+    assert(grouped == expected, "group signature = element-wise min of member signatures")
+  }
+
   test("jaccard ranks near-dup far above unrelated") {
     val t = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     val a = t.where(col("doc_id") === 0).select(col("toks").as("ta"))

@@ -222,6 +222,26 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2L) == Seq(1L))
   }
 
+  test("flatMapGroupsWithState emits one alert exactly when the count crosses") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val out = ConnectorPipeline.thresholdAlerts(mem.toDS(), threshold = 3L)
+      .toDF("user_id", "n")
+    val q = out.writeStream.format("memory").queryName("alerts")
+      .outputMode("update").trigger(Trigger.ProcessingTime(50L)).start()
+    mem.addData(1L, 1L, 2L)        // batch 1: u1=2, u2=1 — nobody crosses
+    q.processAllAvailable()
+    mem.addData(1L, 2L, 2L)        // batch 2: u1=3 crosses; u2=3 crosses
+    q.processAllAvailable()
+    mem.addData(1L, 2L)            // batch 3: both already past — no re-alert
+    q.processAllAvailable()
+    val rows = spark.sql("select user_id, n from alerts")
+      .as[(Long, Long)].collect().toSeq
+    q.stop()
+    assert(rows.sorted == Seq((1L, 3L), (2L, 3L)),
+      s"one alert per key at the crossing batch, got $rows")
+  }
+
   test("dropDuplicatesWithinWatermark upgrades at-least-once to effectively-once") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
