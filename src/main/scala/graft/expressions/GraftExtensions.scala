@@ -26,6 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
           .value.asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_perm_minhash"),
+      new ExpressionInfo(classOf[ShinglePermMinHash].getName, "graft_shingle_perm_minhash"),
+      (children: Seq[Expression]) => ShinglePermMinHash(
+        children.head,
+        children(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int],
+        children(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int])))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))

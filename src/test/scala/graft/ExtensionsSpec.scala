@@ -34,6 +34,17 @@ class ExtensionsSpec extends AnyFunSuite {
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
         .collect().head.getDouble(0)
       assert(out == 11.0)
+      // every native function resolves in plain SQL via the one hook
+      val sigs = spark.sql(
+        "SELECT graft_shingle_perm_minhash(array('a','b','c','d'), 3, 8) AS s")
+        .collect().head.getSeq[String](0)
+      assert(sigs.length == 8 && sigs.forall(_.matches("[0-9a-f]{32}")))
+      val sh = spark.sql("SELECT graft_simhash64(array('a','b')) AS h")
+        .collect().head.getString(0)
+      assert(sh.matches("[01]{64}"))
+      val mh = spark.sql("SELECT graft_shingle_minhash(array('a','b','c','d'), 3, 2) AS m")
+        .collect().head.getSeq[String](0)
+      assert(mh.length == 2)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
