@@ -184,6 +184,27 @@ object PipelineQueries {
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
 
+  /** The COMPLETE 3-stage near-dup pipeline in one plan — the canonical
+    * shape a 100 TB dedup pass runs: (1) n-perm signatures, narrow
+    * per-row; (2) banded LSH candidates, one equi-join on band keys;
+    * (3) exact 3-gram-shingle Jaccard verification paid ONLY by candidate
+    * pairs (never the pair matrix), with the verified threshold matching
+    * the banding's s-curve midpoint (≈(1/b)^(1/r)).
+    */
+  def xNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cands = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
+    val sh = docs.select(col("doc_id"),
+      Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jac", Dedup.jaccard(col("sha"), col("shb")))
+      .where(col("jac") >= 0.35)
+      .select(col("doc_a"), col("doc_b"), detRound4(col("jac")).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Group-level MinHash via the typed [[graft.functions.SigUnion]]
     * Aggregator: MinHash is mergeable (signature of a union = element-wise
     * min of signatures), so a per-language near-dup signature aggregates
@@ -285,6 +306,7 @@ object PipelineQueries {
     "x_minhash"     -> xMinhash _,
     "x_minhash_perm" -> xMinhashPerm _,
     "x_group_sig"   -> xGroupSig _,
+    "x_neardup"     -> xNeardup _,
     "x_lshpairs"    -> xLshpairs _,
     "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_simhash"     -> xSimhash _,
@@ -475,6 +497,22 @@ object PipelineQueries {
       s"""WITH $permSigsSql
         |SELECT doc_id, CAST(perm AS BIGINT) AS perm, sig
         |FROM sigs ORDER BY doc_id, perm""".stripMargin,
+    "x_neardup" ->
+      s"""WITH $permSigsSql,
+        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.doc_id < b.doc_id),
+        |ver AS (SELECT doc_a, doc_b,
+        |          CAST(len(list_distinct(list_intersect(sa.shingles, sb.shingles))) AS DOUBLE)
+        |          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jac
+        |        FROM cand
+        |        JOIN sh sa ON doc_a = sa.doc_id
+        |        JOIN sh sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, ${detRound4Sql("jac")} AS jac
+        |FROM ver WHERE jac >= 0.35 ORDER BY doc_a, doc_b""".stripMargin,
     "x_group_sig" ->
       s"""WITH $permSigsSql
         |SELECT d.lang, CAST(s.perm AS BIGINT) AS perm, min(s.sig) AS sig
