@@ -65,6 +65,13 @@ object HumioQueries {
       """regex(/"k": (?<knum>[0-9]+)/, field=props) | knum >= 95 """ +
         "| select(event_id, knum) | sort(event_id)")
 
+  /** scalar functions inside eval expressions. */
+  def hqEvalfn(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(tag = concat(upper(event_type), \"-\", length(event_type))) " +
+        "| et_len := length(event_type) | et_len >= 5 " +
+        "| groupBy(tag) | sort(tag)")
+
   /** top(field): most frequent values, count-desc with tie-break. */
   def hqTop(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir), "user_id < 50 | top(event_type, limit=3)")
@@ -87,6 +94,7 @@ object HumioQueries {
     "hq_parsejson" -> hqParsejson _,
     "hq_regex_extract" -> hqRegexExtract _,
     "hq_top"       -> hqTop _,
+    "hq_evalfn"    -> hqEvalfn _,
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
@@ -135,6 +143,11 @@ object HumioQueries {
         |WHERE regexp_matches(props, '"k": ([0-9]+)')
         |  AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) >= 95
         |ORDER BY event_id""".stripMargin,
+    "hq_evalfn" ->
+      """SELECT upper(event_type) || '-' || CAST(length(event_type) AS VARCHAR) AS tag,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events WHERE length(event_type) >= 5
+        |GROUP BY tag ORDER BY tag""".stripMargin,
     "hq_top" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE user_id < 50

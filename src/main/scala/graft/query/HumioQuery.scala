@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *   parseJson := parseJson(jsonField, k1, k2, …) — promote several keys
   *                (absent keys become NULL columns)
   *   assign    := field := expr              — computed field (LogScale `:=`);
-  *                expr is + - * / % arithmetic over fields/literals with parens
+  *                expr is + - * / % arithmetic over fields/literals with
+  *                parens and scalar fns: length lower upper abs floor
+  *                ceil concat coalesce
   *   eval      := eval(field = expr)         — function form of assign
   *   caseBlk   := case { cond | f := v ; … [; * | f := v] }
   *                — first matching arm assigns; events matching NO arm are
@@ -298,10 +300,44 @@ object HumioQuery {
           while (pos < input.length &&
             (input(pos).isLetterOrDigit || input(pos) == '_' ||
              input(pos) == '.' || input(pos) == '@')) pos += 1
-          col(input.substring(start, pos))
+          val name = input.substring(start, pos)
+          ws()
+          if (peek == '(') { pos += 1; fnCall(name) } else col(name)
         case other =>
           throw new IllegalArgumentException(
             s"unexpected '$other' at $pos in expression: '$input'")
+      }
+    }
+    /** scalar function call inside an expression: length(f), lower(f), … */
+    private def fnCall(name: String): Column = {
+      val fnArgs = Seq.newBuilder[Column]
+      ws()
+      if (peek == ')') pos += 1
+      else {
+        var done = false
+        while (!done) {
+          fnArgs += addSub(); ws()
+          peek match {
+            case ',' => pos += 1
+            case ')' => pos += 1; done = true
+            case other => throw new IllegalArgumentException(
+              s"expected ',' or ')' after argument of $name, got '$other' in '$input'")
+          }
+        }
+      }
+      val a = fnArgs.result()
+      def one: Column = { require(a.size == 1, s"$name takes 1 argument"); a.head }
+      name match {
+        case "length"   => length(one)
+        case "lower"    => lower(one)
+        case "upper"    => upper(one)
+        case "abs"      => abs(one)
+        case "floor"    => floor(one).cast("long")
+        case "ceil"     => ceil(one).cast("long")
+        case "concat"   => concat(a: _*)
+        case "coalesce" => coalesce(a: _*)
+        case other => throw new IllegalArgumentException(
+          s"unknown function in expression: $other")
       }
     }
   }

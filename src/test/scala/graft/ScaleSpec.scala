@@ -50,6 +50,41 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() == 100L)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // at 100 TB the fact table is date/category-partitioned and the dim
+    // filter is only known at run time — DPP injects the dim's surviving
+    // keys as a runtime partition filter on the fact scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val fact = (1 to 3000).map(i => (i.toLong, s"c${i % 3}", i * 1.0))
+      .toDF("id", "category", "v")
+    Scale.writePartitioned(fact, dir, Seq("category"))
+    // the dim must be a FILE relation: over a literal LocalRelation the
+    // selective filter constant-folds away before the pruning rule runs
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("c0", 0L), ("c1", 1L), ("c2", 0L)).toDF("category", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // DPP's cost heuristic skips megabyte-scale tables; force the benefit
+    // estimate so the toy fixture takes the same rewrite terabytes would
+    val savedStats = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val savedRatio = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100")
+      val q = spark.read.parquet(dir)
+        .join(broadcast(dim).where(col("flag") === 1L), "category")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"fact scan must carry a runtime pruning filter, got:\n${plan.take(1200)}")
+      assert(q.count() == 1000L, "only c1's partition rows survive")
+    } finally {
+      savedStats.fold(spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats"))(
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", _))
+      savedRatio.fold(spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"))(
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", _))
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // one hot key owns ~97% of the fact bytes: the static plan puts it in
     // one shuffle partition (the classic straggler); AQE's skew-join
