@@ -35,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
           .value.asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_winnow"),
+      new ExpressionInfo(classOf[RollingWinnow].getName, "graft_rolling_winnow"),
+      (children: Seq[Expression]) => RollingWinnow(
+        children.head,
+        children(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int],
+        children(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int])))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))

@@ -184,6 +184,19 @@ object PipelineQueries {
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
 
+  /** Winnowing fingerprints (rolling-hash k-grams, minima per w-window)
+    * in long (doc_id, fp) format — [[graft.expressions.RollingWinnow]],
+    * the position-robust signature whose size tracks length/w.
+    */
+  def xWinnow(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.RollingWinnow.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(call_function("graft_rolling_winnow",
+          Text.tokens(col("text")), lit(3), lit(4))).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
   /** The COMPLETE 3-stage near-dup pipeline in one plan — the canonical
     * shape a 100 TB dedup pass runs: (1) n-perm signatures, narrow
     * per-row; (2) banded LSH candidates, one equi-join on band keys;
@@ -307,6 +320,7 @@ object PipelineQueries {
     "x_minhash_perm" -> xMinhashPerm _,
     "x_group_sig"   -> xGroupSig _,
     "x_neardup"     -> xNeardup _,
+    "x_winnow"      -> xWinnow _,
     "x_lshpairs"    -> xLshpairs _,
     "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_simhash"     -> xSimhash _,
@@ -497,6 +511,27 @@ object PipelineQueries {
       s"""WITH $permSigsSql
         |SELECT doc_id, CAST(perm AS BIGINT) AS perm, sig
         |FROM sigs ORDER BY doc_id, perm""".stripMargin,
+    "x_winnow" -> {
+      // hex-digit polynomial of the first 8 md5 chars = the expression's
+      // unsigned first-4-digest-bytes value
+      def hv(e: String) =
+        s"CAST(list_aggregate(list_transform(range(1, 9), j -> (strpos('0123456789abcdef', substr(md5($e), CAST(j AS INTEGER), 1)) - 1) * CAST(16 ** (8 - j) AS BIGINT)), 'sum') AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |vv AS (SELECT doc_id, toks, list_transform(toks, w -> ${hv("w")}) AS vals FROM t),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(toks) < 3 THEN [${hv("array_to_string(toks, ' ')")}]
+        |             ELSE list_transform(range(1, len(toks) - 1),
+        |                    i -> vals[i] * 961 + vals[i + 1] * 31 + vals[i + 2])
+        |        END AS grams FROM vv),
+        |wnd AS (SELECT doc_id,
+        |          CASE WHEN len(grams) <= 4 THEN [list_aggregate(grams, 'min')]
+        |               ELSE list_transform(range(1, len(grams) - 2),
+        |                      i -> list_aggregate(list_slice(grams, i, i + 3), 'min'))
+        |          END AS fps FROM g)
+        |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+        |FROM (SELECT doc_id, unnest(fps) AS fp FROM wnd)
+        |ORDER BY doc_id, fp""".stripMargin
+    },
     "x_neardup" ->
       s"""WITH $permSigsSql,
         |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,

@@ -73,6 +73,26 @@ class DedupSpec extends SparkSpec {
     assert(grouped == expected, "group signature = element-wise min of member signatures")
   }
 
+  test("winnowing fingerprints overlap heavily under edits, and are position-robust") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    graft.expressions.RollingWinnow.register(spark)
+    // shifted = same text with two words prepended: every k-gram moves
+    // position but almost all survive — winnowed minima must mostly agree
+    val shifted = "oh well " + base
+    val d = Seq((0L, base), (1L, shifted), (2L, unrelated)).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+        call_function("graft_rolling_winnow",
+          Text.tokens(col("text")), lit(3), lit(4)).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val a = fps(0L).toSet; val b = fps(1L).toSet; val c = fps(2L).toSet
+    assert((a intersect b).size >= (a.size * 2) / 3,
+      s"prefix insertion must preserve most fingerprints: $a vs $b")
+    assert((a intersect c).isEmpty, "no shared grams → no shared fingerprints")
+    // fingerprint count tracks length/w, not length (the winnowing point)
+    assert(a.size < base.split(" ").length,
+      "winnowing must select a sparse subset of gram hashes")
+  }
+
   test("jaccard ranks near-dup far above unrelated") {
     val t = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     val a = t.where(col("doc_id") === 0).select(col("toks").as("ta"))
