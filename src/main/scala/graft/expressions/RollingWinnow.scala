@@ -33,8 +33,10 @@ case class RollingWinnow(child: Expression, k: Int, w: Int)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.StringType, _) =>
-      if (k < 1 || w < 1) TypeCheckResult.TypeCheckFailure(
-        s"graft_rolling_winnow needs k >= 1 and w >= 1, got k=$k w=$w")
+      // k ≤ 7 keeps B^(k-1)·v < 31^6·2^32 < 2^62 — the no-modulus
+      // invariant; larger k would silently wrap the Long polynomial
+      if (k < 1 || k > 7 || w < 1) TypeCheckResult.TypeCheckFailure(
+        s"graft_rolling_winnow needs 1 <= k <= 7 and w >= 1, got k=$k w=$w")
       else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_rolling_winnow expects array<string>, got ${other.simpleString}")

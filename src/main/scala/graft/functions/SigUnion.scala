@@ -38,7 +38,9 @@ object SigUnion extends Aggregator[Seq[String], Array[String], Seq[String]] {
     mergeInto(buf, sigs)
 
   override def merge(a: Array[String], b: Array[String]): Array[String] =
-    if (a.isEmpty) b else mergeInto(a, b.toSeq)
+    // either side may be the zero buffer: an EMPTY PARTITION's partial
+    // arrives as Array.empty and must not trip the width check
+    if (a.isEmpty) b else if (b.isEmpty) a else mergeInto(a, b.toSeq)
 
   override def finish(buf: Array[String]): Seq[String] = buf.toSeq
 

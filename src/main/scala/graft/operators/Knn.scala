@@ -72,7 +72,11 @@ object Knn {
     * which multiplies the join fan-out linearly, not quadratically.
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, dim: Int, k: Int): DataFrame = {
-    val assigned = ivfAssign(vectors, centroids, dim)
+    // both self-join branches route through ONE explicit exchange on the
+    // join key: the branches' canonical plans are identical, so Spark's
+    // ReuseExchange computes the n·k assignment once instead of once per
+    // side — the dominant stage at scale must not run twice
+    val assigned = ivfAssign(vectors, centroids, dim).repartition(col("cell"))
     val a = assigned.select(col("cell"), col("vec_id").as("probe_id"),
       col("embedding").as("pe"), col("nrm").as("pn"))
     val b = assigned.select(col("cell"), col("vec_id").as("cand_id"),

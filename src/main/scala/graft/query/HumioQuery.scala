@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * {{{
   *   query     := stage ('|' stage)*
   *   stage     := filter | regex | search | extract | parseJson | assign |
-  *                eval | caseBlk | regexEx | groupBy | sort | head | select | timechart
+  *                eval | caseBlk | regexEx | groupBy | top | sort | head |
+  *                select | timechart
   *   filter    := field op value (op ∈ =, !=, >, >=, <, <=; '*' wildcard in =/!= values)
   *   regex     := field = /pattern/          — RLIKE partial match
   *   regexEx   := regex(/pat/, field=f)      — named-capture groups become
@@ -33,6 +34,8 @@ import org.apache.spark.sql.functions._
   *   groupBy   := groupBy(field[, function=agg | function=[agg, agg, …]])
   *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f); list form names
   *                results _count / _sum_f / _avg_f / _min_f / _max_f
+  *   top       := top(field[, limit=n])      — most frequent values,
+  *                count-desc with value tie-break (default limit 10)
   *   sort      := sort(field[, order=asc|desc])
   *   head      := head(n)
   *   select    := select(f1, f2, …)

@@ -71,6 +71,13 @@ class DedupSpec extends SparkSpec {
       .groupBy().agg(udaf(graft.functions.SigUnion).apply(col("sigs")).as("g"))
       .as[Seq[String]].head()
     assert(grouped == expected, "group signature = element-wise min of member signatures")
+    // empty partitions contribute zero buffers: merge must tolerate them
+    // on EITHER side (4 rows over 16 partitions → 12 empty partials)
+    val sparse = Dedup.withPermMinhashSigs(docs, col("text"), 8)
+      .repartition(16)
+      .groupBy().agg(udaf(graft.functions.SigUnion).apply(col("sigs")).as("g"))
+      .as[Seq[String]].head()
+    assert(sparse == expected, "zero buffers from empty partitions must merge cleanly")
   }
 
   test("winnowing fingerprints overlap heavily under edits, and are position-robust") {

@@ -45,6 +45,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val mh = spark.sql("SELECT graft_shingle_minhash(array('a','b','c','d'), 3, 2) AS m")
         .collect().head.getSeq[String](0)
       assert(mh.length == 2)
+      val fp = spark.sql("SELECT graft_rolling_winnow(array('a','b','c','d','e'), 3, 2) AS f")
+        .collect().head.getSeq[Long](0)
+      assert(fp.nonEmpty && fp.forall(v => v >= 0L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
