@@ -5,26 +5,37 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** The assembled connector application — the runnable equivalent of the
-  * reference's `cses2humio` CLI, on the Spark engine.
+  * reference's `cses2humio` CLI, on the Spark engine, with the
+  * reference's exact argument surface (app.py:394-566):
   *
-  * Config resolution follows the reference exactly (app.py:394-566):
-  * CLI `--key value` flags merged with environment variables where the
-  * ENV WINS (app.py:541-557, key → UPPER_SNAKE), typed coercion for
-  * int/flag options (app.py:544-555), and missing-required validation
-  * that names every absent key (app.py:559-564). Defaults mirror the
-  * shipped ones: bulk-max-size 200, flush-wait-time 10 s, retry-timer
-  * 300 s, appid-random 1 (BASELINE.md).
+  *  - every flag and default mirrored: `--offset-file offset.db`,
+  *    `--enrich`/`--metadata`/`--verbose`/`--exceptions` OFF by default
+  *    (store_true semantics), `--falcon-url api.crowdstrike.com`,
+  *    `--humio-url cloud.humio.com`, `--app-id cses2humio`,
+  *    `--user-agent`, bulk-max-size 200, flush-wait-time 10,
+  *    stream-timeout 60, retry-timer 300, appid-random 1, keepalive 10;
+  *  - env-wins merge (key → UPPER_SNAKE, app.py:541-557), bools parsed
+  *    as true/1/t (app.py:554-555);
+  *  - required check names every missing variable env-style
+  *    (app.py:559-564): FALCON_API_ID, FALCON_API_SECRET, HUMIO_TOKEN;
+  *  - startup argument dump with secrets hidden (pp_args,
+  *    app.py:381-392).
   *
-  * `--stub true` runs against the in-JVM protocol stub (no egress);
-  * without it the app expects a live endpoint, which this build does not
-  * ship (the HTTP client is the one stubbed seam).
+  * Engine-only extras: `--stub true` runs against the in-JVM protocol
+  * stub (no egress — the OAuth2/HTTP client is the one stubbed seam;
+  * falcon-api credentials feed that seam when going live), and
+  * `--max-restarts` bounds supervision.
   */
 object ConnectorApp {
 
-  case class Config(appId: String, humioHost: String, humioToken: String,
-                    enrich: Boolean, bulkMaxSize: Int, flushWaitTimeSec: Int,
-                    retryTimerSec: Int, appidRandom: Int, stub: Boolean,
-                    maxRestarts: Int, streamTimeoutSec: Int, keepaliveSec: Int)
+  case class Config(offsetFile: String, enrich: Boolean, metadata: Boolean,
+                    verbose: Boolean, exceptions: Boolean,
+                    falconUrl: String, falconApiId: String, falconApiSecret: String,
+                    humioUrl: String, humioToken: String,
+                    appId: String, userAgent: String,
+                    bulkMaxSize: Int, flushWaitTimeSec: Int, streamTimeoutSec: Int,
+                    retryTimerSec: Int, appidRandom: Int, keepaliveSec: Int,
+                    stub: Boolean, maxRestarts: Int)
 
   /** CLI + env merge, env wins; typed coercion; required validation. */
   def parseConfig(args: Array[String], env: Map[String, String]): Either[Seq[String], Config] = {
@@ -33,27 +44,62 @@ object ConnectorApp {
     }.toMap
     def get(key: String): Option[String] =
       env.get(key.toUpperCase.replace('-', '_')).orElse(cli.get(key))
+    def str(key: String, default: String): String = get(key).getOrElse(default)
     def int(key: String, default: Int): Int =
       get(key).map(_.toInt).getOrElse(default)
-    def flag(key: String, default: Boolean): Boolean =
-      get(key).map(v => v == "true" || v == "1").getOrElse(default)
+    // store_true flags; env parsed as the reference does (app.py:554-555)
+    def flag(key: String): Boolean =
+      get(key).exists(v => Set("true", "1", "t").contains(v.toLowerCase))
 
-    val required = Seq("app-id", "humio-host", "humio-token")
+    // required = the reference args with no default (app.py:559-564);
+    // named env-style, as its error message does
+    val required = Seq("falcon-api-id", "falcon-api-secret", "humio-token")
     val missing = required.filter(get(_).isEmpty)
-    if (missing.nonEmpty) Left(missing.map(k => s"missing required option: --$k"))
+    if (missing.nonEmpty)
+      Left(missing.map(k => s"Please set missing variable: ${k.toUpperCase.replace('-', '_')}"))
     else Right(Config(
-      appId = get("app-id").get,
-      humioHost = get("humio-host").get,
+      offsetFile = str("offset-file", "offset.db"),
+      enrich = flag("enrich"),
+      metadata = flag("metadata"),
+      verbose = flag("verbose"),
+      exceptions = flag("exceptions"),
+      falconUrl = str("falcon-url", "https://api.crowdstrike.com"),
+      falconApiId = get("falcon-api-id").get,
+      falconApiSecret = get("falcon-api-secret").get,
+      humioUrl = str("humio-url", "https://cloud.humio.com"),
       humioToken = get("humio-token").get,
-      enrich = flag("enrich", default = true),
+      appId = str("app-id", "cses2humio"),
+      userAgent = str("user-agent", "cses2humio-spark/0.2"),
       bulkMaxSize = int("bulk-max-size", 200),
       flushWaitTimeSec = int("flush-wait-time", 10),
+      streamTimeoutSec = int("stream-timeout", 60),
       retryTimerSec = int("retry-timer", 300),
       appidRandom = int("appid-random", 1),
-      stub = flag("stub", default = false),
-      maxRestarts = int("max-restarts", 3),
-      streamTimeoutSec = int("stream-timeout", 60),
-      keepaliveSec = int("keepalive", 10)))
+      keepaliveSec = int("keepalive", 10),
+      stub = flag("stub"),
+      maxRestarts = int("max-restarts", 3)))
+  }
+
+  /** pp_args (app.py:381-392): dump the resolved arguments, secrets
+    * hidden.
+    */
+  def ppConfig(cfg: Config): String = {
+    def hide(v: String) = if (v.nonEmpty) "[HIDDEN]" else "NOT SET"
+    val rows = Seq(
+      "offset_file" -> cfg.offsetFile, "enrich" -> cfg.enrich,
+      "metadata" -> cfg.metadata, "verbose" -> cfg.verbose,
+      "exceptions" -> cfg.exceptions, "falcon_url" -> cfg.falconUrl,
+      "falcon_api_id" -> cfg.falconApiId,
+      "falcon_api_secret" -> hide(cfg.falconApiSecret),
+      "humio_url" -> cfg.humioUrl, "humio_token" -> hide(cfg.humioToken),
+      "app_id" -> cfg.appId, "user_agent" -> cfg.userAgent,
+      "bulk_max_size" -> cfg.bulkMaxSize,
+      "flush_wait_time" -> cfg.flushWaitTimeSec,
+      "stream_timeout" -> cfg.streamTimeoutSec,
+      "retry_timer" -> cfg.retryTimerSec, "appid_random" -> cfg.appidRandom,
+      "keepalive" -> cfg.keepaliveSec)
+    "Starting with the following arguments:\n" +
+      rows.map { case (k, v) => f"\t$k%-16s \t\t=>\t $v" }.mkString("\n")
   }
 
   /** Stand-in for the Humio bulk HTTP client: logs instead of POSTing
@@ -61,12 +107,12 @@ object ConnectorApp {
     * endpoint path and payload keyword follow the enrich mode exactly as
     * the reference selects them (app.py:365-374).
     */
-  class LoggingSink(humioHost: String, enrich: Boolean) extends ConnectorPipeline.BulkSink {
+  class LoggingSink(humioUrl: String, enrich: Boolean) extends ConnectorPipeline.BulkSink {
     private val endpoint = ConnectorPipeline.HumioWire.endpoint(enrich)
     override def post(events: Seq[String]): Boolean = {
       ConnectorApp.posted.addAndGet(events.size)
       val body = ConnectorPipeline.HumioWire.body(enrich, events)
-      println(s"[sink] POST $humioHost${endpoint.path}: ${events.size} " +
+      println(s"[sink] POST $humioUrl${endpoint.path}: ${events.size} " +
         s"${endpoint.keyword} (${body.length} bytes)")
       true
     }
@@ -83,6 +129,7 @@ object ConnectorApp {
   }
 
   private def run(cfg: Config): Unit = {
+    println(ppConfig(cfg))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
@@ -90,7 +137,7 @@ object ConnectorApp {
       .config("spark.ui.enabled", "false")
       .appName(s"graft-connector-${cfg.appId}")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(if (cfg.verbose) "INFO" else "WARN")
 
     if (cfg.stub) {
       StubFalconServer.reset()
@@ -109,8 +156,9 @@ object ConnectorApp {
     println(s"[app] discovered ${found.streams.size} stream partition(s) as ${found.appId}")
     if (found.streams.isEmpty) { System.err.println("[app] no streams found"); sys.exit(1) }
 
-    val cp = sys.env.getOrElse("CHECKPOINT_DIR",
-      java.nio.file.Files.createTempDirectory("graft-connector-cp").toString)
+    // the engine's offset WAL replaces the reference's offset FILE
+    // (app.py:38-58) — the --offset-file path anchors the checkpoint dir
+    val cp = sys.env.getOrElse("CHECKPOINT_DIR", s"${cfg.offsetFile}.checkpoint")
     val lines = spark.readStream
       .format(classOf[FalconTableProvider].getName)
       .option("appId", found.appId)
@@ -118,18 +166,22 @@ object ConnectorApp {
       .load()
       .select(col("value"))
 
+    // @host: HOST env override, else the machine name (app.py:366-368)
+    val host = sys.env.getOrElse("HOST", java.net.InetAddress.getLocalHost.getHostName)
+
     // R16 — SIGINT/SIGTERM stop the active query cleanly via a JVM
     // shutdown hook (the signal analog of app.py:219-222, :353-354)
     val shutdown = new Supervisor.Shutdown
     shutdown.installHook()
 
     val result = Supervisor.run(
-      start = () => ConnectorPipeline.run(lines, new LoggingSink(cfg.humioHost, cfg.enrich), cp,
-        host = java.net.InetAddress.getLocalHost.getHostName,
+      start = () => ConnectorPipeline.run(lines, new LoggingSink(cfg.humioUrl, cfg.enrich), cp,
+        host = host,
         streamId = cfg.appId,
         triggerMs = cfg.flushWaitTimeSec * 1000L,
         bulkMaxSize = cfg.bulkMaxSize,
-        enrich = cfg.enrich),
+        enrich = cfg.enrich,
+        metadata = cfg.metadata),
       drain = q => if (cfg.stub) { q.processAllAvailable(); q.stop() }
                    else q.awaitTermination(),
       maxRestarts = cfg.maxRestarts,

@@ -104,17 +104,21 @@ object ConnectorPipeline {
     * `bulkMaxSize` chunking inside the batch ≙ bulk-max-size. Events are
     * shipped per PARTITION (the reference's thread-per-partition), driver
     * never collects. `enrich = false` selects the raw pass-through path
-    * (R7): undecorated lines, unstructured wire shape.
+    * (R7): undecorated lines, unstructured wire shape. `metadata` gates
+    * the @host/@stream decoration of enriched events (`--metadata`,
+    * app.py:129-132 + :364-368) — off means attributes ship undecorated.
     */
   def run(lines: DataFrame, sink: BulkSink, checkpointDir: String,
           host: String, streamId: String,
           triggerMs: Long = 10000L, bulkMaxSize: Int = 200,
-          enrich: Boolean = true): StreamingQuery = {
+          enrich: Boolean = true, metadata: Boolean = true): StreamingQuery = {
+    val shippedCols =
+      if (metadata) Seq(col("timestamp"), col("rawstring"), col("host"),
+        col("stream"), col("event_fields"))
+      else Seq(col("timestamp"), col("rawstring"), col("event_fields"))
     val staged =
       if (enrich) transform(lines, host, streamId)
-        .select(to_json(struct(
-          col("timestamp"), col("rawstring"), col("host"),
-          col("stream"), col("event_fields"))).as("payload"))
+        .select(to_json(struct(shippedCols: _*)).as("payload"))
       else transformRaw(lines).select(col("value").as("payload"))
     staged
       .writeStream

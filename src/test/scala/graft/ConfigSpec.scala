@@ -4,19 +4,28 @@ import graft.streaming.ConnectorApp
 import org.scalatest.funsuite.AnyFunSuite
 
 /** R17 config-resolution semantics (app.py:394-566): env beats CLI,
-  * typed coercion, defaults, and required-key validation that names
-  * every missing option.
+  * typed coercion, the reference's exact defaults, and required-key
+  * validation that names every missing variable env-style.
   */
 class ConfigSpec extends AnyFunSuite {
-  private val base = Array("--app-id", "a", "--humio-host", "h", "--humio-token", "t")
+  private val base = Array(
+    "--falcon-api-id", "fid", "--falcon-api-secret", "fsec",
+    "--humio-token", "t")
 
   test("defaults mirror the reference's shipped configuration") {
     val cfg = ConnectorApp.parseConfig(base, Map.empty).toOption.get
-    assert(cfg.bulkMaxSize == 200)        // app.py:485-491
-    assert(cfg.flushWaitTimeSec == 10)    // app.py:493-499
-    assert(cfg.retryTimerSec == 300)      // app.py:509-515
-    assert(cfg.appidRandom == 1)          // app.py:517-523
-    assert(cfg.enrich)
+    assert(cfg.offsetFile == "offset.db")          // app.py:402-408
+    assert(!cfg.enrich && !cfg.metadata)           // store_true → off
+    assert(!cfg.verbose && !cfg.exceptions)
+    assert(cfg.falconUrl == "https://api.crowdstrike.com")
+    assert(cfg.humioUrl == "https://cloud.humio.com")
+    assert(cfg.appId == "cses2humio")              // app.py advanced default
+    assert(cfg.bulkMaxSize == 200)                 // app.py:485-491
+    assert(cfg.flushWaitTimeSec == 10)             // app.py:493-499
+    assert(cfg.streamTimeoutSec == 60)             // app.py:501-507
+    assert(cfg.retryTimerSec == 300)               // app.py:509-515
+    assert(cfg.appidRandom == 1)                   // app.py:517-523
+    assert(cfg.keepaliveSec == 10)                 // app.py:525-531
   }
 
   test("environment overrides CLI (app.py:541-557)") {
@@ -27,16 +36,27 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.appId == "env-app")
   }
 
-  test("flag coercion accepts true/1 (app.py:554-555)") {
-    assert(!ConnectorApp.parseConfig(base ++ Array("--enrich", "false"), Map.empty)
+  test("flag coercion accepts true/1/t (app.py:554-555)") {
+    assert(ConnectorApp.parseConfig(base ++ Array("--enrich", "true"), Map.empty)
       .toOption.get.enrich)
     assert(ConnectorApp.parseConfig(base, Map("ENRICH" -> "1")).toOption.get.enrich)
+    assert(ConnectorApp.parseConfig(base, Map("METADATA" -> "T")).toOption.get.metadata)
+    assert(!ConnectorApp.parseConfig(base ++ Array("--enrich", "false"), Map.empty)
+      .toOption.get.enrich)
   }
 
-  test("missing required options are all named (app.py:559-564)") {
-    val Left(errors) = ConnectorApp.parseConfig(Array("--app-id", "a"), Map.empty)
+  test("missing required variables are all named env-style (app.py:559-564)") {
+    val Left(errors) = ConnectorApp.parseConfig(Array("--falcon-api-id", "fid"), Map.empty)
     assert(errors.size == 2)
-    assert(errors.exists(_.contains("humio-host")))
-    assert(errors.exists(_.contains("humio-token")))
+    assert(errors.exists(_.contains("FALCON_API_SECRET")))
+    assert(errors.exists(_.contains("HUMIO_TOKEN")))
+  }
+
+  test("the argument dump hides secrets (pp_args, app.py:381-392)") {
+    val cfg = ConnectorApp.parseConfig(base, Map.empty).toOption.get
+    val pp = ConnectorApp.ppConfig(cfg)
+    assert(!pp.contains("fsec") && !pp.contains("\tt\n"))
+    assert(pp.contains("[HIDDEN]"))
+    assert(pp.contains("fid"), "non-secret values print")
   }
 }

@@ -50,6 +50,21 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_.contains("\"host\"")), "raw mode must not decorate")
   }
 
+  test("metadata=false ships enriched events undecorated (app.py:129-132, --metadata off)") {
+    RecordingSink.reset()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(eventLine(1))
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+      "testhost", "graft", triggerMs = 50L, enrich = true, metadata = false)
+    q.processAllAvailable(); q.stop()
+    val got = RecordingSink.received.asScala.head
+    assert(got.contains("\"timestamp\"") && got.contains("\"rawstring\""))
+    assert(!got.contains("\"host\"") && !got.contains("\"stream\""),
+      "metadata off must not decorate events")
+  }
+
   test("HumioWire selects endpoint + payload shape by enrich mode (app.py:356-374)") {
     import ConnectorPipeline.HumioWire
     assert(HumioWire.endpoint(enrich = true) ==
