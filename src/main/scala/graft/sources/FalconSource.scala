@@ -181,8 +181,12 @@ object FalconDiscovery {
       if (found.nonEmpty) return Outcome(currentId, found, attempt)
       // randomizeAfter <= 0 disables randomization (and must not be a
       // modulus: --appid-random 0 would otherwise divide by zero)
-      if (randomizeAfter > 0 && attempt % randomizeAfter == 0)
-        currentId = appId + (1000 + rnd.nextInt(9000))  // 4 random digits
+      if (randomizeAfter > 0 && attempt % randomizeAfter == 0) {
+        // random_app_id (app.py:30-35): "{appId}-{digits}", digit count
+        // padding the base id to 31 chars
+        val randLen = math.max(31 - appId.length, 1)
+        currentId = appId + "-" + Seq.fill(randLen)(rnd.nextInt(10)).mkString
+      }
       if (sleepMs > 0) Thread.sleep(sleepMs)
     }
     Outcome(currentId, Seq.empty, attempt)

@@ -148,8 +148,11 @@ class FalconSourceSpec extends SparkSpec {
   test("discovery retry falls back to a randomized app id (app.py:261-302, :30-35)") {
     import graft.sources.FalconDiscovery
     StubFalconServer.reset()
-    // the base id has no streams; the seeded random fallback id does
-    val fallback = "app" + (1000 + new scala.util.Random(42L).nextInt(9000))
+    // the base id has no streams; the seeded random fallback id does —
+    // shaped like the reference's random_app_id: "{appId}-{digits}"
+    // padded to 31 base chars (app.py:30-35)
+    val rnd = new scala.util.Random(42L)
+    val fallback = "app-" + Seq.fill(31 - 3)(rnd.nextInt(10)).mkString
     StubFalconServer.register(fallback, Seq(StreamDesc(0, 1800)))
     val out = FalconDiscovery.discoverWithRetry(new StubFalconServer.Client(),
       "app", maxAttempts = 5, randomizeAfter = 1, seed = 42L)
