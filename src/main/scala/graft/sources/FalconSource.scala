@@ -112,9 +112,13 @@ object StubFalconServer {
   val refreshCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   // simulated per-fetch latency, for stream-timeout tests
   val fetchDelayMs = new java.util.concurrent.atomic.AtomicLong(0)
+  // simulated refresh failures (non-200), for refresh-retry tests
+  val failRefreshes = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  def reset(): Unit =
-    { streams.clear(); events.clear(); refreshCalls.set(0); fetchDelayMs.set(0) }
+  def reset(): Unit = {
+    streams.clear(); events.clear(); refreshCalls.set(0)
+    fetchDelayMs.set(0); failRefreshes.set(false)
+  }
 
   /** Deterministic session token the server would mint per stream. */
   def tokenFor(appId: String, partition: Int): String = s"sess-$appId-$partition"
@@ -138,7 +142,7 @@ object StubFalconServer {
           StreamDesc(p.partition, interval, p.token)
       }
     override def refreshSession(appId: String, partition: Int): Boolean = {
-      refreshCalls.incrementAndGet(); true
+      refreshCalls.incrementAndGet(); !failRefreshes.get()
     }
     override def latestOffset(appId: String, partition: Int): Long =
       Option(events.get((appId, partition)))
@@ -205,7 +209,8 @@ class FalconTable(properties: Map[String, String]) extends Table with SupportsRe
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new FalconMicroBatchStream(
             options.asScala.getOrElse("appId", "default"),
-            streamTimeoutSec = options.asScala.getOrElse("streamTimeoutSec", "60").toInt)
+            streamTimeoutSec = options.asScala.getOrElse("streamTimeoutSec", "60").toInt,
+            refreshRetrySec = options.asScala.getOrElse("refreshRetrySec", "30").toInt)
       }
     }
 }
@@ -225,7 +230,8 @@ object FalconOffset {
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
 }
 
-class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60)
+class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
+                             refreshRetrySec: Int = 30)
     extends MicroBatchStream {
   private val client = new StubFalconServer.Client
   // session refresh cadence: the reference refreshes each partition's
@@ -254,8 +260,13 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60)
     ds.foreach { d =>
       val due = lastRefreshMs.getOrElse(d.partition, 0L) + (d.refreshIntervalSec * 850L)
       if (now >= due) {
-        client.refreshSession(appId, d.partition)
-        lastRefreshMs(d.partition) = now
+        if (client.refreshSession(appId, d.partition))
+          lastRefreshMs(d.partition) = now
+        else
+          // a FAILED refresh retries after refreshRetrySec (app.py:186-190
+          // schedules 30 s ahead), not after the full 85% interval
+          lastRefreshMs(d.partition) =
+            now - d.refreshIntervalSec * 850L + refreshRetrySec * 1000L
       }
     }
     remember(FalconOffset(

@@ -119,6 +119,26 @@ class FalconSourceSpec extends SparkSpec {
       s"parsed offset must come back verbatim, got ${start.offsets}")
   }
 
+  test("failed session refresh retries on the short timer, not the full interval") {
+    import graft.sources.FalconMicroBatchStream
+    StubFalconServer.reset()
+    StubFalconServer.register("app8", Seq(StreamDesc(0, 1800)))  // 85% = 1530 s
+    StubFalconServer.push("app8", 0, 0L, line(0, 0))
+    // retry timer 0 for testability: a failed refresh is due again at once
+    val stream = new FalconMicroBatchStream("app8", refreshRetrySec = 0)
+    StubFalconServer.failRefreshes.set(true)
+    stream.latestOffset()
+    stream.latestOffset()
+    assert(StubFalconServer.refreshCalls.get() == 2,
+      "failed refreshes must retry every poll while the short timer is due")
+    StubFalconServer.failRefreshes.set(false)
+    stream.latestOffset()   // succeeds → next due after the 85% interval
+    val after = StubFalconServer.refreshCalls.get()
+    stream.latestOffset()
+    assert(StubFalconServer.refreshCalls.get() == after,
+      "a successful refresh must not re-fire until 85% of the interval")
+  }
+
   test("latestOffset carries forward partitions missing from a discovery blip") {
     import graft.sources.{FalconMicroBatchStream, FalconOffset => FO}
     StubFalconServer.reset()
