@@ -95,4 +95,14 @@ object Text {
 
   def sumWordLen(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+
+  /** ASCII-punctuation density of a text column. Java \p{Punct} and RE2
+    * [[:punct:]] agree on the same 32-char class, so the DuckDB twin is
+    * `(length(t) - length(regexp_replace(t, '[[:punct:]]', '', 'g'))) /
+    * nullif(length(t), 0)`. Zero-length text yields NULL (nullif guard —
+    * Spark's x/0 is NULL, DuckDB's is inf/nan; the guard makes both NULL).
+    */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "\\p{Punct}", "")))
+      .cast("double") / nullif(length(text), lit(0))
 }

@@ -69,15 +69,11 @@ object PipelineQueries {
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
     val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
-    // ASCII punctuation density: Java \p{Punct} and RE2 [[:punct:]] agree
-    // on the same 32-char class
-    val punct = length(col("text")) -
-      length(regexp_replace(col("text"), "\\p{Punct}", ""))
     Tables.documents(s, dir)
       .select(col("doc_id"), n.as("n_words"),
         detRound4(Text.sumWordLen(toks).cast("double") / n).as("avg_word_len"),
         detRound4(enHits.cast("double") / n).as("stopword_ratio"),
-        detRound4(punct.cast("double") / length(col("text"))).as("punct_ratio"),
+        detRound4(Text.punctRatio(col("text"))).as("punct_ratio"),
         (n.between(5, 2000) && (enHits.cast("double") / n) < 0.4)
           .cast("bigint").as("quality_ok"))
       .orderBy("doc_id")
@@ -495,7 +491,7 @@ object PipelineQueries {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
         |       ${detRound4Sql("CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS DOUBLE) / len(toks)")} AS avg_word_len,
         |       ${detRound4Sql("CAST(en_hits AS DOUBLE) / len(toks)")} AS stopword_ratio,
-        |       ${detRound4Sql("CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)")} AS punct_ratio,
+        |       ${detRound4Sql("CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)")} AS punct_ratio,
         |       CAST(len(toks) BETWEEN 5 AND 2000
         |            AND CAST(en_hits AS DOUBLE) / len(toks) < 0.4 AS BIGINT) AS quality_ok
         |FROM t ORDER BY doc_id""".stripMargin,

@@ -177,23 +177,27 @@ object FalconDiscovery {
                         sleepMs: Long = 0L,
                         seed: Long = 42L): Outcome = {
     val rnd = new scala.util.Random(seed)
-    var currentId = appId
+    var retires = 0
     var attempt = 0
+    var lastId = appId
     while (attempt < maxAttempts) {
+      // the reference policy exactly (app.py:271-279): the BASE id until
+      // retires exceeds appid-random, then a FRESH random id per attempt
+      // ("{appId}-{digits}" padded to 31 base chars, app.py:30-35);
+      // appid-random 0 disables randomization entirely
+      val currentId =
+        if (randomizeAfter != 0 && retires > randomizeAfter) {
+          val randLen = math.max(31 - appId.length, 1)
+          appId + "-" + Seq.fill(randLen)(rnd.nextInt(10)).mkString
+        } else appId
+      lastId = currentId
       val found = client.discoverStreams(currentId)
       attempt += 1
       if (found.nonEmpty) return Outcome(currentId, found, attempt)
-      // randomizeAfter <= 0 disables randomization (and must not be a
-      // modulus: --appid-random 0 would otherwise divide by zero)
-      if (randomizeAfter > 0 && attempt % randomizeAfter == 0) {
-        // random_app_id (app.py:30-35): "{appId}-{digits}", digit count
-        // padding the base id to 31 chars
-        val randLen = math.max(31 - appId.length, 1)
-        currentId = appId + "-" + Seq.fill(randLen)(rnd.nextInt(10)).mkString
-      }
+      retires += 1
       if (sleepMs > 0) Thread.sleep(sleepMs)
     }
-    Outcome(currentId, Seq.empty, attempt)
+    Outcome(lastId, Seq.empty, attempt)
   }
 }
 

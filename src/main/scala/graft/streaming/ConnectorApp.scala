@@ -37,13 +37,35 @@ object ConnectorApp {
                     retryTimerSec: Int, appidRandom: Int, keepaliveSec: Int,
                     stub: Boolean, maxRestarts: Int)
 
+  private val boolKeys = Set("enrich", "metadata", "verbose", "exceptions", "stub")
+
   /** CLI + env merge, env wins; typed coercion; required validation. */
   def parseConfig(args: Array[String], env: Map[String, String]): Either[Seq[String], Config] = {
-    val cli = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
+    // store_true flags may appear BARE (`--enrich`), the reference's
+    // invocation style; `--enrich true` also works. Value options consume
+    // the following token.
+    val cli = {
+      val m = scala.collection.mutable.Map.empty[String, String]
+      var i = 0
+      while (i < args.length) {
+        val a = args(i)
+        if (a.startsWith("--")) {
+          val k = a.stripPrefix("--")
+          if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+            m(k) = args(i + 1); i += 2
+          } else {
+            if (boolKeys(k)) m(k) = "true"   // bare flag = store_true
+            i += 1
+          }
+        } else i += 1
+      }
+      m.toMap
+    }
+    // env wins, but an EMPTY env var is ignored like the reference's
+    // falsy-skip merge (`if env:`, app.py:543)
     def get(key: String): Option[String] =
-      env.get(key.toUpperCase.replace('-', '_')).orElse(cli.get(key))
+      env.get(key.toUpperCase.replace('-', '_')).filter(_.nonEmpty)
+        .orElse(cli.get(key))
     def str(key: String, default: String): String = get(key).getOrElse(default)
     def int(key: String, default: Int): Int =
       get(key).map(_.toInt).getOrElse(default)
@@ -166,8 +188,10 @@ object ConnectorApp {
       .load()
       .select(col("value"))
 
-    // @host: HOST env override, else the machine name (app.py:366-368)
-    val host = sys.env.getOrElse("HOST", java.net.InetAddress.getLocalHost.getHostName)
+    // @host: HOST env override, else the FQDN — socket.getfqdn(),
+    // app.py:366-368 (canonical name, not the short hostname)
+    val host = sys.env.getOrElse("HOST",
+      java.net.InetAddress.getLocalHost.getCanonicalHostName)
 
     // R16 — SIGINT/SIGTERM stop the active query cleanly via a JVM
     // shutdown hook (the signal analog of app.py:219-222, :353-354)

@@ -52,11 +52,31 @@ class ConfigSpec extends AnyFunSuite {
     assert(errors.exists(_.contains("HUMIO_TOKEN")))
   }
 
+  test("bare store_true flags parse like the reference CLI") {
+    val cfg = ConnectorApp.parseConfig(
+      Array("--enrich", "--metadata", "--falcon-api-id", "x",
+        "--falcon-api-secret", "y", "--humio-token", "t", "--verbose"),
+      Map.empty).toOption.get
+    assert(cfg.enrich && cfg.metadata && cfg.verbose && !cfg.exceptions)
+    assert(cfg.falconApiId == "x" && cfg.humioToken == "t",
+      "bare flags must not swallow following options")
+  }
+
+  test("empty environment variables are ignored (`if env:`, app.py:543)") {
+    val cfg = ConnectorApp.parseConfig(base,
+      Map("HUMIO_TOKEN" -> "", "BULK_MAX_SIZE" -> "")).toOption.get
+    assert(cfg.humioToken == "t", "empty env must not beat the CLI value")
+    assert(cfg.bulkMaxSize == 200, "empty env must not crash int coercion")
+  }
+
   test("the argument dump hides secrets (pp_args, app.py:381-392)") {
     val cfg = ConnectorApp.parseConfig(base, Map.empty).toOption.get
     val pp = ConnectorApp.ppConfig(cfg)
-    assert(!pp.contains("fsec") && !pp.contains("\tt\n"))
-    assert(pp.contains("[HIDDEN]"))
+    val tokenRow = pp.linesIterator.find(_.contains("humio_token")).get
+    assert(tokenRow.contains("[HIDDEN]") && !tokenRow.trim.endsWith("t"),
+      s"token must not print: $tokenRow")
+    val secretRow = pp.linesIterator.find(_.contains("falcon_api_secret")).get
+    assert(secretRow.contains("[HIDDEN]") && !pp.contains("fsec"))
     assert(pp.contains("fid"), "non-secret values print")
   }
 }

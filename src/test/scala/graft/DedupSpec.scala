@@ -128,6 +128,17 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == near)
   }
 
+  test("punctRatio counts the ASCII punctuation class; empty text is NULL") {
+    val d = Seq((1L, "no punct here"), (2L, "a,b.c!"), (3L, ""), (4L, "!!!"))
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), Text.punctRatio(col("text")).as("r"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(r(1L).contains(0.0))
+    assert(math.abs(r(2L).get - 3.0 / 6.0) < 1e-12, s"3 of 6 chars, got ${r(2L)}")
+    assert(r(3L).isEmpty, "zero-length text must be NULL, not NaN/inf")
+    assert(r(4L).contains(1.0))
+  }
+
   test("fingerprint is stable under distant edits but changes locally") {
     val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap

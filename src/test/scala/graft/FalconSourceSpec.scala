@@ -170,7 +170,9 @@ class FalconSourceSpec extends SparkSpec {
     StubFalconServer.reset()
     // the base id has no streams; the seeded random fallback id does —
     // shaped like the reference's random_app_id: "{appId}-{digits}"
-    // padded to 31 base chars (app.py:30-35)
+    // padded to 31 base chars (app.py:30-35). With appid-random=1 the
+    // base id is tried while retires <= 1 (attempts 1-2); the first
+    // random id is minted on attempt 3.
     val rnd = new scala.util.Random(42L)
     val fallback = "app-" + Seq.fill(31 - 3)(rnd.nextInt(10)).mkString
     StubFalconServer.register(fallback, Seq(StreamDesc(0, 1800)))
@@ -178,7 +180,22 @@ class FalconSourceSpec extends SparkSpec {
       "app", maxAttempts = 5, randomizeAfter = 1, seed = 42L)
     assert(out.appId == fallback)
     assert(out.streams.map(_.partition) == Seq(0))
-    assert(out.attempts == 2, "one empty try on the base id, then the fallback hit")
+    assert(out.attempts == 3, "two empty tries on the base id, then the random hit")
+  }
+
+  test("each randomized attempt mints a FRESH id (app.py:271-279)") {
+    import graft.sources.FalconDiscovery
+    StubFalconServer.reset()
+    // nothing registered: all attempts fail; the SECOND random id (not a
+    // reused first) must be the last one tried
+    val rnd = new scala.util.Random(7L)
+    val first = "app-" + Seq.fill(28)(rnd.nextInt(10)).mkString
+    val second = "app-" + Seq.fill(28)(rnd.nextInt(10)).mkString
+    val out = FalconDiscovery.discoverWithRetry(new StubFalconServer.Client(),
+      "app", maxAttempts = 4, randomizeAfter = 1, seed = 7L)
+    assert(out.streams.isEmpty && out.attempts == 4)
+    assert(out.appId == second && first != second,
+      s"attempt 4 must re-roll, got ${out.appId}")
   }
 
   test("discovery retry gives up after maxAttempts when nothing exists") {
