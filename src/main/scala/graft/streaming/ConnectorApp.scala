@@ -124,6 +124,24 @@ object ConnectorApp {
       rows.map { case (k, v) => f"\t$k%-16s \t\t=>\t $v" }.mkString("\n")
   }
 
+  /** The OAuth2 seam (app.py:342-351): the reference builds its Falcon
+    * client with (base_url, client_id, client_secret) and exits when no
+    * token comes back. The HTTP exchange is the one stubbed surface in
+    * this zero-egress build; the stub enforces the same contract —
+    * non-empty credentials or no token.
+    */
+  trait TokenProvider {
+    /** Right(bearer) or Left(failure reason). */
+    def obtain(falconUrl: String, clientId: String, clientSecret: String): Either[String, String]
+  }
+  object StubTokenProvider extends TokenProvider {
+    override def obtain(falconUrl: String, clientId: String,
+                        clientSecret: String): Either[String, String] =
+      if (clientId.nonEmpty && clientSecret.nonEmpty)
+        Right(s"stub-oauth2-${clientId.hashCode.toHexString}")
+      else Left("client credentials rejected")
+  }
+
   /** Stand-in for the Humio bulk HTTP client: logs instead of POSTing
     * (zero-egress build; swap `post` for an HTTP call to go live). The
     * endpoint path and payload keyword follow the enrich mode exactly as
@@ -152,6 +170,17 @@ object ConnectorApp {
 
   private def run(cfg: Config): Unit = {
     println(ppConfig(cfg))
+
+    // OAuth2 first, like the reference (app.py:342-351): no token, no app
+    println("[app] Obtaining OAuth2 token to Falcon")
+    val token = StubTokenProvider.obtain(cfg.falconUrl, cfg.falconApiId, cfg.falconApiSecret) match {
+      case Left(reason) =>
+        System.err.println(s"[app] Failed to obtain OAuth2 token : $reason")
+        sys.exit(1); ""
+      case Right(t) => t
+    }
+    println(s"[app] OAuth2 token obtained (${token.take(12)}…)")
+
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
@@ -215,6 +244,11 @@ object ConnectorApp {
       backoffMs = if (cfg.stub) 0L else cfg.keepaliveSec * 1000L,
       shutdown = Some(shutdown))
 
+    // --exceptions: dump the stack like the reference's log.exception
+    // path (app.py:204-206); otherwise just the message
+    result.fatal.foreach { e =>
+      if (cfg.exceptions) e.printStackTrace(System.err)
+    }
     println(s"[app] done: shipped=${posted.get} restarts=${result.restarts}" +
       result.fatal.map(e => s" FATAL=${e.getMessage}").getOrElse(""))
     spark.stop()

@@ -69,6 +69,12 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.bulkMaxSize == 200, "empty env must not crash int coercion")
   }
 
+  test("OAuth2 seam: credentials yield a token, empties are rejected (app.py:342-351)") {
+    assert(ConnectorApp.StubTokenProvider.obtain("u", "id", "sec").isRight)
+    assert(ConnectorApp.StubTokenProvider.obtain("u", "", "sec").isLeft)
+    assert(ConnectorApp.StubTokenProvider.obtain("u", "id", "").isLeft)
+  }
+
   test("the argument dump hides secrets (pp_args, app.py:381-392)") {
     val cfg = ConnectorApp.parseConfig(base, Map.empty).toOption.get
     val pp = ConnectorApp.ppConfig(cfg)
