@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -214,7 +214,8 @@ class FalconTable(properties: Map[String, String]) extends Table with SupportsRe
           new FalconMicroBatchStream(
             options.asScala.getOrElse("appId", "default"),
             streamTimeoutSec = options.asScala.getOrElse("streamTimeoutSec", "60").toInt,
-            refreshRetrySec = options.asScala.getOrElse("refreshRetrySec", "30").toInt)
+            refreshRetrySec = options.asScala.getOrElse("refreshRetrySec", "30").toInt,
+            maxRowsPerTrigger = options.asScala.get("maxRowsPerTrigger").map(_.toLong))
       }
     }
 }
@@ -235,8 +236,9 @@ object FalconOffset {
 }
 
 class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
-                             refreshRetrySec: Int = 30)
-    extends MicroBatchStream {
+                             refreshRetrySec: Int = 30,
+                             maxRowsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val client = new StubFalconServer.Client
   // session refresh cadence: the reference refreshes each partition's
   // session at 85% of the server-provided interval (app.py:256); the
@@ -258,9 +260,8 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
   override def initialOffset(): Offset =
     remember(FalconOffset(descs.map(d => d.partition -> 0L).toMap))
 
-  override def latestOffset(): Offset = {
+  private def refreshTick(ds: Seq[StreamDesc]): Unit = {
     val now = System.currentTimeMillis()
-    val ds = descs
     ds.foreach { d =>
       val due = lastRefreshMs.getOrElse(d.partition, 0L) + (d.refreshIntervalSec * 850L)
       if (now >= due) {
@@ -273,9 +274,41 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
             now - d.refreshIntervalSec * 850L + refreshRetrySec * 1000L
       }
     }
+  }
+
+  override def latestOffset(): Offset = {
+    val ds = descs
+    refreshTick(ds)
     remember(FalconOffset(
       ds.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap))
   }
+
+  /** Admission control (`maxRowsPerTrigger`): cap each micro-batch's
+    * advance so a stream resumed after downtime drains its backlog in
+    * BOUNDED batches instead of one giant catch-up batch — the knob that
+    * keeps executor memory and batch latency flat at any backlog size.
+    * The row budget splits evenly across partitions (minimum 1 per
+    * partition with data, so progress is always made).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ds = descs
+    refreshTick(ds)
+    val startMap = start.asInstanceOf[FalconOffset].offsets
+    val live = ds.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap
+    val capped = limit match {
+      case r: ReadMaxRows if ds.nonEmpty =>
+        val perPartition = math.max(r.maxRows() / math.max(ds.size, 1), 1L)
+        live.map { case (p, head) =>
+          val from = startMap.getOrElse(p, 0L)
+          p -> math.min(head, from + perPartition)
+        }
+      case _ => live
+    }
+    remember(FalconOffset(capped))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
   override def deserializeOffset(json: String): Offset = {
     // feed carry-forward, but return the PARSED offset verbatim: this is

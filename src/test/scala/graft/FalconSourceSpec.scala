@@ -50,6 +50,33 @@ class FalconSourceSpec extends SparkSpec {
     assert(resumed == Seq(10L, 11L, 12L), s"expected only new offsets, got $resumed")
   }
 
+  test("maxRowsPerTrigger drains a backlog in bounded micro-batches") {
+    StubFalconServer.reset()
+    StubFalconServer.register("app9", Seq(StreamDesc(0, 1800), StreamDesc(1, 1800)))
+    // 120-event backlog BEFORE the query starts — the restart-after-
+    // downtime scenario admission control exists for
+    (0L until 60L).foreach(o => StubFalconServer.push("app9", 0, o, line(0, o)))
+    (0L until 60L).foreach(o => StubFalconServer.push("app9", 1, o, line(1, o)))
+    val cp = java.nio.file.Files.createTempDirectory("falcon-cp").toString
+    FalconSourceSpec.batchSizes.clear()
+    val q = spark.readStream
+      .format(classOf[graft.sources.FalconTableProvider].getName)
+      .option("appId", "app9")
+      .option("maxRowsPerTrigger", "40")   // 20 per partition per batch
+      .load()
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        FalconSourceSpec.batchSizes.add(df.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L)).start()
+    q.processAllAvailable(); q.stop()
+    val sizes = FalconSourceSpec.batchSizes.asScala.toSeq
+    assert(sizes.sum == 120L, s"every event delivered exactly once, got $sizes")
+    assert(sizes.forall(_ <= 40L), s"no batch may exceed the cap, got $sizes")
+    assert(sizes.count(_ > 0) >= 3, s"backlog must drain across batches, got $sizes")
+  }
+
   test("session refresh control calls happen while polling") {
     StubFalconServer.reset()
     StubFalconServer.register("app2", Seq(StreamDesc(0, 0)))  // interval 0 → refresh every poll
@@ -209,4 +236,5 @@ class FalconSourceSpec extends SparkSpec {
 
 object FalconSourceSpec {
   val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 }
