@@ -53,6 +53,37 @@ class DedupSpec extends SparkSpec {
     assert(farAgree == 0, s"no shared shingles → no shared minima, got $farAgree")
   }
 
+  test("ShinglePermMinHash equals its declarative specification on random docs") {
+    // the oracle checks fixture data only; this differential check runs
+    // the native expression against the explode + md5(i:shingle) + min
+    // formula (the DuckDB twin's exact shape) over seeded random inputs,
+    // including <3-word and empty docs
+    val rnd = new scala.util.Random(11)
+    val randDocs = (0 until 60).map { i =>
+      val n = rnd.nextInt(25)   // 0..24 words — hits the whole-doc fallback
+      (i.toLong, Seq.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(5)).mkString)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val nPerms = 6
+    val native = Dedup.withPermMinhashSigs(randDocs, col("text"), nPerms)
+      .as[(Long, Seq[String])].collect().toMap
+    val twin = randDocs
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("shingle"))
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(nPerms - 1))).as("perm"))
+      .select(col("doc_id"), col("perm"),
+        md5(concat(col("perm").cast("string"), lit(":"), col("shingle"))
+          .cast("binary")).as("h"))
+      .groupBy("doc_id", "perm").agg(min("h").as("sig"))
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(native.keySet == twin.keySet)
+    native.foreach { case (id, sigs) =>
+      assert(sigs == twin(id), s"doc $id: native $sigs != declarative ${twin(id)}")
+    }
+  }
+
   test("banded LSH (8 bands × 2 rows) finds near-dups, drops unrelated") {
     val pairs = Dedup.bandedCandidates(docs, col("text"), 16, 2)
       .as[(Long, Long)].collect().toSet
