@@ -60,7 +60,10 @@ object Knn {
     vectors.select(col("vec_id"), col("embedding"),
         Vectors.norm(col("embedding"), dim).as("nrm"))
       .join(broadcast(c))
-      .withColumn("csim", expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
+      // declarative dot (identical element-wise-double math to FloatDot)
+      // so centroids may be float (data samples) OR double (trained means)
+      .withColumn("csim",
+        Vectors.dot(col("embedding"), col("cvec"), dim) / (col("nrm") * col("cnrm")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
@@ -88,6 +91,39 @@ object Knn {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("probe_id", "cand_id", "rank", "sim")
+  }
+
+  /** One deterministic k-means (Lloyd) refinement of a centroid set:
+    * assign every vector to its nearest centroid by cosine, then rebuild
+    * each centroid as the mean of its cell.
+    *
+    * Distributed float means are accumulation-order-dependent, so the
+    * mean is computed over QUANTIZED components (round(x·2^20) — exact
+    * integers whose sum is order-independent via [[graft.functions.QVecSum]],
+    * a map-side-partial Aggregator; no per-dimension explode) and one
+    * exact division at the end. The result is bit-reproducible across
+    * partitionings AND replayable by a serial SQL oracle — the same
+    * discipline as the engine's integer-cents money sums, applied to
+    * codebook training. Empty cells keep their previous centroid (the
+    * standard Lloyd convention).
+    */
+  def kmeansRefine(vectors: DataFrame, centroids: DataFrame, dim: Int): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val Q = 1L << 20
+    val assigned = ivfAssign(vectors, centroids, dim)
+      .select(col("cell"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * Q).cast("long")).as("qvec"))
+    val sums = assigned.groupBy("cell")
+      .agg(udaf(graft.functions.QVecSum).apply(col("qvec")).as("qsum"),
+        count(lit(1)).as("n"))
+    val refined = sums.select(col("cell").as("cent_id"),
+      transform(col("qsum"),
+        s => s.cast("double") / (col("n").cast("double") * Q)).as("cvec"))
+    // empty cells (no vectors assigned) retain their previous centroid
+    centroids.join(refined, centroids("cent_id") === refined("cent_id"), "left_anti")
+      .select(centroids("cent_id"), col("cvec"))
+      .unionByName(refined)
   }
 
   /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes

@@ -185,6 +185,28 @@ object PipelineQueries {
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
 
+  val KMEANS_K = 8
+
+  /** Deterministic IVF TRAINING: seed codebook (first k vectors) → one
+    * Lloyd refinement with order-independent quantized means
+    * ([[Knn.kmeansRefine]]) → re-assignment on the trained codebook.
+    * Output: per-cell occupancy + trained-centroid norm. The refinement
+    * is bit-reproducible across partitionings, so a serial DuckDB replay
+    * hash-matches — distributed codebook training under the same
+    * determinism discipline as the engine's money sums.
+    */
+  def xIvfTrain(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val seed = emb.where(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val trained = Knn.kmeansRefine(emb, seed, DIM)
+    Knn.ivfAssign(emb, trained, DIM)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .join(trained.select(col("cent_id").as("cell"),
+        detRound4(Vectors.norm(col("cvec"), DIM)).as("cnorm")), "cell")
+      .orderBy("cell")
+  }
+
   /** Winnowing fingerprints (rolling-hash k-grams, minima per w-window)
     * in long (doc_id, fp) format — [[graft.expressions.RollingWinnow]],
     * the position-robust signature whose size tracks length/w.
@@ -332,6 +354,7 @@ object PipelineQueries {
     "x_embdup"      -> xEmbdup _,
     "x_ivf_cells"   -> xIvfCells _,
     "x_ivfknn"      -> xIvfknn _,
+    "x_ivf_train"   -> xIvfTrain _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_multimodal"  -> xMultimodal _,
     "x_frames"      -> xFrames _,
@@ -445,7 +468,41 @@ object PipelineQueries {
       |    FROM scoredc) WHERE rk = 1)""".stripMargin
   }
 
+  /** Assignment CTE for the IVF-training oracle: argmax cosine of every
+    * vector against the centroid CTE `centCte`, named `outCte`.
+    */
+  private def asgnSql(centCte: String, outCte: String): String = {
+    val cdot = s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')"
+    s"""$outCte AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) DESC, c.cent_id) AS rk
+      |    FROM embeddings e CROSS JOIN $centCte c) WHERE rk = 1)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_ivf_train" ->
+      s"""WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < $KMEANS_K),
+        |${asgnSql("cent0", "a1")},
+        |q AS (SELECT cell, d.i AS dim,
+        |        CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+        |      FROM a1 CROSS JOIN range(1, ${DIM + 1}) d(i)),
+        |ncell AS (SELECT cell, count(*) AS n FROM a1 GROUP BY cell),
+        |cent1 AS (SELECT s.cell AS cent_id,
+        |                 list(CAST(s.sq AS DOUBLE) / (n.n * 1048576.0) ORDER BY s.dim) AS cvec
+        |          FROM (SELECT cell, dim, sum(qv) AS sq FROM q GROUP BY cell, dim) s
+        |          JOIN ncell n ON s.cell = n.cell
+        |          GROUP BY s.cell),
+        |cent AS (SELECT cent_id, cvec FROM cent1
+        |         UNION ALL
+        |         SELECT cent_id, list_transform(cvec, x -> CAST(x AS DOUBLE))
+        |         FROM cent0 WHERE cent_id NOT IN (SELECT cent_id FROM cent1)),
+        |${asgnSql("cent", "a2")},
+        |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM a2 GROUP BY cell)
+        |SELECT o.cell, o.n_vecs, ${detRound4Sql(normSql("c.cvec"))} AS cnorm
+        |FROM occ o JOIN cent c ON o.cell = c.cent_id
+        |ORDER BY cell""".stripMargin,
     "x_ivf_cells" ->
       s"""$ivfAsgnPrefix
         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs

@@ -81,6 +81,29 @@ class VectorSpec extends SparkSpec {
     assert(Set(1L, 4L, 5L).contains(top(4L)) && top(4L) != 4L)
   }
 
+  test("kmeansRefine moves centroids to quantized cluster means; empty cells retained") {
+    // two tight clusters; seeds are one member of each + one far-off seed
+    // that attracts nothing (the empty-cell retention path)
+    val vecs = Seq(
+      (0L, Array(10.0f, 0.0f)), (1L, Array(0.0f, 10.0f)),
+      (2L, Array(12.0f, 0.0f)), (3L, Array(14.0f, 0.0f)),
+      (4L, Array(0.0f, 12.0f)), (5L, Array(0.0f, 14.0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Seq(
+      (0L, Array(10.0f, 0.0f)), (1L, Array(0.0f, 10.0f)),
+      (9L, Array(-100.0f, -100.0f)))                 // attracts nothing
+      .toDF("cent_id", "cvec")
+    val refined = Knn.kmeansRefine(vecs, seeds, 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(refined.keySet == Set(0L, 1L, 9L), "every seed survives")
+    // cell 0 = {0,2,3} → mean (12, 0); cell 1 = {1,4,5} → mean (0, 12)
+    assert(math.abs(refined(0L).head - 12.0) < 1e-6 && math.abs(refined(0L)(1)) < 1e-6,
+      s"cell 0 mean, got ${refined(0L)}")
+    assert(math.abs(refined(1L)(1) - 12.0) < 1e-6 && math.abs(refined(1L).head) < 1e-6,
+      s"cell 1 mean, got ${refined(1L)}")
+    assert(refined(9L) == Seq(-100.0, -100.0), "empty cell keeps its previous centroid")
+  }
+
   test("multimodal resize preserves aspect ratio within the bounding box") {
     val docs = Seq((1L, "x" * 5000)).toDF("doc_id", "text")
     val decoded = Multimodal.decode(Multimodal.packetize(docs, "image/fake"))
