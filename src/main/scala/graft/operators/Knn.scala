@@ -93,6 +93,43 @@ object Knn {
       .select("probe_id", "cand_id", "rank", "sim")
   }
 
+  /** IVF top-k with nprobe > 1 — the recall lever: each PROBE searches
+    * its `nprobe` nearest cells while candidates stay indexed under
+    * their single home cell, so the join fan-out grows linearly in
+    * nprobe (never quadratically) and a pair appears at most once (a
+    * candidate has one home). Both sides derive from one scored
+    * assignment routed through a single exchange (ReuseExchange).
+    */
+  def ivfTopKProbes(vectors: DataFrame, centroids: DataFrame, dim: Int,
+                    k: Int, nprobe: Int): DataFrame = {
+    FloatDot.register(vectors.sparkSession)
+    val c = centroids.select(col("cent_id"), col("cvec"),
+      Vectors.norm(col("cvec"), dim).as("cnrm"))
+    val wc = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val scored = vectors.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding"), dim).as("nrm"))
+      .join(broadcast(c))
+      .withColumn("csim",
+        Vectors.dot(col("embedding"), col("cvec"), dim) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wc))
+      .where(col("rk") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("cell"), col("rk"))
+      .repartition(col("cell"))
+    val probes = scored.select(col("cell"), col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), col("nrm").as("pn"))
+    val homes = scored.where(col("rk") === 1)
+      .select(col("cell"), col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    probes.join(homes, Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("probe_id", "cand_id", "rank", "sim")
+  }
+
   /** One deterministic k-means (Lloyd) refinement of a centroid set:
     * assign every vector to its nearest centroid by cosine, then rebuild
     * each centroid as the mean of its cell.

@@ -186,6 +186,19 @@ object PipelineQueries {
       .orderBy("vec_id")
 
   val KMEANS_K = 8
+  val IVF_NPROBE = 2
+
+  /** IVF ANN with nprobe=2 — the recall lever over [[xIvfknn]]: probes
+    * search their two nearest cells, candidates stay under their home
+    * cell; fan-out linear in nprobe.
+    */
+  def xIvfknn2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Knn.ivfTopKProbes(emb, ivfCentroids(emb), DIM, k = 1, nprobe = IVF_NPROBE)
+      .select(col("probe_id").as("vec_id"), col("cand_id"),
+        detRound4(col("sim")).as("sim"))
+      .orderBy("vec_id")
+  }
 
   /** Deterministic IVF TRAINING: seed codebook (first k vectors) → one
     * Lloyd refinement with order-independent quantized means
@@ -355,6 +368,7 @@ object PipelineQueries {
     "x_ivf_cells"   -> xIvfCells _,
     "x_ivfknn"      -> xIvfknn _,
     "x_ivf_train"   -> xIvfTrain _,
+    "x_ivfknn2"     -> xIvfknn2 _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_multimodal"  -> xMultimodal _,
     "x_frames"      -> xFrames _,
@@ -481,6 +495,29 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_ivfknn2" -> {
+      val cdot = s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')"
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < $IVF_K),
+        |scoredc AS (SELECT e.vec_id, e.embedding, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) DESC, c.cent_id) AS rk
+        |  FROM embeddings e CROSS JOIN cent c),
+        |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cent_id AS cell
+        |           FROM scoredc WHERE rk <= $IVF_NPROBE),
+        |homes AS (SELECT vec_id AS cand_id, embedding AS ce, cent_id AS cell
+        |          FROM scoredc WHERE rk = 1),
+        |pairs AS (SELECT probe_id, cand_id,
+        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(pe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum'))
+        |    / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |  FROM probes JOIN homes USING (cell)
+        |  WHERE probe_id <> cand_id),
+        |r AS (SELECT probe_id, cand_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+        |      FROM pairs)
+        |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
+        |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin
+    },
     "x_ivf_train" ->
       s"""WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
         |              FROM embeddings WHERE vec_id < $KMEANS_K),
