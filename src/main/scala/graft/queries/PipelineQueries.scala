@@ -65,6 +65,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Character-trigram language ID — the literal n-gram heuristic: build
+    * a top-20-trigram profile per labeled language, score each document
+    * by how many profile trigrams it contains, argmax. Three hash
+    * aggregations and one equi-join on trigram — every stage partial-
+    * aggregates map-side; profiles are tiny and broadcast.
+    */
+  def xLangidNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(length(col("text")) >= 3)
+    val tri = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
+    val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tg"))
+    val profiles = tri.groupBy("lang", "tg").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
+      .select(col("lang").as("plang"), col("tg"))
+    val wd = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))
+    tri.select("doc_id", "tg").distinct()
+      .join(broadcast(profiles), "tg")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(wd)).where(col("rn") === 1)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("plang").as("pred_lang"), col("hits"))
+      .orderBy("doc_id")
+  }
+
   def xQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
@@ -349,6 +375,7 @@ object PipelineQueries {
     "x_tokens"      -> xTokens _,
     "x_token_count" -> xTokenCount _,
     "x_langid"      -> xLangid _,
+    "x_langid_ngram" -> xLangidNgram _,
     "x_quality"     -> xQuality _,
     "x_fingerprint" -> xFingerprint _,
     "x_docdedup"    -> xDocdedup _,
@@ -578,6 +605,28 @@ object PipelineQueries {
         |SELECT doc_id, labeled_lang, en_hits, de_hits, es_hits, fr_hits, zh_hits,
         |       $langCaseSql AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+    "x_langid_ngram" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+        |tri AS (SELECT doc_id, lang,
+        |          unnest(list_transform(range(1, length(text) - 1),
+        |                 i -> substr(text, CAST(i AS INTEGER), 3))) AS tg
+        |        FROM d),
+        |counts AS (SELECT lang, tg, count(*) AS cnt FROM tri GROUP BY lang, tg),
+        |profiles AS (SELECT lang AS plang, tg FROM (
+        |    SELECT lang, tg, cnt,
+        |           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tg) AS rn
+        |    FROM counts) WHERE rn <= 20),
+        |dt AS (SELECT DISTINCT doc_id, tg FROM tri),
+        |scores AS (SELECT dt.doc_id, p.plang, CAST(count(*) AS BIGINT) AS hits
+        |           FROM dt JOIN profiles p ON dt.tg = p.tg
+        |           GROUP BY dt.doc_id, p.plang),
+        |best AS (SELECT doc_id, plang, hits FROM (
+        |    SELECT doc_id, plang, hits,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn
+        |    FROM scores) WHERE rn = 1)
+        |SELECT b.doc_id, d.lang AS labeled_lang, b.plang AS pred_lang, b.hits
+        |FROM best b JOIN d ON b.doc_id = d.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "x_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks,
         |       CAST(len(list_filter(string_split(text,' '), x -> x IN ($enList))) AS BIGINT) AS en_hits
