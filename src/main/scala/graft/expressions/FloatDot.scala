@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd dot product over two `array<float>` columns.
+/** Native codegen'd dot product over `array<float>` / `array<double>`
+  * columns (each side independently — a float embedding can dot a
+  * double trained centroid).
   *
   * Semantically identical to the higher-order-function formulation in
   * [[graft.functions.Vectors.dot]] — each element widened to double,
@@ -28,26 +30,33 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects (array<float>, array<float>), got " +
+      s"graft_dot expects array<float|double> on each side, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  private def isDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val ld = isDouble(left); val rd = isDouble(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i))
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+        val yv = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+        acc += xv * yv
+      }
       i += 1
     }
     acc
@@ -58,12 +67,15 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, e: Expression) =
+        if (isDouble(e)) s"$arr.getDouble($i)"
+        else s"((double) $arr.getFloat($i))"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |    $acc += ${get(a, left)} * ${get(b, right)};
          |  }
          |}
          |${ev.value} = $acc;

@@ -60,10 +60,11 @@ object Knn {
     vectors.select(col("vec_id"), col("embedding"),
         Vectors.norm(col("embedding"), dim).as("nrm"))
       .join(broadcast(c))
-      // declarative dot (identical element-wise-double math to FloatDot)
-      // so centroids may be float (data samples) OR double (trained means)
+      // FloatDot accepts float OR double arrays, so centroids may be data
+      // samples (float) or trained means (double) — the n·k inner loop
+      // stays a codegen'd primitive loop either way
       .withColumn("csim",
-        Vectors.dot(col("embedding"), col("cvec"), dim) / (col("nrm") * col("cnrm")))
+        expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
@@ -110,7 +111,7 @@ object Knn {
         Vectors.norm(col("embedding"), dim).as("nrm"))
       .join(broadcast(c))
       .withColumn("csim",
-        Vectors.dot(col("embedding"), col("cvec"), dim) / (col("nrm") * col("cnrm")))
+        expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
       .withColumn("rk", row_number().over(wc))
       .where(col("rk") <= nprobe)
       .select(col("vec_id"), col("embedding"), col("nrm"),

@@ -493,43 +493,36 @@ object PipelineQueries {
       |      FROM scored)""".stripMargin
   }
 
-  /** Shared WITH-prefix of the IVF oracles: centroid sample, argmax-dot
-    * cell assignment — the exact dataflow of [[Knn.ivfAssign]].
+  /** Scored-and-ranked centroid assignment — THE single copy of the
+    * numerically sensitive argmax-cosine SQL every IVF oracle builds on:
+    * (vec_id, embedding, cent_id, rk) for every vector × centroid of
+    * `centCte`, rk 1 = nearest (ties to the lower cent_id).
     */
-  private def ivfAsgnPrefix: String = {
+  private def scoredSql(centCte: String, outCte: String): String = {
     val cdot = s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')"
-    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
-      |              FROM embeddings WHERE vec_id < $IVF_K),
-      |scoredc AS (SELECT e.vec_id, e.embedding, c.cent_id,
-      |    ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) AS csim
-      |  FROM embeddings e CROSS JOIN cent c),
-      |asgn AS (SELECT vec_id, embedding, cent_id AS cell FROM (
-      |    SELECT vec_id, embedding, cent_id,
-      |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
-      |    FROM scoredc) WHERE rk = 1)""".stripMargin
+    s"""$outCte AS (SELECT e.vec_id, e.embedding, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) DESC, c.cent_id) AS rk
+      |  FROM embeddings e CROSS JOIN $centCte c)""".stripMargin
   }
 
-  /** Assignment CTE for the IVF-training oracle: argmax cosine of every
-    * vector against the centroid CTE `centCte`, named `outCte`.
-    */
-  private def asgnSql(centCte: String, outCte: String): String = {
-    val cdot = s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')"
-    s"""$outCte AS (SELECT vec_id, embedding, cent_id AS cell FROM (
-      |    SELECT e.vec_id, e.embedding, c.cent_id,
-      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |             ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) DESC, c.cent_id) AS rk
-      |    FROM embeddings e CROSS JOIN $centCte c) WHERE rk = 1)""".stripMargin
-  }
+  /** Home-cell (rk = 1) assignment built on [[scoredSql]]. */
+  private def asgnSql(centCte: String, outCte: String): String =
+    s"""${scoredSql(centCte, outCte + "_sc")},
+      |$outCte AS (SELECT vec_id, embedding, cent_id AS cell
+      |            FROM ${outCte}_sc WHERE rk = 1)""".stripMargin
+
+  /** Shared WITH-prefix of the fixed-codebook IVF oracles. */
+  private def ivfAsgnPrefix: String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+      |              FROM embeddings WHERE vec_id < $IVF_K),
+      |${asgnSql("cent", "asgn")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_ivfknn2" -> {
-      val cdot = s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')"
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
         |              FROM embeddings WHERE vec_id < $IVF_K),
-        |scoredc AS (SELECT e.vec_id, e.embedding, c.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) DESC, c.cent_id) AS rk
-        |  FROM embeddings e CROSS JOIN cent c),
+        |${scoredSql("cent", "scoredc")},
         |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cent_id AS cell
         |           FROM scoredc WHERE rk <= $IVF_NPROBE),
         |homes AS (SELECT vec_id AS cand_id, embedding AS ce, cent_id AS cell
