@@ -113,6 +113,36 @@ object Dedup {
   def hammingBits(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), d => d))
 
+  /** SimHash near-dup pipeline: cut each 64-bit signature into `nBands`
+    * equal bit-bands; docs sharing ANY band become candidates (a pair
+    * within Hamming distance d < nBands must agree on some band —
+    * pigeonhole); only candidates pay the exact Hamming verification.
+    * Same scale shape as the MinHash path: band equi-join, never the
+    * pair matrix.
+    */
+  def simhashCandidates(docs: DataFrame, text: Column, nBands: Int,
+                        maxHamming: Int): DataFrame = {
+    require(64 % nBands == 0, s"nBands=$nBands must divide 64")
+    val width = 64 / nBands
+    val sh = withSimhash(docs, text).select(col("doc_id"), col("simhash"))
+    val long = sh.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b.toLong).as("band"),
+          substring(col("simhash"), b * width + 1, width).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val a = long.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = long.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("hamming", hammingBits(col("ha"), col("hb")).cast("bigint"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Exact word-set Jaccard similarity between two token-array columns. */
   def jaccard(ta: Column, tb: Column): Column = {
     val inter = size(array_distinct(array_intersect(ta, tb))).cast("double")

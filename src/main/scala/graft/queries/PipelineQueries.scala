@@ -153,6 +153,15 @@ object PipelineQueries {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
+  /** SimHash near-dup pipeline end-to-end: 4 × 16-bit bands → candidate
+    * equi-join → exact Hamming verification at distance ≤ 12
+    * ([[Dedup.simhashCandidates]]) — the bit-signature twin of x_neardup.
+    */
+  def xSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(Tables.documents(s, dir), col("text"),
+        nBands = 4, maxHamming = 12)
+      .orderBy("doc_a", "doc_b")
+
   def xJaccard(s: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -387,6 +396,7 @@ object PipelineQueries {
     "x_lshpairs"    -> xLshpairs _,
     "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_simhash"     -> xSimhash _,
+    "x_simhash_pairs" -> xSimhashPairs _,
     "x_jaccard"     -> xJaccard _,
     "x_cosine"      -> xCosine _,
     "x_knn"         -> xKnn _,
@@ -728,6 +738,35 @@ object PipelineQueries {
         |SELECT doc_id,
         |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |h AS (SELECT doc_id, md5(word) AS m FROM w),
+        |bits AS (
+        |  SELECT doc_id, t.i,
+        |         sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, 1 + CAST(t.i // 4 AS INTEGER), 1)) - 1)
+        |                        >> (3 - CAST(t.i % 4 AS INTEGER))) & 1 = 1
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN range(0, 64) t(i)
+        |  GROUP BY doc_id, t.i),
+        |sh AS (SELECT doc_id,
+        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |long AS (SELECT doc_id, b.b AS band,
+        |           substr(simhash, CAST(b.b * 16 + 1 AS INTEGER), 16) AS key
+        |         FROM sh CROSS JOIN range(0, 4) b(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |         FROM long a JOIN long b2 ON a.band = b2.band AND a.key = b2.key
+        |         WHERE a.doc_id < b2.doc_id),
+        |ham AS (SELECT doc_a, doc_b,
+        |          CAST(list_aggregate(list_transform(range(1, 65),
+        |            i -> CASE WHEN substr(sa.simhash, CAST(i AS INTEGER), 1)
+        |                        <> substr(sb.simhash, CAST(i AS INTEGER), 1)
+        |                 THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS hamming
+        |        FROM cand
+        |        JOIN sh sa ON doc_a = sa.doc_id
+        |        JOIN sh sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM ham
+        |WHERE hamming <= 12 ORDER BY doc_a, doc_b""".stripMargin,
     "x_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

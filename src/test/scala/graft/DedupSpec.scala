@@ -159,6 +159,17 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == near)
   }
 
+  test("simhash band candidates surface the near-dup pair and verify Hamming") {
+    val pairs = Dedup.simhashCandidates(docs, col("text"), nBands = 4, maxHamming = 16)
+      .as[(Long, Long, Long)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L)), "exact dups collide on every band")
+    assert(pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 == 0L,
+      "exact dups verify at Hamming 0")
+    assert(!keys.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc must not survive band + Hamming filter")
+  }
+
   test("punctRatio counts the ASCII punctuation class; empty text is NULL") {
     val d = Seq((1L, "no punct here"), (2L, "a,b.c!"), (3L, ""), (4L, "!!!"))
       .toDF("doc_id", "text")
