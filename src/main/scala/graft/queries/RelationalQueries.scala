@@ -166,6 +166,25 @@ object RelationalQueries {
         |ORDER BY nation, segment""".stripMargin)
   }
 
+  /** Correlated scalar subquery: each order's price (in exact cents)
+    * minus its customer's average order price. Catalyst DECORRELATES the
+    * subquery into an aggregate + join — the plan scales like a groupBy,
+    * never a per-row loop — and integer-cents division keeps the average
+    * exact on both engines (positive operands, so truncating and floor
+    * integer division agree).
+    */
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_corr_orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) -
+        |       (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) DIV count(*)
+        |        FROM graft_corr_orders o2
+        |        WHERE o2.o_custkey = o1.o_custkey) AS cents_vs_cust_avg
+        |FROM graft_corr_orders o1
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Set algebra: (AUTOMOBILE customers ∪ big spenders) ∖ F-status customers. */
   def qSetops(s: SparkSession, dir: String): DataFrame = {
     val auto = Tables.customer(s, dir)
@@ -274,6 +293,7 @@ object RelationalQueries {
     "q_rollup"     -> qRollup _,
     "q_gsets"      -> qGroupingSets _,
     "q_setops"     -> qSetops _,
+    "q_corr"       -> qCorr _,
     "q_intersect"  -> qIntersect _,
     "q_sortlimit"  -> qSortlimit _,
     "q_scalar"     -> qScalar _,
@@ -355,6 +375,13 @@ object RelationalQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
         |ORDER BY nation, segment""".stripMargin,
+    "q_corr" ->
+      """SELECT o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) -
+        |       (SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT) // count(*)
+        |        FROM orders o2 WHERE o2.o_custkey = o1.o_custkey) AS cents_vs_cust_avg
+        |FROM orders o1
+        |ORDER BY o_orderkey""".stripMargin,
     "q_setops" ->
       """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         | UNION ALL
