@@ -185,6 +185,24 @@ object RelationalQueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** LATERAL correlated subquery with LIMIT: top-2 orders per customer —
+    * the per-row-subquery formulation of a grouped top-k; Spark plans the
+    * lateral as a join with a per-group limit, never a driver loop.
+    * Customers without orders drop (inner lateral), matching DuckDB.
+    */
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_lat_c")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_lat_o")
+    s.sql(
+      """SELECT c_custkey, l.o_orderkey, l.cents
+        |FROM graft_lat_c c, LATERAL (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM graft_lat_o
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin)
+  }
+
   /** Set algebra: (AUTOMOBILE customers ∪ big spenders) ∖ F-status customers. */
   def qSetops(s: SparkSession, dir: String): DataFrame = {
     val auto = Tables.customer(s, dir)
@@ -294,6 +312,7 @@ object RelationalQueries {
     "q_gsets"      -> qGroupingSets _,
     "q_setops"     -> qSetops _,
     "q_corr"       -> qCorr _,
+    "q_lateral"    -> qLateral _,
     "q_intersect"  -> qIntersect _,
     "q_sortlimit"  -> qSortlimit _,
     "q_scalar"     -> qScalar _,
@@ -375,6 +394,13 @@ object RelationalQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
         |ORDER BY nation, segment""".stripMargin,
+    "q_lateral" ->
+      """SELECT c_custkey, l.o_orderkey, l.cents
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin,
     "q_corr" ->
       """SELECT o_orderkey,
         |       CAST(round(o_totalprice * 100) AS BIGINT) -
