@@ -125,19 +125,22 @@ object Dedup {
     require(64 % nBands == 0, s"nBands=$nBands must divide 64")
     val width = 64 / nBands
     val sh = withSimhash(docs, text).select(col("doc_id"), col("simhash"))
-    val long = sh.select(col("doc_id"),
+    // the full signature rides along in the band rows: the verification
+    // needs no rejoin (which would re-evaluate the md5-per-word simhash
+    // computation two more times), and the two self-join branches share
+    // one exchange subtree
+    val long = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b.toLong).as("band"),
           substring(col("simhash"), b * width + 1, width).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val a = long.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-    val b = long.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    val cand = a.join(b, Seq("band", "key"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = long.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = long.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    a.join(b, Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
       .withColumn("hamming", hammingBits(col("ha"), col("hb")).cast("bigint"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
