@@ -151,6 +151,28 @@ class HumioQuerySpec extends SparkSpec {
     assert(click == (("click", 2L, 400L, 30.0)))
   }
 
+  test("the pipe language runs on the Falcon DSv2 source end-to-end") {
+    import graft.sources.{FalconTableProvider, StreamDesc, StubFalconServer}
+    import org.apache.spark.sql.streaming.Trigger
+    StubFalconServer.reset()
+    StubFalconServer.register("dslapp", Seq(StreamDesc(0, 1800)))
+    (0L until 150L).foreach(o => StubFalconServer.push("dslapp", 0, o,
+      s"""{"metadata": {"offset": $o, "eventType": "T"}}"""))
+    val cp = java.nio.file.Files.createTempDirectory("dsl-falcon-cp").toString
+    val lines = spark.readStream
+      .format(classOf[FalconTableProvider].getName)
+      .option("appId", "dslapp").load()
+    // named-capture extraction + typed filter, compiled over the stream
+    val out = HumioQuery.run(lines,
+      """regex(/"offset": (?<off>[0-9]+)/, field=value) | off >= 100 | select(off)""")
+    val q = out.writeStream.format("memory").queryName("dslfalcon")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime(50L)).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("select count(*) from dslfalcon").as[Long].head() == 50L,
+      "offsets 100..149 survive the compiled filter")
+  }
+
   test("bad stage errors name the stage") {
     val e = intercept[IllegalArgumentException] {
       HumioQuery.run(df, "frobnicate(3)")
