@@ -140,7 +140,10 @@ object Dedup {
       col("doc_id").as("doc_b"), col("simhash").as("hb"))
     a.join(b, Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select("doc_a", "doc_b", "ha", "hb")
+      // dedup on the narrow pair key — the signatures are functionally
+      // dependent on the ids and just ride along
+      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", hammingBits(col("ha"), col("hb")).cast("bigint"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
