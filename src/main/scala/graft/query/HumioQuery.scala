@@ -284,6 +284,9 @@ object HumioQuery {
     private def atom(): Column = {
       ws()
       peek match {
+        case '-' =>            // unary minus: -1, -(a + b), -field
+          pos += 1
+          -atom()
         case '(' =>
           pos += 1
           val c = addSub(); ws()

@@ -255,7 +255,16 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
     FalconOffset(knownOffsets)
   }
 
-  private def descs: Seq[StreamDesc] = client.discoverStreams(appId)
+  // last-seen session token per partition (like knownOffsets): a partition
+  // missing from ONE discovery tick (transient blip at replan time) may
+  // still have committed-but-unread rows; planning it with its last-known
+  // token lets the batch proceed instead of failing on an empty credential
+  private var knownTokens = Map.empty[Int, String]
+  private def descs: Seq[StreamDesc] = {
+    val ds = client.discoverStreams(appId)
+    synchronized { knownTokens = knownTokens ++ ds.map(d => d.partition -> d.token) }
+    ds
+  }
 
   override def initialOffset(): Offset =
     remember(FalconOffset(descs.map(d => d.partition -> 0L).toMap))
@@ -297,7 +306,11 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
     val live = ds.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap
     val capped = limit match {
       case r: ReadMaxRows if ds.nonEmpty =>
-        val perPartition = math.max(r.maxRows() / math.max(ds.size, 1), 1L)
+        // split the row budget across partitions WITH backlog only: with
+        // one laggard among 4 idle partitions, the laggard gets the whole
+        // budget instead of a quarter of it, so catch-up is 4× faster
+        val lagging = live.count { case (p, head) => head > startMap.getOrElse(p, 0L) }
+        val perPartition = math.max(r.maxRows() / math.max(lagging, 1), 1L)
         live.map { case (p, head) =>
           val from = startMap.getOrElse(p, 0L)
           p -> math.min(head, from + perPartition)
@@ -324,9 +337,11 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
     val s = start.asInstanceOf[FalconOffset].offsets
     val e = end.asInstanceOf[FalconOffset].offsets
     // session tokens come from the CURRENT discovery (a refresh may have
-    // rotated them); a partition absent from this tick's discovery keeps
-    // no token and simply has no new data to plan
-    val tokens = descs.map(d => d.partition -> d.token).toMap
+    // rotated them), falling back to the last-seen token for a partition
+    // absent from this tick — the committed end offset may still hold
+    // pending rows for it, and an empty token would fail the whole batch
+    val _ = descs   // refresh knownTokens with this tick's discovery
+    val tokens = synchronized(knownTokens)
     e.toSeq.sortBy(_._1).flatMap { case (p, until) =>
       val from = s.getOrElse(p, 0L)
       if (until > from)

@@ -44,6 +44,7 @@ object ConnectorApp {
     // store_true flags may appear BARE (`--enrich`), the reference's
     // invocation style; `--enrich true` also works. Value options consume
     // the following token.
+    val cliErrs = scala.collection.mutable.ListBuffer.empty[String]
     val cli = {
       val m = scala.collection.mutable.Map.empty[String, String]
       var i = 0
@@ -55,12 +56,17 @@ object ConnectorApp {
             m(k) = args(i + 1); i += 2
           } else {
             if (boolKeys(k)) m(k) = "true"   // bare flag = store_true
+            // a VALUE option with no value is a usage error, as argparse
+            // exits with "expected one argument" — silently keeping the
+            // default would mask a mis-typed invocation
+            else cliErrs += s"argument --$k: expected one argument"
             i += 1
           }
         } else i += 1
       }
       m.toMap
     }
+    if (cliErrs.nonEmpty) return Left(cliErrs.toList)
     // env wins, but an EMPTY env var is ignored like the reference's
     // falsy-skip merge (`if env:`, app.py:543)
     def get(key: String): Option[String] =

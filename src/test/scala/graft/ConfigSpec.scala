@@ -12,6 +12,19 @@ class ConfigSpec extends AnyFunSuite {
     "--falcon-api-id", "fid", "--falcon-api-secret", "fsec",
     "--humio-token", "t")
 
+  test("a value option with no value is a usage error, not a silent default") {
+    // argparse exits with "expected one argument" here; silently keeping
+    // the default would mask `--app-id --enrich` typos (ADVICE r3)
+    val Left(errs) = ConnectorApp.parseConfig(
+      base ++ Array("--app-id", "--enrich"), Map.empty)
+    assert(errs.exists(_.contains("--app-id: expected one argument")), errs.toString)
+    val Left(atEnd) = ConnectorApp.parseConfig(base ++ Array("--app-id"), Map.empty)
+    assert(atEnd.exists(_.contains("--app-id: expected one argument")))
+    // bare BOOL flags stay legal store_true style
+    assert(ConnectorApp.parseConfig(base ++ Array("--enrich"), Map.empty)
+      .toOption.get.enrich)
+  }
+
   test("defaults mirror the reference's shipped configuration") {
     val cfg = ConnectorApp.parseConfig(base, Map.empty).toOption.get
     assert(cfg.offsetFile == "offset.db")          // app.py:402-408

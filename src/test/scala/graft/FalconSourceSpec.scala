@@ -232,6 +232,42 @@ class FalconSourceSpec extends SparkSpec {
       "ghost", maxAttempts = 3, randomizeAfter = 2, seed = 7L)
     assert(out.streams.isEmpty && out.attempts == 3)
   }
+
+  test("a partition missing from one discovery tick plans with its last-seen token") {
+    import graft.sources.{FalconMicroBatchStream, FalconInputPartition, StreamDesc}
+    StubFalconServer.reset()
+    StubFalconServer.register("appA", Seq(StreamDesc(0, 1800), StreamDesc(1, 1800)))
+    (0L until 4L).foreach(o => StubFalconServer.push("appA", 0, o, line(0, o)))
+    (0L until 4L).foreach(o => StubFalconServer.push("appA", 1, o, line(1, o)))
+    val stream = new FalconMicroBatchStream("appA")
+    stream.latestOffset()   // discovery sees both partitions, tokens learned
+    // discovery blip: partition 1 vanishes from the NEXT tick, but the
+    // committed end offset still has its pending rows to plan
+    StubFalconServer.register("appA", Seq(StreamDesc(0, 1800)))
+    val start = stream.deserializeOffset("""{"0": 0, "1": 0}""")
+    val end = stream.deserializeOffset("""{"0": 4, "1": 4}""")
+    val parts = stream.planInputPartitions(start, end)
+      .map(_.asInstanceOf[FalconInputPartition])
+    val p1 = parts.find(_.partition == 1).get
+    assert(p1.token == StubFalconServer.tokenFor("appA", 1),
+      s"missing partition must fall back to its last-seen token, got '${p1.token}'")
+  }
+
+  test("read budget splits across lagging partitions only (ADVICE r3)") {
+    import graft.sources.{FalconMicroBatchStream, FalconOffset => FO, StreamDesc}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    StubFalconServer.reset()
+    StubFalconServer.register("appB", Seq(StreamDesc(0, 1800), StreamDesc(1, 1800)))
+    (0L until 5L).foreach(o => StubFalconServer.push("appB", 0, o, line(0, o)))
+    (0L until 20L).foreach(o => StubFalconServer.push("appB", 1, o, line(1, o)))
+    val stream = new FalconMicroBatchStream("appB")
+    // partition 0 fully caught up (head=5); partition 1 lagging by 20
+    val start = stream.deserializeOffset("""{"0": 5, "1": 0}""")
+    val end = stream.latestOffset(start, ReadLimit.maxRows(8)).asInstanceOf[FO]
+    assert(end.offsets(1) == 8L,
+      s"the sole laggard gets the WHOLE budget (8), got ${end.offsets(1)}")
+    assert(end.offsets(0) == 5L, "a caught-up partition must not advance")
+  }
 }
 
 object FalconSourceSpec {

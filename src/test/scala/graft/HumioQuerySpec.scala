@@ -97,6 +97,17 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("unary minus: negative literals and negated fields in expressions") {
+    val out = HumioQuery.run(df,
+      "a := -1 | b := -value + user_id | c := -(value - user_id) | select(event_id, a, b, c) | sort(event_id)")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.head == ((1L, -1L, 90.0, 90.0)), s"unary minus wrong: ${out.head}")
+    // double negation and subtraction of a negative both parse
+    val m = HumioQuery.run(df, "m := 5 - -2 | select(event_id, m) | sort(event_id)")
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == 7L)
+  }
+
   test("case assigns first matching arm and drops non-matching events") {
     val out = HumioQuery.run(df,
       """case { event_type = click | kind := "a" ; value >= 20.0 | kind := "b" } | select(event_id, kind) | sort(event_id)""")
