@@ -82,7 +82,62 @@ object HumioQueries {
       "event_type != error | groupBy(event_type, function=[count(), sum(user_id), max(value)]) " +
         "| sort(event_type)")
 
+  /** in(): OR'd equality + wildcard membership, one pushed-down filter. */
+  def hqIn(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "in(event_type, values=[click, pu*]) | groupBy(event_type) | sort(event_type)")
+
+  /** rename + printf-style format composed into a derived tag. */
+  def hqFormat(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "rename(field=event_type, as=etype) | format(\"%s#%d\", field=[etype, user_id], as=tag) " +
+        "| tag = click#7 | select(event_id, tag) | sort(event_id)")
+
+  /** regex replace into a new column, original dropped. */
+  def hqReplace(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "replace(/^cl/, with=CL, field=event_type, as=et2) | drop(event_type, props) " +
+        "| groupBy(et2) | sort(et2)")
+
+  /** default(): NULL fill on a parsed-but-absent key, plus creating a
+    * field that never existed.
+    */
+  def hqDefault(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "parseJson(props, missing) | default(field=missing, value=none) " +
+        "| default(field=extra, value=added) | groupBy(missing, extra) | sort(missing)")
+
+  /** standalone one-row aggregate (no grouping). */
+  def hqStats(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir), "event_type = click | sum(user_id, as=total)")
+
+  /** percentile(): exact interpolated percentiles, one row. */
+  def hqPctile(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "event_type = click | percentile(value, percentiles=[50, 90, 99])")
+
+  /** bucket(): timechart's generic sibling, named _bucket. */
+  def hqBucket(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "bucket(span=12h, function=sum(user_id)) | sort(_bucket)")
+
+  /** join(): events of heavy users — inner join against an aggregate
+    * subquery over the same stream; the subquery side broadcasts.
+    */
+  def hqJoin(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "join({groupBy(user_id, function=count())}, field=user_id) " +
+        "| _count >= 80 | select(event_id, user_id, _count) | sort(event_id)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_in"        -> hqIn _,
+    "hq_format"    -> hqFormat _,
+    "hq_replace"   -> hqReplace _,
+    "hq_default"   -> hqDefault _,
+    "hq_stats"     -> hqStats _,
+    "hq_pctile"    -> hqPctile _,
+    "hq_bucket"    -> hqBucket _,
+    "hq_join"      -> hqJoin _,
     "hq_filter"    -> hqFilter _,
     "hq_group"     -> hqGroup _,
     "hq_wildcard"  -> hqWildcard _,
@@ -98,6 +153,40 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_in" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS _count
+        |FROM events WHERE event_type = 'click' OR event_type LIKE 'pu%'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hq_format" ->
+      """SELECT event_id, event_type || '#' || CAST(user_id AS VARCHAR) AS tag
+        |FROM events WHERE event_type = 'click' AND user_id = 7
+        |ORDER BY event_id""".stripMargin,
+    "hq_replace" ->
+      """SELECT regexp_replace(event_type, '^cl', 'CL') AS et2,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY et2 ORDER BY et2""".stripMargin,
+    "hq_default" ->
+      """SELECT coalesce(props->>'$.missing', 'none') AS missing,
+        |       'added' AS extra, CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1, 2 ORDER BY missing""".stripMargin,
+    "hq_stats" ->
+      """SELECT CAST(sum(user_id) AS BIGINT) AS total
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+    "hq_pctile" ->
+      """SELECT round(quantile_cont(value, 0.5), 4) AS "_50",
+        |       round(quantile_cont(value, 0.9), 4) AS "_90",
+        |       round(quantile_cont(value, 0.99), 4) AS "_99"
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+    "hq_bucket" ->
+      """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 43200000) * 43200000 AS _bucket,
+        |       CAST(sum(user_id) AS BIGINT) AS _sum
+        |FROM events GROUP BY 1 ORDER BY _bucket""".stripMargin,
+    "hq_join" ->
+      """SELECT e.event_id, e.user_id, CAST(c._count AS BIGINT) AS _count
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS _count FROM events GROUP BY user_id) c
+        |  ON e.user_id = c.user_id
+        |WHERE c._count >= 80 ORDER BY e.event_id""".stripMargin,
     "hq_filter" ->
       """SELECT event_id, event_type FROM events
         |WHERE value > 450.0 ORDER BY event_id""".stripMargin,

@@ -38,8 +38,21 @@ import org.apache.spark.sql.functions._
   *                count-desc with value tie-break (default limit 10)
   *   sort      := sort(field[, order=asc|desc])
   *   head      := head(n)
-  *   select    := select(f1, f2, …)
+  *   select    := select(f1, f2, …)           (fields(…) is an alias)
+  *   drop      := drop(f1, f2, …)
+  *   rename    := rename(field=old, as=new)
+  *   in        := in(field, values=[v1, v2*, …]) — OR'd equality/wildcard
+  *   replace   := replace(/regex/, with=repl, field=f[, as=g])
+  *   format    := format("%s:%d", field=[a, b], as=out)
+  *   default   := default(field=f, value=v)  — fill NULL / create missing
+  *   agg       := count([as=n]) | sum(f[, as=n]) | avg | min | max
+  *                — standalone one-row aggregate
+  *   pctile    := percentile(field, percentiles=[50, 90, 99]) → _50 _90 _99
+  *   join      := join({subquery}, field=f[, key=k][, include=[c1, …]])
+  *                — inner join vs the subquery over the same input;
+  *                subquery side broadcast
   *   timechart := timechart(span=<n><s|m|h|d>[, function=…])   — buckets _bucket_ms
+  *   bucket    := bucket(span=…[, function=…])                 — buckets _bucket
   * }}}
   *
   * Example:
@@ -103,17 +116,30 @@ object HumioQuery {
       named.map { kv => val Array(k, v) = kv.split("=", 2); k.trim -> v.trim }.toMap)
   }
 
-  /** split on `sep` at paren/bracket depth 0, trimmed, empties dropped. */
+  /** split on `sep` at paren/bracket/brace depth 0, trimmed, empties
+    * dropped — braces protect a join's `{subquery}` and regex quantifiers
+    * like `a{1,2}`.
+    */
   private def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]; val cur = new StringBuilder; var d = 0
     s.foreach {
-      case c @ ('(' | '[') => d += 1; cur += c
-      case c @ (')' | ']') => d -= 1; cur += c
+      case c @ ('(' | '[' | '{') => d += 1; cur += c
+      case c @ (')' | ']' | '}') => d -= 1; cur += c
       case c if c == sep && d == 0 => out += cur.result(); cur.clear()
       case c => cur += c
     }
     out += cur.result(); out.result().map(_.trim).filter(_.nonEmpty)
   }
+
+  /** `[a, b, c]` → Seq(a, b, c); a bare value is a one-element list. */
+  private def listArg(v: String): Seq[String] =
+    if (v.startsWith("[") && v.endsWith("]"))
+      splitTop(v.substring(1, v.length - 1), ',')
+    else Seq(v.trim)
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+      s.substring(1, s.length - 1) else s
 
   private def literal(raw: String): Column = {
     val unq = raw.stripPrefix("\"").stripSuffix("\"")
@@ -392,22 +418,113 @@ object HumioQuery {
         // promote $.key of a JSON string field to a real column named key
         val Seq(jsonField, key) = pos.take(2)
         df.withColumn(key, get_json_object(col(jsonField), s"$$.$key"))
-      case "timechart" =>
-        val spanMs = named.getOrElse("span", "1h") match {
-          case Span(n, "s") => n.toLong * 1000
-          case Span(n, "m") => n.toLong * 60000
-          case Span(n, "h") => n.toLong * 3600000
-          case Span(n, "d") => n.toLong * 86400000
-          case other => throw new IllegalArgumentException(s"bad span: $other")
+      case "timechart" => timeBucketed(df, pos, named, "_bucket_ms")
+      // bucket() is timechart's generic sibling (LogScale bucket): same
+      // span grouping, bucket lands in `_bucket`
+      case "bucket" => timeBucketed(df, pos, named, "_bucket")
+      case "fields" => df.select(pos.map(col): _*)   // LogScale alias of select
+      case "drop" => df.drop(pos: _*)
+      case "rename" =>
+        df.withColumnRenamed(named("field"), named("as"))
+      case "in" =>
+        // in(field, values=[v1, v2*, …]): equality per value, wildcard
+        // values compile to LIKE — all OR'd, so the filter still pushes
+        // down to the scan as one disjunction
+        val f = col(pos.head)
+        val conds = listArg(named("values")).map { v =>
+          if (v.contains("*") && !v.startsWith("\"")) f.like(v.replace("*", "%"))
+          else f === literal(v)
         }
-        val (aggCol, aggName) = aggregate(named.getOrElse("function", "count()"))
-        // floor, not cast-truncation: pre-1970 timestamps must bucket
-        // downward like the oracle's // floor division
-        val bucket = floor(unix_millis(col("ts")) / spanMs).cast("long") * spanMs
-        val keys = col("_bucket_ms") +: pos.map(col)
-        df.withColumn("_bucket_ms", bucket)
-          .groupBy(keys: _*).agg(aggCol.as(aggName))
+        df.where(conds.reduce(_ || _))
+      case "replace" =>
+        // replace(/regex/, with=repl, field=f[, as=g]) — $1-style group
+        // references in `with` work as in LogScale
+        val pat = pos.head match {
+          case p if p.length > 1 && p.startsWith("/") && p.endsWith("/") =>
+            p.substring(1, p.length - 1)
+          case p => unquote(p)
+        }
+        val f = named("field")
+        df.withColumn(named.getOrElse("as", f),
+          regexp_replace(col(f), pat, unquote(named.getOrElse("with", ""))))
+      case "format" =>
+        // format("%s:%d", field=[a, b], as=out) — printf-style formatting;
+        // the format string may also be named (format=…) as in LogScale
+        val fmt = unquote(named.get("format").orElse(pos.headOption)
+          .getOrElse(throw new IllegalArgumentException("format() needs a format string")))
+        df.withColumn(named.getOrElse("as", "_format"),
+          format_string(fmt, listArg(named("field")).map(col): _*))
+      case "default" =>
+        // default(field=f, value=v): fill NULLs; a missing column is
+        // created outright (LogScale default on an unset field)
+        val f = named("field")
+        val v = literal(named("value"))
+        if (!df.columns.contains(f)) df.withColumn(f, v)
+        else df.withColumn(f, coalesce(col(f), v))
+      case "count" =>   // standalone event count (no grouping): one row
+        df.agg(count(lit(1)).as(named.getOrElse("as", "_count")))
+      case "sum" | "avg" | "min" | "max" =>
+        val f = col(pos.head)
+        val agg = name match {
+          case "sum" => sum(f); case "avg" => avg(f)
+          case "min" => min(f); case "max" => max(f)
+        }
+        df.agg(agg.as(named.getOrElse("as", s"_$name")))
+      case "percentile" =>
+        // percentile(field, percentiles=[50, 90, 99]) → one row of _50 /
+        // _90 / _99 columns. Exact interpolated percentile, 4-decimal
+        // stabilized for cross-engine determinism.
+        val f = col(pos.head)
+        val ps = listArg(named.getOrElse("percentiles", "[50, 90, 99]"))
+          .map(_.toDouble)
+        def nm(p: Double) = "_" + (if (p == p.floor) p.toInt.toString else p.toString)
+        val aggs = ps.map(p => round(percentile(f, lit(p / 100.0)), 4).as(nm(p)))
+        df.agg(aggs.head, aggs.tail: _*)
+      case "join" =>
+        // join({subquery}, field=f[, key=k][, include=[c1, …]]): inner
+        // join against the subquery run over the SAME input. The subquery
+        // side is typically a small aggregate → broadcast, no shuffle of
+        // the event side. Fresh aliases on the right break the self-join
+        // attribute ambiguity (both sides share one lineage); subquery
+        // columns win on name collision.
+        val sub = pos.head
+        require(sub.startsWith("{") && sub.endsWith("}"),
+          s"join expects a {subquery} first argument, got '$sub'")
+        val subDf = run(df, sub.substring(1, sub.length - 1))
+        val field = named("field")
+        val key = named.getOrElse("key", field)
+        val include = named.get("include").map(listArg)
+          .getOrElse(subDf.columns.toSeq.filterNot(_ == key))
+        val right = broadcast(subDf.select(
+          col(key).as("__graft_join_key") +:
+            include.map(c => col(c).as(s"__graft_inc_$c")): _*))
+        val joined = df.join(right, col(field) === col("__graft_join_key"))
+          .drop("__graft_join_key")
+        include.foldLeft(joined) { (d, c) =>
+          d.drop(c).withColumnRenamed(s"__graft_inc_$c", c)
+        }
       case other => throw new IllegalArgumentException(s"unknown stage: $other")
     }
+  }
+
+  /** timechart/bucket shared core: span grouping on `ts`, bucket epoch-ms
+    * in `bucketCol`, extra positional group fields, one aggregate.
+    */
+  private def timeBucketed(df: DataFrame, pos: Seq[String],
+                           named: Map[String, String], bucketCol: String): DataFrame = {
+    val spanMs = named.getOrElse("span", "1h") match {
+      case Span(n, "s") => n.toLong * 1000
+      case Span(n, "m") => n.toLong * 60000
+      case Span(n, "h") => n.toLong * 3600000
+      case Span(n, "d") => n.toLong * 86400000
+      case other => throw new IllegalArgumentException(s"bad span: $other")
+    }
+    val (aggCol, aggName) = aggregate(named.getOrElse("function", "count()"))
+    // floor, not cast-truncation: pre-1970 timestamps must bucket
+    // downward like the oracle's // floor division
+    val bucket = floor(unix_millis(col("ts")) / spanMs).cast("long") * spanMs
+    val keys = col(bucketCol) +: pos.map(col)
+    df.withColumn(bucketCol, bucket)
+      .groupBy(keys: _*).agg(aggCol.as(aggName))
   }
 }

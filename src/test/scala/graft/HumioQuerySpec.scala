@@ -97,6 +97,85 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("in(): equality and wildcard membership OR'd into one filter") {
+    assert(HumioQuery.run(df, "in(event_type, values=[error, vi*])").count() == 2)
+    assert(HumioQuery.run(df, "in(event_id, values=[1, 3])").count() == 2)
+  }
+
+  test("fields/drop/rename reshape columns") {
+    val out = HumioQuery.run(df, "rename(field=event_type, as=etype) | fields(event_id, etype) | sort(event_id)")
+    assert(out.columns.toSeq == Seq("event_id", "etype"))
+    val dropped = HumioQuery.run(df, "drop(value, user_id)")
+    assert(dropped.columns.toSeq == Seq("event_id", "event_type"))
+  }
+
+  test("replace() rewrites via regex with group references") {
+    val m = HumioQuery.run(df,
+      """replace(/^(c)l/, with="$1L", field=event_type, as=e2) | select(event_id, e2) | sort(event_id)""")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "cLick" && m(2L) == "view")
+    // default as= overwrites the field in place
+    val inPlace = HumioQuery.run(df, "replace(/click/, with=tap, field=event_type)")
+    assert(inPlace.where(col("event_type") === "tap").count() == 2)
+  }
+
+  test("format() builds printf-style derived fields") {
+    val m = HumioQuery.run(df,
+      """format("%s:%d", field=[event_type, user_id], as=tag) | select(event_id, tag) | sort(event_id)""")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "click:100" && m(4L) == "error:400")
+  }
+
+  test("default() fills NULLs and creates absent fields") {
+    val withNull = df.withColumn("maybe",
+      when(col("event_id") === 1L, lit(null).cast("string")).otherwise(col("event_type")))
+    val filled = HumioQuery.run(withNull, "default(field=maybe, value=unknown)")
+    assert(filled.where(col("maybe") === "unknown").count() == 1)
+    val created = HumioQuery.run(df, "default(field=brand_new, value=x)")
+    assert(created.where(col("brand_new") === "x").count() == 4)
+  }
+
+  test("standalone aggregates produce one ungrouped row") {
+    assert(HumioQuery.run(df, "count(as=n)").as[Long].head() == 4L)
+    assert(HumioQuery.run(df, "event_type = click | sum(user_id, as=total)")
+      .as[Long].head() == 400L)
+    assert(HumioQuery.run(df, "avg(value)").as[Double].head() == 25.0)
+    assert(HumioQuery.run(df, "max(value, as=hi)").as[Double].head() == 40.0)
+  }
+
+  test("percentile() emits _NN columns, exact interpolation") {
+    val out = HumioQuery.run(df, "percentile(value, percentiles=[50, 100])")
+    assert(out.columns.toSeq == Seq("_50", "_100"))
+    val (p50, p100) = out.as[(Double, Double)].head()
+    assert(p50 == 25.0 && p100 == 40.0)   // quantile_cont midpoint of 20,30
+  }
+
+  test("bucket() groups on _bucket like timechart's generic sibling") {
+    val tdf = df.withColumn("ts", expr("timestamp_millis(CAST(event_id * 90000 AS BIGINT))"))
+    val out = HumioQuery.run(tdf, "bucket(span=3m, function=sum(user_id)) | sort(_bucket)")
+      .as[(Long, Long)].collect().toSeq
+    // 90s spacing → events 1,2,3,4 at 90/180/270/360s; 3m buckets: [0,180)={1},[180,360)={2,3},[360..)={4}
+    assert(out == Seq((0L, 100L), (180000L, 500L), (360000L, 400L)))
+  }
+
+  test("join() joins against a subquery of the same input, broadcast") {
+    val out = HumioQuery.run(df,
+      "join({event_type = click | groupBy(event_type)}, field=event_type) " +
+        "| select(event_id, event_type, _count) | sort(event_id)")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "click", 2L), (3L, "click", 2L)),
+      s"only click events survive the inner join, got $out")
+    // key= and include= select the join key and carried columns
+    val keyed = HumioQuery.run(df,
+      "join({groupBy(event_type, function=[count(), sum(user_id)])}, field=event_type, key=event_type, include=[_sum_user_id]) " +
+        "| select(event_id, _sum_user_id) | sort(event_id)")
+      .as[(Long, Long)].collect().toMap
+    assert(keyed(1L) == 400L && keyed(2L) == 200L)
+    val plan = HumioQuery.run(df,
+      "join({groupBy(event_type)}, field=event_type)").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "subquery side must broadcast")
+  }
+
   test("unary minus: negative literals and negated fields in expressions") {
     val out = HumioQuery.run(df,
       "a := -1 | b := -value + user_id | c := -(value - user_id) | select(event_id, a, b, c) | sort(event_id)")
