@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset-curation operators for training pipelines:
+  * portable hash sampling, train/val/test split assignment, and
+  * context-window chunking.
+  *
+  * Scale shape: every operator here is per-row and narrow — no shuffle,
+  * no state, co-located with the scan. The md5-derived bucket is
+  * identical across engines, partition counts, and cluster sizes, so a
+  * "10% sample" or a split assignment is REPRODUCIBLE: re-running on a
+  * 1000-executor cluster yields byte-identical membership, unlike
+  * `df.sample()` whose membership depends on partitioning and seed
+  * plumbing.
+  */
+object Sampling {
+
+  /** First 4 hex chars of md5(key) as an integer 0..65535 —
+    * engine-portable (DuckDB computes the same value from the same hex),
+    * uniform, and independent of physical layout.
+    */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Hash percentile 0..99 of a key — the sampling/splitting primitive. */
+  def pct(key: Column): Column = hashBucket(key) % 100
+
+  /** Deterministic p% sample: membership is a pure function of the key. */
+  def samplePct(df: DataFrame, key: Column, p: Int): DataFrame =
+    df.where(pct(key) < p)
+
+  /** train/val/test assignment by hash percentile: [0, trainPct) →
+    * train, [trainPct, trainPct+valPct) → val, rest → test. Stable under
+    * data growth: a document keeps its split forever, so no test-set
+    * leakage when the corpus is re-ingested or extended.
+    */
+  def splitAssign(key: Column, trainPct: Int, valPct: Int): Column = {
+    val p = pct(key)
+    when(p < trainPct, "train")
+      .when(p < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Fixed-budget context-window chunking: each document's token stream
+    * is cut into ⌈n/budget⌉ contiguous chunks of ≤ `budget` tokens.
+    * Output: (doc_id, chunk, n_tok, chunk_text), one row per chunk.
+    * Zero-token documents produce no chunks.
+    *
+    * Per-row explode — fan-out bounded by document length, no shuffle;
+    * the downstream training loader groups by chunk size if it packs.
+    */
+  def chunked(docs: DataFrame, text: Column, budget: Int): DataFrame = {
+    val b = lit(budget)
+    docs
+      .select(col("doc_id"), Text.tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          (floor((col("__n") + budget - 1) / b)).cast("int") - 1)).as("chunk"))
+      .select(col("doc_id"),
+        col("chunk").cast("bigint").as("chunk"),
+        least(b, col("__n") - col("chunk") * b).cast("bigint").as("n_tok"),
+        concat_ws(" ", slice(col("__toks"), col("chunk") * b + 1, b)).as("chunk_text"))
+  }
+}

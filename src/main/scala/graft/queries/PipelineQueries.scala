@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Knn}
+import graft.operators.{Dedup, Knn, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -380,7 +380,40 @@ object PipelineQueries {
         md5(col("text").cast("binary")).as("content_md5"))
       .orderBy("doc_id")
 
+  // ---- dataset curation ---------------------------------------------
+
+  /** Deterministic 10% sample — membership is a pure function of doc_id
+    * ([[Sampling.samplePct]]), identical at any partitioning/scale.
+    */
+  def xSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.samplePct(Tables.documents(s, dir), col("doc_id"), 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** train/val/test split assignment (80/10/10 by hash percentile) —
+    * stable under corpus growth, no test-set leakage on re-ingest.
+    */
+  def xSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Sampling.pct(col("doc_id")).as("bucket"),
+        Sampling.splitAssign(col("doc_id"), 80, 10).as("split"))
+      .orderBy("doc_id")
+
+  val CHUNK_BUDGET = 32
+
+  /** Context-window chunking: ≤32-token contiguous chunks per document
+    * ([[Sampling.chunked]]) — the pre-tokenization shaping step of a
+    * training loader.
+    */
+  def xChunks(s: SparkSession, dir: String): DataFrame =
+    Sampling.chunked(Tables.documents(s, dir), col("text"), CHUNK_BUDGET)
+      .orderBy("doc_id", "chunk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sample"      -> xSample _,
+    "x_split"       -> xSplit _,
+    "x_chunks"      -> xChunks _,
     "x_tokens"      -> xTokens _,
     "x_token_count" -> xTokenCount _,
     "x_langid"      -> xLangid _,
@@ -528,7 +561,35 @@ object PipelineQueries {
       |              FROM embeddings WHERE vec_id < $IVF_K),
       |${asgnSql("cent", "asgn")}""".stripMargin
 
+  /** DuckDB twin of [[Sampling.hashBucket]]: first-4-hex-chars-of-md5
+    * polynomial (same digits, same value).
+    */
+  private def hashBucketSql(e: String): String =
+    s"CAST(list_aggregate(list_transform(range(1, 5), j -> " +
+      s"(strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1) * " +
+      s"CAST(16 ** (4 - j) AS BIGINT)), 'sum') AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    "x_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${hashBucketSql("doc_id")} % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "x_split" ->
+      s"""SELECT doc_id, ${hashBucketSql("doc_id")} % 100 AS bucket,
+        |  CASE WHEN ${hashBucketSql("doc_id")} % 100 < 80 THEN 'train'
+        |       WHEN ${hashBucketSql("doc_id")} % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, toks, n,
+        |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
+        |      FROM n)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok,
+        |       array_to_string(toks[c * $CHUNK_BUDGET + 1 : least(n, (c + 1) * $CHUNK_BUDGET)], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
     "x_ivfknn2" -> {
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
         |              FROM embeddings WHERE vec_id < $IVF_K),
