@@ -129,7 +129,14 @@ object HumioQueries {
       "join({groupBy(user_id, function=count())}, field=user_id) " +
         "| _count >= 80 | select(event_id, user_id, _count) | sort(event_id)")
 
+  /** session(): per-user gaps-and-islands sessions sized by groupBy. */
+  def hqSession(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "session(field=user_id, maxpause=30m) | groupBy(user_id, _session) " +
+        "| sort(user_id, _session)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_session"   -> hqSession _,
     "hq_in"        -> hqIn _,
     "hq_format"    -> hqFormat _,
     "hq_replace"   -> hqReplace _,
@@ -153,6 +160,21 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_session" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+        |                   - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), se AS (
+        |  SELECT user_id,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS _session
+        |  FROM g)
+        |SELECT user_id, CAST(_session AS BIGINT) AS _session,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM se GROUP BY 1, 2 ORDER BY user_id, _session""".stripMargin,
     "hq_in" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE event_type = 'click' OR event_type LIKE 'pu%'

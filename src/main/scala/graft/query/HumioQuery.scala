@@ -51,6 +51,8 @@ import org.apache.spark.sql.functions._
   *   join      := join({subquery}, field=f[, key=k][, include=[c1, …]])
   *                — inner join vs the subquery over the same input;
   *                subquery side broadcast
+  *   session   := session(field=k[, maxpause=30m]) — per-key `_session`
+  *                index (gap > maxpause starts a new session)
   *   timechart := timechart(span=<n><s|m|h|d>[, function=…])   — buckets _bucket_ms
   *   bucket    := bucket(span=…[, function=…])                 — buckets _bucket
   * }}}
@@ -480,6 +482,16 @@ object HumioQuery {
         def nm(p: Double) = "_" + (if (p == p.floor) p.toInt.toString else p.toString)
         val aggs = ps.map(p => round(percentile(f, lit(p / 100.0)), 4).as(nm(p)))
         df.agg(aggs.head, aggs.tail: _*)
+      case "session" =>
+        // session(field=k[, maxpause=30m]): gaps-and-islands session
+        // index per key (LogScale session()) — a new `_session` starts
+        // when the gap to the key's previous event exceeds maxpause.
+        // One window shuffle on the key; same shape as the l_session
+        // operator it delegates to.
+        val key = named("field")
+        graft.operators.LogAnalytics
+          .sessionize(df, col(key), spanMs(named.getOrElse("maxpause", "30m")))
+          .withColumnRenamed("session_id", "_session")
       case "join" =>
         // join({subquery}, field=f[, key=k][, include=[c1, …]]): inner
         // join against the subquery run over the SAME input. The subquery
@@ -510,19 +522,22 @@ object HumioQuery {
   /** timechart/bucket shared core: span grouping on `ts`, bucket epoch-ms
     * in `bucketCol`, extra positional group fields, one aggregate.
     */
+  /** `<n><s|m|h|d>` span literal → milliseconds. */
+  private def spanMs(s: String): Long = s match {
+    case Span(n, "s") => n.toLong * 1000
+    case Span(n, "m") => n.toLong * 60000
+    case Span(n, "h") => n.toLong * 3600000
+    case Span(n, "d") => n.toLong * 86400000
+    case other => throw new IllegalArgumentException(s"bad span: $other")
+  }
+
   private def timeBucketed(df: DataFrame, pos: Seq[String],
                            named: Map[String, String], bucketCol: String): DataFrame = {
-    val spanMs = named.getOrElse("span", "1h") match {
-      case Span(n, "s") => n.toLong * 1000
-      case Span(n, "m") => n.toLong * 60000
-      case Span(n, "h") => n.toLong * 3600000
-      case Span(n, "d") => n.toLong * 86400000
-      case other => throw new IllegalArgumentException(s"bad span: $other")
-    }
+    val span = spanMs(named.getOrElse("span", "1h"))
     val (aggCol, aggName) = aggregate(named.getOrElse("function", "count()"))
     // floor, not cast-truncation: pre-1970 timestamps must bucket
     // downward like the oracle's // floor division
-    val bucket = floor(unix_millis(col("ts")) / spanMs).cast("long") * spanMs
+    val bucket = floor(unix_millis(col("ts")) / span).cast("long") * span
     val keys = col(bucketCol) +: pos.map(col)
     df.withColumn(bucketCol, bucket)
       .groupBy(keys: _*).agg(aggCol.as(aggName))

@@ -176,6 +176,18 @@ class HumioQuerySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "subquery side must broadcast")
   }
 
+  test("session() indexes per-key sessions by maxpause gaps") {
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val tdf = Seq(
+      (1L, 10L, t(0)), (2L, 10L, t(5)),   // user 10: gap 5m → same session
+      (3L, 10L, t(40)),                    // gap 35m > 30m → new session
+      (4L, 20L, t(0)))
+      .toDF("event_id", "user_id", "ts")
+    val out = HumioQuery.run(tdf, "session(field=user_id, maxpause=30m) | select(event_id, _session) | sort(event_id)")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L)), s"got $out")
+  }
+
   test("unary minus: negative literals and negated fields in expressions") {
     val out = HumioQuery.run(df,
       "a := -1 | b := -value + user_id | c := -(value - user_id) | select(event_id, a, b, c) | sort(event_id)")
