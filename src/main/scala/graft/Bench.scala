@@ -55,19 +55,19 @@ object Bench {
       // wall-time — a 0.2s crash must not read as the best number
       name -> (if (failed.get) -1.0 else (System.nanoTime() - t0) / 1e9)
     }
-    // 2-decimal per-query values keep the whole line short: the harness
+    // compact per-query values keep the whole line short: the harness
     // records only the final ~2000 chars of stdout, so a long line gets its
     // HEAD truncated — which is also why the headline metric/value/sf keys
     // go LAST, where truncation can't reach them
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def fmt(v: Double, scale: Int): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     // any failed query invalidates the headline number: report total=-1
     // (with the failing queries at -1 in the map) rather than a partial
     // sum that reads like a fast clean run
     val total = if (results.values.exists(_ < 0)) -1.0 else results.values.sum
-    println(s"""{"queries":$qs,"unit":"sec","metric":"total","value":${fmt(total)},"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"unit":"sec","metric":"total","value":${fmt(total, 2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -380,6 +380,29 @@ object PipelineQueries {
         md5(col("text").cast("binary")).as("content_md5"))
       .orderBy("doc_id")
 
+  /** TF-IDF term weighting per (lang, word): tf = term count within the
+    * language, idf = ln(N_docs / docs-containing-word). Three hash
+    * aggregations plus one broadcast of the 1-row doc count and one
+    * broadcastable join on the (tiny) per-word doc frequencies — at
+    * 100 TB the word-keyed aggregates partial-aggregate map-side, so
+    * the shuffle carries vocabulary, not corpus.
+    */
+  def xTfidf(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("word"))
+    val tf = words.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+    val dfw = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df_docs"))
+    val nDocs = Tables.documents(s, dir).agg(countDistinct("doc_id").as("n"))
+    tf.join(dfw, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"), col("word"), col("tf"), col("df_docs"),
+        detRound4(col("tf") * log(col("n").cast("double") / col("df_docs")))
+          .as("tfidf"))
+      .orderBy("lang", "word")
+  }
+
   // ---- dataset curation ---------------------------------------------
 
   /** Deterministic 10% sample — membership is a pure function of doc_id
@@ -411,6 +434,7 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_tfidf"       -> xTfidf _,
     "x_sample"      -> xSample _,
     "x_split"       -> xSplit _,
     "x_chunks"      -> xChunks _,
@@ -570,6 +594,17 @@ object PipelineQueries {
       s"CAST(16 ** (4 - j) AS BIGINT)), 'sum') AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "x_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tf AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+        |dfw AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+        |        FROM w GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents)
+        |SELECT tf.lang, tf.word, tf.tf, dfw.df_docs,
+        |       ${detRound4Sql("tf.tf * ln(n.n / dfw.df_docs)")} AS tfidf
+        |FROM tf JOIN dfw USING (word), n
+        |ORDER BY lang, word""".stripMargin,
     "x_sample" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${hashBucketSql("doc_id")} % 100 < 10
