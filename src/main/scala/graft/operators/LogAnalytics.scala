@@ -50,8 +50,8 @@ object LogAnalytics {
     * streaming `session_window`). One shuffle on the key; the running sum
     * is computed within each sorted partition.
     */
-  def sessionize(events: DataFrame, key: Column, gapMs: Long): DataFrame = {
-    val order = Seq(col("ts"), col("event_id"))
+  def sessionize(events: DataFrame, key: Column, gapMs: Long,
+                 order: Seq[Column] = Seq(col("ts"), col("event_id"))): DataFrame = {
     val wOrd  = Window.partitionBy(key).orderBy(order: _*)
     val prevMs = lag(unix_millis(col("ts")), 1).over(wOrd)
     val isBreak = when(prevMs.isNull, lit(0))

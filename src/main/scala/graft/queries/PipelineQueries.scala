@@ -391,12 +391,17 @@ object PipelineQueries {
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(Text.tokens(col("text"))).as("word"))
-    val tf = words.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
-    val dfw = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df_docs"))
+    // ONE scan+tokenize+shuffle over the corpus: tf and per-(word, lang)
+    // distinct docs aggregate together; since a document has exactly one
+    // lang, per-word doc frequency is the SUM of the per-lang distincts —
+    // a window over the vocabulary-sized aggregate, not a second corpus
+    // pass (two independent groupBys would each rescan and re-explode)
+    val g = words.groupBy("word", "lang")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("dd"))
+      .withColumn("df_docs", sum("dd").over(Window.partitionBy("word")))
+    // doc count: a column-pruned metadata-cheap count, broadcast as 1 row
     val nDocs = Tables.documents(s, dir).agg(countDistinct("doc_id").as("n"))
-    tf.join(dfw, "word")
-      .crossJoin(broadcast(nDocs))
+    g.crossJoin(broadcast(nDocs))
       .select(col("lang"), col("word"), col("tf"), col("df_docs"),
         detRound4(col("tf") * log(col("n").cast("double") / col("df_docs")))
           .as("tfidf"))

@@ -78,7 +78,10 @@ object HumioQuery {
     var depth = 0
     var braces = 0
     var inRegex = false
+    var inQuote = false
     q.foreach {
+      case '"' if !inRegex => inQuote = !inQuote; cur += '"'
+      case c if inQuote => cur += c   // a quoted "a|b" owns its pipe
       case '/' if inRegex => inRegex = false; cur += '/'
       case '/' if cur.toString.trim.endsWith("=") ||
                   cur.toString.trim.endsWith("(") => inRegex = true; cur += '/'
@@ -97,13 +100,16 @@ object HumioQuery {
   private val Compare  = """([\w.]+)\s*(!=|>=|<=|=|>|<)\s*(.+)""".r
   private val Assign   = """([\w.]+)\s*:=\s*(.+)""".r
   private val CaseBlk  = """case\s*\{(.*)\}\s*""".r
-  // the regex-extract stage is matched whole (its pattern may hold
-  // unbalanced escaped parens that would confuse the generic arg split)
+  // regex-carrying stages are matched whole (their pattern may hold
+  // commas or unbalanced escaped parens that would confuse the generic
+  // arg split)
   private val RegexEx  = """regex\(\s*/(.*)/\s*,\s*field\s*=\s*([\w.]+)\s*\)\s*""".r
+  private val ReplaceRe = """replace\(\s*/(.*)/\s*,\s*(.*)\)\s*""".r
 
   private def applyStage(df: DataFrame, stage: String): DataFrame = stage match {
     case CaseBlk(body) => applyCase(df, body)
     case RegexEx(pattern, field) => applyRegexExtract(df, pattern, field)
+    case ReplaceRe(pattern, rest) => applyReplace(df, pattern, parseArgs(rest)._2)
     case Assign(field, expr) => df.withColumn(field, parseExpr(expr))
     case FnCall(name, args) => applyFn(df, name, parseArgs(args))
     case Compare(field, op, raw) => df.where(predicate(field, op, raw.trim))
@@ -118,13 +124,17 @@ object HumioQuery {
       named.map { kv => val Array(k, v) = kv.split("=", 2); k.trim -> v.trim }.toMap)
   }
 
-  /** split on `sep` at paren/bracket/brace depth 0, trimmed, empties
-    * dropped — braces protect a join's `{subquery}` and regex quantifiers
-    * like `a{1,2}`.
+  /** split on `sep` at paren/bracket/brace depth 0 outside string
+    * literals, trimmed, empties dropped — braces protect a join's
+    * `{subquery}` and regex quantifiers like `a{1,2}`; quotes protect a
+    * format string's `"%s, %s"`.
     */
   private def splitTop(s: String, sep: Char): Seq[String] = {
-    val out = Seq.newBuilder[String]; val cur = new StringBuilder; var d = 0
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var d = 0; var inQuote = false
     s.foreach {
+      case '"' => inQuote = !inQuote; cur += '"'
+      case c if inQuote => cur += c
       case c @ ('(' | '[' | '{') => d += 1; cur += c
       case c @ (')' | ']' | '}') => d -= 1; cur += c
       case c if c == sep && d == 0 => out += cur.result(); cur.clear()
@@ -218,6 +228,17 @@ object HumioQuery {
       case (w, (c, _, v)) => w.when(c, v)
     }
     df.where(arms.map(_._1).reduce(_ || _)).withColumn(targets.head, assigned)
+  }
+
+  /** `replace(/regex/, with=repl, field=f[, as=g])` — $1-style group
+    * references in `with` work as in LogScale.
+    */
+  private def applyReplace(df: DataFrame, pattern: String,
+                           named: Map[String, String]): DataFrame = {
+    val f = named.getOrElse("field",
+      throw new IllegalArgumentException("replace() needs field=..."))
+    df.withColumn(named.getOrElse("as", f),
+      regexp_replace(col(f), pattern, unquote(named.getOrElse("with", ""))))
   }
 
   /** `regex(/pat/, field=f)`: named-capture groups become columns; the
@@ -438,17 +459,8 @@ object HumioQuery {
           else f === literal(v)
         }
         df.where(conds.reduce(_ || _))
-      case "replace" =>
-        // replace(/regex/, with=repl, field=f[, as=g]) — $1-style group
-        // references in `with` work as in LogScale
-        val pat = pos.head match {
-          case p if p.length > 1 && p.startsWith("/") && p.endsWith("/") =>
-            p.substring(1, p.length - 1)
-          case p => unquote(p)
-        }
-        val f = named("field")
-        df.withColumn(named.getOrElse("as", f),
-          regexp_replace(col(f), pat, unquote(named.getOrElse("with", ""))))
+      case "replace" =>   // bare-string pattern form; /regex/ form is
+        applyReplace(df, unquote(pos.head), named)   // matched whole above
       case "format" =>
         // format("%s:%d", field=[a, b], as=out) — printf-style formatting;
         // the format string may also be named (format=…) as in LogScale
@@ -463,8 +475,11 @@ object HumioQuery {
         val v = literal(named("value"))
         if (!df.columns.contains(f)) df.withColumn(f, v)
         else df.withColumn(f, coalesce(col(f), v))
-      case "count" =>   // standalone event count (no grouping): one row
-        df.agg(count(lit(1)).as(named.getOrElse("as", "_count")))
+      case "count" =>   // standalone event count (no grouping): one row;
+        // count(field) counts rows where the field is present (non-NULL),
+        // as in LogScale — bare count() counts every event
+        val counted = pos.headOption.map(f => count(col(f))).getOrElse(count(lit(1)))
+        df.agg(counted.as(named.getOrElse("as", "_count")))
       case "sum" | "avg" | "min" | "max" =>
         val f = col(pos.head)
         val agg = name match {
@@ -479,7 +494,10 @@ object HumioQuery {
         val f = col(pos.head)
         val ps = listArg(named.getOrElse("percentiles", "[50, 90, 99]"))
           .map(_.toDouble)
-        def nm(p: Double) = "_" + (if (p == p.floor) p.toInt.toString else p.toString)
+        // dots would read as nested-field access downstream (col("_99.9")
+        // resolves `_99`.`9`), so fractional percentiles name with '_'
+        def nm(p: Double) =
+          "_" + (if (p == p.floor) p.toInt.toString else p.toString.replace('.', '_'))
         val aggs = ps.map(p => round(percentile(f, lit(p / 100.0)), 4).as(nm(p)))
         df.agg(aggs.head, aggs.tail: _*)
       case "session" =>
@@ -487,10 +505,14 @@ object HumioQuery {
         // index per key (LogScale session()) — a new `_session` starts
         // when the gap to the key's previous event exceeds maxpause.
         // One window shuffle on the key; same shape as the l_session
-        // operator it delegates to.
+        // operator it delegates to. Ordered by ts, with event_id as the
+        // tie-break only when the frame has one (sessionize's default
+        // ordering would fail on frames without it).
         val key = named("field")
+        val order = if (df.columns.contains("event_id"))
+          Seq(col("ts"), col("event_id")) else Seq(col("ts"))
         graft.operators.LogAnalytics
-          .sessionize(df, col(key), spanMs(named.getOrElse("maxpause", "30m")))
+          .sessionize(df, col(key), spanMs(named.getOrElse("maxpause", "30m")), order)
           .withColumnRenamed("session_id", "_session")
       case "join" =>
         // join({subquery}, field=f[, key=k][, include=[c1, …]]): inner
@@ -519,10 +541,9 @@ object HumioQuery {
     }
   }
 
-  /** timechart/bucket shared core: span grouping on `ts`, bucket epoch-ms
-    * in `bucketCol`, extra positional group fields, one aggregate.
+  /** `<n><s|m|h|d>` span literal → milliseconds (timechart/bucket/
+    * session share it).
     */
-  /** `<n><s|m|h|d>` span literal → milliseconds. */
   private def spanMs(s: String): Long = s match {
     case Span(n, "s") => n.toLong * 1000
     case Span(n, "m") => n.toLong * 60000
@@ -531,6 +552,9 @@ object HumioQuery {
     case other => throw new IllegalArgumentException(s"bad span: $other")
   }
 
+  /** timechart/bucket shared core: span grouping on `ts`, bucket epoch-ms
+    * in `bucketCol`, extra positional group fields, one aggregate.
+    */
   private def timeBucketed(df: DataFrame, pos: Seq[String],
                            named: Map[String, String], bucketCol: String): DataFrame = {
     val span = spanMs(named.getOrElse("span", "1h"))

@@ -258,7 +258,12 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
   // last-seen session token per partition (like knownOffsets): a partition
   // missing from ONE discovery tick (transient blip at replan time) may
   // still have committed-but-unread rows; planning it with its last-known
-  // token lets the batch proceed instead of failing on an empty credential
+  // token lets the batch proceed instead of failing on an empty credential.
+  // In-memory by design — tokens rotate server-side, so persisting them
+  // would replay stale credentials. A blip coinciding with a DRIVER
+  // restart (fresh empty map) still fails that batch; Spark's batch retry
+  // re-plans after the next discovery tick, which is the reference's
+  // restart behavior too (get_streams on startup, app.py:306)
   private var knownTokens = Map.empty[Int, String]
   private def descs: Seq[StreamDesc] = {
     val ds = client.discoverStreams(appId)

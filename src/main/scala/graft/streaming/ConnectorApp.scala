@@ -38,6 +38,11 @@ object ConnectorApp {
                     stub: Boolean, maxRestarts: Int)
 
   private val boolKeys = Set("enrich", "metadata", "verbose", "exceptions", "stub")
+  private val valueKeys = Set(
+    "offset-file", "falcon-url", "falcon-api-id", "falcon-api-secret",
+    "humio-url", "humio-token", "app-id", "user-agent", "bulk-max-size",
+    "flush-wait-time", "stream-timeout", "retry-timer", "appid-random",
+    "keepalive", "max-restarts")
 
   /** CLI + env merge, env wins; typed coercion; required validation. */
   def parseConfig(args: Array[String], env: Map[String, String]): Either[Seq[String], Config] = {
@@ -52,7 +57,11 @@ object ConnectorApp {
         val a = args(i)
         if (a.startsWith("--")) {
           val k = a.stripPrefix("--")
-          if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          // a typo'd flag must say so, not demand a value for an option
+          // that doesn't exist (argparse: "unrecognized arguments")
+          if (!boolKeys(k) && !valueKeys(k)) {
+            cliErrs += s"unrecognized arguments: --$k"; i += 1
+          } else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
             m(k) = args(i + 1); i += 2
           } else {
             if (boolKeys(k)) m(k) = "true"   // bare flag = store_true

@@ -23,6 +23,10 @@ class ConfigSpec extends AnyFunSuite {
     // bare BOOL flags stay legal store_true style
     assert(ConnectorApp.parseConfig(base ++ Array("--enrich"), Map.empty)
       .toOption.get.enrich)
+    // a typo'd flag is "unrecognized", not "expected one argument"
+    val Left(unk) = ConnectorApp.parseConfig(
+      base ++ Array("--verbos", "--enrich"), Map.empty)
+    assert(unk.exists(_.contains("unrecognized arguments: --verbos")), unk.toString)
   }
 
   test("defaults mirror the reference's shipped configuration") {

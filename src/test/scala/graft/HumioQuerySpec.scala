@@ -176,6 +176,41 @@ class HumioQuerySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "subquery side must broadcast")
   }
 
+  test("quoted commas/pipes survive format(); regex commas survive replace()") {
+    val m = HumioQuery.run(df,
+      """format("%s, %s|%d", field=[event_type, event_type, user_id], as=t) | select(event_id, t) | sort(event_id)""")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "click, click|100", s"got ${m(1L)}")
+    // brace quantifier and alternation inside the pattern
+    val r = HumioQuery.run(df, "replace(/c{1,2}l/, with=KL, field=event_type, as=e2)")
+    assert(r.where(col("e2") === "KLick").count() == 2)
+    val r2 = HumioQuery.run(df,
+      """replace(/(c|v)i/, with="$1I", field=event_type, as=e3) | select(event_id, e3) | sort(event_id)""")
+      .as[(Long, String)].collect().toMap
+    // 'click' has no (c|v) directly before an 'i' → untouched; 'view' does
+    assert(r2(1L) == "click" && r2(2L) == "vIew", s"got $r2")
+  }
+
+  test("count(field) counts present values, bare count() counts rows") {
+    val withNull = df.withColumn("maybe",
+      when(col("event_id") <= 2, col("event_type")))
+    assert(HumioQuery.run(withNull, "count(maybe, as=n)").as[Long].head() == 2L)
+    assert(HumioQuery.run(withNull, "count(as=n)").as[Long].head() == 4L)
+  }
+
+  test("fractional percentiles name with underscores, referenceable downstream") {
+    val out = HumioQuery.run(df, "percentile(value, percentiles=[99.9]) | select(_99_9)")
+    assert(out.columns.toSeq == Seq("_99_9"))
+  }
+
+  test("session() works without an event_id column (ts-only ordering)") {
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val tdf = Seq((10L, t(0)), (10L, t(40))).toDF("user_id", "ts")
+    val out = HumioQuery.run(tdf, "session(field=user_id, maxpause=30m) | select(_session) | sort(_session)")
+      .as[Long].collect().toSeq
+    assert(out == Seq(0L, 1L))
+  }
+
   test("session() indexes per-key sessions by maxpause gaps") {
     def t(min: Int) = new java.sql.Timestamp(min * 60000L)
     val tdf = Seq(
