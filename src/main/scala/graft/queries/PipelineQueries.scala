@@ -173,6 +173,27 @@ object PipelineQueries {
       .orderBy("doc_a")
   }
 
+  /** Character-trigram Jaccard between adjacent docs — the char-level
+    * twin of the word-set [[xJaccard]] (robust to tokenization and
+    * whitespace variance, the standard fuzzy-dedup fallback for CJK and
+    * noisy text). Trigram extraction is a per-row higher-order function;
+    * same narrow shape.
+    */
+  def xNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = expr(
+      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), grams.as("grams"))
+    val a = t.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = t.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        detRound4(
+          size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb")))).as("jac3"))
+      .orderBy("doc_a")
+  }
+
   // ---- similarity search --------------------------------------------
 
   def xCosine(s: SparkSession, dir: String): DataFrame = {
@@ -460,6 +481,7 @@ object PipelineQueries {
     "x_simhash"     -> xSimhash _,
     "x_simhash_pairs" -> xSimhashPairs _,
     "x_jaccard"     -> xJaccard _,
+    "x_ngram_jaccard" -> xNgramJaccard _,
     "x_cosine"      -> xCosine _,
     "x_knn"         -> xKnn _,
     "x_lshknn"      -> xLshknn _,
@@ -872,6 +894,15 @@ object PipelineQueries {
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       ${detRound4Sql("CAST(len(list_distinct(list_intersect(a.toks, b.toks))) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks)))")} AS jac
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "x_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+        |    i -> substr(text, CAST(i AS INTEGER), 3))) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       ${detRound4Sql("CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE) / len(list_distinct(list_concat(a.grams, b.grams)))")} AS jac3
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
     "x_cosine" ->

@@ -105,6 +105,22 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** Window-function breadth beyond ranks and frames: ntile quartiles,
+    * lead, and first_value over one deterministic window (unique
+    * (price desc, key) order). Same scale shape as every window op —
+    * one shuffle on the partition key.
+    */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first_value(col("o_orderkey")).over(w).as("top_key"))
+      .orderBy("o_orderkey")
+  }
+
   /** The same top-1-per-customer as q_window, but through the two-phase
     * SALTED top-k ([[graft.operators.Scale.saltedTopKPerKey]]) — the skew
     * path for hot keys. The oracle is the PLAIN windowed SQL: the driver
@@ -306,6 +322,7 @@ object RelationalQueries {
     "q_semi"       -> qSemi _,
     "q_anti"       -> qAnti _,
     "q_window"     -> qWindow _,
+    "q_ntile"      -> qNtile _,
     "q_window_salted" -> qWindowSalted _,
     "q_running"    -> qRunning _,
     "q_rollup"     -> qRollup _,
@@ -365,6 +382,15 @@ object RelationalQueries {
         |  FROM orders)
         |SELECT o_custkey, o_orderkey, o_totalprice, n_orders
         |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       lead(o_orderkey, 1) OVER w AS next_key,
+        |       first_value(o_orderkey) OVER w AS top_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_salted" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
