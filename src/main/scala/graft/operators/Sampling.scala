@@ -44,6 +44,19 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Stratified deterministic sampling: exactly `n` rows per stratum
+    * (fewer if the stratum is smaller), chosen by hash order so the
+    * selection is reproducible and unbiased within each stratum — the
+    * balanced-corpus builder (e.g. N docs per language). One window
+    * shuffle on the stratum key.
+    */
+  def stratifiedN(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(stratum).orderBy(hashBucket(key), key)))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+
   /** Fixed-budget context-window chunking: each document's token stream
     * is cut into ⌈n/budget⌉ contiguous chunks of ≤ `budget` tokens.
     * Output: (doc_id, chunk, n_tok, chunk_text), one row per chunk.

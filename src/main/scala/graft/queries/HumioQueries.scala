@@ -121,6 +121,11 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "bucket(span=12h, function=sum(user_id)) | sort(_bucket)")
 
+  /** tail(): most recent events by ts (TakeOrderedAndProject plan). */
+  def hqTail(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "tail(5) | select(event_id, event_type) | sort(event_id)")
+
   /** join(): events of heavy users — inner join against an aggregate
     * subquery over the same stream; the subquery side broadcasts.
     */
@@ -144,6 +149,7 @@ object HumioQueries {
     "hq_stats"     -> hqStats _,
     "hq_pctile"    -> hqPctile _,
     "hq_bucket"    -> hqBucket _,
+    "hq_tail"      -> hqTail _,
     "hq_join"      -> hqJoin _,
     "hq_filter"    -> hqFilter _,
     "hq_group"     -> hqGroup _,
@@ -203,6 +209,11 @@ object HumioQueries {
       """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 43200000) * 43200000 AS _bucket,
         |       CAST(sum(user_id) AS BIGINT) AS _sum
         |FROM events GROUP BY 1 ORDER BY _bucket""".stripMargin,
+    "hq_tail" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type FROM events
+        |  ORDER BY ts DESC, event_id DESC LIMIT 5)
+        |SELECT event_id, event_type FROM t ORDER BY event_id""".stripMargin,
     "hq_join" ->
       """SELECT e.event_id, e.user_id, CAST(c._count AS BIGINT) AS _count
         |FROM events e

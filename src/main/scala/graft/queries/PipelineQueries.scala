@@ -449,6 +449,14 @@ object PipelineQueries {
         Sampling.splitAssign(col("doc_id"), 80, 10).as("split"))
       .orderBy("doc_id")
 
+  /** Balanced corpus: exactly 20 docs per lang, hash-ordered —
+    * stratified deterministic sampling ([[Sampling.stratifiedN]]).
+    */
+  def xStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedN(Tables.documents(s, dir), col("lang"), col("doc_id"), 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   val CHUNK_BUDGET = 32
 
   /** Context-window chunking: ≤32-token contiguous chunks per document
@@ -462,6 +470,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tfidf"       -> xTfidf _,
     "x_sample"      -> xSample _,
+    "x_stratified"  -> xStratified _,
     "x_split"       -> xSplit _,
     "x_chunks"      -> xChunks _,
     "x_tokens"      -> xTokens _,
@@ -636,6 +645,13 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${hashBucketSql("doc_id")} % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "x_stratified" ->
+      s"""WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ${hashBucketSql("doc_id")}, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     "x_split" ->
       s"""SELECT doc_id, ${hashBucketSql("doc_id")} % 100 AS bucket,
         |  CASE WHEN ${hashBucketSql("doc_id")} % 100 < 80 THEN 'train'

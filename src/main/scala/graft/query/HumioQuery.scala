@@ -38,6 +38,7 @@ import org.apache.spark.sql.functions._
   *                count-desc with value tie-break (default limit 10)
   *   sort      := sort(field[, order=asc|desc])
   *   head      := head(n)
+  *   tail      := tail(n)                     — n most recent by ts
   *   select    := select(f1, f2, …)           (fields(…) is an alias)
   *   drop      := drop(f1, f2, …)
   *   rename    := rename(field=old, as=new)
@@ -428,6 +429,13 @@ object HumioQuery {
         val desc = named.get("order").contains("desc")
         df.orderBy(pos.map(f => if (desc) col(f).desc else col(f).asc): _*)
       case "head" => df.limit(pos.headOption.map(_.toInt).getOrElse(10))
+      case "tail" =>
+        // tail(n): the n most recent events by ts (event_id tie-break
+        // when present) — planned as TakeOrderedAndProject, no full sort
+        val n = pos.headOption.map(_.toInt).getOrElse(10)
+        val order = col("ts").desc +:
+          (if (df.columns.contains("event_id")) Seq(col("event_id").desc) else Nil)
+        df.orderBy(order: _*).limit(n)
       case "select" => df.select(pos.map(col): _*)
       case "search" =>
         // free-text: substring match over every string-typed column
@@ -508,6 +516,10 @@ object HumioQuery {
         // operator it delegates to. Ordered by ts, with event_id as the
         // tie-break only when the frame has one (sessionize's default
         // ordering would fail on frames without it).
+        // window functions have no streaming plan: fail with the stage
+        // name instead of Spark's late AnalysisException
+        require(!df.isStreaming,
+          "session() is a batch stage — use session_window on streams")
         val key = named("field")
         val order = if (df.columns.contains("event_id"))
           Seq(col("ts"), col("event_id")) else Seq(col("ts"))
@@ -521,6 +533,8 @@ object HumioQuery {
         // the event side. Fresh aliases on the right break the self-join
         // attribute ambiguity (both sides share one lineage); subquery
         // columns win on name collision.
+        require(!df.isStreaming,
+          "join({subquery}) is a batch stage — the subquery re-aggregates its input")
         val sub = pos.head
         require(sub.startsWith("{") && sub.endsWith("}"),
           s"join expects a {subquery} first argument, got '$sub'")

@@ -203,6 +203,33 @@ class HumioQuerySpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("_99_9"))
   }
 
+  test("tail() returns the most recent events; format= named form works") {
+    val tdf = df.withColumn("ts",
+      expr("timestamp_millis(CAST(event_id * 1000 AS BIGINT))"))
+    val out = HumioQuery.run(tdf, "tail(2) | select(event_id) | sort(event_id)")
+      .as[Long].collect().toSeq
+    assert(out == Seq(3L, 4L))
+    val m = HumioQuery.run(df,
+      """format(format="%s/%d", field=[event_type, event_id], as=t) | select(event_id, t) | sort(event_id)""")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "click/1")
+  }
+
+  test("session() and join() reject streaming inputs with the stage name") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val sdf = mem.toDF().toDF("ts", "user_id")
+    val e1 = intercept[IllegalArgumentException] {
+      HumioQuery.run(sdf, "session(field=user_id)")
+    }
+    assert(e1.getMessage.contains("session() is a batch stage"))
+    val e2 = intercept[IllegalArgumentException] {
+      HumioQuery.run(sdf, "join({groupBy(user_id)}, field=user_id)")
+    }
+    assert(e2.getMessage.contains("join({subquery}) is a batch stage"))
+  }
+
   test("session() works without an event_id column (ts-only ordering)") {
     def t(min: Int) = new java.sql.Timestamp(min * 60000L)
     val tdf = Seq((10L, t(0)), (10L, t(40))).toDF("user_id", "ts")

@@ -34,6 +34,20 @@ class SamplingSpec extends SparkSpec {
       s"~80% train expected, got ${counts("train")}")
   }
 
+  test("stratified sampling takes exactly n per stratum, small strata whole") {
+    val df = spark.range(300).toDF("doc_id")
+      .withColumn("stratum", when(col("doc_id") < 280, "big").otherwise("small"))
+    val out = Sampling.stratifiedN(df, col("stratum"), col("doc_id"), 25)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(out == Map("big" -> 25L, "small" -> 20L), s"got $out")
+    // deterministic: same members on a different layout
+    val a = Sampling.stratifiedN(df, col("stratum"), col("doc_id"), 25)
+      .as[(Long, String)].collect().toSet
+    val b = Sampling.stratifiedN(df.repartition(13), col("stratum"), col("doc_id"), 25)
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
   test("chunking covers every token exactly once, budget boundaries exact") {
     val docs = Seq(
       (1L, "a b c d e"),   // 5 tokens, budget 2 → chunks of 2, 2, 1
