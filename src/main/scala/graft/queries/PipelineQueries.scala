@@ -177,7 +177,9 @@ object PipelineQueries {
     * twin of the word-set [[xJaccard]] (robust to tokenization and
     * whitespace variance, the standard fuzzy-dedup fallback for CJK and
     * noisy text). Trigram extraction is a per-row higher-order function;
-    * same narrow shape.
+    * same narrow shape. (HOFs evaluate interpreted, not codegen'd — if
+    * this ever dominates a profile, the upgrade path is a native
+    * expression like [[graft.expressions.ShingleMinHash]].)
     */
   def xNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val grams = expr(
@@ -187,10 +189,13 @@ object PipelineQueries {
     val a = t.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
     val b = t.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
     a.join(b, col("doc_b") === col("doc_a") + 1)
+      // both sides are distinct, so |A∪B| = |A|+|B|−|A∩B|: one hash-set
+      // pass instead of intersect + union building two
+      .select(col("doc_a"), col("doc_b"), col("ga"), col("gb"),
+        size(array_intersect(col("ga"), col("gb"))).as("ni"))
       .select(col("doc_a"), col("doc_b"),
-        detRound4(
-          size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            size(array_union(col("ga"), col("gb")))).as("jac3"))
+        detRound4(col("ni").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("ni"))).as("jac3"))
       .orderBy("doc_a")
   }
 
@@ -918,7 +923,7 @@ object PipelineQueries {
         |    i -> substr(text, CAST(i AS INTEGER), 3))) AS grams
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       ${detRound4Sql("CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE) / len(list_distinct(list_concat(a.grams, b.grams)))")} AS jac3
+        |       ${detRound4Sql("CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE) / (len(a.grams) + len(b.grams) - len(list_distinct(list_intersect(a.grams, b.grams))))")} AS jac3
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
     "x_cosine" ->
