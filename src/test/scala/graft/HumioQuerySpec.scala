@@ -86,6 +86,28 @@ class HumioQuerySpec extends SparkSpec {
     assert(rows == Map("click" -> 2L), "error filtered; clicks bucketed")
   }
 
+  test("the narrow verbs (in/replace/format/default/rename) run on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("event_id", "event_type")
+    val out = HumioQuery.run(stream,
+      """in(event_type, values=[click, vi*]) | replace(/^v/, with=V, field=event_type)
+        || rename(field=event_type, as=et) | format("%s#%d", field=[et, event_id], as=tag)
+        || default(field=extra, value=none) | select(event_id, tag, extra)"""
+        .stripMargin.replace("\n", " "))
+    val q = out.writeStream.format("memory").queryName("dslnarrow")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50L)).start()
+    mem.addData((1L, "click"), (2L, "view"), (3L, "error"))
+    q.processAllAvailable()
+    val rows = spark.sql("select event_id, tag, extra from dslnarrow")
+      .as[(Long, String, String)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, "click#1", "none"), (2L, "View#2", "none")),
+      s"got $rows")
+  }
+
   test("eval / := compute fields with standard precedence and parens") {
     val out = HumioQuery.run(df,
       "eval(a = value + user_id * 2) | b := (value + user_id) * 2 | select(event_id, a, b) | sort(event_id)")
