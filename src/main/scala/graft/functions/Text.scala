@@ -16,6 +16,16 @@ object Text {
   /** Whitespace tokenizer (the fixture corpus is space-separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Character trigrams at every position (1..len-2). The greatest()
+    * guard keeps sequence() from counting DOWN on texts shorter than 3
+    * chars (Spark infers step -1), which would yield bogus grams — such
+    * texts produce one partial gram instead. Higher-order fn: evaluates
+    * interpreted, not codegen'd.
+    */
+  def charTrigrams(text: Column): Column =
+    transform(sequence(lit(1), greatest(length(text) - 2, lit(1))),
+      i => substring(text, i, lit(3)))
+
   /** BPE-ish token-count estimator: words plus an overhead term per long
     * word (a word of n chars ≈ ceil(n/4) subword tokens, floor 1).
     */

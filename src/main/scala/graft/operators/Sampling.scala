@@ -50,12 +50,16 @@ object Sampling {
     * balanced-corpus builder (e.g. N docs per language). One window
     * shuffle on the stratum key.
     */
-  def stratifiedN(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame =
-    df.withColumn("__rn", row_number().over(
+  def stratifiedN(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame = {
+    // reserved rank column — refuse rather than clobber caller data
+    val rn = "__graft_stratified_rn"
+    require(!df.columns.contains(rn), s"input already has a $rn column")
+    df.withColumn(rn, row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(stratum).orderBy(hashBucket(key), key)))
-      .where(col("__rn") <= n)
-      .drop("__rn")
+      .where(col(rn) <= n)
+      .drop(rn)
+  }
 
   /** Fixed-budget context-window chunking: each document's token stream
     * is cut into ⌈n/budget⌉ contiguous chunks of ≤ `budget` tokens.

@@ -212,7 +212,10 @@ object HumioQueries {
     "hq_tail" ->
       """WITH t AS (
         |  SELECT event_id, event_type FROM events
-        |  ORDER BY ts DESC, event_id DESC LIMIT 5)
+        |  -- CAST truncates the nanos column to micros, matching the
+        |  -- engine's timestamp precision, so the tail boundary can't
+        |  -- disagree on sub-microsecond ordering
+        |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC LIMIT 5)
         |SELECT event_id, event_type FROM t ORDER BY event_id""".stripMargin,
     "hq_join" ->
       """SELECT e.event_id, e.user_id, CAST(c._count AS BIGINT) AS _count

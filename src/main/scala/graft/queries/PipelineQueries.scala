@@ -74,8 +74,7 @@ object PipelineQueries {
   def xLangidNgram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).where(length(col("text")) >= 3)
     val tri = docs.select(col("doc_id"), col("lang"),
-      explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
+      explode(Text.charTrigrams(col("text"))).as("tg"))
     val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tg"))
     val profiles = tri.groupBy("lang", "tg").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
@@ -182,10 +181,9 @@ object PipelineQueries {
     * expression like [[graft.expressions.ShingleMinHash]].)
     */
   def xNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = expr(
-      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
     val t = Tables.documents(s, dir)
-      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"),
+        array_distinct(Text.charTrigrams(col("text"))).as("grams"))
     val a = t.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
     val b = t.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
     a.join(b, col("doc_b") === col("doc_a") + 1)

@@ -73,25 +73,39 @@ object HumioQuery {
     * directly follows '=' or '(', so plain slashes in values don't start
     * one.
     */
-  private def splitPipes(q: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var braces = 0
-    var inRegex = false
-    var inQuote = false
-    q.foreach {
-      case '"' if !inRegex => inQuote = !inQuote; cur += '"'
-      case c if inQuote => cur += c   // a quoted "a|b" owns its pipe
-      case '/' if inRegex => inRegex = false; cur += '/'
-      case '/' if cur.toString.trim.endsWith("=") ||
-                  cur.toString.trim.endsWith("(") => inRegex = true; cur += '/'
-      case '(' if !inRegex => depth += 1; cur += '('
-      case ')' if !inRegex => depth -= 1; cur += ')'
-      case '{' if !inRegex => braces += 1; cur += '{'
-      case '}' if !inRegex => braces -= 1; cur += '}'
-      case '|' if depth == 0 && braces == 0 && !inRegex => out += cur.result(); cur.clear()
-      case c => cur += c
+  private def splitPipes(q: String): Seq[String] = splitAware(q, '|')
+
+  /** The one separator scanner both splitters use. Tracks paren/bracket/
+    * brace depth, `"quoted"` strings (a quoted `"a|b"` owns its pipe and
+    * comma), and `/regex/` literals — a '/' opens one only directly after
+    * `=`, `(`, `[`, `,`, `;`, or at a segment start, so plain slashes in
+    * values don't; inside a regex, `\` escapes the next char (write a
+    * literal slash as `\/`) and quotes/parens are plain characters.
+    */
+  private def splitAware(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var inQuote = false; var inRegex = false; var esc = false
+    def regexOpens: Boolean = {
+      val t = cur.toString.trim
+      t.isEmpty || t.endsWith("=") || t.endsWith("(") || t.endsWith("[") ||
+        t.endsWith(",") || t.endsWith(";")
+    }
+    s.foreach { c =>
+      if (esc) { cur += c; esc = false }
+      else if (inRegex) {
+        if (c == '\\') esc = true
+        else if (c == '/') inRegex = false
+        cur += c
+      }
+      else if (inQuote) { if (c == '"') inQuote = false; cur += c }
+      else c match {
+        case '"' => inQuote = true; cur += c
+        case '/' if regexOpens => inRegex = true; cur += c
+        case '(' | '[' | '{' => depth += 1; cur += c
+        case ')' | ']' | '}' => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => out += cur.result(); cur.clear()
+        case x => cur += x
+      }
     }
     out += cur.result()
     out.result()
@@ -104,8 +118,11 @@ object HumioQuery {
   // regex-carrying stages are matched whole (their pattern may hold
   // commas or unbalanced escaped parens that would confuse the generic
   // arg split)
-  private val RegexEx  = """regex\(\s*/(.*)/\s*,\s*field\s*=\s*([\w.]+)\s*\)\s*""".r
-  private val ReplaceRe = """replace\(\s*/(.*)/\s*,\s*(.*)\)\s*""".r
+  // the pattern group ends at the first UNESCAPED '/' — write a literal
+  // slash as \/ — so a later argument containing '/' can't steal pattern
+  // territory (a greedy (.*)/ would match through `with=b/`)
+  private val RegexEx  = """regex\(\s*/((?:[^/\\]|\\.)*)/\s*,\s*field\s*=\s*([\w.]+)\s*\)\s*""".r
+  private val ReplaceRe = """replace\(\s*/((?:[^/\\]|\\.)*)/\s*,\s*(.*)\)\s*""".r
 
   private def applyStage(df: DataFrame, stage: String): DataFrame = stage match {
     case CaseBlk(body) => applyCase(df, body)
@@ -125,24 +142,13 @@ object HumioQuery {
       named.map { kv => val Array(k, v) = kv.split("=", 2); k.trim -> v.trim }.toMap)
   }
 
-  /** split on `sep` at paren/bracket/brace depth 0 outside string
-    * literals, trimmed, empties dropped — braces protect a join's
-    * `{subquery}` and regex quantifiers like `a{1,2}`; quotes protect a
-    * format string's `"%s, %s"`.
+  /** split on `sep` at depth 0 outside strings and regexes ([[splitAware]]),
+    * trimmed, empties dropped — braces protect a join's `{subquery}` and
+    * regex quantifiers like `a{1,2}`; quotes protect a format string's
+    * `"%s, %s"`; a `/re"gex/` owns its quote.
     */
-  private def splitTop(s: String, sep: Char): Seq[String] = {
-    val out = Seq.newBuilder[String]; val cur = new StringBuilder
-    var d = 0; var inQuote = false
-    s.foreach {
-      case '"' => inQuote = !inQuote; cur += '"'
-      case c if inQuote => cur += c
-      case c @ ('(' | '[' | '{') => d += 1; cur += c
-      case c @ (')' | ']' | '}') => d -= 1; cur += c
-      case c if c == sep && d == 0 => out += cur.result(); cur.clear()
-      case c => cur += c
-    }
-    out += cur.result(); out.result().map(_.trim).filter(_.nonEmpty)
-  }
+  private def splitTop(s: String, sep: Char): Seq[String] =
+    splitAware(s, sep).map(_.trim).filter(_.nonEmpty)
 
   /** `[a, b, c]` → Seq(a, b, c); a bare value is a one-element list. */
   private def listArg(v: String): Seq[String] =
@@ -432,6 +438,7 @@ object HumioQuery {
       case "tail" =>
         // tail(n): the n most recent events by ts (event_id tie-break
         // when present) — planned as TakeOrderedAndProject, no full sort
+        require(!df.isStreaming, "tail() is a batch stage — streams have no global order")
         val n = pos.headOption.map(_.toInt).getOrElse(10)
         val order = col("ts").desc +:
           (if (df.columns.contains("event_id")) Seq(col("event_id").desc) else Nil)

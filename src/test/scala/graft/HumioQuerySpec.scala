@@ -250,6 +250,29 @@ class HumioQuerySpec extends SparkSpec {
       HumioQuery.run(sdf, "join({groupBy(user_id)}, field=user_id)")
     }
     assert(e2.getMessage.contains("join({subquery}) is a batch stage"))
+    val e3 = intercept[IllegalArgumentException] {
+      HumioQuery.run(sdf, "tail(3)")
+    }
+    assert(e3.getMessage.contains("tail() is a batch stage"))
+  }
+
+  test("regex literals own quotes; slashes in later args keep their ground") {
+    // a '/' in a later argument must not extend the pattern
+    val m = HumioQuery.run(df,
+      "replace(/ck/, with=a/b, field=event_type, as=e2) | select(event_id, e2) | sort(event_id)")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "clia/b", s"got ${m(1L)}")
+    // a quote inside a regex doesn't poison the quote state of the splitter
+    val d2 = df.withColumn("msg",
+      concat(lit("say \""), col("event_type"), lit("\"")))
+    val q = HumioQuery.run(d2,
+      """case { msg = /"/ | kind := "quoted" ; * | kind := "other" } | groupBy(kind) | sort(kind)""")
+      .as[(String, Long)].collect().toMap
+    assert(q == Map("quoted" -> 4L), s"got $q")
+    // an escaped slash matches a literal slash
+    val d3 = df.withColumn("path", lit("a/b"))
+    assert(HumioQuery.run(d3, """path = /a\/b/""").count() == 4)
+    assert(HumioQuery.run(d3, """replace(/a\/b/, with=X, field=path) | path = X""").count() == 4)
   }
 
   test("session() works without an event_id column (ts-only ordering)") {
