@@ -452,6 +452,32 @@ object PipelineQueries {
         Sampling.splitAssign(col("doc_id"), 80, 10).as("split"))
       .orderBy("doc_id")
 
+  /** The END-TO-END curation pipeline in ONE plan — the composition a
+    * training-data pass actually runs: quality gate (length + stopword
+    * ratio, per-row) → exact dedup (keep lowest doc_id per content hash,
+    * one window shuffle) → deterministic 80% train split (per-row hash) →
+    * context-window chunking (bounded explode). Everything between the
+    * scan and the dedup window is narrow; the output is loader-ready
+    * (doc_id, chunk, n_tok) rows.
+    */
+  def xCurate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks)
+    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), n.as("n_words"),
+        (enHits.cast("double") / n).as("swr"))
+      .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
+    val deduped = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+      .where(col("rn") === 1)
+    val train = deduped.where(Sampling.pct(col("doc_id")) < 80)
+    Sampling.chunked(train.select("doc_id", "text"), col("text"), CHUNK_BUDGET)
+      .select("doc_id", "chunk", "n_tok")
+      .orderBy("doc_id", "chunk")
+  }
+
   /** Balanced corpus: exactly 20 docs per lang, hash-ordered —
     * stratified deterministic sampling ([[Sampling.stratifiedN]]).
     */
@@ -475,6 +501,7 @@ object PipelineQueries {
     "x_sample"      -> xSample _,
     "x_stratified"  -> xStratified _,
     "x_split"       -> xSplit _,
+    "x_curate"      -> xCurate _,
     "x_chunks"      -> xChunks _,
     "x_tokens"      -> xTokens _,
     "x_token_count" -> xTokenCount _,
@@ -648,6 +675,28 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${hashBucketSql("doc_id")} % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "x_curate" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, text,
+        |         len(string_split(text, ' ')) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS swr
+        |  FROM documents),
+        |f AS (SELECT doc_id, text FROM q
+        |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4),
+        |d AS (SELECT doc_id, text,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM f),
+        |tr AS (SELECT doc_id, text FROM d
+        |       WHERE rn = 1 AND ${hashBucketSql("doc_id")} % 100 < 80),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
+        |n2 AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
+        |      FROM n2)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
     "x_stratified" ->
       s"""WITH r AS (
         |  SELECT doc_id, lang,
