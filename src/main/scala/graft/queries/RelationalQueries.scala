@@ -219,6 +219,22 @@ object RelationalQueries {
         |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin)
   }
 
+  /** Correlated EXISTS + NOT EXISTS: Catalyst decorrelates into one
+    * left-semi and one left-anti join — never a per-row subquery loop.
+    */
+  def qExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_ex_c")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_ex_o")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM graft_ex_c c
+        |WHERE EXISTS (SELECT 1 FROM graft_ex_o o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_ex_o o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Set algebra: (AUTOMOBILE customers ∪ big spenders) ∖ F-status customers. */
   def qSetops(s: SparkSession, dir: String): DataFrame = {
     val auto = Tables.customer(s, dir)
@@ -329,6 +345,7 @@ object RelationalQueries {
     "q_gsets"      -> qGroupingSets _,
     "q_setops"     -> qSetops _,
     "q_corr"       -> qCorr _,
+    "q_exists"     -> qExists _,
     "q_lateral"    -> qLateral _,
     "q_intersect"  -> qIntersect _,
     "q_sortlimit"  -> qSortlimit _,
@@ -434,6 +451,14 @@ object RelationalQueries {
         |        FROM orders o2 WHERE o2.o_custkey = o1.o_custkey) AS cents_vs_cust_avg
         |FROM orders o1
         |ORDER BY o_orderkey""".stripMargin,
+    "q_exists" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
     "q_setops" ->
       """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         | UNION ALL
