@@ -244,6 +244,28 @@ object PipelineQueries {
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
 
+  /** ANN quality as a query: recall@1 of the multi-table LSH tier
+    * against the exact brute-force tier over the probe set — the number
+    * that tells you whether L×p×cap are tuned right, computed by the
+    * engine itself (join of the two tiers, one row out). At scale this
+    * runs on a probe SAMPLE; the exact side is the only quadratic piece
+    * and is capped. (The fixture's i.i.d. gaussian embeddings are the
+    * LSH-adversarial case — no cluster structure, so recall@1 ≈ 0.24 at
+    * L=4×p=6; real corpora cluster and score far higher. L is the knob.)
+    */
+  def xLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val exact = Knn.bruteForceTopK(emb.where(col("vec_id") < PROBE_CAP), emb, DIM, 1)
+      .select(col("probe_id"), col("cand_id").as("exact_cand"))
+    val lsh = lshRanked(s, dir).where(col("probe_id") < PROBE_CAP)
+      .select(col("probe_id"), col("cand_id").as("lsh_cand"))
+    val agree = when(col("lsh_cand") === col("exact_cand"), 1L).otherwise(0L)
+    exact.join(lsh, Seq("probe_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(agree).as("n_agree"),
+        detRound4(sum(agree).cast("double") / count(lit(1))).as("recall_at_1"))
+  }
+
   val KMEANS_K = 8
   val IVF_NPROBE = 2
 
@@ -525,6 +547,7 @@ object PipelineQueries {
     "x_knn"         -> xKnn _,
     "x_lshknn"      -> xLshknn _,
     "x_embdup"      -> xEmbdup _,
+    "x_lsh_recall"  -> xLshRecall _,
     "x_ivf_cells"   -> xIvfCells _,
     "x_ivfknn"      -> xIvfknn _,
     "x_ivf_train"   -> xIvfTrain _,
@@ -1001,6 +1024,24 @@ object PipelineQueries {
       s"""$lshMtPrefix
         |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
         |FROM r WHERE rank = 1 AND sim > 0.3 ORDER BY vec_id""".stripMargin,
+    "x_lsh_recall" ->
+      s"""$lshMtPrefix,
+        |lsh1 AS (SELECT probe_id, cand_id AS lsh_cand FROM r
+        |         WHERE rank = 1 AND probe_id < $PROBE_CAP),
+        |ep AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+        |       WHERE vec_id < $PROBE_CAP),
+        |ec AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+        |epairs AS (SELECT probe_id, cand_id,
+        |    ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |  FROM ep JOIN ec ON probe_id <> cand_id),
+        |er AS (SELECT probe_id, cand_id,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+        |      FROM epairs),
+        |ex1 AS (SELECT probe_id, cand_id AS exact_cand FROM er WHERE rank = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |       CAST(sum(CASE WHEN l.lsh_cand = e.exact_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |       ${detRound4Sql("CAST(sum(CASE WHEN l.lsh_cand = e.exact_cand THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS recall_at_1
+        |FROM ex1 e LEFT JOIN lsh1 l USING (probe_id)""".stripMargin,
     "x_regex_tokens" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
