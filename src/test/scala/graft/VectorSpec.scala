@@ -26,6 +26,27 @@ class VectorSpec extends SparkSpec {
     assert(top == 1L)
   }
 
+  test("LSH recall is 1.0 on planted twins: identical vectors share every bucket") {
+    // each vector has an exact duplicate — identical signs in every LSH
+    // table, so the LSH tier must find the same top-1 the exact tier does
+    val base = Seq(
+      Array(1.0f, 2.0f, -3.0f, 4.0f), Array(-2.0f, 1.0f, 0.5f, -1.0f),
+      Array(0.1f, -0.2f, 0.3f, 0.4f))
+    val vecs = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L, v), (i * 2L + 1L, v))
+    }.toDF("vec_id", "embedding")
+    val tables = Vectors.signPlaneTables(2, 3, 4)
+    val lsh = Knn.lshTopK(vecs, tables, 4, k = 1, bucketCap = 16)
+      .select(col("probe_id"), col("cand_id").as("lsh_cand"))
+    val exact = Knn.bruteForceTopK(vecs, vecs, 4, 1)
+      .select(col("probe_id"), col("cand_id").as("exact_cand"))
+    val joined = exact.join(lsh, Seq("probe_id"), "left")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(joined.length == 6)
+    assert(joined.forall { case (p, e, l) => l.contains(e) },
+      s"every probe's twin must be found by both tiers: ${joined.toSeq}")
+  }
+
   test("LSH buckets: identical vectors collide, opposite vectors do not") {
     val planes = Vectors.signPlanes(8, 4)
     val df = Seq(
