@@ -149,6 +149,46 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over the candidate-pair graph — the cluster
+    * step between pair generation and keep-one-per-cluster: every doc is
+    * labeled with the SMALLEST doc_id reachable through pairs (docs in
+    * no pair are their own cluster).
+    *
+    * Min-label propagation: each round every node takes the min of its
+    * own and its neighbors' labels; rounds needed = component diameter.
+    * Each round is one distributed shuffle join over the edge list —
+    * the driver only checks a convergence flag, never collects data —
+    * and `localCheckpoint` truncates the otherwise-doubling lineage.
+    * Near-dup components are shallow (dup clusters are cliques-ish), so
+    * the bound is small; for adversarially deep graphs swap in the
+    * large-star/small-star variant, which converges in O(log n) rounds.
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("nc").as("nmin"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .where(col("cluster") < col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxRounds rounds")
+    labels
+  }
+
   /** Exact word-set Jaccard similarity between two token-array columns. */
   def jaccard(ta: Column, tb: Column): Column = {
     val inter = size(array_distinct(array_intersect(ta, tb))).cast("double")

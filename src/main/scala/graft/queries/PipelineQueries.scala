@@ -147,6 +147,18 @@ object PipelineQueries {
         N_PERMS, ROWS_PER_BAND)
       .orderBy("doc_a", "doc_b")
 
+  /** Near-dup CLUSTERS from the banded candidates: connected components
+    * labeled by smallest member ([[Dedup.dupClusters]]) — transitive
+    * closure of "is a candidate pair of", the step that turns pairs into
+    * keep-one-per-cluster decisions.
+    */
+  def xDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.dupClusters(docs,
+        Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND))
+      .orderBy("doc_id")
+  }
+
   def xSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.withSimhash(Tables.documents(s, dir), col("text"))
       .select("doc_id", "simhash")
@@ -539,6 +551,7 @@ object PipelineQueries {
     "x_winnow"      -> xWinnow _,
     "x_lshpairs"    -> xLshpairs _,
     "x_lshpairs_banded" -> xLshpairsBanded _,
+    "x_dupclusters" -> xDupClusters _,
     "x_simhash"     -> xSimhash _,
     "x_simhash_pairs" -> xSimhashPairs _,
     "x_jaccard"     -> xJaccard _,
@@ -925,6 +938,25 @@ object PipelineQueries {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_dupclusters" ->
+      s"""WITH RECURSIVE $permSigsSql,
+        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.doc_id < b.doc_id),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |        UNION SELECT doc_b, doc_a FROM cand),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |minr AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |         FROM reach GROUP BY a)
+        |SELECT d.doc_id, CAST(coalesce(m.cluster, d.doc_id) AS BIGINT) AS cluster
+        |FROM documents d LEFT JOIN minr m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "x_lshpairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |h AS (SELECT doc_id, $hashesSql AS hs FROM t),

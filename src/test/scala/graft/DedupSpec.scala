@@ -187,4 +187,14 @@ class DedupSpec extends SparkSpec {
     assert(fp(0L) == fp(3L), "identical docs share a fingerprint")
     assert(fp(0L) != fp(2L), "different docs differ")
   }
+
+  test("dupClusters closes transitively: 2-hop chains share one cluster") {
+    val ids = spark.range(7).toDF("doc_id")
+    // chain 1-2-3 (3 never pairs with 1 directly), pair 5-6, singleton 0 and 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L), s"got $out")
+  }
 }
