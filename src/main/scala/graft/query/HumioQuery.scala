@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   *                results _count / _sum_f / _avg_f / _min_f / _max_f
   *   top       := top(field[, limit=n])      — most frequent values,
   *                count-desc with value tie-break (default limit 10)
-  *   sort      := sort(field[, order=asc|desc])
+  *   sort      := sort(field[, order=asc|desc][, limit=n])
   *   head      := head(n)
   *   tail      := tail(n)                     — n most recent by ts
   *   select    := select(f1, f2, …)           (fields(…) is an alias)
@@ -432,8 +432,12 @@ object HumioQuery {
         pos.tail.foldLeft(df)((d, k) =>
           d.withColumn(k, get_json_object(col(jsonField), s"$$.$k")))
       case "sort" =>
+        // sort(f1, …[, order=desc][, limit=n]) — with limit, Spark plans
+        // TakeOrderedAndProject: per-partition top-n + a tiny driver
+        // merge, never a full global sort
         val desc = named.get("order").contains("desc")
-        df.orderBy(pos.map(f => if (desc) col(f).desc else col(f).asc): _*)
+        val sorted = df.orderBy(pos.map(f => if (desc) col(f).desc else col(f).asc): _*)
+        named.get("limit").map(n => sorted.limit(n.toInt)).getOrElse(sorted)
       case "head" => df.limit(pos.headOption.map(_.toInt).getOrElse(10))
       case "tail" =>
         // tail(n): the n most recent events by ts (event_id tie-break

@@ -38,6 +38,13 @@ class HumioQuerySpec extends SparkSpec {
     assert(HumioQuery.run(df, "sort(event_id) | head(2)").count() == 2)
   }
 
+  test("sort(limit=) plans TakeOrderedAndProject, not a full sort") {
+    val q = HumioQuery.run(df, "sort(value, order=desc, limit=2)")
+    assert(q.as[(Long, String, Double, Long)].collect().map(_._1).toSeq == Seq(4L, 3L))
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "limit must fuse into the sort")
+  }
+
   test("chained pipeline matches hand-built DataFrame") {
     val dsl = HumioQuery.run(df,
       "event_type != error | groupBy(user_id, function=max(value)) | sort(user_id)")
