@@ -154,35 +154,41 @@ object Dedup {
     * labeled with the SMALLEST doc_id reachable through pairs (docs in
     * no pair are their own cluster).
     *
-    * Min-label propagation: each round every node takes the min of its
-    * own and its neighbors' labels; rounds needed = component diameter.
-    * Each round is one distributed shuffle join over the edge list —
-    * the driver only checks a convergence flag, never collects data —
-    * and `localCheckpoint` truncates the otherwise-doubling lineage.
-    * Near-dup components are shallow (dup clusters are cliques-ish), so
-    * the bound is small; for adversarially deep graphs swap in the
-    * large-star/small-star variant, which converges in O(log n) rounds.
+    * Min-label propagation WITH pointer halving: each round every node
+    * takes the min of its own label, its neighbors' labels, and its
+    * label's label (the halving step) — linear chains converge in
+    * O(log diameter) rounds, not diameter, so the round cap is a
+    * backstop, not a reachable limit. Each round is one distributed
+    * join pass materialized by `localCheckpoint` (truncating the
+    * otherwise-doubling lineage); the convergence check scans those
+    * cached blocks, and the driver only sees a flag, never data.
+    * Superseded snapshots are evictable MEMORY_AND_DISK blocks the
+    * ContextCleaner reclaims as the loop drops their references.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("nc").as("nmin"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      // labels-as-parents: cluster values are always doc_ids, so the
+      // lookup is total; least() ignores the NULL nmin of edgeless docs
+      val parents = labels
+        .select(col("doc_id").as("cluster"), col("cluster").as("pc"))
+      val stepped = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .join(parents, Seq("cluster"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), col("nmin"), col("pc")).as("cluster"),
+          col("cluster").as("old"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .where(col("cluster") < col("old")).isEmpty
-      labels = next
+      converged = stepped.where(col("cluster") < col("old")).isEmpty
+      labels = stepped.select("doc_id", "cluster")
       round += 1
     }
     require(converged, s"dupClusters did not converge in $maxRounds rounds")

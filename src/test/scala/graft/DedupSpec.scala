@@ -197,4 +197,15 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 4L, 5L -> 5L, 6L -> 5L), s"got $out")
   }
+
+  test("dupClusters converges on a 64-deep chain inside the round cap") {
+    // pointer halving makes rounds O(log diameter): a 64-node path would
+    // need 63 plain propagation rounds, far past the 30-round backstop
+    val n = 64L
+    val ids = spark.range(n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(ids, pairs).as[(Long, Long)].collect()
+    assert(out.length == n && out.forall(_._2 == 0L),
+      "every node of the chain must label down to 0")
+  }
 }
