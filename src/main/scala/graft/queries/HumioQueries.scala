@@ -121,6 +121,11 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "bucket(span=12h, function=sum(user_id)) | sort(_bucket)")
 
+  /** sort(limit=): the fused top-n path (TakeOrderedAndProject). */
+  def hqSortlimit(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "sort(value, event_id, order=desc, limit=7) | select(event_id, value) | sort(event_id)")
+
   /** tail(): most recent events by ts (TakeOrderedAndProject plan). */
   def hqTail(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -149,6 +154,7 @@ object HumioQueries {
     "hq_stats"     -> hqStats _,
     "hq_pctile"    -> hqPctile _,
     "hq_bucket"    -> hqBucket _,
+    "hq_sortlimit" -> hqSortlimit _,
     "hq_tail"      -> hqTail _,
     "hq_join"      -> hqJoin _,
     "hq_filter"    -> hqFilter _,
@@ -209,6 +215,11 @@ object HumioQueries {
       """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 43200000) * 43200000 AS _bucket,
         |       CAST(sum(user_id) AS BIGINT) AS _sum
         |FROM events GROUP BY 1 ORDER BY _bucket""".stripMargin,
+    "hq_sortlimit" ->
+      """WITH t AS (
+        |  SELECT event_id, value FROM events
+        |  ORDER BY value DESC, event_id DESC LIMIT 7)
+        |SELECT event_id, value FROM t ORDER BY event_id""".stripMargin,
     "hq_tail" ->
       """WITH t AS (
         |  SELECT event_id, event_type FROM events
