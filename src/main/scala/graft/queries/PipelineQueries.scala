@@ -278,6 +278,24 @@ object PipelineQueries {
         detRound4(sum(agree).cast("double") / count(lit(1))).as("recall_at_1"))
   }
 
+  /** IVF twin of [[xLshRecall]]: recall@1 of the cell-probing tier vs
+    * exact over the probe set — the coarse-quantizer quality number
+    * nprobe/k get tuned against.
+    */
+  def xIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val exact = Knn.bruteForceTopK(emb.where(col("vec_id") < PROBE_CAP), emb, DIM, 1)
+      .select(col("probe_id"), col("cand_id").as("exact_cand"))
+    val ivf = Knn.ivfTopK(emb, ivfCentroids(emb), DIM, 1)
+      .where(col("probe_id") < PROBE_CAP)
+      .select(col("probe_id"), col("cand_id").as("ann_cand"))
+    val agree = when(col("ann_cand") === col("exact_cand"), 1L).otherwise(0L)
+    exact.join(ivf, Seq("probe_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(agree).as("n_agree"),
+        detRound4(sum(agree).cast("double") / count(lit(1))).as("recall_at_1"))
+  }
+
   val KMEANS_K = 8
   val IVF_NPROBE = 2
 
@@ -562,6 +580,7 @@ object PipelineQueries {
     "x_embdup"      -> xEmbdup _,
     "x_lsh_recall"  -> xLshRecall _,
     "x_ivf_cells"   -> xIvfCells _,
+    "x_ivf_recall"  -> xIvfRecall _,
     "x_ivfknn"      -> xIvfknn _,
     "x_ivf_train"   -> xIvfTrain _,
     "x_ivfknn2"     -> xIvfknn2 _,
@@ -694,6 +713,26 @@ object PipelineQueries {
     s"CAST(list_aggregate(list_transform(range(1, 5), j -> " +
       s"(strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1) * " +
       s"CAST(16 ** (4 - j) AS BIGINT)), 'sum') AS BIGINT)"
+
+  /** The exact-tier CTEs + recall SELECT shared by both ANN quality
+    * oracles: compares the caller's `ann1(probe_id, ann_cand)` CTE
+    * against the brute-force top-1 over probes < PROBE_CAP.
+    */
+  private def recallSuffixSql: String =
+    s"""ep AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+      |       WHERE vec_id < $PROBE_CAP),
+      |ec AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+      |epairs AS (SELECT probe_id, cand_id,
+      |    ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
+      |  FROM ep JOIN ec ON probe_id <> cand_id),
+      |er AS (SELECT probe_id, cand_id,
+      |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+      |      FROM epairs),
+      |ex1 AS (SELECT probe_id, cand_id AS exact_cand FROM er WHERE rank = 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+      |       CAST(sum(CASE WHEN a.ann_cand = e.exact_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+      |       ${detRound4Sql("CAST(sum(CASE WHEN a.ann_cand = e.exact_cand THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS recall_at_1
+      |FROM ex1 e LEFT JOIN ann1 a USING (probe_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_tfidf" ->
@@ -1058,22 +1097,21 @@ object PipelineQueries {
         |FROM r WHERE rank = 1 AND sim > 0.3 ORDER BY vec_id""".stripMargin,
     "x_lsh_recall" ->
       s"""$lshMtPrefix,
-        |lsh1 AS (SELECT probe_id, cand_id AS lsh_cand FROM r
+        |ann1 AS (SELECT probe_id, cand_id AS ann_cand FROM r
         |         WHERE rank = 1 AND probe_id < $PROBE_CAP),
-        |ep AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-        |       WHERE vec_id < $PROBE_CAP),
-        |ec AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
-        |epairs AS (SELECT probe_id, cand_id,
-        |    ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
-        |  FROM ep JOIN ec ON probe_id <> cand_id),
-        |er AS (SELECT probe_id, cand_id,
+        |$recallSuffixSql""".stripMargin,
+    "x_ivf_recall" ->
+      s"""$ivfAsgnPrefix,
+        |pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+        |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |r AS (SELECT probe_id, cand_id, sim,
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
-        |      FROM epairs),
-        |ex1 AS (SELECT probe_id, cand_id AS exact_cand FROM er WHERE rank = 1)
-        |SELECT CAST(count(*) AS BIGINT) AS n_probes,
-        |       CAST(sum(CASE WHEN l.lsh_cand = e.exact_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-        |       ${detRound4Sql("CAST(sum(CASE WHEN l.lsh_cand = e.exact_cand THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS recall_at_1
-        |FROM ex1 e LEFT JOIN lsh1 l USING (probe_id)""".stripMargin,
+        |      FROM pairs),
+        |ann1 AS (SELECT probe_id, cand_id AS ann_cand FROM r
+        |         WHERE rank = 1 AND probe_id < $PROBE_CAP),
+        |$recallSuffixSql""".stripMargin,
     "x_regex_tokens" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
