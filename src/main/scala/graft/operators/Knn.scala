@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Exact top-k cosine neighbors for each probe vector. `candidates`
-    * MUST be the smaller / broadcastable side: the build side is
-    * broadcast to every task, so a multi-GB candidate set belongs in
-    * [[lshTopK]] instead — this tier is the exact baseline for bounded
-    * candidate sets (the caller bounds probes).
+  /** Exact top-k cosine neighbors for each probe vector. `probes` MUST
+    * be the bounded side (the caller caps it — a probe set, a recall
+    * sample): probes are broadcast, CANDIDATES stream through a
+    * partitioned scan of any size, and each candidate partition reduces
+    * to a partial top-k per probe ([[graft.functions.TopKByScore]],
+    * map-side combine) before the one |probes|·k-row exchange and exact
+    * final merge. Nothing here broadcasts or shuffles the candidate
+    * table itself, so the exact tier survives a candidate side that is
+    * the full 100 TB corpus; unbounded-BOTH-sides exact KNN is the
+    * O(n²) problem [[lshTopK]]/[[ivfTopK]] exist for.
     */
   def bruteForceTopK(probes: DataFrame, candidates: DataFrame, dim: Int, k: Int): DataFrame = {
     FloatDot.register(probes.sparkSession)
@@ -36,12 +41,19 @@ object Knn {
       Vectors.norm(col("embedding"), dim).as("pn"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
       Vectors.norm(col("embedding"), dim).as("cn"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    p.join(broadcast(c), col("probe_id") =!= col("cand_id"))
+    val topk = udaf(graft.functions.TopKByScore(k))
+    c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
       .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("probe_id", "cand_id", "rank", "sim")
+      // a zero-norm vector yields a NULL sim (Spark's x/0); drop it
+      // before the typed aggregate rather than feed null into a
+      // primitive-typed buffer (the window formulation sorted it last —
+      // same outcome for any k < |candidates|)
+      .where(col("sim").isNotNull)
+      .groupBy("probe_id")
+      .agg(topk(col("cand_id"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._1").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col._2").as("sim"))
   }
 
   /** IVF cell assignment: each vector goes to its nearest centroid by

@@ -156,4 +156,34 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() == 200L)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("exact KNN broadcasts only the bounded probe side; candidates partial-aggregate") {
+    // the 100× criterion for the exact tier: the candidate table must
+    // NEVER be the broadcast build side (at scale it exceeds the
+    // broadcast limit outright) — probes are the bounded side, and the
+    // per-probe top-k must partial-aggregate map-side so the shuffle
+    // carries |probes|·k rows, not |probes|·|candidates|
+    // range-backed (not a LocalRelation) so the probe filter survives
+    // as a visible Filter node instead of constant-folding into the scan
+    val vecs = spark.range(50).select(col("id").as("vec_id"),
+      array(col("id").cast("float"), lit(1.0f)).as("embedding"))
+    val q = graft.operators.Knn.bruteForceTopK(
+      vecs.where(col("vec_id") < 5), vecs, 2, 3)
+    val plan = q.queryExecution.executedPlan.toString
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(broadcasts == 1, s"expected exactly one broadcast, got:\n$plan")
+    // the broadcast build side is the probe-filtered branch: the probe
+    // bound must appear as a pushed/planned filter, and the join must
+    // build right (the broadcast(p) side)
+    assert(plan.contains("BuildRight"), s"probe side must be the build side:\n$plan")
+    assert(plan.contains("vec_id#") && plan.contains("< 5"),
+      s"probe bound must survive into the plan:\n$plan")
+    // partial top-k before the exchange: a partial-mode object hash
+    // aggregate of the typed top-k UDAF
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.toLowerCase.contains("partial_topkbyscore"),
+      s"per-partition partial top-k missing:\n$plan")
+    // exact result sanity on the small fixture
+    assert(q.where(col("rank") === 1).count() == 5L)
+  }
 }
