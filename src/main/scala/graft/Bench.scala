@@ -27,7 +27,11 @@ object Bench {
     try Tables.events(spark, sfDir).limit(1).collect()
     catch { case _: Throwable => () }
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev convenience: args select a subset (driver passes none → full run)
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: evaluates every output column and ordering without
       // writing — count() would let Catalyst prune projection work and

@@ -20,11 +20,19 @@ object Text {
     * guard keeps sequence() from counting DOWN on texts shorter than 3
     * chars (Spark infers step -1), which would yield bogus grams — such
     * texts produce one partial gram instead. Higher-order fn: evaluates
-    * interpreted, not codegen'd.
+    * interpreted, not codegen'd — this is the declarative REFERENCE form;
+    * hot paths use [[charTrigramsNative]] (differentially tested equal).
     */
   def charTrigrams(text: Column): Column =
     transform(sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => substring(text, i, lit(3)))
+
+  /** Codegen'd trigram extraction ([[graft.expressions.CharTrigrams]]) —
+    * same output as [[charTrigrams]]; requires
+    * `CharTrigrams.register(spark)` before analysis.
+    */
+  def charTrigramsNative(text: Column): Column =
+    call_function("graft_char_trigrams", text)
 
   /** BPE-ish token-count estimator: words plus an overhead term per long
     * word (a word of n chars ≈ ceil(n/4) subword tokens, floor 1).

@@ -72,9 +72,10 @@ object PipelineQueries {
     * aggregates map-side; profiles are tiny and broadcast.
     */
   def xLangidNgram(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.CharTrigrams.register(s)
     val docs = Tables.documents(s, dir).where(length(col("text")) >= 3)
     val tri = docs.select(col("doc_id"), col("lang"),
-      explode(Text.charTrigrams(col("text"))).as("tg"))
+      explode(Text.charTrigramsNative(col("text"))).as("tg"))
     val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tg"))
     val profiles = tri.groupBy("lang", "tg").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
@@ -187,25 +188,20 @@ object PipelineQueries {
   /** Character-trigram Jaccard between adjacent docs — the char-level
     * twin of the word-set [[xJaccard]] (robust to tokenization and
     * whitespace variance, the standard fuzzy-dedup fallback for CJK and
-    * noisy text). Trigram extraction is a per-row higher-order function;
-    * same narrow shape. (HOFs evaluate interpreted, not codegen'd — if
-    * this ever dominates a profile, the upgrade path is a native
-    * expression like [[graft.expressions.ShingleMinHash]].)
+    * noisy text). The whole comparison is ONE fused native expression
+    * ([[graft.expressions.TrigramJaccard]]: packed-long gram keys, no
+    * gram arrays) — the interpreted HOF + array_distinct/intersect form
+    * it replaces was the clean bench's slowest line at 5.4 s.
     */
   def xNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        array_distinct(Text.charTrigrams(col("text"))).as("grams"))
-    val a = t.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
-    val b = t.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    graft.expressions.TrigramJaccard.register(s)
+    val t = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val a = t.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val b = t.select(col("doc_id").as("doc_b"), col("text").as("tb"))
     a.join(b, col("doc_b") === col("doc_a") + 1)
-      // both sides are distinct, so |A∪B| = |A|+|B|−|A∩B|: one hash-set
-      // pass instead of intersect + union building two
-      .select(col("doc_a"), col("doc_b"), col("ga"), col("gb"),
-        size(array_intersect(col("ga"), col("gb"))).as("ni"))
       .select(col("doc_a"), col("doc_b"),
-        detRound4(col("ni").cast("double") /
-          (size(col("ga")) + size(col("gb")) - col("ni"))).as("jac3"))
+        detRound4(call_function("graft_trigram_jaccard", col("ta"), col("tb")))
+          .as("jac3"))
       .orderBy("doc_a")
   }
 

@@ -84,6 +84,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("CharTrigrams native expression equals the declarative HOF form") {
+    graft.expressions.CharTrigrams.register(spark)
+    // edge cases the fixture never exercises: empty text, 1–2 chars
+    // (partial-gram fallback), multi-byte UTF-8 (code-point semantics)
+    val texts = Seq("", "a", "ab", "abc", "abcd", "héllo wörld",
+      "的是了在我不", "abc def ghi jkl") ++ {
+      val rnd = new scala.util.Random(17)
+      (0 until 40).map(_ => rnd.alphanumeric.take(rnd.nextInt(30)).mkString(" "))
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+        Text.charTrigramsNative(col("text")).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val hof = df.select(col("doc_id"), Text.charTrigrams(col("text")).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native == hof)
+    assert(native(0L) == Seq(""), "empty text yields one empty gram")
+    assert(native(3L) == Seq("abc"))
+    assert(native(4L) == Seq("abc", "bcd"))
+  }
+
+  test("TrigramJaccard fused expression equals the declarative set formula") {
+    graft.expressions.TrigramJaccard.register(spark)
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcd的是 héö"   // small alphabet forces gram collisions
+    def randText(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pairs = Seq(("", ""), ("", "abc"), ("a", "ab"), ("abc", "abc"),
+      ("abcd", "bcda"), ("的是了", "的是了在")) ++
+      (0 until 50).map(_ => (randText(rnd.nextInt(40)), randText(rnd.nextInt(40))))
+    val df = pairs.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "ta", "tb")
+    val fused = df.select(col("id"),
+        call_function("graft_trigram_jaccard", col("ta"), col("tb")).as("j"))
+      .as[(Long, Double)].collect().toMap
+    def grams(c: org.apache.spark.sql.Column) = array_distinct(Text.charTrigrams(c))
+    val decl = df.select(col("id"), grams(col("ta")).as("ga"), grams(col("tb")).as("gb"))
+      .select(col("id"), size(array_intersect(col("ga"), col("gb"))).as("ni"),
+        size(col("ga")).as("sa"), size(col("gb")).as("sb"))
+      .select(col("id"), (col("ni").cast("double") /
+        (col("sa") + col("sb") - col("ni"))).as("j"))
+      .as[(Long, Double)].collect().toMap
+    assert(fused == decl)
+    assert(fused(0L) == 1.0, "two empty texts share their one empty gram")
+    assert(fused(3L) == 1.0)
+  }
+
   test("banded LSH (8 bands × 2 rows) finds near-dups, drops unrelated") {
     val pairs = Dedup.bandedCandidates(docs, col("text"), 16, 2)
       .as[(Long, Long)].collect().toSet
