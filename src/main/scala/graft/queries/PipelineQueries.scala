@@ -526,6 +526,39 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk")
   }
 
+  /** The FUZZY-dedup curation pipeline — [[xCurate]] with the exact
+    * content-hash dedup stage replaced by the full near-dup machinery:
+    * quality gate → n-perm banded-LSH candidates over the gated docs →
+    * connected-components clustering ([[Dedup.dupClusters]]) → keep the
+    * SMALLEST doc_id per cluster (docs in no pair keep themselves; exact
+    * dups are subsumed — identical text signs identically, so they band
+    * together) → deterministic 80% train split → context-window
+    * chunking. This is the composition a real 100 TB curation pass
+    * runs: everything narrow except the one band equi-join and the
+    * O(log d) label-propagation rounds; the pair matrix is never
+    * materialized. Oracle: the recursive-CTE transitive closure composed
+    * with the curate SQL.
+    */
+  def xCurateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks)
+    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), n.as("n_words"),
+        (enHits.cast("double") / n).as("swr"))
+      .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
+      .select("doc_id", "text")
+    val clusters = Dedup.dupClusters(quality,
+      Dedup.bandedCandidates(quality, col("text"), N_PERMS, ROWS_PER_BAND))
+    val keep = quality
+      .join(clusters.where(col("doc_id") === col("cluster")).select("doc_id"),
+        "doc_id")
+    val train = keep.where(Sampling.pct(col("doc_id")) < 80)
+    Sampling.chunked(train.select("doc_id", "text"), col("text"), CHUNK_BUDGET)
+      .select("doc_id", "chunk", "n_tok")
+      .orderBy("doc_id", "chunk")
+  }
+
   /** Balanced corpus: exactly 20 docs per lang, hash-ordered —
     * stratified deterministic sampling ([[Sampling.stratifiedN]]).
     */
@@ -550,6 +583,7 @@ object PipelineQueries {
     "x_stratified"  -> xStratified _,
     "x_split"       -> xSplit _,
     "x_curate"      -> xCurate _,
+    "x_curate_fuzzy" -> xCurateFuzzy _,
     "x_chunks"      -> xChunks _,
     "x_tokens"      -> xTokens _,
     "x_token_count" -> xTokenCount _,
@@ -630,9 +664,13 @@ object PipelineQueries {
   /** DuckDB twin of the n-permutation signature pass: raw 3-word shingles,
     * then per (doc, perm) minima of md5(perm || ':' || shingle) — exactly
     * [[graft.expressions.ShinglePermMinHash]]'s math in long format.
+    * `src` is the doc source CTE/table (x_curate_fuzzy signs only the
+    * quality-gated subset).
     */
-  private val permSigsSql: String =
-    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+  private val permSigsSql: String = permSigsSqlFrom("documents")
+
+  private def permSigsSqlFrom(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM $src),
       |sh AS (SELECT doc_id,
       |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
       |             i -> array_to_string(list_slice(toks, i, i + 2), ' '))
@@ -762,6 +800,43 @@ object PipelineQueries {
         |       WHERE rn = 1 AND ${hashBucketSql("doc_id")} % 100 < 80),
         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
         |n2 AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
+        |      FROM n2)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
+    "x_curate_fuzzy" ->
+      s"""WITH RECURSIVE q AS (
+        |  SELECT doc_id, text,
+        |         len(string_split(text, ' ')) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS swr
+        |  FROM documents),
+        |f AS (SELECT doc_id, text FROM q
+        |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4),
+        |${permSigsSqlFrom("f")},
+        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.doc_id < b.doc_id),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |        UNION SELECT doc_b, doc_a FROM cand),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |minr AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |         FROM reach GROUP BY a),
+        |keep AS (SELECT ff.doc_id, ff.text
+        |         FROM f ff LEFT JOIN minr m USING (doc_id)
+        |         WHERE coalesce(m.cluster, ff.doc_id) = ff.doc_id),
+        |tr AS (SELECT doc_id, text FROM keep
+        |       WHERE ${hashBucketSql("doc_id")} % 100 < 80),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
+        |n2 AS (SELECT doc_id, len(toks) AS n FROM t2 WHERE len(toks) > 0),
         |e AS (SELECT doc_id, n,
         |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
         |      FROM n2)
@@ -918,7 +993,7 @@ object PipelineQueries {
         |       ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3
         |FROM h ORDER BY doc_id""".stripMargin,
     "x_minhash_perm" ->
-      s"""WITH $permSigsSql
+      s"""WITH ${permSigsSql}
         |SELECT doc_id, CAST(perm AS BIGINT) AS perm, sig
         |FROM sigs ORDER BY doc_id, perm""".stripMargin,
     "x_winnow" -> {
@@ -943,7 +1018,7 @@ object PipelineQueries {
         |ORDER BY doc_id, fp""".stripMargin
     },
     "x_neardup" ->
-      s"""WITH $permSigsSql,
+      s"""WITH ${permSigsSql},
         |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key
         |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
@@ -959,13 +1034,13 @@ object PipelineQueries {
         |SELECT doc_a, doc_b, ${detRound4Sql("jac")} AS jac
         |FROM ver WHERE jac >= 0.35 ORDER BY doc_a, doc_b""".stripMargin,
     "x_group_sig" ->
-      s"""WITH $permSigsSql
+      s"""WITH ${permSigsSql}
         |SELECT d.lang, CAST(s.perm AS BIGINT) AS perm, min(s.sig) AS sig
         |FROM sigs s JOIN documents d ON s.doc_id = d.doc_id
         |GROUP BY d.lang, s.perm
         |ORDER BY lang, perm""".stripMargin,
     "x_lshpairs_banded" ->
-      s"""WITH $permSigsSql,
+      s"""WITH ${permSigsSql},
         |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key
         |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND)
@@ -974,7 +1049,7 @@ object PipelineQueries {
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_dupclusters" ->
-      s"""WITH RECURSIVE $permSigsSql,
+      s"""WITH RECURSIVE ${permSigsSql},
         |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key
         |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
