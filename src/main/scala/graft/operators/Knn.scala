@@ -176,6 +176,46 @@ object Knn {
       .unionByName(refined)
   }
 
+  /** Lloyd's k-means iterated to CONVERGENCE (or `maxRounds`): repeated
+    * [[kmeansRefine]] with the same quantized order-independent means,
+    * under the same loop discipline as [[Dedup.dupClusters]] — each
+    * round's centroids are a `localCheckpoint` (lineage truncated, no
+    * recomputation cascade), and the driver only ever sees a boolean
+    * convergence flag, never centroid data. Convergence is EXACT
+    * equality of the centroid set round-over-round — well-defined
+    * because the quantized means are bit-reproducible, and equivalent to
+    * assignment stability (identical centroids ⇒ identical next
+    * assignment). Returns (centroids, refinement rounds run). The last
+    * scheduled round skips the equality probe (its verdict couldn't
+    * change the loop), so a fixed-round caller pays no extra job.
+    *
+    * IVF_K scaling: k here is the codebook size — grow it ~√n with the
+    * corpus so cells stay O(√n); the per-round cost is one n·k
+    * assignment pass + a k·dim-sized aggregate, both map-side-partial,
+    * so rounds scale linearly in data with no driver involvement.
+    */
+  def kmeansTrain(vectors: DataFrame, seed: DataFrame, dim: Int,
+                  maxRounds: Int): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // normalize the seed to double vectors so round-over-round equality
+    // compares like with like (seeds are often float data samples)
+    var cents = seed.select(col("cent_id"),
+      transform(col("cvec"), x => x.cast("double")).as("cvec"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = kmeansRefine(vectors, cents, dim).localCheckpoint()
+      val prev = cents.select(col("cent_id"), col("cvec").as("pvec"))
+      round += 1
+      if (round < maxRounds)
+        converged = next.join(prev, "cent_id")
+          .where(col("cvec") =!= col("pvec")).isEmpty
+      cents = next
+    }
+    (cents, round)
+  }
+
   /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes
     * each (see [[Vectors.signPlaneTables]]), `bucketCap` caps candidates
     * per (table, bucket). Vectors alone in their buckets get no row

@@ -327,6 +327,28 @@ object PipelineQueries {
       .orderBy("cell")
   }
 
+  val KMEANS_ROUNDS = 3
+
+  /** Iterated IVF training: seed codebook → THREE convergence-checked
+    * Lloyd rounds ([[Knn.kmeansTrain]] — the gaussian fixture does not
+    * converge that fast, so the round count is deterministic and the
+    * serial DuckDB oracle unrolls exactly three refinements) →
+    * re-assignment on the trained codebook. Same bit-reproducibility
+    * discipline as [[xIvfTrain]]; the convergence early-exit itself is
+    * spec-tested on a clustered fixture (KnnSpec/VectorSpec).
+    */
+  def xIvfTrain2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val seed = emb.where(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
+    Knn.ivfAssign(emb, trained, DIM)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .join(trained.select(col("cent_id").as("cell"),
+        detRound4(Vectors.norm(col("cvec"), DIM)).as("cnorm")), "cell")
+      .orderBy("cell")
+  }
+
   /** Winnowing fingerprints (rolling-hash k-grams, minima per w-window)
     * in long (doc_id, fp) format — [[graft.expressions.RollingWinnow]],
     * the position-robust signature whose size tracks length/w.
@@ -613,6 +635,7 @@ object PipelineQueries {
     "x_ivf_recall"  -> xIvfRecall _,
     "x_ivfknn"      -> xIvfknn _,
     "x_ivf_train"   -> xIvfTrain _,
+    "x_ivf_train2"  -> xIvfTrain2 _,
     "x_ivfknn2"     -> xIvfknn2 _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_multimodal"  -> xMultimodal _,
@@ -739,6 +762,26 @@ object PipelineQueries {
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
       |              FROM embeddings WHERE vec_id < $IVF_K),
       |${asgnSql("cent", "asgn")}""".stripMargin
+
+  /** One serial Lloyd refinement as composable CTEs: assignment on
+    * `prev`, quantized per-cell means, empty cells retained — the exact
+    * replay of [[Knn.kmeansRefine]], chainable for iterated training.
+    */
+  private def refineSql(prev: String, out: String, i: Int): String =
+    s"""${asgnSql(prev, s"ra$i")},
+      |rq$i AS (SELECT cell, d.i AS dim,
+      |        CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+      |      FROM ra$i CROSS JOIN range(1, ${DIM + 1}) d(i)),
+      |rn$i AS (SELECT cell, count(*) AS n FROM ra$i GROUP BY cell),
+      |rc$i AS (SELECT s.cell AS cent_id,
+      |                 list(CAST(s.sq AS DOUBLE) / (n.n * 1048576.0) ORDER BY s.dim) AS cvec
+      |          FROM (SELECT cell, dim, sum(qv) AS sq FROM rq$i GROUP BY cell, dim) s
+      |          JOIN rn$i n ON s.cell = n.cell
+      |          GROUP BY s.cell),
+      |$out AS (SELECT cent_id, cvec FROM rc$i
+      |         UNION ALL
+      |         SELECT cent_id, list_transform(cvec, x -> CAST(x AS DOUBLE))
+      |         FROM $prev WHERE cent_id NOT IN (SELECT cent_id FROM rc$i))""".stripMargin
 
   /** DuckDB twin of [[Sampling.hashBucket]]: first-4-hex-chars-of-md5
     * polynomial (same digits, same value).
@@ -906,6 +949,17 @@ object PipelineQueries {
         |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM a2 GROUP BY cell)
         |SELECT o.cell, o.n_vecs, ${detRound4Sql(normSql("c.cvec"))} AS cnorm
         |FROM occ o JOIN cent c ON o.cell = c.cent_id
+        |ORDER BY cell""".stripMargin,
+    "x_ivf_train2" ->
+      s"""WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < $KMEANS_K),
+        |${refineSql("cent0", "k1", 1)},
+        |${refineSql("k1", "k2", 2)},
+        |${refineSql("k2", "k3", 3)},
+        |${asgnSql("k3", "af")},
+        |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM af GROUP BY cell)
+        |SELECT o.cell, o.n_vecs, ${detRound4Sql(normSql("c.cvec"))} AS cnorm
+        |FROM occ o JOIN k3 c ON o.cell = c.cent_id
         |ORDER BY cell""".stripMargin,
     "x_ivf_cells" ->
       s"""$ivfAsgnPrefix

@@ -125,6 +125,27 @@ class VectorSpec extends SparkSpec {
     assert(refined(9L) == Seq(-100.0, -100.0), "empty cell keeps its previous centroid")
   }
 
+  test("kmeansTrain converges early on separated clusters and is a fixed point") {
+    // two tight direction clusters around (1,0) and (0,1); seeds one per
+    // cluster — Lloyd stabilizes in a couple of rounds, well under the cap
+    val vecs = (0 until 20).map { i =>
+      val t = 0.02f * (i / 2)
+      (i.toLong, if (i % 2 == 0) Array(1.0f, t) else Array(t, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val seed = vecs.where(col("vec_id") < 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, rounds) = Knn.kmeansTrain(vecs, seed, 2, 10)
+    assert(rounds < 10, s"expected early convergence, ran $rounds rounds")
+    val t1 = trained.as[(Long, Seq[Double])].collect().toMap
+    // converged ⇒ one more refinement is exactly a no-op (quantized
+    // means make the fixed point bit-exact, not approximate)
+    val again = Knn.kmeansRefine(vecs, trained, 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again == t1, "a converged codebook must be a fixed point")
+    // each trained centroid leans toward its cluster's axis
+    assert(t1(0L).head > t1(0L)(1) && t1(1L)(1) > t1(1L).head)
+  }
+
   test("multimodal resize preserves aspect ratio within the bounding box") {
     val docs = Seq((1L, "x" * 5000)).toDF("doc_id", "text")
     val decoded = Multimodal.decode(Multimodal.packetize(docs, "image/fake"))
