@@ -195,6 +195,72 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting — the O(log² n)-round alternative to [[dupClusters]]'
+    * label propagation (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): instead of carrying a label table alongside
+    * the edges, the edge set ITSELF is rewritten each round until every
+    * component collapses to a star rooted at its minimum node.
+    *
+    *  - large-star (per node u, over both edge directions): each
+    *    strictly-larger neighbor v > u reattaches to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star (per node u, over edges directed high→low): every
+    *    smaller neighbor and u itself reattach to the smallest
+    *    neighbor.
+    *
+    * Both steps are one groupBy + one equi-join on node id — the same
+    * shuffle shape as a propagation round, but the rewriting provably
+    * contracts components doubly-logarithmically on adversarial graphs
+    * where plain propagation (even halved) pays per-round latency
+    * longer. The fixed point (star forests) is stable under both steps;
+    * convergence = edge-set equality round-over-round, checked with one
+    * full-outer join whose result the driver reads only as a flag.
+    * Agreement with [[dupClusters]] on chains, stars, and random graphs
+    * is spec-tested; both share the recursive-CTE DuckDB oracle.
+    */
+  def dupClustersStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val und = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val lmin = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = und.join(lmin, "u").where(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")).distinct()
+      // small-star reads the large-star output directed high→low; its
+      // min neighbor is < u by construction, so every emitted edge is
+      // already (lo, hi)-canonical
+      val dir = large.select(col("hi").as("u"), col("lo").as("v"))
+      val smin = dir.groupBy("u").agg(min("v").as("mn"))
+      val small = dir.join(smin, "u").where(col("v") =!= col("mn"))
+        .select(col("mn").as("lo"), col("v").as("hi"))
+        .union(smin.select(col("mn").as("lo"), col("u").as("hi")))
+        .distinct()
+        .localCheckpoint()
+      converged = small.withColumn("n", lit(1))
+        .join(edges.withColumn("o", lit(1)), Seq("lo", "hi"), "full_outer")
+        .where(col("n").isNull || col("o").isNull)
+        .isEmpty
+      edges = small
+      round += 1
+    }
+    require(converged, s"dupClustersStar did not converge in $maxRounds rounds")
+    // star forest: every component is rooted at its min, so the label is
+    // the lo endpoint (roots appear only as lo and label themselves)
+    val labels = edges.select(col("lo").as("doc_id"), col("lo").as("cluster"))
+      .union(edges.select(col("hi").as("doc_id"), col("lo").as("cluster")))
+      .groupBy("doc_id").agg(min("cluster").as("cluster"))
+    docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
   /** Exact word-set Jaccard similarity between two token-array columns. */
   def jaccard(ta: Column, tb: Column): Column = {
     val inter = size(array_distinct(array_intersect(ta, tb))).cast("double")

@@ -160,6 +160,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Same clusters via the alternating large-star/small-star edge
+    * rewriting ([[Dedup.dupClustersStar]]) — the doubly-logarithmic CC
+    * alternative, hash-matched against the SAME recursive-CTE oracle as
+    * [[xDupClusters]] (and spec-matched against it on adversarial
+    * graphs).
+    */
+  def xDupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.dupClustersStar(docs,
+        Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND))
+      .orderBy("doc_id")
+  }
+
   def xSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.withSimhash(Tables.documents(s, dir), col("text"))
       .select("doc_id", "simhash")
@@ -622,6 +635,7 @@ object PipelineQueries {
     "x_lshpairs"    -> xLshpairs _,
     "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_dupclusters" -> xDupClusters _,
+    "x_dupclusters_star" -> xDupClustersStar _,
     "x_simhash"     -> xSimhash _,
     "x_simhash_pairs" -> xSimhashPairs _,
     "x_jaccard"     -> xJaccard _,
@@ -810,6 +824,30 @@ object PipelineQueries {
       |       CAST(sum(CASE WHEN a.ann_cand = e.exact_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
       |       ${detRound4Sql("CAST(sum(CASE WHEN a.ann_cand = e.exact_cand THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS recall_at_1
       |FROM ex1 e LEFT JOIN ann1 a USING (probe_id)""".stripMargin
+
+  /** Recursive-CTE transitive closure of the banded candidates — shared
+    * by x_dupclusters (label propagation) and x_dupclusters_star (star
+    * rewriting).
+    */
+  private val dupClustersOracle: String =
+    s"""WITH RECURSIVE ${permSigsSql},
+      |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+      |                 string_agg(sig, '|' ORDER BY perm) AS key
+      |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |         WHERE a.doc_id < b.doc_id),
+      |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+      |        UNION SELECT doc_b, doc_a FROM cand),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      |minr AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+      |         FROM reach GROUP BY a)
+      |SELECT d.doc_id, CAST(coalesce(m.cluster, d.doc_id) AS BIGINT) AS cluster
+      |FROM documents d LEFT JOIN minr m USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_tfidf" ->
@@ -1102,25 +1140,10 @@ object PipelineQueries {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "x_dupclusters" ->
-      s"""WITH RECURSIVE ${permSigsSql},
-        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
-        |                 string_agg(sig, '|' ORDER BY perm) AS key
-        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-        |         WHERE a.doc_id < b.doc_id),
-        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
-        |        UNION SELECT doc_b, doc_a FROM cand),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-        |minr AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
-        |         FROM reach GROUP BY a)
-        |SELECT d.doc_id, CAST(coalesce(m.cluster, d.doc_id) AS BIGINT) AS cluster
-        |FROM documents d LEFT JOIN minr m USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "x_dupclusters" -> dupClustersOracle,
+    // the star-rewriting variant computes the SAME transitive closure —
+    // one oracle, two distributed algorithms
+    "x_dupclusters_star" -> dupClustersOracle,
     "x_lshpairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |h AS (SELECT doc_id, $hashesSql AS hs FROM t),

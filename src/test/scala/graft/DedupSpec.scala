@@ -255,4 +255,38 @@ class DedupSpec extends SparkSpec {
     assert(out.length == n && out.forall(_._2 == 0L),
       "every node of the chain must label down to 0")
   }
+
+  test("dupClustersStar agrees with dupClusters on chain, star, and empty graphs") {
+    val n = 64L
+    val ids = spark.range(n).toDF("doc_id")
+    val fixtures = Seq(
+      // deep chain (worst case for propagation, the star variant's selling point)
+      (0L until n - 1).map(i => (i, i + 1)),
+      // star centered high (reversal case: center 63 must label to leaf min 0)
+      (0L until n - 1).map(i => (63L, i)),
+      // two components + reversed-order pairs + a triangle
+      Seq((9L, 3L), (3L, 7L), (20L, 11L), (11L, 20L), (5L, 6L), (6L, 5L), (9L, 7L)),
+      Seq.empty[(Long, Long)])
+    fixtures.foreach { edges =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val a = Dedup.dupClusters(ids, pairs).as[(Long, Long)].collect().toMap
+      val b = Dedup.dupClustersStar(ids, pairs).as[(Long, Long)].collect().toMap
+      assert(a == b, s"star CC disagrees on $edges:\n$b\nvs propagation\n$a")
+    }
+  }
+
+  test("dupClustersStar matches dupClusters on seeded random graphs") {
+    val rnd = new scala.util.Random(41)
+    (0 until 3).foreach { _ =>
+      val nNodes = 120
+      val ids = spark.range(nNodes.toLong).toDF("doc_id")
+      val pairs = (0 until 90).map(_ =>
+          (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(p => p._1 != p._2)
+        .toDF("doc_a", "doc_b")
+      val a = Dedup.dupClusters(ids, pairs).as[(Long, Long)].collect().toMap
+      val b = Dedup.dupClustersStar(ids, pairs).as[(Long, Long)].collect().toMap
+      assert(a == b)
+    }
+  }
 }
