@@ -145,7 +145,19 @@ object HumioQueries {
       "session(field=user_id, maxpause=30m) | groupBy(user_id, _session) " +
         "| sort(user_id, _session)")
 
+  /** match(): dimension-table enrichment from inside the pipe language —
+    * events matched against the customer table (broadcast), segment
+    * sized by groupBy. The most common LogScale enrichment verb after
+    * constants: a lookup join the event side never shuffles for.
+    */
+  def hqLookup(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
+        "| groupBy(c_mktsegment) | sort(c_mktsegment)",
+      Map("customer" -> Tables.table(s, dir, "customer")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_lookup"    -> hqLookup _,
     "hq_session"   -> hqSession _,
     "hq_in"        -> hqIn _,
     "hq_format"    -> hqFormat _,
@@ -172,6 +184,10 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_lookup" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS _count
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "hq_session" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

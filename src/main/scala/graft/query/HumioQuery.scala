@@ -54,6 +54,10 @@ import org.apache.spark.sql.functions._
   *                subquery side broadcast
   *   session   := session(field=k[, maxpause=30m]) — per-key `_session`
   *                index (gap > maxpause starts a new session)
+  *   match     := match(table, field=f[, column=c][, include=[…]]
+  *                [, strict=false]) — enrich against a dimension table
+  *                (broadcast); strict drops non-matching events, else
+  *                left join. `lookup` is an alias.
   *   timechart := timechart(span=<n><s|m|h|d>[, function=…])   — buckets _bucket_ms
   *   bucket    := bucket(span=…[, function=…])                 — buckets _bucket
   * }}}
@@ -63,9 +67,15 @@ import org.apache.spark.sql.functions._
   */
 object HumioQuery {
 
-  def run(df: DataFrame, query: String): DataFrame =
+  /** Compile and apply `query` to `df`. `tables` names the dimension
+    * tables a `match()`/`lookup()` stage may enrich against (LogScale
+    * resolves these from uploaded lookup files; here the caller passes
+    * DataFrames).
+    */
+  def run(df: DataFrame, query: String,
+          tables: Map[String, DataFrame] = Map.empty): DataFrame =
     splitPipes(query).map(_.trim).filter(_.nonEmpty)
-      .foldLeft(df)((acc, stage) => applyStage(acc, stage))
+      .foldLeft(df)((acc, stage) => applyStage(acc, stage, tables))
 
   /** split on '|' not inside parentheses, braces (a `case { … | … }`
     * block owns its pipes), or a /regex/ literal (alternation in a regex
@@ -124,12 +134,13 @@ object HumioQuery {
   private val RegexEx  = """regex\(\s*/((?:[^/\\]|\\.)*)/\s*,\s*field\s*=\s*([\w.]+)\s*\)\s*""".r
   private val ReplaceRe = """replace\(\s*/((?:[^/\\]|\\.)*)/\s*,\s*(.*)\)\s*""".r
 
-  private def applyStage(df: DataFrame, stage: String): DataFrame = stage match {
+  private def applyStage(df: DataFrame, stage: String,
+                         tables: Map[String, DataFrame]): DataFrame = stage match {
     case CaseBlk(body) => applyCase(df, body)
     case RegexEx(pattern, field) => applyRegexExtract(df, pattern, field)
     case ReplaceRe(pattern, rest) => applyReplace(df, pattern, parseArgs(rest)._2)
     case Assign(field, expr) => df.withColumn(field, parseExpr(expr))
-    case FnCall(name, args) => applyFn(df, name, parseArgs(args))
+    case FnCall(name, args) => applyFn(df, name, parseArgs(args), tables)
     case Compare(field, op, raw) => df.where(predicate(field, op, raw.trim))
     case other => throw new IllegalArgumentException(s"cannot parse stage: '$other'")
   }
@@ -407,7 +418,8 @@ object HumioQuery {
   private val Span = """(\d+)([smhd])""".r
 
   private def applyFn(df: DataFrame, name: String,
-                      args: (Seq[String], Map[String, String])): DataFrame = {
+                      args: (Seq[String], Map[String, String]),
+                      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     val (pos, named) = args
     name match {
       case "groupBy" =>
@@ -549,7 +561,7 @@ object HumioQuery {
         val sub = pos.head
         require(sub.startsWith("{") && sub.endsWith("}"),
           s"join expects a {subquery} first argument, got '$sub'")
-        val subDf = run(df, sub.substring(1, sub.length - 1))
+        val subDf = run(df, sub.substring(1, sub.length - 1), tables)
         val field = named("field")
         val key = named.getOrElse("key", field)
         val include = named.get("include").map(listArg)
@@ -559,6 +571,34 @@ object HumioQuery {
             include.map(c => col(c).as(s"__graft_inc_$c")): _*))
         val joined = df.join(right, col(field) === col("__graft_join_key"))
           .drop("__graft_join_key")
+        include.foldLeft(joined) { (d, c) =>
+          d.drop(c).withColumnRenamed(s"__graft_inc_$c", c)
+        }
+      case "match" | "lookup" =>
+        // match(table, field=f[, column=c][, include=[c1, …]][, strict=false]):
+        // enrich events against a DIMENSION table (LogScale's lookup-file
+        // match; `lookup` is the legacy alias). strict (the default)
+        // drops non-matching events — inner join; strict=false keeps
+        // them with NULL enrichment — left join. The dimension side is
+        // broadcast: at scale the event side never shuffles for an
+        // enrichment. Dimension columns win on name collision, like
+        // join().
+        val tname = pos.headOption.getOrElse(
+          throw new IllegalArgumentException(s"$name() needs a table name"))
+        val dim = tables.getOrElse(tname, throw new IllegalArgumentException(
+          s"$name(): unknown table '$tname' — pass it via run(df, q, tables)"))
+        val field = named.getOrElse("field",
+          throw new IllegalArgumentException(s"$name() needs field=..."))
+        val key = named.getOrElse("column", field)
+        val strict = !named.get("strict").contains("false")
+        val include = named.get("include").map(listArg)
+          .getOrElse(dim.columns.toSeq.filterNot(_ == key))
+        val right = broadcast(dim.select(
+          col(key).as("__graft_match_key") +:
+            include.map(c => col(c).as(s"__graft_inc_$c")): _*))
+        val joined = df.join(right, col(field) === col("__graft_match_key"),
+            if (strict) "inner" else "left")
+          .drop("__graft_match_key")
         include.foldLeft(joined) { (d, c) =>
           d.drop(c).withColumnRenamed(s"__graft_inc_$c", c)
         }

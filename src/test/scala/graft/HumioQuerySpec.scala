@@ -395,4 +395,40 @@ class HumioQuerySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("frobnicate"))
   }
+
+  test("match() enriches from a dimension table; strict drops, strict=false keeps") {
+    val dim = Seq((100L, "gold", "x"), (300L, "silver", "y"))
+      .toDF("cust_id", "tier", "junk")
+    val tabs = Map("cust" -> dim)
+    // strict (default): inner join, only enriched events survive
+    val strict = HumioQuery.run(df,
+        "match(cust, field=user_id, column=cust_id, include=[tier]) " +
+          "| select(event_id, tier) | sort(event_id)", tabs)
+      .as[(Long, String)].collect().toSeq
+    assert(strict == Seq((1L, "gold"), (3L, "silver")))
+    // strict=false: left join, unmatched events keep NULL enrichment
+    val loose = HumioQuery.run(df,
+        "match(cust, field=user_id, column=cust_id, include=[tier], strict=false) " +
+          "| select(event_id, tier) | sort(event_id)", tabs)
+      .as[(Long, Option[String])].collect().toSeq
+    assert(loose.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(loose.toMap == Map(1L -> Some("gold"), 2L -> None,
+      3L -> Some("silver"), 4L -> None))
+    // default include = every dim column except the key; lookup is an alias
+    val all = HumioQuery.run(df,
+      "lookup(cust, field=user_id, column=cust_id) | sort(event_id)", tabs)
+    assert(all.columns.toSet ==
+      df.columns.toSet ++ Set("tier", "junk") -- Set("cust_id"))
+    // the dimension side must be the broadcast build side
+    val plan = HumioQuery.run(df,
+        "match(cust, field=user_id, column=cust_id)", tabs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"match() must broadcast the dimension side:\n$plan")
+    // unknown table names the verb and the table
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.run(df, "match(nope, field=user_id)", tabs)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
 }
