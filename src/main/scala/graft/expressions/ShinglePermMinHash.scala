@@ -1,6 +1,5 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -10,28 +9,35 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.security.MessageDigest
 
-/** n-PERMUTATION seeded MinHash of a token array in one pass: permutation
-  * `i` of a shingle is `md5("i:" + shingle)`, and the signature is the
-  * per-permutation minimum over all 3-word shingles of the document.
+/** n-PERMUTATION MinHash of a token array in one pass, ONE md5 per
+  * shingle: the digest's two 64-bit halves (h1, h2) seed the
+  * Kirsch–Mitzenmacher double-hashing family
+  * `perm_i(shingle) = (h1 + i·h2) mod 2^64`, and the signature is the
+  * per-permutation UNSIGNED minimum over all shingles, formatted as a
+  * zero-padded 20-digit decimal so plain string order equals numeric
+  * order everywhere downstream (band keys, group-signature minima, the
+  * DuckDB varchar min).
   *
   * This is the scale-grade successor of [[ShingleMinHash]]'s rotation
-  * family, whose 8-hex-char rotations have period 4 and therefore cap the
-  * signature length at k=4 — far below the 16–128 permutations a real
-  * near-dup pass needs for banding (b bands × r rows) to control the
-  * recall/precision trade. Seeding by PREFIX keeps every permutation an
-  * independent md5 draw, and md5 is the one hash both Spark and DuckDB
-  * evaluate bit-identically, so the DuckDB oracle can replay signatures
-  * exactly (`md5(CAST(i AS VARCHAR) || ':' || shingle)`).
+  * family (period-capped at k=4) AND of the earlier md5-per-permutation
+  * seeding: n permutations previously cost n digest calls per shingle —
+  * the dominant line of every signature query's profile — where double
+  * hashing derives all n from a single call. At 100 TB that is the
+  * difference between 1 and n compression rounds per shingle in the hot
+  * loop; the estimator trade (linear combinations instead of independent
+  * draws) is the standard one and the banding s-curve is unchanged.
   *
-  * Cost model: n digest calls per shingle (a shingle fits one md5 block,
-  * so each call is a single compression round). The whole expression is a
-  * narrow per-row projection — no shingle arrays materialized, no explode,
-  * no shuffle — signatures stay co-located with the scan and the LSH band
-  * join remains the only exchange, which is the shape that survives 100 TB.
+  * The DuckDB oracle replays it exactly: both halves are hex-substring
+  * polynomials of `md5(shingle)`, the combination runs in HUGEINT mod
+  * 2^64, and `lpad(CAST(min(…) AS VARCHAR), 20, '0')` reproduces the
+  * padded-decimal signature (Java's wrapping Long arithmetic IS mod
+  * 2^64; minima compare with compareUnsigned to match the oracle's
+  * non-negative HUGEINT order).
   *
-  * CodegenFallback is deliberate: per-row work (n·shingles md5 calls)
-  * dwarfs the virtual call codegen would save, and the digest instance is
-  * reused across the row.
+  * The whole expression stays a narrow per-row projection — no shingle
+  * arrays, no explode, no shuffle; the LSH band join remains the only
+  * exchange. CodegenFallback is deliberate: per-row work (md5 per
+  * shingle) dwarfs the virtual call codegen would save.
   */
 case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: Int)
     extends UnaryExpression with CodegenFallback {
@@ -48,45 +54,29 @@ case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: In
       s"graft_shingle_perm_minhash expects array<string>, got ${other.simpleString}")
   }
 
-  // hex encoding is order-preserving byte-for-byte (00→"00" … ff→"ff"),
-  // so UNSIGNED lexicographic order on raw digests equals the hex-string
-  // order the oracle's varchar min uses
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+  private def beLong(b: Array[Byte], off: Int): Long = {
+    var v = 0L
     var i = 0
-    while (i < 16) {
-      val ai = a(i) & 0xff; val bi = b(i) & 0xff
-      if (ai != bi) return ai < bi
-      i += 1
-    }
-    false
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
   }
-
-  // per-instance, not per-row: a pure function of numPerms (transient —
-  // rebuilt lazily on the executor after serialization)
-  @transient private lazy val prefixes: Array[Array[Byte]] =
-    Array.tabulate(numPerms)(i =>
-      s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val words = Array.tabulate(n)(i => arr.getUTF8String(i).toString)
     val md = MessageDigest.getInstance("MD5")
-    // minima are tracked as raw 16-byte digests and hex-encoded ONCE per
-    // permutation at the end; the shingle is UTF-8-encoded once, not once
-    // per permutation, and digest(buf,…) keeps the loop allocation-free
-    val mins = Array.ofDim[Byte](numPerms, 16)
+    val mins = new Array[Long](numPerms)
     var filled = false
-    val buf = new Array[Byte](16)
     def fold(shingle: String): Unit = {
-      val sb = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = md.digest(shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h1 = beLong(d, 0)
+      val h2 = beLong(d, 8)
       var j = 0
+      var v = h1                       // (h1 + j·h2) by running addition
       while (j < numPerms) {
-        md.update(prefixes(j))
-        md.update(sb)
-        md.digest(buf, 0, 16)   // writes and resets
-        if (!filled || unsignedLess(buf, mins(j)))
-          System.arraycopy(buf, 0, mins(j), 0, 16)
+        if (!filled || java.lang.Long.compareUnsigned(v, mins(j)) < 0) mins(j) = v
+        v += h2
         j += 1
       }
       filled = true
@@ -108,7 +98,10 @@ case class ShinglePermMinHash(child: Expression, shingleWords: Int, numPerms: In
     } else {
       fold(words.mkString(" "))
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(HexBytes.toHex(m)): Any))
+    new GenericArrayData(mins.map { m =>
+      val s = java.lang.Long.toUnsignedString(m)
+      UTF8String.fromString("0" * (20 - s.length) + s): Any
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

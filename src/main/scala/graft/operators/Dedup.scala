@@ -56,9 +56,10 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** n-permutation seeded MinHash signatures as one `sigs` array column
-    * ([[graft.expressions.ShinglePermMinHash]]: permutation i of a shingle
-    * is md5("i:"+shingle)). Unlike [[withMinhashSigs]]'s rotation family
+  /** n-permutation MinHash signatures as one `sigs` array column
+    * ([[graft.expressions.ShinglePermMinHash]]: ONE md5 per shingle,
+    * whose 64-bit halves double-hash into n permutations
+    * (h1 + i·h2 mod 2^64)). Unlike [[withMinhashSigs]]'s rotation family
     * (period-capped at k=4) this family extends to the 16–128 permutations
     * real banding needs — the scale-grade signature path.
     */

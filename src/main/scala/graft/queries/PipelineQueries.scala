@@ -706,16 +706,31 @@ object PipelineQueries {
     */
   private val permSigsSql: String = permSigsSqlFrom("documents")
 
+  /** A 16-hex-char substring of an md5 as an exact HUGEINT (unrolled
+    * polynomial with literal 16^k multipliers — no hugeint shifts).
+    */
+  private def hex16Huge(e: String): String =
+    (0 until 16).map { k =>
+      s"CAST(strpos('0123456789abcdef', substr($e, ${k + 1}, 1)) - 1 AS HUGEINT)" +
+        s" * CAST(${BigInt(16).pow(15 - k)} AS HUGEINT)"
+    }.mkString(" + ")
+
   private def permSigsSqlFrom(src: String): String =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM $src),
       |sh AS (SELECT doc_id,
       |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
       |             i -> array_to_string(list_slice(toks, i, i + 2), ' '))
       |         ELSE [array_to_string(toks, ' ')] END AS shingles FROM t),
-      |lng AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |lng AS (SELECT doc_id, md5(unnest(shingles)) AS m FROM sh),
+      |hh AS (SELECT doc_id,
+      |         ${hex16Huge("substr(m, 1, 16)")} AS h1,
+      |         ${hex16Huge("substr(m, 17, 16)")} AS h2
+      |       FROM lng),
       |sigs AS (SELECT doc_id, p.i AS perm,
-      |           min(md5(CAST(p.i AS VARCHAR) || ':' || shingle)) AS sig
-      |         FROM lng CROSS JOIN range(0, $N_PERMS) p(i)
+      |           lpad(CAST(min((h1 + CAST(p.i AS HUGEINT) * h2)
+      |                         % CAST(18446744073709551616 AS HUGEINT)) AS VARCHAR),
+      |                20, '0') AS sig
+      |         FROM hh CROSS JOIN range(0, $N_PERMS) p(i)
       |         GROUP BY doc_id, p.i)""".stripMargin
 
   /** Shared WITH-prefix of the multi-table-LSH oracles: replays the L

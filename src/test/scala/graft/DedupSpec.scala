@@ -40,9 +40,10 @@ class DedupSpec extends SparkSpec {
     val sigs = Dedup.withPermMinhashSigs(docs, col("text"), 16)
       .as[(Long, Seq[String])].collect().toMap
     assert(sigs(0L).length == 16)
-    assert(sigs(0L).forall(_.matches("[0-9a-f]{32}")))
-    // a seeded FAMILY: permutations are independent draws, not rotations
-    // of one digest — 16 perms must be 16 distinct values (w.h.p.)
+    // padded 20-digit unsigned decimal: string order == numeric order
+    assert(sigs(0L).forall(_.matches("[0-9]{20}")))
+    // a FAMILY: double-hashed permutations are distinct draws, not
+    // rotations of one digest — 16 perms must be 16 distinct values (w.h.p.)
     assert(sigs(0L).distinct.length == 16,
       "permutations must not collapse to duplicates")
     assert(sigs(0L) == sigs(3L), "identical docs sign identically")
@@ -53,34 +54,41 @@ class DedupSpec extends SparkSpec {
     assert(farAgree == 0, s"no shared shingles → no shared minima, got $farAgree")
   }
 
-  test("ShinglePermMinHash equals its declarative specification on random docs") {
-    // the oracle checks fixture data only; this differential check runs
-    // the native expression against the explode + md5(i:shingle) + min
-    // formula (the DuckDB twin's exact shape) over seeded random inputs,
+  test("ShinglePermMinHash equals a BigInt replay of the double-hash family") {
+    // the oracle checks fixture data only; this differential recomputes
+    // the (h1 + i·h2) mod 2^64 family in BigInt arithmetic (the DuckDB
+    // twin's HUGEINT shape — exercising a different overflow model than
+    // the expression's wrapping Longs) over seeded random inputs,
     // including <3-word and empty docs
     val rnd = new scala.util.Random(11)
     val randDocs = (0 until 60).map { i =>
       val n = rnd.nextInt(25)   // 0..24 words — hits the whole-doc fallback
       (i.toLong, Seq.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(5)).mkString)
         .mkString(" "))
-    }.toDF("doc_id", "text")
+    }
     val nPerms = 6
-    val native = Dedup.withPermMinhashSigs(randDocs, col("text"), nPerms)
+    val native = Dedup.withPermMinhashSigs(
+        randDocs.toDF("doc_id", "text"), col("text"), nPerms)
       .as[(Long, Seq[String])].collect().toMap
-    val twin = randDocs
-      .select(col("doc_id"),
-        explode(Text.shingles(Text.tokens(col("text")), 3)).as("shingle"))
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(nPerms - 1))).as("perm"))
-      .select(col("doc_id"), col("perm"),
-        md5(concat(col("perm").cast("string"), lit(":"), col("shingle"))
-          .cast("binary")).as("h"))
-      .groupBy("doc_id", "perm").agg(min("h").as("sig"))
-      .as[(Long, Int, String)].collect()
-      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
-    assert(native.keySet == twin.keySet)
-    native.foreach { case (id, sigs) =>
-      assert(sigs == twin(id), s"doc $id: native $sigs != declarative ${twin(id)}")
+    val two64 = BigInt(1) << 64
+    def twin(text: String): Seq[String] = {
+      val toks = text.split(" ", -1).toSeq
+      val shingles =
+        if (toks.size >= 3) (0 to toks.size - 3).map(i => toks.slice(i, i + 3).mkString(" "))
+        else Seq(toks.mkString(" "))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = shingles.map { s =>
+        val d = md.digest(s.getBytes("UTF-8"))
+        (BigInt(1, d.take(8)), BigInt(1, d.drop(8)))   // non-negative halves
+      }
+      (0 until nPerms).map { i =>
+        val m = hs.map { case (h1, h2) => (h1 + BigInt(i) * h2).mod(two64) }.min
+        val str = m.toString
+        "0" * (20 - str.length) + str
+      }
+    }
+    randDocs.foreach { case (id, text) =>
+      assert(native(id) == twin(text), s"doc $id: native ${native(id)} != ${twin(text)}")
     }
   }
 
