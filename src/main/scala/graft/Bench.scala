@@ -27,8 +27,11 @@ object Bench {
     try Tables.events(spark, sfDir).limit(1).collect()
     catch { case _: Throwable => () }
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    // dev convenience: args select a subset (driver passes none → full run)
+    // dev convenience: args select a subset (driver passes none → full run);
+    // a typo'd name must fail loudly, not print a 0.00s "clean run"
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

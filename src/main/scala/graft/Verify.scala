@@ -7,8 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // dev convenience: extra args select a subset of queries (the driver
-    // always calls with exactly two args → full run)
+    // always calls with exactly two args → full run); typo'd names fail
+    // loudly instead of silently verifying nothing
     val only = args.drop(2).toSet
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown queries: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

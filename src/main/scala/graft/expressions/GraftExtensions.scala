@@ -47,5 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigrams].getName, "graft_char_trigrams"),
+      (children: Seq[Expression]) => CharTrigrams(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_trigram_jaccard"),
+      new ExpressionInfo(classOf[TrigramJaccard].getName, "graft_trigram_jaccard"),
+      (children: Seq[Expression]) => TrigramJaccard(children(0), children(1))))
   }
 }

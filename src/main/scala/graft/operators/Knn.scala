@@ -43,17 +43,21 @@ object Knn {
       Vectors.norm(col("embedding"), dim).as("cn"))
     val topk = udaf(graft.functions.TopKByScore(k))
     c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
-      // a zero-norm vector yields a NULL sim (Spark's x/0); drop it
-      // before the typed aggregate rather than feed null into a
-      // primitive-typed buffer (the window formulation sorted it last —
-      // same outcome for any k < |candidates|)
-      .where(col("sim").isNotNull)
+      // try_divide: a zero-norm vector must yield a NULL sim, not an
+      // ANSI DIVIDE_BY_ZERO job failure. The typed aggregate has a
+      // primitive buffer, so NULL rides through as -Inf (unreachable for
+      // a real cosine) and is restored after the merge — NULLS-LAST
+      // ranking, and a probe whose sims are ALL null still emits its k
+      // rows (it must not vanish from a recall denominator)
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+      .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
       .groupBy("probe_id")
       .agg(topk(col("cand_id"), col("sim")).as("top"))
       .select(col("probe_id"), posexplode(col("top")))
       .select(col("probe_id"), col("col._1").as("cand_id"),
-        (col("pos") + 1).cast("int").as("rank"), col("col._2").as("sim"))
+        (col("pos") + 1).cast("int").as("rank"),
+        when(col("col._2") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("col._2")).as("sim"))
   }
 
   /** IVF cell assignment: each vector goes to its nearest centroid by

@@ -698,11 +698,13 @@ object PipelineQueries {
   private def normSql(v: String) =
     s"sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), 'sum'))"
 
-  /** DuckDB twin of the n-permutation signature pass: raw 3-word shingles,
-    * then per (doc, perm) minima of md5(perm || ':' || shingle) — exactly
-    * [[graft.expressions.ShinglePermMinHash]]'s math in long format.
-    * `src` is the doc source CTE/table (x_curate_fuzzy signs only the
-    * quality-gated subset).
+  /** DuckDB twin of the n-permutation signature pass: raw 3-word
+    * shingles, ONE md5 per shingle split into two 64-bit hex-polynomial
+    * halves, then per (doc, perm) minima of (h1 + i·h2) mod 2^64 in
+    * HUGEINT, padded to 20 decimal digits — exactly
+    * [[graft.expressions.ShinglePermMinHash]]'s double-hash math in long
+    * format. `src` is the doc source CTE/table (x_curate_fuzzy signs
+    * only the quality-gated subset).
     */
   private val permSigsSql: String = permSigsSqlFrom("documents")
 

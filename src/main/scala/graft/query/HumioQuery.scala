@@ -566,14 +566,7 @@ object HumioQuery {
         val key = named.getOrElse("key", field)
         val include = named.get("include").map(listArg)
           .getOrElse(subDf.columns.toSeq.filterNot(_ == key))
-        val right = broadcast(subDf.select(
-          col(key).as("__graft_join_key") +:
-            include.map(c => col(c).as(s"__graft_inc_$c")): _*))
-        val joined = df.join(right, col(field) === col("__graft_join_key"))
-          .drop("__graft_join_key")
-        include.foldLeft(joined) { (d, c) =>
-          d.drop(c).withColumnRenamed(s"__graft_inc_$c", c)
-        }
+        enrichJoin(df, subDf, field, key, include, "inner")
       case "match" | "lookup" =>
         // match(table, field=f[, column=c][, include=[c1, …]][, strict=false]):
         // enrich events against a DIMENSION table (LogScale's lookup-file
@@ -593,16 +586,28 @@ object HumioQuery {
         val strict = !named.get("strict").contains("false")
         val include = named.get("include").map(listArg)
           .getOrElse(dim.columns.toSeq.filterNot(_ == key))
-        val right = broadcast(dim.select(
-          col(key).as("__graft_match_key") +:
-            include.map(c => col(c).as(s"__graft_inc_$c")): _*))
-        val joined = df.join(right, col(field) === col("__graft_match_key"),
-            if (strict) "inner" else "left")
-          .drop("__graft_match_key")
-        include.foldLeft(joined) { (d, c) =>
-          d.drop(c).withColumnRenamed(s"__graft_inc_$c", c)
-        }
+        enrichJoin(df, dim, field, key, include, if (strict) "inner" else "left")
       case other => throw new IllegalArgumentException(s"unknown stage: $other")
+    }
+  }
+
+  /** The one enrichment join both join({subquery}) and match()/lookup()
+    * compile to: broadcast the (small) `dim` side keyed by `key`, join
+    * on the event `field`, then rename the included columns back into
+    * place — dim columns win on name collision. Fresh __graft_ aliases
+    * also break the self-join attribute ambiguity when `dim` derives
+    * from `df` itself (the join() case).
+    */
+  private def enrichJoin(df: DataFrame, dim: DataFrame, field: String,
+                         key: String, include: Seq[String],
+                         joinType: String): DataFrame = {
+    val right = broadcast(dim.select(
+      col(key).as("__graft_join_key") +:
+        include.map(c => col(c).as(s"__graft_inc_$c")): _*))
+    val joined = df.join(right, col(field) === col("__graft_join_key"), joinType)
+      .drop("__graft_join_key")
+    include.foldLeft(joined) { (d, c) =>
+      d.drop(c).withColumnRenamed(s"__graft_inc_$c", c)
     }
   }
 

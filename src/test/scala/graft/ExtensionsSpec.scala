@@ -38,7 +38,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val sigs = spark.sql(
         "SELECT graft_shingle_perm_minhash(array('a','b','c','d'), 3, 8) AS s")
         .collect().head.getSeq[String](0)
-      assert(sigs.length == 8 && sigs.forall(_.matches("[0-9a-f]{32}")))
+      assert(sigs.length == 8 && sigs.forall(_.matches("[0-9]{20}")))
       val sh = spark.sql("SELECT graft_simhash64(array('a','b')) AS h")
         .collect().head.getString(0)
       assert(sh.matches("[01]{64}"))
@@ -48,6 +48,12 @@ class ExtensionsSpec extends AnyFunSuite {
       val fp = spark.sql("SELECT graft_rolling_winnow(array('a','b','c','d','e'), 3, 2) AS f")
         .collect().head.getSeq[Long](0)
       assert(fp.nonEmpty && fp.forall(v => v >= 0L))
+      val tg = spark.sql("SELECT graft_char_trigrams('abcd') AS g")
+        .collect().head.getSeq[String](0)
+      assert(tg == Seq("abc", "bcd"))
+      val tj = spark.sql("SELECT graft_trigram_jaccard('abcd', 'abcd') AS j")
+        .collect().head.getDouble(0)
+      assert(tj == 1.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

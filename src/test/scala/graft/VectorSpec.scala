@@ -125,6 +125,21 @@ class VectorSpec extends SparkSpec {
     assert(refined(9L) == Seq(-100.0, -100.0), "empty cell keeps its previous centroid")
   }
 
+  test("bruteForceTopK keeps a zero-norm probe: k rows with NULL sims, not a vanish") {
+    // a zero embedding divides by zero → NULL sims; the probe must still
+    // rank its k candidates (NULLS LAST order = cand_id ties) so recall
+    // denominators built on the exact tier can't silently shrink
+    val vecs = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Knn.bruteForceTopK(vecs.where(col("vec_id") === 0), vecs, 2, 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2, "zero-norm probe must not vanish")
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("sim"))))
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("cand_id"))).toSeq ==
+      Seq((1, 1L), (2, 2L)))
+  }
+
   test("kmeansTrain converges early on separated clusters and is a fixed point") {
     // two tight direction clusters around (1,0) and (0,1); seeds one per
     // cluster — Lloyd stabilizes in a couple of rounds, well under the cap
