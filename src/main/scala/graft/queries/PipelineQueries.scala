@@ -594,6 +594,65 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk")
   }
 
+  val PACK_BUDGET = 512
+
+  /** Sequence PACKING — the loader step after chunking: token streams
+    * are concatenated per shard and cut into fixed `PACK_BUDGET`-token
+    * bins (concat-then-split, the standard LLM pretraining packing;
+    * docs may span a bin boundary). Each doc reports the bins it lands
+    * in via a running token total: one window shuffle keyed by the
+    * shard (lang here) — at 100 TB the shard key is whatever unit the
+    * loader packs independently (file, split, worker), so the window
+    * parallelizes across shards and never globally orders the corpus.
+    */
+  def xPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        Text.nWords(Text.tokens(col("text"))).as("n_words"))
+      .where(col("n_words") > 0)
+      .withColumn("cum", sum("n_words").over(w))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        expr(s"(cum - n_words) div $PACK_BUDGET").as("first_bin"),
+        expr(s"(cum - 1) div $PACK_BUDGET").as("last_bin"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-vector symmetric int8 QUANTIZATION of the embedding column —
+    * the compression step before an ANN index ships: scale = max|x|/127,
+    * each component rounds to [-127, 127], and the query reports the
+    * scale, saturated-component count, and mean absolute reconstruction
+    * error. Narrow per-row arithmetic (zero shuffle; the rounding is the
+    * deterministic floor(x+0.5) form both engines replay exactly).
+    */
+  def xQuantize(s: SparkSession, dir: String): DataFrame = {
+    val x = col("embedding")
+    val absmax = array_max(transform(x, v => abs(v.cast("double"))))
+    // guard the all-zero vector: scale 0 → quantized all-zero, error 0
+    val scale = col("q_scale")
+    val qi = transform(x, v =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(floor(v.cast("double") / scale + 0.5).cast("long")))
+    val err = aggregate(
+      zip_with(x, col("q"), (v, q) =>
+        abs(q.cast("double") * scale - v.cast("double"))),
+      lit(0.0), (acc, d) => acc + d) / DIM
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), x, (absmax / 127.0).as("q_scale"))
+      .withColumn("q", qi)
+      // mae/n_sat are computed BEFORE the select that re-aliases
+      // "q_scale" to its rounded form: a select-item alias shadows the
+      // same-named input column for later items in the list (lateral
+      // column alias resolution), which would silently rebuild the
+      // error term against the 4-decimal scale
+      .withColumn("n_sat",
+        size(filter(col("q"), q => abs(q) === 127)).cast("bigint"))
+      .withColumn("mae", detRound4(err))
+      .select(col("vec_id"), detRound4(scale).as("q_scale"),
+        col("n_sat"), col("mae"))
+      .orderBy("vec_id")
+  }
+
   /** Balanced corpus: exactly 20 docs per lang, hash-ordered —
     * stratified deterministic sampling ([[Sampling.stratifiedN]]).
     */
@@ -619,6 +678,8 @@ object PipelineQueries {
     "x_split"       -> xSplit _,
     "x_curate"      -> xCurate _,
     "x_curate_fuzzy" -> xCurateFuzzy _,
+    "x_pack"        -> xPack _,
+    "x_quantize"    -> xQuantize _,
     "x_chunks"      -> xChunks _,
     "x_tokens"      -> xTokens _,
     "x_token_count" -> xTokenCount _,
@@ -941,6 +1002,34 @@ object PipelineQueries {
         |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
         |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
         |FROM e ORDER BY doc_id, chunk""".stripMargin,
+    "x_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |            CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+        |          FROM documents),
+        |c AS (SELECT doc_id, lang, n_words,
+        |        sum(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t WHERE n_words > 0)
+        |SELECT doc_id, lang, n_words,
+        |       CAST((cum - n_words) // $PACK_BUDGET AS BIGINT) AS first_bin,
+        |       CAST((cum - 1) // $PACK_BUDGET AS BIGINT) AS last_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "x_quantize" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+        |             list_aggregate(list_transform(embedding,
+        |               v -> abs(CAST(v AS DOUBLE))), 'max') / 127.0 AS q_scale
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, embedding, q_scale,
+        |        list_transform(embedding, v -> CASE WHEN q_scale = 0 THEN 0
+        |          ELSE CAST(floor(CAST(v AS DOUBLE) / q_scale + 0.5) AS BIGINT) END) AS qv
+        |      FROM s)
+        |SELECT vec_id, ${detRound4Sql("q_scale")} AS q_scale,
+        |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        |       ${detRound4Sql(
+          s"list_aggregate(list_transform(range(1, ${DIM + 1}), " +
+            "i -> abs(CAST(qv[i] AS DOUBLE) * q_scale - CAST(embedding[i] AS DOUBLE))), 'sum') / " +
+            s"$DIM")} AS mae
+        |FROM q ORDER BY vec_id""".stripMargin,
     "x_stratified" ->
       s"""WITH r AS (
         |  SELECT doc_id, lang,
