@@ -72,7 +72,6 @@ object Knn {
     FloatDot.register(vectors.sparkSession)
     val c = centroids.select(col("cent_id"), col("cvec"),
       Vectors.norm(col("cvec"), dim).as("cnrm"))
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     vectors.select(col("vec_id"), col("embedding"),
         Vectors.norm(col("embedding"), dim).as("nrm"))
       .join(broadcast(c))
@@ -81,9 +80,17 @@ object Knn {
       // stays a codegen'd primitive loop either way
       .withColumn("csim",
         expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      // argmax as max_by with a composite (csim, -cent_id) ordering
+      // value: struct comparison gives csim-desc with cent_id-asc ties
+      // DETERMINISTICALLY (no two candidates share a cent_id), and the
+      // hash aggregate partial-aggregates map-side — the n·k scored rows
+      // never shuffle, unlike a rank-1 window which must sort them all
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("embedding"), col("nrm"), col("cent_id")),
+        struct(col("csim"), -col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
   }
 
   /** IVF top-k with nprobe=1: search only the probe's own cell — the
