@@ -156,7 +156,15 @@ object HumioQueries {
         "| groupBy(c_mktsegment) | sort(c_mktsegment)",
       Map("customer" -> Tables.table(s, dir, "customer")))
 
+  /** dedup(): the most recent event per user — one windowed keep-latest
+    * from inside the pipe language (ties broken by event_id like tail()).
+    */
+  def hqDedup(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "dedup(user_id) | select(event_id, user_id, event_type) | sort(event_id)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_dedup"     -> hqDedup _,
     "hq_lookup"    -> hqLookup _,
     "hq_session"   -> hqSession _,
     "hq_in"        -> hqIn _,
@@ -184,6 +192,16 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_dedup" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type,
+        |         -- CAST truncates nanos to the engine's micros precision
+        |         -- so the keep-latest boundary can't disagree
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM r
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "hq_lookup" ->
       """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS _count
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey

@@ -58,6 +58,8 @@ import org.apache.spark.sql.functions._
   *                [, strict=false]) — enrich against a dimension table
   *                (broadcast); strict drops non-matching events, else
   *                left join. `lookup` is an alias.
+  *   dedup     := dedup(f1, …[, limit=n]) — keep the n most recent
+  *                events (by ts, event_id tie-break) per key combination
   *   timechart := timechart(span=<n><s|m|h|d>[, function=…])   — buckets _bucket_ms
   *   bucket    := bucket(span=…[, function=…])                 — buckets _bucket
   * }}}
@@ -567,6 +569,22 @@ object HumioQuery {
         val include = named.get("include").map(listArg)
           .getOrElse(subDf.columns.toSeq.filterNot(_ == key))
         enrichJoin(df, subDf, field, key, include, "inner")
+      case "dedup" =>
+        // dedup(f1, …[, limit=n]): the n most RECENT events per key
+        // (LogScale dedup keeps latest by @timestamp; event_id breaks
+        // sub-timestamp ties when present). One window shuffle on the
+        // key — the same shape as session()/l_dedup.
+        require(!df.isStreaming,
+          "dedup() is a batch stage — use dropDuplicates/watermark on streams")
+        require(pos.nonEmpty, "dedup() needs at least one field")
+        val n = named.get("limit").map(_.toInt).getOrElse(1)
+        val order = col("ts").desc +:
+          (if (df.columns.contains("event_id")) Seq(col("event_id").desc) else Nil)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pos.map(col): _*).orderBy(order: _*)
+        df.withColumn("__graft_dedup_rn", row_number().over(w))
+          .where(col("__graft_dedup_rn") <= n)
+          .drop("__graft_dedup_rn")
       case "match" | "lookup" =>
         // match(table, field=f[, column=c][, include=[c1, …]][, strict=false]):
         // enrich events against a DIMENSION table (LogScale's lookup-file

@@ -396,6 +396,21 @@ class HumioQuerySpec extends SparkSpec {
     assert(e.getMessage.contains("frobnicate"))
   }
 
+  test("dedup() keeps the n most recent events per key, event_id tie-break") {
+    val tdf = Seq(
+      (1L, 10L, "2024-01-01 00:00:01"), (2L, 10L, "2024-01-01 00:00:02"),
+      (3L, 10L, "2024-01-01 00:00:03"), (4L, 20L, "2024-01-01 00:00:01"),
+      (5L, 20L, "2024-01-01 00:00:01"))   // 4 and 5 tie on ts
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val keep1 = HumioQuery.run(tdf, "dedup(user_id) | select(event_id) | sort(event_id)")
+      .as[Long].collect().toSeq
+    assert(keep1 == Seq(3L, 5L), s"latest per user (tie → higher event_id), got $keep1")
+    val keep2 = HumioQuery.run(tdf, "dedup(user_id, limit=2) | select(event_id) | sort(event_id)")
+      .as[Long].collect().toSeq
+    assert(keep2 == Seq(2L, 3L, 4L, 5L))
+  }
+
   test("match() enriches from a dimension table; strict drops, strict=false keeps") {
     val dim = Seq((100L, "gold", "x"), (300L, "silver", "y"))
       .toDF("cust_id", "tier", "junk")
