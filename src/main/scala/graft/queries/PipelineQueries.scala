@@ -173,6 +173,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Cluster-REPRESENTATIVE selection — the step after clustering when
+    * curation keeps the BEST member (longest doc; ties to the lowest
+    * doc_id) instead of the smallest id: one max_by hash aggregate per
+    * cluster over the CC labels (map-side partial, no window sort).
+    * Completes the dedup story: pairs → clusters → representative.
+    */
+  def xKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = Dedup.dupClusters(docs,
+      Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND))
+    docs.select(col("doc_id"), Text.nWords(Text.tokens(col("text"))).as("n_words"))
+      .join(clusters, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), struct(col("n_words"), -col("doc_id"))).as("keep_doc"),
+        max("n_words").as("keep_words"))
+      .orderBy("cluster")
+  }
+
   def xSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.withSimhash(Tables.documents(s, dir), col("text"))
       .select("doc_id", "simhash")
@@ -697,6 +716,7 @@ object PipelineQueries {
     "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_dupclusters" -> xDupClusters _,
     "x_dupclusters_star" -> xDupClustersStar _,
+    "x_keep_best"   -> xKeepBest _,
     "x_simhash"     -> xSimhash _,
     "x_simhash_pairs" -> xSimhashPairs _,
     "x_jaccard"     -> xJaccard _,
@@ -903,11 +923,11 @@ object PipelineQueries {
       |       ${detRound4Sql("CAST(sum(CASE WHEN a.ann_cand = e.exact_cand THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS recall_at_1
       |FROM ex1 e LEFT JOIN ann1 a USING (probe_id)""".stripMargin
 
-  /** Recursive-CTE transitive closure of the banded candidates — shared
-    * by x_dupclusters (label propagation) and x_dupclusters_star (star
-    * rewriting).
+  /** Recursive-CTE transitive closure of the banded candidates, up to the
+    * per-node min-reachable label `minr` — shared by the clustering and
+    * representative-selection oracles.
     */
-  private val dupClustersOracle: String =
+  private val dupClustersCte: String =
     s"""WITH RECURSIVE ${permSigsSql},
       |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
       |                 string_agg(sig, '|' ORDER BY perm) AS key
@@ -922,7 +942,13 @@ object PipelineQueries {
       |  UNION
       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
       |minr AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
-      |         FROM reach GROUP BY a)
+      |         FROM reach GROUP BY a)""".stripMargin
+
+  /** Cluster labels per doc — shared by x_dupclusters (label propagation)
+    * and x_dupclusters_star (star rewriting).
+    */
+  private val dupClustersOracle: String =
+    s"""$dupClustersCte
       |SELECT d.doc_id, CAST(coalesce(m.cluster, d.doc_id) AS BIGINT) AS cluster
       |FROM documents d LEFT JOIN minr m USING (doc_id)
       |ORDER BY doc_id""".stripMargin
@@ -1250,6 +1276,22 @@ object PipelineQueries {
     // the star-rewriting variant computes the SAME transitive closure —
     // one oracle, two distributed algorithms
     "x_dupclusters_star" -> dupClustersOracle,
+    "x_keep_best" ->
+      s"""$dupClustersCte,
+        |lab AS (SELECT d.doc_id,
+        |          CAST(coalesce(m.cluster, d.doc_id) AS BIGINT) AS cluster,
+        |          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+        |        FROM documents d LEFT JOIN minr m USING (doc_id)),
+        |r AS (SELECT cluster, doc_id, n_words,
+        |        row_number() OVER (PARTITION BY cluster
+        |          ORDER BY n_words DESC, doc_id) AS rn
+        |      FROM lab),
+        |g AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(max(n_words) AS BIGINT) AS keep_words
+        |      FROM lab GROUP BY cluster)
+        |SELECT g.cluster, g.n_docs, r.doc_id AS keep_doc, g.keep_words
+        |FROM g JOIN r ON g.cluster = r.cluster AND r.rn = 1
+        |ORDER BY g.cluster""".stripMargin,
     "x_lshpairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |h AS (SELECT doc_id, $hashesSql AS hs FROM t),
