@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev convenience: args select a subset (driver passes none → full
+    // run); a typo'd name must fail loudly BEFORE session startup and
+    // warm-up, not print a 0.00s "clean run" seconds later
+    val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,11 +33,6 @@ object Bench {
     try Tables.events(spark, sfDir).limit(1).collect()
     catch { case _: Throwable => () }
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    // dev convenience: args select a subset (driver passes none → full run);
-    // a typo'd name must fail loudly, not print a 0.00s "clean run"
-    val only = args.toSet
-    val unknown = only -- SparkEntry.queries.keySet
-    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

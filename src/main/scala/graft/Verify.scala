@@ -10,8 +10,8 @@ object Verify {
     // always calls with exactly two args → full run); typo'd names fail
     // loudly instead of silently verifying nothing
     val only = args.drop(2).toSet
-    require((only -- SparkEntry.queries.keySet).isEmpty,
-      s"unknown queries: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -79,12 +79,15 @@ object Knn {
       // samples (float) or trained means (double) — the n·k inner loop
       // stays a codegen'd primitive loop either way
       .withColumn("csim",
-        expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
+        expr("try_divide(graft_dot(embedding, cvec), nrm * cnrm)"))
       // argmax as max_by with a composite (csim, -cent_id) ordering
       // value: struct comparison gives csim-desc with cent_id-asc ties
-      // DETERMINISTICALLY (no two candidates share a cent_id), and the
-      // hash aggregate partial-aggregates map-side — the n·k scored rows
-      // never shuffle, unlike a rank-1 window which must sort them all
+      // DETERMINISTICALLY (no two candidates share a cent_id; a NULL
+      // csim — zero norm under try_divide — sorts below any real score,
+      // like the window's NULLS LAST). The array-typed buffer binds as a
+      // partial SortAggregate, so the n·k scored rows are still sorted
+      // WITHIN each partition — but only the n winners cross the
+      // exchange, where a rank-1 window must shuffle all n·k rows first
       .groupBy("vec_id")
       .agg(max_by(
         struct(col("embedding"), col("nrm"), col("cent_id")),
@@ -111,7 +114,7 @@ object Knn {
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     a.join(b, Seq("cell"))
       .where(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("probe_id", "cand_id", "rank", "sim")
@@ -134,7 +137,7 @@ object Knn {
         Vectors.norm(col("embedding"), dim).as("nrm"))
       .join(broadcast(c))
       .withColumn("csim",
-        expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
+        expr("try_divide(graft_dot(embedding, cvec), nrm * cnrm)"))
       .withColumn("rk", row_number().over(wc))
       .where(col("rk") <= nprobe)
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -148,7 +151,7 @@ object Knn {
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     probes.join(homes, Seq("cell"))
       .where(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("probe_id", "cand_id", "rank", "sim")
@@ -268,7 +271,7 @@ object Knn {
         col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
       .join(emb.select(col("vec_id").as("cand_id"),
         col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
-      .withColumn("sim", expr("graft_dot(pe, ce)") / (col("pn") * col("cn")))
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -578,6 +578,7 @@ object HumioQuery {
           "dedup() is a batch stage — use dropDuplicates/watermark on streams")
         require(pos.nonEmpty, "dedup() needs at least one field")
         val n = named.get("limit").map(_.toInt).getOrElse(1)
+        require(n >= 1, s"dedup() limit must be >= 1, got $n")
         val order = col("ts").desc +:
           (if (df.columns.contains("event_id")) Seq(col("event_id").desc) else Nil)
         val w = org.apache.spark.sql.expressions.Window
