@@ -181,14 +181,19 @@ object Dedup {
       // lookup is total; least() ignores the NULL nmin of edgeless docs
       val parents = labels
         .select(col("doc_id").as("cluster"), col("cluster").as("pc"))
+      // LAZY checkpoint + count: the one count() action both materializes
+      // the round's cached blocks (truncating lineage) and answers the
+      // convergence flag — one distributed pass per round, not a
+      // materialize job plus a probe job. (isEmpty would short-circuit
+      // and leave partitions unmaterialized for later rounds to recompute.)
       val stepped = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .join(parents, Seq("cluster"), "left")
         .select(col("doc_id"),
           least(col("cluster"), col("nmin"), col("pc")).as("cluster"),
           col("cluster").as("old"))
-        .localCheckpoint()
-      converged = stepped.where(col("cluster") < col("old")).isEmpty
+        .localCheckpoint(eager = false)
+      converged = stepped.where(col("cluster") < col("old")).count() == 0
       labels = stepped.select("doc_id", "cluster")
       round += 1
     }
@@ -240,15 +245,19 @@ object Dedup {
       // already (lo, hi)-canonical
       val dir = large.select(col("hi").as("u"), col("lo").as("v"))
       val smin = dir.groupBy("u").agg(min("v").as("mn"))
+      // lazy checkpoint: the convergence count's full-outer join scans
+      // every partition of the new edge set, so the ONE count() action
+      // materializes the round's cached blocks and answers the flag —
+      // no separate materialize job (same discipline as dupClusters)
       val small = dir.join(smin, "u").where(col("v") =!= col("mn"))
         .select(col("mn").as("lo"), col("v").as("hi"))
         .union(smin.select(col("mn").as("lo"), col("u").as("hi")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       converged = small.withColumn("n", lit(1))
         .join(edges.withColumn("o", lit(1)), Seq("lo", "hi"), "full_outer")
         .where(col("n").isNull || col("o").isNull)
-        .isEmpty
+        .count() == 0
       edges = small
       round += 1
     }

@@ -219,12 +219,16 @@ object Knn {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = kmeansRefine(vectors, cents, dim).localCheckpoint()
+      // lazy checkpoint: the convergence probe's count() both runs the
+      // refinement pass and caches its k-row result in one job (the
+      // final scheduled round skips the probe, so its refinement
+      // materializes with whatever downstream action consumes it)
+      val next = kmeansRefine(vectors, cents, dim).localCheckpoint(eager = false)
       val prev = cents.select(col("cent_id"), col("cvec").as("pvec"))
       round += 1
       if (round < maxRounds)
         converged = next.join(prev, "cent_id")
-          .where(col("cvec") =!= col("pvec")).isEmpty
+          .where(col("cvec") =!= col("pvec")).count() == 0
       cents = next
     }
     (cents, round)
