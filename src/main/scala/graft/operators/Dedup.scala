@@ -167,9 +167,11 @@ object Dedup {
     * ContextCleaner reclaims as the loop drops their references.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // lazy: round 1's join is the first full scan — it materializes the
+    // cached edge blocks without a dedicated up-front job
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
     var converged = false
     var round = 0
@@ -230,8 +232,10 @@ object Dedup {
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .where(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint()
-    var converged = edges.isEmpty
+      .localCheckpoint(eager = false)
+    // count, not isEmpty: the emptiness probe doubles as the full first
+    // materialization (isEmpty's limit-1 would cache only a prefix)
+    var converged = edges.count() == 0
     var round = 0
     while (!converged && round < maxRounds) {
       val und = edges.select(col("lo").as("u"), col("hi").as("v"))
