@@ -163,7 +163,13 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "dedup(user_id) | select(event_id, user_id, event_type) | sort(event_id)")
 
+  /** count(field, distinct=true): standalone distinct count. */
+  def hqCountDistinct(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "event_type = c* | count(user_id, distinct=true, as=n_users)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_count_distinct" -> hqCountDistinct _,
     "hq_dedup"     -> hqDedup _,
     "hq_lookup"    -> hqLookup _,
     "hq_session"   -> hqSession _,
@@ -192,6 +198,9 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_count_distinct" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_type LIKE 'c%'""".stripMargin,
     "hq_dedup" ->
       """WITH r AS (
         |  SELECT event_id, user_id, event_type,

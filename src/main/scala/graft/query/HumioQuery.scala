@@ -510,8 +510,13 @@ object HumioQuery {
         else df.withColumn(f, coalesce(col(f), v))
       case "count" =>   // standalone event count (no grouping): one row;
         // count(field) counts rows where the field is present (non-NULL),
-        // as in LogScale — bare count() counts every event
-        val counted = pos.headOption.map(f => count(col(f))).getOrElse(count(lit(1)))
+        // count(field, distinct=true) counts distinct values — both as in
+        // LogScale; bare count() counts every event
+        val distinct = named.get("distinct").contains("true")
+        require(!distinct || pos.nonEmpty, "count(distinct=true) needs a field")
+        val counted = pos.headOption
+          .map(f => if (distinct) count_distinct(col(f)) else count(col(f)))
+          .getOrElse(count(lit(1)))
         df.agg(counted.as(named.getOrElse("as", "_count")))
       case "sum" | "avg" | "min" | "max" =>
         val f = col(pos.head)
