@@ -46,8 +46,8 @@ import org.apache.spark.sql.functions._
   *   replace   := replace(/regex/, with=repl, field=f[, as=g])
   *   format    := format("%s:%d", field=[a, b], as=out)
   *   default   := default(field=f, value=v)  — fill NULL / create missing
-  *   agg       := count([as=n]) | sum(f[, as=n]) | avg | min | max
-  *                — standalone one-row aggregate
+  *   agg       := count([f][, distinct=true][, as=n]) | sum(f[, as=n]) |
+  *                avg | min | max — standalone one-row aggregate
   *   pctile    := percentile(field, percentiles=[50, 90, 99]) → _50 _90 _99
   *   join      := join({subquery}, field=f[, key=k][, include=[c1, …]])
   *                — inner join vs the subquery over the same input;
