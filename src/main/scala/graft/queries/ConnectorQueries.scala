@@ -108,6 +108,29 @@ object ConnectorQueries {
       .orderBy("event_id")
   }
 
+  /** Downstream parser-package layer (reference README.md:84-88 — the
+    * repo ships an empty marketplace parser): a declarative per-event-
+    * type registry promotes payload fields to typed columns under a
+    * parser name; unregistered types (error, signup) pass through
+    * unparsed, rawstring intact. Compiles to ONE codegen'd projection
+    * ([[graft.operators.Parsers.applyRegistry]]).
+    */
+  def eTypedParse(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Parsers.{FieldSpec, ParserSpec}
+    val registry = Seq(
+      "click" -> ParserSpec("web-activity",
+        Seq(FieldSpec("k_int", "$.k", "bigint"))),
+      "purchase" -> ParserSpec("commerce",
+        Seq(FieldSpec("k_amount", "$.k", "double"))),
+      "view" -> ParserSpec("web-activity",
+        Seq(FieldSpec("k_int", "$.k", "bigint"), FieldSpec("k_str", "$.k", "string"))))
+    graft.operators.Parsers.applyRegistry(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"), col("props")),
+        col("event_type"), col("props"), registry)
+      .select("event_id", "event_type", "parser", "parsed", "k_int", "k_amount", "k_str")
+      .orderBy("event_id")
+  }
+
   /** R9 — per-partition resume offsets (partition ≙ user_id % 4). */
   def eOffsets(s: SparkSession, dir: String): DataFrame =
     Connector.resumeOffsets(Tables.events(s, dir),
@@ -133,6 +156,7 @@ object ConnectorQueries {
     "e_enrich"     -> eEnrich _,
     "e_filter"     -> eFilter _,
     "e_raw"        -> eRaw _,
+    "e_typed_parse" -> eTypedParse _,
     "e_offsets"    -> eOffsets _,
     "e_batches"    -> eBatches _)
 
@@ -167,6 +191,17 @@ object ConnectorQueries {
         |  FROM events)
         |WHERE length(line) > 0
         |ORDER BY event_id""".stripMargin,
+    "e_typed_parse" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type IN ('click', 'view') THEN 'web-activity'
+        |       WHEN event_type = 'purchase' THEN 'commerce' END AS parser,
+        |  CAST(event_type IN ('click', 'view', 'purchase') AS BIGINT) AS parsed,
+        |  CASE WHEN event_type IN ('click', 'view')
+        |       THEN CAST(props->>'$.k' AS BIGINT) END AS k_int,
+        |  CASE WHEN event_type = 'purchase'
+        |       THEN CAST(props->>'$.k' AS DOUBLE) END AS k_amount,
+        |  CASE WHEN event_type = 'view' THEN props->>'$.k' END AS k_str
+        |FROM events ORDER BY event_id""".stripMargin,
     "e_offsets" ->
       """SELECT CAST(user_id % 4 AS BIGINT) AS partition,
         |       CAST(max(event_id) + 1 AS BIGINT) AS next_offset

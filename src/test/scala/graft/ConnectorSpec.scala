@@ -67,4 +67,35 @@ class ConnectorSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out.toSeq == Seq((0L, 200L), (1L, 200L), (2L, 50L)))
   }
+
+  test("parser registry promotes typed fields per event type; unregistered pass through") {
+    import graft.operators.Parsers
+    import graft.operators.Parsers.{FieldSpec, ParserSpec}
+    val df = Seq(
+      (1L, "click", """{"k": 7}"""), (2L, "purchase", """{"k": 3}"""),
+      (3L, "weird", """{"k": 9}"""), (4L, "click", "not json"))
+      .toDF("event_id", "event_type", "props")
+    val registry = Seq(
+      "click" -> ParserSpec("web", Seq(FieldSpec("k_int", "$.k", "bigint"))),
+      "purchase" -> ParserSpec("buy",
+        Seq(FieldSpec("k_int", "$.k", "bigint"), FieldSpec("k_str", "$.k", "string"))))
+    val out = Parsers.applyRegistry(df, col("event_type"), col("props"), registry)
+      .orderBy("event_id")
+      .select("event_id", "parser", "parsed", "k_int", "k_str")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[String]("parser"),
+      r.getLong(2))).toSeq ==
+      Seq((1L, "web", 1L), (2L, "buy", 1L), (3L, null, 0L), (4L, "web", 1L)))
+    assert(out(0).getAs[Long]("k_int") == 7L && out(0).isNullAt(4))
+    assert(out(1).getAs[Long]("k_int") == 3L && out(1).getAs[String]("k_str") == "3")
+    // unregistered type: present, unparsed, all promoted fields NULL
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+    // corrupt payload of a registered type: parsed (parser matched) but
+    // the promoted field is NULL — tolerant parse, never a dropped event
+    assert(out(3).isNullAt(3))
+    // the whole registry is a projection: no exchange in the plan
+    val plan = Parsers.applyRegistry(df, col("event_type"), col("props"), registry)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"registry dispatch must not shuffle:\n$plan")
+  }
 }
