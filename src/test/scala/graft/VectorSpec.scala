@@ -125,6 +125,26 @@ class VectorSpec extends SparkSpec {
     assert(refined(9L) == Seq(-100.0, -100.0), "empty cell keeps its previous centroid")
   }
 
+  test("TopKByScore is merge-order independent (random partitionings and merge trees)") {
+    // partial aggregation only works if any partition split and any
+    // merge-tree shape yield the same buffer — the property the shuffle
+    // relies on at scale, checked against a global sort-take-k
+    val agg = graft.functions.TopKByScore(3)
+    val rnd = new scala.util.Random(53)
+    (0 until 30).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      // duplicate scores on purpose: ties must break by id everywhere
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(8).toDouble))
+      val expected = rows.sortBy { case (id, s) => (-s, id) }.take(3)
+      // random partitioning → per-partition reduce → random-order merge
+      val parts = rows.groupBy(_ => rnd.nextInt(4)).values.toSeq
+      val buffers = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == expected,
+        s"rows=$rows parts=$parts got=${agg.finish(merged)} want=$expected")
+    }
+  }
+
   test("bruteForceTopK keeps a zero-norm probe: k rows with NULL sims, not a vanish") {
     // a zero embedding divides by zero → NULL sims; the probe must still
     // rank its k candidates (NULLS LAST order = cand_id ties) so recall
