@@ -163,12 +163,24 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "dedup(user_id) | select(event_id, user_id, event_type) | sort(event_id)")
 
+  /** top(field, sum=f): the weighted form — heaviest purchasers by total
+    * spend, not by event count. Summed over exact integer CENTS derived
+    * in the expression language (distributed double sums are
+    * accumulation-order-dependent; longs are not — the engine's money
+    * discipline, reachable from inside the DSL).
+    */
+  def hqTopSum(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "event_type = purchase | cents := floor(value * 100 + 0.5) " +
+        "| top(user_id, limit=5, sum=cents)")
+
   /** count(field, distinct=true): standalone distinct count. */
   def hqCountDistinct(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "event_type = c* | count(user_id, distinct=true, as=n_users)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
     "hq_dedup"     -> hqDedup _,
     "hq_lookup"    -> hqLookup _,
@@ -198,6 +210,11 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_top_sum" ->
+      """SELECT user_id,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS _sum
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY _sum DESC, user_id LIMIT 5""".stripMargin,
     "hq_count_distinct" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE event_type LIKE 'c%'""".stripMargin,

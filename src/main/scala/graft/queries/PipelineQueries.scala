@@ -217,6 +217,35 @@ object PipelineQueries {
       .orderBy("doc_a")
   }
 
+  /** MinHash estimator quality as a query — the sketch-accuracy twin of
+    * the ANN recall metrics: per adjacent doc pair, the signature-
+    * agreement Jaccard ESTIMATE (fraction of the 16 permutations whose
+    * minima agree) against the exact 3-shingle-set Jaccard, with the
+    * absolute error. The number that tells you whether N_PERMS is sized
+    * right, computed in-engine from the same signatures the LSH uses.
+    */
+  def xMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.withPermMinhashSigs(
+      docs.select("doc_id", "text"), col("text"), N_PERMS)
+    val sh = docs.select(col("doc_id"),
+      Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+    val est = size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+      b => b)).cast("double") / N_PERMS
+    sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sa"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sigs").as("sb")),
+        col("doc_b") === col("doc_a") + 1)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("est", est)
+      .withColumn("exact", Dedup.jaccard(col("sha"), col("shb")))
+      .select(col("doc_a"), col("doc_b"),
+        detRound4(col("est")).as("est_jac"),
+        detRound4(col("exact")).as("exact_jac"),
+        detRound4(abs(col("est") - col("exact"))).as("abs_err"))
+      .orderBy("doc_a")
+  }
+
   /** Character-trigram Jaccard between adjacent docs — the char-level
     * twin of the word-set [[xJaccard]] (robust to tokenization and
     * whitespace variance, the standard fuzzy-dedup fallback for CJK and
@@ -709,6 +738,7 @@ object PipelineQueries {
     "x_docdedup"    -> xDocdedup _,
     "x_minhash"     -> xMinhash _,
     "x_minhash_perm" -> xMinhashPerm _,
+    "x_minhash_est" -> xMinhashEst _,
     "x_group_sig"   -> xGroupSig _,
     "x_neardup"     -> xNeardup _,
     "x_winnow"      -> xWinnow _,
@@ -1220,6 +1250,24 @@ object PipelineQueries {
       s"""WITH ${permSigsSql}
         |SELECT doc_id, CAST(perm AS BIGINT) AS perm, sig
         |FROM sigs ORDER BY doc_id, perm""".stripMargin,
+    "x_minhash_est" ->
+      s"""WITH ${permSigsSql},
+        |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / $N_PERMS AS est
+        |       FROM sigs a JOIN sigs b
+        |         ON b.doc_id = a.doc_id + 1 AND a.perm = b.perm
+        |       GROUP BY 1, 2),
+        |ex AS (SELECT sa.doc_id AS doc_a,
+        |         CAST(len(list_distinct(list_intersect(sa.shingles, sb.shingles))) AS DOUBLE)
+        |         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS exact
+        |       FROM sh sa JOIN sh sb ON sb.doc_id = sa.doc_id + 1)
+        |SELECT sp.doc_a, sp.doc_b,
+        |       ${detRound4Sql("sp.est")} AS est_jac,
+        |       ${detRound4Sql("ex.exact")} AS exact_jac,
+        |       ${detRound4Sql("abs(sp.est - ex.exact)")} AS abs_err
+        |FROM sp JOIN ex ON sp.doc_a = ex.doc_a
+        |ORDER BY sp.doc_a""".stripMargin,
     "x_winnow" -> {
       // hex-digit polynomial of the first 8 md5 chars = the expression's
       // unsigned first-4-digest-bytes value

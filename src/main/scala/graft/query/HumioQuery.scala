@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
   *   groupBy   := groupBy(field[, function=agg | function=[agg, agg, …]])
   *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f); list form names
   *                results _count / _sum_f / _avg_f / _min_f / _max_f
-  *   top       := top(field[, limit=n])      — most frequent values,
-  *                count-desc with value tie-break (default limit 10)
+  *   top       := top(field[, limit=n][, sum=f]) — most frequent values
+  *                (or largest sum(f) with sum=), desc with value
+  *                tie-break (default limit 10)
   *   sort      := sort(field[, order=asc|desc][, limit=n])
   *   head      := head(n)
   *   tail      := tail(n)                     — n most recent by ts
@@ -430,11 +431,15 @@ object HumioQuery {
           .agg(aggs.head._1.as(aggs.head._2),
             aggs.tail.map { case (c, n) => c.as(n) }: _*)
       case "top" =>
-        // top(field[, limit=n]) — most frequent values, ties broken by
-        // the group values for determinism (LogScale defaults to 10)
+        // top(field[, limit=n][, sum=f]) — most frequent values (or, with
+        // sum=f, the values with the largest total f — LogScale's
+        // weighted form); ties broken by the group values for
+        // determinism (LogScale defaults to 10)
         val limit = named.get("limit").map(_.toInt).getOrElse(10)
-        df.groupBy(pos.map(col): _*).agg(count(lit(1)).as("_count"))
-          .orderBy(col("_count").desc +: pos.map(col(_).asc): _*)
+        val (measure, mName) = named.get("sum")
+          .map(f => (sum(col(f)), "_sum")).getOrElse((count(lit(1)), "_count"))
+        df.groupBy(pos.map(col): _*).agg(measure.as(mName))
+          .orderBy(col(mName).desc +: pos.map(col(_).asc): _*)
           .limit(limit)
       case "eval" =>
         require(named.size == 1 && pos.isEmpty,
