@@ -666,6 +666,33 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  val PPS_PER_SHARD = 20
+
+  /** Weighted sampling via PPS SYSTEMATIC selection — the curation pass
+    * that favors long documents with probability proportional to token
+    * count: per shard (lang), lay documents on a line of cumulative
+    * token weight and pick one at every `total/n`-token stride
+    * (inclusion probability = weight/stride, the textbook
+    * probability-proportional-to-size scheme). ALL-INTEGER arithmetic
+    * (running sum + `div`), so selection is bit-identical at any
+    * partitioning and in the DuckDB replay — no RNG, no floats; the
+    * same one-running-window-per-shard shape as [[xPack]].
+    */
+  def xPpsSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        Text.nWords(Text.tokens(col("text"))).as("n_words"))
+      .where(col("n_words") > 0)
+      .withColumn("cum", sum("n_words").over(w))
+      .withColumn("step",
+        expr(s"sum(n_words) OVER (PARTITION BY lang) div $PPS_PER_SHARD"))
+      .where(col("step") > 0 &&
+        expr("(cum div step) > ((cum - n_words) div step)"))
+      .select(col("doc_id"), col("lang"), col("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Per-vector symmetric int8 QUANTIZATION of the embedding column —
     * the compression step before an ANN index ships: scale = max|x|/127,
     * each component rounds to [-127, 127], and the query reports the
@@ -727,6 +754,7 @@ object PipelineQueries {
     "x_curate"      -> xCurate _,
     "x_curate_fuzzy" -> xCurateFuzzy _,
     "x_pack"        -> xPack _,
+    "x_pps_sample"  -> xPpsSample _,
     "x_quantize"    -> xQuantize _,
     "x_chunks"      -> xChunks _,
     "x_tokens"      -> xTokens _,
@@ -1070,6 +1098,18 @@ object PipelineQueries {
         |       CAST((cum - n_words) // $PACK_BUDGET AS BIGINT) AS first_bin,
         |       CAST((cum - 1) // $PACK_BUDGET AS BIGINT) AS last_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "x_pps_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |            CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+        |          FROM documents),
+        |c AS (SELECT doc_id, lang, n_words,
+        |        sum(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(n_words) OVER (PARTITION BY lang) // $PPS_PER_SHARD AS step
+        |      FROM t WHERE n_words > 0)
+        |SELECT doc_id, lang, n_words FROM c
+        |WHERE step > 0 AND (cum // step) > ((cum - n_words) // step)
+        |ORDER BY doc_id""".stripMargin,
     "x_quantize" ->
       s"""WITH s AS (SELECT vec_id, embedding,
         |             list_aggregate(list_transform(embedding,
