@@ -499,6 +499,121 @@ object PipelineQueries {
           .cast("bigint").as("n_regex_tokens"))
       .orderBy("doc_id")
 
+  // ---- curation gates (decontamination / privacy / repetition / retrieval)
+
+  /** Benchmark decontamination — the C4/GPT-3-style eval-overlap gate: a
+    * training doc sharing any 4-word shingle with the held-out
+    * "benchmark" slice (here the deterministic doc_id % 50 == 0 slice
+    * stands in for an eval set) is flagged with its distinct-overlap
+    * count. Scale shape: the benchmark n-gram set is small and FIXED
+    * (eval suites don't grow with the corpus) → broadcast hash join
+    * against a single corpus-side shingle explode, then ONE groupBy —
+    * never a doc×doc comparison. At 100 TB the only full-data cost is
+    * the linear shingle scan.
+    */
+  def xDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(Text.shingles(Text.tokens(col("text")), 4)).as("gram"))
+    val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
+      .select("gram").distinct()
+    grams(docs.where(col("doc_id") % 50 =!= 0))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gram")).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction — the privacy-scrub stage of a curation pipeline. The
+    * synthetic corpus contains no PII, so the fixture deterministically
+    * plants an email and an IPv4 (pure functions of doc_id) ahead of the
+    * text; what's under test is the redaction machinery itself — match
+    * counting and global replace — with patterns chosen to behave
+    * identically under Java regex and DuckDB's RE2. Per-row, zero
+    * shuffles: at scale this is a codegen'd map over the scan.
+    */
+  def xPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val planted = concat_ws(" ",
+      concat(lit("user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 10).cast("string"), lit(".net")),
+      concat(lit("src=10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.7")),
+      col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), planted.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).cast("bigint").as("n_emails"),
+        regexp_count(col("raw"), lit(ipRe)).cast("bigint").as("n_ips"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition/diversity signals: duplicate-trigram
+    * fraction, top-word fraction, and word-entropy per doc. The dup
+    * fraction is pure per-row array math (zero shuffles); entropy needs
+    * word counts, so ONE explode + two-level aggregate keyed by doc —
+    * the per-row stats ride through the key as functionally-dependent
+    * columns instead of paying a separate join back to the corpus.
+    */
+  def xRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val g3 = Text.shingles(toks, 3)
+    val n = col("n_words").cast("double")
+    val p = col("c").cast("double") / n
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).cast("bigint").as("n_words"),
+        size(g3).cast("bigint").as("n_g3"),
+        size(array_distinct(g3)).cast("bigint").as("d_g3"),
+        explode(toks).as("word"))
+      .groupBy("doc_id", "n_words", "n_g3", "d_g3", "word")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_words", "n_g3", "d_g3")
+      .agg((-sum(p * log(p))).as("ent"), max(col("c")).as("mx"))
+      .select(col("doc_id"), col("n_words"),
+        detRound4(lit(1.0) - col("d_g3").cast("double") / col("n_g3"))
+          .as("dup3_frac"),
+        detRound4(col("mx").cast("double") / n).as("top_word_frac"),
+        detRound4(col("ent")).as("word_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 retrieval scoring (k1=1.2, b=0.75) of every doc against a fixed
+    * query-term set — the relevance-ranking sibling of x_tfidf. ONE
+    * corpus explode filtered to the query terms (tiny after the filter);
+    * df comes from re-aggregating that same tf relation (3 rows,
+    * broadcast) and N/avgdl from a column-pruned 1-row corpus aggregate —
+    * the per-doc dl rides through the tf groupBy key. No second full
+    * tokenize pass, nothing driver-side.
+    */
+  def xBm25(s: SparkSession, dir: String): DataFrame = {
+    val K1 = 1.2; val B = 0.75
+    val terms = Seq("query", "join", "fast")
+    val toks = Text.tokens(col("text"))
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).cast("bigint").as("dl"),
+        explode(toks).as("word"))
+      .where(col("word").isin(terms: _*))
+      .groupBy("doc_id", "dl", "word")
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("word").agg(count_distinct(col("doc_id")).as("df"))
+    val stats = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"), avg(size(toks)).as("avgdl"))
+    tf.join(broadcast(dfTbl), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * (K1 + 1.0)) /
+          (col("tf") + (lit(1.0) - B + lit(B) * col("dl") / col("avgdl")) * K1))
+      .groupBy("doc_id")
+      .agg(detRound4(sum("score_t")).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   def xMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -791,6 +906,10 @@ object PipelineQueries {
     "x_ivf_train2"  -> xIvfTrain2 _,
     "x_ivfknn2"     -> xIvfknn2 _,
     "x_regex_tokens" -> xRegexTokens _,
+    "x_decontam"    -> xDecontam _,
+    "x_pii_scrub"   -> xPiiScrub _,
+    "x_repetition"  -> xRepetition _,
+    "x_bm25"        -> xBm25 _,
     "x_multimodal"  -> xMultimodal _,
     "x_frames"      -> xFrames _,
     "x_binary"      -> xBinary _)
@@ -822,6 +941,14 @@ object PipelineQueries {
     "CASE WHEN len(toks) >= 3 THEN list_transform(" +
       "range(1, len(toks) - 1), i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) " +
       "ELSE [md5(array_to_string(toks, ' '))] END"
+
+  /** DuckDB twin of [[Text.shingles]] at width `k` (space-joined word
+    * `k`-grams over a `toks` column, whole-doc fallback under `k` words).
+    */
+  private def gramsSql(k: Int): String =
+    s"CASE WHEN len(toks) >= $k THEN list_transform(" +
+      s"range(1, len(toks) - ${k - 2}), i -> array_to_string(list_slice(toks, i, i + ${k - 1}), ' ')) " +
+      "ELSE [array_to_string(toks, ' ')] END"
 
   /** DuckDB twin of [[Text.minhashSig]]: min over 8·salt-char-rotated
     * hex strings of the shared md5 list.
@@ -1216,6 +1343,54 @@ object PipelineQueries {
         |      FROM pairs)
         |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
         |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "x_decontam" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_overlap
+        |FROM g JOIN ev USING (gram)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  'user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.net'
+        |    || ' ' || 'src=10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+        |    || ' ' || text AS raw
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "x_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |r AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(len(${gramsSql(3)}) AS BIGINT) AS n_g3,
+        |        CAST(len(list_distinct(${gramsSql(3)})) AS BIGINT) AS d_g3
+        |      FROM t),
+        |wc AS (SELECT doc_id, word, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS word FROM t) GROUP BY 1, 2),
+        |ent AS (SELECT wc.doc_id,
+        |          -sum((CAST(c AS DOUBLE) / n_words) * ln(CAST(c AS DOUBLE) / n_words)) AS e,
+        |          max(c) AS mx, any_value(n_words) AS nw
+        |        FROM wc JOIN r ON wc.doc_id = r.doc_id GROUP BY wc.doc_id)
+        |SELECT r.doc_id, r.n_words,
+        |  ${detRound4Sql("1.0 - CAST(d_g3 AS DOUBLE) / n_g3")} AS dup3_frac,
+        |  ${detRound4Sql("CAST(mx AS DOUBLE) / nw")} AS top_word_frac,
+        |  ${detRound4Sql("e")} AS word_entropy
+        |FROM r JOIN ent ON r.doc_id = ent.doc_id ORDER BY r.doc_id""".stripMargin,
+    "x_bm25" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+        |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS word FROM t),
+        |tf AS (SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM w WHERE word IN ('query', 'join', 'fast') GROUP BY 1, 2, 3),
+        |d AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  ${detRound4Sql("sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))")} AS bm25
+        |FROM tf JOIN d USING (word) CROSS JOIN s
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_tokens" ->
       """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
         |c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY lang, word),

@@ -1,0 +1,71 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** Semantics of the curation-gate pack (decontamination, PII scrub,
+  * repetition signals, BM25) the hash oracle can't force: exclusion
+  * invariants, full-redaction, and score/ratio bounds.
+  */
+class CurationGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decontamination never flags the benchmark slice itself") {
+    val out = PipelineQueries.xDecontam(spark, dir).cache()
+    val evalLeak = out.where(col("doc_id") % 50 === 0).count()
+    assert(evalLeak == 0, "eval-slice docs must not appear as training hits")
+    // every reported overlap is a positive distinct-gram count
+    assert(out.where(col("n_overlap") < 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("PII scrub removes every planted pattern and counts it") {
+    val out = PipelineQueries.xPiiScrub(spark, dir).cache()
+    val n = out.count()
+    assert(n > 0)
+    // the planted email and IP are gone from every redacted row...
+    val residue = out.where(
+      regexp_count(col("redacted"), lit("[a-z0-9]+@[a-z0-9]+\\.[a-z]+")) > 0 ||
+      regexp_count(col("redacted"), lit("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}")) > 0)
+      .count()
+    assert(residue == 0, "redacted text must contain no residual PII match")
+    // ...and the counters saw at least the planted instances
+    assert(out.where(col("n_emails") < 1 || col("n_ips") < 1).count() == 0)
+    assert(out.where(!col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<IP>")).count() == 0)
+    out.unpersist()
+  }
+
+  test("repetition signals stay in-range; constructed dup doc maxes out") {
+    val out = PipelineQueries.xRepetition(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.where(col("dup3_frac") < 0 || col("dup3_frac") > 1).count() == 0)
+    assert(out.where(col("top_word_frac") <= 0 || col("top_word_frac") > 1).count() == 0)
+    assert(out.where(col("word_entropy") < 0).count() == 0)
+    out.unpersist()
+    // a fully repetitive doc: every trigram identical → dup3_frac 1-1/n,
+    // entropy 0, top_word_frac 1 (the Gopher filter's target shape)
+    val one = Seq((0L, Array.fill(10)("spam").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val g3 = graft.functions.Text.shingles(toks, 3)
+    val r = one.select(
+      (lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3)).as("dup"),
+      size(g3).as("n")).head()
+    assert(r.getAs[Int]("n") == 8 && math.abs(r.getAs[Double]("dup") - 7.0 / 8) < 1e-9)
+  }
+
+  test("BM25 scores exactly the docs containing a query term, positively") {
+    val out = PipelineQueries.xBm25(spark, dir).cache()
+    val expected = Tables.documents(spark, dir)
+      .where(col("text").rlike("(^| )(query|join|fast)( |$)"))
+      .count()
+    assert(out.count() == expected,
+      "one score per doc containing >=1 query term")
+    assert(out.where(col("bm25") <= 0).count() == 0,
+      "idf = ln(1 + x) with x > 0 is strictly positive")
+    out.unpersist()
+  }
+}
