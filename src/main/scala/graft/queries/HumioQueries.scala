@@ -150,6 +150,24 @@ object HumioQueries {
     * sized by groupBy. The most common LogScale enrichment verb after
     * constants: a lookup join the event side never shuffles for.
     */
+  /** splitString + split: tokenize a string field into an array, then fan
+    * one event out per element — the LogScale event-splitting pair. Counts
+    * every numeric token seen in props across the stream.
+    */
+  def hqSplit(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "splitString(field=props, by=\"[^0-9]+\", as=parts) | split(parts) " +
+        "| parts != \"\" | groupBy(parts) | sort(parts)")
+
+  /** format → parseCsv round-trip: serialize fields to a CSV line, then
+    * promote them back to named (string) columns and filter on one — the
+    * typed-filter-on-promoted-text path shared with extract().
+    */
+  def hqParsecsv(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "format(\"%s,%d\", field=[event_type, user_id], as=line) " +
+        "| parseCsv(line, columns=[t, u]) | u >= 90 | groupBy(t) | sort(t)")
+
   def hqLookup(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
@@ -180,6 +198,8 @@ object HumioQueries {
       "event_type = c* | count(user_id, distinct=true, as=n_users)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_split"     -> hqSplit _,
+    "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
     "hq_dedup"     -> hqDedup _,
@@ -210,6 +230,15 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_split" ->
+      """WITH p AS (SELECT unnest(string_split_regex(props, '[^0-9]+')) AS parts
+        |           FROM events)
+        |SELECT parts, CAST(count(*) AS BIGINT) AS _count
+        |FROM p WHERE parts <> '' GROUP BY parts ORDER BY parts""".stripMargin,
+    "hq_parsecsv" ->
+      """SELECT event_type AS t, CAST(count(*) AS BIGINT) AS _count
+        |FROM events WHERE user_id >= 90
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hq_top_sum" ->
       """SELECT user_id,
         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS _sum

@@ -63,6 +63,12 @@ import org.apache.spark.sql.functions._
   *                events (by ts, event_id tie-break) per key combination
   *   timechart := timechart(span=<n><s|m|h|d>[, function=…])   — buckets _bucket_ms
   *   bucket    := bucket(span=…[, function=…])                 — buckets _bucket
+  *   splitStr  := splitString(field=f, by=/regex/[, as=out]) — tokenize a
+  *                string field into an array column
+  *   split     := split(field) — fan one event out per array element;
+  *                the element replaces the field, origin index in _index
+  *   parseCsv  := parseCsv(field, columns=[c1, c2, …]) — promote
+  *                comma-separated values to named string columns
   * }}}
   *
   * Example:
@@ -479,6 +485,32 @@ object HumioQuery {
         // promote $.key of a JSON string field to a real column named key
         val Seq(jsonField, key) = pos.take(2)
         df.withColumn(key, get_json_object(col(jsonField), s"$$.$key"))
+      case "splitString" =>
+        // splitString(field=f, by=regex, as=out): tokenize a string field
+        // into an array column; by= is a regex, as in LogScale
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("splitString() needs a field"))
+        df.withColumn(named.getOrElse("as", "_splitstring"),
+          split(col(f), unquote(named.getOrElse("by", " "))))
+      case "split" =>
+        // split(field): one event per array element (LogScale split);
+        // the element replaces the array field, origin index in _index
+        val f = pos.headOption.getOrElse(
+          throw new IllegalArgumentException("split() needs a field"))
+        df.select(col("*"), posexplode(col(f)).as(Seq("_index", s"__${f}_elem")))
+          .drop(f)
+          .withColumnRenamed(s"__${f}_elem", f)
+          .withColumn("_index", col("_index").cast("bigint"))
+      case "parseCsv" =>
+        // parseCsv(field, columns=[a, b, …]): promote comma-separated
+        // values to named string columns; short rows yield NULL tails
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("parseCsv() needs a field"))
+        val cells = split(col(f), ",")
+        listArg(named.getOrElse("columns",
+            throw new IllegalArgumentException("parseCsv() needs columns=")))
+          .zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+            d.withColumn(c.trim, try_element_at(cells, lit(i + 1))) }
       case "timechart" => timeBucketed(df, pos, named, "_bucket_ms")
       // bucket() is timechart's generic sibling (LogScale bucket): same
       // span grouping, bucket lands in `_bucket`

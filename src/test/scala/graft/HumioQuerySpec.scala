@@ -446,4 +446,29 @@ class HumioQuerySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("splitString tokenizes by regex; split fans out with _index") {
+    val docs = Seq((1L, "a-b--c"), (2L, "x")).toDF("event_id", "s")
+    val out = HumioQuery.run(docs,
+      "splitString(field=s, by=\"-+\", as=parts) | split(parts) | sort(event_id, _index)")
+      .select("event_id", "_index", "parts")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "c"), (2L, 0L, "x")))
+    // the array column is consumed by split(); the element takes its name
+    val cols = HumioQuery.run(docs,
+      "splitString(field=s, by=\"-+\", as=parts) | split(parts)").columns.toSeq
+    assert(cols.count(_ == "parts") == 1)
+  }
+
+  test("parseCsv promotes columns; short rows get NULL tails") {
+    val lines = Seq((1L, "gold,7,x"), (2L, "silver")).toDF("event_id", "line")
+    val out = HumioQuery.run(lines,
+      "parseCsv(line, columns=[tier, n, flag]) | sort(event_id)")
+      .select("tier", "n", "flag")
+      .as[(String, Option[String], Option[String])].collect().toSeq
+    assert(out == Seq(("gold", Some("7"), Some("x")), ("silver", None, None)))
+    // promoted text supports typed filtering (the extract() path)
+    assert(HumioQuery.run(lines,
+      "parseCsv(line, columns=[tier, n, flag]) | n >= 5").count() == 1)
+  }
 }
