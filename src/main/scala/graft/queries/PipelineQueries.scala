@@ -33,6 +33,11 @@ object PipelineQueries {
   // IVF: 16 deterministic centroids (first 16 vectors as the codebook
   // stand-in); cells ~n/16 — scale k with data so cells stay bounded
   val IVF_K = 16
+  // PQ: 8 subspaces × 8 dims, 16 codewords each → 4-byte codes; grow
+  // PQ_CODE_K to 256 (1 byte/subspace) with real data
+  val PQ_M = 8
+  val PQ_SUB = DIM / PQ_M
+  val PQ_CODE_K = 16
 
   // ---- text analysis -------------------------------------------------
 
@@ -614,6 +619,66 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Product quantization — the PQ half of the canonical IVF-PQ index
+    * that makes billion-vector ANN fit in memory: each vector is cut
+    * into [[PQ_M]] subvectors and each subvector replaced by the id of
+    * its nearest codeword (16 per subspace → 8×4 bits = 4 bytes per
+    * 64-dim vector, a 64× compression). The codebook is the
+    * deterministic first-[[PQ_CODE_K]]-vectors stand-in (same fixture
+    * convention as IVF_K; real training would Lloyd-iterate per
+    * subspace exactly like [[Knn.kmeansRefine]]). Scale shape: the
+    * codebook is 128 tiny rows → broadcast; encode is a per-row
+    * subspace explode + argmin aggregate keyed by (vec, subspace) —
+    * linear in vectors, never pairwise. recon_err (the sum of
+    * per-subspace quantization distances) is the index-quality metric
+    * you'd tune M/K by.
+    */
+  def xPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    def subRows(df: DataFrame) = df.select(col("vec_id"),
+      explode(array((0 until PQ_M).map { j =>
+        struct(lit(j.toLong).as("j"),
+          transform(slice(col("embedding"), j * PQ_SUB + 1, PQ_SUB),
+            v => v.cast("double")).as("sl"))
+      }: _*)).as("js"))
+      .select(col("vec_id"), col("js.j").as("j"), col("js.sl").as("sl"))
+    val cents = subRows(emb.where(col("vec_id") < PQ_CODE_K))
+      .select(col("vec_id").as("c"), col("j"), col("sl").as("csl"))
+    val dist = subRows(emb).join(broadcast(cents), "j")
+      .withColumn("d2", aggregate(
+        zip_with(col("sl"), col("csl"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    // argmin codeword per (vector, subspace); c is unique so the
+    // (d2, c) struct ordering is total — ties go to the smaller id
+    val best = dist.groupBy("vec_id", "j")
+      .agg(min_by(struct(col("c"), col("d2")), struct(col("d2"), col("c"))).as("b"))
+      .select(col("vec_id"), col("j"), col("b.c").as("code"), col("b.d2").as("bd2"))
+    val codeCols = (0 until PQ_M).map(j =>
+      max(when(col("j") === j, col("code"))).as(s"code$j"))
+    best.groupBy("vec_id")
+      .agg(codeCols.head, (codeCols.tail :+
+        detRound4(sum(col("bd2"))).as("recon_err")): _*)
+      .orderBy("vec_id")
+  }
+
+  /** Per-source mixture accounting — the token-budget table a training
+    * run samples against (docs, estimated tokens, and each source-lang
+    * cell's share of the corpus token budget). One scan + one groupBy;
+    * the global-share window runs over the already-aggregated
+    * source×lang table (bounded cardinality, like x_tfidf's vocabulary
+    * window), not the corpus.
+    */
+  def xSourceMix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        Text.tokenCountEstimate(col("text")).as("t"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("est_tokens"))
+      .withColumn("token_share",
+        detRound4(col("est_tokens").cast("double") /
+          sum(col("est_tokens")).over(Window.partitionBy())))
+      .orderBy("source", "lang")
+
   // ---- multimodal ----------------------------------------------------
 
   def xMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -907,6 +972,8 @@ object PipelineQueries {
     "x_ivfknn2"     -> xIvfknn2 _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_decontam"    -> xDecontam _,
+    "x_pq"          -> xPq _,
+    "x_source_mix"  -> xSourceMix _,
     "x_pii_scrub"   -> xPiiScrub _,
     "x_repetition"  -> xRepetition _,
     "x_bm25"        -> xBm25 _,
@@ -1343,6 +1410,37 @@ object PipelineQueries {
         |      FROM pairs)
         |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
         |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "x_pq" -> {
+      val codes = (0 until PQ_M).map(j =>
+        s"CAST(max(CASE WHEN j = $j THEN code END) AS BIGINT) AS code$j")
+        .mkString(",\n|  ")
+      s"""WITH sub AS (SELECT vec_id, j,
+        |    list_transform(range(1, ${PQ_SUB + 1}),
+        |      d -> CAST(embedding[j * $PQ_SUB + d] AS DOUBLE)) AS sl
+        |  FROM embeddings CROSS JOIN range(0, $PQ_M) t(j)),
+        |cent AS (SELECT vec_id AS c, j, sl AS csl FROM sub WHERE vec_id < $PQ_CODE_K),
+        |d AS (SELECT s.vec_id, s.j, c.c,
+        |    list_aggregate(list_transform(range(1, ${PQ_SUB + 1}),
+        |      i -> (s.sl[i] - c.csl[i]) * (s.sl[i] - c.csl[i])), 'sum') AS d2
+        |  FROM sub s JOIN cent c ON s.j = c.j),
+        |best AS (SELECT vec_id, j, c AS code, d2,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn FROM d)
+        |SELECT vec_id,
+        |  $codes,
+        |  ${detRound4Sql("sum(d2)")} AS recon_err
+        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+    "x_source_mix" ->
+      s"""WITH t AS (SELECT source, lang,
+        |    list_aggregate(list_transform(string_split(text,' '),
+        |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS t
+        |  FROM documents),
+        |g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(t) AS BIGINT) AS est_tokens
+        |      FROM t GROUP BY source, lang)
+        |SELECT source, lang, n_docs, est_tokens,
+        |  ${detRound4Sql("CAST(est_tokens AS DOUBLE) / sum(est_tokens) OVER ()")} AS token_share
+        |FROM g ORDER BY source, lang""".stripMargin,
     "x_decontam" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t),

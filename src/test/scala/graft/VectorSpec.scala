@@ -217,4 +217,27 @@ class VectorSpec extends SparkSpec {
     assert(feats.groupBy("doc_id").agg(sum("n")).as[(Long, Long)].collect().toMap
       == Map(1L -> 3L, 2L -> 4L))
   }
+
+  test("PQ: codebook vectors encode to themselves with zero error") {
+    val out = graft.queries.PipelineQueries.xPq(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") < graft.queries.PipelineQueries.PQ_CODE_K)
+      .collect()
+    assert(out.length == graft.queries.PipelineQueries.PQ_CODE_K)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      (0 until graft.queries.PipelineQueries.PQ_M).foreach { j =>
+        assert(r.getAs[Long](s"code$j") == id,
+          s"codeword $id subspace $j must be its own nearest codeword")
+      }
+      assert(r.getAs[Double]("recon_err") == 0.0)
+    }
+  }
+
+  test("source mixture shares sum to 1 over the whole corpus") {
+    val total = graft.queries.PipelineQueries
+      .xSourceMix(spark, "/root/testdata/sf0.001")
+      .agg(sum("token_share")).as[Double].head()
+    // each cell rounds to 4 decimals → the sum drifts at most n_cells/2e4
+    assert(math.abs(total - 1.0) < 0.01, s"shares must sum to ~1, got $total")
+  }
 }
