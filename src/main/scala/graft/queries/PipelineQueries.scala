@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Text, Vectors}
 import graft.operators.{Dedup, Knn, Sampling}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -633,32 +633,87 @@ object PipelineQueries {
     * per-subspace quantization distances) is the index-quality metric
     * you'd tune M/K by.
     */
-  def xPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    def subRows(df: DataFrame) = df.select(col("vec_id"),
+  /** (vec_id, j, sl): the 8-dim double-cast subvector of each subspace. */
+  private def pqSubRows(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
       explode(array((0 until PQ_M).map { j =>
         struct(lit(j.toLong).as("j"),
           transform(slice(col("embedding"), j * PQ_SUB + 1, PQ_SUB),
             v => v.cast("double")).as("sl"))
       }: _*)).as("js"))
       .select(col("vec_id"), col("js.j").as("j"), col("js.sl").as("sl"))
-    val cents = subRows(emb.where(col("vec_id") < PQ_CODE_K))
+
+  /** (c, j, csl): the deterministic per-subspace codebook (128 rows). */
+  private def pqCents(emb: DataFrame): DataFrame =
+    pqSubRows(emb.where(col("vec_id") < PQ_CODE_K))
       .select(col("vec_id").as("c"), col("j"), col("sl").as("csl"))
-    val dist = subRows(emb).join(broadcast(cents), "j")
-      .withColumn("d2", aggregate(
-        zip_with(col("sl"), col("csl"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
-    // argmin codeword per (vector, subspace); c is unique so the
-    // (d2, c) struct ordering is total — ties go to the smaller id
-    val best = dist.groupBy("vec_id", "j")
+
+  /** Squared L2 between two equal-length double arrays, summed in element
+    * order (the order the DuckDB replay sums in).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** PQ encode: (vec_id, j, code, bd2) — argmin codeword per (vector,
+    * subspace); c is unique so the (d2, c) struct ordering is total and
+    * ties go to the smaller codeword id.
+    */
+  private def pqCodes(emb: DataFrame): DataFrame =
+    pqSubRows(emb).join(broadcast(pqCents(emb)), "j")
+      .withColumn("d2", l2sq(col("sl"), col("csl")))
+      .groupBy("vec_id", "j")
       .agg(min_by(struct(col("c"), col("d2")), struct(col("d2"), col("c"))).as("b"))
       .select(col("vec_id"), col("j"), col("b.c").as("code"), col("b.d2").as("bd2"))
+
+  def xPq(s: SparkSession, dir: String): DataFrame = {
     val codeCols = (0 until PQ_M).map(j =>
       max(when(col("j") === j, col("code"))).as(s"code$j"))
-    best.groupBy("vec_id")
+    pqCodes(Tables.embeddings(s, dir)).groupBy("vec_id")
       .agg(codeCols.head, (codeCols.tail :+
         detRound4(sum(col("bd2"))).as("recon_err")): _*)
       .orderBy("vec_id")
+  }
+
+  /** PQ asymmetric-distance recall@1 — the accuracy metric of the
+    * compressed tier: each probe builds its 8×16 codeword distance table
+    * (ADC lookup table), candidate distances are the SUM of 8 table
+    * lookups over the 4-byte codes (never touching the original
+    * vectors), and the approx nearest is scored against the exact-L2
+    * nearest. Scale shape: the probe set is a deterministic diagnostic
+    * sample (vec_id % 100) so dtab stays tiny and broadcast; the code
+    * table — 8 small ints per vector, the whole point of PQ — is the
+    * only corpus-sized relation scanned; exact side broadcasts only the
+    * probes and partial-aggregates (the r5 exact-KNN shape).
+    */
+  def xPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probeRows = emb.where(col("vec_id") % 100 === 0)
+    // ADC lookup table: probe × subspace × codeword (|probes|·128 rows)
+    val dtab = pqSubRows(probeRows).join(broadcast(pqCents(emb)), "j")
+      .select(col("vec_id").as("p"), col("j"), col("c"),
+        l2sq(col("sl"), col("csl")).as("td2"))
+    val codes = pqCodes(emb).select(col("vec_id").as("cand"), col("j"), col("code"))
+    val approx = codes
+      .join(broadcast(dtab),
+        codes("j") === dtab("j") && codes("code") === dtab("c") &&
+          codes("cand") =!= dtab("p"))
+      .groupBy("p", "cand").agg(sum("td2").as("ad2"))
+      .groupBy("p")
+      .agg(min_by(col("cand"), struct(col("ad2"), col("cand"))).as("pq_nn"))
+    val probes = probeRows.select(col("vec_id").as("p"),
+      transform(col("embedding"), v => v.cast("double")).as("pe"))
+    val exact = emb
+      .select(col("vec_id").as("cand"),
+        transform(col("embedding"), v => v.cast("double")).as("ce"))
+      .join(broadcast(probes), col("cand") =!= col("p"))
+      .withColumn("d2", l2sq(col("pe"), col("ce")))
+      .groupBy("p")
+      .agg(min_by(col("cand"), struct(col("d2"), col("cand"))).as("exact_nn"))
+    approx.join(exact, "p")
+      .select(col("p").as("probe_id"), col("pq_nn"), col("exact_nn"),
+        (col("pq_nn") === col("exact_nn")).cast("bigint").as("hit"))
+      .orderBy("probe_id")
   }
 
   /** Per-source mixture accounting — the token-budget table a training
@@ -973,6 +1028,7 @@ object PipelineQueries {
     "x_regex_tokens" -> xRegexTokens _,
     "x_decontam"    -> xDecontam _,
     "x_pq"          -> xPq _,
+    "x_pq_recall"   -> xPqRecall _,
     "x_source_mix"  -> xSourceMix _,
     "x_pii_scrub"   -> xPiiScrub _,
     "x_repetition"  -> xRepetition _,
@@ -1008,6 +1064,23 @@ object PipelineQueries {
     "CASE WHEN len(toks) >= 3 THEN list_transform(" +
       "range(1, len(toks) - 1), i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) " +
       "ELSE [md5(array_to_string(toks, ' '))] END"
+
+  /** Shared PQ replay CTEs: sub (subvector slices), cent (codebook),
+    * d (all codeword distances), best (argmin codeword per subspace) —
+    * the DuckDB twin of [[pqSubRows]]/[[pqCents]]/[[pqCodes]].
+    */
+  private val pqBaseCtes: String =
+    s"""sub AS (SELECT vec_id, j,
+      |    list_transform(range(1, ${PQ_SUB + 1}),
+      |      d -> CAST(embedding[j * $PQ_SUB + d] AS DOUBLE)) AS sl
+      |  FROM embeddings CROSS JOIN range(0, $PQ_M) t(j)),
+      |cent AS (SELECT vec_id AS c, j, sl AS csl FROM sub WHERE vec_id < $PQ_CODE_K),
+      |d AS (SELECT s.vec_id, s.j, c.c,
+      |    list_aggregate(list_transform(range(1, ${PQ_SUB + 1}),
+      |      i -> (s.sl[i] - c.csl[i]) * (s.sl[i] - c.csl[i])), 'sum') AS d2
+      |  FROM sub s JOIN cent c ON s.j = c.j),
+      |best AS (SELECT vec_id, j, c AS code, d2,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn FROM d)""".stripMargin
 
   /** DuckDB twin of [[Text.shingles]] at width `k` (space-joined word
     * `k`-grams over a `toks` column, whole-doc fallback under `k` words).
@@ -1414,22 +1487,36 @@ object PipelineQueries {
       val codes = (0 until PQ_M).map(j =>
         s"CAST(max(CASE WHEN j = $j THEN code END) AS BIGINT) AS code$j")
         .mkString(",\n|  ")
-      s"""WITH sub AS (SELECT vec_id, j,
-        |    list_transform(range(1, ${PQ_SUB + 1}),
-        |      d -> CAST(embedding[j * $PQ_SUB + d] AS DOUBLE)) AS sl
-        |  FROM embeddings CROSS JOIN range(0, $PQ_M) t(j)),
-        |cent AS (SELECT vec_id AS c, j, sl AS csl FROM sub WHERE vec_id < $PQ_CODE_K),
-        |d AS (SELECT s.vec_id, s.j, c.c,
-        |    list_aggregate(list_transform(range(1, ${PQ_SUB + 1}),
-        |      i -> (s.sl[i] - c.csl[i]) * (s.sl[i] - c.csl[i])), 'sum') AS d2
-        |  FROM sub s JOIN cent c ON s.j = c.j),
-        |best AS (SELECT vec_id, j, c AS code, d2,
-        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn FROM d)
+      s"""WITH $pqBaseCtes
         |SELECT vec_id,
         |  $codes,
         |  ${detRound4Sql("sum(d2)")} AS recon_err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+    "x_pq_recall" ->
+      s"""WITH $pqBaseCtes,
+        |codes AS (SELECT vec_id AS cand, j, code FROM best WHERE rn = 1),
+        |dtab AS (SELECT s.vec_id AS p, s.j, c.c,
+        |    list_aggregate(list_transform(range(1, ${PQ_SUB + 1}),
+        |      i -> (s.sl[i] - c.csl[i]) * (s.sl[i] - c.csl[i])), 'sum') AS td2
+        |  FROM sub s JOIN cent c ON s.j = c.j WHERE s.vec_id % 100 = 0),
+        |adc AS (SELECT d.p, k.cand, sum(d.td2) AS ad2
+        |  FROM codes k JOIN dtab d ON k.j = d.j AND k.code = d.c AND k.cand <> d.p
+        |  GROUP BY 1, 2),
+        |abest AS (SELECT p, cand,
+        |    row_number() OVER (PARTITION BY p ORDER BY ad2, cand) AS rn FROM adc),
+        |ex AS (SELECT p.vec_id AS p, e.vec_id AS cand,
+        |    list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |      i -> (CAST(p.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+        |         * (CAST(p.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))), 'sum') AS d2
+        |  FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+        |  WHERE p.vec_id % 100 = 0),
+        |ebest AS (SELECT p, cand,
+        |    row_number() OVER (PARTITION BY p ORDER BY d2, cand) AS rn FROM ex)
+        |SELECT a.p AS probe_id, a.cand AS pq_nn, e.cand AS exact_nn,
+        |  CAST(a.cand = e.cand AS BIGINT) AS hit
+        |FROM abest a JOIN ebest e ON a.p = e.p AND a.rn = 1 AND e.rn = 1
+        |ORDER BY probe_id""".stripMargin,
     "x_source_mix" ->
       s"""WITH t AS (SELECT source, lang,
         |    list_aggregate(list_transform(string_split(text,' '),

@@ -233,6 +233,19 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("PQ ADC recall: one row per probe, self excluded, hit is 0/1") {
+    val out = graft.queries.PipelineQueries
+      .xPqRecall(spark, "/root/testdata/sf0.001").collect()
+    val nProbes = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") % 100 === 0).count()
+    assert(out.length == nProbes)
+    out.foreach { r =>
+      assert(r.getAs[Long]("pq_nn") != r.getAs[Long]("probe_id"))
+      assert(r.getAs[Long]("exact_nn") != r.getAs[Long]("probe_id"))
+      assert(Set(0L, 1L).contains(r.getAs[Long]("hit")))
+    }
+  }
+
   test("source mixture shares sum to 1 over the whole corpus") {
     val total = graft.queries.PipelineQueries
       .xSourceMix(spark, "/root/testdata/sf0.001")
