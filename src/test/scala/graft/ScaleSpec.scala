@@ -85,6 +85,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter: a selective dim filter prunes the fact side pre-shuffle") {
+    // the non-partition-column sibling of DPP: when the fact table can't
+    // be pruned by partition keys, Spark builds a bloom filter from the
+    // filtered dim side and applies might_contain on the fact scan —
+    // at 100 TB this drops most fact rows BEFORE the join shuffle
+    val factDir = java.nio.file.Files.createTempDirectory("graft-bloom-f").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-bloom-d").toString
+    (1 to 20000).map(i => (i.toLong % 100, s"payload$i"))
+      .toDF("k", "payload").write.mode("overwrite").parquet(factDir)
+    // the creation-side predicate must be comparison-shaped: the rule's
+    // isLikelySelective heuristic accepts EqualTo(attr, lit) but not a
+    // bare boolean attribute
+    (0 to 99).map(i => (i.toLong, if (i % 50 == 0) "keep" else "drop"))
+      .toDF("k", "sel").write.mode("overwrite").parquet(dimDir)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      // no broadcast (a broadcast join already prunes at the join) and
+      // zero size thresholds so the megabyte fixture takes the rewrite
+      // the terabyte scan would
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val q = spark.read.parquet(factDir)
+        .join(spark.read.parquet(dimDir).where(col("sel") === "keep"), "k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"fact side must carry a bloom-filter probe, got:\n${plan.take(1500)}")
+      assert(q.count() == 400L, "keys 0 and 50 keep 200 fact rows each")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // one hot key owns ~97% of the fact bytes: the static plan puts it in
     // one shuffle partition (the classic straggler); AQE's skew-join
