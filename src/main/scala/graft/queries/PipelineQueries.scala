@@ -571,9 +571,23 @@ object PipelineQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         size(toks).cast("bigint").as("n_words"),
-        size(g3).cast("bigint").as("n_g3"),
+        // gram COUNT is pure arithmetic (len-2, whole-doc fallback 1) —
+        // only the distinct needs the interpreted shingle build, once
+        greatest(size(toks) - 2, lit(1)).cast("bigint").as("n_g3"),
         size(array_distinct(g3)).cast("bigint").as("d_g3"),
-        explode(toks).as("word"))
+        toks.as("toks"))
+      // materialize the per-doc stats BEFORE the word explode: in one
+      // select, CollapseProject + Generate extraction land the heavy
+      // interpreted shingle/array_distinct expressions ABOVE the
+      // Generate — re-evaluated once per exploded WORD, an ~n_words×
+      // overcompute (observed: 108 s at sf0.1 vs ~1 s). The repartition
+      // is the barrier AND the aggregation exchange: doc_id partitioning
+      // satisfies both downstream groupBy keys, so the aggregate runs
+      // partition-local — still ONE corpus shuffle, now of compact
+      // per-doc rows instead of exploded words
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_g3"), col("d_g3"),
+        explode(col("toks")).as("word"))
       .groupBy("doc_id", "n_words", "n_g3", "d_g3", "word")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "n_words", "n_g3", "d_g3")
