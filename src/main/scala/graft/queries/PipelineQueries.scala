@@ -612,9 +612,13 @@ object PipelineQueries {
     val K1 = 1.2; val B = 0.75
     val terms = Seq("query", "join", "fast")
     val toks = Text.tokens(col("text"))
+    // dl as char arithmetic, not size(split(...)): a select-sibling of an
+    // explode is re-evaluated per exploded row (the x_repetition lesson),
+    // so it must be O(len) scans, not a full re-tokenize per word
+    val dl = (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+      .cast("bigint")
     val tf = Tables.documents(s, dir)
-      .select(col("doc_id"), size(toks).cast("bigint").as("dl"),
-        explode(toks).as("word"))
+      .select(col("doc_id"), dl.as("dl"), explode(toks).as("word"))
       .where(col("word").isin(terms: _*))
       .groupBy("doc_id", "dl", "word")
       .agg(count(lit(1)).as("tf"))
