@@ -168,6 +168,15 @@ object HumioQueries {
       "format(\"%s,%d\", field=[event_type, user_id], as=line) " +
         "| parseCsv(line, columns=[t, u]) | u >= 90 | groupBy(t) | sort(t)")
 
+  /** math scalar functions in the expression language: sqrt under floor
+    * buckets values; ln/exp round-trip in the filter (exact-boundary-free
+    * on the fixture's 2-decimal values).
+    */
+  def hqMath(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(b = floor(sqrt(value))) | eval(lv = ln(exp(1) * value)) " +
+        "| lv >= 3.0 | groupBy(b) | sort(b)")
+
   def hqLookup(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
@@ -199,6 +208,7 @@ object HumioQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hq_split"     -> hqSplit _,
+    "hq_math"      -> hqMath _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -230,6 +240,11 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_math" ->
+      """SELECT CAST(floor(sqrt(value)) AS BIGINT) AS b,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events WHERE ln(exp(1) * value) >= 3.0
+        |GROUP BY b ORDER BY b""".stripMargin,
     "hq_split" ->
       """WITH p AS (SELECT unnest(string_split_regex(props, '[^0-9]+')) AS parts
         |           FROM events)

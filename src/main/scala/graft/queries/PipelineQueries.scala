@@ -752,6 +752,34 @@ object PipelineQueries {
           sum(col("est_tokens")).over(Window.partitionBy())))
       .orderBy("source", "lang")
 
+  /** Unigram language-model scoring — the CCNet-style perplexity proxy:
+    * train a unigram LM on the corpus itself (one vocabulary aggregate)
+    * and score every doc by its average token log-probability; docs far
+    * below the corpus distribution are quality outliers. Scale shape:
+    * ONE corpus explode feeds both the per-(doc,word) counts and (via a
+    * word-keyed re-aggregate of that same relation, vocabulary-sized
+    * output) the LM itself, which joins back broadcast; the corpus total
+    * is a 1-row broadcast like x_tfidf's. The global window trap is
+    * avoided: N comes from the vocabulary aggregate, never a
+    * single-partition window over the corpus.
+    */
+  def xUnigramLp(s: SparkSession, dir: String): DataFrame = {
+    val cdw = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val cw = cdw.groupBy("word").agg(sum(col("c")).as("c_w"))
+    val total = cw.agg(sum(col("c_w")).as("n_total"))
+    cdw.join(broadcast(cw), "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"),
+        (sum(col("c").cast("double") *
+          (log(col("c_w").cast("double")) - log(col("n_total").cast("double"))))
+          / sum(col("c")).cast("double")).as("alp"))
+      .select(col("doc_id"), col("n_words"), detRound4(col("alp")).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   def xMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -1051,6 +1079,7 @@ object PipelineQueries {
     "x_pii_scrub"   -> xPiiScrub _,
     "x_repetition"  -> xRepetition _,
     "x_bm25"        -> xBm25 _,
+    "x_unigram_lp"  -> xUnigramLp _,
     "x_multimodal"  -> xMultimodal _,
     "x_frames"      -> xFrames _,
     "x_binary"      -> xBinary _)
@@ -1546,6 +1575,15 @@ object PipelineQueries {
         |SELECT source, lang, n_docs, est_tokens,
         |  ${detRound4Sql("CAST(est_tokens AS DOUBLE) / sum(est_tokens) OVER ()")} AS token_share
         |FROM g ORDER BY source, lang""".stripMargin,
+    "x_unigram_lp" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |cdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+        |cw AS (SELECT word, CAST(sum(c) AS BIGINT) AS c_w FROM cdw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM cw)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  ${detRound4Sql("sum(CAST(c AS DOUBLE) * (ln(CAST(c_w AS DOUBLE)) - ln(CAST(n_total AS DOUBLE)))) / CAST(sum(c) AS DOUBLE)")} AS avg_logprob
+        |FROM cdw JOIN cw USING (word) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_decontam" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t),

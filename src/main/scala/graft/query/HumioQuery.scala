@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   *   assign    := field := expr              — computed field (LogScale `:=`);
   *                expr is + - * / % arithmetic over fields/literals with
   *                parens and scalar fns: length lower upper abs floor
-  *                ceil concat coalesce
+  *                ceil sqrt exp ln pow concat coalesce
   *   eval      := eval(field = expr)         — function form of assign
   *   caseBlk   := case { cond | f := v ; … [; * | f := v] }
   *                — first matching arm assigns; events matching NO arm are
@@ -416,6 +416,10 @@ object HumioQuery {
         case "abs"      => abs(one)
         case "floor"    => floor(one).cast("long")
         case "ceil"     => ceil(one).cast("long")
+        case "sqrt"     => sqrt(one)
+        case "exp"      => exp(one)
+        case "ln"       => log(one)   // natural log, as in LogScale math:log
+        case "pow"      => pow(a.head, a(1))
         case "concat"   => concat(a: _*)
         case "coalesce" => coalesce(a: _*)
         case other => throw new IllegalArgumentException(

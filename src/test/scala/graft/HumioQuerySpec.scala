@@ -447,6 +447,18 @@ class HumioQuerySpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("math scalar functions: pow/sqrt round-trip, ln/exp inverse") {
+    val out = HumioQuery.run(df,
+      "eval(x = pow(value, 2)) | eval(y = sqrt(x)) | y >= 20.0 " +
+        "| select(event_id) | sort(event_id)")
+      .as[Long].collect().toSeq
+    assert(out == Seq(2L, 3L, 4L), "sqrt(pow(v,2)) == v for positive v")
+    val lnexp = HumioQuery.run(df,
+      "eval(z = ln(exp(value))) | z >= 39.0 | select(event_id)")
+      .as[Long].collect().toSeq
+    assert(lnexp == Seq(4L))
+  }
+
   test("splitString tokenizes by regex; split fans out with _index") {
     val docs = Seq((1L, "a-b--c"), (2L, "x")).toDF("event_id", "s")
     val out = HumioQuery.run(docs,
