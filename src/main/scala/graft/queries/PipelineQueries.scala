@@ -767,10 +767,17 @@ object PipelineQueries {
     val cdw = Tables.documents(s, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-    val cw = cdw.groupBy("word").agg(sum(col("c")).as("c_w"))
-    val total = cw.agg(sum(col("c_w")).as("n_total"))
-    cdw.join(broadcast(cw), "word")
-      .crossJoin(broadcast(total))
+      // LM count per word as a WORD-partitioned window over the one
+      // (doc,word) aggregate — a separate groupBy("word") branch would
+      // rescan and re-explode the corpus (column pruning differentiates
+      // the subtrees, so ReuseExchange never fires; observed as 3 scans)
+      .withColumn("c_w", sum(col("c")).over(Window.partitionBy("word")))
+    // corpus token total from a column-pruned 1-row scan: separators+1
+    // char arithmetic == size(split), no explode, no global window
+    val total = Tables.documents(s, dir)
+      .agg(sum((length(col("text")) -
+        length(translate(col("text"), " ", "")) + 1).cast("bigint")).as("n_total"))
+    cdw.crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_words"),
         (sum(col("c").cast("double") *
