@@ -622,11 +622,18 @@ object PipelineQueries {
       .where(col("word").isin(terms: _*))
       .groupBy("doc_id", "dl", "word")
       .agg(count(lit(1)).as("tf"))
-    val dfTbl = tf.groupBy("word").agg(count_distinct(col("doc_id")).as("df"))
+      // df as a word-partitioned window over the one tf relation — each
+      // (doc, word) appears once, so count(*) IS the distinct doc count;
+      // a groupBy("word") branch would rescan+re-explode the corpus
+      // (pruning defeats ReuseExchange, the x_unigram_lp lesson)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    // N and avgdl from a column-pruned scan with separators+1 arithmetic
+    // (== avg(size(split)) exactly) — no second tokenize pass
     val stats = Tables.documents(s, dir)
-      .agg(count(lit(1)).as("n_docs"), avg(size(toks)).as("avgdl"))
-    tf.join(broadcast(dfTbl), "word")
-      .crossJoin(broadcast(stats))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .as("avgdl"))
+    tf.crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("score_t",
