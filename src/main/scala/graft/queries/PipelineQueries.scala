@@ -759,6 +759,66 @@ object PipelineQueries {
           sum(col("est_tokens")).over(Window.partitionBy())))
       .orderBy("source", "lang")
 
+  /** The decontaminated curation pipeline — [[xCurate]] with a benchmark
+    * decontamination gate between quality filtering and dedup: the eval
+    * slice's 4-gram set (small, fixed → broadcast) flags contaminated
+    * training docs (one linear shingle pass → ids), which a left-anti
+    * join removes before exact dedup, the 80% split and chunking. The
+    * full quality→decontam→dedup→split→chunk composition as ONE plan —
+    * two linear corpus scans (gram pass + quality pass), one broadcast,
+    * no pair matrix.
+    */
+  def xCurateClean(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks)
+    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val docs = Tables.documents(s, dir)
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(Text.shingles(toks, 4)).as("gram"))
+    val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
+      .select("gram").distinct()
+    val contamIds = grams(docs.where(col("doc_id") % 50 =!= 0))
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id").distinct()
+    val quality = docs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"), n.as("n_words"),
+        (enHits.cast("double") / n).as("swr"))
+      .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
+    val clean = quality.join(contamIds, Seq("doc_id"), "left_anti")
+    val deduped = clean
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+      .where(col("rn") === 1)
+    val train = deduped.where(Sampling.pct(col("doc_id")) < 80)
+    Sampling.chunked(train.select("doc_id", "text"), col("text"), CHUNK_BUDGET)
+      .select("doc_id", "chunk", "n_tok")
+      .orderBy("doc_id", "chunk")
+  }
+
+  /** Vocabulary coverage curve (top 20) — the tokenizer-design number:
+    * how much of the corpus token mass the k most frequent words cover.
+    * One explode + vocabulary aggregate; the rank/cumulative window runs
+    * over the bounded vocabulary relation, and the corpus total comes
+    * from the pruned separators+1 scan (no second tokenize).
+    */
+  def xVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+    val total = Tables.documents(s, dir)
+      .agg(sum((length(col("text")) -
+        length(translate(col("text"), " ", "")) + 1).cast("bigint")).as("n_total"))
+    Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rank") <= 20)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("cnt"),
+        detRound4(col("cum").cast("double") / col("n_total")).as("cum_share"))
+      .orderBy("rank")
+  }
+
   /** Unigram language-model scoring — the CCNet-style perplexity proxy:
     * train a unigram LM on the corpus itself (one vocabulary aggregate)
     * and score every doc by its average token log-probability; docs far
@@ -1094,6 +1154,8 @@ object PipelineQueries {
     "x_repetition"  -> xRepetition _,
     "x_bm25"        -> xBm25 _,
     "x_unigram_lp"  -> xUnigramLp _,
+    "x_curate_clean" -> xCurateClean _,
+    "x_vocab_coverage" -> xVocabCoverage _,
     "x_multimodal"  -> xMultimodal _,
     "x_frames"      -> xFrames _,
     "x_binary"      -> xBinary _)
@@ -1589,6 +1651,47 @@ object PipelineQueries {
         |SELECT source, lang, n_docs, est_tokens,
         |  ${detRound4Sql("CAST(est_tokens AS DOUBLE) / sum(est_tokens) OVER ()")} AS token_share
         |FROM g ORDER BY source, lang""".stripMargin,
+    "x_curate_clean" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        |        WHERE g.doc_id % 50 <> 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |         len(string_split(text, ' ')) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS swr
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |f AS (SELECT doc_id, text FROM q
+        |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4
+        |        AND doc_id NOT IN (SELECT doc_id FROM bad)),
+        |d AS (SELECT doc_id, text,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM f),
+        |tr AS (SELECT doc_id, text FROM d
+        |       WHERE rn = 1 AND ${hashBucketSql("doc_id")} % 100 < 80),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
+        |n2 AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
+        |      FROM n2)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
+    "x_vocab_coverage" ->
+      s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+        |v AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_total
+        |        FROM documents),
+        |r AS (SELECT word, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, word
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM v)
+        |SELECT rank, word, cnt,
+        |  ${detRound4Sql("CAST(cum AS DOUBLE) / n_total")} AS cum_share
+        |FROM r CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "x_unigram_lp" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
         |cdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),

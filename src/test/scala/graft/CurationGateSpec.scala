@@ -57,6 +57,29 @@ class CurationGateSpec extends SparkSpec {
     assert(r.getAs[Int]("n") == 8 && math.abs(r.getAs[Double]("dup") - 7.0 / 8) < 1e-9)
   }
 
+  test("decontaminated curation excludes flagged docs and the eval slice") {
+    val out = PipelineQueries.xCurateClean(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.where(col("doc_id") % 50 === 0).count() == 0,
+      "benchmark docs never reach the training set")
+    val flagged = PipelineQueries.xDecontam(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val leaked = out.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet.intersect(flagged)
+    assert(leaked.isEmpty, s"contaminated docs leaked: $leaked")
+    out.unpersist()
+  }
+
+  test("vocabulary coverage is monotone, bounded, ranked 1..20") {
+    val rows = PipelineQueries.xVocabCoverage(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val shares = rows.map(_.getAs[Double]("cum_share")).toSeq
+    assert(shares == shares.sorted, "cumulative share must be monotone")
+    assert(shares.last <= 1.0 && shares.head > 0.0)
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sortBy(-_), "ranked by descending count")
+  }
+
   test("BM25 scores exactly the docs containing a query term, positively") {
     val out = PipelineQueries.xBm25(spark, dir).cache()
     val expected = Tables.documents(spark, dir)
