@@ -174,7 +174,7 @@ object HumioQueries {
     */
   def hqMath(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
-      "eval(b = floor(sqrt(value))) | eval(lv = ln(exp(1) * value)) " +
+      "value > 0 | eval(b = floor(sqrt(value))) | eval(lv = ln(exp(1) * value)) " +
         "| lv >= 3.0 | groupBy(b) | sort(b)")
 
   def hqLookup(s: SparkSession, dir: String): DataFrame =
@@ -243,7 +243,7 @@ object HumioQueries {
     "hq_math" ->
       """SELECT CAST(floor(sqrt(value)) AS BIGINT) AS b,
         |       CAST(count(*) AS BIGINT) AS _count
-        |FROM events WHERE ln(exp(1) * value) >= 3.0
+        |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
     "hq_split" ->
       """WITH p AS (SELECT unnest(string_split_regex(props, '[^0-9]+')) AS parts
