@@ -33,9 +33,16 @@ object Bench {
     try Tables.events(spark, sfDir).limit(1).collect()
     catch { case _: Throwable => () }
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
+    // dev knob: run each query N times and record the LAST time — separates
+    // plan-fixed cost (analysis, codegen compile, broadcast build) from
+    // per-row data cost when chasing a slow query. Driver runs N=1.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      for (_ <- 1 until repeat)
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       // noop sink: evaluates every output column and ordering without
       // writing — count() would let Catalyst prune projection work and

@@ -48,7 +48,11 @@ object ConnectorQueries {
     Connector.lastWinPolicy(s)
     // parse props ONCE via from_json (get_json_object re-parses per call,
     // and projection collapse would evaluate the flatten map once per
-    // extracted key — extracting from an exploded entry row avoids both)
+    // extracted key). The one-element-array explode is a Generate
+    // barrier: the map is built once per row and both keys extract from
+    // the materialized value — no entry fan-out, no reassembly shuffle
+    // (the earlier map_entries-explode + groupBy shape paid a full
+    // corpus shuffle just to defeat CollapseProject).
     val kv = array(
       struct(lit("et").as("Key"), col("event_type").as("ValueString")),
       struct(lit("k").as("Key"),
@@ -57,10 +61,9 @@ object ConnectorQueries {
           .cast("string").as("ValueString")),
       struct(lit("et").as("Key"), upper(col("event_type")).as("ValueString")))
     Tables.events(s, dir)
-      .select(col("event_id"), explode(map_entries(Connector.kvFlatten(kv))).as("e"))
-      .groupBy("event_id")
-      .agg(max(when(col("e.key") === "et", col("e.value"))).as("kv_et"),
-        max(when(col("e.key") === "k", col("e.value"))).cast("bigint").as("kv_k"))
+      .select(col("event_id"), explode(array(Connector.kvFlatten(kv))).as("m"))
+      .select(col("event_id"), col("m")("et").as("kv_et"),
+        col("m")("k").cast("bigint").as("kv_k"))
       .orderBy("event_id")
   }
 

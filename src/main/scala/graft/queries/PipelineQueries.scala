@@ -79,18 +79,29 @@ object PipelineQueries {
   def xLangidNgram(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.CharTrigrams.register(s)
     val docs = Tables.documents(s, dir).where(length(col("text")) >= 3)
-    val tri = docs.select(col("doc_id"), col("lang"),
-      explode(Text.charTrigramsNative(col("text"))).as("tg"))
+    // ONE corpus explode + shuffle: the (doc, trigram) aggregate feeds
+    // BOTH the language profiles (a sum-re-aggregate of the compact
+    // relation — a groupBy branch off the raw explode would rescan and
+    // re-explode the corpus, pruning defeats ReuseExchange) and the
+    // per-doc scoring side (its keys ARE the distinct doc-trigram
+    // pairs). lang rides through the key — functionally dependent on
+    // doc_id — so the label join back to the corpus disappears too.
+    val dtg = docs.select(col("doc_id"), col("lang"),
+        explode(Text.charTrigramsNative(col("text"))).as("tg"))
+      .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
     val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tg"))
-    val profiles = tri.groupBy("lang", "tg").agg(count(lit(1)).as("cnt"))
+    val profiles = dtg.groupBy("lang", "tg").agg(sum("c").as("cnt"))
       .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
       .select(col("lang").as("plang"), col("tg"))
     val wd = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))
-    tri.select("doc_id", "tg").distinct()
-      .join(broadcast(profiles), "tg")
-      .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+    // hits via sum(least(c,1)) ≡ count(*) (c ≥ 1 by construction) — the
+    // point is to reference c so BOTH branches prune dtg identically:
+    // with count(*) the optimizer drops c from this branch's partial
+    // aggregate, the exchange subtrees stop canonicalizing equal, and
+    // ReuseExchange re-scans + re-explodes the corpus (observed 2×).
+    dtg.join(broadcast(profiles), "tg")
+      .groupBy("doc_id", "lang", "plang").agg(sum(least(col("c"), lit(1))).as("hits"))
       .withColumn("rn", row_number().over(wd)).where(col("rn") === 1)
-      .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         col("plang").as("pred_lang"), col("hits"))
       .orderBy("doc_id")
