@@ -752,6 +752,61 @@ object PipelineQueries {
       .orderBy("probe_id")
   }
 
+  /** IVF-PQ search — the composition that makes billion-vector ANN fit
+    * a cluster: IVF prunes the search to each probe's [[IVF_NPROBE]]
+    * nearest cells, then PQ scores ONLY those candidates from their
+    * 4-byte codes via the probe's ADC lookup table — candidate vectors
+    * are never touched after indexing. Scale shape: the full corpus is
+    * scanned exactly twice (home-cell assignment, PQ encode — both
+    * broadcast-centroid passes with no shuffle); the probe set is a
+    * bounded diagnostic sample, so its cell fan-out (`pairs`) and ADC
+    * table stay broadcast-sized, and the only corpus-sized relation in
+    * the search itself is the CODE table (8 small ints/vector — the
+    * point of PQ). A serving path with unbounded probes would swap the
+    * two broadcasts for an equi-join shuffle on cell/code — same plan
+    * shape, no quadratic anywhere. n_cand is the per-probe scanned-
+    * candidate count: the IVF selectivity number you'd tune nprobe by.
+    */
+  def xIvfpq(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.FloatDot.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val probeRows = emb.where(col("vec_id") % 100 === 0)
+    val cents = ivfCentroids(emb)
+    // probe-side cell ranking: |sample|·k rows, broadcast centroids
+    val cn = cents.select(col("cent_id"), col("cvec"),
+      Vectors.norm(col("cvec"), DIM).as("cnrm"))
+    val wc = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val probeCells = probeRows.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding"), DIM).as("nrm"))
+      .join(broadcast(cn))
+      .withColumn("csim",
+        expr("try_divide(graft_dot(embedding, cvec), nrm * cnrm)"))
+      .withColumn("rk", row_number().over(wc))
+      .where(col("rk") <= IVF_NPROBE)
+      .select(col("vec_id").as("p"), col("cent_id").as("cell"))
+    // candidate set: home-cell assignment joined to the probed cells —
+    // a candidate appears at most once per probe (one home cell)
+    val pairs = Knn.ivfAssign(emb, cents, DIM)
+      .select(col("vec_id").as("cand"), col("cell"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .where(col("cand") =!= col("p"))
+      .select("p", "cand")
+    val dtab = pqSubRows(probeRows).join(broadcast(pqCents(emb)), "j")
+      .select(col("vec_id").as("p"), col("j"), col("c").as("code"),
+        l2sq(col("sl"), col("csl")).as("td2"))
+    pqCodes(emb).select(col("vec_id").as("cand"), col("j"), col("code"))
+      .join(broadcast(pairs), "cand")
+      .join(broadcast(dtab), Seq("p", "j", "code"))
+      .groupBy("p", "cand").agg(sum("td2").as("ad2"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_cand"),
+        min_by(struct(col("cand"), col("ad2")),
+          struct(col("ad2"), col("cand"))).as("b"))
+      .select(col("p").as("probe_id"), col("n_cand"),
+        col("b.cand").as("ivfpq_nn"), detRound4(col("b.ad2")).as("ad2"))
+      .orderBy("probe_id")
+  }
+
   /** Per-source mixture accounting — the token-budget table a training
     * run samples against (docs, estimated tokens, and each source-lang
     * cell's share of the corpus token budget). One scan + one groupBy;
@@ -1160,6 +1215,7 @@ object PipelineQueries {
     "x_decontam"    -> xDecontam _,
     "x_pq"          -> xPq _,
     "x_pq_recall"   -> xPqRecall _,
+    "x_ivfpq"       -> xIvfpq _,
     "x_source_mix"  -> xSourceMix _,
     "x_pii_scrub"   -> xPiiScrub _,
     "x_repetition"  -> xRepetition _,
@@ -1651,6 +1707,32 @@ object PipelineQueries {
         |  CAST(a.cand = e.cand AS BIGINT) AS hit
         |FROM abest a JOIN ebest e ON a.p = e.p AND a.rn = 1 AND e.rn = 1
         |ORDER BY probe_id""".stripMargin,
+    "x_ivfpq" ->
+      s"""WITH icent AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < $IVF_K),
+        |${scoredSql("icent", "sc")},
+        |$pqBaseCtes,
+        |probes AS (SELECT vec_id AS p, cent_id AS cell FROM sc
+        |           WHERE rk <= $IVF_NPROBE AND vec_id % 100 = 0),
+        |homes AS (SELECT vec_id AS cand, cent_id AS cell FROM sc WHERE rk = 1),
+        |pairs AS (SELECT p, cand FROM probes JOIN homes USING (cell)
+        |          WHERE cand <> p),
+        |codes AS (SELECT vec_id AS cand, j, code FROM best WHERE rn = 1),
+        |dtab AS (SELECT s.vec_id AS p, s.j, c.c AS code,
+        |    list_aggregate(list_transform(range(1, ${PQ_SUB + 1}),
+        |      i -> (s.sl[i] - c.csl[i]) * (s.sl[i] - c.csl[i])), 'sum') AS td2
+        |  FROM sub s JOIN cent c ON s.j = c.j WHERE s.vec_id % 100 = 0),
+        |adc AS (SELECT pr.p, pr.cand, sum(d.td2) AS ad2
+        |  FROM pairs pr JOIN codes k ON k.cand = pr.cand
+        |  JOIN dtab d ON d.p = pr.p AND d.j = k.j AND d.code = k.code
+        |  GROUP BY 1, 2),
+        |r AS (SELECT p, cand, ad2,
+        |        CAST(count(*) OVER (PARTITION BY p) AS BIGINT) AS n_cand,
+        |        row_number() OVER (PARTITION BY p ORDER BY ad2, cand) AS rn
+        |      FROM adc)
+        |SELECT p AS probe_id, n_cand, cand AS ivfpq_nn,
+        |       ${detRound4Sql("ad2")} AS ad2
+        |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
     "x_source_mix" ->
       s"""WITH t AS (SELECT source, lang,
         |    list_aggregate(list_transform(string_split(text,' '),
