@@ -177,6 +177,16 @@ object HumioQueries {
       "value > 0 | eval(b = floor(sqrt(value))) | eval(lv = ln(exp(1) * value)) " +
         "| lv >= 3.0 | groupBy(b) | sort(b)")
 
+  /** cidr(): IPv4 subnet filtering — the firewall-log staple. The ip is
+    * derived in the expression language (the fixture has no IP column),
+    * then filtered by integer prefix match; /11 keeps second octets
+    * 32-63, half the synthetic space.
+    */
+  def hqCidr(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "ip := concat(\"10.\", user_id % 64, \".0.\", user_id % 4) " +
+        "| cidr(ip, subnet=\"10.32.0.0/11\") | groupBy(ip) | sort(ip)")
+
   def hqLookup(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
@@ -209,6 +219,7 @@ object HumioQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hq_split"     -> hqSplit _,
     "hq_math"      -> hqMath _,
+    "hq_cidr"      -> hqCidr _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -245,6 +256,18 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_cidr" ->
+      """WITH i AS (SELECT concat('10.', user_id % 64, '.0.', user_id % 4) AS ip
+        |           FROM events),
+        |n AS (SELECT ip,
+        |        CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+        |        + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+        |        + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+        |        + CAST(split_part(ip, '.', 4) AS BIGINT) AS ipnum
+        |      FROM i)
+        |SELECT ip, CAST(count(*) AS BIGINT) AS _count FROM n
+        |WHERE (ipnum >> 21) = ((10 * 16777216 + 32 * 65536) >> 21)
+        |GROUP BY ip ORDER BY ip""".stripMargin,
     "hq_split" ->
       """WITH p AS (SELECT unnest(string_split_regex(props, '[^0-9]+')) AS parts
         |           FROM events)

@@ -44,6 +44,7 @@ import org.apache.spark.sql.functions._
   *   drop      := drop(f1, f2, …)
   *   rename    := rename(field=old, as=new)
   *   in        := in(field, values=[v1, v2*, …]) — OR'd equality/wildcard
+  *   cidr      := cidr(field, subnet="a.b.c.d/n") — IPv4 prefix filter
   *   replace   := replace(/regex/, with=repl, field=f[, as=g])
   *   format    := format("%s:%d", field=[a, b], as=out)
   *   default   := default(field=f, value=v)  — fill NULL / create missing
@@ -533,6 +534,26 @@ object HumioQuery {
           else f === literal(v)
         }
         df.where(conds.reduce(_ || _))
+      case "cidr" =>
+        // cidr(field, subnet="a.b.c.d/n"): IPv4 prefix filter (LogScale
+        // cidr()). The subnet parses at PLAN time to (base, prefix); the
+        // row test is dotted-quad integer arithmetic plus one shiftright
+        // against a literal — codegen'd, no UDF, no per-row subnet parse.
+        val f = col(named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("cidr() needs a field")))
+        val subnet = unquote(named.getOrElse("subnet",
+          throw new IllegalArgumentException("cidr() needs subnet=")))
+        val (baseIp, prefix) = subnet.split("/") match {
+          case Array(ip, n) => (ip, n.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"cidr(): subnet must be a.b.c.d/n, got '$subnet'")
+        }
+        require(prefix >= 0 && prefix <= 32, s"cidr(): bad prefix /$prefix")
+        val baseNum = baseIp.split("\\.").map(_.toLong).reduce(_ * 256 + _)
+        val q = split(f, "\\.")
+        val ipNum = q(0).cast("long") * 16777216L + q(1).cast("long") * 65536L +
+          q(2).cast("long") * 256L + q(3).cast("long")
+        df.where(shiftright(ipNum, 32 - prefix) === lit(baseNum >> (32 - prefix)))
       case "replace" =>   // bare-string pattern form; /regex/ form is
         applyReplace(df, unquote(pos.head), named)   // matched whole above
       case "format" =>

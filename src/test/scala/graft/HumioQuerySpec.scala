@@ -483,4 +483,21 @@ class HumioQuerySpec extends SparkSpec {
     assert(HumioQuery.run(lines,
       "parseCsv(line, columns=[tier, n, flag]) | n >= 5").count() == 1)
   }
+
+  test("cidr matches IPv4 prefixes, including /32 and /0 boundaries") {
+    val ips = Seq((1L, "10.32.0.1"), (2L, "10.63.255.254"), (3L, "10.64.0.0"),
+      (4L, "10.31.255.255"), (5L, "192.168.1.1")).toDF("event_id", "ip")
+    def ids(q: String) = HumioQuery.run(ips, q + " | sort(event_id)")
+      .select("event_id").as[Long].collect().toSeq
+    // /11: 10.32.0.0–10.63.255.255
+    assert(ids("cidr(ip, subnet=\"10.32.0.0/11\")") == Seq(1L, 2L))
+    // /32: exact host
+    assert(ids("cidr(ip, subnet=\"10.64.0.0/32\")") == Seq(3L))
+    // /0: everything
+    assert(ids("cidr(ip, subnet=\"0.0.0.0/0\")") == Seq(1L, 2L, 3L, 4L, 5L))
+    // malformed subnet fails at plan time
+    intercept[IllegalArgumentException] {
+      HumioQuery.run(ips, "cidr(ip, subnet=\"10.0.0.0\")")
+    }
+  }
 }
