@@ -885,6 +885,32 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** BPE merge-pair counting — the tokenizer-training primitive: the
+    * frequency of every adjacent character pair, weighted by word
+    * frequency; the top pair is what the first BPE merge would fuse.
+    * Scale shape: the corpus pays ONE word explode + shuffle into the
+    * word-frequency dictionary (the standard BPE trainer input); the
+    * character-pair explode then runs over the VOCABULARY — bounded,
+    * ~zipf-small — with counts carried as weights, never touching the
+    * corpus again. The rank window orders the pair aggregate (alphabet²
+    * rows at most).
+    */
+  def xBpePairs(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .where(length(col("word")) >= 2)
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    v.select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= 20)
+      .select("rank", "pair", "cnt")
+      .orderBy("rank")
+  }
+
   /** Unigram language-model scoring — the CCNet-style perplexity proxy:
     * train a unigram LM on the corpus itself (one vocabulary aggregate)
     * and score every doc by its average token log-probability; docs far
@@ -1221,6 +1247,7 @@ object PipelineQueries {
     "x_repetition"  -> xRepetition _,
     "x_bm25"        -> xBm25 _,
     "x_unigram_lp"  -> xUnigramLp _,
+    "x_bpe_pairs"   -> xBpePairs _,
     "x_curate_clean" -> xCurateClean _,
     "x_vocab_coverage" -> xVocabCoverage _,
     "x_multimodal"  -> xMultimodal _,
@@ -1785,6 +1812,17 @@ object PipelineQueries {
         |SELECT rank, word, cnt,
         |  ${detRound4Sql("CAST(cum AS DOUBLE) / n_total")} AS cum_share
         |FROM r CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "x_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+        |v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |p AS (SELECT freq, unnest(list_transform(range(1, length(word)),
+        |        i -> substr(word, CAST(i AS BIGINT), 2))) AS pair
+        |      FROM v WHERE length(word) >= 2),
+        |g AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY 1),
+        |r AS (SELECT pair, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+        |      FROM g)
+        |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "x_unigram_lp" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
         |cdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
