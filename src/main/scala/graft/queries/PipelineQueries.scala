@@ -189,6 +189,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup cluster-size histogram — the number a dedup run reports: how
+    * many clusters of each size the near-dup graph collapses to (size 1
+    * = unique docs), with the doc count per size. Two bounded aggregates
+    * over the CC label relation — the expensive part is the clustering
+    * itself, shared shape with [[xDupClusters]].
+    */
+  def xClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.dupClusters(docs,
+        Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND))
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   /** Cluster-REPRESENTATIVE selection — the step after clustering when
     * curation keeps the BEST member (longest doc; ties to the lowest
     * doc_id) instead of the smallest id: one max_by hash aggregate per
@@ -1220,6 +1237,7 @@ object PipelineQueries {
     "x_lshpairs"    -> xLshpairs _,
     "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_dupclusters" -> xDupClusters _,
+    "x_cluster_stats" -> xClusterStats _,
     "x_dupclusters_star" -> xDupClustersStar _,
     "x_keep_best"   -> xKeepBest _,
     "x_simhash"     -> xSimhash _,
@@ -2025,6 +2043,15 @@ object PipelineQueries {
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_dupclusters" -> dupClustersOracle,
+    "x_cluster_stats" ->
+      s"""$dupClustersCte,
+        |lab AS (SELECT d.doc_id, coalesce(m.cluster, d.doc_id) AS cluster
+        |        FROM documents d LEFT JOIN minr m USING (doc_id)),
+        |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // the star-rewriting variant computes the SAME transitive closure —
     // one oracle, two distributed algorithms
     "x_dupclusters_star" -> dupClustersOracle,
