@@ -51,6 +51,13 @@ object Text {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array(concat_ws(" ", toks)))
 
+  /** Codegen'd shingle extraction ([[graft.expressions.WordShingles]]) —
+    * same output as [[shingles]] (differentially tested equal); requires
+    * `WordShingles.register(spark)` before analysis.
+    */
+  def shinglesNative(toks: Column, k: Int): Column =
+    call_function("graft_shingles", toks, lit(k))
+
   /** md5 per shingle — the ONE hash pass the signature family shares.
     * md5 is an exact cross-engine hash (same UTF-8 bytes → same hex),
     * which is what lets the oracle replay signatures.

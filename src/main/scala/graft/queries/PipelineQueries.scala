@@ -258,11 +258,12 @@ object PipelineQueries {
     * right, computed in-engine from the same signatures the LSH uses.
     */
   def xMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
     val docs = Tables.documents(s, dir)
     val sigs = Dedup.withPermMinhashSigs(
       docs.select("doc_id", "text"), col("text"), N_PERMS)
     val sh = docs.select(col("doc_id"),
-      Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+      Text.shinglesNative(Text.tokens(col("text")), 3).as("sh"))
     val est = size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
       b => b)).cast("double") / N_PERMS
     sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sa"))
@@ -464,10 +465,11 @@ object PipelineQueries {
     * the banding's s-curve midpoint (≈(1/b)^(1/r)).
     */
   def xNeardup(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
     val docs = Tables.documents(s, dir)
     val cands = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
     val sh = docs.select(col("doc_id"),
-      Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+      Text.shinglesNative(Text.tokens(col("text")), 3).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -545,9 +547,10 @@ object PipelineQueries {
     * the linear shingle scan.
     */
   def xDecontam(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
     val docs = Tables.documents(s, dir)
     def grams(d: DataFrame) = d.select(col("doc_id"),
-      explode(Text.shingles(Text.tokens(col("text")), 4)).as("gram"))
+      explode(Text.shinglesNative(Text.tokens(col("text")), 4)).as("gram"))
     val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
       .select("gram").distinct()
     grams(docs.where(col("doc_id") % 50 =!= 0))
@@ -592,8 +595,9 @@ object PipelineQueries {
     * columns instead of paying a separate join back to the corpus.
     */
   def xRepetition(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
     val toks = Text.tokens(col("text"))
-    val g3 = Text.shingles(toks, 3)
+    val g3 = Text.shinglesNative(toks, 3)
     val n = col("n_words").cast("double")
     val p = col("c").cast("double") / n
     Tables.documents(s, dir)
@@ -852,12 +856,13 @@ object PipelineQueries {
     * no pair matrix.
     */
   def xCurateClean(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
     val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
     val docs = Tables.documents(s, dir)
     def grams(d: DataFrame) = d.select(col("doc_id"),
-      explode(Text.shingles(toks, 4)).as("gram"))
+      explode(Text.shinglesNative(toks, 4)).as("gram"))
     val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
       .select("gram").distinct()
     val contamIds = grams(docs.where(col("doc_id") % 50 =!= 0))

@@ -114,6 +114,37 @@ class DedupSpec extends SparkSpec {
     assert(native(4L) == Seq("abc", "bcd"))
   }
 
+  test("WordShingles native expression equals the declarative HOF form") {
+    graft.expressions.WordShingles.register(spark)
+    // edges: empty text (split -> [""]), under-k docs (whole-doc
+    // fallback), exactly-k, multi-byte tokens, long docs
+    val texts = Seq("", "a", "a b", "a b c", "a b c d", "héllo wörld 的是 了在",
+      "x y z w v u t") ++ {
+      val rnd = new scala.util.Random(31)
+      (0 until 40).map(_ =>
+        (0 until rnd.nextInt(12)).map(_ => rnd.alphanumeric.take(3).mkString).mkString(" "))
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 4)) {
+      val native = df.select(col("doc_id"),
+          Text.shinglesNative(Text.tokens(col("text")), k).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val hof = df.select(col("doc_id"),
+          Text.shingles(Text.tokens(col("text")), k).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(native == hof, s"k=$k mismatch")
+    }
+    // NULL elements join like concat_ws (skipped, no double separator)
+    val withNulls = Seq(1L).toDF("id")
+      .select(col("id"), array(lit("a"), lit(null), lit("b"), lit("c")).as("toks"))
+    val ng = withNulls.select(Text.shinglesNative(col("toks"), 3).as("g"))
+      .as[Seq[String]].collect().head
+    val hg = withNulls.select(Text.shingles(col("toks"), 3).as("g"))
+      .as[Seq[String]].collect().head
+    assert(ng == hg)
+  }
+
   test("TrigramJaccard fused expression equals the declarative set formula") {
     graft.expressions.TrigramJaccard.register(spark)
     val rnd = new scala.util.Random(23)
