@@ -21,6 +21,11 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.range(1000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
       .count().collect()
+    // library one-offs the first matching query would otherwise absorb:
+    // Jackson init behind from_json (~1s cold) and the noop-sink write
+    // path (DSv2 lookup + commit protocol)
+    spark.range(10).selectExpr("""from_json('{"k":1}', 'k BIGINT') AS j""")
+      .write.mode("overwrite").format("noop").save()
     // warm the catalog metadata too: file listing + parquet footers are
     // per-table one-time costs (cached by graft.Tables), not query work —
     // charging them to whichever query happens to touch a table first
