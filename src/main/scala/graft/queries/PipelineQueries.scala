@@ -907,6 +907,47 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** Exact substring-duplication signals — the cross-doc repeated-
+    * substring gate (the "dedup training data at the substring level"
+    * result): per doc, how many of its positional 4-word grams also
+    * occur in at least one OTHER doc, and the longest CONSECUTIVE run
+    * of such grams (a long run ≈ a long copied substring — the span a
+    * substring-dedup pass would cut). Scale shape, with NO joins: one
+    * corpus shingle explode (native), then ONE exchange on gram where
+    * two same-partition windows turn a lag-based first-doc flag into a
+    * distinct-doc frequency, then one exchange back to doc order where
+    * gaps-and-islands run-length groups and two bounded aggregates
+    * finish — three shuffles total, all linear, nothing pairwise.
+    */
+  def xDupgrams(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(
+        Text.shinglesNative(Text.tokens(col("text")), 4)).as(Seq("pos", "gram")))
+    val wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val wgAll = Window.partitionBy("gram")
+    // distinct-doc count per gram without count(DISTINCT) (not window-
+    // able): flag each gram row that starts a new doc in (doc, pos)
+    // order, sum flags over the gram partition — both windows share the
+    // one gram exchange
+    val fd = when(lag("doc_id", 1).over(wg).isNull ||
+      lag("doc_id", 1).over(wg) =!= col("doc_id"), 1L).otherwise(0L)
+    val flagged = pos
+      .withColumn("fd", fd)
+      .withColumn("dup", (sum(col("fd")).over(wgAll) >= 2).cast("bigint"))
+    // gaps-and-islands: consecutive positions with the same dup flag
+    // form one island; its row count is the run length
+    val wd = Window.partitionBy("doc_id", "dup").orderBy("pos")
+    flagged
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy("doc_id", "dup", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id")
+      .agg(sum(col("len")).as("n_grams"),
+        sum(when(col("dup") === 1, col("len")).otherwise(0L)).as("n_dup_grams"),
+        coalesce(max(when(col("dup") === 1, col("len"))), lit(0L)).as("max_dup_run"))
+      .orderBy("doc_id")
+  }
+
   /** BPE merge-pair counting — the tokenizer-training primitive: the
     * frequency of every adjacent character pair, weighted by word
     * frequency; the top pair is what the first BPE merge would fuse.
@@ -1271,6 +1312,7 @@ object PipelineQueries {
     "x_bm25"        -> xBm25 _,
     "x_unigram_lp"  -> xUnigramLp _,
     "x_bpe_pairs"   -> xBpePairs _,
+    "x_dupgrams"    -> xDupgrams _,
     "x_curate_clean" -> xCurateClean _,
     "x_vocab_coverage" -> xVocabCoverage _,
     "x_multimodal"  -> xMultimodal _,
@@ -1835,6 +1877,29 @@ object PipelineQueries {
         |SELECT rank, word, cnt,
         |  ${detRound4Sql("CAST(cum AS DOUBLE) / n_total")} AS cum_share
         |FROM r CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "x_dupgrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, ${gramsSql(4)} AS grams FROM t),
+        |px AS (SELECT doc_id, grams,
+        |         unnest(range(1, len(grams) + 1)) AS pos1 FROM g),
+        |p AS (SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos,
+        |        grams[pos1] AS gram FROM px),
+        |f AS (SELECT doc_id, pos, gram,
+        |        CASE WHEN lag(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, pos)
+        |                  IS DISTINCT FROM doc_id THEN 1 ELSE 0 END AS fd
+        |      FROM p),
+        |d AS (SELECT doc_id, pos,
+        |        CAST(sum(fd) OVER (PARTITION BY gram) >= 2 AS BIGINT) AS dup
+        |      FROM f),
+        |i AS (SELECT doc_id, dup,
+        |        pos - row_number() OVER (PARTITION BY doc_id, dup ORDER BY pos) AS grp
+        |      FROM d),
+        |runs AS (SELECT doc_id, dup, grp, count(*) AS len
+        |         FROM i GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN dup = 1 THEN len ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |       CAST(coalesce(max(CASE WHEN dup = 1 THEN len END), 0) AS BIGINT) AS max_dup_run
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
         |v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
