@@ -187,6 +187,16 @@ object HumioQueries {
       "ip := concat(\"10.\", user_id % 64, \".0.\", user_id % 4) " +
         "| cidr(ip, subnet=\"10.32.0.0/11\") | groupBy(ip) | sort(ip)")
 
+  /** window(): the timechart series smoother — per-series 3-bucket
+    * moving average over 6h buckets. The moving window runs over the
+    * already-aggregated (bounded) timechart relation.
+    */
+  def hqWindow(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "timechart(event_type, span=6h) " +
+        "| window(field=_count, function=avg, buckets=3, by=event_type, as=avg3) " +
+        "| sort(_bucket_ms, event_type)")
+
   def hqLookup(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
@@ -220,6 +230,7 @@ object HumioQueries {
     "hq_split"     -> hqSplit _,
     "hq_math"      -> hqMath _,
     "hq_cidr"      -> hqCidr _,
+    "hq_window"    -> hqWindow _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -256,6 +267,15 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_window" ->
+      """WITH b AS (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000) * 21600000 AS _bucket_ms,
+        |         event_type, CAST(count(*) AS BIGINT) AS _count
+        |  FROM events GROUP BY 1, 2)
+        |SELECT _bucket_ms, event_type, _count,
+        |       avg(_count) OVER (PARTITION BY event_type ORDER BY _bucket_ms
+        |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
+        |FROM b ORDER BY _bucket_ms, event_type""".stripMargin,
     "hq_cidr" ->
       """WITH i AS (SELECT concat('10.', user_id % 64, '.0.', user_id % 4) AS ip
         |           FROM events),

@@ -1,6 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => SqlWindow}
 import org.apache.spark.sql.functions._
 
 /** A compact Humio/LogScale-style pipe-query compiler — the query surface
@@ -62,6 +63,9 @@ import org.apache.spark.sql.functions._
   *                left join. `lookup` is an alias.
   *   dedup     := dedup(f1, …[, limit=n]) — keep the n most recent
   *                events (by ts, event_id tie-break) per key combination
+  *   window    := window(field=f[, function=avg|sum|min|max]
+  *                [, buckets=n][, by=k][, as=out]) — moving aggregate
+  *                over the last n buckets, per series with by=
   *   timechart := timechart(span=<n><s|m|h|d>[, function=…])   — buckets _bucket_ms
   *   bucket    := bucket(span=…[, function=…])                 — buckets _bucket
   *   splitStr  := splitString(field=f, by=/regex/[, as=out]) — tokenize a
@@ -516,6 +520,30 @@ object HumioQuery {
             throw new IllegalArgumentException("parseCsv() needs columns=")))
           .zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
             d.withColumn(c.trim, try_element_at(cells, lit(i + 1))) }
+      case "window" =>
+        // window(field=f, function=avg|sum|min|max, buckets=n[, by=k]
+        // [, as=out]): moving aggregate over the last n buckets in
+        // bucket order, per series with by= — LogScale's window()
+        // smoother. Runs over an ALREADY-AGGREGATED timechart()/bucket()
+        // relation (bounded rows by construction), so the ordered window
+        // never sees corpus-sized data.
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("window() needs a field"))
+        val n = named.get("buckets").map(_.toInt).getOrElse(3)
+        require(n >= 1, s"window(): buckets must be >= 1, got $n")
+        val orderCol = Seq("_bucket_ms", "_bucket").find(df.columns.contains)
+          .getOrElse(throw new IllegalArgumentException(
+            "window() needs a timechart() or bucket() stage before it"))
+        val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+          .getOrElse(SqlWindow.partitionBy())
+        val w = base.orderBy(col(orderCol)).rowsBetween(-(n - 1), 0)
+        val m: Column = named.getOrElse("function", "avg") match {
+          case "avg" => avg(col(f));  case "sum" => sum(col(f))
+          case "min" => min(col(f));  case "max" => max(col(f))
+          case other => throw new IllegalArgumentException(
+            s"window(): unsupported function '$other'")
+        }
+        df.withColumn(named.getOrElse("as", "_window"), m.over(w))
       case "timechart" => timeBucketed(df, pos, named, "_bucket_ms")
       // bucket() is timechart's generic sibling (LogScale bucket): same
       // span grouping, bucket lands in `_bucket`
