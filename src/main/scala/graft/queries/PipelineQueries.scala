@@ -846,6 +846,37 @@ object PipelineQueries {
           sum(col("est_tokens")).over(Window.partitionBy())))
       .orderBy("source", "lang")
 
+  /** Mixture re-weighting — the sampling-weight table that turns the
+    * observed source×lang token mixture ([[xSourceMix]]) into a TARGET
+    * mixture (uniform over cells here): weight = target_share /
+    * observed_share, the factor a weighted sampler multiplies each
+    * cell's inclusion probability by (>1 up-samples rare cells, <1
+    * down-samples dominant ones), plus the expected token count the
+    * reweighted cell would contribute at the same total budget. Same
+    * scan+aggregate shape as x_source_mix; the share window runs over
+    * the bounded cell relation.
+    */
+  def xMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        Text.tokenCountEstimate(col("text")).as("t"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("est_tokens"))
+    val w = Window.partitionBy()
+    cells
+      .withColumn("share",
+        col("est_tokens").cast("double") / sum(col("est_tokens")).over(w))
+      .withColumn("target", lit(1.0) / count(lit(1)).over(w))
+      .select(col("source"), col("lang"), col("n_docs"), col("est_tokens"),
+        detRound4(col("share")).as("token_share"),
+        detRound4(col("target") / col("share")).as("weight"),
+        // floor before the cast: Spark's double→bigint cast truncates
+        // while DuckDB's rounds — floor makes both sides explicit
+        floor(col("target") * sum(col("est_tokens")).over(w)).cast("bigint")
+          .as("target_tokens"))
+      .orderBy("source", "lang")
+  }
+
   /** The decontaminated curation pipeline — [[xCurate]] with a benchmark
     * decontamination gate between quality filtering and dedup: the eval
     * slice's 4-gram set (small, fixed → broadcast) flags contaminated
@@ -1307,6 +1338,7 @@ object PipelineQueries {
     "x_pq_recall"   -> xPqRecall _,
     "x_ivfpq"       -> xIvfpq _,
     "x_source_mix"  -> xSourceMix _,
+    "x_mix_weights" -> xMixWeights _,
     "x_pii_scrub"   -> xPiiScrub _,
     "x_repetition"  -> xRepetition _,
     "x_bm25"        -> xBm25 _,
@@ -1836,6 +1868,24 @@ object PipelineQueries {
         |SELECT source, lang, n_docs, est_tokens,
         |  ${detRound4Sql("CAST(est_tokens AS DOUBLE) / sum(est_tokens) OVER ()")} AS token_share
         |FROM g ORDER BY source, lang""".stripMargin,
+    "x_mix_weights" ->
+      s"""WITH t AS (SELECT source, lang,
+        |    list_aggregate(list_transform(string_split(text,' '),
+        |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS t
+        |  FROM documents),
+        |g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(t) AS BIGINT) AS est_tokens
+        |      FROM t GROUP BY source, lang),
+        |s AS (SELECT *,
+        |        CAST(est_tokens AS DOUBLE) / sum(est_tokens) OVER () AS share,
+        |        1.0 / count(*) OVER () AS target,
+        |        sum(est_tokens) OVER () AS total
+        |      FROM g)
+        |SELECT source, lang, n_docs, est_tokens,
+        |  ${detRound4Sql("share")} AS token_share,
+        |  ${detRound4Sql("target / share")} AS weight,
+        |  CAST(floor(target * total) AS BIGINT) AS target_tokens
+        |FROM s ORDER BY source, lang""".stripMargin,
     "x_curate_clean" ->
       s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t0),
