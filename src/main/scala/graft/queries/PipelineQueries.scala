@@ -1183,6 +1183,46 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk")
   }
 
+  /** The FULL curation composition — every gate in one plan: quality
+    * filter → benchmark decontamination (broadcast eval-gram overlap,
+    * left-anti) → FUZZY near-dup removal (banded LSH → connected
+    * components, keep the cluster minimum) → deterministic 80% split →
+    * context-window chunking. [[xCurateClean]] with the exact-hash dedup
+    * upgraded to the near-dup machinery, or [[xCurateFuzzy]] with the
+    * decontamination gate added — the pass a real pretraining corpus
+    * pays end-to-end. Scale: two linear gram/quality scans, one band
+    * equi-join, O(log d) CC rounds; no pair matrix, nothing driver-side.
+    */
+  def xCurateAll(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks)
+    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val docs = Tables.documents(s, dir)
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(Text.shinglesNative(toks, 4)).as("gram"))
+    val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
+      .select("gram").distinct()
+    val contamIds = grams(docs.where(col("doc_id") % 50 =!= 0))
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id").distinct()
+    val quality = docs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"), n.as("n_words"),
+        (enHits.cast("double") / n).as("swr"))
+      .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
+    val clean = quality.join(contamIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+    val clusters = Dedup.dupClusters(clean,
+      Dedup.bandedCandidates(clean, col("text"), N_PERMS, ROWS_PER_BAND))
+    val keep = clean
+      .join(clusters.where(col("doc_id") === col("cluster")).select("doc_id"),
+        "doc_id")
+    val train = keep.where(Sampling.pct(col("doc_id")) < 80)
+    Sampling.chunked(train.select("doc_id", "text"), col("text"), CHUNK_BUDGET)
+      .select("doc_id", "chunk", "n_tok")
+      .orderBy("doc_id", "chunk")
+  }
+
   val PACK_BUDGET = 512
 
   /** Sequence PACKING — the loader step after chunking: token streams
@@ -1294,6 +1334,7 @@ object PipelineQueries {
     "x_split"       -> xSplit _,
     "x_curate"      -> xCurate _,
     "x_curate_fuzzy" -> xCurateFuzzy _,
+    "x_curate_all"  -> xCurateAll _,
     "x_pack"        -> xPack _,
     "x_pps_sample"  -> xPpsSample _,
     "x_quantize"    -> xQuantize _,
@@ -1639,6 +1680,49 @@ object PipelineQueries {
         |  FROM documents),
         |f AS (SELECT doc_id, text FROM q
         |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4),
+        |${permSigsSqlFrom("f")},
+        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.doc_id < b.doc_id),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |        UNION SELECT doc_b, doc_a FROM cand),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |minr AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |         FROM reach GROUP BY a),
+        |keep AS (SELECT ff.doc_id, ff.text
+        |         FROM f ff LEFT JOIN minr m USING (doc_id)
+        |         WHERE coalesce(m.cluster, ff.doc_id) = ff.doc_id),
+        |tr AS (SELECT doc_id, text FROM keep
+        |       WHERE ${hashBucketSql("doc_id")} % 100 < 80),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
+        |n2 AS (SELECT doc_id, len(toks) AS n FROM t2 WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
+        |      FROM n2)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
+    "x_curate_all" ->
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        |        WHERE g.doc_id % 50 <> 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |         len(string_split(text, ' ')) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS swr
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |f AS (SELECT doc_id, text FROM q
+        |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4
+        |        AND doc_id NOT IN (SELECT doc_id FROM bad)),
         |${permSigsSqlFrom("f")},
         |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key

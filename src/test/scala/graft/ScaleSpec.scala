@@ -225,4 +225,25 @@ class ScaleSpec extends SparkSpec {
     // exact result sanity on the small fixture
     assert(q.where(col("rank") === 1).count() == 5L)
   }
+
+  test("IVF-PQ search streams the corpus-sized code table, broadcasts only bounded sides") {
+    val q = graft.queries.PipelineQueries.xIvfpq(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in IVF-PQ plan:\n$plan")
+    // every join is a broadcast hash join whose BUILD side is one of the
+    // bounded relations (probe cells, ADC table, centroids, pair list) —
+    // the corpus-sized code/assignment relations must only ever stream;
+    // a sort-merge join would mean a corpus-side shuffle for the search
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized relation shuffled into a join:\n$plan")
+    assert(q.count() == 5L)   // vec_id % 100 == 0 over 500 vectors at sf0.001
+  }
+
+  test("x_dupgrams is join-free: windows and aggregates only") {
+    val q = graft.queries.PipelineQueries.xDupgrams(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"join in x_dupgrams plan:\n$plan")
+    assert(q.count() > 0)
+  }
 }
