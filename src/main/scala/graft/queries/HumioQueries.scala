@@ -197,6 +197,14 @@ object HumioQueries {
         "| window(field=_count, function=avg, buckets=3, by=event_type, as=avg3) " +
         "| sort(_bucket_ms, event_type)")
 
+  /** transpose(): the result-table pivot — per-type counts as one wide
+    * row. columns= keeps the output schema static (no inference job).
+    */
+  def hqTranspose(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "groupBy(event_type) " +
+        "| transpose(header=event_type, columns=[click, error, purchase, signup, view])")
+
   def hqLookup(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
@@ -231,6 +239,7 @@ object HumioQueries {
     "hq_math"      -> hqMath _,
     "hq_cidr"      -> hqCidr _,
     "hq_window"    -> hqWindow _,
+    "hq_transpose" -> hqTranspose _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -267,6 +276,13 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_transpose" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events""".stripMargin,
     "hq_window" ->
       """WITH b AS (
         |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000) * 21600000 AS _bucket_ms,

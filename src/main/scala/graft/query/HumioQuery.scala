@@ -63,6 +63,8 @@ import org.apache.spark.sql.functions._
   *                left join. `lookup` is an alias.
   *   dedup     := dedup(f1, …[, limit=n]) — keep the n most recent
   *                events (by ts, event_id tie-break) per key combination
+  *   transpose := transpose(header=f[, columns=[v1, …]]) — pivot the
+  *                bounded result table, one column per header value
   *   window    := window(field=f[, function=avg|sum|min|max]
   *                [, buckets=n][, by=k][, as=out]) — moving aggregate
   *                over the last n buckets, per series with by=
@@ -544,6 +546,22 @@ object HumioQuery {
             s"window(): unsupported function '$other'")
         }
         df.withColumn(named.getOrElse("as", "_window"), m.over(w))
+      case "transpose" =>
+        // transpose(header=f[, columns=[v1, …]]): pivot the (bounded,
+        // already-aggregated) result table — each header value becomes a
+        // column holding the row's single remaining field. columns= makes
+        // the output schema STATIC (the scale-safe form — no inference
+        // pass); without it Spark first collects the distinct header
+        // values, acceptable on a verb-bounded result but two jobs.
+        val h = named.get("header").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("transpose() needs header="))
+        val others = df.columns.filterNot(_ == h)
+        require(others.size == 1,
+          s"transpose() expects a (header, value) relation, got ${df.columns.mkString(", ")}")
+        val grouped = df.groupBy()
+        named.get("columns").map(c => grouped.pivot(h, listArg(c).map(unquote)))
+          .getOrElse(grouped.pivot(h))
+          .agg(first(col(others.head)))
       case "timechart" => timeBucketed(df, pos, named, "_bucket_ms")
       // bucket() is timechart's generic sibling (LogScale bucket): same
       // span grouping, bucket lands in `_bucket`
