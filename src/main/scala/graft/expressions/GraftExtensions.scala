@@ -55,5 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_trigram_jaccard"),
       new ExpressionInfo(classOf[TrigramJaccard].getName, "graft_trigram_jaccard"),
       (children: Seq[Expression]) => TrigramJaccard(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => WordShingles(
+        children.head,
+        children(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int])))
   }
 }

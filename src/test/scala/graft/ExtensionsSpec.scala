@@ -54,6 +54,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val tj = spark.sql("SELECT graft_trigram_jaccard('abcd', 'abcd') AS j")
         .collect().head.getDouble(0)
       assert(tj == 1.0)
+      val sg = spark.sql("SELECT graft_shingles(array('a','b','c'), 2) AS g")
+        .collect().head.getSeq[String](0)
+      assert(sg == Seq("a b", "b c"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
