@@ -80,15 +80,19 @@ object PipelineQueries {
     graft.expressions.CharTrigrams.register(s)
     val docs = Tables.documents(s, dir).where(length(col("text")) >= 3)
     // ONE corpus explode + shuffle: the (doc, trigram) aggregate feeds
-    // BOTH the language profiles (a sum-re-aggregate of the compact
-    // relation — a groupBy branch off the raw explode would rescan and
-    // re-explode the corpus, pruning defeats ReuseExchange) and the
-    // per-doc scoring side (its keys ARE the distinct doc-trigram
-    // pairs). lang rides through the key — functionally dependent on
-    // doc_id — so the label join back to the corpus disappears too.
+    // BOTH the language profiles and the per-doc scoring side (its keys
+    // ARE the distinct doc-trigram pairs); lang rides through the key —
+    // functionally dependent on doc_id — so the label join back to the
+    // corpus disappears too. The lazy localCheckpoint makes the two
+    // consumers share ONE materialization of the compact aggregate
+    // (branch-level ReuseExchange does not fire here even with
+    // identical partial aggregates — measured; and recomputing means a
+    // second full corpus explode). Blocks spill to disk at scale; the
+    // deduped aggregate is the SMALL end of this lineage.
     val dtg = docs.select(col("doc_id"), col("lang"),
         explode(Text.charTrigramsNative(col("text"))).as("tg"))
       .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tg"))
     val profiles = dtg.groupBy("lang", "tg").agg(sum("c").as("cnt"))
       .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
