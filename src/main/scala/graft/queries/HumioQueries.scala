@@ -205,6 +205,15 @@ object HumioQueries {
       "groupBy(event_type) " +
         "| transpose(header=event_type, columns=[click, error, purchase, signup, view])")
 
+  /** counterAsRate(): per-user rate of the event_id counter — the
+    * monotonic-counter-to-rate conversion (network bytes, log offsets).
+    * event_id is the fixture's only true counter.
+    */
+  def hqRate(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "counterAsRate(event_id, by=user_id, as=rate) " +
+        "| select(event_id, user_id, rate) | sort(event_id)")
+
   def hqLookup(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
@@ -240,6 +249,7 @@ object HumioQueries {
     "hq_cidr"      -> hqCidr _,
     "hq_window"    -> hqWindow _,
     "hq_transpose" -> hqTranspose _,
+    "hq_rate"      -> hqRate _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -276,6 +286,20 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_rate" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, ts,
+        |         lag(event_id) OVER w AS pid, lag(ts) OVER w AS pts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  CASE WHEN pid IS NULL OR event_id - pid < 0
+        |            OR epoch_ms(CAST(ts AS TIMESTAMP)) = epoch_ms(CAST(pts AS TIMESTAMP))
+        |       THEN NULL
+        |       ELSE CAST(event_id - pid AS DOUBLE)
+        |            / ((epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(pts AS TIMESTAMP))) / 1000.0)
+        |  END AS rate
+        |FROM o ORDER BY event_id""".stripMargin,
     "hq_transpose" ->
       """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
         |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,

@@ -63,6 +63,8 @@ import org.apache.spark.sql.functions._
   *                left join. `lookup` is an alias.
   *   dedup     := dedup(f1, …[, limit=n]) — keep the n most recent
   *                events (by ts, event_id tie-break) per key combination
+  *   rate      := counterAsRate(field[, by=k][, as=out]) — Δcounter/Δsec
+  *                per series; NULL on first event, resets, zero Δt
   *   transpose := transpose(header=f[, columns=[v1, …]]) — pivot the
   *                bounded result table, one column per header value
   *   window    := window(field=f[, function=avg|sum|min|max]
@@ -546,6 +548,26 @@ object HumioQuery {
             s"window(): unsupported function '$other'")
         }
         df.withColumn(named.getOrElse("as", "_window"), m.over(w))
+      case "counterAsRate" =>
+        // counterAsRate(field[, by=k][, as=out]): per-series rate of a
+        // monotonic counter — Δfield / Δseconds between consecutive
+        // events in (ts, event_id) order; NULL for a series' first
+        // event, for counter resets (negative delta, as in LogScale),
+        // and for zero time deltas. One lag window per series key.
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("counterAsRate() needs a field"))
+        val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+          .getOrElse(SqlWindow.partitionBy())
+        val ord: Seq[Column] =
+          if (df.columns.contains("event_id")) Seq(col("ts"), col("event_id"))
+          else Seq(col("ts"))
+        val w = base.orderBy(ord: _*)
+        val d = col(f) - lag(col(f), 1).over(w)
+        val dt = (unix_millis(col("ts")) -
+          unix_millis(lag(col("ts"), 1).over(w))).cast("double") / 1000.0
+        df.withColumn(named.getOrElse("as", "_rate"),
+          when(d.isNull || d < 0 || dt === 0.0, lit(null))
+            .otherwise(d.cast("double") / dt))
       case "transpose" =>
         // transpose(header=f[, columns=[v1, …]]): pivot the (bounded,
         // already-aggregated) result table — each header value becomes a
