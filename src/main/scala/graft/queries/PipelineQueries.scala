@@ -448,6 +448,25 @@ object PipelineQueries {
       .orderBy("cell")
   }
 
+  /** The trained IVF index END-TO-END: 3 convergence-checked Lloyd
+    * rounds on the seed codebook ([[Knn.kmeansTrain]]) and then the
+    * nprobe=2 ANN search over the TRAINED centroids — training and
+    * serving composed in one plan, the lifecycle a real index runs
+    * (x_ivf_train2 verifies training alone; x_ivfknn2 searches the
+    * fixture codebook). The oracle unrolls the same three quantized
+    * refinements serially and replays the search against them.
+    */
+  def xIvfknnTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val seed = emb.where(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
+    Knn.ivfTopKProbes(emb, trained, DIM, k = 1, nprobe = IVF_NPROBE)
+      .select(col("probe_id").as("vec_id"), col("cand_id"),
+        detRound4(col("sim")).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** Winnowing fingerprints (rolling-hash k-grams, minima per w-window)
     * in long (doc_id, fp) format — [[graft.expressions.RollingWinnow]],
     * the position-robust signature whose size tracks length/w.
@@ -1376,6 +1395,7 @@ object PipelineQueries {
     "x_ivfknn"      -> xIvfknn _,
     "x_ivf_train"   -> xIvfTrain _,
     "x_ivf_train2"  -> xIvfTrain2 _,
+    "x_ivfknn_trained" -> xIvfknnTrained _,
     "x_ivfknn2"     -> xIvfknn2 _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_decontam"    -> xDecontam _,
@@ -1859,6 +1879,27 @@ object PipelineQueries {
         |SELECT o.cell, o.n_vecs, ${detRound4Sql(normSql("c.cvec"))} AS cnorm
         |FROM occ o JOIN cent c ON o.cell = c.cent_id
         |ORDER BY cell""".stripMargin,
+    "x_ivfknn_trained" ->
+      s"""WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < $KMEANS_K),
+        |${refineSql("cent0", "k1", 1)},
+        |${refineSql("k1", "k2", 2)},
+        |${refineSql("k2", "k3", 3)},
+        |${scoredSql("k3", "sc")},
+        |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cent_id AS cell
+        |           FROM sc WHERE rk <= $IVF_NPROBE),
+        |homes AS (SELECT vec_id AS cand_id, embedding AS ce, cent_id AS cell
+        |          FROM sc WHERE rk = 1),
+        |pairs AS (SELECT probe_id, cand_id,
+        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(pe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum'))
+        |    / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |  FROM probes JOIN homes USING (cell)
+        |  WHERE probe_id <> cand_id),
+        |r AS (SELECT probe_id, cand_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+        |      FROM pairs)
+        |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
+        |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin,
     "x_ivf_train2" ->
       s"""WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
         |              FROM embeddings WHERE vec_id < $KMEANS_K),
