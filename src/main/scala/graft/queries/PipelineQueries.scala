@@ -1002,6 +1002,34 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-doc KEYWORD extraction — top-3 tf-idf terms per document (the
+    * doc-level sibling of the corpus-level [[xTfidf]]): one corpus
+    * explode into the (doc, word) aggregate, df as a word-partitioned
+    * window over that same relation (each row is a distinct doc), N
+    * from a column-pruned 1-row broadcast, then a per-doc rank window.
+    * The rank key is the ROUNDED tf-idf: ln() may differ in the last
+    * ulp across engines, and an unrounded double sort key would make
+    * the top-3 cut nondeterministic cross-engine.
+    */
+  def xKeyterms(s: SparkSession, dir: String): DataFrame = {
+    val cdw = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("df_docs", count(lit(1)).over(Window.partitionBy("word")))
+    val total = Tables.documents(s, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val wd = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+    cdw.crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        detRound4(col("tf").cast("double") *
+          log(col("n_docs") / col("df_docs").cast("double"))))
+      .withColumn("rank", row_number().over(wd).cast("bigint"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"),
+        col("df_docs"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** BPE merge-pair counting — the tokenizer-training primitive: the
     * frequency of every adjacent character pair, weighted by word
     * frequency; the top pair is what the first BPE merge would fuse.
@@ -1410,6 +1438,7 @@ object PipelineQueries {
     "x_unigram_lp"  -> xUnigramLp _,
     "x_bpe_pairs"   -> xBpePairs _,
     "x_dupgrams"    -> xDupgrams _,
+    "x_keyterms"    -> xKeyterms _,
     "x_curate_clean" -> xCurateClean _,
     "x_vocab_coverage" -> xVocabCoverage _,
     "x_multimodal"  -> xMultimodal _,
@@ -2056,6 +2085,20 @@ object PipelineQueries {
         |SELECT rank, word, cnt,
         |  ${detRound4Sql("CAST(cum AS DOUBLE) / n_total")} AS cum_share
         |FROM r CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "x_keyterms" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |cdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+        |d AS (SELECT doc_id, word, tf,
+        |        CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df_docs
+        |      FROM cdw),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, word, tf, df_docs,
+        |        ${detRound4Sql("tf * ln(n_docs / df_docs)")} AS tfidf
+        |      FROM d, n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, word) AS BIGINT) AS rank FROM s)
+        |SELECT doc_id, rank, word, tf, df_docs, tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "x_dupgrams" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, ${gramsSql(4)} AS grams FROM t),
