@@ -214,6 +214,13 @@ object HumioQueries {
       "counterAsRate(event_id, by=user_id, as=rate) " +
         "| select(event_id, user_id, rate) | sort(event_id)")
 
+  /** formatTime(): strftime-subset timestamp rendering — daily event
+    * rollup keyed by the formatted day string.
+    */
+  def hqFormattime(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "formatTime(\"%Y-%m-%d\", field=ts, as=day) | groupBy(day) | sort(day)")
+
   def hqLookup(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
@@ -250,6 +257,7 @@ object HumioQueries {
     "hq_window"    -> hqWindow _,
     "hq_transpose" -> hqTranspose _,
     "hq_rate"      -> hqRate _,
+    "hq_formattime" -> hqFormattime _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -286,6 +294,10 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_formattime" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "hq_rate" ->
       """WITH o AS (
         |  SELECT event_id, user_id, ts,

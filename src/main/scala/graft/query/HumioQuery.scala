@@ -63,6 +63,8 @@ import org.apache.spark.sql.functions._
   *                left join. `lookup` is an alias.
   *   dedup     := dedup(f1, …[, limit=n]) — keep the n most recent
   *                events (by ts, event_id tie-break) per key combination
+  *   fmtTime   := formatTime("%Y-%m-%d", field=f[, as=out]) — strftime
+  *                subset (%Y %m %d %H %M %S %j), plan-time translation
   *   rate      := counterAsRate(field[, by=k][, as=out]) — Δcounter/Δsec
   *                per series; NULL on first event, resets, zero Δt
   *   transpose := transpose(header=f[, columns=[v1, …]]) — pivot the
@@ -548,6 +550,32 @@ object HumioQuery {
             s"window(): unsupported function '$other'")
         }
         df.withColumn(named.getOrElse("as", "_window"), m.over(w))
+      case "formatTime" =>
+        // formatTime("%Y-%m-%d", field=f, as=out): strftime-style
+        // timestamp formatting. The %-codes translate at PLAN time to
+        // Spark's pattern letters; every literal run is single-quoted so
+        // no character can leak into pattern space (UTC session, so the
+        // DuckDB strftime twin renders identically).
+        val fmt = unquote(named.get("format").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("formatTime() needs a format string")))
+        require(!fmt.contains("'"), "formatTime(): single quotes unsupported")
+        val codes = Map('Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
+          'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'j' -> "DDD")
+        val out = new StringBuilder
+        var i = 0
+        while (i < fmt.length) {
+          if (fmt(i) == '%') {
+            require(i + 1 < fmt.length && codes.contains(fmt(i + 1)),
+              s"formatTime(): unsupported %-code in '$fmt'")
+            out ++= codes(fmt(i + 1)); i += 2
+          } else {
+            val start = i
+            while (i < fmt.length && fmt(i) != '%') i += 1
+            out ++= "'" + fmt.substring(start, i) + "'"
+          }
+        }
+        df.withColumn(named.getOrElse("as", "_formattime"),
+          date_format(col(named.getOrElse("field", "ts")), out.toString))
       case "counterAsRate" =>
         // counterAsRate(field[, by=k][, as=out]): per-series rate of a
         // monotonic counter — Δfield / Δseconds between consecutive
