@@ -484,6 +484,45 @@ class HumioQuerySpec extends SparkSpec {
       "parseCsv(line, columns=[tier, n, flag]) | n >= 5").count() == 1)
   }
 
+  test("counterAsRate: NULL on first event, resets, and zero time delta") {
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", 1L),
+      (2L, 40L, "2024-01-01 00:00:10", 1L),   // +30 over 10s = 3.0
+      (3L, 5L, "2024-01-01 00:00:20", 1L),    // reset (negative) -> NULL
+      (4L, 6L, "2024-01-01 00:00:20", 1L),    // zero dt -> NULL
+      (5L, 100L, "2024-01-01 00:00:00", 2L))  // other series first -> NULL
+      .toDF("event_id", "ctr", "s", "user_id")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = HumioQuery.run(ev,
+      "counterAsRate(ctr, by=user_id, as=rate) | select(event_id, rate) | sort(event_id)")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty && out(3L).isEmpty && out(4L).isEmpty && out(5L).isEmpty)
+    assert(out(2L).contains(3.0))
+  }
+
+  test("transpose pivots header values to columns; dynamic mode infers them") {
+    val t = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+    val static = HumioQuery.run(t, "transpose(header=k, columns=[a, b, c])")
+    assert(static.columns.toSeq == Seq("a", "b", "c"))
+    val row = static.as[(Option[Long], Option[Long], Option[Long])].collect().head
+    assert(row == ((Some(1L), Some(2L), None)))
+    val dynamic = HumioQuery.run(t, "transpose(header=k)")
+    assert(dynamic.columns.sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("formatTime quotes literal runs so they never leak into pattern space") {
+    val t = Seq(1L).toDF("id")
+      .withColumn("ts", to_timestamp(lit("2024-03-05 07:08:09")))
+    // 'T' and 'day' are literals — unquoted they would be pattern letters
+    val out = HumioQuery.run(t,
+      "formatTime(\"day %Y-%m-%dT%H:%M:%S\", field=ts, as=f) | select(f)")
+      .as[String].collect().head
+    assert(out == "day 2024-03-05T07:08:09")
+    intercept[IllegalArgumentException] {
+      HumioQuery.run(t, "formatTime(\"%Q\", field=ts) | select(_formattime)")
+    }
+  }
+
   test("cidr matches IPv4 prefixes, including /32 and /0 boundaries") {
     val ips = Seq((1L, "10.32.0.1"), (2L, "10.63.255.254"), (3L, "10.64.0.0"),
       (4L, "10.31.255.255"), (5L, "192.168.1.1")).toDF("event_id", "ip")
