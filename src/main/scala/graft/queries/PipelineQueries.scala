@@ -480,6 +480,35 @@ object PipelineQueries {
       .orderBy("doc_id", "fp")
   }
 
+  val WINNOW_DF_CAP = 20
+  val WINNOW_SHARED_MIN = 3
+
+  /** Winnowing fingerprint MATCHING — the MOSS use of [[xWinnow]]'s
+    * signatures: doc pairs sharing at least [[WINNOW_SHARED_MIN]]
+    * fingerprints, after dropping fingerprints present in more than
+    * [[WINNOW_DF_CAP]] docs (the boilerplate filter, which is ALSO the
+    * skew backstop: a hot fingerprint would otherwise fan the
+    * equi-join out quadratically). One fp exchange carries the df
+    * window AND the self-join; pairs aggregate map-side.
+    */
+  def xWinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.RollingWinnow.register(s)
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(call_function("graft_rolling_winnow",
+          Text.tokens(col("text")), lit(3), lit(4))).as("fp"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .where(col("df") <= WINNOW_DF_CAP)
+      .select("doc_id", "fp")
+    fps.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(fps.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= WINNOW_SHARED_MIN)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The COMPLETE 3-stage near-dup pipeline in one plan — the canonical
     * shape a 100 TB dedup pass runs: (1) n-perm signatures, narrow
     * per-row; (2) banded LSH candidates, one equi-join on band keys;
@@ -1439,6 +1468,7 @@ object PipelineQueries {
     "x_bpe_pairs"   -> xBpePairs _,
     "x_dupgrams"    -> xDupgrams _,
     "x_keyterms"    -> xKeyterms _,
+    "x_winnow_pairs" -> xWinnowPairs _,
     "x_curate_clean" -> xCurateClean _,
     "x_vocab_coverage" -> xVocabCoverage _,
     "x_multimodal"  -> xMultimodal _,
@@ -1676,6 +1706,31 @@ object PipelineQueries {
       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
       |minr AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
       |         FROM reach GROUP BY a)""".stripMargin
+
+  /** DuckDB twin of the winnowing fingerprint pass ([[xWinnow]]'s
+    * RollingWinnow replay) up to the DISTINCT (doc_id, fp) relation
+    * `fps` — shared by x_winnow and x_winnow_pairs. The hex-digit
+    * polynomial of the first 8 md5 chars is the expression's unsigned
+    * first-4-digest-bytes value.
+    */
+  private val winnowCtes: String = {
+    def hv(e: String) =
+      s"CAST(list_aggregate(list_transform(range(1, 9), j -> (strpos('0123456789abcdef', substr(md5($e), CAST(j AS INTEGER), 1)) - 1) * CAST(16 ** (8 - j) AS BIGINT)), 'sum') AS BIGINT)"
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |vv AS (SELECT doc_id, toks, list_transform(toks, w -> ${hv("w")}) AS vals FROM t),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(toks) < 3 THEN [${hv("array_to_string(toks, ' ')")}]
+      |             ELSE list_transform(range(1, len(toks) - 1),
+      |                    i -> vals[i] * 961 + vals[i + 1] * 31 + vals[i + 2])
+      |        END AS grams FROM vv),
+      |wnd AS (SELECT doc_id,
+      |          CASE WHEN len(grams) <= 4 THEN [list_aggregate(grams, 'min')]
+      |               ELSE list_transform(range(1, len(grams) - 2),
+      |                      i -> list_aggregate(list_slice(grams, i, i + 3), 'min'))
+      |          END AS fps FROM g),
+      |fps AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+      |        FROM (SELECT doc_id, unnest(fps) AS fp FROM wnd))""".stripMargin
+  }
 
   /** Cluster labels per doc — shared by x_dupclusters (label propagation)
     * and x_dupclusters_star (star rewriting).
@@ -2282,27 +2337,20 @@ object PipelineQueries {
         |       ${detRound4Sql("abs(sp.est - ex.exact)")} AS abs_err
         |FROM sp JOIN ex ON sp.doc_a = ex.doc_a
         |ORDER BY sp.doc_a""".stripMargin,
-    "x_winnow" -> {
-      // hex-digit polynomial of the first 8 md5 chars = the expression's
-      // unsigned first-4-digest-bytes value
-      def hv(e: String) =
-        s"CAST(list_aggregate(list_transform(range(1, 9), j -> (strpos('0123456789abcdef', substr(md5($e), CAST(j AS INTEGER), 1)) - 1) * CAST(16 ** (8 - j) AS BIGINT)), 'sum') AS BIGINT)"
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |vv AS (SELECT doc_id, toks, list_transform(toks, w -> ${hv("w")}) AS vals FROM t),
-        |g AS (SELECT doc_id,
-        |        CASE WHEN len(toks) < 3 THEN [${hv("array_to_string(toks, ' ')")}]
-        |             ELSE list_transform(range(1, len(toks) - 1),
-        |                    i -> vals[i] * 961 + vals[i + 1] * 31 + vals[i + 2])
-        |        END AS grams FROM vv),
-        |wnd AS (SELECT doc_id,
-        |          CASE WHEN len(grams) <= 4 THEN [list_aggregate(grams, 'min')]
-        |               ELSE list_transform(range(1, len(grams) - 2),
-        |                      i -> list_aggregate(list_slice(grams, i, i + 3), 'min'))
-        |          END AS fps FROM g)
-        |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
-        |FROM (SELECT doc_id, unnest(fps) AS fp FROM wnd)
-        |ORDER BY doc_id, fp""".stripMargin
-    },
+    "x_winnow" ->
+      s"""WITH $winnowCtes
+        |SELECT doc_id, fp FROM fps
+        |ORDER BY doc_id, fp""".stripMargin,
+    "x_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WINNOW_DF_CAP),
+        |k AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             CAST(count(*) AS BIGINT) AS shared
+        |      FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared FROM p WHERE shared >= $WINNOW_SHARED_MIN
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x_neardup" ->
       s"""WITH ${permSigsSql},
         |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
