@@ -70,6 +70,24 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Language-ID CONFUSION MATRIX — the accuracy accounting of the
+    * stopword classifier ([[xLangid]]): labeled × predicted doc counts
+    * plus the per-cell share of the labeled row. One per-row scoring
+    * pass into a 25-cell aggregate; the row-share window runs over the
+    * bounded matrix.
+    */
+  def xLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("lang").as("labeled_lang"), Text.langId(toks).as("pred_lang"))
+      .groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_share",
+        detRound4(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy("labeled_lang"))))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
   /** Character-trigram language ID — the literal n-gram heuristic: build
     * a top-20-trigram profile per labeled language, score each document
     * by how many profile trigrams it contains, argmax. Three hash
@@ -1469,6 +1487,7 @@ object PipelineQueries {
     "x_dupgrams"    -> xDupgrams _,
     "x_keyterms"    -> xKeyterms _,
     "x_winnow_pairs" -> xWinnowPairs _,
+    "x_lang_confusion" -> xLangConfusion _,
     "x_curate_clean" -> xCurateClean _,
     "x_vocab_coverage" -> xVocabCoverage _,
     "x_multimodal"  -> xMultimodal _,
@@ -2268,6 +2287,18 @@ object PipelineQueries {
         |SELECT doc_id, labeled_lang, en_hits, de_hits, es_hits, fr_hits, zh_hits,
         |       $langCaseSql AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+    "x_lang_confusion" ->
+      s"""WITH h AS (SELECT doc_id, lang AS labeled_lang,
+        |       ${hitsSql("en")} AS en_hits, ${hitsSql("de")} AS de_hits,
+        |       ${hitsSql("es")} AS es_hits, ${hitsSql("fr")} AS fr_hits,
+        |       ${hitsSql("zh")} AS zh_hits
+        |FROM documents),
+        |p AS (SELECT labeled_lang, $langCaseSql AS pred_lang FROM h),
+        |m AS (SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM p GROUP BY 1, 2)
+        |SELECT labeled_lang, pred_lang, n_docs,
+        |  ${detRound4Sql("CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY labeled_lang)")} AS row_share
+        |FROM m ORDER BY labeled_lang, pred_lang""".stripMargin,
     "x_langid_ngram" ->
       """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
         |tri AS (SELECT doc_id, lang,
