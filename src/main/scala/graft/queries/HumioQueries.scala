@@ -221,6 +221,13 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "formatTime(\"%Y-%m-%d\", field=ts, as=day) | groupBy(day) | sort(day)")
 
+  /** sample(): deterministic 10% md5-bucket sample, then per-type
+    * counts — replayable sampling from inside the pipe language.
+    */
+  def hqSample(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "sample(10, by=event_id) | groupBy(event_type) | sort(event_type)")
+
   def hqLookup(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
@@ -258,6 +265,7 @@ object HumioQueries {
     "hq_transpose" -> hqTranspose _,
     "hq_rate"      -> hqRate _,
     "hq_formattime" -> hqFormattime _,
+    "hq_sample"    -> hqSample _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -294,6 +302,13 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_sample" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS _count
+        |FROM events
+        |WHERE CAST(list_aggregate(list_transform(range(1, 5), j ->
+        |  (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1) *
+        |  CAST(16 ** (4 - j) AS BIGINT)), 'sum') AS BIGINT) % 100 < 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hq_formattime" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |       CAST(count(*) AS BIGINT) AS _count

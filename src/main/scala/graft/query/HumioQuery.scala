@@ -63,6 +63,8 @@ import org.apache.spark.sql.functions._
   *                left join. `lookup` is an alias.
   *   dedup     := dedup(f1, …[, limit=n]) — keep the n most recent
   *                events (by ts, event_id tie-break) per key combination
+  *   sample    := sample(percent[, by=f]) — deterministic md5-bucket
+  *                sampling (replayable, unlike LogScale's random)
   *   fmtTime   := formatTime("%Y-%m-%d", field=f[, as=out]) — strftime
   *                subset (%Y %m %d %H %M %S %j), plan-time translation
   *   rate      := counterAsRate(field[, by=k][, as=out]) — Δcounter/Δsec
@@ -550,6 +552,16 @@ object HumioQuery {
             s"window(): unsupported function '$other'")
         }
         df.withColumn(named.getOrElse("as", "_window"), m.over(w))
+      case "sample" =>
+        // sample(percent[, by=f]): DETERMINISTIC percentage sampling —
+        // membership is a pure function of the by-field's md5 bucket
+        // (the engine's reproducible-sampling discipline; LogScale's
+        // sample() is random, which can never hash-verify or replay).
+        val p = named.get("percent").orElse(pos.headOption).map(_.toInt).getOrElse(
+          throw new IllegalArgumentException("sample() needs a percent"))
+        require(p >= 1 && p <= 100, s"sample(): percent must be 1..100, got $p")
+        val key = named.getOrElse("by", "event_id")
+        df.where(graft.operators.Sampling.pct(col(key)) < p)
       case "formatTime" =>
         // formatTime("%Y-%m-%d", field=f, as=out): strftime-style
         // timestamp formatting. The %-codes translate at PLAN time to
