@@ -973,7 +973,10 @@ object PipelineQueries {
       .select(col("doc_id"), col("text"), n.as("n_words"),
         (enHits.cast("double") / n).as("swr"))
       .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
-    val clean = quality.join(contamIds, Seq("doc_id"), "left_anti")
+    // broadcast the contaminated-id list: it is bounded by the eval
+    // overlap, and a shuffled anti-join would move every text-bearing
+    // quality row instead
+    val clean = quality.join(broadcast(contamIds), Seq("doc_id"), "left_anti")
     val deduped = clean
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
@@ -1308,8 +1311,16 @@ object PipelineQueries {
       .select(col("doc_id"), col("text"), n.as("n_words"),
         (enHits.cast("double") / n).as("swr"))
       .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
-    val clean = quality.join(contamIds, Seq("doc_id"), "left_anti")
+    // broadcast the contaminated-id list: it is bounded by the eval
+    // overlap, and a shuffled anti-join would move every text-bearing
+    // quality row instead. The lazy checkpoint matters more: `clean`
+    // has the gram explode in its lineage and feeds THREE consumers
+    // (CC label seed, the banding pass, the keep join) — materialize
+    // the gated doc set once instead of re-running decontamination
+    // per consumer.
+    val clean = quality.join(broadcast(contamIds), Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
+      .localCheckpoint(eager = false)
     val clusters = Dedup.dupClusters(clean,
       Dedup.bandedCandidates(clean, col("text"), N_PERMS, ROWS_PER_BAND))
     val keep = clean
