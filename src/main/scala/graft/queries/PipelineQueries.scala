@@ -1273,6 +1273,10 @@ object PipelineQueries {
         (enHits.cast("double") / n).as("swr"))
       .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
       .select("doc_id", "text")
+      // one materialization for the three consumers (CC seed, banding,
+      // keep join) — the gate re-tokenizes per row, so re-running it
+      // per consumer pays the stopword scan thrice
+      .localCheckpoint(eager = false)
     val clusters = Dedup.dupClusters(quality,
       Dedup.bandedCandidates(quality, col("text"), N_PERMS, ROWS_PER_BAND))
     val keep = quality
