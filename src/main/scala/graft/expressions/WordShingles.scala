@@ -95,6 +95,21 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 object WordShingles {
   private val ident = new FunctionIdentifier("graft_shingles")
 
+  /** The one guarded builder both registration paths (per-session
+    * [[register]] and the [[GraftExtensions]] injection) share — a
+    * SQL-side misuse must produce the same clear error either way.
+    */
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_shingles(toks, k) takes 2 arguments, got ${children.size}")
+    val k = children(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles: k must be an integer literal, got $other")
+    }
+    WordShingles(children.head, k)
+  }
+
   /** Idempotent per-session registration for
     * `call_function("graft_shingles", toks, lit(k))` — the width must be
     * a foldable integer literal (it shapes the generated loop).
@@ -104,15 +119,6 @@ object WordShingles {
       spark.sessionState.functionRegistry.registerFunction(
         ident,
         new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
-        (children: Seq[Expression]) => {
-          require(children.size == 2,
-            s"graft_shingles(toks, k) takes 2 arguments, got ${children.size}")
-          val k = children(1) match {
-            case Literal(v: Int, IntegerType) => v
-            case other => throw new IllegalArgumentException(
-              s"graft_shingles: k must be an integer literal, got $other")
-          }
-          WordShingles(children.head, k)
-        })
+        builder)
     }
 }

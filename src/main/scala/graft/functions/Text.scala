@@ -53,10 +53,13 @@ object Text {
 
   /** Codegen'd shingle extraction ([[graft.expressions.WordShingles]]) —
     * same output as [[shingles]] (differentially tested equal); requires
-    * `WordShingles.register(spark)` before analysis.
+    * `WordShingles.register(spark)` before analysis. The coalesce
+    * restores the HOF's NULL-input behavior: `shingles(NULL)` evaluates
+    * to `[""]` (the otherwise-branch concat_ws skips the null array),
+    * while the null-intolerant native expression alone would yield NULL.
     */
   def shinglesNative(toks: Column, k: Int): Column =
-    call_function("graft_shingles", toks, lit(k))
+    coalesce(call_function("graft_shingles", toks, lit(k)), array(lit("")))
 
   /** md5 per shingle — the ONE hash pass the signature family shares.
     * md5 is an exact cross-engine hash (same UTF-8 bytes → same hex),

@@ -35,30 +35,50 @@ object Parsers {
     * `parsed` (1/0), and one column per DISTINCT promoted field name
     * across the registry — NULL for events whose type does not promote
     * that field. Column order: registry iteration order, first-seen.
+    *
+    * The payload is JSON-parsed ONCE per row: all promoted paths must be
+    * top-level (`$.key`), which lets the whole registry share a single
+    * `from_json` evaluated behind a one-element-array explode (a
+    * Generate barrier — without it CollapseProject would inline the
+    * parse into every promoted column, re-running Jackson
+    * fields-per-type times per row; the eKvFlatten lesson). Field arms
+    * then just cast the pre-parsed string value.
     */
   def applyRegistry(df: DataFrame, typeCol: Column, payloadCol: Column,
                     registry: Seq[(String, ParserSpec)]): DataFrame = {
     require(registry.nonEmpty, "empty parser registry")
+    def jsonKey(path: String): String = {
+      require(path.matches("""\$\.[A-Za-z_][A-Za-z0-9_]*"""),
+        s"applyRegistry: only top-level $$.key paths are supported, got '$path'")
+      path.drop(2)
+    }
+    // one shared parse schema: every promoted key as string, cast per arm
+    val keys = registry.flatMap(_._2.fields.map(f => jsonKey(f.path))).distinct
+    val schema = org.apache.spark.sql.types.StructType(keys.map(k =>
+      org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
     // distinct output fields, first-seen order; each compiles to one
     // when-chain over the event types that promote it
     val outFields = registry.flatMap(_._2.fields.map(_.name)).distinct
     val byField: Map[String, Seq[(String, FieldSpec)]] =
       registry.flatMap { case (t, spec) => spec.fields.map(f => (t, f)) }
         .groupBy(_._2.name)
-    val fieldCols = outFields.map { name =>
-      val arms = byField(name)
-      arms.tail.foldLeft(
-        when(typeCol === arms.head._1,
-          get_json_object(payloadCol, arms.head._2.path).cast(arms.head._2.castTo))) {
-        case (w, (t, f)) =>
-          w.when(typeCol === t, get_json_object(payloadCol, f.path).cast(f.castTo))
-      }.as(name)
-    }
     val parserCol = registry.tail.foldLeft(
       when(typeCol === registry.head._1, lit(registry.head._2.parser))) {
       case (w, (t, spec)) => w.when(typeCol === t, lit(spec.parser))
     }
-    df.withColumn("parser", parserCol)
+    val withParsed = df.select(df.columns.map(col) :+
+      explode(array(from_json(payloadCol, schema))).as("_payload"): _*)
+    val fieldCols = outFields.map { name =>
+      val arms = byField(name)
+      def armCol(f: FieldSpec) =
+        col("_payload")(jsonKey(f.path)).cast(f.castTo)
+      arms.tail.foldLeft(
+        when(typeCol === arms.head._1, armCol(arms.head._2))) {
+        case (w, (t, f)) => w.when(typeCol === t, armCol(f))
+      }.as(name)
+    }
+    withParsed
+      .withColumn("parser", parserCol)
       .withColumn("parsed", parserCol.isNotNull.cast("bigint"))
       .select(df.columns.map(col) ++ Seq(col("parser"), col("parsed")) ++ fieldCols: _*)
   }

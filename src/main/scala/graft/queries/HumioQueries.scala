@@ -303,11 +303,9 @@ object HumioQueries {
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
     "hq_sample" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS _count
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS _count
         |FROM events
-        |WHERE CAST(list_aggregate(list_transform(range(1, 5), j ->
-        |  (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1) *
-        |  CAST(16 ** (4 - j) AS BIGINT)), 'sum') AS BIGINT) % 100 < 10
+        |WHERE ${PipelineQueries.hashBucketSql("event_id")} % 100 < 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hq_formattime" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,

@@ -947,16 +947,15 @@ object PipelineQueries {
       .orderBy("source", "lang")
   }
 
-  /** The decontaminated curation pipeline — [[xCurate]] with a benchmark
-    * decontamination gate between quality filtering and dedup: the eval
-    * slice's 4-gram set (small, fixed → broadcast) flags contaminated
-    * training docs (one linear shingle pass → ids), which a left-anti
-    * join removes before exact dedup, the 80% split and chunking. The
-    * full quality→decontam→dedup→split→chunk composition as ONE plan —
-    * two linear corpus scans (gram pass + quality pass), one broadcast,
-    * no pair matrix.
+  /** The shared quality→decontamination gate of the curate pipelines:
+    * non-eval-slice docs passing the length/stopword quality gate,
+    * minus docs overlapping the eval slice's 4-gram set — as
+    * (doc_id, text). The knobs here (4-gram width, %50 eval slice,
+    * 5..2000 words, swr < 0.4) are THE single definition both
+    * [[xCurateClean]] and [[xCurateAll]] compose; [[xDecontam]] reports
+    * the same overlap as per-doc counts.
     */
-  def xCurateClean(s: SparkSession, dir: String): DataFrame = {
+  private def decontamGatedDocs(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.WordShingles.register(s)
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
@@ -976,7 +975,21 @@ object PipelineQueries {
     // broadcast the contaminated-id list: it is bounded by the eval
     // overlap, and a shuffled anti-join would move every text-bearing
     // quality row instead
-    val clean = quality.join(broadcast(contamIds), Seq("doc_id"), "left_anti")
+    quality.join(broadcast(contamIds), Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+  }
+
+  /** The decontaminated curation pipeline — [[xCurate]] with a benchmark
+    * decontamination gate between quality filtering and dedup: the eval
+    * slice's 4-gram set (small, fixed → broadcast) flags contaminated
+    * training docs (one linear shingle pass → ids), which a left-anti
+    * join removes before exact dedup, the 80% split and chunking. The
+    * full quality→decontam→dedup→split→chunk composition as ONE plan —
+    * two linear corpus scans (gram pass + quality pass), one broadcast,
+    * no pair matrix.
+    */
+  def xCurateClean(s: SparkSession, dir: String): DataFrame = {
+    val clean = decontamGatedDocs(s, dir)
     val deduped = clean
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
@@ -1299,32 +1312,11 @@ object PipelineQueries {
     * equi-join, O(log d) CC rounds; no pair matrix, nothing driver-side.
     */
   def xCurateAll(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.WordShingles.register(s)
-    val toks = Text.tokens(col("text"))
-    val n = Text.nWords(toks)
-    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
-    val docs = Tables.documents(s, dir)
-    def grams(d: DataFrame) = d.select(col("doc_id"),
-      explode(Text.shinglesNative(toks, 4)).as("gram"))
-    val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
-      .select("gram").distinct()
-    val contamIds = grams(docs.where(col("doc_id") % 50 =!= 0))
-      .join(broadcast(evalGrams), "gram")
-      .select("doc_id").distinct()
-    val quality = docs.where(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), col("text"), n.as("n_words"),
-        (enHits.cast("double") / n).as("swr"))
-      .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
-    // broadcast the contaminated-id list: it is bounded by the eval
-    // overlap, and a shuffled anti-join would move every text-bearing
-    // quality row instead. The lazy checkpoint matters more: `clean`
-    // has the gram explode in its lineage and feeds THREE consumers
-    // (CC label seed, the banding pass, the keep join) — materialize
-    // the gated doc set once instead of re-running decontamination
-    // per consumer.
-    val clean = quality.join(broadcast(contamIds), Seq("doc_id"), "left_anti")
-      .select("doc_id", "text")
-      .localCheckpoint(eager = false)
+    // the lazy checkpoint matters here: the gated doc set has the gram
+    // explode in its lineage and feeds THREE consumers (CC label seed,
+    // the banding pass, the keep join) — materialize it once instead of
+    // re-running decontamination per consumer
+    val clean = decontamGatedDocs(s, dir).localCheckpoint(eager = false)
     val clusters = Dedup.dupClusters(clean,
       Dedup.bandedCandidates(clean, col("text"), N_PERMS, ROWS_PER_BAND))
     val keep = clean
@@ -1695,7 +1687,7 @@ object PipelineQueries {
   /** DuckDB twin of [[Sampling.hashBucket]]: first-4-hex-chars-of-md5
     * polynomial (same digits, same value).
     */
-  private def hashBucketSql(e: String): String =
+  private[queries] def hashBucketSql(e: String): String =
     s"CAST(list_aggregate(list_transform(range(1, 5), j -> " +
       s"(strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1) * " +
       s"CAST(16 ** (4 - j) AS BIGINT)), 'sum') AS BIGINT)"

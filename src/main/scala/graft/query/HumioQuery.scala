@@ -594,6 +594,10 @@ object HumioQuery {
         // events in (ts, event_id) order; NULL for a series' first
         // event, for counter resets (negative delta, as in LogScale),
         // and for zero time deltas. One lag window per series key.
+        // WITHOUT by= this is a single-partition global window over the
+        // RAW event stream (unlike window(), whose input is an already-
+        // aggregated bucket relation) — always pass by= on unbounded
+        // data; the global form exists for small filtered slices.
         val f = named.get("field").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException("counterAsRate() needs a field"))
         val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
@@ -657,11 +661,24 @@ object HumioQuery {
             s"cidr(): subnet must be a.b.c.d/n, got '$subnet'")
         }
         require(prefix >= 0 && prefix <= 32, s"cidr(): bad prefix /$prefix")
-        val baseNum = baseIp.split("\\.").map(_.toLong).reduce(_ * 256 + _)
+        val octets = baseIp.split("\\.")
+        require(octets.length == 4 && octets.forall(o =>
+          o.nonEmpty && o.forall(_.isDigit) && o.toInt <= 255),
+          s"cidr(): subnet base must be four octets 0-255, got '$baseIp'")
+        val baseNum = octets.map(_.toLong).reduce(_ * 256 + _)
+        // malformed VALUES must not-match, never crash: the rlike gate
+        // guards the ANSI casts (CaseWhen branches evaluate lazily), and
+        // the octet bound kills numeric aliasing ("0.300.0.0" must not
+        // alias to 1.44.0.0's value)
         val q = split(f, "\\.")
+        val shaped = f.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
+        val inRange = (0 to 3).map(i => q(i).cast("long") <= 255L).reduce(_ && _)
         val ipNum = q(0).cast("long") * 16777216L + q(1).cast("long") * 65536L +
           q(2).cast("long") * 256L + q(3).cast("long")
-        df.where(shiftright(ipNum, 32 - prefix) === lit(baseNum >> (32 - prefix)))
+        df.where(when(shaped,
+          when(inRange, shiftright(ipNum, 32 - prefix) === lit(baseNum >> (32 - prefix)))
+            .otherwise(lit(false)))
+          .otherwise(lit(false)))
       case "replace" =>   // bare-string pattern form; /regex/ form is
         applyReplace(df, unquote(pos.head), named)   // matched whole above
       case "format" =>

@@ -143,6 +143,15 @@ class DedupSpec extends SparkSpec {
     val hg = withNulls.select(Text.shingles(col("toks"), 3).as("g"))
       .as[Seq[String]].collect().head
     assert(ng == hg)
+    // a NULL ARRAY yields [""] in the HOF (concat_ws skips the null) —
+    // the native wrapper's coalesce must reproduce that, not return NULL
+    val nullArr = Seq(1L).toDF("id")
+      .select(col("id"), lit(null).cast("array<string>").as("toks"))
+    val nn = nullArr.select(Text.shinglesNative(col("toks"), 3).as("g"))
+      .as[Seq[String]].collect().head
+    val nh = nullArr.select(Text.shingles(col("toks"), 3).as("g"))
+      .as[Seq[String]].collect().head
+    assert(nn == Seq("") && nn == nh)
   }
 
   test("TrigramJaccard fused expression equals the declarative set formula") {

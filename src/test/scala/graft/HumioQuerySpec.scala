@@ -525,18 +525,26 @@ class HumioQuerySpec extends SparkSpec {
 
   test("cidr matches IPv4 prefixes, including /32 and /0 boundaries") {
     val ips = Seq((1L, "10.32.0.1"), (2L, "10.63.255.254"), (3L, "10.64.0.0"),
-      (4L, "10.31.255.255"), (5L, "192.168.1.1")).toDF("event_id", "ip")
+      (4L, "10.31.255.255"), (5L, "192.168.1.1"),
+      // malformed values must NOT-match (never crash under ANSI), and
+      // out-of-range octets must not alias to a valid address's number
+      (6L, "unknown"), (7L, "fe80::1"), (8L, "10.0.0"), (9L, "0.300.0.0"))
+      .toDF("event_id", "ip")
     def ids(q: String) = HumioQuery.run(ips, q + " | sort(event_id)")
       .select("event_id").as[Long].collect().toSeq
     // /11: 10.32.0.0–10.63.255.255
     assert(ids("cidr(ip, subnet=\"10.32.0.0/11\")") == Seq(1L, 2L))
     // /32: exact host
     assert(ids("cidr(ip, subnet=\"10.64.0.0/32\")") == Seq(3L))
-    // /0: everything
+    // /0: everything WELL-FORMED (malformed values still filtered out);
+    // 0.300.0.0 numerically aliases 1.44.0.0 but the octet bound kills it
     assert(ids("cidr(ip, subnet=\"0.0.0.0/0\")") == Seq(1L, 2L, 3L, 4L, 5L))
-    // malformed subnet fails at plan time
-    intercept[IllegalArgumentException] {
-      HumioQuery.run(ips, "cidr(ip, subnet=\"10.0.0.0\")")
-    }
+    assert(ids("cidr(ip, subnet=\"1.44.0.0/32\")") == Seq())
+    // malformed subnets fail at plan time: missing /n, short base,
+    // out-of-range octet
+    for (bad <- Seq("10.0.0.0", "10.32/11", "300.1.1.1/8"))
+      intercept[IllegalArgumentException] {
+        HumioQuery.run(ips, s"""cidr(ip, subnet="$bad")""")
+      }
   }
 }
