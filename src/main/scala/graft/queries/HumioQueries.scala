@@ -228,6 +228,15 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "sample(10, by=event_id) | groupBy(event_type) | sort(event_type)")
 
+  /** selfJoinFilter(): events of users who BOTH clicked and purchased —
+    * the correlated-behavior filter, as one presence-flag aggregate +
+    * semi join (never a self cross join).
+    */
+  def hqSelfjoin(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "selfJoinFilter(field=user_id, where=event_type, having=[click, purchase]) " +
+        "| groupBy(event_type) | sort(event_type)")
+
   def hqLookup(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
       "match(customer, field=user_id, column=c_custkey, include=[c_mktsegment]) " +
@@ -266,6 +275,7 @@ object HumioQueries {
     "hq_rate"      -> hqRate _,
     "hq_formattime" -> hqFormattime _,
     "hq_sample"    -> hqSample _,
+    "hq_selfjoin"  -> hqSelfjoin _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -302,6 +312,14 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_selfjoin" ->
+      """WITH k AS (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  HAVING max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+        |     AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS _count
+        |FROM events JOIN k USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hq_sample" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS _count
         |FROM events

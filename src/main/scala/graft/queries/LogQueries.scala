@@ -62,7 +62,35 @@ object LogQueries {
       .select("event_id")
       .orderBy("event_id")
 
+  /** Anomalous timechart buckets — hourly per-type counts more than two
+    * standard deviations from their series mean (the alerting primitive
+    * over any timechart). Mean/variance derive EXPLICITLY from integer
+    * sum/sum-of-squares/count window aggregates so the 2σ boundary is
+    * the same IEEE double in Spark and the oracle (a builtin stddev
+    * would pair Welford against the naive formula and disagree in the
+    * last ulp exactly at the cut). Squared comparison — no sqrt. The
+    * windows run over the bounded bucket relation.
+    */
+  def lAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = LogAnalytics.timechart(Tables.events(s, dir), "hour", col("event_type"))
+      .withColumnRenamed("dim", "event_type")
+    val w = Window.partitionBy("event_type")
+    val cnt = count(lit(1)).over(w).cast("double")
+    b.withColumn("mean", sum(col("n")).over(w).cast("double") / cnt)
+      .withColumn("varr",
+        sum(col("n") * col("n")).over(w).cast("double") / cnt -
+          col("mean") * col("mean"))
+      .where((col("n").cast("double") - col("mean")) *
+        (col("n").cast("double") - col("mean")) > lit(4.0) * col("varr"))
+      .select(col("bucket_ms"), col("event_type"), col("n"),
+        ConnectorQueries.detRound4(col("mean")).as("series_mean"),
+        ConnectorQueries.detRound4(col("varr")).as("series_var"))
+      .orderBy("bucket_ms", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l_anomaly"    -> lAnomaly _,
     "l_timechart"  -> lTimechart _,
     "l_sliding"    -> lSliding _,
     "l_session"    -> lSession _,
@@ -73,6 +101,22 @@ object LogQueries {
     "l_late"       -> lLate _)
 
   val oracle: Map[String, String] = Map(
+    "l_anomaly" ->
+      s"""WITH b AS (
+        |  SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,
+        |         event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT bucket_ms, event_type, n,
+        |         CAST(sum(n) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS mean,
+        |         CAST(sum(n * n) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS ex2
+        |       FROM b WINDOW w AS (PARTITION BY event_type))
+        |SELECT bucket_ms, event_type, n,
+        |       ${ConnectorQueries.detRound4Sql("mean")} AS series_mean,
+        |       ${ConnectorQueries.detRound4Sql("ex2 - mean * mean")} AS series_var
+        |FROM st
+        |WHERE (CAST(n AS DOUBLE) - mean) * (CAST(n AS DOUBLE) - mean)
+        |      > 4.0 * (ex2 - mean * mean)
+        |ORDER BY bucket_ms, event_type""".stripMargin,
     "l_timechart" ->
       """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,
         |       event_type, CAST(count(*) AS BIGINT) AS n

@@ -63,6 +63,8 @@ import org.apache.spark.sql.functions._
   *                left join. `lookup` is an alias.
   *   dedup     := dedup(f1, …[, limit=n]) — keep the n most recent
   *                events (by ts, event_id tie-break) per key combination
+  *   selfJoin  := selfJoinFilter(field=k, where=f, having=[v1, …]) —
+  *                keep keys having every listed value (agg + semi join)
   *   sample    := sample(percent[, by=f]) — deterministic md5-bucket
   *                sampling (replayable, unlike LogScale's random)
   *   fmtTime   := formatTime("%Y-%m-%d", field=f[, as=out]) — strftime
@@ -552,6 +554,29 @@ object HumioQuery {
             s"window(): unsupported function '$other'")
         }
         df.withColumn(named.getOrElse("as", "_window"), m.over(w))
+      case "selfJoinFilter" =>
+        // selfJoinFilter(field=k, where=f, having=[v1, v2, …]): keep
+        // every event of the keys that have AT LEAST one event with
+        // EACH of the listed values — "users who both clicked and
+        // purchased", the classic correlated-behavior filter. One
+        // aggregate of (key → per-value presence flags) + one semi
+        // join; never a self cross join.
+        val key = named.getOrElse("field",
+          throw new IllegalArgumentException("selfJoinFilter() needs field="))
+        val f = named.getOrElse("where",
+          throw new IllegalArgumentException("selfJoinFilter() needs where="))
+        val vals = listArg(named.getOrElse("having",
+          throw new IllegalArgumentException("selfJoinFilter() needs having=")))
+          .map(unquote)
+        require(vals.nonEmpty, "selfJoinFilter(): having= must be non-empty")
+        val flags = vals.zipWithIndex.map { case (v, i) =>
+          max(when(col(f) === v, 1L).otherwise(0L)).as(s"_h$i")
+        }
+        val keys = df.groupBy(col(key))
+          .agg(flags.head, flags.tail: _*)
+          .where(vals.indices.map(i => col(s"_h$i") === 1L).reduce(_ && _))
+          .select(col(key))
+        df.join(keys, Seq(key), "left_semi")
       case "sample" =>
         // sample(percent[, by=f]): DETERMINISTIC percentage sampling —
         // membership is a pure function of the by-field's md5 bucket
