@@ -139,6 +139,15 @@ object HumioQueries {
       "join({groupBy(user_id, function=count())}, field=user_id) " +
         "| _count >= 80 | select(event_id, user_id, _count) | sort(event_id)")
 
+  /** join(mode=left): per-event purchase count with NULL for users who
+    * never purchased — unmatched events survive the enrichment.
+    */
+  def hqJoinLeft(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "join({event_type = purchase | groupBy(user_id, function=count())}, " +
+        "field=user_id, mode=left) " +
+        "| select(event_id, user_id, _count) | sort(event_id)")
+
   /** session(): per-user gaps-and-islands sessions sized by groupBy. */
   def hqSession(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -276,6 +285,7 @@ object HumioQueries {
     "hq_formattime" -> hqFormattime _,
     "hq_sample"    -> hqSample _,
     "hq_selfjoin"  -> hqSelfjoin _,
+    "hq_join_left" -> hqJoinLeft _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -312,6 +322,13 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_join_left" ->
+      """SELECT e.event_id, e.user_id, CAST(c._count AS BIGINT) AS _count
+        |FROM events e
+        |LEFT JOIN (SELECT user_id, count(*) AS _count FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id) c
+        |  ON e.user_id = c.user_id
+        |ORDER BY e.event_id""".stripMargin,
     "hq_selfjoin" ->
       """WITH k AS (
         |  SELECT user_id FROM events GROUP BY user_id

@@ -947,6 +947,33 @@ object PipelineQueries {
       .orderBy("source", "lang")
   }
 
+  /** Decontamination gram-width SWEEP — the knob-tuning table behind
+    * [[xDecontam]]: for shingle widths 3/4/5, how many training docs
+    * the eval-overlap gate would flag and how many distinct grams
+    * overlap. (On this corpus: 3-grams flag half the corpus, 5-grams
+    * almost nothing — width 4 is the working point; this query IS that
+    * analysis.) Each width is an independent broadcast-join branch over
+    * the linear gram scan; a production sweep would run it on a
+    * deterministic sample, which changes none of the plan shapes.
+    */
+  def xContamSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val docs = Tables.documents(s, dir)
+    def hit(n: Int): DataFrame = {
+      def grams(d: DataFrame) = d.select(col("doc_id"),
+        explode(Text.shinglesNative(Text.tokens(col("text")), n)).as("gram"))
+      val ev = grams(docs.where(col("doc_id") % 50 === 0))
+        .select("gram").distinct()
+      grams(docs.where(col("doc_id") % 50 =!= 0))
+        .join(broadcast(ev), "gram")
+        .agg(count_distinct(col("doc_id")).as("n_contam_docs"),
+          count_distinct(col("gram")).as("n_overlap_grams"))
+        .select(lit(n.toLong).as("gram_width"),
+          col("n_contam_docs"), col("n_overlap_grams"))
+    }
+    hit(3).unionByName(hit(4)).unionByName(hit(5)).orderBy("gram_width")
+  }
+
   /** The shared quality→decontamination gate of the curate pipelines:
     * non-eval-slice docs passing the length/stopword quality gate,
     * minus docs overlapping the eval slice's 4-gram set — as
@@ -1481,6 +1508,7 @@ object PipelineQueries {
     "x_ivfknn2"     -> xIvfknn2 _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_decontam"    -> xDecontam _,
+    "x_contam_sweep" -> xContamSweep _,
     "x_pq"          -> xPq _,
     "x_pq_recall"   -> xPqRecall _,
     "x_ivfpq"       -> xIvfpq _,
@@ -2166,6 +2194,22 @@ object PipelineQueries {
         |SELECT rank, word, cnt,
         |  ${detRound4Sql("CAST(cum AS DOUBLE) / n_total")} AS cum_share
         |FROM r CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "x_contam_sweep" -> {
+      val arms = (3 to 5).map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS gram_width,
+          |  CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_contam_docs,
+          |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_overlap_grams
+          |FROM (SELECT doc_id, unnest(${gramsSql(n)}) AS gram FROM t0
+          |      WHERE doc_id % 50 <> 0) g
+          |JOIN (SELECT DISTINCT gram FROM
+          |        (SELECT unnest(${gramsSql(n)}) AS gram FROM t0
+          |         WHERE doc_id % 50 = 0)) ev
+          |  ON g.gram = ev.gram""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+        |SELECT * FROM ($arms)
+        |ORDER BY gram_width""".stripMargin
+    },
     "x_keyterms" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
         |cdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),

@@ -785,7 +785,12 @@ object HumioQuery {
         val key = named.getOrElse("key", field)
         val include = named.get("include").map(listArg)
           .getOrElse(subDf.columns.toSeq.filterNot(_ == key))
-        enrichJoin(df, subDf, field, key, include, "inner")
+        // mode=left keeps unmatched events with NULL subquery columns
+        // (LogScale join mode=left); default inner drops them
+        val mode = named.getOrElse("mode", "inner")
+        require(mode == "inner" || mode == "left",
+          s"join(): mode must be inner or left, got '$mode'")
+        enrichJoin(df, subDf, field, key, include, mode)
       case "dedup" =>
         // dedup(f1, …[, limit=n]): the n most RECENT events per key
         // (LogScale dedup keeps latest by @timestamp; event_id breaks
