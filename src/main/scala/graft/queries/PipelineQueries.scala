@@ -511,6 +511,9 @@ object PipelineQueries {
     */
   def xWinnowPairs(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.RollingWinnow.register(s)
+    // one materialization of the capped fingerprint relation: the
+    // self-join would otherwise re-run the rolling-hash explode +
+    // distinct + df window once per side
     val fps = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(call_function("graft_rolling_winnow",
@@ -519,6 +522,7 @@ object PipelineQueries {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .where(col("df") <= WINNOW_DF_CAP)
       .select("doc_id", "fp")
+      .localCheckpoint(eager = false)
     fps.select(col("fp"), col("doc_id").as("doc_a"))
       .join(fps.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .where(col("doc_a") < col("doc_b"))
