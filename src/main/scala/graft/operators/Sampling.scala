@@ -83,4 +83,35 @@ object Sampling {
         least(b, col("__n") - col("chunk") * b).cast("bigint").as("n_tok"),
         concat_ws(" ", slice(col("__toks"), col("chunk") * b + 1, b)).as("chunk_text"))
   }
+
+  /** OVERLAPPING context windows — [[chunked]] with a stride smaller
+    * than the budget (the standard retrieval/pretraining chunker:
+    * window w, stride s < w, consecutive chunks share w−s tokens so no
+    * boundary context is ever lost). Chunk i covers tokens
+    * [i·s, i·s + w); the last chunk starts at the last stride position
+    * that still adds NEW tokens (start < n − (w − s), plus chunk 0),
+    * so every token is covered and no fully-redundant tail chunk is
+    * emitted. Same per-row explode shape as [[chunked]] — fan-out
+    * n/s per doc, no shuffle.
+    */
+  def chunkedOverlap(docs: DataFrame, text: Column, window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride < window,
+      s"chunkedOverlap: need 1 <= stride < window, got stride=$stride window=$window")
+    val w = lit(window)
+    val s = lit(stride)
+    // number of chunks: 1 + ceil(max(0, n - window) / stride)
+    val nChunks = lit(1) +
+      ceil(greatest(col("__n") - w, lit(0)).cast("double") / s).cast("int")
+    docs
+      .select(col("doc_id"), Text.tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk"))
+      .select(col("doc_id"),
+        col("chunk").cast("bigint").as("chunk"),
+        (col("chunk") * s).cast("bigint").as("start_tok"),
+        least(w, col("__n") - col("chunk") * s).cast("bigint").as("n_tok"),
+        concat_ws(" ", slice(col("__toks"), col("chunk") * s + 1, w)).as("chunk_text"))
+  }
 }

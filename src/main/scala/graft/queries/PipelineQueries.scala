@@ -1463,8 +1463,21 @@ object PipelineQueries {
     Sampling.chunked(Tables.documents(s, dir), col("text"), CHUNK_BUDGET)
       .orderBy("doc_id", "chunk")
 
+  val CHUNK_STRIDE = 24
+
+  /** Overlapping context windows ([[Sampling.chunkedOverlap]], window
+    * [[CHUNK_BUDGET]] stride [[CHUNK_STRIDE]] → 8-token overlap) — the
+    * retrieval/pretraining chunker that never loses boundary context.
+    */
+  def xChunksOverlap(s: SparkSession, dir: String): DataFrame =
+    Sampling.chunkedOverlap(Tables.documents(s, dir), col("text"),
+        CHUNK_BUDGET, CHUNK_STRIDE)
+      .select("doc_id", "chunk", "start_tok", "n_tok")
+      .orderBy("doc_id", "chunk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tfidf"       -> xTfidf _,
+    "x_chunks_overlap" -> xChunksOverlap _,
     "x_sample"      -> xSample _,
     "x_stratified"  -> xStratified _,
     "x_split"       -> xSplit _,
@@ -1929,6 +1942,17 @@ object PipelineQueries {
         |       CAST((cum - n_words) // $PACK_BUDGET AS BIGINT) AS first_bin,
         |       CAST((cum - 1) // $PACK_BUDGET AS BIGINT) AS last_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "x_chunks_overlap" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST(1 + ceil(greatest(n - $CHUNK_BUDGET, 0)
+        |          / CAST($CHUNK_STRIDE AS DOUBLE)) AS BIGINT))) AS c
+        |      FROM n)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(c * $CHUNK_STRIDE AS BIGINT) AS start_tok,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_STRIDE) AS BIGINT) AS n_tok
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
     "x_pps_sample" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |            CAST(len(string_split(text,' ')) AS BIGINT) AS n_words

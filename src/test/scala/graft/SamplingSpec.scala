@@ -70,4 +70,34 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(out == Seq((1L, 0L, 1L, "")), s"got $out")
   }
+
+  test("chunkedOverlap: full coverage, stride starts, no redundant tail") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),                                  // under window
+      (3L, (1 to 32).map(_.toString).mkString(" ")),  // exactly window
+      (4L, (1 to 33).map(_.toString).mkString(" ")))  // one past window
+      .toDF("doc_id", "text")
+    val out = Sampling.chunkedOverlap(docs, col("text"), 32, 24)
+      .select("doc_id", "chunk", "start_tok", "n_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq.groupBy(_._1)
+    assert(out(2L) == Seq((2L, 0L, 0L, 3L)))
+    assert(out(3L) == Seq((3L, 0L, 0L, 32L)))
+    // 33 tokens: a second chunk exists (9 new tokens from start 24)
+    assert(out(4L).sortBy(_._2).map(t => (t._3, t._4)) == Seq((0L, 32L), (24L, 9L)))
+    // long doc: starts advance by the stride, every token is covered,
+    // and no chunk exceeds the window
+    val c1 = out(1L).sortBy(_._2)
+    assert(c1.map(_._3) == c1.indices.map(_ * 24L))
+    assert(c1.last._3 + c1.last._4 == 100L)
+    assert(c1.forall(_._4 <= 32L))
+    // invariant: consecutive chunks overlap by window - stride = 8
+    assert(c1.sliding(2).forall {
+      case Seq(a, b) => (a._3 + a._4) - b._3 == 8L || a._3 + a._4 == 100L
+      case _ => true
+    })
+    intercept[IllegalArgumentException] {
+      Sampling.chunkedOverlap(docs, col("text"), 32, 32)
+    }
+  }
 }
