@@ -148,6 +148,14 @@ object HumioQueries {
         "field=user_id, mode=left) " +
         "| select(event_id, user_id, _count) | sort(event_id)")
 
+  /** percentile inside groupBy: per-type p50/p95 latencies — the
+    * per-key tail-latency table, exact interpolated percentiles.
+    */
+  def hqGroupPctile(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "groupBy(event_type, function=[percentile(value, 50), percentile(value, 95)]) " +
+        "| sort(event_type)")
+
   /** session(): per-user gaps-and-islands sessions sized by groupBy. */
   def hqSession(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -286,6 +294,7 @@ object HumioQueries {
     "hq_sample"    -> hqSample _,
     "hq_selfjoin"  -> hqSelfjoin _,
     "hq_join_left" -> hqJoinLeft _,
+    "hq_group_pctile" -> hqGroupPctile _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -322,6 +331,11 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_group_pctile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS _p50_value,
+        |       round(quantile_cont(value, 0.95), 4) AS _p95_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hq_join_left" ->
       """SELECT e.event_id, e.user_id, CAST(c._count AS BIGINT) AS _count
         |FROM events e

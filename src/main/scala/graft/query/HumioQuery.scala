@@ -234,6 +234,18 @@ object HumioQuery {
       case FnCall("avg", f)    => (avg(col(f.trim)), nm("avg", f))
       case FnCall("min", f)    => (min(col(f.trim)), nm("min", f))
       case FnCall("max", f)    => (max(col(f.trim)), nm("max", f))
+      case FnCall("percentile", a) =>
+        // percentile(f, p) inside groupBy: exact interpolated percentile,
+        // 4-decimal stabilized like the standalone verb; named _p<p>_f
+        // (qualified) / _p<p> so several percentiles can coexist
+        val parts = a.split(",").map(_.trim)
+        require(parts.length == 2,
+          s"percentile(field, p) takes 2 arguments inside groupBy, got '$a'")
+        val p = parts(1).toDouble
+        require(p > 0 && p < 100, s"percentile(): p must be in (0,100), got $p")
+        val pn = if (p == p.floor) p.toInt.toString else p.toString.replace('.', '_')
+        (round(percentile(col(parts.head), lit(p / 100.0)), 4),
+          if (qualified) s"_p${pn}_${parts.head}" else s"_p$pn")
       case other => throw new IllegalArgumentException(s"unknown function: $other")
     }
   }
