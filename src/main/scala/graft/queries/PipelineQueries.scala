@@ -1045,10 +1045,14 @@ object PipelineQueries {
     Tables.documents(s, dir)
       .select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // top-20 FIRST via orderBy+limit (TakeOrderedAndProject: per-
+      // partition partial top-k, parallel) — ranking the full vocabulary
+      // through the global window would single-partition-sort millions
+      // of rows at scale just to throw all but 20 away
+      .orderBy(col("cnt").desc, col("word")).limit(20)
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .withColumn("cum", sum(col("cnt")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(col("rank") <= 20)
       .crossJoin(broadcast(total))
       .select(col("rank"), col("word"), col("cnt"),
         detRound4(col("cum").cast("double") / col("n_total")).as("cum_share"))
@@ -1144,8 +1148,11 @@ object PipelineQueries {
         sequence(lit(1), length(col("word")) - 1),
         i => col("word").substr(i, lit(2)))).as("pair"))
       .groupBy("pair").agg(sum("freq").as("cnt"))
+      // top-20 via TakeOrderedAndProject before the 20-row rank window
+      // (the x_vocab_coverage discipline — never globally sort the full
+      // pair table for a top-k)
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= 20)
       .select("rank", "pair", "cnt")
       .orderBy("rank")
   }
