@@ -156,6 +156,13 @@ object HumioQueries {
       "groupBy(event_type, function=[percentile(value, 50), percentile(value, 95)]) " +
         "| sort(event_type)")
 
+  /** percentile as the timechart measure: p90 latency per 6h bucket —
+    * the SLO chart. Same shared aggregate parser as groupBy.
+    */
+  def hqTimechartPct(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "timechart(span=6h, function=percentile(value, 90)) | sort(_bucket_ms)")
+
   /** session(): per-user gaps-and-islands sessions sized by groupBy. */
   def hqSession(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -295,6 +302,7 @@ object HumioQueries {
     "hq_selfjoin"  -> hqSelfjoin _,
     "hq_join_left" -> hqJoinLeft _,
     "hq_group_pctile" -> hqGroupPctile _,
+    "hq_timechart_pct" -> hqTimechartPct _,
     "hq_parsecsv"  -> hqParsecsv _,
     "hq_top_sum"   -> hqTopSum _,
     "hq_count_distinct" -> hqCountDistinct _,
@@ -331,6 +339,10 @@ object HumioQueries {
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events WHERE value > 0 AND ln(exp(1) * value) >= 3.0
         |GROUP BY b ORDER BY b""".stripMargin,
+    "hq_timechart_pct" ->
+      """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000) * 21600000 AS _bucket_ms,
+        |       round(quantile_cont(value, 0.9), 4) AS _p90
+        |FROM events GROUP BY 1 ORDER BY _bucket_ms""".stripMargin,
     "hq_group_pctile" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS _p50_value,

@@ -240,6 +240,14 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() == 5L)   // vec_id % 100 == 0 over 500 vectors at sf0.001
   }
 
+  test("vocab-coverage top-k fuses into TakeOrderedAndProject, no full-vocab window sort") {
+    val q = graft.queries.PipelineQueries.xVocabCoverage(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as a partial top-k, got:\n$plan")
+    assert(q.count() == 20L)
+  }
+
   test("x_dupgrams is join-free: windows and aggregates only") {
     val q = graft.queries.PipelineQueries.xDupgrams(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
