@@ -4,20 +4,22 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 import java.security.MessageDigest
 
-/** 64-bit SimHash of a token array, returned as a 64-char '0'/'1' string
-  * (a bit string, not a bigint, so the sign bit can't overflow and the
-  * DuckDB oracle can rebuild it with string_agg).
+/** 64-bit SimHash of a token array, returned as a signed 64-bit LONG so
+  * downstream band extraction (`shiftrightunsigned` + mask) and Hamming
+  * verification (`bit_count(a ^ b)`) stay codegen'd integer arithmetic —
+  * no per-pair string work anywhere. The DuckDB oracle rebuilds the same
+  * two's-complement value from the bit sums via HUGEINT halves.
   *
   * Definition (replayed verbatim by the x_simhash oracle): token hash =
   * first 16 hex chars of md5(word) = 64 bits, bit i of hex char c is
   * `(value(c) >> (3 - i%4)) & 1`; each token adds +1/-1 per bit
-  * (multiplicity counts); output bit i is '1' iff the sum is strictly
-  * positive. Near-duplicate documents land at small Hamming distance.
+  * (multiplicity counts); output bit i (MSB-first: bit 0 is the long's
+  * bit 63) is set iff the sum is strictly positive. Near-duplicate
+  * documents land at small Hamming distance.
   *
   * Single pass per row (digest reused), CodegenFallback for the same
   * reason as [[ShingleMinHash]] — per-row work dwarfs the call overhead.
@@ -25,7 +27,7 @@ import java.security.MessageDigest
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = StringType
+  override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -54,10 +56,10 @@ case class SimHash64(child: Expression)
       }
       w += 1
     }
-    val out = new Array[Char](64)
+    var out = 0L
     var i = 0
-    while (i < 64) { out(i) = if (sums(i) > 0) '1' else '0'; i += 1 }
-    UTF8String.fromString(new String(out))
+    while (i < 64) { if (sums(i) > 0) out |= (1L << (63 - i)); i += 1 }
+    java.lang.Long.valueOf(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -100,7 +100,7 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** 64-bit SimHash bit-string per doc ([[graft.expressions.SimHash64]]);
+  /** 64-bit SimHash (signed long) per doc ([[graft.expressions.SimHash64]]);
     * near-dups cluster at small Hamming distance. Narrow per-row op.
     */
   def withSimhash(docs: DataFrame, text: Column): DataFrame = {
@@ -108,11 +108,12 @@ object Dedup {
     docs.withColumn("simhash", call_function("graft_simhash64", Text.tokens(text)))
   }
 
-  /** Hamming distance between two equal-length bit strings — the SimHash
-    * near-dup verifier, as a declarative expression.
+  /** Hamming distance between two 64-bit long signatures — the SimHash
+    * near-dup verifier: `bit_count(a ^ b)`, pure codegen'd integer
+    * arithmetic (no string or array work per pair).
     */
-  def hammingBits(a: Column, b: Column): Column =
-    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), d => d))
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pipeline: cut each 64-bit signature into `nBands`
     * equal bit-bands; docs sharing ANY band become candidates (a pair
@@ -125,15 +126,18 @@ object Dedup {
                         maxHamming: Int): DataFrame = {
     require(64 % nBands == 0, s"nBands=$nBands must divide 64")
     val width = 64 / nBands
+    val mask = (1L << width) - 1
     val sh = withSimhash(docs, text).select(col("doc_id"), col("simhash"))
     // the full signature rides along in the band rows: the verification
     // needs no rejoin (which would re-evaluate the md5-per-word simhash
     // computation two more times), and the two self-join branches share
-    // one exchange subtree
+    // one exchange subtree. Band b = bits [b*width, (b+1)*width) MSB-first,
+    // extracted with unsigned shift + mask — integer-only, codegen'd.
     val long = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b.toLong).as("band"),
-          substring(col("simhash"), b * width + 1, width).as("key"))): _*)).as("bk"))
+          shiftrightunsigned(col("simhash"), 64 - width * (b + 1))
+            .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     val a = long.select(col("band"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("ha"))
@@ -145,7 +149,7 @@ object Dedup {
       // dedup on the narrow pair key — the signatures are functionally
       // dependent on the ids and just ride along
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hammingBits(col("ha"), col("hb")).cast("bigint"))
+      .withColumn("hamming", hamming64(col("ha"), col("hb")).cast("bigint"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

@@ -1581,6 +1581,33 @@ object PipelineQueries {
       "range(1, len(toks) - 1), i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) " +
       "ELSE [md5(array_to_string(toks, ' '))] END"
 
+  /** DuckDB twin of [[graft.expressions.SimHash64]]: per-(doc, bit)
+    * +1/-1 sums over md5 nibbles, then the signed 64-bit two's-complement
+    * value assembled from 32-bit halves in HUGEINT (bit i MSB-first =
+    * long bit 63-i, matching the Scala expression exactly).
+    */
+  private val simhashLongCte: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |h AS (SELECT doc_id, md5(word) AS m FROM w),
+      |bits AS (
+      |  SELECT doc_id, t.i,
+      |         sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, 1 + CAST(t.i // 4 AS INTEGER), 1)) - 1)
+      |                        >> (3 - CAST(t.i % 4 AS INTEGER))) & 1 = 1
+      |             THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN range(0, 64) t(i)
+      |  GROUP BY doc_id, t.i),
+      |halves AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN i < 32 AND s > 0 THEN CAST(1 AS BIGINT) << CAST(31 - i AS INTEGER) ELSE 0 END) AS hi,
+      |    sum(CASE WHEN i >= 32 AND s > 0 THEN CAST(1 AS BIGINT) << CAST(63 - i AS INTEGER) ELSE 0 END) AS lo
+      |  FROM bits GROUP BY doc_id),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN CAST(hi AS HUGEINT) * 4294967296 + lo >= CAST(9223372036854775808 AS HUGEINT)
+      |         THEN CAST(hi AS HUGEINT) * 4294967296 + lo - CAST(18446744073709551616 AS HUGEINT)
+      |         ELSE CAST(hi AS HUGEINT) * 4294967296 + lo END AS BIGINT) AS simhash
+      |  FROM halves)""".stripMargin
+
   /** Shared PQ replay CTEs: sub (subvector slices), cent (codebook),
     * d (all codeword distances), best (argmin codeword per subspace) —
     * the DuckDB twin of [[pqSubRows]]/[[pqCents]]/[[pqCodes]].
@@ -2543,47 +2570,26 @@ object PipelineQueries {
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_simhash" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-        |h AS (SELECT doc_id, md5(word) AS m FROM w),
-        |bits AS (
-        |  SELECT doc_id, t.i,
-        |         sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, 1 + CAST(t.i // 4 AS INTEGER), 1)) - 1)
-        |                        >> (3 - CAST(t.i % 4 AS INTEGER))) & 1 = 1
-        |             THEN 1 ELSE -1 END) AS s
-        |  FROM h CROSS JOIN range(0, 64) t(i)
-        |  GROUP BY doc_id, t.i)
-        |SELECT doc_id,
-        |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$simhashLongCte
+        |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
     "x_simhash_pairs" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-        |h AS (SELECT doc_id, md5(word) AS m FROM w),
-        |bits AS (
-        |  SELECT doc_id, t.i,
-        |         sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, 1 + CAST(t.i // 4 AS INTEGER), 1)) - 1)
-        |                        >> (3 - CAST(t.i % 4 AS INTEGER))) & 1 = 1
-        |             THEN 1 ELSE -1 END) AS s
-        |  FROM h CROSS JOIN range(0, 64) t(i)
-        |  GROUP BY doc_id, t.i),
-        |sh AS (SELECT doc_id,
-        |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
-        |       FROM bits GROUP BY doc_id),
+      s"""$simhashLongCte,
+        |u AS (SELECT doc_id,
+        |        CAST((CAST(simhash AS HUGEINT) + 18446744073709551616) % 18446744073709551616 AS HUGEINT) AS uv
+        |      FROM sh),
         |long AS (SELECT doc_id, b.b AS band,
-        |           substr(simhash, CAST(b.b * 16 + 1 AS INTEGER), 16) AS key
-        |         FROM sh CROSS JOIN range(0, 4) b(b)),
+        |           CAST((uv // (CAST(1 AS HUGEINT) << CAST(48 - b.b * 16 AS INTEGER))) % 65536 AS BIGINT) AS key
+        |         FROM u CROSS JOIN range(0, 4) b(b)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
         |         FROM long a JOIN long b2 ON a.band = b2.band AND a.key = b2.key
-        |         WHERE a.doc_id < b2.doc_id),
-        |ham AS (SELECT doc_a, doc_b,
-        |          CAST(list_aggregate(list_transform(range(1, 65),
-        |            i -> CASE WHEN substr(sa.simhash, CAST(i AS INTEGER), 1)
-        |                        <> substr(sb.simhash, CAST(i AS INTEGER), 1)
-        |                 THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS hamming
-        |        FROM cand
-        |        JOIN sh sa ON doc_a = sa.doc_id
-        |        JOIN sh sb ON doc_b = sb.doc_id)
-        |SELECT doc_a, doc_b, hamming FROM ham
-        |WHERE hamming <= 12 ORDER BY doc_a, doc_b""".stripMargin,
+        |         WHERE a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        |FROM cand
+        |JOIN sh sa ON doc_a = sa.doc_id
+        |JOIN sh sb ON doc_b = sb.doc_id
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -39,9 +39,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_shingle_perm_minhash(array('a','b','c','d'), 3, 8) AS s")
         .collect().head.getSeq[String](0)
       assert(sigs.length == 8 && sigs.forall(_.matches("[0-9]{20}")))
-      val sh = spark.sql("SELECT graft_simhash64(array('a','b')) AS h")
-        .collect().head.getString(0)
-      assert(sh.matches("[01]{64}"))
+      val shRow = spark.sql(
+        "SELECT graft_simhash64(array('a','b')) AS h, graft_simhash64(array('b','a')) AS h2")
+        .collect().head
+      assert(shRow.getLong(0) == shRow.getLong(1), "simhash is order-independent")
       val mh = spark.sql("SELECT graft_shingle_minhash(array('a','b','c','d'), 3, 2) AS m")
         .collect().head.getSeq[String](0)
       assert(mh.length == 2)

@@ -254,4 +254,15 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), s"join in x_dupgrams plan:\n$plan")
     assert(q.count() > 0)
   }
+
+  test("simhash verifier is integer-only: bit_count/xor, no string HOF per pair") {
+    val q = graft.queries.PipelineQueries.xSimhashPairs(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // split(text) appears once as the per-ROW tokenizer feeding the
+    // signature; the per-PAIR verifier must be integer bit_count/xor only
+    assert(!plan.contains("zip_with"),
+      s"per-pair string HOF in the simhash plan:\n$plan")
+    assert(plan.contains("bit_count"), s"expected bit_count Hamming, got:\n$plan")
+    assert(q.count() > 0)
+  }
 }
