@@ -164,18 +164,20 @@ object Dedup {
     * label's label (the halving step) — linear chains converge in
     * O(log diameter) rounds, not diameter, so the round cap is a
     * backstop, not a reachable limit. Each round is one distributed
-    * join pass materialized by `localCheckpoint` (truncating the
-    * otherwise-doubling lineage); the convergence check scans those
-    * cached blocks, and the driver only sees a flag, never data.
-    * Superseded snapshots are evictable MEMORY_AND_DISK blocks the
-    * ContextCleaner reclaims as the loop drops their references.
+    * join pass materialized through [[Scale.stage]] (truncating the
+    * otherwise-doubling lineage; `spark.graft.checkpoint.reliable=true`
+    * routes it to durable `checkpoint()` for executor-loss recovery on
+    * real clusters); the convergence check scans those cached blocks,
+    * and the driver only sees a flag, never data. Superseded snapshots
+    * are evictable MEMORY_AND_DISK blocks the ContextCleaner reclaims
+    * as the loop drops their references.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     // lazy: round 1's join is the first full scan — it materializes the
     // cached edge blocks without a dedicated up-front job
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = false)
+      .transform(Scale.stage(_))
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
     var converged = false
     var round = 0
@@ -198,7 +200,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster"), col("nmin"), col("pc")).as("cluster"),
           col("cluster").as("old"))
-        .localCheckpoint(eager = false)
+        .transform(Scale.stage(_))
       converged = stepped.where(col("cluster") < col("old")).count() == 0
       labels = stepped.select("doc_id", "cluster")
       round += 1
@@ -236,7 +238,7 @@ object Dedup {
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .where(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint(eager = false)
+      .transform(Scale.stage(_))
     // count, not isEmpty: the emptiness probe doubles as the full first
     // materialization (isEmpty's limit-1 would cache only a prefix)
     var converged = edges.count() == 0
@@ -261,7 +263,7 @@ object Dedup {
         .select(col("mn").as("lo"), col("v").as("hi"))
         .union(smin.select(col("mn").as("lo"), col("u").as("hi")))
         .distinct()
-        .localCheckpoint(eager = false)
+        .transform(Scale.stage(_))
       converged = small.withColumn("n", lit(1))
         .join(edges.withColumn("o", lit(1)), Seq("lo", "hi"), "full_outer")
         .where(col("n").isNull || col("o").isNull)

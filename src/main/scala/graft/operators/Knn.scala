@@ -193,8 +193,9 @@ object Knn {
   /** Lloyd's k-means iterated to CONVERGENCE (or `maxRounds`): repeated
     * [[kmeansRefine]] with the same quantized order-independent means,
     * under the same loop discipline as [[Dedup.dupClusters]] — each
-    * round's centroids are a `localCheckpoint` (lineage truncated, no
-    * recomputation cascade), and the driver only ever sees a boolean
+    * round's centroids materialize through [[Scale.stage]] (lineage
+    * truncated, no recomputation cascade; reliable-checkpoint mode via
+    * `spark.graft.checkpoint.reliable`), and the driver only ever sees a boolean
     * convergence flag, never centroid data. Convergence is EXACT
     * equality of the centroid set round-over-round — well-defined
     * because the quantized means are bit-reproducible, and equivalent to
@@ -213,9 +214,9 @@ object Knn {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     // normalize the seed to double vectors so round-over-round equality
     // compares like with like (seeds are often float data samples)
-    var cents = seed.select(col("cent_id"),
-      transform(col("cvec"), x => x.cast("double")).as("cvec"))
-      .localCheckpoint()
+    var cents = Scale.stage(seed.select(col("cent_id"),
+      transform(col("cvec"), x => x.cast("double")).as("cvec")),
+      eager = true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -223,7 +224,7 @@ object Knn {
       // refinement pass and caches its k-row result in one job (the
       // final scheduled round skips the probe, so its refinement
       // materializes with whatever downstream action consumes it)
-      val next = kmeansRefine(vectors, cents, dim).localCheckpoint(eager = false)
+      val next = Scale.stage(kmeansRefine(vectors, cents, dim))
       val prev = cents.select(col("cent_id"), col("cvec").as("pvec"))
       round += 1
       if (round < maxRounds)

@@ -64,4 +64,41 @@ object Scale {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Session conf selecting how iterative-loop stages materialize. */
+  val ReliableCheckpointConf = "spark.graft.checkpoint.reliable"
+
+  /** Materialize one round of an iterative loop with truncated lineage.
+    *
+    * Iterative operators (connected components, Lloyd's k-means, shared
+    * curation gates) re-reference each round's output several times;
+    * without materialization the lineage doubles per round and recompute
+    * cascades. Two modes, chosen by the `spark.graft.checkpoint.reliable`
+    * session conf:
+    *
+    *  - default (`false`): `localCheckpoint` — blocks live on executor
+    *    block managers (MEMORY_AND_DISK), zero configuration, no extra
+    *    IO; exactly right on local[n]. NOT fault-tolerant: lineage is
+    *    gone, so on a real cluster one lost executor mid-loop fails the
+    *    query with no recompute path.
+    *  - `true`: reliable `checkpoint()` — blocks are written under the
+    *    SparkContext checkpoint directory (`setCheckpointDir`, HDFS/S3 at
+    *    cluster scale) and executor loss recovers by re-reading durable
+    *    files. The trade: the round's lineage is computed a second time
+    *    when the checkpoint files are written (Spark writes them in a
+    *    post-action pass), plus the durable round-trip — the price of
+    *    surviving executor churn in long loops on big clusters.
+    *
+    * Both modes keep the loop discipline identical: with `eager = false`
+    * the loop's one convergence-probe action materializes the round — no
+    * separate materialize job — and the returned relation's semantics
+    * are the same either way.
+    */
+  def stage(df: DataFrame, eager: Boolean = false): DataFrame =
+    if (df.sparkSession.conf.get(ReliableCheckpointConf, "false").toBoolean) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableCheckpointConf=true requires SparkContext.setCheckpointDir " +
+          "(a durable location: HDFS/S3 on a cluster)")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
 }

@@ -101,7 +101,7 @@ object PipelineQueries {
     // BOTH the language profiles and the per-doc scoring side (its keys
     // ARE the distinct doc-trigram pairs); lang rides through the key —
     // functionally dependent on doc_id — so the label join back to the
-    // corpus disappears too. The lazy localCheckpoint makes the two
+    // corpus disappears too. The lazy Scale.stage makes the two
     // consumers share ONE materialization of the compact aggregate
     // (branch-level ReuseExchange does not fire here even with
     // identical partial aggregates — measured; and recomputing means a
@@ -110,7 +110,7 @@ object PipelineQueries {
     val dtg = docs.select(col("doc_id"), col("lang"),
         explode(Text.charTrigramsNative(col("text"))).as("tg"))
       .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .transform(graft.operators.Scale.stage(_))
     val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tg"))
     val profiles = dtg.groupBy("lang", "tg").agg(sum("c").as("cnt"))
       .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
@@ -522,7 +522,7 @@ object PipelineQueries {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .where(col("df") <= WINNOW_DF_CAP)
       .select("doc_id", "fp")
-      .localCheckpoint(eager = false)
+      .transform(graft.operators.Scale.stage(_))
     fps.select(col("fp"), col("doc_id").as("doc_a"))
       .join(fps.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .where(col("doc_a") < col("doc_b"))
@@ -1327,7 +1327,7 @@ object PipelineQueries {
       // one materialization for the three consumers (CC seed, banding,
       // keep join) — the gate re-tokenizes per row, so re-running it
       // per consumer pays the stopword scan thrice
-      .localCheckpoint(eager = false)
+      .transform(graft.operators.Scale.stage(_))
     val clusters = Dedup.dupClusters(quality,
       Dedup.bandedCandidates(quality, col("text"), N_PERMS, ROWS_PER_BAND))
     val keep = quality
@@ -1354,7 +1354,7 @@ object PipelineQueries {
     // explode in its lineage and feeds THREE consumers (CC label seed,
     // the banding pass, the keep join) — materialize it once instead of
     // re-running decontamination per consumer
-    val clean = decontamGatedDocs(s, dir).localCheckpoint(eager = false)
+    val clean = decontamGatedDocs(s, dir).transform(graft.operators.Scale.stage(_))
     val clusters = Dedup.dupClusters(clean,
       Dedup.bandedCandidates(clean, col("text"), N_PERMS, ROWS_PER_BAND))
     val keep = clean

@@ -336,4 +336,44 @@ class DedupSpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  test("reliable-checkpoint mode: identical results, durable round files") {
+    import graft.operators.Scale
+    val sc = spark.sparkContext
+    // the mode refuses to run without a durable checkpoint location —
+    // silently falling back to executor-local blocks would defeat it
+    if (sc.getCheckpointDir.isEmpty) {
+      spark.conf.set(Scale.ReliableCheckpointConf, "true")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          Scale.stage(docs)
+        }
+        assert(e.getMessage.contains("setCheckpointDir"))
+      } finally spark.conf.set(Scale.ReliableCheckpointConf, "false")
+    }
+    val ids = spark.range(64L).toDF("doc_id")
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val local = Dedup.dupClusters(ids, pairs).as[(Long, Long)].collect().toMap
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    sc.setCheckpointDir(ckptDir.toString)
+    spark.conf.set(Scale.ReliableCheckpointConf, "true")
+    try {
+      val reliable = Dedup.dupClusters(ids, pairs).as[(Long, Long)].collect().toMap
+      assert(reliable == local, "checkpoint mode must not change CC labels")
+      // the rounds really went through durable storage, not executor blocks
+      val files = java.nio.file.Files.walk(ckptDir).iterator()
+      var nFiles = 0
+      while (files.hasNext) { if (files.next().toFile.isFile) nFiles += 1 }
+      assert(nFiles > 0, "reliable mode must write checkpoint files")
+      // the iterative k-means trainer runs under the same knob
+      val vecs = (0 until 40).map(i =>
+        (i.toLong, Array.tabulate(4)(d => ((i % 4) * 10 + d).toFloat)))
+        .toDF("vec_id", "embedding")
+      val seed = vecs.where(col("vec_id") < 4)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val (cents, rounds) =
+        graft.operators.Knn.kmeansTrain(vecs, seed, dim = 4, maxRounds = 10)
+      assert(cents.count() == 4L && rounds >= 1)
+    } finally spark.conf.set(Scale.ReliableCheckpointConf, "false")
+  }
 }
