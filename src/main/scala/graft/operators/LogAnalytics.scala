@@ -88,7 +88,10 @@ object LogAnalytics {
     * to `percentile_approx`.
     */
   def percentiles(events: DataFrame, dim: Column, v: Column, ps: Seq[Double]): DataFrame = {
-    val aggs = ps.map(p => round(percentile(v, lit(p)), 4).as(s"p${(p * 100).toInt}"))
+    // detRound4, not round(): cross-engine rounding convention (engine
+    // round() semantics differ on edge doubles vs the DuckDB oracle)
+    val aggs = ps.map(p => graft.queries.ConnectorQueries
+      .detRound4(percentile(v, lit(p))).as(s"p${(p * 100).toInt}"))
     events.groupBy(dim.as("dim")).agg(aggs.head, aggs.tail: _*)
   }
 

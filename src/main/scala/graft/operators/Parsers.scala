@@ -21,6 +21,11 @@ object Parsers {
 
   /** One promoted field: output column `name` = JSON `path` of the
     * payload, cast to `castTo` (a Spark SQL type name).
+    *
+    * `path` must be a TOP-LEVEL `$.key` reference — the registry shares
+    * one `from_json` parse across every promoted field (the whole point
+    * of the layer), and a shared flat parse schema can only address
+    * top-level keys. Nested paths are rejected at plan time.
     */
   case class FieldSpec(name: String, path: String, castTo: String)
 
@@ -47,6 +52,10 @@ object Parsers {
   def applyRegistry(df: DataFrame, typeCol: Column, payloadCol: Column,
                     registry: Seq[(String, ParserSpec)]): DataFrame = {
     require(registry.nonEmpty, "empty parser registry")
+    // reserved working column — refuse rather than silently make every
+    // later reference to it ambiguous (same rule as Sampling.stratifiedN)
+    val payload = "__graft_parser_payload"
+    require(!df.columns.contains(payload), s"input already has a $payload column")
     def jsonKey(path: String): String = {
       require(path.matches("""\$\.[A-Za-z_][A-Za-z0-9_]*"""),
         s"applyRegistry: only top-level $$.key paths are supported, got '$path'")
@@ -67,11 +76,11 @@ object Parsers {
       case (w, (t, spec)) => w.when(typeCol === t, lit(spec.parser))
     }
     val withParsed = df.select(df.columns.map(col) :+
-      explode(array(from_json(payloadCol, schema))).as("_payload"): _*)
+      explode(array(from_json(payloadCol, schema))).as(payload): _*)
     val fieldCols = outFields.map { name =>
       val arms = byField(name)
       def armCol(f: FieldSpec) =
-        col("_payload")(jsonKey(f.path)).cast(f.castTo)
+        col(payload)(jsonKey(f.path)).cast(f.castTo)
       arms.tail.foldLeft(
         when(typeCol === arms.head._1, armCol(arms.head._2))) {
         case (w, (t, f)) => w.when(typeCol === t, armCol(f))

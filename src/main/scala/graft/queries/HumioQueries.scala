@@ -341,12 +341,12 @@ object HumioQueries {
         |GROUP BY b ORDER BY b""".stripMargin,
     "hq_timechart_pct" ->
       """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000) * 21600000 AS _bucket_ms,
-        |       round(quantile_cont(value, 0.9), 4) AS _p90
+        |       floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS _p90
         |FROM events GROUP BY 1 ORDER BY _bucket_ms""".stripMargin,
     "hq_group_pctile" ->
       """SELECT event_type,
-        |       round(quantile_cont(value, 0.5), 4) AS _p50_value,
-        |       round(quantile_cont(value, 0.95), 4) AS _p95_value
+        |       floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS _p50_value,
+        |       floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS _p95_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hq_join_left" ->
       """SELECT e.event_id, e.user_id, CAST(c._count AS BIGINT) AS _count
@@ -480,9 +480,9 @@ object HumioQueries {
       """SELECT CAST(sum(user_id) AS BIGINT) AS total
         |FROM events WHERE event_type = 'click'""".stripMargin,
     "hq_pctile" ->
-      """SELECT round(quantile_cont(value, 0.5), 4) AS "_50",
-        |       round(quantile_cont(value, 0.9), 4) AS "_90",
-        |       round(quantile_cont(value, 0.99), 4) AS "_99"
+      """SELECT floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS "_50",
+        |       floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS "_90",
+        |       floor((quantile_cont(value, 0.99)) * 10000.0 + 0.5) / 10000.0 AS "_99"
         |FROM events WHERE event_type = 'click'""".stripMargin,
     "hq_bucket" ->
       """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 43200000) * 43200000 AS _bucket,

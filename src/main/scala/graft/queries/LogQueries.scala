@@ -155,9 +155,9 @@ object LogQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "l_percentile" ->
       """SELECT event_type,
-        |       round(quantile_cont(value, 0.5), 4) AS p50,
-        |       round(quantile_cont(value, 0.9), 4) AS p90,
-        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |       floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |       floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |       floor((quantile_cont(value, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "l_dedup" ->
       """WITH r AS (

@@ -3,6 +3,7 @@ package graft.query
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window => SqlWindow}
 import org.apache.spark.sql.functions._
+import graft.queries.ConnectorQueries.detRound4
 
 /** A compact Humio/LogScale-style pipe-query compiler — the query surface
   * the reference connector feeds (cses2humio README.md:5-8 delegates all
@@ -244,7 +245,9 @@ object HumioQuery {
         val p = parts(1).toDouble
         require(p > 0 && p < 100, s"percentile(): p must be in (0,100), got $p")
         val pn = if (p == p.floor) p.toInt.toString else p.toString.replace('.', '_')
-        (round(percentile(col(parts.head), lit(p / 100.0)), 4),
+        // detRound4, not round(): the repo's cross-engine rounding
+        // convention — engine round() semantics differ on edge doubles
+        (detRound4(percentile(col(parts.head), lit(p / 100.0))),
           if (qualified) s"_p${pn}_${parts.head}" else s"_p$pn")
       case other => throw new IllegalArgumentException(s"unknown function: $other")
     }
@@ -631,21 +634,37 @@ object HumioQuery {
         // events in (ts, event_id) order; NULL for a series' first
         // event, for counter resets (negative delta, as in LogScale),
         // and for zero time deltas. One lag window per series key.
-        // WITHOUT by= this is a single-partition global window over the
-        // RAW event stream (unlike window(), whose input is an already-
-        // aggregated bucket relation) — always pass by= on unbounded
-        // data; the global form exists for small filtered slices.
+        // WITHOUT by= this is a single-partition global window, so the
+        // planner only allows it over an ALREADY-AGGREGATED bucket
+        // relation (bounded rows by construction, same rule window()
+        // enforces); on the raw event stream by= is required — one task
+        // dragging the whole corpus through a global sort is never the
+        // plan you want at scale.
         val f = named.get("field").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException("counterAsRate() needs a field"))
+        if (named.get("by").isEmpty)
+          require(Seq("_bucket_ms", "_bucket").exists(df.columns.contains),
+            "counterAsRate() without by= needs a timechart() or bucket() " +
+              "stage before it (a global window over raw events is " +
+              "single-partition); pass by=<series field> instead")
         val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
           .getOrElse(SqlWindow.partitionBy())
-        val ord: Seq[Column] =
-          if (df.columns.contains("event_id")) Seq(col("ts"), col("event_id"))
-          else Seq(col("ts"))
+        // time axis: raw events carry ts; a post-timechart()/bucket()
+        // relation carries the epoch-millis bucket instead
+        val (tMillis, ord): (Column, Seq[Column]) =
+          if (df.columns.contains("ts"))
+            (unix_millis(col("ts")),
+              if (df.columns.contains("event_id")) Seq(col("ts"), col("event_id"))
+              else Seq(col("ts")))
+          else {
+            val b = Seq("_bucket_ms", "_bucket").find(df.columns.contains)
+              .getOrElse(throw new IllegalArgumentException(
+                "counterAsRate() needs a ts column or a prior timechart()/bucket() stage"))
+            (col(b).cast("long"), Seq(col(b)))
+          }
         val w = base.orderBy(ord: _*)
         val d = col(f) - lag(col(f), 1).over(w)
-        val dt = (unix_millis(col("ts")) -
-          unix_millis(lag(col("ts"), 1).over(w))).cast("double") / 1000.0
+        val dt = (tMillis - lag(tMillis, 1).over(w)).cast("double") / 1000.0
         df.withColumn(named.getOrElse("as", "_rate"),
           when(d.isNull || d < 0 || dt === 0.0, lit(null))
             .otherwise(d.cast("double") / dt))
@@ -662,9 +681,15 @@ object HumioQuery {
         require(others.size == 1,
           s"transpose() expects a (header, value) relation, got ${df.columns.mkString(", ")}")
         val grouped = df.groupBy()
+        // a duplicated header value would make the cell value depend on
+        // row order (nondeterministic pick); fail loudly instead — the
+        // guard rides inside the same pivot aggregate, no extra job
+        val cell = when(count(lit(1)) > 1, raise_error(lit(
+            s"transpose(): duplicate value in header column '$h'")))
+          .otherwise(min(col(others.head)))
         named.get("columns").map(c => grouped.pivot(h, listArg(c).map(unquote)))
           .getOrElse(grouped.pivot(h))
-          .agg(first(col(others.head)))
+          .agg(cell)
       case "timechart" => timeBucketed(df, pos, named, "_bucket_ms")
       // bucket() is timechart's generic sibling (LogScale bucket): same
       // span grouping, bucket lands in `_bucket`
@@ -760,7 +785,7 @@ object HumioQuery {
         // resolves `_99`.`9`), so fractional percentiles name with '_'
         def nm(p: Double) =
           "_" + (if (p == p.floor) p.toInt.toString else p.toString.replace('.', '_'))
-        val aggs = ps.map(p => round(percentile(f, lit(p / 100.0)), 4).as(nm(p)))
+        val aggs = ps.map(p => detRound4(percentile(f, lit(p / 100.0))).as(nm(p)))
         df.agg(aggs.head, aggs.tail: _*)
       case "session" =>
         // session(field=k[, maxpause=30m]): gaps-and-islands session

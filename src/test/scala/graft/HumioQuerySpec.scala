@@ -510,6 +510,33 @@ class HumioQuerySpec extends SparkSpec {
     assert(dynamic.columns.sorted.toSeq == Seq("a", "b"))
   }
 
+  test("transpose fails loudly on a duplicated header value") {
+    val dup = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "n")
+    val e = intercept[Exception] {
+      HumioQuery.run(dup, "transpose(header=k)").collect()
+    }
+    assert(e.getMessage.contains("duplicate value in header column"))
+  }
+
+  test("counterAsRate without by= needs a bucketed input; works post-timechart") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 01:00:00"),
+      (3L, "2024-01-01 01:30:00"), (4L, "2024-01-01 02:00:00"))
+      .toDF("event_id", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.run(ev, "counterAsRate(event_id)")
+    }
+    assert(e.getMessage.contains("by="))
+    // over an aggregated bucket relation the global form is bounded:
+    // cumulative count per hour -> rate of that counter between buckets
+    val out = HumioQuery.run(ev,
+      "timechart(span=1h) | _cum := _count | counterAsRate(_cum, as=r) | sort(_bucket_ms)")
+      .select("r").as[Option[Double]].collect()
+    assert(out.head.isEmpty)            // first bucket has no predecessor
+    assert(out.length == 3 && out(1).isDefined)
+  }
+
   test("formatTime quotes literal runs so they never leak into pattern space") {
     val t = Seq(1L).toDF("id")
       .withColumn("ts", to_timestamp(lit("2024-03-05 07:08:09")))
