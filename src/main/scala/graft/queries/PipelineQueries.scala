@@ -485,6 +485,45 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  val SEMDEDUP_TAU = 0.3
+
+  /** SEMANTIC dedup end-to-end — the embedding-space sibling of
+    * [[xCurateFuzzy]]'s text pipeline, composed from verified parts in
+    * ONE plan: train a codebook ([[Knn.kmeansTrain]], [[KMEANS_ROUNDS]]
+    * convergence-checked Lloyd rounds), assign every vector to its home
+    * cell, pair vectors WITHIN a cell above cosine [[SEMDEDUP_TAU]]
+    * (equi-join on the cell key — never the n² pair matrix; the
+    * SemDeDup-style shape where the codebook's k grows ~√n so cells
+    * stay bounded and the within-cell quadratic term is O(n) total),
+    * close the pairs transitively ([[Dedup.dupClusters]]), and keep one
+    * representative per cluster (the min-id label; kept = 1).
+    *
+    * Scale shape: both pair sides reuse ONE cell exchange
+    * (ReuseExchange, the [[Knn.ivfTopK]] pattern); cross-cell near-dups
+    * are the recall trade every cell-partitioned dedup makes — raise
+    * recall by probing neighbor cells, linearly, like IVF nprobe.
+    */
+  def xSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val seed = emb.where(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
+    val assigned = Knn.ivfAssign(emb, trained, DIM).repartition(col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("pe"), col("nrm").as("pn"))
+    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+      .where(col("sim") > SEMDEDUP_TAU)
+      .select("doc_a", "doc_b")
+    Dedup.dupClusters(emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).cast("bigint").as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Winnowing fingerprints (rolling-hash k-grams, minima per w-window)
     * in long (doc_id, fp) format — [[graft.expressions.RollingWinnow]],
     * the position-robust signature whose size tracks length/w.
@@ -1529,6 +1568,7 @@ object PipelineQueries {
     "x_ivf_train"   -> xIvfTrain _,
     "x_ivf_train2"  -> xIvfTrain2 _,
     "x_ivfknn_trained" -> xIvfknnTrained _,
+    "x_semdedup"    -> xSemdedup _,
     "x_ivfknn2"     -> xIvfknn2 _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_decontam"    -> xDecontam _,
@@ -2100,6 +2140,32 @@ object PipelineQueries {
         |      FROM pairs)
         |SELECT probe_id AS vec_id, cand_id, ${detRound4Sql("sim")} AS sim
         |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "x_semdedup" ->
+      s"""WITH RECURSIVE cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < $KMEANS_K),
+        |${refineSql("cent0", "k1", 1)},
+        |${refineSql("k1", "k2", 2)},
+        |${refineSql("k2", "k3", 3)},
+        |${asgnSql("k3", "af")},
+        |cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+        |        / (${normSql("a.embedding")} * ${normSql("b.embedding")}) > $SEMDEDUP_TAU),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |        UNION SELECT doc_b, doc_a FROM cand),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |minr AS (SELECT a AS vec_id, least(a, min(b)) AS cluster
+        |         FROM reach GROUP BY a)
+        |SELECT e.vec_id,
+        |       CAST(coalesce(m.cluster, e.vec_id) AS BIGINT) AS cluster,
+        |       CAST(CASE WHEN coalesce(m.cluster, e.vec_id) = e.vec_id
+        |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM embeddings e LEFT JOIN minr m USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     "x_ivf_train2" ->
       s"""WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
         |              FROM embeddings WHERE vec_id < $KMEANS_K),
