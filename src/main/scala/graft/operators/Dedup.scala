@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication family for the training-data pipeline: exact
@@ -17,6 +18,78 @@ import org.apache.spark.sql.functions._
   * nothing here ever materializes the pair matrix.
   */
 object Dedup {
+
+  /** Substring-dedup CUT: remove every token covered by a cross-doc
+    * duplicated `k`-gram and return the surviving text per doc — the
+    * train-on-unique-text transform (the measurement twin is the
+    * x_dupgrams duplicated-run profile).
+    *
+    * Join-free: the dup flag (gram in ≥ 2 distinct docs) is a
+    * first-row-per-doc flag summed over ONE gram exchange; coverage
+    * needs no token↔gram join because grams carry their tokens — each
+    * gram row emits its first token, cut iff any of the ≤ k grams
+    * covering it is dup (a rolling max over the doc-ordered gram
+    * window), the LAST gram row additionally emits the k−1 tail tokens
+    * under the suffix maxima, and a short doc's single whole-text gram
+    * emits every token under its own flag. The doc exchange then also
+    * carries the per-doc reassembly aggregate (same hash partitioning,
+    * no third shuffle).
+    *
+    * Invariants: every token is emitted exactly once (n_tokens = the
+    * doc's token count), kept ⊎ cut partitions the positions, and
+    * kept_text is the in-order join of uncut tokens.
+    *
+    * Output: (doc_id, kept_text, n_tokens, n_cut).
+    */
+  def cutDupSpans(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k >= 2, s"cutDupSpans: k must be >= 2, got $k")
+    graft.expressions.WordShingles.register(docs.sparkSession)
+    val pos = docs.select(col("doc_id"), posexplode(
+      Text.shinglesNative(Text.tokens(text), k)).as(Seq("pos", "gram")))
+    val wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val wgAll = Window.partitionBy("gram")
+    // distinct-doc count per gram without count(DISTINCT) (not window-
+    // able): flag each gram row that starts a new doc, sum the flags
+    val fd = when(lag("doc_id", 1).over(wg).isNull ||
+      lag("doc_id", 1).over(wg) =!= col("doc_id"), 1).otherwise(0)
+    val dup = pos.withColumn("fd", fd)
+      .withColumn("dup", (sum(col("fd")).over(wgAll) >= 2).cast("int"))
+      .drop("fd")
+    // token t is cut iff max(dup) over grams [t-k+1, t] (doc-clipped).
+    // The rolling maxima are materialized as columns FIRST (window
+    // expressions cannot ride inside the generator); all share one
+    // doc-partitioned Window exec
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    val withMax = (0 until k).foldLeft(
+      dup.withColumn("last", lead("pos", 1).over(wdoc).isNull)) {
+      case (d, b) => d.withColumn(s"m$b",
+        if (b == 0) col("dup") else max("dup").over(wdoc.rowsBetween(-b, 0)))
+    }
+    val toks = split(col("gram"), " ")
+    def tokStruct(off: Int, cut: Column) =
+      struct((col("pos") + off).cast("long").as("tpos"),
+        element_at(toks, off + 1).as("tok"), cut.as("cut"))
+    // tail token pos+j (at the last gram row) is covered by grams
+    // [pos+j-k+1, pos] — the suffix max over the trailing k-1-j rows
+    val tailStructs = (1 until k).map(j => tokStruct(j, col(s"m${k - 1 - j}")))
+    val emitted = withMax
+      .withColumn("e", explode(
+        when(size(toks) === k,
+          when(col("last"),
+            array(tokStruct(0, col(s"m${k - 1}")) +: tailStructs: _*))
+            .otherwise(array(tokStruct(0, col(s"m${k - 1}")))))
+          // short doc: its one whole-text gram covers every token
+          .otherwise(transform(toks, (t, i) =>
+            struct(i.cast("long").as("tpos"), t.as("tok"), col("dup").as("cut"))))))
+    emitted.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          filter(array_sort(collect_list(struct(col("e.tpos"), col("e.tok"), col("e.cut")))),
+            x => x.getField("cut") === 0),
+          x => x.getField("tok")), " ").as("kept_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("e.cut")).cast("bigint").as("n_cut"))
+  }
 
   /** Exact-duplicate groups by content hash (md5 of the raw text). */
   def exactGroups(docs: DataFrame, text: Column): DataFrame =

@@ -1139,6 +1139,29 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Substring-dedup CUT — the transform [[xDupgrams]] only measures:
+    * REMOVE every token covered by a cross-doc duplicated 4-gram and
+    * emit the surviving text (the train-on-unique-text output).
+    *
+    * Join-free like x_dupgrams: the dup flag is the same
+    * distinct-doc-count-≥2 window over ONE gram exchange; coverage then
+    * needs no token↔gram join because the grams THEMSELVES carry the
+    * tokens — each gram row emits its first token (cut iff any of the
+    * ≤4 grams covering it is dup: a rolling max over the doc-ordered
+    * gram window), the LAST gram row additionally emits the 3 tail
+    * tokens under the suffix maxima, and a short doc's single
+    * whole-text gram emits every token under its own flag. One doc
+    * exchange carries the rolling windows AND the final per-doc
+    * reassembly aggregate.
+    *
+    * Invariants (spec + oracle): every token is emitted exactly once
+    * (n_tokens = the doc's token count), kept ⊎ cut partitions the
+    * positions, and kept_text is the in-order join of uncut tokens.
+    */
+  def xDedupCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.cutDupSpans(Tables.documents(s, dir), col("text"), 4)
+      .orderBy("doc_id")
+
   /** Per-doc KEYWORD extraction — top-3 tf-idf terms per document (the
     * doc-level sibling of the corpus-level [[xTfidf]]): one corpus
     * explode into the (doc, word) aggregate, df as a word-partitioned
@@ -1584,6 +1607,7 @@ object PipelineQueries {
     "x_unigram_lp"  -> xUnigramLp _,
     "x_bpe_pairs"   -> xBpePairs _,
     "x_dupgrams"    -> xDupgrams _,
+    "x_dedup_cut"   -> xDedupCut _,
     "x_keyterms"    -> xKeyterms _,
     "x_winnow_pairs" -> xWinnowPairs _,
     "x_lang_confusion" -> xLangConfusion _,
@@ -2375,6 +2399,26 @@ object PipelineQueries {
         |       CAST(sum(CASE WHEN dup = 1 THEN len ELSE 0 END) AS BIGINT) AS n_dup_grams,
         |       CAST(coalesce(max(CASE WHEN dup = 1 THEN len END), 0) AS BIGINT) AS max_dup_run
         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_dedup_cut" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, ${gramsSql(4)} AS grams FROM t),
+        |px AS (SELECT doc_id, grams, unnest(range(1, len(grams) + 1)) AS pos1 FROM g),
+        |p AS (SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos, grams[pos1] AS gram FROM px),
+        |dg AS (SELECT gram FROM p GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |dpos AS (SELECT doc_id, pos FROM p JOIN dg USING (gram)),
+        |tk0 AS (SELECT doc_id, len(toks) AS n, toks,
+        |          unnest(range(1, len(toks) + 1)) AS tp1 FROM t),
+        |tk AS (SELECT doc_id, n, CAST(tp1 - 1 AS BIGINT) AS tp, toks[tp1] AS tok FROM tk0),
+        |cut AS (SELECT DISTINCT k.doc_id, k.tp
+        |        FROM tk k JOIN dpos d ON k.doc_id = d.doc_id
+        |         AND d.pos <= k.tp
+        |         AND k.tp <= d.pos + (CASE WHEN k.n >= 4 THEN 3 ELSE k.n - 1 END))
+        |SELECT k.doc_id,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.tp) FILTER (WHERE c.tp IS NULL), '') AS kept_text,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c.tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
+        |FROM tk k LEFT JOIN cut c ON k.doc_id = c.doc_id AND k.tp = c.tp
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
     "x_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
         |v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),

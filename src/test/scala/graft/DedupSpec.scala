@@ -337,6 +337,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cutDupSpans removes exactly the cross-doc duplicated spans") {
+    // docs 1/2 share the 4-gram run "a b c d e" (two overlapping dup
+    // 4-grams) inside otherwise-unique text; doc 3 is short (< k tokens)
+    // and unique; docs 4/5 are identical (everything cut)
+    val docs = Seq(
+      (1L, "u1 u2 a b c d e u3 u4 u5"),
+      (2L, "v1 a b c d e v2 v3 v4"),
+      (3L, "w1 w2"),
+      (4L, "x1 x2 x3 x4 x5"),
+      (5L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val out = Dedup.cutDupSpans(docs, col("text"), 4)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // every token accounted for, kept + cut partitions the positions
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val (kept, nTok, nCut) = out(id)
+      assert(nTok == n, s"doc $id token count")
+      val nKept = if (kept.isEmpty) 0 else kept.split(" ").length
+      assert(nKept + nCut == n, s"doc $id partition")
+    }
+    // the shared run is cut, the unique flanks survive in order
+    assert(out(1L)._1 == "u1 u2 u3 u4 u5")
+    assert(out(2L)._1 == "v1 v2 v3 v4")
+    // short unique doc untouched; full duplicates fully cut
+    assert(out(3L) == (("w1 w2", 2L, 0L)))
+    assert(out(4L) == (("", 5L, 5L)))
+    assert(out(5L) == (("", 5L, 5L)))
+  }
+
+  test("cutDupSpans at k=2 cuts overlapping bigram coverage exactly") {
+    // "p q" is shared; in doc 1 it sits mid-text so tokens p,q are cut
+    // while neighbors stay (bigram coverage: p covered by (o,p),(p,q);
+    // only (p,q) is dup)
+    val docs = Seq(
+      (1L, "o p q r"),
+      (2L, "p q"),
+      (3L, "s t")).toDF("doc_id", "text")
+    val out = Dedup.cutDupSpans(docs, col("text"), 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("o r", 4L, 2L)))
+    assert(out(2L) == (("", 2L, 2L)))
+    assert(out(3L) == (("s t", 2L, 0L)))
+  }
+
   test("reliable-checkpoint mode: identical results, durable round files") {
     import graft.operators.Scale
     val sc = spark.sparkContext
