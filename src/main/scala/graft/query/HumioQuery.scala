@@ -102,6 +102,40 @@ object HumioQuery {
     splitPipes(query).map(_.trim).filter(_.nonEmpty)
       .foldLeft(df)((acc, stage) => applyStage(acc, stage, tables))
 
+  /** Streaming twin of [[run]]: compile the watermark-safe verb subset
+    * onto a STREAMING DataFrame (`readStream`/MemoryStream source with a
+    * `ts` event-time column).
+    *
+    * The watermark is stamped on `ts` BEFORE any stage, so:
+    *  - stateless verbs (filter/eval/case/assign/regex/extract/
+    *    parseJson/select/in/cidr/…) compile unchanged;
+    *  - `timechart()`/`bucket()` group on a tumbling `window(ts, span)`
+    *    (the floor-arithmetic bucket of the batch plan is opaque to the
+    *    watermark tracker; the epoch-aligned window is the SAME bucket
+    *    function) and project `window.start` back to the batch twin's
+    *    epoch-millis bucket column — in append mode a bucket emits
+    *    exactly once, when the watermark passes its end;
+    *  - `session(field=k)` compiles to a `session_window` AGGREGATE per
+    *    key — (key, _session_start, _session_end, _count) — because the
+    *    batch verb's per-event session INDEX needs a total order per
+    *    key that an unbounded stream cannot give. Same session
+    *    boundaries (a gap > maxpause closes the session);
+    *  - batch-only verbs (sort/head/tail/dedup/join/window/transpose/
+    *    counterAsRate/top) keep their loud streaming guards.
+    *
+    * Events later than `watermark` behind the max seen `ts` are dropped
+    * by the state store — the standard bounded-state trade; the batch
+    * twin on the same (non-late) data produces identical rows.
+    */
+  def runStream(stream: DataFrame, query: String,
+                watermark: String = "10 minutes",
+                tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    require(stream.isStreaming, "runStream() needs a streaming DataFrame — use run() for batch")
+    require(stream.columns.contains("ts"),
+      "runStream() needs a ts event-time column to watermark")
+    run(stream.withWatermark("ts", watermark), query, tables)
+  }
+
   /** split on '|' not inside parentheses, braces (a `case { … | … }`
     * block owns its pipes), or a /regex/ literal (alternation in a regex
     * must survive: `f = /click|view/`). A '/' only opens a regex when it
@@ -795,16 +829,26 @@ object HumioQuery {
         // operator it delegates to. Ordered by ts, with event_id as the
         // tie-break only when the frame has one (sessionize's default
         // ordering would fail on frames without it).
-        // window functions have no streaming plan: fail with the stage
-        // name instead of Spark's late AnalysisException
-        require(!df.isStreaming,
-          "session() is a batch stage — use session_window on streams")
         val key = named("field")
-        val order = if (df.columns.contains("event_id"))
-          Seq(col("ts"), col("event_id")) else Seq(col("ts"))
-        graft.operators.LogAnalytics
-          .sessionize(df, col(key), spanMs(named.getOrElse("maxpause", "30m")), order)
-          .withColumnRenamed("session_id", "_session")
+        val pause = spanMs(named.getOrElse("maxpause", "30m"))
+        if (df.isStreaming) {
+          // streaming twin: the per-event session INDEX needs a total
+          // per-key order, so streams get the session AGGREGATE instead
+          // — session_window merges events closer than maxpause, the
+          // same boundary rule as the batch gaps-and-islands pass
+          df.groupBy(session_window(col("ts"), s"$pause milliseconds"), col(key))
+            .agg(count(lit(1)).as("_count"))
+            .select(col(key),
+              unix_millis(col("session_window.start")).as("_session_start"),
+              unix_millis(col("session_window.end")).as("_session_end"),
+              col("_count"))
+        } else {
+          val order = if (df.columns.contains("event_id"))
+            Seq(col("ts"), col("event_id")) else Seq(col("ts"))
+          graft.operators.LogAnalytics
+            .sessionize(df, col(key), pause, order)
+            .withColumnRenamed("session_id", "_session")
+        }
       case "join" =>
         // join({subquery}, field=f[, key=k][, include=[c1, …]]): inner
         // join against the subquery run over the SAME input. The subquery
@@ -907,11 +951,21 @@ object HumioQuery {
                            named: Map[String, String], bucketCol: String): DataFrame = {
     val span = spanMs(named.getOrElse("span", "1h"))
     val (aggCol, aggName) = aggregate(named.getOrElse("function", "count()"))
-    // floor, not cast-truncation: pre-1970 timestamps must bucket
-    // downward like the oracle's // floor division
-    val bucket = floor(unix_millis(col("ts")) / span).cast("long") * span
-    val keys = col(bucketCol) +: pos.map(col)
-    df.withColumn(bucketCol, bucket)
-      .groupBy(keys: _*).agg(aggCol.as(aggName))
+    if (df.isStreaming) {
+      // the watermark tracker can't see through the floor arithmetic;
+      // the epoch-aligned tumbling window is the SAME bucket function,
+      // and its start projects back to the batch twin's epoch-ms column
+      df.groupBy(window(col("ts"), s"$span milliseconds") +: pos.map(col): _*)
+        .agg(aggCol.as(aggName))
+        .select(unix_millis(col("window.start")).as(bucketCol) +:
+          pos.map(col) :+ col(aggName): _*)
+    } else {
+      // floor, not cast-truncation: pre-1970 timestamps must bucket
+      // downward like the oracle's // floor division
+      val bucket = floor(unix_millis(col("ts")) / span).cast("long") * span
+      val keys = col(bucketCol) +: pos.map(col)
+      df.withColumn(bucketCol, bucket)
+        .groupBy(keys: _*).agg(aggCol.as(aggName))
+    }
   }
 }

@@ -249,10 +249,10 @@ class HumioQuerySpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
     val sdf = mem.toDF().toDF("ts", "user_id")
-    val e1 = intercept[IllegalArgumentException] {
-      HumioQuery.run(sdf, "session(field=user_id)")
-    }
-    assert(e1.getMessage.contains("session() is a batch stage"))
+    // session() now has a streaming twin: the session_window AGGREGATE
+    // shape instead of the batch per-event index (HumioStreamSpec)
+    assert(HumioQuery.run(sdf, "session(field=user_id)").columns.toSeq ==
+      Seq("user_id", "_session_start", "_session_end", "_count"))
     val e2 = intercept[IllegalArgumentException] {
       HumioQuery.run(sdf, "join({groupBy(user_id)}, field=user_id)")
     }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.query.HumioQuery
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The pipe language on Structured Streaming: [[HumioQuery.runStream]]
+  * compiles the watermark-safe verb subset onto a MemoryStream and the
+  * emitted rows must match the batch twin run over the same events.
+  */
+class HumioStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toEvents(df: DataFrame): DataFrame =
+    df.select(col("_1").as("event_id"), col("_2").as("event_type"),
+      col("_3").as("value"), to_timestamp(col("_4")).as("ts"))
+
+  test("streaming timechart emits incrementally and matches the batch twin") {
+    val q = "event_type = click | _v2 := value * 2 | " +
+      "timechart(span=1h, function=sum(_v2)) | "
+    val batch1 = Seq(
+      (1L, "click", 10.0, "2024-03-01 00:10:00"),
+      (2L, "click", 20.0, "2024-03-01 00:50:00"),
+      (3L, "view", 99.0, "2024-03-01 00:20:00"),   // filtered out
+      (4L, "click", 5.0, "2024-03-01 01:15:00"))
+    val batch2 = Seq(
+      (5L, "click", 7.0, "2024-03-01 01:40:00"),
+      (6L, "click", 1.0, "2024-03-01 02:05:00"),
+      // sentinel far in the future: advances the watermark so every real
+      // bucket closes and emits. It must SURVIVE the filter — Catalyst
+      // pushes the filter below the watermark collector, so a filtered-
+      // out sentinel would never advance it; its own 09:00 bucket stays
+      // open forever and is excluded from the comparison below
+      (7L, "click", 0.0, "2024-03-01 09:00:00"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_tc")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); query.processAllAvailable()
+      mem.addData(batch2: _*); query.processAllAvailable()
+      val streamed = spark.table("hq_tc").as[(Long, Double)].collect().toSet
+      val expected = HumioQuery.run(toEvents((batch1 ++ batch2).toDF()), q)
+        .as[(Long, Double)].collect().toSet
+        .filter(_._1 < epochMs("2024-03-01 09:00:00"))   // sentinel bucket never closes
+      assert(streamed == expected)
+      assert(expected.size == 3)   // 00:00, 01:00, 02:00 buckets
+    } finally query.stop()
+  }
+
+  test("streaming timechart drops events later than the watermark") {
+    val q = "timechart(span=1h)"
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click", 1.0, "2024-03-01 00:30:00"),
+        (2L, "click", 1.0, "2024-03-01 03:00:00"))
+      query.processAllAvailable()
+      // watermark is now 02:50; this event's 00:00 window closed long ago
+      mem.addData((3L, "click", 1.0, "2024-03-01 00:40:00"))
+      query.processAllAvailable()
+      mem.addData((4L, "click", 1.0, "2024-03-01 06:00:00"))
+      query.processAllAvailable()
+      val got = spark.table("hq_late").as[(Long, Long)].collect().toMap
+      // the 00:00 bucket emitted with ONE event — the late straggler was
+      // dropped by the state store (batch run would count 2)
+      assert(got(epochMs("2024-03-01 00:00:00")) == 1L)
+      assert(got(epochMs("2024-03-01 03:00:00")) == 1L)
+    } finally query.stop()
+  }
+
+  test("streaming session compiles to session_window with batch-equal boundaries") {
+    val q = "session(field=event_type, maxpause=10m)"
+    val events = Seq(
+      (1L, "u1", 0.0, "2024-03-01 00:00:00"),
+      (2L, "u1", 0.0, "2024-03-01 00:05:00"),   // same session (gap 5m)
+      (3L, "u1", 0.0, "2024-03-01 00:30:00"),   // new session (gap 25m)
+      (4L, "u2", 0.0, "2024-03-01 00:02:00"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "5 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*); query.processAllAvailable()
+      mem.addData((9L, "u3", 0.0, "2024-03-01 08:00:00")); query.processAllAvailable()
+      mem.addData((10L, "u3", 0.0, "2024-03-01 09:00:00")); query.processAllAvailable()
+      val streamed = spark.table("hq_sess")
+        .where(col("event_type") =!= "u3")
+        .select("event_type", "_session_start", "_count")
+        .as[(String, Long, Long)].collect().toSet
+      // batch twin: per-event session index -> per-session aggregate
+      val batchTwin = HumioQuery.run(toEvents(events.toDF()), q)
+        .groupBy(col("event_type"), col("_session"))
+        .agg(min(unix_millis(col("ts"))).as("start"), count(lit(1)).as("n"))
+        .select("event_type", "start", "n")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batchTwin)
+      assert(streamed.size == 3)   // u1 twice, u2 once
+    } finally query.stop()
+  }
+
+  test("batch-only verbs still refuse streaming input with their own message") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val st = toEvents(mem.toDF())
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.runStream(st, "dedup(event_type)")
+    }
+    assert(e.getMessage.contains("batch stage"))
+    intercept[IllegalArgumentException] {
+      HumioQuery.runStream(st.drop("ts"), "event_type = click")
+    }
+  }
+
+  private def epochMs(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+}
