@@ -803,38 +803,20 @@ object PipelineQueries {
     * per-subspace quantization distances) is the index-quality metric
     * you'd tune M/K by.
     */
-  /** (vec_id, j, sl): the 8-dim double-cast subvector of each subspace. */
+  // fixture-constant bindings of the parameterized graft.operators.Pq
+  // pipeline (codeK/m are ARGUMENTS there, with the growth rules in its
+  // scaladoc; ScaleSpec pins the plan shape at production-size knobs)
   private def pqSubRows(df: DataFrame): DataFrame =
-    df.select(col("vec_id"),
-      explode(array((0 until PQ_M).map { j =>
-        struct(lit(j.toLong).as("j"),
-          transform(slice(col("embedding"), j * PQ_SUB + 1, PQ_SUB),
-            v => v.cast("double")).as("sl"))
-      }: _*)).as("js"))
-      .select(col("vec_id"), col("js.j").as("j"), col("js.sl").as("sl"))
+    graft.operators.Pq.subRows(df, PQ_M, DIM)
 
-  /** (c, j, csl): the deterministic per-subspace codebook (128 rows). */
   private def pqCents(emb: DataFrame): DataFrame =
-    pqSubRows(emb.where(col("vec_id") < PQ_CODE_K))
-      .select(col("vec_id").as("c"), col("j"), col("sl").as("csl"))
+    graft.operators.Pq.codebook(emb, PQ_CODE_K, PQ_M, DIM)
 
-  /** Squared L2 between two equal-length double arrays, summed in element
-    * order (the order the DuckDB replay sums in).
-    */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    graft.operators.Pq.l2sq(a, b)
 
-  /** PQ encode: (vec_id, j, code, bd2) — argmin codeword per (vector,
-    * subspace); c is unique so the (d2, c) struct ordering is total and
-    * ties go to the smaller codeword id.
-    */
   private def pqCodes(emb: DataFrame): DataFrame =
-    pqSubRows(emb).join(broadcast(pqCents(emb)), "j")
-      .withColumn("d2", l2sq(col("sl"), col("csl")))
-      .groupBy("vec_id", "j")
-      .agg(min_by(struct(col("c"), col("d2")), struct(col("d2"), col("c"))).as("b"))
-      .select(col("vec_id"), col("j"), col("b.c").as("code"), col("b.d2").as("bd2"))
+    graft.operators.Pq.encode(emb, pqCents(emb), PQ_M, DIM)
 
   def xPq(s: SparkSession, dir: String): DataFrame = {
     val codeCols = (0 until PQ_M).map(j =>

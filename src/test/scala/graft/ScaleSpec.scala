@@ -255,6 +255,55 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("index knobs scale: IVF_K=64, PQ_CODE_K=256, LSH L=8 keep their plan shapes") {
+    // the fixture constants (IVF_K=16, PQ_CODE_K=16, LSH_TABLES=4) are
+    // bindings of parameterized operators; the growth rules (IVF k ~ √n,
+    // PQ codeK -> 256 = 1-byte codes, LSH L = recall lever) must change
+    // plan SIZE, never plan SHAPE — same broadcasts, same single
+    // exchanges, nothing quadratic
+    val dim = 64
+    val vecs = spark.range(500).select(col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        ((col("id") * (d + 3) + d) % 97).cast("float")): _*).as("embedding"))
+
+    // IVF at k=64: the cell self-join runs over ONE assignment exchange
+    // — AQE materializes the second side as a ReusedExchange of the
+    // REPARTITION_BY_COL stage (visible only in the executed final
+    // plan, so collect() THIS DataFrame first)
+    val cents64 = vecs.where(col("vec_id") < 64)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val ivf = graft.operators.Knn.ivfTopK(vecs, cents64, dim, 1)
+    assert(ivf.collect().length == 500)
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    assert(ivfPlan.linesIterator.exists(l =>
+      l.contains("ReusedExchange") && l.contains("REPARTITION_BY_COL")),
+      s"the second cell-join side must reuse the assignment exchange:\n$ivfPlan")
+    assert(!ivfPlan.contains("CartesianProduct"),
+      s"IVF k=64 fell back to a cartesian:\n$ivfPlan")
+
+    // PQ at codeK=256 (1-byte codes): still ONE codebook broadcast +
+    // the per-(vec, subspace) argmin aggregate; codes stay < 256
+    val pq = graft.operators.Pq.encode(vecs,
+      graft.operators.Pq.codebook(vecs, 256, 8, dim), 8, dim)
+    val rows = pq.collect()
+    assert(rows.length == 500 * 8 &&
+      rows.forall { r => val c = r.getLong(2); c >= 0 && c < 256 })
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(pqPlan.contains("BroadcastExchange") && !pqPlan.contains("ReusedExchange"),
+      s"PQ codeK=256 must stay one codebook broadcast:\n$pqPlan")
+    assert(!pqPlan.contains("SortMergeJoin") && !pqPlan.contains("CartesianProduct"),
+      s"PQ codeK=256 changed join strategy:\n$pqPlan")
+
+    // LSH at L=8 tables: still the ids-only bucket equi-join, no
+    // quadratic fallback
+    val tables8 = graft.functions.Vectors.signPlaneTables(8, 6, dim)
+    val lsh = graft.operators.Knn.lshTopK(vecs, tables8, dim, k = 1, bucketCap = 64)
+    val lshPlan = lsh.queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("CartesianProduct"),
+      s"LSH L=8 fell back to a cartesian:\n$lshPlan")
+    assert(lsh.count() > 0)
+  }
+
   test("simhash verifier is integer-only: bit_count/xor, no string HOF per pair") {
     val q = graft.queries.PipelineQueries.xSimhashPairs(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
