@@ -14,6 +14,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: session init, codegen compiler, shuffle machinery — so the

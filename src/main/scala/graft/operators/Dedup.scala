@@ -251,7 +251,16 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .transform(Scale.stage(_))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    // loop state is the EDGE-TOUCHED vertex set (≤ 2|pairs| rows), not
+    // the corpus: an untouched doc can never change labels, so carrying
+    // it through every round's joins would make each round scan corpus-
+    // sized label tables for nothing — at 100 TB the loop must cost
+    // O(rounds · |edges|), with the corpus joined back ONCE at the end
+    // as singletons. (Each round references `labels` twice — neighbor
+    // lookup and step — so the seed is staged like the rounds are.)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .transform(Scale.stage(_))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -279,7 +288,8 @@ object Dedup {
       round += 1
     }
     require(converged, s"dupClusters did not converge in $maxRounds rounds")
-    labels
+    docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
