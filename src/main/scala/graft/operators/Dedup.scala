@@ -256,9 +256,16 @@ object Dedup {
     // it through every round's joins would make each round scan corpus-
     // sized label tables for nothing — at 100 TB the loop must cost
     // O(rounds · |edges|), with the corpus joined back ONCE at the end
-    // as singletons. (Each round references `labels` twice — neighbor
-    // lookup and step — so the seed is staged like the rounds are.)
+    // as singletons. The semi join keeps the operator's contract: a
+    // pair endpoint NOT in `docs` stays inert (it can neither take nor
+    // become a label), exactly as when the loop carried the full doc
+    // table — without it a foreign endpoint could become a cluster id
+    // that exists in no doc, breaking every keep-representative
+    // (`doc_id === cluster`) consumer. (Each round references `labels`
+    // twice — neighbor lookup and step — so the seed is staged like
+    // the rounds are.)
     var labels = edges.select(col("src").as("doc_id")).distinct()
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
       .withColumn("cluster", col("doc_id"))
       .transform(Scale.stage(_))
     var converged = false

@@ -120,8 +120,11 @@ object HumioQuery {
     *    batch verb's per-event session INDEX needs a total order per
     *    key that an unbounded stream cannot give. Same session
     *    boundaries (a gap > maxpause closes the session);
-    *  - batch-only verbs (sort/head/tail/dedup/join/window/transpose/
-    *    counterAsRate/top) keep their loud streaming guards.
+    *  - batch-only verbs with no streaming plan — tail/dedup/join/
+    *    window/transpose/counterAsRate — reject streaming input with a
+    *    per-verb message; sort/head/top compile and are governed by
+    *    Spark's own output-mode rules (legal in complete mode after an
+    *    aggregation).
     *
     * Events later than `watermark` behind the max seen `ts` are dropped
     * by the state store — the standard bounded-state trade; the batch
@@ -586,6 +589,9 @@ object HumioQuery {
         // smoother. Runs over an ALREADY-AGGREGATED timechart()/bucket()
         // relation (bounded rows by construction), so the ordered window
         // never sees corpus-sized data.
+        require(!df.isStreaming,
+          "window() is a batch stage — moving aggregates over a stream " +
+            "need a watermarked timechart() upstream and a batch pass downstream")
         val f = named.get("field").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException("window() needs a field"))
         val n = named.get("buckets").map(_.toInt).getOrElse(3)
@@ -668,6 +674,8 @@ object HumioQuery {
         // events in (ts, event_id) order; NULL for a series' first
         // event, for counter resets (negative delta, as in LogScale),
         // and for zero time deltas. One lag window per series key.
+        require(!df.isStreaming,
+          "counterAsRate() is a batch stage — lag windows have no streaming plan")
         // WITHOUT by= this is a single-partition global window, so the
         // planner only allows it over an ALREADY-AGGREGATED bucket
         // relation (bounded rows by construction, same rule window()
@@ -699,9 +707,19 @@ object HumioQuery {
         val w = base.orderBy(ord: _*)
         val d = col(f) - lag(col(f), 1).over(w)
         val dt = (tMillis - lag(tMillis, 1).over(w)).cast("double") / 1000.0
-        df.withColumn(named.getOrElse("as", "_rate"),
-          when(d.isNull || d < 0 || dt === 0.0, lit(null))
-            .otherwise(d.cast("double") / dt))
+        val rate = when(d.isNull || d < 0 || dt === 0.0, lit(null))
+          .otherwise(d.cast("double") / dt)
+        // multi-series guard: without by=, several rows per time value
+        // (a timechart that ALSO grouped on a series field) would make
+        // lag() pick an arbitrary same-bucket predecessor and silently
+        // mix series — uniqueness is a data property, so fail in-plan
+        val guarded = if (named.contains("by")) rate else {
+          val perT = count(lit(1)).over(SqlWindow.partitionBy(ord: _*))
+          when(perT > 1, raise_error(lit("counterAsRate() without by=: " +
+            "multiple rows per time value — pass by=<series field>")))
+            .otherwise(rate)
+        }
+        df.withColumn(named.getOrElse("as", "_rate"), guarded)
       case "transpose" =>
         // transpose(header=f[, columns=[v1, …]]): pivot the (bounded,
         // already-aggregated) result table — each header value becomes a
@@ -709,6 +727,8 @@ object HumioQuery {
         // the output schema STATIC (the scale-safe form — no inference
         // pass); without it Spark first collects the distinct header
         // values, acceptable on a verb-bounded result but two jobs.
+        require(!df.isStreaming,
+          "transpose() is a batch stage — pivoting needs the finished result table")
         val h = named.get("header").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException("transpose() needs header="))
         val others = df.columns.filterNot(_ == h)

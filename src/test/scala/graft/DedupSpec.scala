@@ -400,7 +400,12 @@ class DedupSpec extends SparkSpec {
     val ids = spark.range(64L).toDF("doc_id")
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val local = Dedup.dupClusters(ids, pairs).as[(Long, Long)].collect().toMap
+    // NOTE: setCheckpointDir is sticky on the shared SparkContext (no
+    // public unset), which is why the refuse-without-dir branch above
+    // runs FIRST and guards on isEmpty; the temp dir itself is cleaned
+    // up below so runs don't accumulate checkpoint files on disk
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    ckptDir.toFile.deleteOnExit()
     sc.setCheckpointDir(ckptDir.toString)
     spark.conf.set(Scale.ReliableCheckpointConf, "true")
     try {
@@ -420,6 +425,23 @@ class DedupSpec extends SparkSpec {
       val (cents, rounds) =
         graft.operators.Knn.kmeansTrain(vecs, seed, dim = 4, maxRounds = 10)
       assert(cents.count() == 4L && rounds >= 1)
-    } finally spark.conf.set(Scale.ReliableCheckpointConf, "false")
+    } finally {
+      spark.conf.set(Scale.ReliableCheckpointConf, "false")
+      // recursive cleanup (deleteOnExit alone won't remove non-empty dirs)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+        .foreach(p => p.toFile.delete())
+    }
+  }
+
+  test("dupClusters leaves pair endpoints outside docs inert") {
+    // pairs may reference docs a gate upstream removed: a foreign
+    // endpoint must neither take a label nor become one (a cluster id
+    // that exists in no doc would silently break every
+    // keep-representative `doc_id === cluster` consumer)
+    val docs = Seq(5L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((3L, 5L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(docs, pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(5L -> 5L, 7L -> 5L, 9L -> 9L))
   }
 }

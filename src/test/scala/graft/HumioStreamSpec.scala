@@ -109,10 +109,13 @@ class HumioStreamSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double, String)]
     val st = toEvents(mem.toDF())
-    val e = intercept[IllegalArgumentException] {
-      HumioQuery.runStream(st, "dedup(event_type)")
+    Seq("dedup(event_type)", "window(value)", "counterAsRate(event_id)",
+      "transpose(header=event_type)", "tail(3)").foreach { q =>
+      val e = intercept[IllegalArgumentException] {
+        HumioQuery.runStream(st, q)
+      }
+      assert(e.getMessage.contains("batch stage"), s"$q: ${e.getMessage}")
     }
-    assert(e.getMessage.contains("batch stage"))
     intercept[IllegalArgumentException] {
       HumioQuery.runStream(st.drop("ts"), "event_type = click")
     }
