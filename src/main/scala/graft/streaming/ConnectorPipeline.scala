@@ -138,6 +138,28 @@ object ConnectorPipeline {
       .start()
   }
 
+  /** The full production composition in ONE streaming plan: connector-
+    * parsed lines queried LIVE by the pipe language — the system the
+    * reference delegates to a remote Humio (`README.md:5-8`: ship
+    * events, query there), collapsed into a single engine: R2–R6 parse/
+    * flatten/enrich → event-time stamp from `eventCreationTime` →
+    * [[graft.query.HumioQuery.runStream]]'s watermarked verb subset.
+    *
+    * `promote` lifts flattened `event_fields` keys to real columns so
+    * DSL stages can filter/group on them (the map itself is not
+    * addressable by the pipe language); the promotion is one projection
+    * inside the same whole-stage codegen as the parse.
+    */
+  def queryStream(lines: DataFrame, query: String, host: String,
+                  streamId: String, promote: Seq[String] = Nil,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val parsed = transform(lines, host, streamId)
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+    val promoted = promote.foldLeft(parsed)((d, k) =>
+      d.withColumn(k, col("event_fields")(k)))
+    graft.query.HumioQuery.runStream(promoted, query, watermark)
+  }
+
   /** Streaming twins of the log-analytics layer: event-time tumbling
     * counts with late-data handling — `withWatermark` is the principled
     * version of the reference's wall-clock buffering.

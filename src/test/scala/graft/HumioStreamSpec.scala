@@ -121,6 +121,37 @@ class HumioStreamSpec extends SparkSpec {
     }
   }
 
+  test("connector wire -> parse -> DSL timechart: one streaming plan end to end") {
+    import graft.streaming.ConnectorPipeline
+    def line(off: Long, t: Long, user: String) =
+      s"""{"metadata": {"offset": $off, "eventCreationTime": $t, "eventType": "T"},""" +
+        s""" "event": {"AuditKeyValues": [{"Key": "UserId", "ValueString": "$user"}]}}"""
+    val h = 3600L * 1000
+    val t0 = epochMs("2024-03-01 00:00:00")
+    val wire = Seq(
+      line(1, t0 + 600000, "u1"), line(2, t0 + 900000, "u2"),
+      line(3, t0 + h + 60000, "u1"), "", "not json",   // dropped by R2/R3
+      line(4, t0 + h + 120000, "u1"),
+      // sentinel advances the watermark so the real buckets close
+      line(9, t0 + 9 * h, "u1"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = ConnectorPipeline.queryStream(mem.toDF(),
+      "UserId = u1 | timechart(span=1h)", host = "h1", streamId = "s1",
+      promote = Seq("UserId"), watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_wire")
+      .outputMode("append").start()
+    try {
+      mem.addData(wire: _*); query.processAllAvailable()
+      mem.addData(line(10, t0 + 10 * h, "u1")); query.processAllAvailable()
+      val got = spark.table("hq_wire").as[(Long, Long)].collect().toMap
+        .view.filterKeys(_ < t0 + 9 * h).toMap
+      // u1 events: one in bucket 0, two in bucket 1; u2 filtered out;
+      // empty/corrupt lines dropped by the connector stages
+      assert(got == Map(t0 -> 1L, (t0 + h) -> 2L))
+    } finally query.stop()
+  }
+
   private def epochMs(s: String): Long =
     java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
