@@ -972,6 +972,35 @@ object PipelineQueries {
       .orderBy("source", "lang")
   }
 
+  /** TEMPERATURE-scaled mixture re-weighting (T = 2) — the standard
+    * smoothing between the observed mixture (T = 1) and uniform
+    * (T → ∞): sampled share ∝ observed_share^(1/T), the multilingual/
+    * multi-source pretraining trick that up-samples rare cells without
+    * flattening the head entirely. T = 2 makes the power an exact IEEE
+    * sqrt — bit-identical across engines, so the oracle hash-compares
+    * without a pow() ulp hazard. Same bounded cell-relation windows as
+    * [[xMixWeights]]; weight = temp_share / share is the factor against
+    * the observed mixture.
+    */
+  def xMixTemp(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        Text.tokenCountEstimate(col("text")).as("t"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("est_tokens"))
+    val w = Window.partitionBy()
+    cells
+      .withColumn("share",
+        col("est_tokens").cast("double") / sum(col("est_tokens")).over(w))
+      .withColumn("r", sqrt(col("share")))
+      .withColumn("temp_share", col("r") / sum(col("r")).over(w))
+      .select(col("source"), col("lang"), col("est_tokens"),
+        detRound4(col("share")).as("token_share"),
+        detRound4(col("temp_share")).as("temp_share"),
+        detRound4(col("temp_share") / col("share")).as("weight"))
+      .orderBy("source", "lang")
+  }
+
   /** Decontamination gram-width SWEEP — the knob-tuning table behind
     * [[xDecontam]]: for shingle widths 3/4/5, how many training docs
     * the eval-overlap gate would flag and how many distinct grams
@@ -1590,6 +1619,7 @@ object PipelineQueries {
     "x_bpe_pairs"   -> xBpePairs _,
     "x_dupgrams"    -> xDupgrams _,
     "x_dedup_cut"   -> xDedupCut _,
+    "x_mix_temp"    -> xMixTemp _,
     "x_keyterms"    -> xKeyterms _,
     "x_winnow_pairs" -> xWinnowPairs _,
     "x_lang_confusion" -> xLangConfusion _,
@@ -2269,6 +2299,24 @@ object PipelineQueries {
         |SELECT source, lang, n_docs, est_tokens,
         |  ${detRound4Sql("CAST(est_tokens AS DOUBLE) / sum(est_tokens) OVER ()")} AS token_share
         |FROM g ORDER BY source, lang""".stripMargin,
+    "x_mix_temp" ->
+      s"""WITH t AS (SELECT source, lang,
+        |    list_aggregate(list_transform(string_split(text,' '),
+        |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS t
+        |  FROM documents),
+        |g AS (SELECT source, lang, CAST(sum(t) AS BIGINT) AS est_tokens
+        |      FROM t GROUP BY source, lang),
+        |s AS (SELECT *,
+        |        CAST(est_tokens AS DOUBLE) / sum(est_tokens) OVER () AS share
+        |      FROM g),
+        |r AS (SELECT *, sqrt(share) AS r,
+        |        sqrt(share) / sum(sqrt(share)) OVER () AS temp_share
+        |      FROM s)
+        |SELECT source, lang, est_tokens,
+        |  ${detRound4Sql("share")} AS token_share,
+        |  ${detRound4Sql("temp_share")} AS temp_share,
+        |  ${detRound4Sql("temp_share / share")} AS weight
+        |FROM r ORDER BY source, lang""".stripMargin,
     "x_mix_weights" ->
       s"""WITH t AS (SELECT source, lang,
         |    list_aggregate(list_transform(string_split(text,' '),
