@@ -39,6 +39,16 @@ object Dedup {
     * doc's token count), kept ⊎ cut partitions the positions, and
     * kept_text is the in-order join of uncut tokens.
     *
+    * Skew note: the dup flag windows over the gram partition, so a
+    * pathologically hot gram (boilerplate repeated across millions of
+    * docs) lands in one partition — windows cannot be AQE-split. On a
+    * corpus with such grams, swap the flag computation for
+    * `distinct(gram, doc_id) → groupBy(gram).count → equi-join`: the
+    * distinct spreads hot grams across doc_id, the count partial-
+    * aggregates, and the rejoin is an AQE-skew-splittable shuffle join.
+    * Measured slower here (extra shuffle + join vs one exchange), which
+    * is why the join-free window form is the default.
+    *
     * Output: (doc_id, kept_text, n_tokens, n_cut).
     */
   def cutDupSpans(docs: DataFrame, text: Column, k: Int): DataFrame = {
