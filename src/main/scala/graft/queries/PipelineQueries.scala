@@ -1241,7 +1241,16 @@ object PipelineQueries {
     * avoided: N comes from the vocabulary aggregate, never a
     * single-partition window over the corpus.
     */
-  def xUnigramLp(s: SparkSession, dir: String): DataFrame = {
+  def xUnigramLp(s: SparkSession, dir: String): DataFrame =
+    unigramScores(s, dir)
+      .select(col("doc_id"), col("n_words"), detRound4(col("alp")).as("avg_logprob"))
+      .orderBy("doc_id")
+
+  /** Per-doc (doc_id, n_words, alp) unigram-LM scores — the shared core
+    * of [[xUnigramLp]] (the score table) and [[xLpBuckets]] (the
+    * quantile-bucket pacing table).
+    */
+  private def unigramScores(s: SparkSession, dir: String): DataFrame = {
     val cdw = Tables.documents(s, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
@@ -1261,8 +1270,39 @@ object PipelineQueries {
         (sum(col("c").cast("double") *
           (log(col("c_w").cast("double")) - log(col("n_total").cast("double"))))
           / sum(col("c")).cast("double")).as("alp"))
-      .select(col("doc_id"), col("n_words"), detRound4(col("alp")).as("avg_logprob"))
-      .orderBy("doc_id")
+  }
+
+  /** Perplexity-BUCKET pacing table — the quality-pacing view real
+    * curation runs sample against: docs quartiled by unigram-LM score,
+    * with per-bucket doc/token mass (CCNet's head/middle/tail cut,
+    * generalized to quartiles).
+    *
+    * Scale shape: NO global ntile — a corpus-wide ntile is a
+    * single-partition sort of every doc. The quartile THRESHOLDS come
+    * from one exact-percentile aggregate over the ROUNDED scores (a
+    * 1-row broadcast); bucket assignment is then three comparisons per
+    * row, map-side. Thresholds and scores are detRound4'd on BOTH
+    * engines before comparing — Spark's percentile lerps
+    * (1−d)·lo + d·hi where DuckDB's quantile_cont computes
+    * lo + d·(hi−lo), algebraically equal but not bit-equal, so the
+    * rounding convention is what keeps boundary docs on the same side.
+    */
+  def xLpBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = unigramScores(s, dir)
+      .select(col("doc_id"), col("n_words"), detRound4(col("alp")).as("alp"))
+    val qs = scored.agg(
+      detRound4(percentile(col("alp"), lit(0.25))).as("q1"),
+      detRound4(percentile(col("alp"), lit(0.5))).as("q2"),
+      detRound4(percentile(col("alp"), lit(0.75))).as("q3"))
+    scored.crossJoin(broadcast(qs))
+      .withColumn("bucket", (lit(1) +
+        (col("alp") > col("q1")).cast("int") +
+        (col("alp") > col("q2")).cast("int") +
+        (col("alp") > col("q3")).cast("int")).cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+        min(col("alp")).as("lo"), max(col("alp")).as("hi"))
+      .orderBy("bucket")
   }
 
   // ---- multimodal ----------------------------------------------------
@@ -1620,6 +1660,7 @@ object PipelineQueries {
     "x_dupgrams"    -> xDupgrams _,
     "x_dedup_cut"   -> xDedupCut _,
     "x_mix_temp"    -> xMixTemp _,
+    "x_lp_buckets"  -> xLpBuckets _,
     "x_keyterms"    -> xKeyterms _,
     "x_winnow_pairs" -> xWinnowPairs _,
     "x_lang_confusion" -> xLangConfusion _,
@@ -2460,6 +2501,24 @@ object PipelineQueries {
         |        CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
         |      FROM g)
         |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "x_lp_buckets" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |cdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+        |cw AS (SELECT word, CAST(sum(c) AS BIGINT) AS c_w FROM cdw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM cw),
+        |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |         ${detRound4Sql("sum(CAST(c AS DOUBLE) * (ln(CAST(c_w AS DOUBLE)) - ln(CAST(n_total AS DOUBLE)))) / CAST(sum(c) AS DOUBLE)")} AS alp
+        |       FROM cdw JOIN cw USING (word) CROSS JOIN tot GROUP BY doc_id),
+        |q AS (SELECT ${detRound4Sql("quantile_cont(alp, 0.25)")} AS q1,
+        |             ${detRound4Sql("quantile_cont(alp, 0.5)")} AS q2,
+        |             ${detRound4Sql("quantile_cont(alp, 0.75)")} AS q3 FROM sc)
+        |SELECT CAST(1 + (CASE WHEN alp > q1 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN alp > q2 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN alp > q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  min(alp) AS lo, max(alp) AS hi
+        |FROM sc CROSS JOIN q GROUP BY 1 ORDER BY bucket""".stripMargin,
     "x_unigram_lp" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
         |cdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
