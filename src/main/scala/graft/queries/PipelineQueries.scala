@@ -930,12 +930,18 @@ object PipelineQueries {
     * source×lang table (bounded cardinality, like x_tfidf's vocabulary
     * window), not the corpus.
     */
-  def xSourceMix(s: SparkSession, dir: String): DataFrame =
+  /** The (source, lang, n_docs, est_tokens) cell aggregate every
+    * mixture query starts from — one scan + one groupBy.
+    */
+  private def mixCells(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("source"), col("lang"),
         Text.tokenCountEstimate(col("text")).as("t"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("est_tokens"))
+
+  def xSourceMix(s: SparkSession, dir: String): DataFrame =
+    mixCells(s, dir)
       .withColumn("token_share",
         detRound4(col("est_tokens").cast("double") /
           sum(col("est_tokens")).over(Window.partitionBy())))
@@ -952,13 +958,8 @@ object PipelineQueries {
     * the bounded cell relation.
     */
   def xMixWeights(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(s, dir)
-      .select(col("source"), col("lang"),
-        Text.tokenCountEstimate(col("text")).as("t"))
-      .groupBy("source", "lang")
-      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("est_tokens"))
     val w = Window.partitionBy()
-    cells
+    mixCells(s, dir)
       .withColumn("share",
         col("est_tokens").cast("double") / sum(col("est_tokens")).over(w))
       .withColumn("target", lit(1.0) / count(lit(1)).over(w))
@@ -977,24 +978,28 @@ object PipelineQueries {
     * (T → ∞): sampled share ∝ observed_share^(1/T), the multilingual/
     * multi-source pretraining trick that up-samples rare cells without
     * flattening the head entirely. T = 2 makes the power an exact IEEE
-    * sqrt — bit-identical across engines, so the oracle hash-compares
-    * without a pow() ulp hazard. Same bounded cell-relation windows as
+    * sqrt — bit-identical across engines — and the normalizer sums
+    * QUANTIZED integers (order-independent; see the body comment), so
+    * the oracle hash-compares with neither a pow() nor an accumulation-
+    * order ulp hazard. Same bounded cell-relation windows as
     * [[xMixWeights]]; weight = temp_share / share is the factor against
     * the observed mixture.
     */
   def xMixTemp(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(s, dir)
-      .select(col("source"), col("lang"),
-        Text.tokenCountEstimate(col("text")).as("t"))
-      .groupBy("source", "lang")
-      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("est_tokens"))
     val w = Window.partitionBy()
-    cells
+    // the normalizer sum(sqrt(share)) is a DOUBLE sum whose value would
+    // depend on accumulation order — quantize to integers first (the
+    // kmeansRefine discipline): round(√share·2^40) sums exactly and
+    // order-independently on both engines, and the quantization error
+    // (≤ 2^-41 per cell) is invisible at 4 decimals
+    val Q = math.pow(2, 40)
+    mixCells(s, dir)
       .withColumn("share",
         col("est_tokens").cast("double") / sum(col("est_tokens")).over(w))
-      .withColumn("r", sqrt(col("share")))
-      .withColumn("temp_share", col("r") / sum(col("r")).over(w))
-      .select(col("source"), col("lang"), col("est_tokens"),
+      .withColumn("rq", floor(sqrt(col("share")) * Q + 0.5).cast("bigint"))
+      .withColumn("temp_share",
+        col("rq").cast("double") / sum(col("rq")).over(w).cast("double"))
+      .select(col("source"), col("lang"), col("n_docs"), col("est_tokens"),
         detRound4(col("share")).as("token_share"),
         detRound4(col("temp_share")).as("temp_share"),
         detRound4(col("temp_share") / col("share")).as("weight"))
@@ -1286,10 +1291,22 @@ object PipelineQueries {
     * (1−d)·lo + d·hi where DuckDB's quantile_cont computes
     * lo + d·(hi−lo), algebraically equal but not bit-equal, so the
     * rounding convention is what keeps boundary docs on the same side.
+    *
+    * The exact percentile buffers every score in one aggregation state
+    * (fine for the oracle contract here); at 100 TB swap it for
+    * `percentile_approx` — sketch-mergeable, map-side partial — like
+    * [[graft.operators.LogAnalytics.percentiles]] documents. The rest
+    * of the plan is unchanged by that swap.
     */
   def xLpBuckets(s: SparkSession, dir: String): DataFrame = {
+    // the threshold branch and the bucket assignment both consume the
+    // scored relation, and column pruning differentiates the subtrees
+    // (ReuseExchange never fires — the unigramScores lesson), so stage
+    // it once instead of re-running the corpus explode + LM aggregates
+    // per consumer
     val scored = unigramScores(s, dir)
       .select(col("doc_id"), col("n_words"), detRound4(col("alp")).as("alp"))
+      .transform(graft.operators.Scale.stage(_))
     val qs = scored.agg(
       detRound4(percentile(col("alp"), lit(0.25))).as("q1"),
       detRound4(percentile(col("alp"), lit(0.5))).as("q2"),
@@ -2345,19 +2362,23 @@ object PipelineQueries {
         |    list_aggregate(list_transform(string_split(text,' '),
         |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS t
         |  FROM documents),
-        |g AS (SELECT source, lang, CAST(sum(t) AS BIGINT) AS est_tokens
+        |g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(t) AS BIGINT) AS est_tokens
         |      FROM t GROUP BY source, lang),
         |s AS (SELECT *,
         |        CAST(est_tokens AS DOUBLE) / sum(est_tokens) OVER () AS share
         |      FROM g),
-        |r AS (SELECT *, sqrt(share) AS r,
-        |        sqrt(share) / sum(sqrt(share)) OVER () AS temp_share
-        |      FROM s)
-        |SELECT source, lang, est_tokens,
+        |r AS (SELECT *,
+        |        CAST(floor(sqrt(share) * 1099511627776.0 + 0.5) AS BIGINT) AS rq
+        |      FROM s),
+        |n AS (SELECT *,
+        |        CAST(rq AS DOUBLE) / CAST(sum(rq) OVER () AS DOUBLE) AS temp_share
+        |      FROM r)
+        |SELECT source, lang, n_docs, est_tokens,
         |  ${detRound4Sql("share")} AS token_share,
         |  ${detRound4Sql("temp_share")} AS temp_share,
         |  ${detRound4Sql("temp_share / share")} AS weight
-        |FROM r ORDER BY source, lang""".stripMargin,
+        |FROM n ORDER BY source, lang""".stripMargin,
     "x_mix_weights" ->
       s"""WITH t AS (SELECT source, lang,
         |    list_aggregate(list_transform(string_split(text,' '),

@@ -153,8 +153,22 @@ object ConnectorPipeline {
   def queryStream(lines: DataFrame, query: String, host: String,
                   streamId: String, promote: Seq[String] = Nil,
                   watermark: String = "10 minutes"): DataFrame = {
+    // promotion must not clobber the pipeline's own columns: a key
+    // named ts/host/… would silently replace the event-time or R6
+    // enrichment (withColumn overwrites) — refuse instead
+    val reserved = Set("ts", "timestamp", "rawstring", "offset",
+      "host", "stream", "event_fields")
+    val clash = promote.filter(reserved)
+    require(clash.isEmpty,
+      s"queryStream: promote keys collide with pipeline columns: ${clash.mkString(", ")}")
     val parsed = transform(lines, host, streamId)
       .withColumn("ts", timestamp_millis(col("timestamp")))
+      // a parsed line without a numeric eventCreationTime has no event
+      // time: under a streaming aggregation a NULL ts would land in a
+      // null-window state group that append mode never emits and the
+      // watermark never evicts — drop such rows at the source instead
+      // of leaking state forever
+      .where(col("ts").isNotNull)
     val promoted = promote.foldLeft(parsed)((d, k) =>
       d.withColumn(k, col("event_fields")(k)))
     graft.query.HumioQuery.runStream(promoted, query, watermark)
