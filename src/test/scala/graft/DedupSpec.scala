@@ -434,6 +434,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cutDupSpans matches a brute-force reference on seeded random corpora") {
+    val k = 4
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(1000 + trial)
+      // tiny vocabulary forces shared grams; lengths 1..9 cover the
+      // short-doc (whole-text gram) and exact-k boundaries
+      val docs = (0 until 30).map(i => (i.toLong,
+        Seq.fill(rnd.nextInt(9) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      def grams(toks: Array[String]): Vector[String] =
+        if (toks.length >= k) toks.sliding(k).map(_.mkString(" ")).toVector
+        else Vector(toks.mkString(" "))
+      val gramDocs = collection.mutable.Map.empty[String, collection.mutable.Set[Long]]
+      docs.foreach { case (id, t) =>
+        grams(t.split(" ")).foreach(g =>
+          gramDocs.getOrElseUpdate(g, collection.mutable.Set.empty) += id)
+      }
+      val expected = docs.map { case (id, t) =>
+        val toks = t.split(" ")
+        val w = if (toks.length >= k) k else toks.length
+        val cut = Array.fill(toks.length)(false)
+        grams(toks).zipWithIndex.foreach { case (g, p) =>
+          if (gramDocs(g).size >= 2)
+            (p until math.min(p + w, toks.length)).foreach(cut(_) = true)
+        }
+        id -> ((toks.zip(cut).collect { case (tk, false) => tk }.mkString(" "),
+          toks.length.toLong, cut.count(identity).toLong))
+      }.toMap
+      val got = Dedup.cutDupSpans(docs.toDF("doc_id", "text"), col("text"), k)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("dupClusters leaves pair endpoints outside docs inert") {
     // pairs may reference docs a gate upstream removed: a foreign
     // endpoint must neither take a label nor become one (a cluster id
