@@ -111,7 +111,8 @@ object ConnectorPipeline {
   def run(lines: DataFrame, sink: BulkSink, checkpointDir: String,
           host: String, streamId: String,
           triggerMs: Long = 10000L, bulkMaxSize: Int = 200,
-          enrich: Boolean = true, metadata: Boolean = true): StreamingQuery = {
+          enrich: Boolean = true, metadata: Boolean = true,
+          availableNow: Boolean = false): StreamingQuery = {
     val shippedCols =
       if (metadata) Seq(col("timestamp"), col("rawstring"), col("host"),
         col("stream"), col("event_fields"))
@@ -123,7 +124,13 @@ object ConnectorPipeline {
     staged
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(triggerMs))
+      // AvailableNow is the BACKFILL/DRAIN mode the reference has no
+      // equivalent of: process everything currently available (offsets
+      // still checkpointed per batch, at-least-once unchanged), then
+      // terminate — run the connector as a scheduled job instead of a
+      // resident service, resuming from the same WAL either way
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           rows.map(_.getString(0)).grouped(bulkMaxSize).foreach { chunk =>

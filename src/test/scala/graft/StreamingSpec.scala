@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_.contains("\"host\":\"testhost\"")))
   }
 
+  test("AvailableNow drains everything, terminates, and resumes from the same WAL") {
+    RecordingSink.reset()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData((1L to 4L).map(eventLine(_)): _*)
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+      "testhost", "graft", triggerMs = 50L, availableNow = true)
+    // the drain mode must TERMINATE on its own once the backlog is done
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(RecordingSink.received.asScala.size == 4)
+    // a second scheduled run resumes from the checkpoint WAL: only the
+    // NEW backlog ships, nothing replays
+    RecordingSink.reset()
+    mem.addData(eventLine(5), eventLine(6))
+    val q2 = ConnectorPipeline.run(mem.toDF(), new RecordingSink(false), cp,
+      "testhost", "graft", triggerMs = 50L, availableNow = true)
+    assert(q2.awaitTermination(60000), "resumed drain must self-terminate")
+    val got = RecordingSink.received.asScala.toSeq
+    // offsets ride inside the JSON-escaped rawstring of the payload
+    assert(got.size == 2 && got.forall(e =>
+      e.contains("\\\"offset\\\": 5") || e.contains("\\\"offset\\\": 6")))
+  }
+
   test("R7 raw mode ships undecorated lines — corrupt JSON included, empties dropped") {
     RecordingSink.reset()
     implicit val sq = spark.sqlContext
