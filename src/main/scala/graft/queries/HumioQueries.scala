@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.query.HumioQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Pipe-language queries compiled by [[graft.query.HumioQuery]] and
   * checked against plain-SQL oracles — a differential proof that the
@@ -245,6 +246,19 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "formatTime(\"%Y-%m-%d\", field=ts, as=day) | groupBy(day) | sort(day)")
 
+  /** parseTimestamp(): the strptime inverse — render each event's hour
+    * as text, parse it BACK to a timestamp, and count per reparsed hour
+    * (epoch ms). The round trip through pattern space is exactly what a
+    * log with textual timestamps pays on ingest.
+    */
+  def hqParsetime(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "formatTime(\"%Y-%m-%d %H\", field=ts, as=hr) " +
+        "| parseTimestamp(\"%Y-%m-%d %H\", field=hr, as=t)")
+      .groupBy(unix_millis(col("t")).as("t_ms"))
+      .agg(count(lit(1)).as("_count"))
+      .orderBy("t_ms")
+
   /** sample(): deterministic 10% md5-bucket sample, then per-type
     * counts — replayable sampling from inside the pipe language.
     */
@@ -298,6 +312,7 @@ object HumioQueries {
     "hq_transpose" -> hqTranspose _,
     "hq_rate"      -> hqRate _,
     "hq_formattime" -> hqFormattime _,
+    "hq_parsetime" -> hqParsetime _,
     "hq_sample"    -> hqSample _,
     "hq_selfjoin"  -> hqSelfjoin _,
     "hq_join_left" -> hqJoinLeft _,
@@ -372,6 +387,11 @@ object HumioQueries {
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "hq_parsetime" ->
+      """SELECT epoch_ms(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H'),
+        |                         '%Y-%m-%d %H')) AS t_ms,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1 ORDER BY t_ms""".stripMargin,
     "hq_rate" ->
       """WITH o AS (
         |  SELECT event_id, user_id, ts,

@@ -645,29 +645,25 @@ object HumioQuery {
       case "formatTime" =>
         // formatTime("%Y-%m-%d", field=f, as=out): strftime-style
         // timestamp formatting. The %-codes translate at PLAN time to
-        // Spark's pattern letters; every literal run is single-quoted so
-        // no character can leak into pattern space (UTC session, so the
-        // DuckDB strftime twin renders identically).
+        // Spark's pattern letters ([[strftimeToJava]]); UTC session, so
+        // the DuckDB strftime twin renders identically.
         val fmt = unquote(named.get("format").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException("formatTime() needs a format string")))
-        require(!fmt.contains("'"), "formatTime(): single quotes unsupported")
-        val codes = Map('Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
-          'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'j' -> "DDD")
-        val out = new StringBuilder
-        var i = 0
-        while (i < fmt.length) {
-          if (fmt(i) == '%') {
-            require(i + 1 < fmt.length && codes.contains(fmt(i + 1)),
-              s"formatTime(): unsupported %-code in '$fmt'")
-            out ++= codes(fmt(i + 1)); i += 2
-          } else {
-            val start = i
-            while (i < fmt.length && fmt(i) != '%') i += 1
-            out ++= "'" + fmt.substring(start, i) + "'"
-          }
-        }
         df.withColumn(named.getOrElse("as", "_formattime"),
-          date_format(col(named.getOrElse("field", "ts")), out.toString))
+          date_format(col(named.getOrElse("field", "ts")),
+            strftimeToJava(fmt, "formatTime")))
+      case "parseTimestamp" =>
+        // parseTimestamp("%Y-%m-%d %H", field=f, as=out): the strptime
+        // INVERSE of formatTime — same plan-time %-translation, UTC
+        // session so the DuckDB strptime twin parses identically.
+        // try_to_timestamp: a non-matching string yields NULL instead of
+        // an ANSI parse error (LogScale's parseTimestamp leniency).
+        val fmt = unquote(named.get("format").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("parseTimestamp() needs a format string")))
+        val f = named.getOrElse("field",
+          throw new IllegalArgumentException("parseTimestamp() needs field="))
+        df.withColumn(named.getOrElse("as", "_parsetime"),
+          try_to_timestamp(col(f), lit(strftimeToJava(fmt, "parseTimestamp"))))
       case "counterAsRate" =>
         // counterAsRate(field[, by=k][, as=out]): per-series rate of a
         // monotonic counter — Δfield / Δseconds between consecutive
@@ -951,6 +947,30 @@ object HumioQuery {
     include.foldLeft(joined) { (d, c) =>
       d.drop(c).withColumnRenamed(s"__graft_inc_$c", c)
     }
+  }
+
+  /** strftime %-codes → a Java DateTimeFormatter pattern, every literal
+    * run single-quoted so no character leaks into pattern space —
+    * shared by formatTime (render) and parseTimestamp (parse).
+    */
+  private def strftimeToJava(fmt: String, verb: String): String = {
+    require(!fmt.contains("'"), s"$verb(): single quotes unsupported")
+    val codes = Map('Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'j' -> "DDD")
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%') {
+        require(i + 1 < fmt.length && codes.contains(fmt(i + 1)),
+          s"$verb(): unsupported %-code in '$fmt'")
+        out ++= codes(fmt(i + 1)); i += 2
+      } else {
+        val start = i
+        while (i < fmt.length && fmt(i) != '%') i += 1
+        out ++= "'" + fmt.substring(start, i) + "'"
+      }
+    }
+    out.toString
   }
 
   /** `<n><s|m|h|d>` span literal → milliseconds (timechart/bucket/

@@ -537,6 +537,15 @@ class HumioQuerySpec extends SparkSpec {
     assert(out.length == 3 && out(1).isDefined)
   }
 
+  test("parseTimestamp inverts formatTime; non-matching strings parse to NULL") {
+    val t = Seq(("2024-03-01 07", 1L), ("garbage", 2L)).toDF("s", "id")
+    val got = HumioQuery.run(t, "parseTimestamp(\"%Y-%m-%d %H\", field=s, as=t)")
+      .select(col("id"), unix_millis(col("t")).as("ms"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(1709276400000L))   // 2024-03-01T07:00:00Z
+    assert(got(2L).isEmpty)                    // leniency: NULL, not an ANSI error
+  }
+
   test("formatTime quotes literal runs so they never leak into pattern space") {
     val t = Seq(1L).toDF("id")
       .withColumn("ts", to_timestamp(lit("2024-03-05 07:08:09")))
