@@ -70,6 +70,8 @@ import graft.queries.ConnectorQueries.detRound4
   *                sampling (replayable, unlike LogScale's random)
   *   fmtTime   := formatTime("%Y-%m-%d", field=f[, as=out]) — strftime
   *                subset (%Y %m %d %H %M %S %j), plan-time translation
+  *   parseTime := parseTimestamp("%Y-%m-%d", field=f[, as=out]) — the
+  *                strptime inverse; non-matching strings → NULL
   *   rate      := counterAsRate(field[, by=k][, as=out]) — Δcounter/Δsec
   *                per series; NULL on first event, resets, zero Δt
   *   transpose := transpose(header=f[, columns=[v1, …]]) — pivot the

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Engine-only extras: `--stub true` runs against the in-JVM protocol
   * stub (no egress — the OAuth2/HTTP client is the one stubbed seam;
-  * falcon-api credentials feed that seam when going live), and
-  * `--max-restarts` bounds supervision.
+  * falcon-api credentials feed that seam when going live),
+  * `--max-restarts` bounds supervision, and `--available-now` drains
+  * the current backlog then exits (scheduled-job mode, same offset
+  * checkpoint either way).
   */
 object ConnectorApp {
 
@@ -35,9 +37,14 @@ object ConnectorApp {
                     appId: String, userAgent: String,
                     bulkMaxSize: Int, flushWaitTimeSec: Int, streamTimeoutSec: Int,
                     retryTimerSec: Int, appidRandom: Int, keepaliveSec: Int,
-                    stub: Boolean, maxRestarts: Int)
+                    stub: Boolean, maxRestarts: Int,
+                    availableNow: Boolean = false)
 
-  private val boolKeys = Set("enrich", "metadata", "verbose", "exceptions", "stub")
+  // available-now is an ENGINE extension (no reference twin): drain the
+  // current backlog under the same checkpoint contract, then exit —
+  // run-as-a-scheduled-job mode (Trigger.AvailableNow)
+  private val boolKeys =
+    Set("enrich", "metadata", "verbose", "exceptions", "stub", "available-now")
   private val valueKeys = Set(
     "offset-file", "falcon-url", "falcon-api-id", "falcon-api-secret",
     "humio-url", "humio-token", "app-id", "user-agent", "bulk-max-size",
@@ -114,7 +121,8 @@ object ConnectorApp {
       appidRandom = int("appid-random", 1),
       keepaliveSec = int("keepalive", 10),
       stub = flag("stub"),
-      maxRestarts = int("max-restarts", 3)))
+      maxRestarts = int("max-restarts", 3),
+      availableNow = flag("available-now")))
   }
 
   /** pp_args (app.py:381-392): dump the resolved arguments, secrets
@@ -249,7 +257,8 @@ object ConnectorApp {
         triggerMs = cfg.flushWaitTimeSec * 1000L,
         bulkMaxSize = cfg.bulkMaxSize,
         enrich = cfg.enrich,
-        metadata = cfg.metadata),
+        metadata = cfg.metadata,
+        availableNow = cfg.availableNow),
       drain = q => if (cfg.stub) { q.processAllAvailable(); q.stop() }
                    else q.awaitTermination(),
       maxRestarts = cfg.maxRestarts,
