@@ -1469,6 +1469,54 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk")
   }
 
+  /** The SEMANTIC-dedup curation pipeline — the third member of the
+    * dedup-curation matrix ([[xCurate]] exact-hash, [[xCurateFuzzy]]
+    * text near-dup, this one embedding near-dup): quality gate → the
+    * gated docs' embeddings assigned to fixture-codebook cells
+    * ([[Knn.ivfAssign]], centroids broadcast) → within-cell cosine >
+    * [[SEMDEDUP_TAU]] pairs over ONE reused cell exchange (the
+    * [[xSemdedup]] shape — never the pair matrix) → connected
+    * components → keep the cluster-minimum doc → deterministic 80%
+    * split → context-window chunking. What text shingles can't see —
+    * paraphrases, translations landing near each other in embedding
+    * space — this pass removes; at scale the codebook k grows ~√n so
+    * the within-cell quadratic term stays O(n) total.
+    */
+  def xCurateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks)
+    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), n.as("n_words"),
+        (enHits.cast("double") / n).as("swr"))
+      .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
+      .select("doc_id", "text")
+      // one materialization for the three consumers (embedding gate,
+      // CC seed, keep join)
+      .transform(graft.operators.Scale.stage(_))
+    val emb = Tables.embeddings(s, dir)
+    val gated = emb.join(quality.select(col("doc_id").as("vec_id")), "vec_id")
+    val assigned = Knn.ivfAssign(gated, ivfCentroids(emb), DIM)
+      .repartition(col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("pe"), col("nrm").as("pn"))
+    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+      .where(col("sim") > SEMDEDUP_TAU)
+      .select("doc_a", "doc_b")
+    val clusters = Dedup.dupClusters(quality, pairs)
+    val keep = quality
+      .join(clusters.where(col("doc_id") === col("cluster")).select("doc_id"),
+        "doc_id")
+    val train = keep.where(Sampling.pct(col("doc_id")) < 80)
+    Sampling.chunked(train.select("doc_id", "text"), col("text"), CHUNK_BUDGET)
+      .select("doc_id", "chunk", "n_tok")
+      .orderBy("doc_id", "chunk")
+  }
+
   /** The FULL curation composition — every gate in one plan: quality
     * filter → benchmark decontamination (broadcast eval-gram overlap,
     * left-anti) → FUZZY near-dup removal (banded LSH → connected
@@ -1620,6 +1668,7 @@ object PipelineQueries {
     "x_split"       -> xSplit _,
     "x_curate"      -> xCurate _,
     "x_curate_fuzzy" -> xCurateFuzzy _,
+    "x_curate_semantic" -> xCurateSemantic _,
     "x_curate_all"  -> xCurateAll _,
     "x_pack"        -> xPack _,
     "x_pps_sample"  -> xPpsSample _,
@@ -1857,17 +1906,19 @@ object PipelineQueries {
     * (vec_id, embedding, cent_id, rk) for every vector × centroid of
     * `centCte`, rk 1 = nearest (ties to the lower cent_id).
     */
-  private def scoredSql(centCte: String, outCte: String): String = {
+  private def scoredSql(centCte: String, outCte: String,
+                        src: String = "embeddings"): String = {
     val cdot = s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')"
     s"""$outCte AS (SELECT e.vec_id, e.embedding, c.cent_id,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) DESC, c.cent_id) AS rk
-      |  FROM embeddings e CROSS JOIN $centCte c)""".stripMargin
+      |  FROM $src e CROSS JOIN $centCte c)""".stripMargin
   }
 
   /** Home-cell (rk = 1) assignment built on [[scoredSql]]. */
-  private def asgnSql(centCte: String, outCte: String): String =
-    s"""${scoredSql(centCte, outCte + "_sc")},
+  private def asgnSql(centCte: String, outCte: String,
+                      src: String = "embeddings"): String =
+    s"""${scoredSql(centCte, outCte + "_sc", src)},
       |$outCte AS (SELECT vec_id, embedding, cent_id AS cell
       |            FROM ${outCte}_sc WHERE rk = 1)""".stripMargin
 
@@ -2746,6 +2797,46 @@ object PipelineQueries {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_curate_semantic" ->
+      s"""WITH RECURSIVE q AS (
+        |  SELECT doc_id, text,
+        |         len(string_split(text, ' ')) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS swr
+        |  FROM documents),
+        |f AS (SELECT doc_id, text FROM q
+        |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4),
+        |ge AS (SELECT e.vec_id, e.embedding
+        |       FROM embeddings e JOIN f ON e.vec_id = f.doc_id),
+        |cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |         FROM embeddings WHERE vec_id < $IVF_K),
+        |${asgnSql("cent", "sa", "ge")},
+        |cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM sa a JOIN sa b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+        |        / (${normSql("a.embedding")} * ${normSql("b.embedding")}) > $SEMDEDUP_TAU),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |        UNION SELECT doc_b, doc_a FROM cand),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |minr AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |         FROM reach GROUP BY a),
+        |keep AS (SELECT ff.doc_id, ff.text
+        |         FROM f ff LEFT JOIN minr m USING (doc_id)
+        |         WHERE coalesce(m.cluster, ff.doc_id) = ff.doc_id),
+        |tr AS (SELECT doc_id, text FROM keep
+        |       WHERE ${hashBucketSql("doc_id")} % 100 < 80),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
+        |n2 AS (SELECT doc_id, len(toks) AS n FROM t2 WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
+        |      FROM n2)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
     "x_dupclusters" -> dupClustersOracle,
     "x_cluster_stats" ->
       s"""$dupClustersCte,
