@@ -89,8 +89,35 @@ object LogQueries {
       .orderBy("bucket_ms", "event_type")
   }
 
+  /** MAD-based robust anomaly detection — [[lAnomaly]]'s 2σ cut breaks
+    * when the outliers THEMSELVES inflate the variance; the
+    * median-absolute-deviation cut (|n − median| > 3·MAD) is the
+    * standard robust alternative. Two grouped medians over the bounded
+    * bucket relation joined back broadcast — and because every median
+    * here is a median of INTEGER counts, med/MAD are exact integers or
+    * halves: the 3·MAD comparison is exact IEEE arithmetic on both
+    * engines, no rounding hazard at the cut.
+    */
+  def lMad(s: SparkSession, dir: String): DataFrame = {
+    val b = LogAnalytics.timechart(Tables.events(s, dir), "hour", col("event_type"))
+      .withColumnRenamed("dim", "event_type")
+    val med = b.groupBy("event_type")
+      .agg(percentile(col("n"), lit(0.5)).as("med"))
+    val withAd = b.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("n").cast("double") - col("med")))
+    val mad = withAd.groupBy("event_type")
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    withAd.join(broadcast(mad), "event_type")
+      .where(col("ad") > lit(3.0) * col("mad"))
+      .select(col("bucket_ms"), col("event_type"), col("n"),
+        ConnectorQueries.detRound4(col("med")).as("series_med"),
+        ConnectorQueries.detRound4(col("mad")).as("series_mad"))
+      .orderBy("bucket_ms", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l_anomaly"    -> lAnomaly _,
+    "l_mad"        -> lMad _,
     "l_timechart"  -> lTimechart _,
     "l_sliding"    -> lSliding _,
     "l_session"    -> lSession _,
@@ -116,6 +143,21 @@ object LogQueries {
         |FROM st
         |WHERE (CAST(n AS DOUBLE) - mean) * (CAST(n AS DOUBLE) - mean)
         |      > 4.0 * (ex2 - mean * mean)
+        |ORDER BY bucket_ms, event_type""".stripMargin,
+    "l_mad" ->
+      s"""WITH b AS (
+        |  SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,
+        |         event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM b GROUP BY 1),
+        |d AS (SELECT b.*, m.med, abs(CAST(n AS DOUBLE) - m.med) AS ad
+        |      FROM b JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT bucket_ms, event_type, n,
+        |       ${ConnectorQueries.detRound4Sql("med")} AS series_med,
+        |       ${ConnectorQueries.detRound4Sql("mad")} AS series_mad
+        |FROM d JOIN md USING (event_type)
+        |WHERE ad > 3.0 * mad
         |ORDER BY bucket_ms, event_type""".stripMargin,
     "l_timechart" ->
       """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,
