@@ -99,15 +99,16 @@ object LogQueries {
     * engines, no rounding hazard at the cut.
     */
   def lMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val b = LogAnalytics.timechart(Tables.events(s, dir), "hour", col("event_type"))
       .withColumnRenamed("dim", "event_type")
-    val med = b.groupBy("event_type")
-      .agg(percentile(col("n"), lit(0.5)).as("med"))
-    val withAd = b.join(broadcast(med), "event_type")
+    // the lAnomaly shape: per-series stats as window aggregates over
+    // the bounded bucket relation — med then mad are two Window passes
+    // over ONE series exchange, no joins, no rescan of the bucket agg
+    val w = Window.partitionBy("event_type")
+    b.withColumn("med", percentile(col("n"), lit(0.5)).over(w))
       .withColumn("ad", abs(col("n").cast("double") - col("med")))
-    val mad = withAd.groupBy("event_type")
-      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
-    withAd.join(broadcast(mad), "event_type")
+      .withColumn("mad", percentile(col("ad"), lit(0.5)).over(w))
       .where(col("ad") > lit(3.0) * col("mad"))
       .select(col("bucket_ms"), col("event_type"), col("n"),
         ConnectorQueries.detRound4(col("med")).as("series_med"),

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -238,7 +238,24 @@ object FalconOffset {
 class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
                              refreshRetrySec: Int = 30,
                              maxRowsPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow drain target: the per-partition heads captured
+  // when the drain starts. Without this interface Spark falls back to
+  // ONE giant batch for the whole backlog ("single batch execution"),
+  // bypassing admission control and per-batch offset checkpointing —
+  // exactly the two properties a bounded drain exists for. With it,
+  // latestOffset never advances past the captured target (rows arriving
+  // mid-drain wait for the next run) and each capped batch still
+  // commits its own offsets.
+  @volatile private var drainTarget: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val ds = descs
+    drainTarget = Some(
+      ds.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap)
+  }
   private val client = new StubFalconServer.Client
   // session refresh cadence: the reference refreshes each partition's
   // session at 85% of the server-provided interval (app.py:256); the
@@ -290,11 +307,19 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
     }
   }
 
+  /** Live per-partition heads, clamped to the AvailableNow drain target
+    * when one is set (partitions discovered mid-drain are excluded — the
+    * drain processes what existed when it started).
+    */
+  private def liveHeads(ds: Seq[StreamDesc]): Map[Int, Long] = drainTarget match {
+    case Some(t) => t
+    case None => ds.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap
+  }
+
   override def latestOffset(): Offset = {
     val ds = descs
     refreshTick(ds)
-    remember(FalconOffset(
-      ds.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap))
+    remember(FalconOffset(liveHeads(ds)))
   }
 
   /** Admission control (`maxRowsPerTrigger`): cap each micro-batch's
@@ -308,7 +333,7 @@ class FalconMicroBatchStream(appId: String, streamTimeoutSec: Int = 60,
     val ds = descs
     refreshTick(ds)
     val startMap = start.asInstanceOf[FalconOffset].offsets
-    val live = ds.map(d => d.partition -> client.latestOffset(appId, d.partition)).toMap
+    val live = liveHeads(ds)
     val capped = limit match {
       case r: ReadMaxRows if ds.nonEmpty =>
         // split the row budget across partitions WITH backlog only: with

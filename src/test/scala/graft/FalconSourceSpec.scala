@@ -130,6 +130,38 @@ class FalconSourceSpec extends SparkSpec {
     StubFalconServer.fetchDelayMs.set(0L)
   }
 
+  test("AvailableNow: capped batches drain exactly to the prepared heads") {
+    import graft.sources.{FalconMicroBatchStream, FalconOffset => FO}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    StubFalconServer.reset()
+    StubFalconServer.register("appAN", Seq(StreamDesc(0, 1800), StreamDesc(1, 1800)))
+    (0L until 9L).foreach(o => StubFalconServer.push("appAN", 0, o, line(0, o)))
+    (0L until 4L).foreach(o => StubFalconServer.push("appAN", 1, o, line(1, o)))
+    val stream = new FalconMicroBatchStream("appAN", maxRowsPerTrigger = Some(4))
+    var cur = stream.initialOffset().asInstanceOf[FO]
+    stream.prepareForTriggerAvailableNow()
+    // rows arriving MID-DRAIN must wait for the next scheduled run
+    (9L until 20L).foreach(o => StubFalconServer.push("appAN", 0, o, line(0, o)))
+    val limit = ReadLimit.maxRows(4)
+    var batches = 0
+    var advanced = true
+    while (advanced && batches < 20) {
+      val next = stream.latestOffset(cur, limit).asInstanceOf[FO]
+      advanced = next.offsets != cur.offsets
+      if (advanced) {
+        // admission control still bounds every drain batch
+        val rows = next.offsets.map { case (p, o) =>
+          o - cur.offsets.getOrElse(p, 0L) }.sum
+        assert(rows <= 4, s"batch $batches read $rows rows, cap is 4")
+        batches += 1
+      }
+      cur = next
+    }
+    assert(cur.offsets == Map(0 -> 9L, 1 -> 4L),
+      s"drain must stop at the PREPARED heads, got ${cur.offsets}")
+    assert(batches >= 4, s"a capped drain must take several batches, got $batches")
+  }
+
   test("deserializeOffset returns the parsed offset verbatim (replay safety)") {
     import graft.sources.{FalconMicroBatchStream, FalconOffset => FO}
     StubFalconServer.reset()
