@@ -19,6 +19,54 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Session conf selecting how the cross-doc gram dup flag is computed
+    * ([[gramDupFlag]]): `false` (default) = window over the gram
+    * partition (one exchange, fastest when gram frequencies are tame);
+    * `true` = distinct → count → equi-join (AQE-skew-splittable, the
+    * 100 TB plan for Zipfian corpora with hot boilerplate grams).
+    */
+  val GramJoinModeConf = "spark.graft.dedup.gramJoinMode"
+
+  /** Cross-doc duplication flag per gram occurrence: input is
+    * (doc_id, pos, gram) rows, output adds `dup` (int 0/1) = "this gram
+    * occurs in ≥ 2 distinct docs". Two formulations with IDENTICAL
+    * results, selected by [[GramJoinModeConf]]:
+    *
+    *  - window (default): flag each gram row that starts a new doc in
+    *    (doc_id, pos) order with a lag window, sum the flags over the
+    *    gram partition — distinct-doc count without count(DISTINCT)
+    *    (not window-able), and both windows share ONE gram exchange.
+    *    Fastest at tame gram frequencies, but a pathologically hot gram
+    *    (cross-corpus boilerplate: license headers, navigation chrome)
+    *    lands every occurrence in one task, and window execs cannot be
+    *    AQE-split.
+    *  - join (`true`): `distinct(gram, doc_id)` partial-aggregates
+    *    map-side AND spreads a hot gram across doc_id hash partitions,
+    *    `groupBy(gram).count` partial-aggregates again, and the flag
+    *    rejoins on gram — a shuffle join AQE skew-split handles. One
+    *    extra shuffle vs the window form (measured slower at sf0.1,
+    *    which is why it is opt-in), but no single-task ceiling: the
+    *    100 TB mode for Zipfian corpora.
+    */
+  def gramDupFlag(pos: DataFrame): DataFrame =
+    if (pos.sparkSession.conf.get(GramJoinModeConf, "false").toBoolean) {
+      val dupGrams = pos.select("gram", "doc_id").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("__nd"))
+        .where(col("__nd") >= 2)
+        .select(col("gram"), lit(1).as("__dup"))
+      pos.join(dupGrams, Seq("gram"), "left")
+        .withColumn("dup", coalesce(col("__dup"), lit(0)))
+        .drop("__dup")
+    } else {
+      val wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
+      val wgAll = Window.partitionBy("gram")
+      val fd = when(lag("doc_id", 1).over(wg).isNull ||
+        lag("doc_id", 1).over(wg) =!= col("doc_id"), 1).otherwise(0)
+      pos.withColumn("fd", fd)
+        .withColumn("dup", (sum(col("fd")).over(wgAll) >= 2).cast("int"))
+        .drop("fd")
+    }
+
   /** Substring-dedup CUT: remove every token covered by a cross-doc
     * duplicated `k`-gram and return the surviving text per doc — the
     * train-on-unique-text transform (the measurement twin is the
@@ -39,15 +87,10 @@ object Dedup {
     * doc's token count), kept ⊎ cut partitions the positions, and
     * kept_text is the in-order join of uncut tokens.
     *
-    * Skew note: the dup flag windows over the gram partition, so a
-    * pathologically hot gram (boilerplate repeated across millions of
-    * docs) lands in one partition — windows cannot be AQE-split. On a
-    * corpus with such grams, swap the flag computation for
-    * `distinct(gram, doc_id) → groupBy(gram).count → equi-join`: the
-    * distinct spreads hot grams across doc_id, the count partial-
-    * aggregates, and the rejoin is an AQE-skew-splittable shuffle join.
-    * Measured slower here (extra shuffle + join vs one exchange), which
-    * is why the join-free window form is the default.
+    * Skew note: the dup flag is [[gramDupFlag]], so the
+    * [[GramJoinModeConf]] session conf selects the skew-safe
+    * distinct→count→equi-join formulation for Zipfian corpora where a
+    * hot boilerplate gram would single-task the default window form.
     *
     * Output: (doc_id, kept_text, n_tokens, n_cut).
     */
@@ -56,15 +99,7 @@ object Dedup {
     graft.expressions.WordShingles.register(docs.sparkSession)
     val pos = docs.select(col("doc_id"), posexplode(
       Text.shinglesNative(Text.tokens(text), k)).as(Seq("pos", "gram")))
-    val wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    val wgAll = Window.partitionBy("gram")
-    // distinct-doc count per gram without count(DISTINCT) (not window-
-    // able): flag each gram row that starts a new doc, sum the flags
-    val fd = when(lag("doc_id", 1).over(wg).isNull ||
-      lag("doc_id", 1).over(wg) =!= col("doc_id"), 1).otherwise(0)
-    val dup = pos.withColumn("fd", fd)
-      .withColumn("dup", (sum(col("fd")).over(wgAll) >= 2).cast("int"))
-      .drop("fd")
+    val dup = gramDupFlag(pos)
     // token t is cut iff max(dup) over grams [t-k+1, t] (doc-clipped).
     // The rolling maxima are materialized as columns FIRST (window
     // expressions cannot ride inside the generator); all share one

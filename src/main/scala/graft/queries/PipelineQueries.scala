@@ -1119,29 +1119,21 @@ object PipelineQueries {
     * result): per doc, how many of its positional 4-word grams also
     * occur in at least one OTHER doc, and the longest CONSECUTIVE run
     * of such grams (a long run ≈ a long copied substring — the span a
-    * substring-dedup pass would cut). Scale shape, with NO joins: one
-    * corpus shingle explode (native), then ONE exchange on gram where
-    * two same-partition windows turn a lag-based first-doc flag into a
-    * distinct-doc frequency, then one exchange back to doc order where
-    * gaps-and-islands run-length groups and two bounded aggregates
-    * finish — three shuffles total, all linear, nothing pairwise.
+    * substring-dedup pass would cut). Scale shape, with NO joins in the
+    * default mode: one corpus shingle explode (native), then the
+    * [[Dedup.gramDupFlag]] dup flag (ONE gram exchange by default; the
+    * `spark.graft.dedup.gramJoinMode` conf swaps in the
+    * AQE-skew-splittable distinct→count→equi-join for Zipfian corpora),
+    * then one exchange back to doc order where gaps-and-islands
+    * run-length groups and two bounded aggregates finish.
     */
   def xDupgrams(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.WordShingles.register(s)
     val pos = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(
         Text.shinglesNative(Text.tokens(col("text")), 4)).as(Seq("pos", "gram")))
-    val wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    val wgAll = Window.partitionBy("gram")
-    // distinct-doc count per gram without count(DISTINCT) (not window-
-    // able): flag each gram row that starts a new doc in (doc, pos)
-    // order, sum flags over the gram partition — both windows share the
-    // one gram exchange
-    val fd = when(lag("doc_id", 1).over(wg).isNull ||
-      lag("doc_id", 1).over(wg) =!= col("doc_id"), 1L).otherwise(0L)
-    val flagged = pos
-      .withColumn("fd", fd)
-      .withColumn("dup", (sum(col("fd")).over(wgAll) >= 2).cast("bigint"))
+    val flagged = Dedup.gramDupFlag(pos)
+      .withColumn("dup", col("dup").cast("bigint"))
     // gaps-and-islands: consecutive positions with the same dup flag
     // form one island; its row count is the run length
     val wd = Window.partitionBy("doc_id", "dup").orderBy("pos")

@@ -469,6 +469,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("gramJoinMode: identical cut/flag results on a planted hot gram, no gram window") {
+    // planted hot gram: every doc shares the boilerplate 4-gram run —
+    // the Zipfian worst case where the default gram window single-tasks
+    val hot = "hot boiler plate gram"
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"u${i}a u${i}b $hot u${i}c u${i}d")).toDF("doc_id", "text")
+    def runCut() = Dedup.cutDupSpans(docs, col("text"), 4)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val defaultMode = runCut()
+    // the hot 4-gram's 4 tokens are cut everywhere, unique flanks survive
+    assert(defaultMode.forall { case (_, kept, n, cut) =>
+      n == 8L && cut == 4L && kept.split(" ").length == 4 })
+    spark.conf.set(Dedup.GramJoinModeConf, "true")
+    try {
+      assert(runCut() == defaultMode,
+        "join mode must produce byte-identical cut output")
+      // plan shape: the dup flag must partial-aggregate (two hash
+      // aggregates: distinct + count) with NO window over the gram
+      // partition — the whole point of the skew-safe mode
+      val pos = docs.select(col("doc_id"), posexplode(
+        Text.shinglesNative(Text.tokens(col("text")), 4)).as(Seq("pos", "gram")))
+      val plan = Dedup.gramDupFlag(pos).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"join mode must not plan a window:\n$plan")
+      assert(plan.contains("HashAggregate"), s"join mode must partial-aggregate:\n$plan")
+    } finally spark.conf.set(Dedup.GramJoinModeConf, "false")
+    // window mode really is the window plan (the modes differ)
+    val pos = docs.select(col("doc_id"), posexplode(
+      Text.shinglesNative(Text.tokens(col("text")), 4)).as(Seq("pos", "gram")))
+    assert(Dedup.gramDupFlag(pos).queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("dupClusters leaves pair endpoints outside docs inert") {
     // pairs may reference docs a gate upstream removed: a foreign
     // endpoint must neither take a label nor become one (a cluster id
