@@ -235,6 +235,58 @@ object Knn {
     (cents, round)
   }
 
+  /** Within-cell cosine-similar pairs — the pair-generation stage of
+    * semantic dedup (SemDeDup shape): `assigned` is the
+    * [[ivfAssign]]-shaped relation (cell, vec_id, embedding, nrm); the
+    * output is canonical (doc_a < doc_b) pairs with cosine > `tau`.
+    *
+    * Scale shape: one `repartition(cell)` exchange REUSED by both join
+    * sides (ReuseExchange — the [[ivfTopK]] pattern), and the candidate
+    * side capped at `cellCap` rows per cell, mirroring [[lshTopK]]'s
+    * `bucketCap`: the √n codebook-growth rule bounds the EXPECTED
+    * within-cell quadratic term, but a hot cell — a mass of
+    * near-identical embeddings, which is precisely what a dedup corpus
+    * contains — would otherwise produce |cell|² candidate pairs before
+    * the τ filter. With the cap, pair volume is ≤ |cell|·cellCap.
+    *
+    * The cap is deterministic and content-independent: candidates are
+    * the first `cellCap` vectors per cell in md5(vec_id) order — a
+    * pseudo-random sample uncorrelated with the min-id keep rule
+    * downstream (plain vec_id order would bias candidates toward the
+    * very docs the keep rule preserves). Recall trade: a pair survives
+    * iff at least one endpoint is a candidate, so a hot cell keeps its
+    * dup mass connected through the capped hubs; only dup pairs BOTH
+    * outside the sample are missed — the same trade lshTopK makes.
+    * With cellCap ≥ the largest cell the cap is vacuous and the output
+    * equals the uncapped full pair set.
+    */
+  def cellPairs(assigned: DataFrame, tau: Double, cellCap: Int): DataFrame = {
+    require(cellCap >= 1, s"cellPairs: cellCap must be >= 1, got $cellCap")
+    FloatDot.register(assigned.sparkSession)
+    val cellPart = assigned.repartition(col("cell"))
+    // the cap window rides the SAME cell exchange (sort within
+    // partitions, no new shuffle)
+    val wCap = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val capped = cellPart.withColumn("__pos", row_number().over(wCap))
+      .where(col("__pos") <= cellCap).drop("__pos")
+    val a = cellPart.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("pe"), col("nrm").as("pn"))
+    val b = capped.select(col("cell"), col("vec_id").as("doc_b"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    a.join(b, Seq("cell"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+      .where(col("sim") > tau)
+      // canonicalize then dedup: probe×capped emits both directions when
+      // both endpoints are candidates (fresh names first — a same-name
+      // lateral alias would shadow the input columns)
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .select(col("lo").as("doc_a"), col("hi").as("doc_b"))
+      .distinct()
+  }
+
   /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes
     * each (see [[Vectors.signPlaneTables]]), `bucketCap` caps candidates
     * per (table, bucket). Vectors alone in their buckets get no row

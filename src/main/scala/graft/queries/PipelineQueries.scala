@@ -487,16 +487,28 @@ object PipelineQueries {
 
   val SEMDEDUP_TAU = 0.3
 
+  /** Per-cell candidate cap for the semantic-dedup pair join
+    * ([[Knn.cellPairs]]) — bounds a hot cell's pair volume to
+    * |cell|·cap instead of |cell|². Far above every fixture cell size
+    * (≤ ~300 vectors per cell at sf0.1), so the capped output equals
+    * the uncapped full pair set at every tested scale; at 100 TB it is
+    * the skew backstop, the same role [[LSH_BUCKET_CAP]] plays in the
+    * LSH tier.
+    */
+  val SEMDEDUP_CELL_CAP = 1024
+
   /** SEMANTIC dedup end-to-end — the embedding-space sibling of
     * [[xCurateFuzzy]]'s text pipeline, composed from verified parts in
     * ONE plan: train a codebook ([[Knn.kmeansTrain]], [[KMEANS_ROUNDS]]
     * convergence-checked Lloyd rounds), assign every vector to its home
     * cell, pair vectors WITHIN a cell above cosine [[SEMDEDUP_TAU]]
-    * (equi-join on the cell key — never the n² pair matrix; the
-    * SemDeDup-style shape where the codebook's k grows ~√n so cells
-    * stay bounded and the within-cell quadratic term is O(n) total),
-    * close the pairs transitively ([[Dedup.dupClusters]]), and keep one
-    * representative per cluster (the min-id label; kept = 1).
+    * ([[Knn.cellPairs]]: equi-join on the cell key with a
+    * [[SEMDEDUP_CELL_CAP]] per-cell candidate bound — never the n² pair
+    * matrix, even on a hot cell; the SemDeDup-style shape where the
+    * codebook's k grows ~√n so cells stay bounded and the within-cell
+    * quadratic term is O(n) total), close the pairs transitively
+    * ([[Dedup.dupClusters]]), and keep one representative per cluster
+    * (the min-id label; kept = 1).
     *
     * Scale shape: both pair sides reuse ONE cell exchange
     * (ReuseExchange, the [[Knn.ivfTopK]] pattern); cross-cell near-dups
@@ -508,16 +520,8 @@ object PipelineQueries {
     val seed = emb.where(col("vec_id") < KMEANS_K)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
-    val assigned = Knn.ivfAssign(emb, trained, DIM).repartition(col("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
-      col("embedding").as("pe"), col("nrm").as("pn"))
-    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
-      col("embedding").as("ce"), col("nrm").as("cn"))
-    val pairs = a.join(b, Seq("cell"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
-      .where(col("sim") > SEMDEDUP_TAU)
-      .select("doc_a", "doc_b")
+    val pairs = Knn.cellPairs(Knn.ivfAssign(emb, trained, DIM),
+      SEMDEDUP_TAU, SEMDEDUP_CELL_CAP)
     Dedup.dupClusters(emb.select(col("vec_id").as("doc_id")), pairs)
       .select(col("doc_id").as("vec_id"), col("cluster"),
         (col("doc_id") === col("cluster")).cast("bigint").as("kept"))
@@ -1466,13 +1470,15 @@ object PipelineQueries {
     * text near-dup, this one embedding near-dup): quality gate → the
     * gated docs' embeddings assigned to fixture-codebook cells
     * ([[Knn.ivfAssign]], centroids broadcast) → within-cell cosine >
-    * [[SEMDEDUP_TAU]] pairs over ONE reused cell exchange (the
-    * [[xSemdedup]] shape — never the pair matrix) → connected
-    * components → keep the cluster-minimum doc → deterministic 80%
-    * split → context-window chunking. What text shingles can't see —
-    * paraphrases, translations landing near each other in embedding
-    * space — this pass removes; at scale the codebook k grows ~√n so
-    * the within-cell quadratic term stays O(n) total.
+    * [[SEMDEDUP_TAU]] pairs over ONE reused cell exchange with the
+    * [[SEMDEDUP_CELL_CAP]] per-cell candidate bound ([[Knn.cellPairs]],
+    * the [[xSemdedup]] shape — never the pair matrix, even on a hot
+    * cell) → connected components → keep the cluster-minimum doc →
+    * deterministic 80% split → context-window chunking. What text
+    * shingles can't see — paraphrases, translations landing near each
+    * other in embedding space — this pass removes; at scale the
+    * codebook k grows ~√n so the within-cell quadratic term stays O(n)
+    * total.
     */
   def xCurateSemantic(s: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokens(col("text"))
@@ -1488,17 +1494,8 @@ object PipelineQueries {
       .transform(graft.operators.Scale.stage(_))
     val emb = Tables.embeddings(s, dir)
     val gated = emb.join(quality.select(col("doc_id").as("vec_id")), "vec_id")
-    val assigned = Knn.ivfAssign(gated, ivfCentroids(emb), DIM)
-      .repartition(col("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
-      col("embedding").as("pe"), col("nrm").as("pn"))
-    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
-      col("embedding").as("ce"), col("nrm").as("cn"))
-    val pairs = a.join(b, Seq("cell"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
-      .where(col("sim") > SEMDEDUP_TAU)
-      .select("doc_a", "doc_b")
+    val pairs = Knn.cellPairs(Knn.ivfAssign(gated, ivfCentroids(emb), DIM),
+      SEMDEDUP_TAU, SEMDEDUP_CELL_CAP)
     val clusters = Dedup.dupClusters(quality, pairs)
     val keep = quality
       .join(clusters.where(col("doc_id") === col("cluster")).select("doc_id"),

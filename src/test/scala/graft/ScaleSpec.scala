@@ -304,6 +304,43 @@ class ScaleSpec extends SparkSpec {
     assert(lsh.count() > 0)
   }
 
+  test("cellPairs caps a planted hot cell; vacuous cap equals the full pair set") {
+    import graft.operators.{Dedup, Knn}
+    import graft.functions.Vectors
+    // planted hot cell: 40 near-identical embeddings all landing in ONE
+    // cell — the mass-duplicate case that defeats the √n codebook rule
+    val n = 40
+    val vecs = (0 until n).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = vecs.select(lit(0L).as("cell"), col("vec_id"),
+      col("embedding"), Vectors.norm(col("embedding"), 4).as("nrm"))
+    val cap = 4
+    val capped = Knn.cellPairs(assigned, tau = 0.3, cellCap = cap)
+    val cappedPairs = capped.as[(Long, Long)].collect().toSet
+    // pair volume bounded: C(cap,2) within the sample + cap·(n−cap)
+    // sample↔rest — never the C(n,2) pair matrix
+    assert(cappedPairs.size == cap * (cap - 1) / 2 + cap * (n - cap),
+      s"expected bounded pair count, got ${cappedPairs.size}")
+    assert(cappedPairs.forall { case (a, b) => a < b }, "pairs must be canonical")
+    // hub connectivity: the capped hubs keep the whole dup mass ONE
+    // component — the recall trade loses only sample-external pairs,
+    // never the cluster
+    val labels = Dedup.dupClusters(vecs.select(col("vec_id").as("doc_id")),
+        capped.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect()
+    assert(labels.forall(_._2 == 0L), "hot cell must stay one cluster under the cap")
+    // cap ≥ cell size ⇒ the cap is vacuous: output == full pair matrix
+    val full = Knn.cellPairs(assigned, tau = 0.3, cellCap = n)
+      .as[(Long, Long)].collect().toSet
+    assert(full.size == n * (n - 1) / 2)
+    assert(cappedPairs.subsetOf(full))
+    // one cell exchange serves both join sides
+    val reuse = Knn.cellPairs(assigned, tau = 0.3, cellCap = cap)
+    reuse.collect()
+    assert(reuse.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "both pair sides must reuse the one cell exchange")
+  }
+
   test("simhash verifier is integer-only: bit_count/xor, no string HOF per pair") {
     val q = graft.queries.PipelineQueries.xSimhashPairs(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
