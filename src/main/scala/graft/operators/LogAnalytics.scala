@@ -90,7 +90,7 @@ object LogAnalytics {
   def percentiles(events: DataFrame, dim: Column, v: Column, ps: Seq[Double]): DataFrame = {
     // detRound4, not round(): cross-engine rounding convention (engine
     // round() semantics differ on edge doubles vs the DuckDB oracle)
-    val aggs = ps.map(p => graft.queries.ConnectorQueries
+    val aggs = ps.map(p => graft.functions.Det
       .detRound4(percentile(v, lit(p))).as(s"p${(p * 100).toInt}"))
     events.groupBy(dim.as("dim")).agg(aggs.head, aggs.tail: _*)
   }

@@ -12,17 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectorQueries {
 
-  /** Bit-deterministic 4-decimal rounding: pure IEEE double ops (mul, add,
-    * floor, div) evaluate identically in Spark and DuckDB, unlike each
-    * engine's `round`, which disagrees on exact halves (Spark rounds the
-    * shortest decimal representation, DuckDB the binary value).
+  /** Forwarders to [[graft.functions.Det]] (the shared home — the
+    * operators layer uses it too, and importing it from a queries
+    * object there would invert the queries→operators layering).
     */
   def detRound4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * 10000.0 + 0.5) / 10000.0
+    graft.functions.Det.detRound4(c)
 
   /** DuckDB twin of [[detRound4]]; splice into oracle SQL. */
   def detRound4Sql(e: String): String =
-    s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+    graft.functions.Det.detRound4Sql(e)
 
   /** R3 — tolerant JSON field extraction; corrupt/missing → NULL, dropped. */
   def eParse(s: SparkSession, dir: String): DataFrame =

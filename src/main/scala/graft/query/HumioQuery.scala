@@ -3,7 +3,7 @@ package graft.query
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window => SqlWindow}
 import org.apache.spark.sql.functions._
-import graft.queries.ConnectorQueries.detRound4
+import graft.functions.Det.detRound4
 
 /** A compact Humio/LogScale-style pipe-query compiler — the query surface
   * the reference connector feeds (cses2humio README.md:5-8 delegates all
@@ -850,6 +850,7 @@ object HumioQuery {
         val key = named("field")
         val pause = spanMs(named.getOrElse("maxpause", "30m"))
         if (df.isStreaming) {
+          requireWatermarked(df, "session")
           // streaming twin: the per-event session INDEX needs a total
           // per-key order, so streams get the session AGGREGATE instead
           // — session_window merges events closer than maxpause, the
@@ -975,6 +976,23 @@ object HumioQuery {
     out.toString
   }
 
+  /** Early, self-explanatory guard for streaming stateful verbs: the
+    * batch entry [[run]] is reachable with a streaming DataFrame (the
+    * stateless verb subset is legal there), but a stateful verb on an
+    * UNWATERMARKED stream would either fail at query start with Spark's
+    * generic UnsupportedOperationChecker message (append mode) or
+    * accumulate unbounded session/window state (update mode). Require
+    * the event-time watermark [[runStream]] stamps — Spark marks the
+    * watermarked column with `spark.watermarkDelayMs` metadata — so the
+    * failure happens at COMPILE time with the fix in the message.
+    */
+  private def requireWatermarked(df: DataFrame, verb: String): Unit =
+    if (df.isStreaming)
+      require(df.schema.fields.exists(_.metadata.contains("spark.watermarkDelayMs")),
+        s"$verb() on a stream needs an event-time watermark — compile the " +
+          "query through runStream() (which watermarks ts) or apply " +
+          "withWatermark before run()")
+
   /** `<n><s|m|h|d>` span literal → milliseconds (timechart/bucket/
     * session share it).
     */
@@ -994,6 +1012,7 @@ object HumioQuery {
     val span = spanMs(named.getOrElse("span", "1h"))
     val (aggCol, aggName) = aggregate(named.getOrElse("function", "count()"))
     if (df.isStreaming) {
+      requireWatermarked(df, if (bucketCol == "_bucket_ms") "timechart" else "bucket")
       // the watermark tracker can't see through the floor arithmetic;
       // the epoch-aligned tumbling window is the SAME bucket function,
       // and its start projects back to the batch twin's epoch-ms column

@@ -411,10 +411,10 @@ class DedupSpec extends SparkSpec {
     try {
       val reliable = Dedup.dupClusters(ids, pairs).as[(Long, Long)].collect().toMap
       assert(reliable == local, "checkpoint mode must not change CC labels")
-      // the rounds really went through durable storage, not executor blocks
-      val files = java.nio.file.Files.walk(ckptDir).iterator()
-      var nFiles = 0
-      while (files.hasNext) { if (files.next().toFile.isFile) nFiles += 1 }
+      // the rounds really went through durable storage, not executor
+      // blocks (Using closes the directory-handle stream walk() opens)
+      val nFiles = scala.util.Using.resource(java.nio.file.Files.walk(ckptDir))(
+        _.filter(p => p.toFile.isFile).count())
       assert(nFiles > 0, "reliable mode must write checkpoint files")
       // the iterative k-means trainer runs under the same knob
       val vecs = (0 until 40).map(i =>
@@ -429,8 +429,9 @@ class DedupSpec extends SparkSpec {
       spark.conf.set(Scale.ReliableCheckpointConf, "false")
       // recursive cleanup (deleteOnExit alone won't remove non-empty dirs)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
-        .foreach(p => p.toFile.delete())
+      scala.util.Using.resource(java.nio.file.Files.walk(ckptDir))(
+          _.iterator().asScala.toSeq)
+        .reverse.foreach(p => p.toFile.delete())
     }
   }
 

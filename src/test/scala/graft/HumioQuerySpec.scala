@@ -79,7 +79,15 @@ class HumioQuerySpec extends SparkSpec {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
-    val stream = mem.toDF().toDF("ts", "event_type")
+    // stateful streaming verbs require the event-time watermark run()
+    // can't stamp itself (runStream does); unwatermarked input fails
+    // early with the verb named
+    val bare = mem.toDF().toDF("ts", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.run(bare, "timechart(event_type, span=1h)")
+    }
+    assert(e.getMessage.contains("timechart() on a stream needs an event-time watermark"))
+    val stream = bare.withWatermark("ts", "10 minutes")
     // same compiler, streaming input: timechart becomes a streaming agg
     val out = HumioQuery.run(stream, "event_type != error | timechart(event_type, span=1h)")
     val q = out.writeStream.format("memory").queryName("dslstream")
@@ -248,7 +256,13 @@ class HumioQuerySpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
-    val sdf = mem.toDF().toDF("ts", "user_id")
+    val bare = mem.toDF().toDF("ts", "user_id")
+    // stateful session() on an unwatermarked stream fails early, named
+    val e1 = intercept[IllegalArgumentException] {
+      HumioQuery.run(bare, "session(field=user_id)")
+    }
+    assert(e1.getMessage.contains("session() on a stream needs an event-time watermark"))
+    val sdf = bare.withWatermark("ts", "10 minutes")
     // session() now has a streaming twin: the session_window AGGREGATE
     // shape instead of the batch per-event index (HumioStreamSpec)
     assert(HumioQuery.run(sdf, "session(field=user_id)").columns.toSeq ==
