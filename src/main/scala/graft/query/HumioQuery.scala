@@ -122,7 +122,17 @@ object HumioQuery {
     *    batch verb's per-event session INDEX needs a total order per
     *    key that an unbounded stream cannot give. Same session
     *    boundaries (a gap > maxpause closes the session);
-    *  - batch-only verbs with no streaming plan — tail/dedup/join/
+    *  - `dedup(f1, …)` compiles to `dropDuplicatesWithinWatermark` —
+    *    per-key state bounded by the watermark, append-safe. The batch
+    *    verb keeps the LATEST event per key over the finished table; the
+    *    streaming twin keeps the FIRST arrival within the watermark (the
+    *    at-least-once duplicate collapse, where redeliveries are
+    *    identical rows and both pick the same event). limit=n > 1 stays
+    *    batch-only;
+    *  - `match()`/`lookup()` against a STATIC dimension table compiles
+    *    unchanged — a stream-static broadcast equi-join is watermark-
+    *    safe (the dimension is bounded; no stream-side state);
+    *  - batch-only verbs with no streaming plan — tail/join({sub})/
     *    window/transpose/counterAsRate — reject streaming input with a
     *    per-verb message; sort/head/top compile and are governed by
     *    Spark's own output-mode rules (legal in complete mode after an
@@ -896,18 +906,33 @@ object HumioQuery {
         // (LogScale dedup keeps latest by @timestamp; event_id breaks
         // sub-timestamp ties when present). One window shuffle on the
         // key — the same shape as session()/l_dedup.
-        require(!df.isStreaming,
-          "dedup() is a batch stage — use dropDuplicates/watermark on streams")
         require(pos.nonEmpty, "dedup() needs at least one field")
         val n = named.get("limit").map(_.toInt).getOrElse(1)
         require(n >= 1, s"dedup() limit must be >= 1, got $n")
-        val order = col("ts").desc +:
-          (if (df.columns.contains("event_id")) Seq(col("event_id").desc) else Nil)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(pos.map(col): _*).orderBy(order: _*)
-        df.withColumn("__graft_dedup_rn", row_number().over(w))
-          .where(col("__graft_dedup_rn") <= n)
-          .drop("__graft_dedup_rn")
+        if (df.isStreaming) {
+          // streaming twin: dropDuplicatesWithinWatermark — state per
+          // key is bounded by the watermark, emission is append-safe.
+          // Semantics difference (documented honestly): the batch verb keeps the
+          // LATEST event per key over the finished table; an unbounded
+          // stream can't know "latest", so the streaming twin keeps the
+          // FIRST arrival per key within the watermark — the
+          // at-least-once duplicate collapse, where redeliveries are
+          // identical rows and first-vs-latest picks the same event.
+          requireWatermarked(df, "dedup")
+          require(n == 1,
+            "dedup() on a stream supports limit=1 only — limit=n needs " +
+              "per-key ranking over a finished table; run it as a batch " +
+              "pass over the drained output")
+          df.dropDuplicatesWithinWatermark(pos)
+        } else {
+          val order = col("ts").desc +:
+            (if (df.columns.contains("event_id")) Seq(col("event_id").desc) else Nil)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(pos.map(col): _*).orderBy(order: _*)
+          df.withColumn("__graft_dedup_rn", row_number().over(w))
+            .where(col("__graft_dedup_rn") <= n)
+            .drop("__graft_dedup_rn")
+        }
       case "match" | "lookup" =>
         // match(table, field=f[, column=c][, include=[c1, …]][, strict=false]):
         // enrich events against a DIMENSION table (LogScale's lookup-file

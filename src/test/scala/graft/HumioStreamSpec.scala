@@ -109,16 +109,82 @@ class HumioStreamSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double, String)]
     val st = toEvents(mem.toDF())
-    Seq("dedup(event_type)", "window(value)", "counterAsRate(event_id)",
+    Seq("window(value)", "counterAsRate(event_id)",
       "transpose(header=event_type)", "tail(3)").foreach { q =>
       val e = intercept[IllegalArgumentException] {
         HumioQuery.runStream(st, q)
       }
       assert(e.getMessage.contains("batch stage"), s"$q: ${e.getMessage}")
     }
+    // dedup() streams at limit=1 only: limit=n needs a finished table
+    val eDedup = intercept[IllegalArgumentException] {
+      HumioQuery.runStream(st, "dedup(event_type, limit=2)")
+    }
+    assert(eDedup.getMessage.contains("limit=1 only"))
     intercept[IllegalArgumentException] {
       HumioQuery.runStream(st.drop("ts"), "event_type = click")
     }
+  }
+
+  test("streaming dedup collapses at-least-once redelivery to effectively-once") {
+    val q = "dedup(event_id)"
+    val a = (1L, "click", 1.0, "2024-03-01 00:10:00")
+    val b = (2L, "view", 2.0, "2024-03-01 00:20:00")
+    val c = (3L, "click", 3.0, "2024-03-01 01:00:00")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_dedup")
+      .outputMode("append").start()
+    try {
+      // at-least-once delivery: a duplicated within a batch, b
+      // redelivered across batches (still inside the watermark window)
+      mem.addData(a, b, a); query.processAllAvailable()
+      mem.addData(b, c); query.processAllAvailable()
+      val streamed = spark.table("hq_dedup")
+        .select("event_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(streamed.size == 3, s"effectively-once violated: $streamed")
+      // agreement with the batch dedup() on the drained stream: the
+      // redeliveries are identical rows, so first-arrival (stream) and
+      // latest (batch) pick the same events
+      val batchTwin = HumioQuery.run(toEvents(Seq(a, b, a, b, c).toDF()), q)
+        .select("event_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(streamed.toSet == batchTwin.toSet)
+      assert(batchTwin.size == 3)
+    } finally query.stop()
+  }
+
+  test("stream-static lookup() broadcast-enriches and matches the batch twin") {
+    // the dimension is a bounded STATIC table: a stream-static broadcast
+    // equi-join keeps no stream-side state and is watermark-safe
+    val dim = Seq(("click", 10.0), ("view", 20.0)).toDF("etype", "weight")
+    val q = "lookup(dim, field=event_type, column=etype) | " +
+      "wv := value * weight | select(event_id, event_type, wv)"
+    val events = Seq(
+      (1L, "click", 1.0, "2024-03-01 00:10:00"),
+      (2L, "view", 2.0, "2024-03-01 00:20:00"),
+      (3L, "error", 9.0, "2024-03-01 00:30:00"),   // strict: dropped
+      (4L, "click", 4.0, "2024-03-01 01:00:00"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q,
+      watermark = "30 minutes", tables = Map("dim" -> dim))
+    val query = out.writeStream.format("memory").queryName("hq_lookup")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.take(2): _*); query.processAllAvailable()
+      mem.addData(events.drop(2): _*); query.processAllAvailable()
+      val streamed = spark.table("hq_lookup")
+        .as[(Long, String, Double)].collect().toSet
+      val batchTwin = HumioQuery.run(toEvents(events.toDF()), q,
+          tables = Map("dim" -> dim))
+        .as[(Long, String, Double)].collect().toSet
+      assert(streamed == batchTwin)
+      assert(streamed == Set((1L, "click", 10.0), (2L, "view", 40.0),
+        (4L, "click", 40.0)))
+    } finally query.stop()
   }
 
   test("connector wire -> parse -> DSL timechart: one streaming plan end to end") {
