@@ -95,6 +95,26 @@ object LogAnalytics {
     events.groupBy(dim.as("dim")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Approximate percentiles per dimension — the 100 TB twin of
+    * [[percentiles]]. The exact `percentile` aggregate's merge buffer
+    * holds EVERY distinct value of the group; with continuous doubles
+    * and few groups that is ~corpus-sized on one reducer at scale.
+    * `percentile_approx` instead keeps a FIXED-SIZE mergeable quantile
+    * summary (Greenwald–Khanna) per group: partials are sketch-sized,
+    * combine map-side, and merge associatively on the reducer — the
+    * same partial-aggregate shape that makes approx_count_distinct the
+    * scale plan for [[distinctUsers]]. Error is bounded by 1/accuracy
+    * relative rank. Approximate by design → no cross-engine hash
+    * oracle; callers declare it rows-only (the q_approx precedent).
+    */
+  def percentilesApprox(events: DataFrame, dim: Column, v: Column,
+                        ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map(p => graft.functions.Det
+      .detRound4(percentile_approx(v, lit(p), lit(accuracy)))
+      .as(s"p${(p * 100).toInt}"))
+    events.groupBy(dim.as("dim")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Keep-first dedup: first event per key set by (ts, tiebreak) order —
     * the deterministic batch twin of streaming
     * `dropDuplicatesWithinWatermark`. Single window shuffle on the keys.

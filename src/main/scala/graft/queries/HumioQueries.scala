@@ -117,6 +117,16 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "event_type = click | percentile(value, percentiles=[50, 90, 99])")
 
+  /** percentile(approx=true): the mergeable-sketch twin of [[hqPctile]]
+    * — fixed-size Greenwald–Khanna partials instead of the exact
+    * aggregate's every-distinct-value merge buffer, the form that
+    * replaces it at 100 TB. Approximate by design → rows-only
+    * correctness entry (the q_approx precedent).
+    */
+  def hqPctileApprox(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "event_type = click | percentile(value, percentiles=[50, 90, 99], approx=true)")
+
   /** bucket(): timechart's generic sibling, named _bucket. */
   def hqBucket(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -330,6 +340,7 @@ object HumioQueries {
     "hq_default"   -> hqDefault _,
     "hq_stats"     -> hqStats _,
     "hq_pctile"    -> hqPctile _,
+    "hq_pctile_approx" -> hqPctileApprox _,
     "hq_bucket"    -> hqBucket _,
     "hq_sortlimit" -> hqSortlimit _,
     "hq_tail"      -> hqTail _,

@@ -49,6 +49,19 @@ object LogQueries {
       .withColumnRenamed("dim", "event_type")
       .orderBy("event_type")
 
+  /** Approximate-percentile twin of [[lPercentile]]
+    * ([[LogAnalytics.percentilesApprox]]): the mergeable-sketch plan
+    * that replaces the exact aggregate at 100 TB (fixed-size
+    * Greenwald–Khanna partials vs every-distinct-value merge buffers on
+    * one reducer). Approximate by design → rows-only correctness entry
+    * (the q_approx precedent); the exact twin stays hash-verified.
+    */
+  def lPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.percentilesApprox(Tables.events(s, dir), col("event_type"),
+        col("value"), Seq(0.5, 0.9, 0.99))
+      .withColumnRenamed("dim", "event_type")
+      .orderBy("event_type")
+
   def lDedup(s: SparkSession, dir: String): DataFrame =
     LogAnalytics.dedupKeepFirst(Tables.events(s, dir),
         Seq(col("user_id"), col("event_type")),
@@ -125,6 +138,7 @@ object LogQueries {
     "l_topk"       -> lTopk _,
     "l_distinct"   -> lDistinct _,
     "l_percentile" -> lPercentile _,
+    "l_percentile_approx" -> lPercentileApprox _,
     "l_dedup"      -> lDedup _,
     "l_late"       -> lLate _)
 

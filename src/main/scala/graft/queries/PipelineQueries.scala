@@ -1289,10 +1289,15 @@ object PipelineQueries {
     * rounding convention is what keeps boundary docs on the same side.
     *
     * The exact percentile buffers every score in one aggregation state
-    * (fine for the oracle contract here); at 100 TB swap it for
-    * `percentile_approx` — sketch-mergeable, map-side partial — like
-    * [[graft.operators.LogAnalytics.percentiles]] documents. The rest
-    * of the plan is unchanged by that swap.
+    * — bounded HERE because detRound4 pre-rounding caps the distinct
+    * values the buffer can hold, and fine for the oracle contract; at
+    * 100 TB swap the threshold aggregate for `percentile_approx` — the
+    * fixed-size mergeable Greenwald–Khanna sketch whose partials
+    * combine map-side, declared as the
+    * [[graft.operators.LogAnalytics.percentilesApprox]] /
+    * l_percentile_approx twin. The rest of the plan (broadcast
+    * thresholds, map-side bucket comparisons) is unchanged by that
+    * swap.
     */
   def xLpBuckets(s: SparkSession, dir: String): DataFrame = {
     // the threshold branch and the bucket assignment both consume the

@@ -837,9 +837,13 @@ object HumioQuery {
         }
         df.agg(agg.as(named.getOrElse("as", s"_$name")))
       case "percentile" =>
-        // percentile(field, percentiles=[50, 90, 99]) → one row of _50 /
-        // _90 / _99 columns. Exact interpolated percentile, 4-decimal
-        // stabilized for cross-engine determinism.
+        // percentile(field, percentiles=[50, 90, 99][, approx=true]) →
+        // one row of _50 / _90 / _99 columns. Exact interpolated
+        // percentile by default, 4-decimal stabilized for cross-engine
+        // determinism; approx=true swaps in percentile_approx — the
+        // fixed-size mergeable-sketch aggregate (Greenwald–Khanna) that
+        // replaces the every-distinct-value exact merge buffer at scale
+        // (approximate by design, so callers verify rows-only).
         val f = col(pos.head)
         val ps = listArg(named.getOrElse("percentiles", "[50, 90, 99]"))
           .map(_.toDouble)
@@ -847,7 +851,10 @@ object HumioQuery {
         // resolves `_99`.`9`), so fractional percentiles name with '_'
         def nm(p: Double) =
           "_" + (if (p == p.floor) p.toInt.toString else p.toString.replace('.', '_'))
-        val aggs = ps.map(p => detRound4(percentile(f, lit(p / 100.0))).as(nm(p)))
+        val approx = named.get("approx").contains("true")
+        val aggs = ps.map(p => detRound4(
+          if (approx) percentile_approx(f, lit(p / 100.0), lit(10000))
+          else percentile(f, lit(p / 100.0))).as(nm(p)))
         df.agg(aggs.head, aggs.tail: _*)
       case "session" =>
         // session(field=k[, maxpause=30m]): gaps-and-islands session

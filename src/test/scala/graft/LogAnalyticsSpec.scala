@@ -44,6 +44,25 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("percentilesApprox tracks the exact percentiles within sketch error") {
+    // 1..1001 per dim: exact quantiles are data points, and at
+    // accuracy=10000 the GK sketch holds every rank exactly on this
+    // cardinality — approx == exact here; the operators differ only in
+    // merge-state size (sketch vs every-distinct-value)
+    val df = (1 to 1001).flatMap(i => Seq(("a", i.toDouble), ("b", i * 2.0)))
+      .toDF("dim", "v")
+    val approx = LogAnalytics.percentilesApprox(df, col("dim"), col("v"),
+        Seq(0.5, 0.9, 0.99))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(approx("a") == ((501.0, 901.0, 991.0)), s"got ${approx("a")}")
+    assert(approx("b") == ((1002.0, 1802.0, 1982.0)), s"got ${approx("b")}")
+    // monotone across the requested percentiles by construction
+    approx.values.foreach { case (p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("topK orders by count desc then key") {
     val df = Seq("a", "a", "b", "b", "c").toDF("k")
     val top = LogAnalytics.topK(df, col("k"), 2).as[(String, Long)].collect().toSeq
