@@ -1351,6 +1351,49 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal AS-OF alignment — the audio/video-to-event sync every
+    * multimodal training pipeline needs: each sampled frame
+    * ([[xFrames]]' relation) is aligned to the nearest PRECEDING event
+    * of its doc's stream (doc → stream by doc_id mod; frame event-time
+    * = corpus start + 1 h per frame index — the fixture has no real
+    * media clock, so the mapping is synthetic but the dataflow is the
+    * real thing). Same union+window as-of shape as q_asof
+    * ([[Relational.asofJoin]]): one exchange on the stream key, a
+    * running last-non-null — NO cartesian, no per-frame probe join.
+    * Frames before their stream's first event keep a NULL value (left
+    * as-of). The event side is pre-deduped per (stream, ts) with
+    * max_by(event_id) so both engines see a unique as-of candidate at
+    * every timestamp; the left tie sorts AFTER every event tie so an
+    * exactly-equal timestamp is included (ASOF >= semantics).
+    * Oracle: DuckDB's native ASOF LEFT JOIN over the replayed frame
+    * arithmetic.
+    */
+  def xFramesAsof(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Multimodal, Relational}
+    val frames = Multimodal.frameSample(
+        Multimodal.packetize(Tables.documents(s, dir), "video/fake"),
+        frameBytes = 64, stride = 2)
+      .select(col("doc_id"), col("frame_idx"))
+    val ev = Tables.events(s, dir)
+    val t0 = ev.agg(min(unix_micros(col("ts"))).as("t0"))
+    val fr = frames.crossJoin(broadcast(t0))
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        (col("doc_id") % 50).as("u"),
+        (col("t0") + col("frame_idx") * 3600000000L).as("fts"))
+    val evd = ev.where(col("user_id") < 50)
+      .groupBy(col("user_id").as("u"), unix_micros(col("ts")).as("ets"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    Relational.asofJoin(
+        left = fr, right = evd, key = "u",
+        leftTs = col("fts"), rightTs = col("ets"),
+        leftTie = lit(Long.MaxValue), rightTie = lit(0L),
+        leftCols = Seq("doc_id", "frame_idx"), payload = col("v"),
+        strict = false)
+      .select(col("doc_id"), col("frame_idx"),
+        detRound4(col("asof_value")).as("last_event_value"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def xBinary(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -1728,6 +1771,7 @@ object PipelineQueries {
     "x_vocab_coverage" -> xVocabCoverage _,
     "x_multimodal"  -> xMultimodal _,
     "x_frames"      -> xFrames _,
+    "x_frames_asof" -> xFramesAsof _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -2975,6 +3019,23 @@ object PipelineQueries {
         |            THEN 64 * ((chunks + 1) // 2 - 1) + (bl - 64 * (chunks - 1))
         |            ELSE 64 * ((chunks + 1) // 2) END AS BIGINT) AS sampled_bytes
         |FROM c WHERE chunks > 0 ORDER BY doc_id""".stripMargin,
+    "x_frames_asof" ->
+      s"""WITH t0 AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events),
+        |d AS (SELECT doc_id,
+        |        CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS chunks
+        |      FROM documents),
+        |idx AS (SELECT doc_id, CAST(unnest(range(0, chunks)) AS BIGINT) AS frame_idx
+        |        FROM d),
+        |f AS (SELECT doc_id, frame_idx, doc_id % 50 AS u,
+        |        t0.t0 + frame_idx * 3600000000 AS fts
+        |      FROM idx, t0 WHERE frame_idx % 2 = 0),
+        |e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS ets,
+        |        arg_max(value, event_id) AS v
+        |      FROM events WHERE user_id < 50 GROUP BY 1, 2)
+        |SELECT f.doc_id, f.frame_idx,
+        |       ${detRound4Sql("e.v")} AS last_event_value
+        |FROM f ASOF LEFT JOIN e ON f.u = e.u AND f.fts >= e.ets
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "x_binary" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
