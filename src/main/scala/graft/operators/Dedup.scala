@@ -43,20 +43,28 @@ object Dedup {
     *  - join (`true`): `distinct(gram, doc_id)` partial-aggregates
     *    map-side AND spreads a hot gram across doc_id hash partitions,
     *    `groupBy(gram).count` partial-aggregates again, and the flag
-    *    rejoins on gram — a shuffle join AQE skew-split handles. One
-    *    extra shuffle vs the window form (measured slower at sf0.1,
-    *    which is why it is opt-in), but no single-task ceiling: the
-    *    100 TB mode for Zipfian corpora.
+    *    rejoins on gram — a shuffle join AQE skew-split handles. The
+    *    input is staged ([[Scale.stage]]) because BOTH the dup-gram
+    *    aggregate and the rejoin probe it and their shuffles key
+    *    differently (no exchange reuse possible): without staging the
+    *    corpus tokenize+shingle explode would run twice. Net cost vs
+    *    the window form: one materialization plus one extra shuffle
+    *    (measured slower at sf0.1, which is why it is opt-in), but no
+    *    single-task ceiling: the 100 TB mode for Zipfian corpora.
+    *
+    * Both modes return the same (doc_id, pos, gram, dup) column order —
+    * callers may bind positionally.
     */
   def gramDupFlag(pos: DataFrame): DataFrame =
     if (pos.sparkSession.conf.get(GramJoinModeConf, "false").toBoolean) {
-      val dupGrams = pos.select("gram", "doc_id").distinct()
+      val staged = Scale.stage(pos)
+      val dupGrams = staged.select("gram", "doc_id").distinct()
         .groupBy("gram").agg(count(lit(1)).as("__nd"))
         .where(col("__nd") >= 2)
         .select(col("gram"), lit(1).as("__dup"))
-      pos.join(dupGrams, Seq("gram"), "left")
+      staged.join(dupGrams, Seq("gram"), "left")
         .withColumn("dup", coalesce(col("__dup"), lit(0)))
-        .drop("__dup")
+        .select("doc_id", "pos", "gram", "dup")
     } else {
       val wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
       val wgAll = Window.partitionBy("gram")

@@ -265,26 +265,33 @@ object Knn {
     FloatDot.register(assigned.sparkSession)
     val cellPart = assigned.repartition(col("cell"))
     // the cap window rides the SAME cell exchange (sort within
-    // partitions, no new shuffle)
+    // partitions, no new shuffle); the candidate FLAG stays on the probe
+    // side too, so the pre-sim filter below emits each qualifying pair
+    // exactly once — no post-sim dedup shuffle, and when the cap is
+    // vacuous the filter degenerates to doc_a < doc_b: exactly half the
+    // cross product pays a dot product, same as the uncapped form
     val wCap = Window.partitionBy("cell")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    val capped = cellPart.withColumn("__pos", row_number().over(wCap))
-      .where(col("__pos") <= cellCap).drop("__pos")
-    val a = cellPart.select(col("cell"), col("vec_id").as("doc_a"),
-      col("embedding").as("pe"), col("nrm").as("pn"))
-    val b = capped.select(col("cell"), col("vec_id").as("doc_b"),
-      col("embedding").as("ce"), col("nrm").as("cn"))
+    val flagged = cellPart.withColumn("__pos", row_number().over(wCap))
+      .withColumn("__cand", col("__pos") <= cellCap).drop("__pos")
+    val a = flagged.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("pe"), col("nrm").as("pn"), col("__cand"))
+    val b = flagged.where(col("__cand"))
+      .select(col("cell"), col("vec_id").as("doc_b"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
     a.join(b, Seq("cell"))
-      .where(col("doc_a") =!= col("doc_b"))
+      // each unordered pair once, BEFORE the dot product: candidate
+      // pairs in a<b orientation only; a non-candidate probe pairs with
+      // every candidate (its only orientation)
+      .where(col("doc_a") < col("doc_b") || !col("__cand"))
       .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
       .where(col("sim") > tau)
-      // canonicalize then dedup: probe×capped emits both directions when
-      // both endpoints are candidates (fresh names first — a same-name
-      // lateral alias would shadow the input columns)
+      // canonicalize (a non-candidate probe may sit on either side;
+      // fresh names first — a same-name lateral alias would shadow the
+      // input columns)
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .select(col("lo").as("doc_a"), col("hi").as("doc_b"))
-      .distinct()
   }
 
   /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes

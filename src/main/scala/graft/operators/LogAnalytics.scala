@@ -82,18 +82,31 @@ object LogAnalytics {
       .agg(count_distinct(user).as("n_exact"),
            approx_count_distinct(user).as("n_approx"))
 
+  /** Sketch resolution shared by every approximate-percentile surface
+    * (this operator and the DSL's percentile(approx=true)): relative
+    * rank error ≤ 1/accuracy. One policy constant so the two can't
+    * drift apart.
+    */
+  val ApproxPercentileAccuracy = 10000
+
+  // the one grouped-percentile shape both twins share: detRound4 (not
+  // round(): cross-engine rounding convention — engine round() semantics
+  // differ on edge doubles vs the DuckDB oracle), p*100 column names,
+  // one hash aggregate per dim
+  private def pctByDim(events: DataFrame, dim: Column, ps: Seq[Double],
+                       agg: Double => Column): DataFrame = {
+    val aggs = ps.map(p => graft.functions.Det
+      .detRound4(agg(p)).as(s"p${(p * 100).toInt}"))
+    events.groupBy(dim.as("dim")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact interpolated percentiles of `v` per dimension (DuckDB
     * `quantile_cont` twin). Exact percentile holds all values per group —
     * fine for bounded dims; at 100 TB with high-cardinality groups switch
-    * to `percentile_approx`.
+    * to `percentile_approx` ([[percentilesApprox]]).
     */
-  def percentiles(events: DataFrame, dim: Column, v: Column, ps: Seq[Double]): DataFrame = {
-    // detRound4, not round(): cross-engine rounding convention (engine
-    // round() semantics differ on edge doubles vs the DuckDB oracle)
-    val aggs = ps.map(p => graft.functions.Det
-      .detRound4(percentile(v, lit(p))).as(s"p${(p * 100).toInt}"))
-    events.groupBy(dim.as("dim")).agg(aggs.head, aggs.tail: _*)
-  }
+  def percentiles(events: DataFrame, dim: Column, v: Column, ps: Seq[Double]): DataFrame =
+    pctByDim(events, dim, ps, p => percentile(v, lit(p)))
 
   /** Approximate percentiles per dimension — the 100 TB twin of
     * [[percentiles]]. The exact `percentile` aggregate's merge buffer
@@ -108,12 +121,9 @@ object LogAnalytics {
     * oracle; callers declare it rows-only (the q_approx precedent).
     */
   def percentilesApprox(events: DataFrame, dim: Column, v: Column,
-                        ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
-    val aggs = ps.map(p => graft.functions.Det
-      .detRound4(percentile_approx(v, lit(p), lit(accuracy)))
-      .as(s"p${(p * 100).toInt}"))
-    events.groupBy(dim.as("dim")).agg(aggs.head, aggs.tail: _*)
-  }
+                        ps: Seq[Double],
+                        accuracy: Int = ApproxPercentileAccuracy): DataFrame =
+    pctByDim(events, dim, ps, p => percentile_approx(v, lit(p), lit(accuracy)))
 
   /** Keep-first dedup: first event per key set by (ts, tiebreak) order —
     * the deterministic batch twin of streaming

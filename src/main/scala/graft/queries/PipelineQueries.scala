@@ -494,8 +494,17 @@ object PipelineQueries {
     * the uncapped full pair set at every tested scale; at 100 TB it is
     * the skew backstop, the same role [[LSH_BUCKET_CAP]] plays in the
     * LSH tier.
+    *
+    * CONTRACT WITH THE ORACLE: the DuckDB twins of x_semdedup /
+    * x_curate_semantic replay the UNCAPPED full pair set, so the
+    * default must stay above the largest fixture cell or the hash
+    * compare diverges. A bigger fixture (or a shifted embedding
+    * distribution) lifts it via the session conf rather than a code
+    * edit — the [[graft.operators.Dedup.GramJoinModeConf]] discipline.
     */
-  val SEMDEDUP_CELL_CAP = 1024
+  val SemdedupCellCapConf = "spark.graft.semdedup.cellCap"
+  def semdedupCellCap(s: SparkSession): Int =
+    s.conf.get(SemdedupCellCapConf, "1024").toInt
 
   /** SEMANTIC dedup end-to-end — the embedding-space sibling of
     * [[xCurateFuzzy]]'s text pipeline, composed from verified parts in
@@ -503,7 +512,7 @@ object PipelineQueries {
     * convergence-checked Lloyd rounds), assign every vector to its home
     * cell, pair vectors WITHIN a cell above cosine [[SEMDEDUP_TAU]]
     * ([[Knn.cellPairs]]: equi-join on the cell key with a
-    * [[SEMDEDUP_CELL_CAP]] per-cell candidate bound — never the n² pair
+    * [[semdedupCellCap]] per-cell candidate bound — never the n² pair
     * matrix, even on a hot cell; the SemDeDup-style shape where the
     * codebook's k grows ~√n so cells stay bounded and the within-cell
     * quadratic term is O(n) total), close the pairs transitively
@@ -521,7 +530,7 @@ object PipelineQueries {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
     val pairs = Knn.cellPairs(Knn.ivfAssign(emb, trained, DIM),
-      SEMDEDUP_TAU, SEMDEDUP_CELL_CAP)
+      SEMDEDUP_TAU, semdedupCellCap(s))
     Dedup.dupClusters(emb.select(col("vec_id").as("doc_id")), pairs)
       .select(col("doc_id").as("vec_id"), col("cluster"),
         (col("doc_id") === col("cluster")).cast("bigint").as("kept"))
@@ -1519,7 +1528,7 @@ object PipelineQueries {
     * gated docs' embeddings assigned to fixture-codebook cells
     * ([[Knn.ivfAssign]], centroids broadcast) → within-cell cosine >
     * [[SEMDEDUP_TAU]] pairs over ONE reused cell exchange with the
-    * [[SEMDEDUP_CELL_CAP]] per-cell candidate bound ([[Knn.cellPairs]],
+    * [[semdedupCellCap]] per-cell candidate bound ([[Knn.cellPairs]],
     * the [[xSemdedup]] shape — never the pair matrix, even on a hot
     * cell) → connected components → keep the cluster-minimum doc →
     * deterministic 80% split → context-window chunking. What text
@@ -1543,7 +1552,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
     val gated = emb.join(quality.select(col("doc_id").as("vec_id")), "vec_id")
     val pairs = Knn.cellPairs(Knn.ivfAssign(gated, ivfCentroids(emb), DIM),
-      SEMDEDUP_TAU, SEMDEDUP_CELL_CAP)
+      SEMDEDUP_TAU, semdedupCellCap(s))
     val clusters = Dedup.dupClusters(quality, pairs)
     val keep = quality
       .join(clusters.where(col("doc_id") === col("cluster")).select("doc_id"),

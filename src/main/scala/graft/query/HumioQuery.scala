@@ -140,7 +140,11 @@ object HumioQuery {
     *
     * Events later than `watermark` behind the max seen `ts` are dropped
     * by the state store — the standard bounded-state trade; the batch
-    * twin on the same (non-late) data produces identical rows.
+    * twin on the same (non-late) data produces identical rows, EXCEPT
+    * dedup(): the streaming twin keeps the first arrival per key where
+    * the batch verb keeps the latest, so the two agree only when a
+    * key's rows are identical redeliveries (the at-least-once case it
+    * exists for).
     */
   def runStream(stream: DataFrame, query: String,
                 watermark: String = "10 minutes",
@@ -853,7 +857,8 @@ object HumioQuery {
           "_" + (if (p == p.floor) p.toInt.toString else p.toString.replace('.', '_'))
         val approx = named.get("approx").contains("true")
         val aggs = ps.map(p => detRound4(
-          if (approx) percentile_approx(f, lit(p / 100.0), lit(10000))
+          if (approx) percentile_approx(f, lit(p / 100.0),
+            lit(graft.operators.LogAnalytics.ApproxPercentileAccuracy))
           else percentile(f, lit(p / 100.0))).as(nm(p)))
         df.agg(aggs.head, aggs.tail: _*)
       case "session" =>
