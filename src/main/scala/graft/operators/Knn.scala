@@ -294,6 +294,59 @@ object Knn {
       .select(col("lo").as("doc_a"), col("hi").as("doc_b"))
   }
 
+  /** [[cellPairs]] with the IVF recall lever (nprobe): each vector
+    * PROBES its `nprobe` nearest cells while candidates stay indexed
+    * under their single home cell — [[ivfTopKProbes]]' shape applied to
+    * dedup pair generation. Cross-cell near-dups that a codebook
+    * boundary splits (the single-cell form's documented recall trade)
+    * are recovered when either endpoint probes the other's home; pair
+    * volume grows LINEARLY in nprobe, never quadratically.
+    *
+    * Scale shape: one scored broadcast assignment routed through ONE
+    * cell exchange reused by both sides; the home side capped per cell
+    * at `cellCap` in deterministic md5(vec_id) order (the [[cellPairs]]
+    * hot-cell backstop). Pairs are canonicalized and dedup'd — with
+    * nprobe > 1 both orientations can surface (a probing b's home AND b
+    * probing a's), so the narrow ids-only distinct is inherent to the
+    * probed shape.
+    */
+  def cellPairsProbed(vectors: DataFrame, centroids: DataFrame, dim: Int,
+                      tau: Double, nprobe: Int, cellCap: Int): DataFrame = {
+    require(nprobe >= 1 && cellCap >= 1,
+      s"cellPairsProbed: nprobe=$nprobe and cellCap=$cellCap must be >= 1")
+    FloatDot.register(vectors.sparkSession)
+    val c = centroids.select(col("cent_id"), col("cvec"),
+      Vectors.norm(col("cvec"), dim).as("cnrm"))
+    val wc = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val scored = vectors.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding"), dim).as("nrm"))
+      .join(broadcast(c))
+      .withColumn("csim",
+        expr("try_divide(graft_dot(embedding, cvec), nrm * cnrm)"))
+      .withColumn("rk", row_number().over(wc))
+      .where(col("rk") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("cell"), col("rk"))
+      .repartition(col("cell"))
+    val wCap = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val homes = scored.where(col("rk") === 1)
+      .withColumn("__pos", row_number().over(wCap))
+      .where(col("__pos") <= cellCap)
+      .select(col("cell"), col("vec_id").as("doc_b"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val probes = scored.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("pe"), col("nrm").as("pn"))
+    probes.join(homes, Seq("cell"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+      .where(col("sim") > tau)
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .select(col("lo").as("doc_a"), col("hi").as("doc_b"))
+      .distinct()
+  }
+
   /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes
     * each (see [[Vectors.signPlaneTables]]), `bucketCap` caps candidates
     * per (table, bucket). Vectors alone in their buckets get no row

@@ -486,6 +486,10 @@ object PipelineQueries {
   }
 
   val SEMDEDUP_TAU = 0.3
+  /** Tighter τ for the nprobe-probed dedup variant — see
+    * [[xSemdedupProbe]]'s scaladoc for why the probed candidate set
+    * needs a sparser pair graph than [[SEMDEDUP_TAU]] yields. */
+  val SEMDEDUP_PROBE_TAU = 0.4
 
   /** Per-cell candidate cap for the semantic-dedup pair join
     * ([[Knn.cellPairs]]) — bounds a hot cell's pair volume to
@@ -531,6 +535,40 @@ object PipelineQueries {
     val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
     val pairs = Knn.cellPairs(Knn.ivfAssign(emb, trained, DIM),
       SEMDEDUP_TAU, semdedupCellCap(s))
+    Dedup.dupClusters(emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).cast("bigint").as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** [[xSemdedup]] with the nprobe recall lever — the cross-cell answer
+    * to cell-partitioned dedup's one structural miss: a near-dup pair
+    * split across a codebook boundary. Each vector probes its
+    * [[IVF_NPROBE]] nearest trained cells while candidates stay under
+    * their home cell ([[Knn.cellPairsProbed]]); recall rises linearly
+    * in nprobe (never quadratically), the same lever the IVF search
+    * tier uses. Clusters can only COARSEN vs the single-cell pass
+    * (every home-cell pair is also a probed pair), so keep-counts are
+    * ≤ [[xSemdedup]]'s at equal τ — the recall/cost dial a real
+    * curation run tunes. Oracle: the probed pair set replayed in SQL,
+    * same recursive-CTE closure.
+    *
+    * τ is [[SEMDEDUP_PROBE_TAU]], tighter than [[xSemdedup]]'s 0.3: the
+    * fixture's sim distribution is pure noise tail (no sim > 0.5 pair
+    * exists), and at 0.3 the DOUBLED probed candidate set pushes the
+    * pair graph past percolation — one giant component whose transitive
+    * closure the SQL oracle then pays for quadratically (measured: ~8
+    * minutes at sf0.01 vs seconds sparse). 0.4 keeps ~59 true-tail
+    * pairs over 500 vectors: non-vacuous, near-dup-sized components,
+    * bounded closure — the regime semantic dedup actually targets.
+    */
+  def xSemdedupProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val seed = emb.where(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
+    val pairs = Knn.cellPairsProbed(emb, trained, DIM,
+      SEMDEDUP_PROBE_TAU, IVF_NPROBE, semdedupCellCap(s))
     Dedup.dupClusters(emb.select(col("vec_id").as("doc_id")), pairs)
       .select(col("doc_id").as("vec_id"), col("cluster"),
         (col("doc_id") === col("cluster")).cast("bigint").as("kept"))
@@ -1360,6 +1398,24 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Byte-histogram features over the opaque multimodal payload —
+    * [[graft.operators.Multimodal.byteFeatures]] as a declared query:
+    * each doc's bytes bucketed into 16 fixed-width bins, one (doc, bin,
+    * count) row per occupied bin — the stand-in for pixel/spectral
+    * feature extraction, exercising the Dataset flatMap → hash-agg
+    * plumbing a real featurizer rides. Per-row explode then one
+    * map-side-combining aggregate; the oracle replays the binning
+    * byte-for-byte (the fixture is pure ASCII, so DuckDB's code-point
+    * ord() IS the byte value).
+    */
+  def xByteFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.byteFeatures(
+        Multimodal.packetize(Tables.documents(s, dir), "image/fake"), bins = 16)
+      .select(col("doc_id"), col("bin").cast("bigint").as("bin"), col("n"))
+      .orderBy("doc_id", "bin")
+  }
+
   /** Multimodal AS-OF alignment — the audio/video-to-event sync every
     * multimodal training pipeline needs: each sampled frame
     * ([[xFrames]]' relation) is aligned to the nearest PRECEDING event
@@ -1781,6 +1837,8 @@ object PipelineQueries {
     "x_multimodal"  -> xMultimodal _,
     "x_frames"      -> xFrames _,
     "x_frames_asof" -> xFramesAsof _,
+    "x_byte_features" -> xByteFeatures _,
+    "x_semdedup_probe" -> xSemdedupProbe _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -3028,6 +3086,46 @@ object PipelineQueries {
         |            THEN 64 * ((chunks + 1) // 2 - 1) + (bl - 64 * (chunks - 1))
         |            ELSE 64 * ((chunks + 1) // 2) END AS BIGINT) AS sampled_bytes
         |FROM c WHERE chunks > 0 ORDER BY doc_id""".stripMargin,
+    "x_semdedup_probe" ->
+      s"""WITH RECURSIVE cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < $KMEANS_K),
+        |${refineSql("cent0", "k1", 1)},
+        |${refineSql("k1", "k2", 2)},
+        |${refineSql("k2", "k3", 3)},
+        |${scoredSql("k3", "sp")},
+        |probes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk <= $IVF_NPROBE),
+        |homes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk = 1),
+        |cand AS (SELECT DISTINCT least(p.vec_id, h.vec_id) AS doc_a,
+        |                greatest(p.vec_id, h.vec_id) AS doc_b
+        |  FROM probes p JOIN homes h USING (cell)
+        |  WHERE p.vec_id <> h.vec_id
+        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
+        |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |        UNION SELECT doc_b, doc_a FROM cand),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |minr AS (SELECT a AS vec_id, least(a, min(b)) AS cluster
+        |         FROM reach GROUP BY a)
+        |SELECT e.vec_id,
+        |       CAST(coalesce(m.cluster, e.vec_id) AS BIGINT) AS cluster,
+        |       CAST(CASE WHEN coalesce(m.cluster, e.vec_id) = e.vec_id
+        |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM embeddings e LEFT JOIN minr m USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+    "x_byte_features" ->
+      """WITH i AS (SELECT doc_id, text,
+        |        CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS p
+        |      FROM documents),
+        |b AS (SELECT doc_id,
+        |        (ord(substr(text, CAST(p AS INT), 1)) * 16) // 256 AS bin
+        |      FROM i)
+        |SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin,
     "x_frames_asof" ->
       s"""WITH t0 AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events),
         |d AS (SELECT doc_id,

@@ -132,8 +132,15 @@ object HumioQuery {
     *  - `match()`/`lookup()` against a STATIC dimension table compiles
     *    unchanged — a stream-static broadcast equi-join is watermark-
     *    safe (the dimension is bounded; no stream-side state);
+    *  - `counterAsRate(field, by=k)` compiles to per-series
+    *    `flatMapGroupsWithState` ([[graft.operators.StatefulRate]]) —
+    *    the lag window's state made explicit: (last ts, last value) per
+    *    series. Identical rates to the batch verb when each series
+    *    arrives in event-time order across micro-batches; an
+    *    out-of-order row gets a NULL rate and leaves state untouched.
+    *    `by=` is required on a stream (no global order exists);
     *  - batch-only verbs with no streaming plan — tail/join({sub})/
-    *    window/transpose/counterAsRate — reject streaming input with a
+    *    window/transpose — reject streaming input with a
     *    per-verb message; sort/head/top compile and are governed by
     *    Spark's own output-mode rules (legal in complete mode after an
     *    aggregation).
@@ -686,8 +693,6 @@ object HumioQuery {
         // events in (ts, event_id) order; NULL for a series' first
         // event, for counter resets (negative delta, as in LogScale),
         // and for zero time deltas. One lag window per series key.
-        require(!df.isStreaming,
-          "counterAsRate() is a batch stage — lag windows have no streaming plan")
         // WITHOUT by= this is a single-partition global window, so the
         // planner only allows it over an ALREADY-AGGREGATED bucket
         // relation (bounded rows by construction, same rule window()
@@ -696,42 +701,56 @@ object HumioQuery {
         // plan you want at scale.
         val f = named.get("field").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException("counterAsRate() needs a field"))
-        if (named.get("by").isEmpty)
-          require(Seq("_bucket_ms", "_bucket").exists(df.columns.contains),
-            "counterAsRate() without by= needs a timechart() or bucket() " +
-              "stage before it (a global window over raw events is " +
-              "single-partition); pass by=<series field> instead")
-        val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
-          .getOrElse(SqlWindow.partitionBy())
-        // time axis: raw events carry ts; a post-timechart()/bucket()
-        // relation carries the epoch-millis bucket instead
-        val (tMillis, ord): (Column, Seq[Column]) =
-          if (df.columns.contains("ts"))
-            (unix_millis(col("ts")),
-              if (df.columns.contains("event_id")) Seq(col("ts"), col("event_id"))
-              else Seq(col("ts")))
-          else {
-            val b = Seq("_bucket_ms", "_bucket").find(df.columns.contains)
-              .getOrElse(throw new IllegalArgumentException(
-                "counterAsRate() needs a ts column or a prior timechart()/bucket() stage"))
-            (col(b).cast("long"), Seq(col(b)))
+        if (df.isStreaming) {
+          // streaming twin: the lag window becomes per-series
+          // flatMapGroupsWithState — see [[graft.operators.StatefulRate]]
+          // for the order/lateness semantics. by= is REQUIRED: an
+          // unbounded stream has no global order to lag over.
+          val by = named.getOrElse("by", throw new IllegalArgumentException(
+            "counterAsRate() on a stream needs by=<series field> — " +
+              "a global lag has no streaming plan"))
+          require(df.columns.contains("ts"),
+            "counterAsRate() on a stream runs over raw events with a ts column")
+          graft.operators.StatefulRate.counterRate(
+            df, f, by, named.getOrElse("as", "_rate"))
+        } else {
+          if (named.get("by").isEmpty)
+            require(Seq("_bucket_ms", "_bucket").exists(df.columns.contains),
+              "counterAsRate() without by= needs a timechart() or bucket() " +
+                "stage before it (a global window over raw events is " +
+                "single-partition); pass by=<series field> instead")
+          val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+            .getOrElse(SqlWindow.partitionBy())
+          // time axis: raw events carry ts; a post-timechart()/bucket()
+          // relation carries the epoch-millis bucket instead
+          val (tMillis, ord): (Column, Seq[Column]) =
+            if (df.columns.contains("ts"))
+              (unix_millis(col("ts")),
+                if (df.columns.contains("event_id")) Seq(col("ts"), col("event_id"))
+                else Seq(col("ts")))
+            else {
+              val b = Seq("_bucket_ms", "_bucket").find(df.columns.contains)
+                .getOrElse(throw new IllegalArgumentException(
+                  "counterAsRate() needs a ts column or a prior timechart()/bucket() stage"))
+              (col(b).cast("long"), Seq(col(b)))
+            }
+          val w = base.orderBy(ord: _*)
+          val d = col(f) - lag(col(f), 1).over(w)
+          val dt = (tMillis - lag(tMillis, 1).over(w)).cast("double") / 1000.0
+          val rate = when(d.isNull || d < 0 || dt === 0.0, lit(null))
+            .otherwise(d.cast("double") / dt)
+          // multi-series guard: without by=, several rows per time value
+          // (a timechart that ALSO grouped on a series field) would make
+          // lag() pick an arbitrary same-bucket predecessor and silently
+          // mix series — uniqueness is a data property, so fail in-plan
+          val guarded = if (named.contains("by")) rate else {
+            val perT = count(lit(1)).over(SqlWindow.partitionBy(ord: _*))
+            when(perT > 1, raise_error(lit("counterAsRate() without by=: " +
+              "multiple rows per time value — pass by=<series field>")))
+              .otherwise(rate)
           }
-        val w = base.orderBy(ord: _*)
-        val d = col(f) - lag(col(f), 1).over(w)
-        val dt = (tMillis - lag(tMillis, 1).over(w)).cast("double") / 1000.0
-        val rate = when(d.isNull || d < 0 || dt === 0.0, lit(null))
-          .otherwise(d.cast("double") / dt)
-        // multi-series guard: without by=, several rows per time value
-        // (a timechart that ALSO grouped on a series field) would make
-        // lag() pick an arbitrary same-bucket predecessor and silently
-        // mix series — uniqueness is a data property, so fail in-plan
-        val guarded = if (named.contains("by")) rate else {
-          val perT = count(lit(1)).over(SqlWindow.partitionBy(ord: _*))
-          when(perT > 1, raise_error(lit("counterAsRate() without by=: " +
-            "multiple rows per time value — pass by=<series field>")))
-            .otherwise(rate)
+          df.withColumn(named.getOrElse("as", "_rate"), guarded)
         }
-        df.withColumn(named.getOrElse("as", "_rate"), guarded)
       case "transpose" =>
         // transpose(header=f[, columns=[v1, …]]): pivot the (bounded,
         // already-aggregated) result table — each header value becomes a

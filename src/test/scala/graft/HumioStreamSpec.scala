@@ -109,13 +109,19 @@ class HumioStreamSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double, String)]
     val st = toEvents(mem.toDF())
-    Seq("window(value)", "counterAsRate(event_id)",
+    Seq("window(value)",
       "transpose(header=event_type)", "tail(3)").foreach { q =>
       val e = intercept[IllegalArgumentException] {
         HumioQuery.runStream(st, q)
       }
       assert(e.getMessage.contains("batch stage"), s"$q: ${e.getMessage}")
     }
+    // counterAsRate streams per series — but ONLY per series: the
+    // global (no by=) form has no streaming order to lag over
+    val eRate = intercept[IllegalArgumentException] {
+      HumioQuery.runStream(st, "counterAsRate(value)")
+    }
+    assert(eRate.getMessage.contains("needs by="), eRate.getMessage)
     // dedup() streams at limit=1 only: limit=n needs a finished table
     val eDedup = intercept[IllegalArgumentException] {
       HumioQuery.runStream(st, "dedup(event_type, limit=2)")
@@ -153,6 +159,45 @@ class HumioStreamSpec extends SparkSpec {
         .as[(Long, String, Double)].collect().toSeq
       assert(streamed.toSet == batchTwin.toSet)
       assert(batchTwin.size == 3)
+    } finally query.stop()
+  }
+
+  test("streaming counterAsRate matches the batch twin; out-of-order rows rate NULL") {
+    val q = "counterAsRate(value, by=event_type)"
+    // two interleaved series, monotonic counters with one reset (u1 #5)
+    val inOrder = Seq(
+      (1L, "u1", 100.0, "2024-03-01 00:00:00"),
+      (2L, "u2", 10.0, "2024-03-01 00:00:30"),
+      (3L, "u1", 160.0, "2024-03-01 00:01:00"),  // Δ60/60s = 1.0
+      (4L, "u2", 40.0, "2024-03-01 00:01:30"),   // Δ30/60s = 0.5
+      (5L, "u1", 20.0, "2024-03-01 00:02:00"),   // reset: NULL
+      (6L, "u1", 80.0, "2024-03-01 00:03:00"))   // Δ60/60s = 1.0
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_srate")
+      .outputMode("append").start()
+    try {
+      // split mid-series across micro-batches: state carries u1's #3 and
+      // u2's #4 into the second batch
+      mem.addData(inOrder.take(4): _*); query.processAllAvailable()
+      mem.addData(inOrder.drop(4): _*); query.processAllAvailable()
+      val streamed = spark.table("hq_srate").select("event_id", "_rate")
+        .as[(Long, Option[Double])].collect().toMap
+      val batchTwin = HumioQuery.run(toEvents(inOrder.toDF()), q)
+        .select("event_id", "_rate")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+      assert(batchTwin(3L).contains(1.0) && batchTwin(4L).contains(0.5)
+        && batchTwin(5L).isEmpty && batchTwin(6L).contains(1.0))
+      // a row arriving BEHIND its series' state: NULL rate, state
+      // untouched — the next in-order row rates against #6, not #7
+      mem.addData((7L, "u1", 70.0, "2024-03-01 00:00:45")); query.processAllAvailable()
+      mem.addData((8L, "u1", 140.0, "2024-03-01 00:04:00")); query.processAllAvailable()
+      val tail = spark.table("hq_srate").select("event_id", "_rate")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(tail(7L).isEmpty, "out-of-order row must rate NULL")
+      assert(tail(8L).contains(1.0), s"state must survive the late row: ${tail(8L)}")
     } finally query.stop()
   }
 

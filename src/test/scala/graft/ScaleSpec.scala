@@ -341,6 +341,38 @@ class ScaleSpec extends SparkSpec {
       "both pair sides must reuse the one cell exchange")
   }
 
+  test("cellPairsProbed recovers a boundary-split near-dup pair at nprobe=2") {
+    import graft.operators.Knn
+    // two orthogonal cells; a/b are a near-dup pair (10° apart) that the
+    // codebook boundary at 45° SPLITS — the one structural miss of
+    // home-cell-only pair generation; c/d are a same-home near-dup pair
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    val vecs = Seq((0L, v(40)), (1L, v(50)), (2L, v(0)), (3L, v(2)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("cent_id", "cvec")
+    def pairs(nprobe: Int) =
+      Knn.cellPairsProbed(vecs, cents, dim = 4, tau = 0.9, nprobe, cellCap = 100)
+        .as[(Long, Long)].collect().toSet
+    val p1 = pairs(1)
+    assert(p1.contains((2L, 3L)), s"same-home pair must survive nprobe=1: $p1")
+    assert(!p1.contains((0L, 1L)),
+      s"the boundary-split pair is the documented nprobe=1 miss: $p1")
+    val p2 = pairs(2)
+    assert(p2.contains((0L, 1L)), s"nprobe=2 must recover the split pair: $p2")
+    // probing can only ADD pairs (every home pair is also a probed pair)
+    assert(p1.subsetOf(p2), s"nprobe=2 lost pairs: ${p1 -- p2}")
+    assert(p2.forall { case (a, b) => a < b }, "pairs must be canonical")
+    val q = Knn.cellPairsProbed(vecs, cents, 4, 0.9, 2, 100)
+    q.collect()
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "probed pair join must stay an equi-join on cell")
+  }
+
   test("simhash verifier is integer-only: bit_count/xor, no string HOF per pair") {
     val q = graft.queries.PipelineQueries.xSimhashPairs(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
