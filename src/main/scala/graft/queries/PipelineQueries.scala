@@ -1221,6 +1221,28 @@ object PipelineQueries {
     Dedup.cutDupSpans(Tables.documents(s, dir), col("text"), 4)
       .orderBy("doc_id")
 
+  /** Build `q` with [[Dedup.GramJoinModeConf]] active — the
+    * AQE-skew-splittable distinct→count→equi-join dup flag instead of
+    * the gram-partitioned window. The conf is read at PLAN BUILD time
+    * ([[Dedup.gramDupFlag]]), so restoring it after construction is
+    * safe: the returned lazy plan keeps the join shape. Declared as
+    * `_skewjoin` query twins sharing the default mode's oracles, so the
+    * CORRECTNESS gate proves the two modes result-identical on the real
+    * corpus — the 100 TB Zipfian-gram escape hatch, hash-verified. */
+  private def withGramJoinMode(s: SparkSession)(q: => DataFrame): DataFrame = {
+    val prev = s.conf.get(Dedup.GramJoinModeConf, "false")
+    s.conf.set(Dedup.GramJoinModeConf, "true")
+    try q finally s.conf.set(Dedup.GramJoinModeConf, prev)
+  }
+
+  /** [[xDedupCut]] under the skew-safe join-mode dup flag. */
+  def xDedupCutSkewjoin(s: SparkSession, dir: String): DataFrame =
+    withGramJoinMode(s)(xDedupCut(s, dir))
+
+  /** [[xDupgrams]] under the skew-safe join-mode dup flag. */
+  def xDupgramsSkewjoin(s: SparkSession, dir: String): DataFrame =
+    withGramJoinMode(s)(xDupgrams(s, dir))
+
   /** Per-doc KEYWORD extraction — top-3 tf-idf terms per document (the
     * doc-level sibling of the corpus-level [[xTfidf]]): one corpus
     * explode into the (doc, word) aggregate, df as a word-partitioned
@@ -1827,6 +1849,8 @@ object PipelineQueries {
     "x_bpe_pairs"   -> xBpePairs _,
     "x_dupgrams"    -> xDupgrams _,
     "x_dedup_cut"   -> xDedupCut _,
+    "x_dupgrams_skewjoin"  -> xDupgramsSkewjoin _,
+    "x_dedup_cut_skewjoin" -> xDedupCutSkewjoin _,
     "x_mix_temp"    -> xMixTemp _,
     "x_lp_buckets"  -> xLpBuckets _,
     "x_keyterms"    -> xKeyterms _,
@@ -2136,7 +2160,7 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN minr m USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "x_tfidf" ->
       s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
         |           FROM documents),
@@ -3149,4 +3173,13 @@ object PipelineQueries {
         |       CAST(length(text) AS BIGINT) AS n_chars,
         |       md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** The skew-join-mode twins are result-identical by contract
+    * ([[Dedup.gramDupFlag]]'s two modes), so they share their
+    * default-mode siblings' oracles — the CORRECTNESS gate itself then
+    * proves mode-invariance on the real fixture, not just the spec's
+    * planted corpus. */
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "x_dedup_cut_skewjoin" -> oracleBase("x_dedup_cut"),
+    "x_dupgrams_skewjoin" -> oracleBase("x_dupgrams"))
 }
