@@ -115,9 +115,12 @@ object Bench {
     // warm map FIRST: the harness's ~2000-char tail window must keep the
     // per-query COLD numbers (they back the headline value and the
     // round-over-round per-query comparisons) — only the warm map's head
-    // may be truncated away
-    println(s"""{"queries_warm":$qw,"warm_total":${fmt(warm, 2)},"queries":$qs,""" +
-      s""""unit":"sec","metric":"total","value":${fmt(cold, 2)},"sf":"$sfDir"}""")
+    // may be truncated away. warm_total rides at the TAIL with the other
+    // headline keys: at 164 queries the cold map alone is ~3 KB, so any
+    // scalar placed before it is what truncation eats first
+    println(s"""{"queries_warm":$qw,"queries":$qs,""" +
+      s""""unit":"sec","warm_total":${fmt(warm, 2)},"metric":"total",""" +
+      s""""value":${fmt(cold, 2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -120,20 +120,22 @@ object Knn {
       .select("probe_id", "cand_id", "rank", "sim")
   }
 
-  /** IVF top-k with nprobe > 1 — the recall lever: each PROBE searches
-    * its `nprobe` nearest cells while candidates stay indexed under
-    * their single home cell, so the join fan-out grows linearly in
-    * nprobe (never quadratically) and a pair appears at most once (a
-    * candidate has one home). Both sides derive from one scored
-    * assignment routed through a single exchange (ReuseExchange).
+  /** The nprobe-scored cell assignment [[ivfTopKProbes]] and
+    * [[cellPairsProbed]] share: each vector's `nprobe` nearest
+    * centroids by cosine (ties by cent_id), centroid norms broadcast
+    * once, output (vec_id, embedding, nrm, cell, rk) routed through ONE
+    * `repartition(cell)` exchange that both consumers' join sides reuse
+    * (ReuseExchange). The tie-break and null-handling conventions live
+    * HERE and nowhere else — the search tier and the probed dedup
+    * oracle must never drift apart.
     */
-  def ivfTopKProbes(vectors: DataFrame, centroids: DataFrame, dim: Int,
-                    k: Int, nprobe: Int): DataFrame = {
+  private def scoredProbes(vectors: DataFrame, centroids: DataFrame,
+                           dim: Int, nprobe: Int): DataFrame = {
     FloatDot.register(vectors.sparkSession)
     val c = centroids.select(col("cent_id"), col("cvec"),
       Vectors.norm(col("cvec"), dim).as("cnrm"))
     val wc = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val scored = vectors.select(col("vec_id"), col("embedding"),
+    vectors.select(col("vec_id"), col("embedding"),
         Vectors.norm(col("embedding"), dim).as("nrm"))
       .join(broadcast(c))
       .withColumn("csim",
@@ -143,6 +145,18 @@ object Knn {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").as("cell"), col("rk"))
       .repartition(col("cell"))
+  }
+
+  /** IVF top-k with nprobe > 1 — the recall lever: each PROBE searches
+    * its `nprobe` nearest cells while candidates stay indexed under
+    * their single home cell, so the join fan-out grows linearly in
+    * nprobe (never quadratically) and a pair appears at most once (a
+    * candidate has one home). Both sides derive from one scored
+    * assignment routed through a single exchange (ReuseExchange).
+    */
+  def ivfTopKProbes(vectors: DataFrame, centroids: DataFrame, dim: Int,
+                    k: Int, nprobe: Int): DataFrame = {
+    val scored = scoredProbes(vectors, centroids, dim, nprobe)
     val probes = scored.select(col("cell"), col("vec_id").as("probe_id"),
       col("embedding").as("pe"), col("nrm").as("pn"))
     val homes = scored.where(col("rk") === 1)
@@ -302,43 +316,41 @@ object Knn {
     * are recovered when either endpoint probes the other's home; pair
     * volume grows LINEARLY in nprobe, never quadratically.
     *
-    * Scale shape: one scored broadcast assignment routed through ONE
-    * cell exchange reused by both sides; the home side capped per cell
-    * at `cellCap` in deterministic md5(vec_id) order (the [[cellPairs]]
-    * hot-cell backstop). Pairs are canonicalized and dedup'd — with
-    * nprobe > 1 both orientations can surface (a probing b's home AND b
-    * probing a's), so the narrow ids-only distinct is inherent to the
-    * probed shape.
+    * Scale shape: one scored assignment ([[scoredProbes]]) routed
+    * through ONE cell exchange reused by both sides; the home side
+    * capped per cell at `cellCap` in deterministic md5(vec_id) order
+    * (the [[cellPairs]] hot-cell backstop). The dominant same-home-cell
+    * orientation pays its dot product ONCE (the [[cellPairs]] pair-once
+    * discipline, via the candidate flag carried onto the probe side);
+    * only genuinely cross-cell pairs can surface twice (a probing b's
+    * home AND b probing a's), so the narrow ids-only distinct handles
+    * exactly that remainder.
     */
   def cellPairsProbed(vectors: DataFrame, centroids: DataFrame, dim: Int,
                       tau: Double, nprobe: Int, cellCap: Int): DataFrame = {
     require(nprobe >= 1 && cellCap >= 1,
       s"cellPairsProbed: nprobe=$nprobe and cellCap=$cellCap must be >= 1")
-    FloatDot.register(vectors.sparkSession)
-    val c = centroids.select(col("cent_id"), col("cvec"),
-      Vectors.norm(col("cvec"), dim).as("cnrm"))
-    val wc = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val scored = vectors.select(col("vec_id"), col("embedding"),
-        Vectors.norm(col("embedding"), dim).as("nrm"))
-      .join(broadcast(c))
-      .withColumn("csim",
-        expr("try_divide(graft_dot(embedding, cvec), nrm * cnrm)"))
-      .withColumn("rk", row_number().over(wc))
-      .where(col("rk") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cent_id").as("cell"), col("rk"))
-      .repartition(col("cell"))
+    // rk leads the cap order, so home rows (rk=1) rank in a prefix and
+    // the candidate set is identical to ranking the rk=1 subset alone
     val wCap = Window.partitionBy("cell")
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    val homes = scored.where(col("rk") === 1)
+      .orderBy(col("rk"), md5(col("vec_id").cast("string")), col("vec_id"))
+    val flagged = scoredProbes(vectors, centroids, dim, nprobe)
       .withColumn("__pos", row_number().over(wCap))
-      .where(col("__pos") <= cellCap)
+      .withColumn("__cand", col("rk") === 1 && col("__pos") <= cellCap)
+      .drop("__pos")
+    val a = flagged.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("pe"), col("nrm").as("pn"),
+      col("rk").as("rka"), col("__cand").as("cand_a"))
+    val b = flagged.where(col("__cand"))
       .select(col("cell"), col("vec_id").as("doc_b"),
         col("embedding").as("ce"), col("nrm").as("cn"))
-    val probes = scored.select(col("cell"), col("vec_id").as("doc_a"),
-      col("embedding").as("pe"), col("nrm").as("pn"))
-    probes.join(homes, Seq("cell"))
+    a.join(b, Seq("cell"))
       .where(col("doc_a") =!= col("doc_b"))
+      // pair-once BEFORE the dot product: a same-home candidate pair
+      // keeps only its a<b orientation; a non-candidate home and a
+      // cross-cell probe (rk>1) keep their only / possibly-duplicated
+      // orientation (the latter collapses in the distinct below)
+      .where(col("rka") > 1 || col("doc_a") < col("doc_b") || !col("cand_a"))
       .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
       .where(col("sim") > tau)
       .select(least(col("doc_a"), col("doc_b")).as("lo"),

@@ -26,16 +26,27 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * This is the same bounded-state trade the watermark makes for
   * aggregations, applied to sequence state.
   *
+  * A NULL-ts row rates NULL and leaves state untouched (it has no
+  * event-time position). One documented divergence from batch: there,
+  * a null ts sorts first within its series and poisons the FOLLOWING
+  * row's dt; here it is inert — the streaming fold cannot give an
+  * unordered row a stable successor.
+  *
   * State never expires (`NoTimeout`): the connector's series keys (aid,
   * event type) are low-cardinality and long-lived. A deployment with
   * unbounded ephemeral series would add `EventTimeTimeout` and accept
   * that a series resuming after the timeout restarts from NULL.
   */
 object StatefulRate {
-  /** Last event seen per series: event-time millis, counter value, and
-    * whether the counter was null (a null must poison the next delta,
-    * exactly as `lag()` does in the batch plan). */
-  case class SeriesLast(ts: Long, value: Double, valueNull: Boolean)
+  /** Last event seen per series: event-time millis, the (ts, event_id)
+    * tiebreak id, counter value, and whether the counter was null (a
+    * null must poison the next delta, exactly as `lag()` does in the
+    * batch plan). `eid` makes the cross-batch ordering match the batch
+    * window's (ts, event_id) order for same-millisecond events: without
+    * it, a same-ts row landing in a LATER micro-batch would overwrite
+    * state out of tiebreak order and fabricate a wrong (non-NULL) rate
+    * for the next event. */
+  case class SeriesLast(ts: Long, eid: Long, value: Double, valueNull: Boolean)
 
   /** Append `outCol` (nullable double) to a STREAMING `df`: the
     * per-`by`-series counter rate of `field` in (ts, event_id) event-time
@@ -61,30 +72,45 @@ object StatefulRate {
       .flatMapGroupsWithState[SeriesLast, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[SeriesLast]) =>
-          // one micro-batch of one series: bounded, so the sort is safe —
-          // and required, Spark guarantees no intra-group order
-          val ordered = rows.toVector.sortBy { r =>
-            val eid = if (eidIdx >= 0 && !r.isNullAt(eidIdx)) r.get(eidIdx) match {
+          def eidOf(r: Row): Long =
+            if (eidIdx >= 0 && !r.isNullAt(eidIdx)) r.get(eidIdx) match {
               case n: java.lang.Number => n.longValue()
               case _ => 0L
             } else 0L
-            (r.getAs[java.sql.Timestamp](tsIdx).getTime, eid)
+          // one micro-batch of one series: bounded, so the sort is safe —
+          // and required, Spark guarantees no intra-group order. A NULL
+          // ts row has no place in event-time order: it sorts first and
+          // the fold below gives it a NULL rate without touching state
+          // (the batch window would also rate it NULL; its next-row
+          // poisoning there is the one divergence, documented above).
+          val ordered = rows.toVector.sortBy { r =>
+            (!r.isNullAt(tsIdx), // nulls first, like the batch sort
+              if (r.isNullAt(tsIdx)) 0L
+              else r.getAs[java.sql.Timestamp](tsIdx).getTime,
+              eidOf(r))
           }
           var last = state.getOption
           val out = ordered.map { r =>
-            val t = r.getAs[java.sql.Timestamp](tsIdx).getTime
-            val vNull = r.isNullAt(fIdx)
-            val v = if (vNull) 0.0 else num(r, fIdx)
-            val rate: Any = last match {
-              case Some(p) if t < p.ts => null // order broken across batches
-              case Some(p) =>
-                val d = v - p.value
-                if (vNull || p.valueNull || t == p.ts || d < 0) null
-                else d / ((t - p.ts).toDouble / 1000.0)
-              case None => null // series' first event
+            if (r.isNullAt(tsIdx)) Row.fromSeq(r.toSeq :+ null)
+            else {
+              val t = r.getAs[java.sql.Timestamp](tsIdx).getTime
+              val e = eidOf(r)
+              // "behind" = before the state in (ts, event_id) order —
+              // the cross-batch out-of-order case
+              val behind = last.exists(p => t < p.ts || (t == p.ts && e < p.eid))
+              val vNull = r.isNullAt(fIdx)
+              val v = if (vNull) 0.0 else num(r, fIdx)
+              val rate: Any = last match {
+                case Some(_) if behind => null // order broken across batches
+                case Some(p) =>
+                  val d = v - p.value
+                  if (vNull || p.valueNull || t == p.ts || d < 0) null
+                  else d / ((t - p.ts).toDouble / 1000.0)
+                case None => null // series' first event
+              }
+              if (!behind) last = Some(SeriesLast(t, e, v, vNull))
+              Row.fromSeq(r.toSeq :+ rate)
             }
-            if (last.forall(t >= _.ts)) last = Some(SeriesLast(t, v, vNull))
-            Row.fromSeq(r.toSeq :+ rate)
           }
           last.foreach(state.update)
           out.iterator

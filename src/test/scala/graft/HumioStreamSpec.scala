@@ -193,11 +193,25 @@ class HumioStreamSpec extends SparkSpec {
       // a row arriving BEHIND its series' state: NULL rate, state
       // untouched — the next in-order row rates against #6, not #7
       mem.addData((7L, "u1", 70.0, "2024-03-01 00:00:45")); query.processAllAvailable()
-      mem.addData((8L, "u1", 140.0, "2024-03-01 00:04:00")); query.processAllAvailable()
+      mem.addData((10L, "u1", 140.0, "2024-03-01 00:04:00")); query.processAllAvailable()
+      // same-ts row with a SMALLER event_id in a later batch: behind the
+      // state in (ts, event_id) order — NULL rate, state untouched, so
+      // the next in-order row rates against #10's value, not #9's
+      mem.addData((9L, "u1", 999.0, "2024-03-01 00:04:00")); query.processAllAvailable()
+      mem.addData((11L, "u1", 200.0, "2024-03-01 00:05:00")); query.processAllAvailable()
+      // a NULL-ts row has no event-time position: NULL rate, state kept
+      mem.addData((12L, "u1", 5.0, null)); query.processAllAvailable()
+      mem.addData((13L, "u1", 260.0, "2024-03-01 00:06:00")); query.processAllAvailable()
       val tail = spark.table("hq_srate").select("event_id", "_rate")
         .as[(Long, Option[Double])].collect().toMap
       assert(tail(7L).isEmpty, "out-of-order row must rate NULL")
-      assert(tail(8L).contains(1.0), s"state must survive the late row: ${tail(8L)}")
+      assert(tail(10L).contains(1.0), s"state must survive the late row: ${tail(10L)}")
+      assert(tail(9L).isEmpty, "same-ts smaller-eid row must rate NULL")
+      assert(tail(11L).contains(1.0),
+        s"rate must use #10's value (tiebreak kept state): ${tail(11L)}")
+      assert(tail(12L).isEmpty, "null-ts row must rate NULL")
+      assert(tail(13L).contains(1.0),
+        s"state must survive the null-ts row: ${tail(13L)}")
     } finally query.stop()
   }
 
