@@ -100,13 +100,91 @@ object LogAnalytics {
     events.groupBy(dim.as("dim")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Session conf selecting the exact-percentile plan ([[percentiles]]):
+    * `buffer` (default) = Spark's `percentile` aggregate, whose merge
+    * buffer holds every distinct value of a group in memory on one
+    * reducer — fastest at bounded group volume; `counts` =
+    * [[percentilesByCounts]], the 100 TB plan for discrete-ish metrics.
+    * Read at PLAN BUILD time (the [[graft.operators.Dedup.GramJoinModeConf]]
+    * discipline), so callers may set it around DataFrame construction
+    * and restore immediately.
+    */
+  val ExactPercentileModeConf = "spark.graft.percentile.exactMode"
+
   /** Exact interpolated percentiles of `v` per dimension (DuckDB
-    * `quantile_cont` twin). Exact percentile holds all values per group —
-    * fine for bounded dims; at 100 TB with high-cardinality groups switch
-    * to `percentile_approx` ([[percentilesApprox]]).
+    * `quantile_cont` twin). The default plan holds all values per group
+    * in the aggregate's merge buffer — fine for bounded dims; at 100 TB
+    * pick by value type: discrete-ish metrics (integers, fixed-decimal
+    * latencies) → `counts` mode via [[ExactPercentileModeConf]] (still
+    * exact); continuous doubles → `percentile_approx`
+    * ([[percentilesApprox]]).
     */
   def percentiles(events: DataFrame, dim: Column, v: Column, ps: Seq[Double]): DataFrame =
-    pctByDim(events, dim, ps, p => percentile(v, lit(p)))
+    if (events.sparkSession.conf.get(ExactPercentileModeConf, "buffer") == "counts")
+      percentilesByCounts(events, dim, v, ps)
+    else
+      pctByDim(events, dim, ps, p => percentile(v, lit(p)))
+
+  /** EXACT interpolated percentiles from value COUNTS — result-identical
+    * to [[percentiles]] (same lerp, bit-for-bit), different scale shape.
+    * The `percentile` aggregate concentrates every value of a group in
+    * ONE reducer's in-memory merge buffer. Here instead:
+    *
+    *  1. `groupBy(dim, v).count` — duplicates collapse MAP-SIDE in the
+    *     partial hash aggregate and the exchange is over (dim, value),
+    *     which AQE can split; the reducer sees distinct values only;
+    *  2. one spillable window pass over the distinct-value relation
+    *     (partitioned by dim, sorted by value) attaches cumulative and
+    *     total counts — a Tungsten sort that SPILLS where the buffer
+    *     aggregate OOMs;
+    *  3. a final per-dim aggregate picks the two order statistics
+    *     around each target rank and lerps exactly as Spark's
+    *     `Percentile.getPercentile` does: `pos = p·(n−1)`, result =
+    *     `(ceil(pos)−pos)·lo + (pos−floor(pos))·hi` — the value at
+    *     0-indexed multiset rank r is the first value with
+    *     cumulative count > r.
+    *
+    * Per-dim reducer volume is DISTINCT-value cardinality, not row
+    * count: exact at any corpus size for integer/fixed-decimal metrics
+    * (sizes, millisecond latencies, counts). For genuinely continuous
+    * doubles distinct ≈ rows and [[percentilesApprox]] is the plan.
+    * NULL values are excluded (and an all-null group yields NULL), as
+    * the `percentile` aggregate does; null dims group as themselves.
+    */
+  def percentilesByCounts(events: DataFrame, dim: Column, v: Column,
+                          ps: Seq[Double]): DataFrame = {
+    val counts = events.groupBy(dim.as("dim"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    // null-value rows ride along with weight 0 so a dim whose values
+    // are ALL null still surfaces (with NULL percentiles, like the
+    // buffer aggregate); nulls sort first so they never displace cum
+    val nn = when(col("__v").isNotNull, col("__c")).otherwise(lit(0L))
+    val wCum = Window.partitionBy("dim").orderBy(col("__v").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("__cum", sum(nn).over(wCum))
+      .withColumn("__n", sum(nn).over(Window.partitionBy("dim")))
+    def pos(p: Double): Column = lit(p) * (col("__n") - lit(1)).cast("double")
+    val ordStats = ps.zipWithIndex.flatMap { case (p, i) => Seq(
+      min(when(col("__v").isNotNull && col("__cum") > floor(pos(p)),
+        col("__v"))).as(s"__lo$i"),
+      min(when(col("__v").isNotNull && col("__cum") > ceil(pos(p)),
+        col("__v"))).as(s"__hi$i"))
+    }
+    // groupBy(dim) directly above the dim-partitioned window: no third
+    // exchange — the aggregate reuses the window's partitioning
+    val agg = ranked.groupBy("dim")
+      .agg(max(col("__n")).as("__n"), ordStats: _*)
+    val outCols = col("dim") +: ps.zipWithIndex.map { case (p, i) =>
+      val po = pos(p)
+      val res = when(col("__n") === 0, lit(null).cast("double"))
+        .when(ceil(po) === floor(po), col(s"__lo$i"))
+        .otherwise((ceil(po) - po) * col(s"__lo$i") +
+          (po - floor(po)) * col(s"__hi$i"))
+      graft.functions.Det.detRound4(res).as(s"p${(p * 100).toInt}")
+    }
+    agg.select(outCols: _*)
+  }
 
   /** Approximate percentiles per dimension — the 100 TB twin of
     * [[percentiles]]. The exact `percentile` aggregate's merge buffer

@@ -62,6 +62,23 @@ object LogQueries {
       .withColumnRenamed("dim", "event_type")
       .orderBy("event_type")
 
+  /** [[lPercentile]] under the counts-mode EXACT plan
+    * ([[LogAnalytics.percentilesByCounts]]): duplicates collapse in a
+    * map-side partial aggregate and the reducer holds distinct values
+    * in a spillable sort, instead of every value in one in-memory merge
+    * buffer. Declared as a query twin SHARING [[lPercentile]]'s oracle —
+    * the correctness gate hash-proves the two exact modes
+    * result-identical on the real corpus (the `_skewjoin` discipline).
+    * The conf is read at plan build time, so restoring it after
+    * construction keeps the counts shape in the lazy plan.
+    */
+  def lPercentileCounts(s: SparkSession, dir: String): DataFrame = {
+    val prev = s.conf.get(LogAnalytics.ExactPercentileModeConf, "buffer")
+    s.conf.set(LogAnalytics.ExactPercentileModeConf, "counts")
+    try lPercentile(s, dir)
+    finally s.conf.set(LogAnalytics.ExactPercentileModeConf, prev)
+  }
+
   def lDedup(s: SparkSession, dir: String): DataFrame =
     LogAnalytics.dedupKeepFirst(Tables.events(s, dir),
         Seq(col("user_id"), col("event_type")),
@@ -139,10 +156,11 @@ object LogQueries {
     "l_distinct"   -> lDistinct _,
     "l_percentile" -> lPercentile _,
     "l_percentile_approx" -> lPercentileApprox _,
+    "l_percentile_counts" -> lPercentileCounts _,
     "l_dedup"      -> lDedup _,
     "l_late"       -> lLate _)
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "l_anomaly" ->
       s"""WITH b AS (
         |  SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,
@@ -233,4 +251,10 @@ object LogQueries {
         |  FROM events)
         |SELECT event_id FROM m WHERE ts_ms >= max_ts_ms - 600000
         |ORDER BY event_id""".stripMargin)
+
+  /** The counts-mode twin SHARES the default mode's oracle: one SQL
+    * text, two plan shapes — the gate hash-proves exact-mode invariance
+    * on the real fixture (the `_skewjoin` discipline). */
+  val oracle: Map[String, String] = oracleBase +
+    ("l_percentile_counts" -> oracleBase("l_percentile"))
 }

@@ -63,6 +63,54 @@ class LogAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("percentilesByCounts is bit-identical to the buffer aggregate") {
+    // adversarial shapes: heavy ties (counts mode's raison d'être),
+    // a single-value group, a two-value group (pure lerp), an all-null
+    // group (must surface with NULL percentiles), mixed nulls, and
+    // irrational-ish doubles so the lerp arithmetic itself is exercised
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(400) { i =>
+      ("ties", Option((i % 7).toDouble))
+    } ++ Seq(("one", Option(42.5)),
+      ("two", Option(1.25)), ("two", Option(3.75)),
+      ("allnull", Option.empty[Double]), ("allnull", Option.empty[Double]),
+      ("mixed", Option.empty[Double])) ++
+      Seq.tabulate(97)(i => ("mixed", Option(math.sqrt(i + 2) * 13.7))) ++
+      Seq.tabulate(211)(_ => ("rand", Option(rnd.nextDouble() * 1e6)))
+    val df = rows.toDF("dim", "v")
+    val ps = Seq(0.5, 0.9, 0.99, 0.01)
+    val buffer = LogAnalytics.percentiles(df, col("dim"), col("v"), ps)
+      .as[(String, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    val counts = LogAnalytics.percentilesByCounts(df, col("dim"), col("v"), ps)
+      .as[(String, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    // exact == comparison, no tolerance: the counts mode replicates
+    // Spark's lerp bit-for-bit, and detRound4 runs on both sides
+    assert(counts == buffer, s"counts mode diverged:\n$counts\nvs\n$buffer")
+  }
+
+  test("counts-mode plan: no percentile merge buffer, duplicates collapse map-side") {
+    val df = Seq.tabulate(100)(i => ("a", (i % 3).toDouble)).toDF("dim", "v")
+    val plan = LogAnalytics.percentilesByCounts(df, col("dim"), col("v"), Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("),
+      s"counts mode must not plan the value-buffering percentile aggregate:\n$plan")
+    // the (dim, value) partial hash aggregate is what collapses
+    // duplicates before the exchange
+    assert(plan.contains("HashAggregate") && plan.contains("partial_count"),
+      s"expected a map-side partial count over (dim, value):\n$plan")
+    // conf routing: percentiles() itself swaps plans at build time
+    val prev = spark.conf.get(LogAnalytics.ExactPercentileModeConf, "buffer")
+    spark.conf.set(LogAnalytics.ExactPercentileModeConf, "counts")
+    val routed = try {
+      LogAnalytics.percentiles(df, col("dim"), col("v"), Seq(0.5))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(LogAnalytics.ExactPercentileModeConf, prev)
+    assert(!routed.contains("percentile("),
+      "ExactPercentileModeConf=counts must route percentiles() to the counts plan")
+  }
+
   test("topK orders by count desc then key") {
     val df = Seq("a", "a", "b", "b", "c").toDF("k")
     val top = LogAnalytics.topK(df, col("k"), 2).as[(String, Long)].collect().toSeq
