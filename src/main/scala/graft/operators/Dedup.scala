@@ -209,21 +209,84 @@ object Dedup {
     */
   def bandedCandidates(docs: DataFrame, text: Column,
                        numPerms: Int, rowsPerBand: Int): DataFrame = {
-    require(numPerms % rowsPerBand == 0,
-      s"numPerms=$numPerms must be divisible by rowsPerBand=$rowsPerBand")
-    val nBands = numPerms / rowsPerBand
-    val sigs = withPermMinhashSigs(docs, text, numPerms)
-    val long = sigs.select(col("doc_id"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b.toLong).as("band"),
-          concat_ws("|", slice(col("sigs"), b * rowsPerBand + 1, rowsPerBand))
-            .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val long = bandRows(docs.select(col("doc_id"), text.as("__t")),
+      col("__t"), numPerms, rowsPerBand)
     val a = long.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val b = long.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The banded-LSH INDEX relation: every input column plus `(band,
+    * key)` rows — `numPerms / rowsPerBand` rows per doc, keys are
+    * fixed-width strings. This is the durable artifact of a dedup run:
+    * in production it is WRITTEN (bucketed by `(band, key)`) so later
+    * ingests probe it ([[probeBandIndex]]) instead of re-pairing the
+    * corpus against itself. Input columns ride through the explode;
+    * Catalyst prunes the ones a consumer drops (candidate generation
+    * keeps only `doc_id`).
+    */
+  def bandRows(docs: DataFrame, text: Column,
+               numPerms: Int, rowsPerBand: Int): DataFrame = {
+    require(numPerms % rowsPerBand == 0,
+      s"numPerms=$numPerms must be divisible by rowsPerBand=$rowsPerBand")
+    val nBands = numPerms / rowsPerBand
+    graft.expressions.ShinglePermMinHash.register(docs.sparkSession)
+    val sigs = docs.withColumn("__sigs",
+      call_function("graft_shingle_perm_minhash",
+        Text.tokens(text), lit(3), lit(numPerms)))
+    val keep = docs.columns.filter(_ != "__t")
+    sigs.select(col("*"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b.toLong).as("band"),
+            concat_ws("|", slice(col("__sigs"), b * rowsPerBand + 1, rowsPerBand))
+              .as("key"))): _*)).as("__bk"))
+      .select(keep.map(col) :+ col("__bk.band") :+ col("__bk.key"): _*)
+  }
+
+  /** Incremental near-dup probe — the 100 TB INGEST pattern: a new
+    * shard's band rows equi-join the STORED index ([[bandRows]]) of the
+    * corpus already kept, so ingest cost is |delta| · bands, never a
+    * re-pairing of the full corpus (with the index parquet bucketed by
+    * `(band, key)`, the join shuffles ONLY the delta side). Multi-band
+    * hits on the same (probe, base) pair collapse in a map-side
+    * distinct before the per-probe aggregate. Returns one row per
+    * MATCHED probe doc: `(doc_id, n_base_matches, first_match)` —
+    * distinct base docs sharing ≥ 1 band, and the smallest such base id
+    * (the cluster a keep-min-id policy would merge the probe into).
+    */
+  def probeBandIndex(index: DataFrame, probes: DataFrame): DataFrame =
+    probes.select(col("band"), col("key"), col("doc_id"))
+      .join(index.select(col("band"), col("key"), col("doc_id").as("base_id")),
+        Seq("band", "key"))
+      .select("doc_id", "base_id").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_base_matches"),
+        min(col("base_id")).as("first_match"))
+
+  /** STREAMING ingest dedup: flag arriving docs whose MinHash bands hit
+    * the static index of the kept corpus — quarantine-at-ingest, the
+    * online twin of [[probeBandIndex]]. Stateless until the last step:
+    * per-row signatures and the band explode run on the stream, the
+    * index join is a stream-static LEFT SEMI (no stream-side state; the
+    * bounded index side broadcasts or shuffles once per micro-batch),
+    * and the per-doc collapse of multi-band hits is
+    * `dropDuplicatesWithinWatermark` — key state bounded by the
+    * watermark, not the stream. Emits `(doc_id, ts)` per flagged doc.
+    * `stream` must carry `doc_id`, `ts`, and the text column;
+    * [[bandRows]] carries them through the explode.
+    */
+  def streamingIngestDupIds(stream: DataFrame, text: Column, numPerms: Int,
+                            rowsPerBand: Int, index: DataFrame,
+                            watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "streamingIngestDupIds needs a streaming DataFrame — use probeBandIndex for batch")
+    require(!index.isStreaming, "the band index side must be a static DataFrame")
+    bandRows(stream.withWatermark("ts", watermark), text, numPerms, rowsPerBand)
+      .join(index.select("band", "key"), Seq("band", "key"), "left_semi")
+      .select("doc_id", "ts")
+      .dropDuplicatesWithinWatermark("doc_id")
   }
 
   /** 64-bit SimHash (signed long) per doc ([[graft.expressions.SimHash64]]);

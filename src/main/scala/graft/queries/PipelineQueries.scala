@@ -186,6 +186,28 @@ object PipelineQueries {
         N_PERMS, ROWS_PER_BAND)
       .orderBy("doc_a", "doc_b")
 
+  /** INCREMENTAL near-dup probe — the ingest pattern that makes dedup
+    * sustainable at 100 TB: every fourth doc plays the arriving shard,
+    * the rest the already-kept corpus whose band INDEX
+    * ([[Dedup.bandRows]]) is the durable artifact of the last run;
+    * [[Dedup.probeBandIndex]] equi-joins shard band rows against it, so
+    * ingest cost is |delta|·bands — the full corpus is never re-paired.
+    * One staged signature pass feeds both sides (in production the base
+    * side is READ, not recomputed — here it must be built so the oracle
+    * can replay it). Output: per matched shard doc, its distinct
+    * base-corpus match count and the smallest matching base id.
+    */
+  def xDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val rows = graft.operators.Scale.stage(
+      Dedup.bandRows(Tables.documents(s, dir).select("doc_id", "text"),
+          col("text"), N_PERMS, ROWS_PER_BAND)
+        .select("doc_id", "band", "key"))
+    Dedup.probeBandIndex(
+        index  = rows.where(col("doc_id") % 4 =!= 0),
+        probes = rows.where(col("doc_id") % 4 === 0))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTERS from the banded candidates: connected components
     * labeled by smallest member ([[Dedup.dupClusters]]) — transitive
     * closure of "is a candidate pair of", the step that turns pairs into
@@ -1851,6 +1873,7 @@ object PipelineQueries {
     "x_dedup_cut"   -> xDedupCut _,
     "x_dupgrams_skewjoin"  -> xDupgramsSkewjoin _,
     "x_dedup_cut_skewjoin" -> xDedupCutSkewjoin _,
+    "x_dedup_incremental"  -> xDedupIncremental _,
     "x_mix_temp"    -> xMixTemp _,
     "x_lp_buckets"  -> xLpBuckets _,
     "x_keyterms"    -> xKeyterms _,
@@ -2926,6 +2949,17 @@ object PipelineQueries {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_dedup_incremental" ->
+      s"""WITH ${permSigsSql},
+        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
+        |hits AS (SELECT DISTINCT d.doc_id, b.doc_id AS base_id
+        |         FROM bands d JOIN bands b ON d.band = b.band AND d.key = b.key
+        |         WHERE d.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_base_matches,
+        |       min(base_id) AS first_match
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_curate_semantic" ->
       s"""WITH RECURSIVE q AS (
         |  SELECT doc_id, text,

@@ -188,6 +188,54 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not band-collide")
   }
 
+  test("probeBandIndex flags shard docs against the base index, never base against itself") {
+    // base corpus: 0 (kept) and 2 (unrelated); arriving shard: 10 = near-dup
+    // of 0, 11 = unrelated to everything, 12 = exact dup of 0
+    val baseDocs  = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val shardDocs = Seq((10L, nearDup), (11L, "nothing here matches anything at all truly"),
+      (12L, base)).toDF("doc_id", "text")
+    val index  = Dedup.bandRows(baseDocs, col("text"), 16, 2)
+    val probes = Dedup.bandRows(shardDocs, col("text"), 16, 2)
+    val out = Dedup.probeBandIndex(index, probes)
+      .as[(Long, Long, Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(out.contains(10L) && out(10L)._2 == 0L,
+      s"near-dup shard doc must match base doc 0: $out")
+    assert(out(12L) == ((1L, 0L)), s"exact dup matches base 0 once: $out")
+    assert(!out.contains(11L), "unrelated shard doc must not match")
+    assert(!out.contains(0L) && !out.contains(2L),
+      "base docs never appear — the corpus is not re-paired")
+    // multi-band agreement (an exact dup shares ALL 8 bands) still
+    // counts its base doc ONCE — the pair distinct before the aggregate
+    assert(out(12L)._1 == 1L)
+  }
+
+  test("streamingIngestDupIds quarantines dups at ingest, matches the batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val baseDocs = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val index = Dedup.bandRows(baseDocs, col("text"), 16, 2)
+      .select("band", "key").cache()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q = Dedup.streamingIngestDupIds(stream, col("text"), 16, 2, index)
+      .writeStream.format("memory").queryName("ingest_dups")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      // redelivered near-dup (10 twice, at-least-once), one clean doc
+      mem.addData((10L, nearDup, "2024-03-01 00:00:01"),
+        (10L, nearDup, "2024-03-01 00:00:01"),
+        (11L, "nothing here matches anything at all truly", "2024-03-01 00:00:02"),
+        (12L, base, "2024-03-01 00:00:03"))
+      q.processAllAvailable()
+      val flagged = spark.table("ingest_dups").select("doc_id")
+        .as[Long].collect().toSeq
+      assert(flagged.sorted == Seq(10L, 12L),
+        s"dups flagged once each, clean doc passes: $flagged")
+    } finally q.stop()
+  }
+
   test("SigUnion aggregates the element-wise minimum signature (mergeable sketch)") {
     import org.apache.spark.sql.functions.udaf
     val perDoc = Dedup.withPermMinhashSigs(docs, col("text"), 8)
