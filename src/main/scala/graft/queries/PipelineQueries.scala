@@ -746,6 +746,40 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filtered decontamination — the result-identical scale twin of
+    * [[xDecontam]]. Same eval slice, same overlap count, but corpus
+    * grams are pre-filtered through a FIXED-size Bloom bitmap
+    * ([[graft.functions.Bloom]], 2^20 bits = 128 KiB broadcast) before
+    * the exact equi-join. At 100 TB the difference is the broadcast
+    * budget: the distinct eval gram set can be multi-GB, while the
+    * bitmap stays 128 KiB regardless of eval-suite size, and the exact
+    * join downstream sees only the true overlap + ε false positives
+    * instead of the full corpus gram stream. Bloom filters have no
+    * false negatives, so the exact join restores bit-identical output —
+    * this entry shares x_decontam's oracle, and the correctness gate
+    * itself proves the equivalence on the real corpus.
+    */
+  def xDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bloom, BloomOr}
+    graft.expressions.WordShingles.register(s)
+    val docs = Tables.documents(s, dir)
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(Text.shinglesNative(Text.tokens(col("text")), 4)).as("gram"))
+    // staged once: feeds both the bitmap build and the exact verify join
+    val evalGrams = graft.operators.Scale.stage(
+      grams(docs.where(col("doc_id") % 50 === 0)).select("gram").distinct())
+    val bitmap = evalGrams.select(
+      udaf(BloomOr).apply(Bloom.positions(col("gram"))).as("bloom"))
+    grams(docs.where(col("doc_id") % 50 =!= 0))
+      .crossJoin(broadcast(bitmap))
+      .where(Bloom.mightContain(col("bloom"), col("gram")))
+      .drop("bloom")
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gram")).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction — the privacy-scrub stage of a curation pipeline. The
     * synthetic corpus contains no PII, so the fixture deterministically
     * plants an email and an IPv4 (pure functions of doc_id) ahead of the
@@ -1858,6 +1892,7 @@ object PipelineQueries {
     "x_ivfknn2"     -> xIvfknn2 _,
     "x_regex_tokens" -> xRegexTokens _,
     "x_decontam"    -> xDecontam _,
+    "x_decontam_bloom" -> xDecontamBloom _,
     "x_contam_sweep" -> xContamSweep _,
     "x_pq"          -> xPq _,
     "x_pq_recall"   -> xPqRecall _,
@@ -3215,5 +3250,8 @@ object PipelineQueries {
     * planted corpus. */
   val oracle: Map[String, String] = oracleBase ++ Map(
     "x_dedup_cut_skewjoin" -> oracleBase("x_dedup_cut"),
-    "x_dupgrams_skewjoin" -> oracleBase("x_dupgrams"))
+    "x_dupgrams_skewjoin" -> oracleBase("x_dupgrams"),
+    // Bloom pre-filter + exact verify is result-identical to the exact
+    // join alone (no false negatives), so the twin shares the oracle.
+    "x_decontam_bloom" -> oracleBase("x_decontam"))
 }

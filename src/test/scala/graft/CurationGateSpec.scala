@@ -21,6 +21,37 @@ class CurationGateSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bloom decontam twin is bit-identical; the bitmap actually prunes") {
+    import graft.functions.{Bloom, BloomOr}
+    // result-identical to the exact gate (the shared-oracle contract)
+    val exact = PipelineQueries.xDecontam(spark, dir).collect().toSeq
+    val bloom = PipelineQueries.xDecontamBloom(spark, dir).collect().toSeq
+    assert(exact == bloom, "bloom pre-filter must not change the result")
+
+    // no false negatives at the bloom layer: every inserted gram probes true
+    graft.expressions.WordShingles.register(spark)
+    val docs = Tables.documents(spark, dir)
+    def grams(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      explode(graft.functions.Text.shinglesNative(
+        graft.functions.Text.tokens(col("text")), 4)).as("gram"))
+    val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
+      .select("gram").distinct().cache()
+    val bitmap = evalGrams.select(
+      udaf(BloomOr).apply(Bloom.positions(col("gram"))).as("bloom"))
+    val misses = evalGrams.crossJoin(broadcast(bitmap))
+      .where(!Bloom.mightContain(col("bloom"), col("gram"))).count()
+    assert(misses == 0, "a Bloom filter has zero false negatives")
+
+    // and it prunes: planted non-member grams mostly probe false
+    // (m=2^20 bits, k=5, n ~ hundreds -> fp rate should be tiny)
+    val probes = spark.range(10000)
+      .select(concat(lit("nonmember-gram-"), col("id")).as("gram"))
+    val fp = probes.crossJoin(broadcast(bitmap))
+      .where(Bloom.mightContain(col("bloom"), col("gram"))).count()
+    assert(fp < 100, s"false-positive rate too high: $fp / 10000")
+    evalGrams.unpersist()
+  }
+
   test("PII scrub removes every planted pattern and counts it") {
     val out = PipelineQueries.xPiiScrub(spark, dir).cache()
     val n = out.count()
