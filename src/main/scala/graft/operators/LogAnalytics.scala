@@ -73,6 +73,24 @@ object LogAnalytics {
       .orderBy(col("n").desc, col("dim"))
       .limit(k)
 
+  /** Top-k via the mergeable Misra-Gries sketch
+    * ([[graft.functions.MisraGries]]) — the 100 TB twin of [[topK]].
+    * Exact top-k shuffles one row per DISTINCT key; the sketch shuffles
+    * one bounded `capacity`-counter summary per partition, independent
+    * of key cardinality. With `capacity` at least the distinct-key
+    * count the result is exact (no decrement ever fires), which is the
+    * shared-oracle contract of `l_topk_sketch`; beyond that the counts
+    * are underestimates by at most n/(capacity+1) and every key above
+    * that frequency is guaranteed present.
+    */
+  def topKSketch(events: DataFrame, dim: Column, k: Int, capacity: Int): DataFrame =
+    events.agg(
+        udaf(new graft.functions.MisraGries(capacity)).apply(dim).as("summary"))
+      .select(explode(col("summary")).as("e"))
+      .select(col("e._1").as("dim"), col("e._2").as("n"))
+      .orderBy(col("n").desc, col("dim"))
+      .limit(k)
+
   /** Exact + approximate (HLL) distinct users per dimension. At 100 TB
     * prefer the HLL column: it partial-aggregates to a fixed-size sketch
     * instead of shuffling every distinct key occurrence.

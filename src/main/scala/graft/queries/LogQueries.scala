@@ -37,6 +37,16 @@ object LogQueries {
     LogAnalytics.topK(Tables.events(s, dir), col("event_type"), 3)
       .withColumnRenamed("dim", "event_type")
 
+  /** Sketch twin of [[lTopk]]: Misra-Gries with capacity 1024 ≫ the
+    * event-type cardinality, so counts are exact and the twin shares
+    * l_topk's oracle — while the PLAN is the one that survives a
+    * high-cardinality dim at 100 TB (bounded summary per partition on
+    * the wire, not one row per distinct key).
+    */
+  def lTopkSketch(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.topKSketch(Tables.events(s, dir), col("event_type"), 3, 1024)
+      .withColumnRenamed("dim", "event_type")
+
   def lDistinct(s: SparkSession, dir: String): DataFrame =
     LogAnalytics.distinctUsers(Tables.events(s, dir), col("event_type"), col("user_id"))
       .withColumnRenamed("dim", "event_type")
@@ -153,6 +163,7 @@ object LogQueries {
     "l_sliding"    -> lSliding _,
     "l_session"    -> lSession _,
     "l_topk"       -> lTopk _,
+    "l_topk_sketch" -> lTopkSketch _,
     "l_distinct"   -> lDistinct _,
     "l_percentile" -> lPercentile _,
     "l_percentile_approx" -> lPercentileApprox _,
@@ -256,5 +267,8 @@ object LogQueries {
     * text, two plan shapes — the gate hash-proves exact-mode invariance
     * on the real fixture (the `_skewjoin` discipline). */
   val oracle: Map[String, String] = oracleBase +
-    ("l_percentile_counts" -> oracleBase("l_percentile"))
+    ("l_percentile_counts" -> oracleBase("l_percentile")) +
+    // capacity ≥ distinct keys ⇒ Misra-Gries is exact; the sketch twin
+    // shares the exact oracle and the gate proves it on the fixture
+    ("l_topk_sketch" -> oracleBase("l_topk"))
 }

@@ -116,4 +116,33 @@ class LogAnalyticsSpec extends SparkSpec {
     val top = LogAnalytics.topK(df, col("k"), 2).as[(String, Long)].collect().toSeq
     assert(top == Seq(("a", 2L), ("b", 2L)))  // tie a/b broken by key order
   }
+
+  test("topKSketch equals exact topK when capacity covers the key space") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = LogAnalytics.topK(df, col("event_type"), 3)
+      .as[(String, Long)].collect().toSeq
+    val sketch = LogAnalytics.topKSketch(df, col("event_type"), 3, 1024)
+      .as[(String, Long)].collect().toSeq
+    assert(sketch == exact, "capacity ≥ distinct keys must be exact")
+  }
+
+  test("Misra-Gries under eviction: heavy hitter survives with bounded error") {
+    // 1 heavy key (1000 rows) + 200 distinct tail keys, capacity 8:
+    // decrements fire constantly, yet the MG guarantee holds — the
+    // heavy key is present and undercounted by at most n/(capacity+1).
+    val heavy = Seq.fill(1000)("heavy")
+    val tail = (0 until 200).flatMap(i => Seq.fill(2)(s"tail-$i"))
+    val n = heavy.size + tail.size
+    val cap = 8
+    val df = spark.sparkContext.parallelize(
+      scala.util.Random.shuffle(heavy ++ tail), 8).toDF("k")
+    val out = LogAnalytics.topKSketch(df, col("k"), 1, cap)
+      .as[(String, Long)].collect().toSeq
+    assert(out.nonEmpty && out.head._1 == "heavy",
+      s"heavy hitter above n/(cap+1) must be reported, got $out")
+    val reported = out.head._2
+    assert(reported <= 1000L, "MG counts never overestimate")
+    assert(reported >= 1000L - n.toLong / (cap + 1),
+      s"undercount beyond the MG bound: $reported")
+  }
 }
