@@ -63,4 +63,43 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sum(round(value * 100).cast("bigint")).over(w) / 100.0
   }
+
+  /** Band (interval) join by time-binning: pair each left row with every
+    * right row whose timestamp lies within ±`bandWidth` — WITHOUT the
+    * BroadcastNestedLoopJoin Spark plans for a bare non-equi predicate.
+    *
+    * The trick: quantize both sides to `bandWidth`-sized bins. A right
+    * row within ±bandWidth of a left row in bin b can only sit in bins
+    * b-1, b, b+1, so replicating the RIGHT side into its three adjacent
+    * bins turns the band predicate into an EQUI-join on bin plus an
+    * exact |Δt| ≤ bandWidth residual filter. Each (left, right) pair
+    * meets in exactly one bin (the left row's), so no dedup is needed.
+    *
+    * Scale shape: both sides hash-partition by bin — a shuffle join
+    * that AQE can size and skew-split — at 3× replication of one side,
+    * versus the nested-loop's O(left × right) comparisons which no
+    * cluster survives. This is the standard band-join decomposition
+    * (cf. the epsilon-join literature); bandWidth doubles as the recall
+    * window and the bin size, so candidate volume per bin stays
+    * proportional to the band's true selectivity.
+    *
+    * Left rows with no partner survive with a NULL right timestamp
+    * (left-outer on the bin; bin-mates outside the band are nulled, not
+    * dropped), so zero-match groups stay countable via count(rts).
+    * Returns leftCols ++ (lts, rts = matching right epoch-millis or NULL).
+    */
+  def bandJoinBinned(left: DataFrame, leftTsMs: Column, right: DataFrame,
+                     rightTsMs: Column, bandWidthMs: Long,
+                     leftCols: Seq[String]): DataFrame = {
+    val l = left.select(leftCols.map(col) :+ leftTsMs.as("lts"): _*)
+      .withColumn("bin", floor(col("lts") / bandWidthMs))
+    val r = right.select(rightTsMs.as("rts"))
+      .select(col("rts"), explode(array(lit(-1L), lit(0L), lit(1L))).as("d"))
+      .select(col("rts"), (floor(col("rts") / bandWidthMs) + col("d")).as("bin"))
+    l.join(r, Seq("bin"), "left_outer")
+      .withColumn("rts",
+        when(col("rts").isNotNull &&
+          abs(col("rts") - col("lts")) <= bandWidthMs, col("rts")))
+      .drop("bin")
+  }
 }

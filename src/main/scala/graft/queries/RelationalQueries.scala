@@ -331,7 +331,29 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Band join: for each error event, how many clicks landed within
+    * ±30 s — the temporal-correlation probe (errors near click bursts)
+    * that is a pure NON-equi join. [[Relational.bandJoinBinned]] turns
+    * it into an equi-join on 30 s bins (3× replication of the click
+    * side) so the plan is a shuffle join AQE can manage, not the
+    * BroadcastNestedLoopJoin a bare |Δt| ≤ w predicate plans — the
+    * difference between O(n·m) comparisons and band-selectivity cost
+    * at 100 TB. RangeJoinSpec asserts the no-nested-loop plan shape.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.where(col("event_type") === "error")
+    val clicks = ev.where(col("event_type") === "click")
+    Relational.bandJoinBinned(
+        errors, unix_millis(col("ts")), clicks, unix_millis(col("ts")),
+        bandWidthMs = 30000L, leftCols = Seq("event_id"))
+      .groupBy("event_id")
+      .agg(count(col("rts")).as("n_clicks_30s"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> qRangeJoin _,
     "q_pricing"    -> qPricing _,
     "q_join_bcast" -> qJoinBcast _,
     "q_join_multi" -> qJoinMulti _,
@@ -511,5 +533,13 @@ object RelationalQueries {
              """last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
                |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin)} AS last_purchase_value
-        |FROM e ORDER BY event_id""".stripMargin)
+        |FROM e ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH l AS (SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS lts
+        |           FROM events WHERE event_type = 'error'),
+        |     r AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS rts
+        |           FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, CAST(count(r.rts) AS BIGINT) AS n_clicks_30s
+        |FROM l LEFT JOIN r ON abs(r.rts - l.lts) <= 30000
+        |GROUP BY l.event_id ORDER BY l.event_id""".stripMargin)
 }
