@@ -150,6 +150,18 @@ object HumioQueries {
       "join({groupBy(user_id, function=count())}, field=user_id) " +
         "| _count >= 80 | select(event_id, user_id, _count) | sort(event_id)")
 
+  /** join(within=): the banded self-correlate — clicks by the same user
+    * within ±1 h of each event, counted per event. Compiles to the
+    * equi-plus-band join (same condition shape the stream-stream twin
+    * runs; HumioStreamSpec proves batch agreement on a drained stream).
+    * The band is compared at Spark's native microsecond timestamp
+    * precision, so the oracle uses epoch_us, not epoch_ms.
+    */
+  def hqJoinWithin(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "join({event_type = click | select(ts, user_id)}, field=user_id, within=1h) " +
+        "| groupBy(event_id, function=count()) | sort(event_id)")
+
   /** join(mode=left): per-event purchase count with NULL for users who
     * never purchased — unmatched events survive the enrichment.
     */
@@ -345,6 +357,7 @@ object HumioQueries {
     "hq_sortlimit" -> hqSortlimit _,
     "hq_tail"      -> hqTail _,
     "hq_join"      -> hqJoin _,
+    "hq_join_within" -> hqJoinWithin _,
     "hq_filter"    -> hqFilter _,
     "hq_group"     -> hqGroup _,
     "hq_wildcard"  -> hqWildcard _,
@@ -538,6 +551,15 @@ object HumioQueries {
         |JOIN (SELECT user_id, count(*) AS _count FROM events GROUP BY user_id) c
         |  ON e.user_id = c.user_id
         |WHERE c._count >= 80 ORDER BY e.event_id""".stripMargin,
+    "hq_join_within" ->
+      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+        |           FROM events WHERE event_type = 'click'),
+        |     e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ets
+        |           FROM events)
+        |SELECT e.event_id, CAST(count(*) AS BIGINT) AS _count
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |              AND abs(c.cts - e.ets) <= 3600000000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "hq_filter" ->
       """SELECT event_id, event_type FROM events
         |WHERE value > 450.0 ORDER BY event_id""".stripMargin,

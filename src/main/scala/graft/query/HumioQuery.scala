@@ -139,8 +139,15 @@ object HumioQuery {
     *    arrives in event-time order across micro-batches; an
     *    out-of-order row gets a NULL rate and leaves state untouched.
     *    `by=` is required on a stream (no global order exists);
-    *  - batch-only verbs with no streaming plan — tail/join({sub})/
-    *    window/transpose — reject streaming input with a
+    *  - `join({sub}, within=w)` — the banded self-correlate — compiles
+    *    to a stream-stream INNER join: both sides inherit the stamped
+    *    watermark and the ±w band in the condition bounds the join
+    *    state (a row expires when the watermark passes its band). The
+    *    subquery must be stateless (filter/eval/select) and keep `ts`;
+    *    unbanded join({sub}), mode=left, and aggregated subqueries stay
+    *    batch-only with reasoned errors;
+    *  - batch-only verbs with no streaming plan — tail/window/
+    *    transpose — reject streaming input with a
     *    per-verb message; sort/head/top compile and are governed by
     *    Spark's own output-mode rules (legal in complete mode after an
     *    aggregation).
@@ -910,28 +917,67 @@ object HumioQuery {
             .withColumnRenamed("session_id", "_session")
         }
       case "join" =>
-        // join({subquery}, field=f[, key=k][, include=[c1, …]]): inner
-        // join against the subquery run over the SAME input. The subquery
-        // side is typically a small aggregate → broadcast, no shuffle of
-        // the event side. Fresh aliases on the right break the self-join
-        // attribute ambiguity (both sides share one lineage); subquery
-        // columns win on name collision.
-        require(!df.isStreaming,
-          "join({subquery}) is a batch stage — the subquery re-aggregates its input")
+        // join({subquery}, field=f[, key=k][, include=[c1, …]][, within=w]):
+        // inner join against the subquery run over the SAME input. The
+        // subquery side is typically a small aggregate → broadcast, no
+        // shuffle of the event side. Fresh aliases on the right break the
+        // self-join attribute ambiguity (both sides share one lineage);
+        // subquery columns win on name collision. With within=<span> the
+        // join carries a ±span event-time band — the temporal-correlate
+        // form, and the ONLY form with a streaming twin: the band in the
+        // condition is what lets Spark's stream-stream join expire state
+        // once the watermark passes a row's band.
         val sub = pos.head
         require(sub.startsWith("{") && sub.endsWith("}"),
           s"join expects a {subquery} first argument, got '$sub'")
-        val subDf = run(df, sub.substring(1, sub.length - 1), tables)
         val field = named("field")
         val key = named.getOrElse("key", field)
-        val include = named.get("include").map(listArg)
-          .getOrElse(subDf.columns.toSeq.filterNot(_ == key))
         // mode=left keeps unmatched events with NULL subquery columns
         // (LogScale join mode=left); default inner drops them
         val mode = named.getOrElse("mode", "inner")
         require(mode == "inner" || mode == "left",
           s"join(): mode must be inner or left, got '$mode'")
-        enrichJoin(df, subDf, field, key, include, mode)
+        val within = named.get("within").map(spanMs)
+        if (df.isStreaming) {
+          requireWatermarked(df, "join")
+          require(within.isDefined,
+            "join({subquery}) on a stream needs within=<span> — the time " +
+              "band is what lets the stream-stream join expire state; " +
+              "without it every row is kept forever. Run an unbanded " +
+              "join as a batch pass over the drained stream")
+          require(mode == "inner",
+            "join() on a stream supports mode=inner only — outer rows " +
+              "can only be emitted on watermark advance; run mode=left " +
+              "as a batch pass over the drained stream")
+          val subDf = run(df, sub.substring(1, sub.length - 1), tables)
+          require(!subDf.queryExecution.analyzed.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+            "join({subquery}) on a stream needs a STATELESS subquery " +
+              "(filter/eval/select shapes): an aggregated subquery would " +
+              "place a join after a streaming aggregation, which append " +
+              "mode cannot run — aggregate over the join's output instead")
+          require(subDf.columns.contains("ts"),
+            "join() on a stream needs ts on the subquery side — don't " +
+              "project it away; the band condition needs both event times")
+          val include = named.get("include").map(listArg)
+            .getOrElse(subDf.columns.toSeq.filterNot(c => c == key || c == "ts"))
+          bandedSubJoin(df, subDf, field, key, include, within.get,
+            "inner", stream = true)
+        } else {
+          val subDf = run(df, sub.substring(1, sub.length - 1), tables)
+          within match {
+            case Some(w) =>
+              // batch twin of the banded form: same condition, same
+              // default include (ts stays the left event's)
+              val include = named.get("include").map(listArg)
+                .getOrElse(subDf.columns.toSeq.filterNot(c => c == key || c == "ts"))
+              bandedSubJoin(df, subDf, field, key, include, w, mode, stream = false)
+            case None =>
+              val include = named.get("include").map(listArg)
+                .getOrElse(subDf.columns.toSeq.filterNot(_ == key))
+              enrichJoin(df, subDf, field, key, include, mode)
+          }
+        }
       case "dedup" =>
         // dedup(f1, …[, limit=n]): the n most RECENT events per key
         // (LogScale dedup keeps latest by @timestamp; event_id breaks
@@ -995,6 +1041,38 @@ object HumioQuery {
     * also break the self-join attribute ambiguity when `dim` derives
     * from `df` itself (the join() case).
     */
+  /** join({sub}, within=w): equi-join on the field PLUS a ±w event-time
+    * band. On a stream this is Spark's stream-stream inner join — the
+    * band appears in the condition as a range over both sides'
+    * watermarked `ts`, so the state store drops a row once the
+    * watermark passes its band: per-key state is bounded by
+    * (band width × arrival rate), the property that lets the join run
+    * forever at cluster scale. In batch the same plan shape holds:
+    * Catalyst extracts the equi conjunct as the join key and keeps the
+    * band as a residual filter, so the join broadcasts when the
+    * subquery side is small and sort-merges when it is corpus-sized —
+    * unlike enrichJoin, the banded side is NOT forced to broadcast,
+    * because a banded self-correlate's right side is often the corpus
+    * itself. The right side's ts is consumed by the condition and
+    * dropped; the output's ts is the left event's.
+    */
+  private def bandedSubJoin(df: DataFrame, sub: DataFrame, field: String,
+                            key: String, include: Seq[String], withinMs: Long,
+                            joinType: String, stream: Boolean): DataFrame = {
+    val right = sub.select(
+      col(key).as("__graft_join_key") +: col("ts").as("__graft_rts") +:
+        include.map(c => col(c).as(s"__graft_inc_$c")): _*)
+    val iv = expr(s"INTERVAL $withinMs MILLISECOND")
+    val cond = col(field) === col("__graft_join_key") &&
+      col("__graft_rts") >= col("ts") - iv &&
+      col("__graft_rts") <= col("ts") + iv
+    val joined = df.join(right, cond, joinType)
+      .drop("__graft_join_key", "__graft_rts")
+    include.foldLeft(joined) { (d, c) =>
+      d.drop(c).withColumnRenamed(s"__graft_inc_$c", c)
+    }
+  }
+
   private def enrichJoin(df: DataFrame, dim: DataFrame, field: String,
                          key: String, include: Seq[String],
                          joinType: String): DataFrame = {

@@ -267,10 +267,16 @@ class HumioQuerySpec extends SparkSpec {
     // shape instead of the batch per-event index (HumioStreamSpec)
     assert(HumioQuery.run(sdf, "session(field=user_id)").columns.toSeq ==
       Seq("user_id", "_session_start", "_session_end", "_count"))
+    // unbanded join on a stream: reasoned error pointing at within=
     val e2 = intercept[IllegalArgumentException] {
       HumioQuery.run(sdf, "join({groupBy(user_id)}, field=user_id)")
     }
-    assert(e2.getMessage.contains("join({subquery}) is a batch stage"))
+    assert(e2.getMessage.contains("needs within="))
+    // banded but aggregated subquery: still refused, with the reason
+    val e2b = intercept[IllegalArgumentException] {
+      HumioQuery.run(sdf, "join({groupBy(user_id)}, field=user_id, within=30s)")
+    }
+    assert(e2b.getMessage.contains("STATELESS subquery"))
     val e3 = intercept[IllegalArgumentException] {
       HumioQuery.run(sdf, "tail(3)")
     }

@@ -246,6 +246,41 @@ class HumioStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join(within=) correlates and matches the batch twin") {
+    // banded self-correlate: every event pairs with clicks sharing its
+    // key within ±30 min. Both join inputs are the SAME watermarked
+    // stream; the band in the condition is what bounds the join state.
+    val q = "u := event_id % 2 | " +
+      "join({event_type = click | select(ts, u, value)}, " +
+      "field=u, key=u, within=30m, include=[value]) | " +
+      "select(event_id, value)"
+    val events = Seq(
+      (1L, "click", 1.0, "2024-03-01 00:00:00"),   // u=1
+      (2L, "error", 0.0, "2024-03-01 00:10:00"),   // u=0: no click in band
+      (3L, "error", 0.0, "2024-03-01 00:20:00"),   // u=1: clicks 1 and 5 in band
+      (4L, "click", 4.0, "2024-03-01 02:00:00"),   // u=0: only itself in band
+      (5L, "click", 5.0, "2024-03-01 00:45:00"))   // u=1: 45m from click 1 — out
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_ssjoin")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.take(3): _*); query.processAllAvailable()
+      mem.addData(events.drop(3): _*); query.processAllAvailable()
+      val streamed = spark.table("hq_ssjoin")
+        .as[(Long, Double)].collect().toSeq.sorted
+      val batchTwin = HumioQuery.run(toEvents(events.toDF()), q)
+        .as[(Long, Double)].collect().toSeq.sorted
+      assert(streamed == batchTwin, s"stream $streamed vs batch $batchTwin")
+      // the correlate we planted: clicks pair with themselves (Δ=0),
+      // event 3 sees clicks 1 (20m) and 5 (25m); 2 has no u=0 click in
+      // band; click 5 is 45m from click 1 — outside
+      assert(streamed == Seq((1L, 1.0), (3L, 1.0), (3L, 5.0),
+        (4L, 4.0), (5L, 5.0)))
+    } finally query.stop()
+  }
+
   test("connector wire -> parse -> DSL timechart: one streaming plan end to end") {
     import graft.streaming.ConnectorPipeline
     def line(off: Long, t: Long, user: String) =
