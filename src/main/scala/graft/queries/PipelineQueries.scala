@@ -1337,6 +1337,24 @@ object PipelineQueries {
     * corpus again. The rank window orders the pair aggregate (alphabet²
     * rows at most).
     */
+  /** BPE merge TRAINING — the iterative continuation of [[xBpePairs]]:
+    * ten rounds of count-pairs → fuse-argmax → rewrite, producing the
+    * ordered merge table a tokenizer replays ([[graft.operators.Bpe]]).
+    * Rows-only entry (the q_approx precedent): the argmax-rewrite loop
+    * is not SQL-expressible; correctness is BpeSpec's differential
+    * against a sequential reference implementation, plus determinism by
+    * construction (lexicographic tie-break, integer weights). Scale
+    * shape: corpus touched once for the (word, freq) dictionary; every
+    * round runs over the zipf-bounded vocabulary with a flag-only
+    * driver (one merge pair per round).
+    */
+  def xBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    graft.operators.Bpe.train(words, 10).orderBy("merge_idx")
+  }
+
   def xBpePairs(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.documents(s, dir)
       .select(explode(Text.tokens(col("text"))).as("word"))
@@ -1904,6 +1922,7 @@ object PipelineQueries {
     "x_bm25"        -> xBm25 _,
     "x_unigram_lp"  -> xUnigramLp _,
     "x_bpe_pairs"   -> xBpePairs _,
+    "x_bpe_train"   -> xBpeTrain _,
     "x_dupgrams"    -> xDupgrams _,
     "x_dedup_cut"   -> xDedupCut _,
     "x_dupgrams_skewjoin"  -> xDupgramsSkewjoin _,

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge training: differential against an independent sequential
+  * reference implementation, merge-step reference semantics, and the
+  * determinism the rows-only x_bpe_train entry leans on.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference BPE (straight port of the textbook
+    * algorithm): count adjacent positions (overlapping included),
+    * fuse the most frequent pair with lexicographic tie-break.
+    */
+  private def refBpe(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var vocab: Seq[(IndexedSeq[String], Long)] =
+      words.toSeq.map { case (w, f) => (w.map(_.toString).toIndexedSeq, f) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var continue = true
+    var round = 0
+    while (round < n && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        vocab = vocab.map { case (s, f) => (Bpe.applyMerge(s, l, r), f) }
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  test("applyMerge fuses left-to-right without overlap") {
+    assert(Bpe.applyMerge(IndexedSeq("a", "a", "a"), "a", "a") ==
+      IndexedSeq("aa", "a"), "aaa under (a,a) is [aa, a]")
+    assert(Bpe.applyMerge(IndexedSeq("a", "b", "a", "b"), "a", "b") ==
+      IndexedSeq("ab", "ab"))
+    assert(Bpe.applyMerge(IndexedSeq("x"), "a", "b") == IndexedSeq("x"))
+    assert(Bpe.applyMerge(IndexedSeq(), "a", "b") == IndexedSeq())
+  }
+
+  test("distributed training matches the sequential reference, ties and all") {
+    // 'low'/'lower'/'newest'/'widest' — the Sennrich walk-through shape,
+    // plus equal-frequency words to exercise the lexicographic tie-break
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "abab" -> 4L, "baba" -> 4L)
+    val df = words.toSeq.toDF("word", "freq")
+    val got = Bpe.train(df, 8)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      .map { case (_, l, r, c) => (l, r, c) }
+    val want = refBpe(words, 8)
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("training stops early when no pair remains; single chars untouched") {
+    val df = Seq(("a", 3L), ("b", 2L)).toDF("word", "freq")
+    assert(Bpe.train(df, 5).count() == 0, "single-symbol words have no pairs")
+    val df2 = Seq(("ab", 1L)).toDF("word", "freq")
+    val m = Bpe.train(df2, 5).as[(Long, String, String, Long)].collect().toSeq
+    assert(m == Seq((0L, "a", "b", 1L)), s"one merge then exhaustion: $m")
+  }
+
+  test("x_bpe_train is deterministic across runs on the fixture") {
+    val a = graft.queries.PipelineQueries.xBpeTrain(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    val b = graft.queries.PipelineQueries.xBpeTrain(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    assert(a == b && a.size == 10, s"10 deterministic merges, got ${a.size}")
+  }
+}
