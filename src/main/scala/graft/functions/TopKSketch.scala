@@ -39,7 +39,11 @@ class MisraGries(capacity: Int)
       case Some(c) => buf.updated(key, c + 1L)
       case None if buf.size < capacity => buf.updated(key, 1L)
       case None =>
-        // classic MG step: the new key and every counter give up one
+        // classic MG step: the new key and every counter give up one.
+        // The O(capacity) rebuild is amortized O(1) per row: each
+        // decrement round subtracts `capacity` total count mass, only
+        // one unit of mass enters per row, so over a stream of n rows
+        // at most n/capacity rounds fire.
         buf.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
     }
 

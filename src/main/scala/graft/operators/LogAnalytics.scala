@@ -83,13 +83,22 @@ object LogAnalytics {
     * are underestimates by at most n/(capacity+1) and every key above
     * that frequency is guaranteed present.
     */
-  def topKSketch(events: DataFrame, dim: Column, k: Int, capacity: Int): DataFrame =
+  def topKSketch(events: DataFrame, dim: Column, k: Int, capacity: Int): DataFrame = {
+    // NULL dims count as their own group in the exact twin, but a Map
+    // buffer can't hold a null key — sentinel-prefix the key space
+    // ("v"+value / "n" for null, the StatefulRate discipline) and strip
+    // it back after the explode so the twin contract holds on nullable
+    // dims too
+    val keyed = when(dim.isNull, lit("n")).otherwise(concat(lit("v"), dim))
     events.agg(
-        udaf(new graft.functions.MisraGries(capacity)).apply(dim).as("summary"))
+        udaf(new graft.functions.MisraGries(capacity)).apply(keyed).as("summary"))
       .select(explode(col("summary")).as("e"))
-      .select(col("e._1").as("dim"), col("e._2").as("n"))
+      .select(when(col("e._1") === "n", lit(null))
+          .otherwise(expr("substring(e._1, 2)")).as("dim"),
+        col("e._2").as("n"))
       .orderBy(col("n").desc, col("dim"))
       .limit(k)
+  }
 
   /** Exact + approximate (HLL) distinct users per dimension. At 100 TB
     * prefer the HLL column: it partial-aggregates to a fixed-size sketch
