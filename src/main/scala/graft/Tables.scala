@@ -21,16 +21,29 @@ object Tables {
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       key => key._1.read.parquet(key._2))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) cannot hold; read it as raw nanos and rebuild a timestamp.
-    * The fixture data is micro-precision (verified: every ts has ns%1000
-    * == 0), so `ts div 1000` is lossless. Integer `div`, not `/`: epoch
-    * nanos ≈ 1.7e18 exceeds double's exact-integer range.
+  /** `events.ts` arrives in whatever physical type the fixture generator
+    * chose, so resolve it by SCHEMA, not by assumption:
+    *  - parquet TIMESTAMP(NANOS) (older fixtures): Spark's TimestampType
+    *    (micros) cannot hold it; `nanosAsLong` reads raw nanos and
+    *    `ts div 1000` rebuilds a timestamp — lossless because the data
+    *    is micro-precision (every ts has ns%1000 == 0). Integer `div`,
+    *    not `/`: epoch nanos ≈ 1.7e18 exceeds double's exact range.
+    *  - parquet TIMESTAMP without timezone (current fixtures): Spark
+    *    reads TIMESTAMP_NTZ; cast to the session-zone TimestampType the
+    *    operators expect — the session zone is pinned to UTC everywhere
+    *    (Bench/Verify/specs), so the wall clock is preserved exactly as
+    *    the DuckDB oracle sees it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
