@@ -88,4 +88,31 @@ object Bpe {
     merges.result()
       .toDF("merge_idx", "left_sym", "right_sym", "pair_freq")
   }
+
+  /** Tokenizer APPLY — the serving half of the lifecycle [[train]]
+    * learns for: replay the ordered merge table over every word of a
+    * (word, freq) dictionary, emitting (word, tokens, freq).
+    *
+    * Scale shape: the merge table is the learned artifact — vocabulary-
+    * sized (32k-100k entries for real tokenizers), so it rides an
+    * explicit `sparkContext.broadcast` while the map itself is a narrow
+    * per-row pass over the DISTINCT-word dictionary; the corpus is
+    * never re-touched (token counts weight by `freq`). Replay order is
+    * `merge_idx` ascending — BPE apply is order-sensitive by
+    * definition.
+    */
+  def tokenize(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    words
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, n) =>
+        var syms: IndexedSeq[String] = w.map(_.toString)
+        bc.value.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        (w, syms: Seq[String], n)
+      }
+      .toDF("word", "tokens", "freq")
+  }
 }

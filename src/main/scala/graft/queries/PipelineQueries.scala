@@ -507,6 +507,15 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** τ stays at 0.3 deliberately: round 7's ~8-minute oracle wall for
+    * x_semdedup was NOT the percolated closure itself (500 vectors cap
+    * the all-pairs reach at 250k rows — trivial) but DuckDB re-inlining
+    * every non-recursive CTE referenced from a recursive term, so each
+    * fixpoint iteration re-ran the whole kmeans-chain + pair scoring.
+    * `AS MATERIALIZED` on the chain CTEs fixes it (measured at sf0.01:
+    * 467 s → 0.5 s, byte-identical result), keeping the round-1..7
+    * hashes stable instead of re-baselining at a different τ.
+    */
   val SEMDEDUP_TAU = 0.3
   /** Tighter τ for the nprobe-probed dedup variant — see
     * [[xSemdedupProbe]]'s scaladoc for why the probed candidate set
@@ -748,20 +757,26 @@ object PipelineQueries {
 
   /** Bloom-filtered decontamination — the result-identical scale twin of
     * [[xDecontam]]. Same eval slice, same overlap count, but corpus
-    * grams are pre-filtered through a FIXED-size Bloom bitmap
-    * ([[graft.functions.Bloom]], 2^20 bits = 128 KiB broadcast) before
-    * the exact equi-join. At 100 TB the difference is the broadcast
-    * budget: the distinct eval gram set can be multi-GB, while the
-    * bitmap stays 128 KiB regardless of eval-suite size, and the exact
-    * join downstream sees only the true overlap + ε false positives
-    * instead of the full corpus gram stream. Bloom filters have no
-    * false negatives, so the exact join restores bit-identical output —
-    * this entry shares x_decontam's oracle, and the correctness gate
-    * itself proves the equivalence on the real corpus.
+    * grams are pre-filtered through a fixed-size Bloom bitmap
+    * ([[graft.functions.Bloom]]; m and k are session confs, default
+    * 2^20 bits = 128 KiB) before the exact equi-join. At 100 TB the
+    * difference is the broadcast budget: the distinct eval gram set can
+    * be multi-GB, while the bitmap is m/8 bytes whatever the grams
+    * weigh — sized by the ε ≈ (1 − e^(−kn/m))^k formula (see
+    * [[graft.functions.BloomParams]]; 10^8 grams at ε = 1% wants
+    * m ≈ 2^30, k ≈ 7) — and the exact join downstream sees only the
+    * true overlap + ε false positives instead of the full corpus gram
+    * stream. Bloom filters have no false negatives, so the exact join
+    * restores bit-identical output AT ANY SIZE — an undersized filter
+    * degrades to pass-through, never to a wrong answer
+    * ([[graft.CurationGateSpec]] proves it at m = 2^8). This entry
+    * shares x_decontam's oracle, and the correctness gate itself proves
+    * the equivalence on the real corpus.
     */
   def xDecontamBloom(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Bloom, BloomOr}
     graft.expressions.WordShingles.register(s)
+    val bp = Bloom.params(s)
     val docs = Tables.documents(s, dir)
     def grams(d: DataFrame) = d.select(col("doc_id"),
       explode(Text.shinglesNative(Text.tokens(col("text")), 4)).as("gram"))
@@ -769,10 +784,10 @@ object PipelineQueries {
     val evalGrams = graft.operators.Scale.stage(
       grams(docs.where(col("doc_id") % 50 === 0)).select("gram").distinct())
     val bitmap = evalGrams.select(
-      udaf(BloomOr).apply(Bloom.positions(col("gram"))).as("bloom"))
+      udaf(BloomOr(bp.words)).apply(Bloom.positions(col("gram"), bp)).as("bloom"))
     grams(docs.where(col("doc_id") % 50 =!= 0))
       .crossJoin(broadcast(bitmap))
-      .where(Bloom.mightContain(col("bloom"), col("gram")))
+      .where(Bloom.mightContain(col("bloom"), col("gram"), bp))
       .drop("bloom")
       .join(broadcast(evalGrams), "gram")
       .groupBy("doc_id")
@@ -1337,22 +1352,55 @@ object PipelineQueries {
     * corpus again. The rank window orders the pair aggregate (alphabet²
     * rows at most).
     */
+  val BPE_ROUNDS = 10
+
   /** BPE merge TRAINING — the iterative continuation of [[xBpePairs]]:
-    * ten rounds of count-pairs → fuse-argmax → rewrite, producing the
-    * ordered merge table a tokenizer replays ([[graft.operators.Bpe]]).
-    * Rows-only entry (the q_approx precedent): the argmax-rewrite loop
-    * is not SQL-expressible; correctness is BpeSpec's differential
-    * against a sequential reference implementation, plus determinism by
-    * construction (lexicographic tie-break, integer weights). Scale
-    * shape: corpus touched once for the (word, freq) dictionary; every
-    * round runs over the zipf-bounded vocabulary with a flag-only
-    * driver (one merge pair per round).
+    * [[BPE_ROUNDS]] rounds of count-pairs → fuse-argmax → rewrite,
+    * producing the ordered merge table a tokenizer replays
+    * ([[graft.operators.Bpe]]). Exact-oracled since round 8: the DuckDB
+    * twin unrolls the training loop with the delimiter-replace encoding
+    * (see [[bpeSqlCtes]]) — round 7 had declared this rows-only on the
+    * belief the argmax-rewrite loop wasn't SQL-expressible. BpeSpec's
+    * differential against a sequential reference implementation stands
+    * as the semantics proof. Scale shape: corpus touched once for the
+    * (word, freq) dictionary; every round runs over the zipf-bounded
+    * vocabulary with a flag-only driver (one merge pair per round).
     */
   def xBpeTrain(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    graft.operators.Bpe.train(words, 10).orderBy("merge_idx")
+    graft.operators.Bpe.train(words, BPE_ROUNDS).orderBy("merge_idx")
+  }
+
+  /** BPE tokenizer APPLY — the closing bracket of the tokenizer
+    * lifecycle: train [[BPE_ROUNDS]] merges on the corpus dictionary,
+    * then replay them over the distinct vocabulary
+    * ([[graft.operators.Bpe.tokenize]]) and emit the resulting token
+    * table (token, containing-word count, corpus occurrence count).
+    * The merge-table collect is the flag-only-driver artifact (the
+    * kmeans-centroid discipline: [[BPE_ROUNDS]] rows, never data); the
+    * dictionary is staged ONCE and feeds both training and apply, so
+    * the corpus pays exactly one word explode. At 100 TB the apply map
+    * runs over the zipf-bounded vocabulary with the merge table
+    * broadcast — token counts weight by word freq, the corpus stream is
+    * never re-tokenized.
+    */
+  def xBpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = graft.operators.Scale.stage(
+      Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")))
+    val merges = graft.operators.Bpe.train(words, BPE_ROUNDS)
+      .orderBy("merge_idx")
+      .select(col("left_sym"), col("right_sym"))
+      .as[(String, String)].collect().toSeq
+    graft.operators.Bpe.tokenize(words, merges)
+      .select(explode(col("tokens")).as("token"), col("freq"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_words"), sum("freq").as("n_occurrences"))
+      .orderBy("token")
   }
 
   def xBpePairs(s: SparkSession, dir: String): DataFrame = {
@@ -1923,6 +1971,7 @@ object PipelineQueries {
     "x_unigram_lp"  -> xUnigramLp _,
     "x_bpe_pairs"   -> xBpePairs _,
     "x_bpe_train"   -> xBpeTrain _,
+    "x_bpe_apply"   -> xBpeApply _,
     "x_dupgrams"    -> xDupgrams _,
     "x_dedup_cut"   -> xDedupCut _,
     "x_dupgrams_skewjoin"  -> xDupgramsSkewjoin _,
@@ -2066,7 +2115,7 @@ object PipelineQueries {
       |         ${hex16Huge("substr(m, 1, 16)")} AS h1,
       |         ${hex16Huge("substr(m, 17, 16)")} AS h2
       |       FROM lng),
-      |sigs AS (SELECT doc_id, p.i AS perm,
+      |sigs AS MATERIALIZED (SELECT doc_id, p.i AS perm,
       |           lpad(CAST(min((h1 + CAST(p.i AS HUGEINT) * h2)
       |                         % CAST(18446744073709551616 AS HUGEINT)) AS VARCHAR),
       |                20, '0') AS sig
@@ -2115,7 +2164,7 @@ object PipelineQueries {
   private def scoredSql(centCte: String, outCte: String,
                         src: String = "embeddings"): String = {
     val cdot = s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')"
-    s"""$outCte AS (SELECT e.vec_id, e.embedding, c.cent_id,
+    s"""$outCte AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cent_id,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) DESC, c.cent_id) AS rk
       |  FROM $src e CROSS JOIN $centCte c)""".stripMargin
@@ -2125,7 +2174,7 @@ object PipelineQueries {
   private def asgnSql(centCte: String, outCte: String,
                       src: String = "embeddings"): String =
     s"""${scoredSql(centCte, outCte + "_sc", src)},
-      |$outCte AS (SELECT vec_id, embedding, cent_id AS cell
+      |$outCte AS MATERIALIZED (SELECT vec_id, embedding, cent_id AS cell
       |            FROM ${outCte}_sc WHERE rk = 1)""".stripMargin
 
   /** Shared WITH-prefix of the fixed-codebook IVF oracles. */
@@ -2144,15 +2193,70 @@ object PipelineQueries {
       |        CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT) AS qv
       |      FROM ra$i CROSS JOIN range(1, ${DIM + 1}) d(i)),
       |rn$i AS (SELECT cell, count(*) AS n FROM ra$i GROUP BY cell),
-      |rc$i AS (SELECT s.cell AS cent_id,
+      |rc$i AS MATERIALIZED (SELECT s.cell AS cent_id,
       |                 list(CAST(s.sq AS DOUBLE) / (n.n * 1048576.0) ORDER BY s.dim) AS cvec
       |          FROM (SELECT cell, dim, sum(qv) AS sq FROM rq$i GROUP BY cell, dim) s
       |          JOIN rn$i n ON s.cell = n.cell
       |          GROUP BY s.cell),
-      |$out AS (SELECT cent_id, cvec FROM rc$i
+      |$out AS MATERIALIZED (SELECT cent_id, cvec FROM rc$i
       |         UNION ALL
       |         SELECT cent_id, list_transform(cvec, x -> CAST(x AS DOUBLE))
       |         FROM $prev WHERE cent_id NOT IN (SELECT cent_id FROM rc$i))""".stripMargin
+
+  /** DuckDB replay of the whole BPE training loop, unrolled `rounds`
+    * times — the oracle for x_bpe_train AND x_bpe_apply. The encoding
+    * that makes the merge step SQL-expressible: a symbol sequence is a
+    * string of chr(1)‖sym‖chr(2) cells, so one non-overlapping
+    * left-to-right `replace` of chr(1)‖l‖chr(2)‖chr(1)‖r‖chr(2) with
+    * chr(1)‖lr‖chr(2) is EXACTLY [[graft.operators.Bpe.applyMerge]]'s
+    * semantics (delimiters make matches cell-aligned and keep skipped
+    * overlaps mergeable next occurrence; a merge can never create a new
+    * instance of its own pair because l+r is strictly longer than
+    * either side). Each round: split cells → adjacent-pair counts →
+    * 1-row argmax (cnt desc, l, r — [[graft.operators.Bpe.train]]'s
+    * tie-break) → replace. All chain CTEs MATERIALIZED (the recursive-
+    * closure lesson: DuckDB re-inlines CTEs aggressively). LEFT JOIN ON
+    * true (not CROSS JOIN) so an exhausted round degrades to identity
+    * instead of annihilating the vocabulary.
+    */
+  private def bpeSqlCtes(rounds: Int): String = {
+    def symsOf(s: String) =
+      s"string_split(substr($s, 2, length($s) - 2), chr(2)||chr(1))"
+    val head = Seq(
+      "bw AS (SELECT unnest(string_split(text,' ')) AS word FROM documents)",
+      "bv AS MATERIALIZED (SELECT word, count(*) AS freq FROM bw GROUP BY 1)",
+      """bs0 AS MATERIALIZED (SELECT array_to_string(list_transform(range(1, length(word)+1),
+        |  i -> chr(1)||substr(word, CAST(i AS BIGINT), 1)||chr(2)), '') AS s, freq FROM bv)""".stripMargin)
+    val perRound = (1 to rounds).flatMap { j =>
+      Seq(
+        s"by$j AS (SELECT ${symsOf("s")} AS syms, freq FROM bs${j - 1})",
+        s"""bp$j AS (SELECT syms[CAST(i AS BIGINT)] AS l, syms[CAST(i AS BIGINT)+1] AS r, freq
+          |  FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i FROM by$j WHERE len(syms) >= 2))""".stripMargin,
+        s"""bm$j AS MATERIALIZED (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+          |  FROM bp$j GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin,
+        s"""bs$j AS MATERIALIZED (SELECT
+          |  CASE WHEN m.l IS NULL THEN t.s
+          |       ELSE replace(t.s, chr(1)||m.l||chr(2)||chr(1)||m.r||chr(2), chr(1)||m.l||m.r||chr(2)) END AS s,
+          |  t.freq FROM bs${j - 1} t LEFT JOIN bm$j m ON true)""".stripMargin)
+    }
+    (head ++ perRound).mkString(",\n")
+  }
+
+  /** Final-vocabulary token extraction on top of [[bpeSqlCtes]]. */
+  private def bpeApplySelect(rounds: Int): String =
+    s"""btok AS (SELECT unnest(string_split(substr(s, 2, length(s) - 2), chr(2)||chr(1))) AS token, freq
+      |  FROM bs$rounds)
+      |SELECT token, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(freq) AS BIGINT) AS n_occurrences
+      |FROM btok GROUP BY token ORDER BY token""".stripMargin
+
+  /** Merge-table projection on top of [[bpeSqlCtes]]. */
+  private def bpeTrainSelect(rounds: Int): String =
+    "bmt AS (" + (1 to rounds).map(j =>
+      s"SELECT CAST(${j - 1} AS BIGINT) AS merge_idx, l AS left_sym, " +
+        s"r AS right_sym, cnt AS pair_freq FROM bm$j")
+      .mkString(" UNION ALL ") +
+      ")\nSELECT * FROM bmt ORDER BY merge_idx"
 
   /** DuckDB twin of [[Sampling.hashBucket]]: first-4-hex-chars-of-md5
     * polynomial (same digits, same value).
@@ -2188,13 +2292,13 @@ object PipelineQueries {
     */
   private val dupClustersCte: String =
     s"""WITH RECURSIVE ${permSigsSql},
-      |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+      |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
       |                 string_agg(sig, '|' ORDER BY perm) AS key
       |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
       |         WHERE a.doc_id < b.doc_id),
-      |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+      |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
       |        UNION SELECT doc_b, doc_a FROM cand),
       |reach(a, b) AS (
       |  SELECT a, b FROM und
@@ -2285,13 +2389,13 @@ object PipelineQueries {
         |f AS (SELECT doc_id, text FROM q
         |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4),
         |${permSigsSqlFrom("f")},
-        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key
         |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |         WHERE a.doc_id < b.doc_id),
-        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
         |  SELECT a, b FROM und
@@ -2328,13 +2432,13 @@ object PipelineQueries {
         |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4
         |        AND doc_id NOT IN (SELECT doc_id FROM bad)),
         |${permSigsSqlFrom("f")},
-        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key
         |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |         WHERE a.doc_id < b.doc_id),
-        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
         |  SELECT a, b FROM und
@@ -2498,12 +2602,12 @@ object PipelineQueries {
         |${refineSql("k1", "k2", 2)},
         |${refineSql("k2", "k3", 3)},
         |${asgnSql("k3", "af")},
-        |cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |cand AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
         |        / (${normSql("a.embedding")} * ${normSql("b.embedding")}) > $SEMDEDUP_TAU),
-        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
         |  SELECT a, b FROM und
@@ -2779,6 +2883,10 @@ object PipelineQueries {
         |        CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
         |      FROM g)
         |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "x_bpe_train" ->
+      s"WITH ${bpeSqlCtes(BPE_ROUNDS)},\n${bpeTrainSelect(BPE_ROUNDS)}",
+    "x_bpe_apply" ->
+      s"WITH ${bpeSqlCtes(BPE_ROUNDS)},\n${bpeApplySelect(BPE_ROUNDS)}",
     "x_lp_buckets" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
         |cdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
@@ -2974,10 +3082,10 @@ object PipelineQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_neardup" ->
       s"""WITH ${permSigsSql},
-        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key
         |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |         WHERE a.doc_id < b.doc_id),
         |ver AS (SELECT doc_a, doc_b,
@@ -2996,7 +3104,7 @@ object PipelineQueries {
         |ORDER BY lang, perm""".stripMargin,
     "x_lshpairs_banded" ->
       s"""WITH ${permSigsSql},
-        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key
         |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -3005,7 +3113,7 @@ object PipelineQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_dedup_incremental" ->
       s"""WITH ${permSigsSql},
-        |bands AS (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key
         |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
         |hits AS (SELECT DISTINCT d.doc_id, b.doc_id AS base_id
@@ -3028,12 +3136,12 @@ object PipelineQueries {
         |cent AS (SELECT vec_id AS cent_id, embedding AS cvec
         |         FROM embeddings WHERE vec_id < $IVF_K),
         |${asgnSql("cent", "sa", "ge")},
-        |cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |cand AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM sa a JOIN sa b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
         |        / (${normSql("a.embedding")} * ${normSql("b.embedding")}) > $SEMDEDUP_TAU),
-        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
         |  SELECT a, b FROM und
@@ -3207,14 +3315,14 @@ object PipelineQueries {
         |${scoredSql("k3", "sp")},
         |probes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk <= $IVF_NPROBE),
         |homes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk = 1),
-        |cand AS (SELECT DISTINCT least(p.vec_id, h.vec_id) AS doc_a,
+        |cand AS MATERIALIZED (SELECT DISTINCT least(p.vec_id, h.vec_id) AS doc_a,
         |                greatest(p.vec_id, h.vec_id) AS doc_b
         |  FROM probes p JOIN homes h USING (cell)
         |  WHERE p.vec_id <> h.vec_id
         |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
         |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU),
-        |und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
         |  SELECT a, b FROM und

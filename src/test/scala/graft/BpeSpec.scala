@@ -68,6 +68,35 @@ class BpeSpec extends SparkSpec {
     assert(m == Seq((0L, "a", "b", 1L)), s"one merge then exhaustion: $m")
   }
 
+  test("tokenize replays the merge table exactly (differential vs sequential)") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "abab" -> 4L, "baba" -> 4L, "x" -> 1L)
+    val df = words.toSeq.toDF("word", "freq")
+    val merges = refBpe(words, 6).map { case (l, r, _) => (l, r) }
+    val got = Bpe.tokenize(df, merges)
+      .as[(String, Seq[String], Long)].collect()
+      .map { case (w, t, n) => w -> ((t, n)) }.toMap
+    val want = words.map { case (w, f) =>
+      var syms: IndexedSeq[String] = w.map(_.toString)
+      merges.foreach { case (l, r) => syms = Bpe.applyMerge(syms, l, r) }
+      w -> ((syms: Seq[String], f))
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // single-symbol word passes through untouched
+    assert(got("x")._1 == Seq("x"))
+  }
+
+  test("x_bpe_apply token mass conserves the corpus: sum over tokens of " +
+    "n_occurrences x token length = total corpus characters") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.PipelineQueries.xBpeApply(spark, dir)
+      .select(sum(length(col("token")) * col("n_occurrences"))).as[Long].head()
+    val chars = Tables.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .select(sum(length(col("w")))).as[Long].head()
+    assert(out == chars, s"token chars $out != corpus word chars $chars")
+  }
+
   test("x_bpe_train is deterministic across runs on the fixture") {
     val a = graft.queries.PipelineQueries.xBpeTrain(spark, "/root/testdata/sf0.001")
       .collect().toSeq

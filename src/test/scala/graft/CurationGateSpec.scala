@@ -37,7 +37,7 @@ class CurationGateSpec extends SparkSpec {
     val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
       .select("gram").distinct().cache()
     val bitmap = evalGrams.select(
-      udaf(BloomOr).apply(Bloom.positions(col("gram"))).as("bloom"))
+      udaf(BloomOr.default).apply(Bloom.positions(col("gram"))).as("bloom"))
     val misses = evalGrams.crossJoin(broadcast(bitmap))
       .where(!Bloom.mightContain(col("bloom"), col("gram"))).count()
     assert(misses == 0, "a Bloom filter has zero false negatives")
@@ -50,6 +50,42 @@ class CurationGateSpec extends SparkSpec {
       .where(Bloom.mightContain(col("bloom"), col("gram"))).count()
     assert(fp < 100, s"false-positive rate too high: $fp / 10000")
     evalGrams.unpersist()
+  }
+
+  test("bloom sizing is conf-backed; an undersized filter degrades to " +
+    "pass-through, never a wrong answer") {
+    import graft.functions.{Bloom, BloomParams}
+    val exact = PipelineQueries.xDecontam(spark, dir).collect().toSeq
+
+    // non-default LARGER size: still bit-identical, still prunes
+    spark.conf.set(Bloom.MBitsConf, (1L << 22).toString)
+    spark.conf.set(Bloom.KConf, "7")
+    try {
+      assert(Bloom.params(spark) == BloomParams(1L << 22, 7))
+      val big = PipelineQueries.xDecontamBloom(spark, dir).collect().toSeq
+      assert(big == exact, "resized filter must not change the result")
+
+      // pathologically UNDERSIZED: 2^8 bits saturates on hundreds of
+      // grams (ε ~ 1) — the pre-filter passes everything through and
+      // the exact join still restores the identical answer
+      spark.conf.set(Bloom.MBitsConf, (1L << 8).toString)
+      spark.conf.set(Bloom.KConf, "5")
+      val saturated = Bloom.params(spark)
+      assert(saturated.expectedFp(500L) > 0.99,
+        "2^8 bits on 500 keys should be saturated by the ε formula")
+      val small = PipelineQueries.xDecontamBloom(spark, dir).collect().toSeq
+      assert(small == exact, "saturated filter must degrade to pass-through")
+    } finally {
+      spark.conf.unset(Bloom.MBitsConf)
+      spark.conf.unset(Bloom.KConf)
+    }
+
+    // sizing maths: the scaladoc's 10^8-gram case really is saturated at
+    // the default size, and the formula-sized filter is not
+    assert(Bloom.Default.expectedFp(100000000L) > 0.999)
+    assert(BloomParams(1L << 30, 7).expectedFp(100000000L) < 0.02)
+    intercept[IllegalArgumentException] { BloomParams(100, 5) }
+    intercept[IllegalArgumentException] { BloomParams(1L << 20, 0) }
   }
 
   test("PII scrub removes every planted pattern and counts it") {
