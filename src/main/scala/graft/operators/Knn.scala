@@ -359,6 +359,50 @@ object Knn {
       .distinct()
   }
 
+  /** Incremental SEMANTIC ingest probe — the IVF-cell sibling of
+    * [[graft.operators.Dedup.probeBandIndex]]: an arriving delta of
+    * vectors probes the STORED cell index of the corpus already kept
+    * (`index`: the [[ivfAssign]] output of the base corpus — its
+    * durable artifact, in production a parquet bucketed by `cell` —
+    * plus the `centroids` it was trained with), so ingest cost is
+    * |delta| · nprobe · cellCap and the base corpus is never re-paired
+    * against itself.
+    *
+    * Each delta vector scores its `nprobe` nearest trained cells
+    * ([[scoredProbes]], which repartitions the probe side by `cell` —
+    * against a cell-bucketed index only the delta shuffles); the index
+    * side is capped per cell in the deterministic md5(vec_id) order
+    * ([[cellPairs]]' hot-cell backstop). A (probe, base) pair can
+    * surface at most once — a base vector has ONE home cell and the
+    * probe's nprobe cells are distinct — so the per-probe aggregate
+    * needs no distinct. Returns one row per matched delta vector:
+    * `(vec_id, n_base_matches, first_match)` — the near-dup verdict an
+    * ingest gate quarantines on, [[graft.operators.Dedup.probeBandIndex]]'s
+    * exact output shape in embedding space.
+    */
+  def probeCellIndex(delta: DataFrame, index: DataFrame, centroids: DataFrame,
+                     dim: Int, tau: Double, nprobe: Int, cellCap: Int): DataFrame = {
+    require(nprobe >= 1 && cellCap >= 1,
+      s"probeCellIndex: nprobe=$nprobe and cellCap=$cellCap must be >= 1")
+    FloatDot.register(delta.sparkSession)
+    val wCap = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val base = index
+      .withColumn("__pos", row_number().over(wCap))
+      .where(col("__pos") <= cellCap)
+      .select(col("cell"), col("vec_id").as("base_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    scoredProbes(delta, centroids, dim, nprobe)
+      .select(col("cell"), col("vec_id"),
+        col("embedding").as("pe"), col("nrm").as("pn"))
+      .join(base, Seq("cell"))
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+      .where(col("sim") > tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_base_matches"),
+        min(col("base_id")).as("first_match"))
+  }
+
   /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes
     * each (see [[Vectors.signPlaneTables]]), `bucketCap` caps candidates
     * per (table, bucket). Vectors alone in their buckets get no row

@@ -606,6 +606,32 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Incremental SEMANTIC ingest — [[graft.queries.PipelineQueries.xDedupIncremental]]'s
+    * pattern in embedding space: every fourth vector plays the arriving
+    * delta, the rest the kept base corpus whose durable artifacts are
+    * the codebook (trained on the BASE only — an ingest run reads the
+    * index, it doesn't retrain on data it hasn't seen) and the
+    * [[Knn.ivfAssign]] cell index. [[Knn.probeCellIndex]] scores each
+    * delta vector against its [[IVF_NPROBE]] nearest cells and joins
+    * the capped index — |delta|·nprobe·cellCap work, the base never
+    * re-paired. τ is [[SEMDEDUP_PROBE_TAU]] (the probed-variant
+    * regime). Output per matched delta vector: distinct base matches +
+    * smallest matching base id, the quarantine verdict. The oracle
+    * replays the trained assignment and the probe join in SQL — no
+    * transitive closure, so it's linear in the pair count.
+    */
+  def xSemdedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.where(col("vec_id") % 4 =!= 0)
+    val delta = emb.where(col("vec_id") % 4 === 0)
+    val seed = base.orderBy("vec_id").limit(KMEANS_K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, _) = Knn.kmeansTrain(base, seed, DIM, KMEANS_ROUNDS)
+    Knn.probeCellIndex(delta, Knn.ivfAssign(base, trained, DIM), trained,
+        DIM, SEMDEDUP_PROBE_TAU, IVF_NPROBE, semdedupCellCap(s))
+      .orderBy("vec_id")
+  }
+
   /** Winnowing fingerprints (rolling-hash k-grams, minima per w-window)
     * in long (doc_id, fp) format — [[graft.expressions.RollingWinnow]],
     * the position-robust signature whose size tracks length/w.
@@ -1989,6 +2015,7 @@ object PipelineQueries {
     "x_frames_asof" -> xFramesAsof _,
     "x_byte_features" -> xByteFeatures _,
     "x_semdedup_probe" -> xSemdedupProbe _,
+    "x_semdedup_incremental" -> xSemdedupIncremental _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -2187,8 +2214,9 @@ object PipelineQueries {
     * `prev`, quantized per-cell means, empty cells retained — the exact
     * replay of [[Knn.kmeansRefine]], chainable for iterated training.
     */
-  private def refineSql(prev: String, out: String, i: Int): String =
-    s"""${asgnSql(prev, s"ra$i")},
+  private def refineSql(prev: String, out: String, i: Int,
+                        src: String = "embeddings"): String =
+    s"""${asgnSql(prev, s"ra$i", src)},
       |rq$i AS (SELECT cell, d.i AS dim,
       |        CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576) AS BIGINT) AS qv
       |      FROM ra$i CROSS JOIN range(1, ${DIM + 1}) d(i)),
@@ -3336,6 +3364,26 @@ object PipelineQueries {
         |            THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM embeddings e LEFT JOIN minr m USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
+    "x_semdedup_incremental" ->
+      s"""WITH bse AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
+        |dlt AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 4 = 0),
+        |cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |          FROM bse ORDER BY vec_id LIMIT $KMEANS_K),
+        |${refineSql("cent0", "k1", 1, "bse")},
+        |${refineSql("k1", "k2", 2, "bse")},
+        |${refineSql("k2", "k3", 3, "bse")},
+        |${asgnSql("k3", "bi", "bse")},
+        |${scoredSql("k3", "dp", "dlt")},
+        |pr AS (SELECT vec_id, embedding, cent_id AS cell FROM dp
+        |       WHERE rk <= $IVF_NPROBE),
+        |hits AS (SELECT p.vec_id, h.vec_id AS base_id
+        |  FROM pr p JOIN bi h USING (cell)
+        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
+        |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_base_matches,
+        |       min(base_id) AS first_match
+        |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "x_byte_features" ->
       """WITH i AS (SELECT doc_id, text,
         |        CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS p

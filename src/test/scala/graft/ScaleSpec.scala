@@ -373,6 +373,42 @@ class ScaleSpec extends SparkSpec {
       "probed pair join must stay an equi-join on cell")
   }
 
+  test("probeCellIndex: delta probes the stored index — nprobe recall, " +
+    "cap bound, base never self-paired") {
+    import graft.operators.Knn
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    // base corpus: two near-identical docs in cell 0 (0°/2°) and one in
+    // cell 1 (88°); delta: vec 10 near the cell-0 mass, vec 11 at 50° —
+    // home cell 1 but its true near-dup (vec 2 at 40°... in base) sits
+    // across the 45° boundary in cell 0
+    val base = Seq((0L, v(0)), (1L, v(2)), (2L, v(40)), (3L, v(88)))
+      .toDF("vec_id", "embedding")
+    val delta = Seq((10L, v(1)), (11L, v(50))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("cent_id", "cvec")
+    val index = Knn.ivfAssign(base, cents, 4)
+    val m1 = Knn.probeCellIndex(delta, index, cents, 4, 0.9, 1, 100)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // vec 10 matches both cell-0 base docs; vec 11's only near-dup is
+    // boundary-split — invisible at nprobe=1
+    assert(m1(10L) == ((2L, 0L)), s"delta 10 must match base 0 and 1: $m1")
+    assert(!m1.contains(11L), s"boundary-split match needs nprobe=2: $m1")
+    val m2 = Knn.probeCellIndex(delta, index, cents, 4, 0.9, 2, 100)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m2(11L) == ((1L, 2L)), s"nprobe=2 must recover the split match: $m2")
+    assert(m2(10L) == m1(10L), "probing only adds matches")
+    // the cap bounds per-cell candidates: cap=1 keeps ≤1 base doc per cell
+    val capped = Knn.probeCellIndex(delta, index, cents, 4, 0.9, 2, 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(capped.values.forall(_ <= 1), s"cellCap=1 must bound matches: $capped")
+    // base ids never appear as probes: the base corpus is not re-paired
+    assert(!m2.keySet.exists(Set(0L, 1L, 2L, 3L)), s"base leaked into probes: $m2")
+  }
+
   test("simhash verifier is integer-only: bit_count/xor, no string HOF per pair") {
     val q = graft.queries.PipelineQueries.xSimhashPairs(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
