@@ -146,8 +146,14 @@ object HumioQuery {
     *    subquery must be stateless (filter/eval/select) and keep `ts`;
     *    unbanded join({sub}), mode=left, and aggregated subqueries stay
     *    batch-only with reasoned errors;
-    *  - batch-only verbs with no streaming plan — tail/window/
-    *    transpose — reject streaming input with a
+    *  - `window(field, buckets=n)` after `timechart()`/`bucket()`
+    *    compiles to a CHAINED sliding-window aggregation over the
+    *    bucket stream (width n·span, slide span) — the moving average
+    *    emitted per bucket, per series with `by=`. Frame caveat: the
+    *    batch verb's frame is the last n PRESENT rows, the streaming
+    *    twin's the last n bucket SLOTS — identical on dense buckets;
+    *  - batch-only verbs with no streaming plan — tail/transpose —
+    *    reject streaming input with a
     *    per-verb message; sort/head/top compile and are governed by
     *    Spark's own output-mode rules (legal in complete mode after an
     *    aggregation).
@@ -166,7 +172,10 @@ object HumioQuery {
     require(stream.isStreaming, "runStream() needs a streaming DataFrame — use run() for batch")
     require(stream.columns.contains("ts"),
       "runStream() needs a ts event-time column to watermark")
-    run(stream.withWatermark("ts", watermark), query, tables)
+    val out = run(stream.withWatermark("ts", watermark), query, tables)
+    // timechart()/bucket() carry their window struct hidden for chained
+    // streaming aggregation (window()); it is plumbing, not output
+    out.drop(out.columns.filter(_.startsWith("__twindow_")): _*)
   }
 
   /** split on '|' not inside parentheses, braces (a `case { … | … }`
@@ -619,26 +628,59 @@ object HumioQuery {
         // smoother. Runs over an ALREADY-AGGREGATED timechart()/bucket()
         // relation (bounded rows by construction), so the ordered window
         // never sees corpus-sized data.
-        require(!df.isStreaming,
-          "window() is a batch stage — moving aggregates over a stream " +
-            "need a watermarked timechart() upstream and a batch pass downstream")
+        //
+        // STREAMING twin: a chained sliding-window aggregation on the
+        // window struct timechart()/bucket() carries hidden — each
+        // sliding window of width n·span (slide span) ending at bucket b
+        // covers b's last n bucket SLOTS; the bucket's own row identity
+        // is recovered as the max_by-latest input row and windows whose
+        // final slot holds no bucket are filtered (an empty bucket emits
+        // nothing in the batch twin either). ROWS-vs-RANGE caveat: the
+        // batch frame spans the last n PRESENT rows, the streaming one
+        // the last n bucket slots — identical whenever buckets are dense
+        // (HumioStreamSpec proves agreement); with by= the moving
+        // aggregate is per series, without it a multi-series stream
+        // collapses each slot to one row (prefer by= on streams).
         val f = named.get("field").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException("window() needs a field"))
         val n = named.get("buckets").map(_.toInt).getOrElse(3)
         require(n >= 1, s"window(): buckets must be >= 1, got $n")
-        val orderCol = Seq("_bucket_ms", "_bucket").find(df.columns.contains)
-          .getOrElse(throw new IllegalArgumentException(
-            "window() needs a timechart() or bucket() stage before it"))
-        val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
-          .getOrElse(SqlWindow.partitionBy())
-        val w = base.orderBy(col(orderCol)).rowsBetween(-(n - 1), 0)
+        val outCol = named.getOrElse("as", "_window")
         val m: Column = named.getOrElse("function", "avg") match {
           case "avg" => avg(col(f));  case "sum" => sum(col(f))
           case "min" => min(col(f));  case "max" => max(col(f))
           case other => throw new IllegalArgumentException(
             s"window(): unsupported function '$other'")
         }
-        df.withColumn(named.getOrElse("as", "_window"), m.over(w))
+        if (df.isStreaming) {
+          val twCol = df.columns.find(_.startsWith("__twindow_")).getOrElse(
+            throw new IllegalArgumentException(
+              "window() on a stream needs a timechart() or bucket() stage " +
+                "directly upstream (its bucket windows are what the moving " +
+                "aggregate slides over)"))
+          val span = twCol.stripPrefix("__twindow_").toLong
+          val keep = df.columns.filterNot(_.startsWith("__twindow_"))
+          val slide = window(col(twCol), s"${n * span} milliseconds",
+            s"$span milliseconds")
+          val groups = slide +: named.get("by").map(col).toSeq
+          df.groupBy(groups: _*)
+            .agg(m.as(outCol),
+              max_by(struct(keep.map(col): _*),
+                unix_millis(col(s"$twCol.start"))).as("__row"),
+              max(unix_millis(col(s"$twCol.start"))).as("__last"))
+            // keep only windows whose LAST slot holds a real bucket —
+            // that bucket is the row this moving value belongs to
+            .where(col("__last") === unix_millis(col("window.end")) - span)
+            .select(keep.map(c => col(s"__row.`$c`").as(c)) :+ col(outCol): _*)
+        } else {
+          val orderCol = Seq("_bucket_ms", "_bucket").find(df.columns.contains)
+            .getOrElse(throw new IllegalArgumentException(
+              "window() needs a timechart() or bucket() stage before it"))
+          val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+            .getOrElse(SqlWindow.partitionBy())
+          val w = base.orderBy(col(orderCol)).rowsBetween(-(n - 1), 0)
+          df.withColumn(outCol, m.over(w))
+        }
       case "selfJoinFilter" =>
         // selfJoinFilter(field=k, where=f, having=[v1, v2, …]): keep
         // every event of the keys that have AT LEAST one event with
@@ -1150,10 +1192,14 @@ object HumioQuery {
       // the watermark tracker can't see through the floor arithmetic;
       // the epoch-aligned tumbling window is the SAME bucket function,
       // and its start projects back to the batch twin's epoch-ms column
+      // the window STRUCT rides along hidden (span encoded in the name,
+      // event-time metadata preserved by the plain rename) so a
+      // downstream window() can chain a second streaming aggregation on
+      // it; runStream drops every __twindow_* column at the end
       df.groupBy(window(col("ts"), s"$span milliseconds") +: pos.map(col): _*)
         .agg(aggCol.as(aggName))
         .select(unix_millis(col("window.start")).as(bucketCol) +:
-          pos.map(col) :+ col(aggName): _*)
+          pos.map(col) :+ col(aggName) :+ col("window").as(s"__twindow_$span"): _*)
     } else {
       // floor, not cast-truncation: pre-1970 timestamps must bucket
       // downward like the oracle's // floor division

@@ -109,13 +109,19 @@ class HumioStreamSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double, String)]
     val st = toEvents(mem.toDF())
-    Seq("window(value)",
-      "transpose(header=event_type)", "tail(3)").foreach { q =>
+    Seq("transpose(header=event_type)", "tail(3)").foreach { q =>
       val e = intercept[IllegalArgumentException] {
         HumioQuery.runStream(st, q)
       }
       assert(e.getMessage.contains("batch stage"), s"$q: ${e.getMessage}")
     }
+    // window() streams — but only over a bucketed stream: on raw events
+    // there are no bucket windows to slide over
+    val eWin = intercept[IllegalArgumentException] {
+      HumioQuery.runStream(st, "window(value)")
+    }
+    assert(eWin.getMessage.contains("timechart() or bucket() stage"),
+      eWin.getMessage)
     // counterAsRate streams per series — but ONLY per series: the
     // global (no by=) form has no streaming order to lag over
     val eRate = intercept[IllegalArgumentException] {
@@ -130,6 +136,46 @@ class HumioStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HumioQuery.runStream(st.drop("ts"), "event_type = click")
     }
+  }
+
+  test("streaming window() chains a sliding aggregate over the bucket " +
+    "stream and matches the batch twin on dense buckets") {
+    // moving 2-bucket average of hourly sums, per series — the chained
+    // streaming aggregation: timechart closes buckets in append mode,
+    // the sliding window (width 2h, slide 1h) smooths them
+    val q = "timechart(span=1h, event_type, function=sum(value)) | " +
+      "window(_sum, function=avg, buckets=2, by=event_type)"
+    val events = Seq(
+      (1L, "click", 10.0, "2024-03-01 00:10:00"),
+      (2L, "click", 20.0, "2024-03-01 00:40:00"),
+      (3L, "view",  6.0, "2024-03-01 00:20:00"),
+      (4L, "click", 40.0, "2024-03-01 01:15:00"),
+      (5L, "view",  2.0, "2024-03-01 01:30:00"),
+      (6L, "click", 8.0, "2024-03-01 02:05:00"))
+    val sentinel = (7L, "click", 0.0, "2024-03-01 09:00:00")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_win")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.take(3): _*); query.processAllAvailable()
+      mem.addData(events.drop(3) :+ sentinel: _*); query.processAllAvailable()
+      val streamed = spark.table("hq_win")
+        .as[(Long, String, Double, Double)].collect().toSet
+      val cut = epochMs("2024-03-01 09:00:00")
+      val expected = HumioQuery.run(toEvents((events :+ sentinel).toDF()), q)
+        .as[(Long, String, Double, Double)].collect().toSet
+        .filter(_._1 < cut)   // the sentinel's own bucket never closes
+      assert(streamed.filter(_._1 < cut) == expected,
+        s"streamed=$streamed expected=$expected")
+      // the moving average really smooths: click 01:00 = avg(30, 40)
+      val click1 = streamed.find(r => r._2 == "click" && r._1 == epochMs("2024-03-01 01:00:00")).get
+      assert(click1._4 == 35.0, s"click@01:00 moving avg: $click1")
+      // first bucket is a partial frame in both engines: avg of itself
+      val click0 = streamed.find(r => r._2 == "click" && r._1 == epochMs("2024-03-01 00:00:00")).get
+      assert(click0._4 == 30.0, s"click@00:00 partial frame: $click0")
+    } finally query.stop()
   }
 
   test("streaming dedup collapses at-least-once redelivery to effectively-once") {
