@@ -35,13 +35,40 @@ object Tables {
     *    the DuckDB oracle sees it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
+    // Try the plain read first: current fixtures are micro-precision and
+    // need no flag. Only a TIMESTAMP(NANOS) fixture fails here — for
+    // those, nanosAsLong must be set AND STAY set (the scan re-resolves
+    // it at every execution, so scoping/restoring it would break later
+    // actions on the cached plan). The flip is session-global by
+    // necessity: any other nanos-timestamp parquet read on the same
+    // session will then also see raw longs — acceptable only because it
+    // happens solely when a nanos events fixture is in play.
+    val raw =
+      try table(spark, dir, "events")
+      catch {
+        case e: Exception
+            if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
+              String.valueOf(e.getMessage).toLowerCase.contains("nanos") =>
+          // the failed read never enters the cache, so this re-read with
+          // the flag set is what gets cached; if the retry fails too the
+          // failure wasn't the nanos type — undo the session-global flip
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          try table(spark, dir, "events")
+          catch {
+            case retry: Exception =>
+              spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+              throw retry
+          }
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        // explicit TimestampType, not cast("timestamp"): the string form
+        // resolves via spark.sql.timestampType and would silently become
+        // a no-op NTZ cast if that conf were ever switched
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

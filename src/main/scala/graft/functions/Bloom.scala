@@ -25,6 +25,11 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 final case class BloomParams(mBits: Long, k: Int) {
   require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
     s"mBits must be a power of two >= 64, got $mBits")
+  // 2^34 bits = 2 GiB of bitmap — already past any sane broadcast; the
+  // bound also keeps `words` safely inside Int (overflow at 2^37 would
+  // wrap Array.ofDim's size negative mid-aggregation)
+  require(mBits <= (1L << 34),
+    s"mBits must be <= 2^34 (a 2 GiB bitmap), got $mBits")
   require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
   /** Bitmap length in 64-bit words. */
   def words: Int = (mBits / 64L).toInt
@@ -81,16 +86,18 @@ object Bloom {
 
   /** The k bit positions of a gram: xxhash64 seeded by the probe index
     * via an extra hashed column. Both build and probe sides call this,
-    * so agreement is by construction.
+    * so agreement is by construction. `p` is deliberately NOT defaulted:
+    * a build side sized from conf probed with a forgotten default would
+    * mis-align bit positions and silently drop true overlaps.
     */
-  def positions(gram: Column, p: BloomParams = Default): Column =
+  def positions(gram: Column, p: BloomParams): Column =
     array((0 until p.k).map(i => pmod(xxhash64(gram, lit(i)), lit(p.mBits))): _*)
 
   /** Probe: AND of the k bit tests against `bitmap` (array<bigint> of
     * [[BloomParams.words]] words, 1-based for element_at). Codegen'd
     * builtins only.
     */
-  def mightContain(bitmap: Column, gram: Column, p: BloomParams = Default): Column =
+  def mightContain(bitmap: Column, gram: Column, p: BloomParams): Column =
     (0 until p.k).map { i =>
       val pos = pmod(xxhash64(gram, lit(i)), lit(p.mBits))
       val word = element_at(bitmap, (pos / 64).cast("int") + lit(1))
@@ -128,9 +135,4 @@ final case class BloomOr(words: Int)
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
-}
-
-object BloomOr {
-  /** The default-sized aggregator (back-compat with object-style use). */
-  def default: BloomOr = BloomOr(Bloom.Default.words)
 }

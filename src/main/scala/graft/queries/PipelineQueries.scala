@@ -531,7 +531,8 @@ object PipelineQueries {
     * LSH tier.
     *
     * CONTRACT WITH THE ORACLE: the DuckDB twins of x_semdedup /
-    * x_curate_semantic replay the UNCAPPED full pair set, so the
+    * x_curate_semantic / x_semdedup_probe / x_semdedup_incremental
+    * replay the UNCAPPED full pair (or probe-match) set, so the
     * default must stay above the largest fixture cell or the hash
     * compare diverges. A bigger fixture (or a shifted embedding
     * distribution) lifts it via the session conf rather than a code
@@ -1403,7 +1404,9 @@ object PipelineQueries {
     * lifecycle: train [[BPE_ROUNDS]] merges on the corpus dictionary,
     * then replay them over the distinct vocabulary
     * ([[graft.operators.Bpe.tokenize]]) and emit the resulting token
-    * table (token, containing-word count, corpus occurrence count).
+    * table: per token, its instance count across the tokenized
+    * vocabulary (`n_instances` — a word tokenizing to [ab, ab] counts
+    * twice) and its freq-weighted corpus occurrence count.
     * The merge-table collect is the flag-only-driver artifact (the
     * kmeans-centroid discipline: [[BPE_ROUNDS]] rows, never data); the
     * dictionary is staged ONCE and feeds both training and apply, so
@@ -1425,7 +1428,7 @@ object PipelineQueries {
     graft.operators.Bpe.tokenize(words, merges)
       .select(explode(col("tokens")).as("token"), col("freq"))
       .groupBy("token")
-      .agg(count(lit(1)).as("n_words"), sum("freq").as("n_occurrences"))
+      .agg(count(lit(1)).as("n_instances"), sum("freq").as("n_occurrences"))
       .orderBy("token")
   }
 
@@ -2251,8 +2254,11 @@ object PipelineQueries {
     def symsOf(s: String) =
       s"string_split(substr($s, 2, length($s) - 2), chr(2)||chr(1))"
     val head = Seq(
+      // word <> '' guards the delimiter encoding: an empty word would
+      // reach substr(s, 2, -2), which DuckDB rejects (the Spark twin
+      // just tokenizes '' to zero symbols — no output either way)
       "bw AS (SELECT unnest(string_split(text,' ')) AS word FROM documents)",
-      "bv AS MATERIALIZED (SELECT word, count(*) AS freq FROM bw GROUP BY 1)",
+      "bv AS MATERIALIZED (SELECT word, count(*) AS freq FROM bw WHERE word <> '' GROUP BY 1)",
       """bs0 AS MATERIALIZED (SELECT array_to_string(list_transform(range(1, length(word)+1),
         |  i -> chr(1)||substr(word, CAST(i AS BIGINT), 1)||chr(2)), '') AS s, freq FROM bv)""".stripMargin)
     val perRound = (1 to rounds).flatMap { j =>
@@ -2274,7 +2280,7 @@ object PipelineQueries {
   private def bpeApplySelect(rounds: Int): String =
     s"""btok AS (SELECT unnest(string_split(substr(s, 2, length(s) - 2), chr(2)||chr(1))) AS token, freq
       |  FROM bs$rounds)
-      |SELECT token, CAST(count(*) AS BIGINT) AS n_words,
+      |SELECT token, CAST(count(*) AS BIGINT) AS n_instances,
       |       CAST(sum(freq) AS BIGINT) AS n_occurrences
       |FROM btok GROUP BY token ORDER BY token""".stripMargin
 

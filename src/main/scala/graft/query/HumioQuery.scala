@@ -100,9 +100,15 @@ object HumioQuery {
     * DataFrames).
     */
   def run(df: DataFrame, query: String,
-          tables: Map[String, DataFrame] = Map.empty): DataFrame =
-    splitPipes(query).map(_.trim).filter(_.nonEmpty)
+          tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val out = splitPipes(query).map(_.trim).filter(_.nonEmpty)
       .foldLeft(df)((acc, stage) => applyStage(acc, stage, tables))
+    // timechart()/bucket() on a stream carry their window struct hidden
+    // for chained streaming aggregation (window()); it is plumbing, not
+    // output — dropped here so the documented withWatermark-then-run()
+    // path sheds it too, not just runStream()
+    out.drop(out.columns.filter(_.startsWith("__twindow_")): _*)
+  }
 
   /** Streaming twin of [[run]]: compile the watermark-safe verb subset
     * onto a STREAMING DataFrame (`readStream`/MemoryStream source with a
@@ -172,10 +178,7 @@ object HumioQuery {
     require(stream.isStreaming, "runStream() needs a streaming DataFrame — use run() for batch")
     require(stream.columns.contains("ts"),
       "runStream() needs a ts event-time column to watermark")
-    val out = run(stream.withWatermark("ts", watermark), query, tables)
-    // timechart()/bucket() carry their window struct hidden for chained
-    // streaming aggregation (window()); it is plumbing, not output
-    out.drop(out.columns.filter(_.startsWith("__twindow_")): _*)
+    run(stream.withWatermark("ts", watermark), query, tables)
   }
 
   /** split on '|' not inside parentheses, braces (a `case { … | … }`
@@ -663,6 +666,11 @@ object HumioQuery {
           val slide = window(col(twCol), s"${n * span} milliseconds",
             s"$span milliseconds")
           val groups = slide +: named.get("by").map(col).toSeq
+          // as= naming an existing column REPLACES it in place, like the
+          // batch twin's withColumn
+          val outFields = keep.map(c =>
+            if (c == outCol) col(outCol) else col(s"__row.`$c`").as(c)) ++
+            (if (keep.contains(outCol)) Nil else Seq(col(outCol)))
           df.groupBy(groups: _*)
             .agg(m.as(outCol),
               max_by(struct(keep.map(col): _*),
@@ -671,7 +679,7 @@ object HumioQuery {
             // keep only windows whose LAST slot holds a real bucket —
             // that bucket is the row this moving value belongs to
             .where(col("__last") === unix_millis(col("window.end")) - span)
-            .select(keep.map(c => col(s"__row.`$c`").as(c)) :+ col(outCol): _*)
+            .select(outFields: _*)
         } else {
           val orderCol = Seq("_bucket_ms", "_bucket").find(df.columns.contains)
             .getOrElse(throw new IllegalArgumentException(

@@ -36,10 +36,11 @@ class CurationGateSpec extends SparkSpec {
         graft.functions.Text.tokens(col("text")), 4)).as("gram"))
     val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
       .select("gram").distinct().cache()
+    val bp = Bloom.Default
     val bitmap = evalGrams.select(
-      udaf(BloomOr.default).apply(Bloom.positions(col("gram"))).as("bloom"))
+      udaf(BloomOr(bp.words)).apply(Bloom.positions(col("gram"), bp)).as("bloom"))
     val misses = evalGrams.crossJoin(broadcast(bitmap))
-      .where(!Bloom.mightContain(col("bloom"), col("gram"))).count()
+      .where(!Bloom.mightContain(col("bloom"), col("gram"), bp)).count()
     assert(misses == 0, "a Bloom filter has zero false negatives")
 
     // and it prunes: planted non-member grams mostly probe false
@@ -47,7 +48,7 @@ class CurationGateSpec extends SparkSpec {
     val probes = spark.range(10000)
       .select(concat(lit("nonmember-gram-"), col("id")).as("gram"))
     val fp = probes.crossJoin(broadcast(bitmap))
-      .where(Bloom.mightContain(col("bloom"), col("gram"))).count()
+      .where(Bloom.mightContain(col("bloom"), col("gram"), bp)).count()
     assert(fp < 100, s"false-positive rate too high: $fp / 10000")
     evalGrams.unpersist()
   }
@@ -86,6 +87,8 @@ class CurationGateSpec extends SparkSpec {
     assert(BloomParams(1L << 30, 7).expectedFp(100000000L) < 0.02)
     intercept[IllegalArgumentException] { BloomParams(100, 5) }
     intercept[IllegalArgumentException] { BloomParams(1L << 20, 0) }
+    // the 2^34 cap guards the words-as-Int overflow at 2^37
+    intercept[IllegalArgumentException] { BloomParams(1L << 37, 5) }
   }
 
   test("PII scrub removes every planted pattern and counts it") {
