@@ -68,6 +68,27 @@ object Scale {
   /** Session conf selecting how iterative-loop stages materialize. */
   val ReliableCheckpointConf = "spark.graft.checkpoint.reliable"
 
+  /** Session conf (default true) enabling the staged-subtree memo. */
+  val StageMemoConf = "spark.graft.stage.memo"
+
+  // session-scoped memo of staged subtrees, keyed by the CANONICALIZED
+  // analyzed plan: queries in one session that stage semantically
+  // identical lineage (the x_curate* quality gate, the kmeans seed —
+  // and, transitively, every Lloyd round built on a memoized parent)
+  // materialize it ONCE and share the checkpointed blocks. Sound
+  // because a canonical-plan match over deterministic batch sources IS
+  // the same relation; iterative rounds on DIFFERENT parents can't
+  // collide (a checkpoint is a unique leaf, so round r's plan embeds
+  // round r-1's identity). Entries live for the session — the same
+  // lifetime un-memoized localCheckpoint blocks already had.
+  // keyed additionally by the reliable-checkpoint mode: a durable run
+  // must never be handed executor-local blocks memoized by an earlier
+  // local-mode query (and vice versa)
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Boolean,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
+
   /** Materialize one round of an iterative loop with truncated lineage.
     *
     * Iterative operators (connected components, Lloyd's k-means, shared
@@ -94,11 +115,21 @@ object Scale {
     * separate materialize job — and the returned relation's semantics
     * are the same either way.
     */
-  def stage(df: DataFrame, eager: Boolean = false): DataFrame =
-    if (df.sparkSession.conf.get(ReliableCheckpointConf, "false").toBoolean) {
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        s"$ReliableCheckpointConf=true requires SparkContext.setCheckpointDir " +
-          "(a durable location: HDFS/S3 on a cluster)")
-      df.checkpoint(eager)
-    } else df.localCheckpoint(eager)
+  def stage(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val s = df.sparkSession
+    val reliable = s.conf.get(ReliableCheckpointConf, "false").toBoolean
+    def doStage(): DataFrame =
+      if (reliable) {
+        require(s.sparkContext.getCheckpointDir.isDefined,
+          s"$ReliableCheckpointConf=true requires SparkContext.setCheckpointDir " +
+            "(a durable location: HDFS/S3 on a cluster)")
+        df.checkpoint(eager)
+      } else df.localCheckpoint(eager)
+    val analyzed = df.queryExecution.analyzed
+    val memoSafe = !df.isStreaming &&
+      s.conf.get(StageMemoConf, "true").toBoolean &&
+      analyzed.collect { case p => p.expressions }.flatten.forall(_.deterministic)
+    if (!memoSafe) doStage()
+    else memo.computeIfAbsent((s, reliable, analyzed.canonicalized), _ => doStage())
+  }
 }

@@ -28,6 +28,37 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("stage memo: canonically equal plans share one staged relation; " +
+    "conf-off and nondeterministic plans do not") {
+    val mk = () => spark.range(500).toDF("id")
+      .withColumn("v", col("id") * 3 + 1).where(col("v") % 7 === 2)
+    // two INDEPENDENTLY built but canonically equal plans memo to the
+    // SAME staged DataFrame (same logical plan object — the session-warm
+    // shared subtree)
+    val a = Scale.stage(mk())
+    val b = Scale.stage(mk())
+    assert(a.queryExecution.logical eq b.queryExecution.logical,
+      "equal canonical plans must share the staged relation")
+    assert(b.as[(Long, Long)].collect().toSet ==
+      mk().as[(Long, Long)].collect().toSet)
+    // a DIFFERENT plan misses the memo
+    val c = Scale.stage(mk().where(col("id") > 100))
+    assert(!(c.queryExecution.logical eq a.queryExecution.logical))
+    // memo off: fresh staging every call
+    spark.conf.set(Scale.StageMemoConf, "false")
+    try {
+      val d = Scale.stage(mk())
+      assert(!(d.queryExecution.logical eq a.queryExecution.logical),
+        "memo off must re-stage")
+    } finally spark.conf.unset(Scale.StageMemoConf)
+    // nondeterministic lineage is never memoized (two rand() stagings
+    // must stay independent relations)
+    val r1 = Scale.stage(spark.range(100).withColumn("r", rand(0)).limit(5))
+    val r2 = Scale.stage(spark.range(100).withColumn("r", rand(0)).limit(5))
+    assert(!(r1.queryExecution.logical eq r2.queryExecution.logical),
+      "nondeterministic plans must not share staged blocks")
+  }
+
   test("scalableCountDistinct equals count_distinct") {
     val rnd = new Random(2)
     val df = (1 to 1000).map(_ => (rnd.nextInt(4), rnd.nextInt(50))).toDF("dim", "v")
