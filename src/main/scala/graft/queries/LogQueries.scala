@@ -72,6 +72,25 @@ object LogQueries {
       .withColumnRenamed("dim", "event_type")
       .orderBy("event_type")
 
+  /** [[lPercentileApprox]] in the sketch's EXACT regime — the
+    * [[lTopkSketch]] discipline applied to quantiles: with `accuracy`
+    * above every group's row count the Greenwald–Khanna summary never
+    * compresses, so `percentile_approx` returns the exact discrete
+    * quantile (an actual data element at the target rank) and the query
+    * earns a full cross-engine oracle — DuckDB's `quantile_disc`, the
+    * same pick convention (verified element-equal at sf0.01 AND sf0.1).
+    * This hash-proves the sketch MACHINERY (partial build, merge,
+    * query) against an independent engine; the default-accuracy twin
+    * [[lPercentileApprox]] stays rows-only because at 100 TB the
+    * summary genuinely compresses — same operator, the regime is the
+    * declared difference.
+    */
+  def lPercentileSketch(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.percentilesApprox(Tables.events(s, dir), col("event_type"),
+        col("value"), Seq(0.5, 0.9, 0.99), accuracy = 1 << 20)
+      .withColumnRenamed("dim", "event_type")
+      .orderBy("event_type")
+
   /** [[lPercentile]] under the counts-mode EXACT plan
     * ([[LogAnalytics.percentilesByCounts]]): duplicates collapse in a
     * map-side partial aggregate and the reducer holds distinct values
@@ -167,6 +186,7 @@ object LogQueries {
     "l_distinct"   -> lDistinct _,
     "l_percentile" -> lPercentile _,
     "l_percentile_approx" -> lPercentileApprox _,
+    "l_percentile_sketch" -> lPercentileSketch _,
     "l_percentile_counts" -> lPercentileCounts _,
     "l_dedup"      -> lDedup _,
     "l_late"       -> lLate _)
@@ -270,5 +290,15 @@ object LogQueries {
     ("l_percentile_counts" -> oracleBase("l_percentile")) +
     // capacity ≥ distinct keys ⇒ Misra-Gries is exact; the sketch twin
     // shares the exact oracle and the gate proves it on the fixture
-    ("l_topk_sketch" -> oracleBase("l_topk"))
+    ("l_topk_sketch" -> oracleBase("l_topk")) +
+    // accuracy ≥ group size ⇒ the GK summary never compresses and
+    // percentile_approx returns the exact DISCRETE quantile — DuckDB's
+    // quantile_disc, same pick convention (NOT the interpolating
+    // quantile_cont of l_percentile)
+    ("l_percentile_sketch" ->
+      """SELECT event_type,
+        |       floor((quantile_disc(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |       floor((quantile_disc(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |       floor((quantile_disc(value, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
