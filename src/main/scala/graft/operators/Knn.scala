@@ -403,6 +403,69 @@ object Knn {
         min(col("base_id")).as("first_match"))
   }
 
+  /** STREAMING semantic ingest dedup — the online twin of
+    * [[probeCellIndex]], mirroring
+    * [[graft.operators.Dedup.streamingIngestDupIds]]'s shape for
+    * embeddings: flag arriving vectors whose cosine neighbors in the
+    * STORED cell index clear τ — quarantine-at-ingest.
+    *
+    * Stateless until the last step, and with NO stream-side shuffle
+    * before the join: the codebook is the index's bounded artifact
+    * (k centroids), read ONCE at plan time into LITERAL vectors — so
+    * per-row probe scoring is k codegen'd dot products, a sort_array
+    * over k structs, and a slice(nprobe) explode; the rank-window the
+    * batch scorer uses would be a stateful aggregation a stream can't
+    * run. The capped index side is static (broadcasts or shuffles once
+    * per micro-batch); multi-cell hits on one vector collapse in
+    * `dropDuplicatesWithinWatermark` — key state bounded by the
+    * watermark, not the stream. Emits `(vec_id, ts)` per flagged
+    * vector. `stream` must carry `vec_id`, `ts`, `embedding`.
+    */
+  def streamingProbeCellDupIds(stream: DataFrame, index: DataFrame,
+                               centroids: DataFrame, dim: Int, tau: Double,
+                               nprobe: Int, cellCap: Int,
+                               watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "streamingProbeCellDupIds needs a streaming DataFrame — use probeCellIndex for batch")
+    require(!index.isStreaming && !centroids.isStreaming,
+      "the cell index and codebook must be static DataFrames")
+    require(nprobe >= 1 && cellCap >= 1,
+      s"streamingProbeCellDupIds: nprobe=$nprobe and cellCap=$cellCap must be >= 1")
+    FloatDot.register(stream.sparkSession)
+    // plan-time collect of the codebook: k rows, the flag-only-driver
+    // discipline (same as the BPE merge table / kmeans centroids)
+    val cents = centroids.select(col("cent_id"), col("cvec")).collect().map { r =>
+      (r.getLong(0),
+        r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    }
+    require(cents.nonEmpty, "empty codebook")
+    val pn = Vectors.norm(col("embedding"), dim)
+    val scoredCells = sort_array(array(cents.map { case (id, v) =>
+      val cnorm = math.sqrt(v.map(x => x * x).sum)
+      val sim = try_divide(
+        call_function("graft_dot", col("embedding"), typedLit(v)),
+        pn * lit(cnorm))
+      // (-sim, cell) ascending = sim desc with cell-asc ties — the same
+      // deterministic order scoredProbes' rank window uses
+      struct((-sim).as("neg"), lit(id).as("cell"))
+    }: _*))
+    val probes = stream.withWatermark("ts", watermark)
+      .select(col("vec_id"), col("ts"), col("embedding").as("pe"), pn.as("pnrm"),
+        explode(slice(scoredCells, 1, nprobe)).as("__c"))
+      .select(col("vec_id"), col("ts"), col("pe"), col("pnrm"),
+        col("__c.cell").as("cell"))
+    val wCap = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val base = index
+      .withColumn("__pos", row_number().over(wCap))
+      .where(col("__pos") <= cellCap)
+      .select(col("cell"), col("embedding").as("ce"), col("nrm").as("cn"))
+    probes.join(base, Seq("cell"))
+      .where(expr("try_divide(graft_dot(pe, ce), pnrm * cn)") > tau)
+      .select("vec_id", "ts")
+      .dropDuplicatesWithinWatermark("vec_id")
+  }
+
   /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes
     * each (see [[Vectors.signPlaneTables]]), `bucketCap` caps candidates
     * per (table, bucket). Vectors alone in their buckets get no row

@@ -440,6 +440,49 @@ class ScaleSpec extends SparkSpec {
     assert(!m2.keySet.exists(Set(0L, 1L, 2L, 3L)), s"base leaked into probes: $m2")
   }
 
+  test("streamingProbeCellDupIds quarantines semantic dups at ingest, " +
+    "matches the batch probe, collapses redelivery") {
+    import graft.operators.Knn
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    val base = Seq((0L, v(0)), (1L, v(2)), (2L, v(40)), (3L, v(88)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("cent_id", "cvec")
+    val index = Knn.ivfAssign(base, cents, 4).cache()
+    // batch truth on the same delta: 10 matches in-cell, 11 only via
+    // nprobe=2 (boundary-split), 12 is clean
+    val delta = Seq((10L, v(1)), (11L, v(50)), (12L, v(135)))
+    val batchIds = Knn.probeCellIndex(
+        delta.toDF("vec_id", "embedding"), index, cents, 4, 0.9, 2, 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batchIds == Set(10L, 11L), s"fixture sanity: $batchIds")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float], String)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q = Knn.streamingProbeCellDupIds(stream, index, cents, 4, 0.9, 2, 100)
+      .writeStream.format("memory").queryName("sem_ingest")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      // vec 10 redelivered (at-least-once) — must flag ONCE
+      mem.addData((10L, v(1), "2024-03-01 00:00:01"),
+        (10L, v(1), "2024-03-01 00:00:01"),
+        (11L, v(50), "2024-03-01 00:00:02"),
+        (12L, v(135), "2024-03-01 00:00:03"))
+      q.processAllAvailable()
+      val flagged = spark.table("sem_ingest").select("vec_id")
+        .as[Long].collect().toSeq
+      assert(flagged.sorted == Seq(10L, 11L),
+        s"streaming flags must equal the batch probe, once each: $flagged")
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("simhash verifier is integer-only: bit_count/xor, no string HOF per pair") {
     val q = graft.queries.PipelineQueries.xSimhashPairs(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
