@@ -227,6 +227,47 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("cell-index lifecycle: the stored bucketed index probe shuffles " +
+    "only the delta side") {
+    import graft.operators.Knn
+    // the x_semdedup_incremental production claim made concrete: write
+    // the ivfAssign index bucketed by cell, read it back, probe — the
+    // index side must join with NO Exchange of its own (its bucketing IS
+    // the partitioning), so ingest shuffles |delta| rows, never the base
+    spark.sql("DROP TABLE IF EXISTS graft_cell_index")
+    val loc = new java.io.File("spark-warehouse/graft_cell_index")
+    if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+    def v(i: Long) = Array.tabulate(4)(d => ((i % 4) * 10 + d + 1).toFloat)
+    val base = (0L until 64L).map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val cents = (0L until 4L).map(i => (i, v(i))).toDF("cent_id", "cvec")
+    Scale.writeBucketed(Knn.ivfAssign(base, cents, 4),
+      "graft_cell_index", Seq("cell"), 4)
+    val stored = Scale.readTable(spark, "graft_cell_index")
+    val delta = (100L until 110L).map(i => (i, v(i))).toDF("vec_id", "embedding")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probed = Knn.probeCellIndex(delta, stored, cents, 4,
+        tau = 0.9, nprobe = 1, cellCap = 1000)
+      probed.collect()
+      val plan = probed.queryExecution.executedPlan.toString
+      // the stored index must reach the join straight off its bucketed
+      // scan: all 4 buckets selected, and NO Exchange anywhere on the
+      // index side — identified precisely by the scan's own `cell`
+      // attribute id (the probe side's renamed cell attr is a different
+      // id, so its legitimate delta-side shuffles don't match)
+      assert(plan.contains("Bucketed: true"),
+        s"index scan must use its bucketing:\n$plan")
+      assert(plan.contains("SelectedBucketsCount: 4 out of 4"), plan)
+      val cellAttr = """graft_cell_index\[[^\]]*?cell#(\d+)""".r
+        .findFirstMatchIn(plan).map(_.group(1))
+        .getOrElse(fail(s"no index scan in plan:\n$plan"))
+      assert(!plan.contains(s"Exchange hashpartitioning(cell#$cellAttr"),
+        s"stored index must NOT re-shuffle (bucketing is its partitioning):\n$plan")
+      assert(probed.columns.toSeq ==
+        Seq("vec_id", "n_base_matches", "first_match"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("exact KNN broadcasts only the bounded probe side; candidates partial-aggregate") {
     // the 100× criterion for the exact tier: the candidate table must
     // NEVER be the broadcast build side (at scale it exceeds the
