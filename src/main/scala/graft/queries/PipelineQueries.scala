@@ -366,12 +366,16 @@ object PipelineQueries {
   /** The ONE multi-table LSH computation both ANN queries derive from —
     * x_lshknn takes the per-probe best neighbor, x_embdup filters the
     * same ranked pairs by threshold; each query's plan contains a single
-    * bucket join, never two.
+    * bucket join, never two. STAGED: the ranked-pairs relation is
+    * |probes|·k rows (bounded) while its lineage is the L-table bucket
+    * join + scoring — the session-warm memo lets the three consumers
+    * (x_lshknn / x_embdup / x_lsh_recall) pay that compute once.
     */
   private def lshRanked(s: SparkSession, dir: String): DataFrame =
-    Knn.lshTopK(Tables.embeddings(s, dir),
-      Vectors.signPlaneTables(LSH_TABLES, LSH_TABLE_PLANES, DIM), DIM,
-      k = 1, bucketCap = LSH_BUCKET_CAP)
+    graft.operators.Scale.stage(
+      Knn.lshTopK(Tables.embeddings(s, dir),
+        Vectors.signPlaneTables(LSH_TABLES, LSH_TABLE_PLANES, DIM), DIM,
+        k = 1, bucketCap = LSH_BUCKET_CAP))
 
   def xLshknn(s: SparkSession, dir: String): DataFrame =
     lshRanked(s, dir)
@@ -593,6 +597,11 @@ object PipelineQueries {
     * minutes at sf0.01 vs seconds sparse). 0.4 keeps ~59 true-tail
     * pairs over 500 vectors: non-vacuous, near-dup-sized components,
     * bounded closure — the regime semantic dedup actually targets.
+    * (Round 8 found most of those minutes were NOT the closure itself
+    * but DuckDB re-inlining the chain CTEs per fixpoint iteration —
+    * see [[SEMDEDUP_TAU]]'s scaladoc; with `AS MATERIALIZED` this
+    * oracle runs in under a second. The sparser 0.4 regime remains the
+    * right semantic choice for the probed variant.)
     */
   def xSemdedupProbe(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -964,8 +973,13 @@ object PipelineQueries {
   private def l2sq(a: Column, b: Column): Column =
     graft.operators.Pq.l2sq(a, b)
 
+  // STAGED: the code table is n·M small rows (the whole point of PQ)
+  // while its lineage is codebook training + nearest-codeword encoding —
+  // the session-warm memo lets the three consumers (x_pq / x_pq_recall /
+  // x_ivfpq) pay that once
   private def pqCodes(emb: DataFrame): DataFrame =
-    graft.operators.Pq.encode(emb, pqCents(emb), PQ_M, DIM)
+    graft.operators.Scale.stage(
+      graft.operators.Pq.encode(emb, pqCents(emb), PQ_M, DIM))
 
   def xPq(s: SparkSession, dir: String): DataFrame = {
     val codeCols = (0 until PQ_M).map(j =>
