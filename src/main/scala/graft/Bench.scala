@@ -16,6 +16,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // fixture sources are read-only and the JVM exits after the run —
+      // the regime the staged-subtree memo is sound in (see Scale.StageMemoConf)
+      .config("spark.graft.stage.memo", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: session init, codegen compiler, shuffle machinery — so the

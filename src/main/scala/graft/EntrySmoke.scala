@@ -12,6 +12,9 @@ object EntrySmoke {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fixture sources are read-only and the JVM exits after the run —
+      // the regime the staged-subtree memo is sound in (see Scale.StageMemoConf)
+      .config("spark.graft.stage.memo", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)

@@ -18,6 +18,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fixture sources are read-only and the JVM exits after the run —
+      // the regime the staged-subtree memo is sound in (see Scale.StageMemoConf)
+      .config("spark.graft.stage.memo", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

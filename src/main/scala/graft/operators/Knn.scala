@@ -380,18 +380,28 @@ object Knn {
     * ingest gate quarantines on, [[graft.operators.Dedup.probeBandIndex]]'s
     * exact output shape in embedding space.
     */
+  /** The index side of a cell probe, capped per cell in the
+    * deterministic md5(vec_id) order ([[cellPairs]]' hot-cell
+    * backstop) — THE one copy of the capped-base block both the batch
+    * and streaming probes build on, so the cap order can never drift
+    * between the twins.
+    */
+  private def cappedCells(index: DataFrame, cellCap: Int): DataFrame = {
+    val wCap = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    index
+      .withColumn("__pos", row_number().over(wCap))
+      .where(col("__pos") <= cellCap)
+      .select(col("cell"), col("vec_id").as("base_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+  }
+
   def probeCellIndex(delta: DataFrame, index: DataFrame, centroids: DataFrame,
                      dim: Int, tau: Double, nprobe: Int, cellCap: Int): DataFrame = {
     require(nprobe >= 1 && cellCap >= 1,
       s"probeCellIndex: nprobe=$nprobe and cellCap=$cellCap must be >= 1")
     FloatDot.register(delta.sparkSession)
-    val wCap = Window.partitionBy("cell")
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    val base = index
-      .withColumn("__pos", row_number().over(wCap))
-      .where(col("__pos") <= cellCap)
-      .select(col("cell"), col("vec_id").as("base_id"),
-        col("embedding").as("ce"), col("nrm").as("cn"))
+    val base = cappedCells(index, cellCap)
     scoredProbes(delta, centroids, dim, nprobe)
       .select(col("cell"), col("vec_id"),
         col("embedding").as("pe"), col("nrm").as("pn"))
@@ -445,21 +455,22 @@ object Knn {
       val sim = try_divide(
         call_function("graft_dot", col("embedding"), typedLit(v)),
         pn * lit(cnorm))
-      // (-sim, cell) ascending = sim desc with cell-asc ties — the same
-      // deterministic order scoredProbes' rank window uses
-      struct((-sim).as("neg"), lit(id).as("cell"))
+      // ascending sort key replicating scoredProbes' rank-window order
+      // EXACTLY, nulls and NaN included: csim DESC ranks NaN first
+      // (greatest) and NULL last — a plain -sim would invert both
+      // (struct sort puts null first, NaN last), probing different
+      // cells than the batch twin on degenerate vectors
+      val key = when(sim.isNull, lit(Double.PositiveInfinity))
+        .when(isnan(sim), lit(Double.NegativeInfinity))
+        .otherwise(-sim)
+      struct(key.as("neg"), lit(id).as("cell"))
     }: _*))
     val probes = stream.withWatermark("ts", watermark)
       .select(col("vec_id"), col("ts"), col("embedding").as("pe"), pn.as("pnrm"),
         explode(slice(scoredCells, 1, nprobe)).as("__c"))
       .select(col("vec_id"), col("ts"), col("pe"), col("pnrm"),
         col("__c.cell").as("cell"))
-    val wCap = Window.partitionBy("cell")
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    val base = index
-      .withColumn("__pos", row_number().over(wCap))
-      .where(col("__pos") <= cellCap)
-      .select(col("cell"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val base = cappedCells(index, cellCap).drop("base_id")
     probes.join(base, Seq("cell"))
       .where(expr("try_divide(graft_dot(pe, ce), pnrm * cn)") > tau)
       .select("vec_id", "ts")

@@ -68,24 +68,37 @@ object Scale {
   /** Session conf selecting how iterative-loop stages materialize. */
   val ReliableCheckpointConf = "spark.graft.checkpoint.reliable"
 
-  /** Session conf (default true) enabling the staged-subtree memo. */
+  /** Session conf (default FALSE) enabling the staged-subtree memo.
+    *
+    * OFF by default because the memo's soundness contract is real:
+    * sources must be immutable for the session's lifetime (a staged
+    * plan over a table that is later overwritten would serve the OLD
+    * checkpoint — plan canonicalization cannot see data change), and
+    * entries live until the session does. The driver-contract mains
+    * (Bench / Verify / EntrySmoke) opt in: they read only the
+    * read-only test fixtures, run a bounded query list, and exit — the
+    * exact regime where "identical lineage computes once per session"
+    * is free speed with no staleness surface. General sessions (specs
+    * that drop/rewrite tables mid-run, long-lived drivers) keep the
+    * always-restage behavior.
+    */
   val StageMemoConf = "spark.graft.stage.memo"
 
   // session-scoped memo of staged subtrees, keyed by the CANONICALIZED
-  // analyzed plan: queries in one session that stage semantically
-  // identical lineage (the x_curate* quality gate, the kmeans seed —
-  // and, transitively, every Lloyd round built on a memoized parent)
-  // materialize it ONCE and share the checkpointed blocks. Sound
-  // because a canonical-plan match over deterministic batch sources IS
-  // the same relation; iterative rounds on DIFFERENT parents can't
-  // collide (a checkpoint is a unique leaf, so round r's plan embeds
-  // round r-1's identity). Entries live for the session — the same
-  // lifetime un-memoized localCheckpoint blocks already had.
-  // keyed additionally by the reliable-checkpoint mode: a durable run
-  // must never be handed executor-local blocks memoized by an earlier
-  // local-mode query (and vice versa)
+  // analyzed plan PLUS the output schema (canonicalization erases
+  // column names and nullability — two stagings differing only in an
+  // alias must not share, or the hit returns the wrong names), the
+  // reliable-checkpoint mode (a durable run must never be handed
+  // executor-local blocks), and eagerness (an eager call's contract is
+  // "materialized NOW, in its own job"). Queries in one session that
+  // stage semantically identical lineage (the x_curate* quality gate,
+  // the kmeans seed — and, transitively, every Lloyd round built on a
+  // memoized parent) materialize it ONCE and share the checkpointed
+  // blocks; iterative rounds on DIFFERENT parents can't collide (a
+  // checkpoint is a unique leaf, so round r's plan embeds round r-1's
+  // identity).
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, Boolean,
+    (SparkSession, Boolean, Boolean, String,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     DataFrame]()
 
@@ -127,9 +140,15 @@ object Scale {
       } else df.localCheckpoint(eager)
     val analyzed = df.queryExecution.analyzed
     val memoSafe = !df.isStreaming &&
-      s.conf.get(StageMemoConf, "true").toBoolean &&
+      s.conf.get(StageMemoConf, "false").toBoolean &&
       analyzed.collect { case p => p.expressions }.flatten.forall(_.deterministic)
     if (!memoSafe) doStage()
-    else memo.computeIfAbsent((s, reliable, analyzed.canonicalized), _ => doStage())
+    else {
+      val schemaKey = analyzed.output
+        .map(a => s"${a.name}:${a.dataType.catalogString}:${a.nullable}")
+        .mkString(",")
+      memo.computeIfAbsent((s, reliable, eager, schemaKey, analyzed.canonicalized),
+        _ => doStage())
+    }
   }
 }

@@ -211,7 +211,6 @@ class DedupSpec extends SparkSpec {
 
   test("streamingIngestDupIds quarantines dups at ingest, matches the batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.streaming.Trigger
     val baseDocs = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
     val index = Dedup.bandRows(baseDocs, col("text"), 16, 2)
       .select("band", "key").cache()
@@ -219,9 +218,12 @@ class DedupSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String, String)]
     val stream = mem.toDF().toDF("doc_id", "text", "ts_s")
       .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    // default trigger, NOT AvailableNow: that trigger snapshots the end
+    // offset at query start, so data added after start() is seen or
+    // missed by pure timing (a real flake — see the ScaleSpec twin)
     val q = Dedup.streamingIngestDupIds(stream, col("text"), 16, 2, index)
       .writeStream.format("memory").queryName("ingest_dups")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").start()
     try {
       // redelivered near-dup (10 twice, at-least-once), one clean doc
       mem.addData((10L, nearDup, "2024-03-01 00:00:01"),
