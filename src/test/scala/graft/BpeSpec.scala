@@ -97,6 +97,55 @@ class BpeSpec extends SparkSpec {
     assert(out == chars, s"token chars $out != corpus word chars $chars")
   }
 
+  test("applyMerge property: equals the scan reference on random " +
+    "sequences, preserves content, is idempotent (seeded cases)") {
+    // naive reference: independent re-derivation of non-overlapping
+    // left-to-right fusion
+    def ref(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: ref(rest, l, r)
+        case a :: rest => a :: ref(rest, l, r)
+        case Nil => Nil
+      }
+    val rnd = new scala.util.Random(13)
+    val alpha = Vector("a", "b", "ab", "ba", "aa")
+    (1 to 500).foreach { i =>
+      val syms = IndexedSeq.fill(rnd.nextInt(10))(alpha(rnd.nextInt(alpha.size)))
+      val l = alpha(rnd.nextInt(alpha.size)); val r = alpha(rnd.nextInt(alpha.size))
+      val got = Bpe.applyMerge(syms, l, r)
+      assert(got == ref(syms.toList, l, r), s"case $i: $syms under ($l,$r)")
+      // content is preserved: concatenation is invariant under merging
+      assert(got.mkString == syms.mkString, s"case $i lost content")
+      // a second pass can still fuse pairs REVEALED by the first (the
+      // skipped-overlap remainder: aaa -> [aa, a]; [aa, a, a] under
+      // (a, a) fuses the tail) — but never endlessly: l+r is longer
+      // than l, so length strictly drops until a fixpoint
+      val twice = Bpe.applyMerge(got, l, r)
+      assert(twice.length <= got.length)
+      assert(twice.mkString == syms.mkString)
+    }
+  }
+
+  test("distributed training matches the reference on a random run-heavy " +
+    "corpus (runs and ties are the adversarial shapes)") {
+    val rnd = new scala.util.Random(31)
+    // run-heavy words (aaaa..., ababab...) force the non-overlap rule
+    // every round; duplicated freqs force the lexicographic tie-break
+    val words = (1 to 30).map { _ =>
+      val w = rnd.nextInt(3) match {
+        case 0 => ("a" * (1 + rnd.nextInt(7)))
+        case 1 => ("ab" * (1 + rnd.nextInt(4)))
+        case _ => List.fill(1 + rnd.nextInt(6))(
+          "abc".charAt(rnd.nextInt(3)).toString).mkString
+      }
+      w -> (1L + rnd.nextInt(3))
+    }.groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sum }
+    val got = Bpe.train(words.toSeq.toDF("word", "freq"), 12)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      .map { case (_, l, r, c) => (l, r, c) }
+    assert(got == refBpe(words, 12), s"random corpus diverged: $got")
+  }
+
   test("x_bpe_train is deterministic across runs on the fixture") {
     val a = graft.queries.PipelineQueries.xBpeTrain(spark, "/root/testdata/sf0.001")
       .collect().toSeq

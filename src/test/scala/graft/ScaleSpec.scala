@@ -533,6 +533,24 @@ class ScaleSpec extends SparkSpec {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("x_curate_incremental: both gate anti-joins broadcast bounded id " +
+    "lists, the index probe stays an equi-join, no cartesian") {
+    val q = graft.queries.PipelineQueries
+      .xCurateIncremental(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"non-equi join leaked:\n$plan")
+    // decontam and dup removal are LEFT ANTI against BROADCAST id lists
+    // (bounded by the gates) — a shuffled anti-join would move every
+    // text-bearing delta row instead
+    val antiBroadcasts = plan.linesIterator
+      .count(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(antiBroadcasts >= 2,
+      s"expected >=2 broadcast anti-joins (contam, dup), got $antiBroadcasts:\n$plan")
+    assert(q.count() > 0, "the ingest path must keep some delta chunks")
+  }
+
   test("simhash verifier is integer-only: bit_count/xor, no string HOF per pair") {
     val q = graft.queries.PipelineQueries.xSimhashPairs(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
