@@ -99,16 +99,12 @@ object Bench {
           }
         name -> ((cold, warm))
       }
-    // compact per-query values keep the whole line short: the harness
-    // records only the final ~2000 chars of stdout, so a long line gets its
-    // HEAD truncated — which is also why the headline metric/value/sf keys
-    // go LAST, where truncation can't reach them
     def fmt(v: Double, scale: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    def jsonMap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }.mkString("{", ",", "}")
-    val qs = jsonMap(results.map { case (k, (c, _)) => k -> c })
-    val qw = jsonMap(results.map { case (k, (_, w)) => k -> w })
+    def jsonMap(m: Iterable[(String, Double)], scale: Int): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v, scale) }.mkString("{", ",", "}")
+    val qs = jsonMap(results.map { case (k, (c, _)) => k -> c }, 1)
+    val qw = jsonMap(results.map { case (k, (_, w)) => k -> w }, 1)
     // any failed query invalidates the headline number: report total=-1
     // (with the failing queries at -1 in the map) rather than a partial
     // sum that reads like a fast clean run
@@ -116,15 +112,34 @@ object Bench {
       if (vs.exists(_ < 0)) -1.0 else vs.sum
     val cold = total(results.map(_._2._1))
     val warm = total(results.map(_._2._2))
-    // warm map FIRST: the harness's ~2000-char tail window must keep the
-    // per-query COLD numbers (they back the headline value and the
-    // round-over-round per-query comparisons) — only the warm map's head
-    // may be truncated away. warm_total rides at the TAIL with the other
-    // headline keys: at 164 queries the cold map alone is ~3 KB, so any
-    // scalar placed before it is what truncation eats first
-    println(s"""{"queries_warm":$qw,"queries":$qs,""" +
-      s""""unit":"sec","warm_total":${fmt(warm, 2)},"metric":"total",""" +
-      s""""value":${fmt(cold, 2)},"sf":"$sfDir"}""")
+    // The COMPLETE record always goes to a committed file (one query per
+    // line → two runs diff line-by-line): the harness keeps only the
+    // final ~2000 chars of stdout, which cannot hold 175 per-query
+    // times, and round 8 needed a judge re-bench to adjudicate a 43%
+    // artifact spread for exactly that reason. Host-noise disputes are
+    // now settled by diffing two complete committed records.
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      "/root/repo/BENCH_LOCAL_r9.json")
+    def fileMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"""    "$k": ${fmt(v, 2)}""" }.mkString("{\n", ",\n", "\n  }")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile),
+      s"""{\n  "sf": "$sfDir",\n  "unit": "sec",\n  "metric": "total",\n""" +
+        s"""  "value": ${fmt(cold, 2)},\n  "warm_total": ${fmt(warm, 2)},\n""" +
+        s"""  "n_queries": ${results.size},\n""" +
+        s"""  "queries": ${fileMap(results.map { case (k, (c, _)) => k -> c })},\n""" +
+        s"""  "queries_warm": ${fileMap(results.map { case (k, (_, w)) => k -> w })}\n}\n""")
+    // stdout layout for the harness's tail window: per-query maps on
+    // their OWN lines first (warm, then cold — so what survives in the
+    // tail is the cold map, the one backing the headline and the
+    // round-over-round comparisons), and a COMPACT totals line LAST,
+    // guaranteed intact inside any ≥200-char tail. The totals line names
+    // the bench file so a reader of the truncated artifact knows where
+    // the full record lives.
+    println(s"""{"queries_warm":$qw}""")
+    println(s"""{"queries":$qs}""")
+    println(s"""{"metric":"total","value":${fmt(cold, 2)},"unit":"sec",""" +
+      s""""warm_total":${fmt(warm, 2)},"n_queries":${results.size},""" +
+      s""""bench_file":"$benchFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

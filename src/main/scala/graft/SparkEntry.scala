@@ -15,4 +15,23 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ConnectorQueries.oracle ++ LogQueries.oracle ++
       RelationalQueries.oracle ++ PipelineQueries.oracle ++ HumioQueries.oracle
+  /** Queries declared WITHOUT an oracle BY DESIGN, with the reason.
+    *
+    * These are the approximate-sketch surfaces whose default-accuracy
+    * output has no deterministic cross-engine twin — each has a
+    * hash-verified exact-regime sibling in the inventory, so the sketch
+    * MACHINERY is oracled even though these entries are rows-only.
+    * Verify dumps this map so a `no_oracle` row in the driver's
+    * correctness artifact reads as a declared property, not breakage;
+    * Verify also REQUIRES it to equal (queries minus oracleSql), so an
+    * accidentally-dropped oracle can't hide behind the declaration.
+    */
+  def noOracleByDesign: Map[String, String] = Map(
+    "q_approx" -> ("approx_count_distinct (HyperLogLog++) — estimate has no " +
+      "deterministic DuckDB twin; exact sibling q_* count_distinct queries are hash-verified"),
+    "l_percentile_approx" -> ("percentile_approx at default accuracy — the GK " +
+      "summary compresses and diverges from quantile_disc in low decimals at " +
+      "sf0.1 group sizes; exact-regime twin l_percentile_sketch is hash-verified"),
+    "hq_pctile_approx" -> ("DSL percentile(approx=true), same GK sketch at " +
+      "default accuracy; exact DSL twin hq_pctile is hash-verified"))
 }

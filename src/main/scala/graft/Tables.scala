@@ -46,18 +46,31 @@ object Tables {
     val raw =
       try table(spark, dir, "events")
       catch {
-        case e: Exception
-            if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
-              String.valueOf(e.getMessage).toLowerCase.contains("nanos") =>
+        // retry ONCE with the flag on ANY read failure, not just ones
+        // whose message pattern-matches a nanos complaint: error text
+        // shifts across Spark versions, and a nanos fixture whose error
+        // matched neither sniffed pattern would fail outright where it
+        // used to read fine. The error class, when the exception carries
+        // one, is logged for the diagnosable case; the retry itself is
+        // unconditional. A NON-nanos failure (missing file, corrupt
+        // footer) fails the retry identically — the flag is undone and
+        // the ORIGINAL error propagates, so nothing is masked.
+        case e: Exception =>
+          val cls = e match {
+            case t: org.apache.spark.SparkThrowable => String.valueOf(t.getCondition)
+            case _ => "(no error class)"
+          }
+          System.err.println(
+            s"[tables] events read failed ($cls); retrying with nanosAsLong=true")
           // the failed read never enters the cache, so this re-read with
           // the flag set is what gets cached; if the retry fails too the
           // failure wasn't the nanos type — undo the session-global flip
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           try table(spark, dir, "events")
           catch {
-            case retry: Exception =>
+            case _: Exception =>
               spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-              throw retry
+              throw e
           }
       }
     raw.schema("ts").dataType match {

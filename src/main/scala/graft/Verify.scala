@@ -78,6 +78,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-documenting no_oracle entries: every query lacking an oracle
+    // must be DECLARED (with its reason) in noOracleByDesign — the
+    // driver's `err: "no_oracle"` rows then read as design, not
+    // breakage. The equality check cuts both ways: an oracle dropped by
+    // accident fails here instead of silently downgrading to rows-only,
+    // and a stale declaration for a query that gained an oracle fails too.
+    val undeclared =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+        SparkEntry.noOracleByDesign.keySet
+    val stale = SparkEntry.noOracleByDesign.keySet & SparkEntry.oracleSql.keySet
+    require(undeclared.isEmpty && stale.isEmpty,
+      s"no_oracle drift — undeclared: $undeclared, stale declarations: $stale")
+    val byDesign = SparkEntry.noOracleByDesign
+      .map { case (k, v) => s"${q(k)}: {${q("by_design")}: true, ${q("reason")}: ${q(v)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle_by_design.json"), byDesign)
     spark.stop()
   }
 }

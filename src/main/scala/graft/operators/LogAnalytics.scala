@@ -116,6 +116,21 @@ object LogAnalytics {
     */
   val ApproxPercentileAccuracy = 10000
 
+  /** Session conf backing the EXACT-REGIME sketch accuracy (the
+    * l_percentile_sketch surface). Contract, like the semdedup cellCap
+    * one: the configured accuracy MUST exceed the largest group's row
+    * count — that is what keeps the Greenwald–Khanna summary
+    * uncompressed, hence exact, hence able to share the exact twin's
+    * `quantile_disc` oracle. A corpus whose largest group outgrows the
+    * setting must raise it (the sketch stays correct-as-a-sketch either
+    * way; only the EXACTNESS claim, and with it the shared oracle,
+    * needs the bound). Default 2^20 covers sf0.1's ~20k-row groups
+    * ~50×; LogQueriesSpec asserts the bound against the gate fixture so
+    * a larger fixture fails loudly instead of hash-mismatching.
+    */
+  val SketchExactAccuracyConf = "spark.graft.percentile.sketch.accuracy"
+  val SketchExactAccuracyDefault: Int = 1 << 20
+
   // the one grouped-percentile shape both twins share: detRound4 (not
   // round(): cross-engine rounding convention — engine round() semantics
   // differ on edge doubles vs the DuckDB oracle), p*100 column names,

@@ -73,8 +73,14 @@ object Scale {
     * OFF by default because the memo's soundness contract is real:
     * sources must be immutable for the session's lifetime (a staged
     * plan over a table that is later overwritten would serve the OLD
-    * checkpoint — plan canonicalization cannot see data change), and
-    * entries live until the session does. The driver-contract mains
+    * checkpoint — plan canonicalization cannot see data change),
+    * result-affecting session confs must be stable too (the key folds
+    * in the session time zone and ANSI mode — the two that change what
+    * identical plans compute — but not every conceivable conf; a
+    * session that flips other semantics-bearing confs mid-run must not
+    * enable the memo), and entries live until their session stops
+    * (stopped sessions' entries are swept on the next stage() call).
+    * The driver-contract mains
     * (Bench / Verify / EntrySmoke) opt in: they read only the
     * read-only test fixtures, run a bounded query list, and exit — the
     * exact regime where "identical lineage computes once per session"
@@ -128,6 +134,18 @@ object Scale {
     * separate materialize job — and the returned relation's semantics
     * are the same either way.
     */
+  // a plan is memo-deterministic only if EVERY node's expressions are
+  // deterministic INCLUDING inside subquery plans: Expression.deterministic
+  // on a subquery expression covers only its outer references, not the
+  // inner plan, so rand() inside a scalar subquery would otherwise slip
+  // through and be shared unsoundly. subqueriesAll is transitive
+  // (subqueries of subqueries), so one level of recursion here suffices.
+  private def planDeterministic(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.collect { case n => n.expressions }.flatten.forall(_.deterministic) &&
+      p.subqueriesAll.forall(sub =>
+        sub.collect { case n => n.expressions }.flatten.forall(_.deterministic))
+
   def stage(df: DataFrame, eager: Boolean = false): DataFrame = {
     val s = df.sparkSession
     val reliable = s.conf.get(ReliableCheckpointConf, "false").toBoolean
@@ -141,13 +159,25 @@ object Scale {
     val analyzed = df.queryExecution.analyzed
     val memoSafe = !df.isStreaming &&
       s.conf.get(StageMemoConf, "false").toBoolean &&
-      analyzed.collect { case p => p.expressions }.flatten.forall(_.deterministic)
+      planDeterministic(analyzed)
     if (!memoSafe) doStage()
     else {
+      // sweep entries for stopped sessions: the memo must not pin a dead
+      // session (and its checkpoint blocks) for the JVM's lifetime — a
+      // test JVM runs many sessions back to back
+      memo.keySet.removeIf(_._1.sparkContext.isStopped)
       val schemaKey = analyzed.output
         .map(a => s"${a.name}:${a.dataType.catalogString}:${a.nullable}")
         .mkString(",")
-      memo.computeIfAbsent((s, reliable, eager, schemaKey, analyzed.canonicalized),
+      // fold the execution-time confs that change what an identical plan
+      // COMPUTES into the key: canonicalization compares plans, not the
+      // session semantics they resolve under. Time zone moves every
+      // zone-sensitive timestamp function; ANSI mode moves overflow and
+      // cast behavior. (Contract in StageMemoConf covers the long tail.)
+      val confKey = s"tz=${s.conf.get("spark.sql.session.timeZone")};" +
+        s"ansi=${s.conf.get("spark.sql.ansi.enabled")}"
+      memo.computeIfAbsent(
+        (s, reliable, eager, s"$schemaKey|$confKey", analyzed.canonicalized),
         _ => doStage())
     }
   }

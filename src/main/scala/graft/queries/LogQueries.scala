@@ -87,7 +87,12 @@ object LogQueries {
     */
   def lPercentileSketch(s: SparkSession, dir: String): DataFrame =
     LogAnalytics.percentilesApprox(Tables.events(s, dir), col("event_type"),
-        col("value"), Seq(0.5, 0.9, 0.99), accuracy = 1 << 20)
+        col("value"), Seq(0.5, 0.9, 0.99),
+        // conf-backed (like cellCap / Bloom m,k): the exact-regime claim
+        // holds only while accuracy exceeds the largest group — see the
+        // SketchExactAccuracyConf contract
+        accuracy = s.conf.get(LogAnalytics.SketchExactAccuracyConf,
+          LogAnalytics.SketchExactAccuracyDefault.toString).toInt)
       .withColumnRenamed("dim", "event_type")
       .orderBy("event_type")
 

@@ -90,42 +90,62 @@ object PipelineQueries {
 
   /** Character-trigram language ID — the literal n-gram heuristic: build
     * a top-20-trigram profile per labeled language, score each document
-    * by how many profile trigrams it contains, argmax. Three hash
-    * aggregations and one equi-join on trigram — every stage partial-
-    * aggregates map-side; profiles are tiny and broadcast.
+    * by how many profile trigrams it contains, argmax.
+    *
+    * Train-then-score, the codebook discipline ([[xIvfknnTrained]]):
+    *
+    *  - TRAIN aggregates straight to (lang, trigram) totals — the key is
+    *    distinct-trigram cardinality, not corpus size, so occurrences
+    *    collapse in the map-side partial aggregate and the one shuffle
+    *    moves a vocabulary, not the corpus. The top-20-per-language
+    *    model (≤ 20·|langs| rows) is a bounded index artifact, collected
+    *    like the k-means codebook.
+    *  - SCORE turns the model into plan-time literals: per document,
+    *    hits(L) = how many of L's 20 profile trigrams occur in the text.
+    *    "tg ∈ doc's trigram set" ⟺ `contains(text, tg)` — the trigram
+    *    set IS all 3-char substrings (docs are filtered to length ≥ 3,
+    *    so no partial grams), and UTF-8's self-synchronization makes
+    *    byte-level contains equal char-level substring even for
+    *    multi-byte profiles. Scoring is therefore ≤ 20·|langs| codegen'd
+    *    `contains` calls per row — NO trigram re-extraction, no arrays,
+    *    no join, no window. The argmax is `greatest` over
+    *    (hits, lang-priority) structs; ties break toward the
+    *    lexicographically smallest language (priority = |langs|−i under
+    *    `greatest`'s max), matching the oracle's `ORDER BY hits DESC,
+    *    plang`. Docs with zero hits for every profile drop out, matching
+    *    the oracle's inner join.
+    *
+    * vs the previous one-pass formulation (corpus-sized (doc,lang,tg)
+    * shuffle staged + broadcast join + per-doc rank window): the scoring
+    * pass is a single embarrassingly-parallel projection, and the only
+    * shuffle left anywhere is the vocabulary-sized training aggregate.
     */
   def xLangidNgram(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.CharTrigrams.register(s)
     val docs = Tables.documents(s, dir).where(length(col("text")) >= 3)
-    // ONE corpus explode + shuffle: the (doc, trigram) aggregate feeds
-    // BOTH the language profiles and the per-doc scoring side (its keys
-    // ARE the distinct doc-trigram pairs); lang rides through the key —
-    // functionally dependent on doc_id — so the label join back to the
-    // corpus disappears too. The lazy Scale.stage makes the two
-    // consumers share ONE materialization of the compact aggregate
-    // (branch-level ReuseExchange does not fire here even with
-    // identical partial aggregates — measured; and recomputing means a
-    // second full corpus explode). Blocks spill to disk at scale; the
-    // deduped aggregate is the SMALL end of this lineage.
-    val dtg = docs.select(col("doc_id"), col("lang"),
-        explode(Text.charTrigramsNative(col("text"))).as("tg"))
-      .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
-      .transform(graft.operators.Scale.stage(_))
     val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tg"))
-    val profiles = dtg.groupBy("lang", "tg").agg(sum("c").as("cnt"))
+    val model = docs
+      .select(col("lang"), explode(Text.charTrigramsNative(col("text"))).as("tg"))
+      .groupBy("lang", "tg").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
-      .select(col("lang").as("plang"), col("tg"))
-    val wd = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))
-    // hits via sum(least(c,1)) ≡ count(*) (c ≥ 1 by construction) — the
-    // point is to reference c so BOTH branches prune dtg identically:
-    // with count(*) the optimizer drops c from this branch's partial
-    // aggregate, the exchange subtrees stop canonicalizing equal, and
-    // ReuseExchange re-scans + re-explodes the corpus (observed 2×).
-    dtg.join(broadcast(profiles), "tg")
-      .groupBy("doc_id", "lang", "plang").agg(sum(least(col("c"), lit(1))).as("hits"))
-      .withColumn("rn", row_number().over(wd)).where(col("rn") === 1)
+      .select(col("lang"), col("tg"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val langs = model.map(_._1).distinct.sorted
+    val profile = model.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct(
+        profile(l).map(tg => col("text").contains(tg).cast("bigint"))
+          .reduce(_ + _).as("hits"),
+        lit(langs.length - i).as("pri"))
+    }
+    docs
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        col("plang").as("pred_lang"), col("hits"))
+        greatest(scored: _*).as("b"))
+      .where(col("b.hits") > 0)
+      .select(col("doc_id"), col("labeled_lang"),
+        element_at(typedLit(langs),
+          lit(langs.length + 1) - col("b.pri")).as("pred_lang"),
+        col("b.hits").as("hits"))
       .orderBy("doc_id")
   }
 

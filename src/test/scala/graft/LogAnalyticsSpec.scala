@@ -111,6 +111,23 @@ class LogAnalyticsSpec extends SparkSpec {
       "ExactPercentileModeConf=counts must route percentiles() to the counts plan")
   }
 
+  test("sketch exact-regime accuracy bound holds on the gate fixtures") {
+    // the SketchExactAccuracyConf contract: l_percentile_sketch's shared
+    // quantile_disc oracle is valid only while accuracy exceeds every
+    // event_type group's row count. Assert it against BOTH driver
+    // scales so a grown fixture fails HERE, loudly, instead of as a
+    // mystery hash mismatch in the correctness gate.
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val maxGroup = Tables.events(spark, s"/root/testdata/$sf")
+        .groupBy("event_type").count()
+        .agg(max("count")).as[Long].collect().head
+      assert(maxGroup < LogAnalytics.SketchExactAccuracyDefault,
+        s"$sf largest event_type group ($maxGroup) must stay below the " +
+          s"exact-regime accuracy (${LogAnalytics.SketchExactAccuracyDefault}) " +
+          "— raise spark.graft.percentile.sketch.accuracy")
+    }
+  }
+
   test("topK orders by count desc then key") {
     val df = Seq("a", "a", "b", "b", "c").toDF("k")
     val top = LogAnalytics.topK(df, col("k"), 2).as[(String, Long)].collect().toSeq

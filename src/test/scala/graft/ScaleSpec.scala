@@ -63,6 +63,26 @@ class ScaleSpec extends SparkSpec {
       val r2 = Scale.stage(spark.range(100).withColumn("r", rand(0)).limit(5))
       assert(!(r1.queryExecution.logical eq r2.queryExecution.logical),
         "nondeterministic plans must not share staged blocks")
+      // ...including nondeterminism hiding INSIDE a subquery plan: the
+      // outer expression tree is deterministic (ScalarSubquery's
+      // `deterministic` covers only its outer references), so only the
+      // recursive subqueriesAll walk catches it
+      val mkSub = () => spark.range(100).toDF("id")
+        .where(col("id").cast("double") >= expr("(SELECT rand(0))"))
+      val s1 = Scale.stage(mkSub())
+      val s2 = Scale.stage(mkSub())
+      assert(!(s1.queryExecution.logical eq s2.queryExecution.logical),
+        "plans with nondeterministic subqueries must not share staged blocks")
+      // execution-time confs that change what an identical plan computes
+      // are part of the key: the same lineage under a different session
+      // time zone must NOT hit the UTC entry
+      val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      try {
+        val other = Scale.stage(mk())
+        assert(!(other.queryExecution.logical eq a.queryExecution.logical),
+          "a conf flip between stagings must not serve the old entry")
+      } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
     } finally spark.conf.unset(Scale.StageMemoConf)
   }
 
