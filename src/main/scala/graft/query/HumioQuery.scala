@@ -133,8 +133,11 @@ object HumioQuery {
     *    verb keeps the LATEST event per key over the finished table; the
     *    streaming twin keeps the FIRST arrival within the watermark (the
     *    at-least-once duplicate collapse, where redeliveries are
-    *    identical rows and both pick the same event). limit=n > 1 stays
-    *    batch-only;
+    *    identical rows and both pick the same event). limit=n > 1
+    *    compiles to `flatMapGroupsWithState`
+    *    ([[graft.operators.StatefulDedup]]): the first n distinct
+    *    (ts, event_id) identities per key emit, redeliveries collapse,
+    *    state (≤ n identities per key) expires with the watermark;
     *  - `match()`/`lookup()` against a STATIC dimension table compiles
     *    unchanged — a stream-static broadcast equi-join is watermark-
     *    safe (the dimension is bounded; no stream-side state);
@@ -146,12 +149,15 @@ object HumioQuery {
     *    out-of-order row gets a NULL rate and leaves state untouched.
     *    `by=` is required on a stream (no global order exists);
     *  - `join({sub}, within=w)` — the banded self-correlate — compiles
-    *    to a stream-stream INNER join: both sides inherit the stamped
+    *    to a stream-stream join: both sides inherit the stamped
     *    watermark and the ±w band in the condition bounds the join
-    *    state (a row expires when the watermark passes its band). The
-    *    subquery must be stateless (filter/eval/select) and keep `ts`;
-    *    unbanded join({sub}), mode=left, and aggregated subqueries stay
-    *    batch-only with reasoned errors;
+    *    state (a row expires when the watermark passes its band).
+    *    `mode=left` compiles to the watermarked LEFT-OUTER form — an
+    *    unmatched event is held in state and emitted with NULL subquery
+    *    columns once the watermark passes its band (only then is "no
+    *    match" a fact). The subquery must be stateless
+    *    (filter/eval/select) and keep `ts`; unbanded join({sub}) and
+    *    aggregated subqueries stay batch-only with reasoned errors;
     *  - `window(field, buckets=n)` after `timechart()`/`bucket()`
     *    compiles to a CHAINED sliding-window aggregation over the
     *    bucket stream (width n·span, slide span) — the moving average
@@ -995,10 +1001,13 @@ object HumioQuery {
               "band is what lets the stream-stream join expire state; " +
               "without it every row is kept forever. Run an unbanded " +
               "join as a batch pass over the drained stream")
-          require(mode == "inner",
-            "join() on a stream supports mode=inner only — outer rows " +
-              "can only be emitted on watermark advance; run mode=left " +
-              "as a batch pass over the drained stream")
+          // mode=left streams too: Spark's watermarked left-outer
+          // stream-stream join holds an unmatched left row in state and
+          // emits it with NULL right columns once the watermark passes
+          // its ±within band (no earlier — only then is "no match" a
+          // fact, the same reasoning that bounds the inner join's
+          // state). Both sides here carry the same ts watermark, which
+          // is what left-outer additionally requires.
           val subDf = run(df, sub.substring(1, sub.length - 1), tables)
           require(!subDf.queryExecution.analyzed.exists(
               _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
@@ -1012,7 +1021,7 @@ object HumioQuery {
           val include = named.get("include").map(listArg)
             .getOrElse(subDf.columns.toSeq.filterNot(c => c == key || c == "ts"))
           bandedSubJoin(df, subDf, field, key, include, within.get,
-            "inner", stream = true)
+            mode, stream = true)
         } else {
           val subDf = run(df, sub.substring(1, sub.length - 1), tables)
           within match {
@@ -1046,11 +1055,12 @@ object HumioQuery {
           // at-least-once duplicate collapse, where redeliveries are
           // identical rows and first-vs-latest picks the same event.
           requireWatermarked(df, "dedup")
-          require(n == 1,
-            "dedup() on a stream supports limit=1 only — limit=n needs " +
-              "per-key ranking over a finished table; run it as a batch " +
-              "pass over the drained output")
-          df.dropDuplicatesWithinWatermark(pos)
+          // limit=n > 1 generalizes the same discipline with explicit
+          // state: the first n distinct (ts, event_id) identities per
+          // key, redeliveries collapsing, state expired by the
+          // watermark ([[graft.operators.StatefulDedup]])
+          if (n == 1) df.dropDuplicatesWithinWatermark(pos)
+          else graft.operators.StatefulDedup.keepFirstN(df, pos, n)
         } else {
           val order = col("ts").desc +:
             (if (df.columns.contains("event_id")) Seq(col("event_id").desc) else Nil)

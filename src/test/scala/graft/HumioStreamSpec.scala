@@ -128,11 +128,13 @@ class HumioStreamSpec extends SparkSpec {
       HumioQuery.runStream(st, "counterAsRate(value)")
     }
     assert(eRate.getMessage.contains("needs by="), eRate.getMessage)
-    // dedup() streams at limit=1 only: limit=n needs a finished table
-    val eDedup = intercept[IllegalArgumentException] {
-      HumioQuery.runStream(st, "dedup(event_type, limit=2)")
+    // join({sub}) on a stream still needs the within= band (unbanded
+    // state never expires) — mode=left and limit=n>1 dedup now stream
+    val eJoin = intercept[IllegalArgumentException] {
+      HumioQuery.runStream(st,
+        "join({event_type = click | select(ts, value)}, field=event_type)")
     }
-    assert(eDedup.getMessage.contains("limit=1 only"))
+    assert(eJoin.getMessage.contains("within="), eJoin.getMessage)
     intercept[IllegalArgumentException] {
       HumioQuery.runStream(st.drop("ts"), "event_type = click")
     }
@@ -324,6 +326,78 @@ class HumioStreamSpec extends SparkSpec {
       // band; click 5 is 45m from click 1 — outside
       assert(streamed == Seq((1L, 1.0), (3L, 1.0), (3L, 5.0),
         (4L, 4.0), (5L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("streaming dedup(limit=2) keeps two per key, collapses redelivery, matches the batch twin") {
+    val q = "dedup(event_type, limit=2)"
+    // u1's three distinct events arrive NEWEST-FIRST (7,5,3): the stream
+    // admits the first two arrivals = the two newest = exactly what the
+    // batch verb keeps, so the twins agree; the third (3, oldest)
+    // saturates. u2 has one event. Redeliveries of 7 (same batch AND a
+    // later batch) must not consume capacity.
+    val e7 = (7L, "u1", 1.0, "2024-03-01 00:30:00")
+    val e5 = (5L, "u1", 2.0, "2024-03-01 00:20:00")
+    val e3 = (3L, "u1", 3.0, "2024-03-01 00:10:00")
+    val e2 = (2L, "u2", 4.0, "2024-03-01 00:05:00")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "1 hour")
+    val query = out.writeStream.format("memory").queryName("hq_dedup_n")
+      .outputMode("append").start()
+    try {
+      mem.addData(e7, e7, e2); query.processAllAvailable()   // in-batch redelivery
+      mem.addData(e5, e7); query.processAllAvailable()       // cross-batch redelivery
+      mem.addData(e3); query.processAllAvailable()           // over capacity — dropped
+      val streamed = spark.table("hq_dedup_n")
+        .select("event_id").as[Long].collect().toSeq.sorted
+      assert(streamed == Seq(2L, 5L, 7L), s"stream kept $streamed")
+      // batch twin over the DISTINCT events: the batch verb ranks raw
+      // rows, so a redelivered copy would occupy a second slot there —
+      // the stream side is precisely what collapses redelivery first
+      val batchTwin = HumioQuery.run(toEvents(Seq(e7, e2, e5, e3).toDF()), q)
+        .select("event_id").as[Long].collect().toSeq.sorted
+      assert(streamed == batchTwin, s"stream $streamed vs batch $batchTwin")
+    } finally query.stop()
+  }
+
+  test("stream-stream join(within=, mode=left) keeps unmatched events and matches the batch twin") {
+    // same banded self-correlate as the inner spec, but mode=left: an
+    // event with NO click sharing its key inside ±30 min must SURVIVE
+    // with NULL subquery columns — emitted only once the watermark
+    // passes its band (before that, "no match" is not yet a fact).
+    val q = "u := event_id % 2 | " +
+      "join({event_type = click | select(ts, u, value)}, " +
+      "field=u, key=u, within=30m, mode=left, include=[value]) | " +
+      "select(event_id, value)"
+    val events = Seq(
+      (1L, "click", 1.0, "2024-03-01 00:00:00"),   // u=1
+      (2L, "error", 0.0, "2024-03-01 00:10:00"),   // u=0: no click in band → NULL
+      (3L, "error", 0.0, "2024-03-01 00:20:00"),   // u=1: clicks 1 and 5 in band
+      (4L, "click", 4.0, "2024-03-01 02:00:00"),   // u=0: only itself in band
+      (5L, "click", 5.0, "2024-03-01 00:45:00"))   // u=1: 45m from click 1 — out
+    // sentinel far past every band: advances the watermark so each
+    // unmatched row's band closes and its NULL row actually emits
+    val sentinel = (9L, "view", 0.0, "2024-03-01 09:00:00")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_ssjoin_left")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.take(3): _*); query.processAllAvailable()
+      mem.addData(events.drop(3) :+ sentinel: _*); query.processAllAvailable()
+      val streamed = spark.table("hq_ssjoin_left")
+        .as[(Long, Option[Double])].collect().toSeq
+        .filter(_._1 != 9L).sorted
+      val batchTwin = HumioQuery.run(toEvents((events :+ sentinel).toDF()), q)
+        .as[(Long, Option[Double])].collect().toSeq
+        .filter(_._1 != 9L).sorted
+      assert(streamed == batchTwin, s"stream $streamed vs batch $batchTwin")
+      // inner rows identical to the inner-mode spec, PLUS the unmatched
+      // event 2 surviving with a NULL subquery value
+      assert(streamed == Seq((1L, Some(1.0)), (2L, None), (3L, Some(1.0)),
+        (3L, Some(5.0)), (4L, Some(4.0)), (5L, Some(5.0))))
     } finally query.stop()
   }
 
