@@ -140,7 +140,7 @@ object Scale {
   // inner plan, so rand() inside a scalar subquery would otherwise slip
   // through and be shared unsoundly. subqueriesAll is transitive
   // (subqueries of subqueries), so one level of recursion here suffices.
-  private def planDeterministic(
+  private[operators] def planDeterministic(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     p.collect { case n => n.expressions }.flatten.forall(_.deterministic) &&
       p.subqueriesAll.forall(sub =>
@@ -174,11 +174,16 @@ object Scale {
       // session semantics they resolve under. Time zone moves every
       // zone-sensitive timestamp function; ANSI mode moves overflow and
       // cast behavior. (Contract in StageMemoConf covers the long tail.)
-      val confKey = s"tz=${s.conf.get("spark.sql.session.timeZone")};" +
-        s"ansi=${s.conf.get("spark.sql.ansi.enabled")}"
       memo.computeIfAbsent(
-        (s, reliable, eager, s"$schemaKey|$confKey", analyzed.canonicalized),
+        (s, reliable, eager, s"$schemaKey|${memoConfKey(s)}", analyzed.canonicalized),
         _ => doStage())
     }
   }
+
+  /** The execution-time confs folded into memo keys — shared with the
+    * artifact-level memos built on the same contract
+    * ([[Knn.kmeansTrain]]'s codebook memo). */
+  private[operators] def memoConfKey(s: SparkSession): String =
+    s"tz=${s.conf.get("spark.sql.session.timeZone")};" +
+      s"ansi=${s.conf.get("spark.sql.ansi.enabled")}"
 }

@@ -181,6 +181,38 @@ class VectorSpec extends SparkSpec {
     assert(t1(0L).head > t1(0L)(1) && t1(1L)(1) > t1(1L).head)
   }
 
+  test("kmeansTrain codebook memo: opt-in repeat calls share one artifact, different inputs do not") {
+    val vecs = (0 until 20).map { i =>
+      val t = 0.02f * (i / 2)
+      (i.toLong, if (i % 2 == 0) Array(1.0f, t) else Array(t, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val seed = () => vecs.where(col("vec_id") < 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    // default OFF: every call trains (the stage memo underneath is
+    // likewise off; general sessions may rewrite sources mid-run)
+    val off1 = Knn.kmeansTrain(vecs, seed(), 2, 3)._1
+    val off2 = Knn.kmeansTrain(vecs, seed(), 2, 3)._1
+    assert(!(off1.queryExecution.logical eq off2.queryExecution.logical),
+      "codebook memo must be opt-in")
+    spark.conf.set(graft.operators.Scale.StageMemoConf, "true")
+    try {
+      val a = Knn.kmeansTrain(vecs, seed(), 2, 3)
+      val b = Knn.kmeansTrain(vecs, seed(), 2, 3)
+      assert(a._1.queryExecution.logical eq b._1.queryExecution.logical,
+        "identical (vectors, seed, dim, rounds) must share the trained codebook")
+      assert(a._2 == b._2)
+      // a different corpus (the incremental query's base-only training)
+      // must NOT hit the full-corpus entry
+      val c = Knn.kmeansTrain(vecs.where(col("vec_id") % 4 =!= 0), seed(), 2, 3)
+      assert(!(c._1.queryExecution.logical eq a._1.queryExecution.logical),
+        "different training inputs must not share a codebook")
+      // ...nor may a different round cap
+      val d = Knn.kmeansTrain(vecs, seed(), 2, 2)
+      assert(!(d._1.queryExecution.logical eq a._1.queryExecution.logical),
+        "different maxRounds must not share a codebook")
+    } finally spark.conf.unset(graft.operators.Scale.StageMemoConf)
+  }
+
   test("multimodal resize preserves aspect ratio within the bounding box") {
     val docs = Seq((1L, "x" * 5000)).toDF("doc_id", "text")
     val decoded = Multimodal.decode(Multimodal.packetize(docs, "image/fake"))
