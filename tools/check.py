@@ -1,12 +1,21 @@
 #!/usr/bin/env python3
 """Dev-only emulation of the driver's DuckDB oracle compare (NOT engine code).
 
-Usage: python3 tools/check.py <outDir> <sfDir> [query ...]
+Usage: python3 tools/check.py [--budget <sec>] <outDir> <sfDir> [query ...]
 Reads <outDir>/<name>/ parquet (written by graft.Verify) and
 <outDir>/oracle_sql.json, runs each SQL in DuckDB with the sf tables
 registered as views, and compares rows/schema/values.
+
+--budget <sec>: ALSO fail (after printing per-query results) when the
+oracle SQL wall-clock total exceeds <sec>, printing the slowest oracles.
+This is the regression guard for the round-7 failure mode: oracle cost
+growing silently with the inventory until the driver's correctness gate
+times out and records an EMPTY round. Run the full suite with
+`--budget 120` before round end (the healthy full pass is ~30-60 s on
+this host; the driver's own budget is far above that, so 120 trips well
+before the gate is at risk).
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -18,8 +27,13 @@ def norm(v):
     return v
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    budget = None
+    if args and args[0] == "--budget":
+        budget = float(args[1]); args = args[2:]
+    out_dir, sf_dir = args[0], args[1]
+    only = set(args[2:])
+    oracle_secs = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -34,7 +48,9 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output");  n_bad += 1; continue
         try:
+            t0 = time.monotonic()
             exp = con.execute(sql).fetch_arrow_table()
+            oracle_secs[name] = time.monotonic() - t0
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_bad += 1; continue
         got = con.execute(
@@ -58,6 +74,17 @@ def main():
         print(f"OK   {name}: {len(erows)} rows{flag}")
         n_ok += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
+    if budget is not None:
+        total = sum(oracle_secs.values())
+        slow = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:10]
+        print(f"== oracle wall {total:.1f}s (budget {budget:.0f}s); slowest: "
+              + ", ".join(f"{k}={v:.1f}s" for k, v in slow) + " ==")
+        if total > budget:
+            print(f"BUDGET EXCEEDED: oracle suite {total:.1f}s > {budget:.0f}s — "
+                  "a query's oracle cost grew; fix it (AS MATERIALIZED on "
+                  "re-inlined CTEs, tighter tau, smaller closure) before the "
+                  "driver's gate repeats round 7's empty-artifact failure")
+            sys.exit(1)
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
