@@ -96,10 +96,14 @@ object Knn {
         col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
   }
 
-  /** IVF top-k with nprobe=1: search only the probe's own cell — the
-    * learned-bucket sibling of [[lshTopK]] (equi-join on cell, never the
-    * pair matrix). Raising recall means probing more cells (nprobe > 1),
-    * which multiplies the join fan-out linearly, not quadratically.
+  /** IVF top-k where the CORPUS searches itself (every vector a probe,
+    * nprobe=1): the learned-bucket sibling of [[lshTopK]] (equi-join on
+    * cell, never the pair matrix), both self-join sides reusing ONE
+    * assignment exchange. Per-pair volume is n·|cell| = n²/k — all-corpus
+    * self-search is a DEDUP workload, so at scale use [[cellPairs]] (the
+    * cellCap-bounded form) for dedup and [[ivfSearch]] for a bounded
+    * probe workload; this uncapped form is the structural baseline the
+    * capped operators are spec-compared against.
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, dim: Int, k: Int): DataFrame = {
     // both self-join branches route through ONE explicit exchange on the
@@ -120,8 +124,8 @@ object Knn {
       .select("probe_id", "cand_id", "rank", "sim")
   }
 
-  /** The nprobe-scored cell assignment [[ivfTopKProbes]] and
-    * [[cellPairsProbed]] share: each vector's `nprobe` nearest
+  /** The nprobe-scored cell assignment [[cellPairsProbed]] and
+    * [[probeCellIndex]] share: each vector's `nprobe` nearest
     * centroids by cosine (ties by cent_id), centroid norms broadcast
     * once, output (vec_id, embedding, nrm, cell, rk) routed through ONE
     * `repartition(cell)` exchange that both consumers' join sides reuse
@@ -147,28 +151,58 @@ object Knn {
       .repartition(col("cell"))
   }
 
-  /** IVF top-k with nprobe > 1 — the recall lever: each PROBE searches
-    * its `nprobe` nearest cells while candidates stay indexed under
-    * their single home cell, so the join fan-out grows linearly in
-    * nprobe (never quadratically) and a pair appears at most once (a
-    * candidate has one home). Both sides derive from one scored
-    * assignment routed through a single exchange (ReuseExchange).
+  /** IVF ANN SEARCH for a bounded probe workload — the serving-path
+    * shape: `probes` MUST be the bounded side (a query workload, a
+    * recall sample — the [[bruteForceTopK]] contract); each probe ranks
+    * its `nprobe` nearest cells against the broadcast centroid table,
+    * the corpus is home-assigned once ([[ivfAssign]] — n·k codegen'd
+    * dot products, no shuffle) and STREAMS against the broadcast
+    * probe-cell table, and [[graft.functions.TopKByScore]] reduces each
+    * candidate partition to |probes|·k rows before the one exchange
+    * (same tie-break as the window formulation: sim desc, cand_id asc).
+    * Total search cost is |probes| · nprobe · |cell| — linear in corpus
+    * size at fixed probe count.
+    *
+    * An UNBOUNDED probe side (the corpus searching itself) is not a
+    * serving workload but dedup — that path is [[cellPairs]] /
+    * [[cellPairsProbed]], whose `cellCap` bounds the quadratic term.
+    * The 10× scale probe (SCALE_PROBE.md) measured the difference:
+    * all-corpus probing scaled ~25× at 10× data (n²·nprobe/k pair
+    * volume, the round-7 percolation class); this shape scales with n.
     */
-  def ivfTopKProbes(vectors: DataFrame, centroids: DataFrame, dim: Int,
-                    k: Int, nprobe: Int): DataFrame = {
-    val scored = scoredProbes(vectors, centroids, dim, nprobe)
-    val probes = scored.select(col("cell"), col("vec_id").as("probe_id"),
-      col("embedding").as("pe"), col("nrm").as("pn"))
-    val homes = scored.where(col("rk") === 1)
+  def ivfSearch(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                dim: Int, k: Int, nprobe: Int): DataFrame = {
+    FloatDot.register(probes.sparkSession)
+    val c = centroids.select(col("cent_id"), col("cvec"),
+      Vectors.norm(col("cvec"), dim).as("cnrm"))
+    val wc = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val probeCells = probes.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding"), dim).as("nrm"))
+      .join(broadcast(c))
+      .withColumn("csim",
+        expr("try_divide(graft_dot(embedding, cvec), nrm * cnrm)"))
+      .withColumn("rk", row_number().over(wc))
+      .where(col("rk") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"), col("cent_id").as("cell"))
+    val homes = ivfAssign(corpus, centroids, dim)
       .select(col("cell"), col("vec_id").as("cand_id"),
         col("embedding").as("ce"), col("nrm").as("cn"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    probes.join(homes, Seq("cell"))
+    val topk = udaf(graft.functions.TopKByScore(k))
+    // NULL sim (zero-norm vector under try_divide) rides the primitive
+    // aggregate buffer as -Inf and is restored after the merge — the
+    // bruteForceTopK convention, NULLS-LAST like the window's sim desc
+    homes.join(broadcast(probeCells), Seq("cell"))
       .where(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("probe_id", "cand_id", "rank", "sim")
+      .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
+      .groupBy("probe_id")
+      .agg(topk(col("cand_id"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._1").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        when(col("col._2") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("col._2")).as("sim"))
   }
 
   /** One deterministic k-means (Lloyd) refinement of a centroid set:
@@ -348,7 +382,7 @@ object Knn {
 
   /** [[cellPairs]] with the IVF recall lever (nprobe): each vector
     * PROBES its `nprobe` nearest cells while candidates stay indexed
-    * under their single home cell — [[ivfTopKProbes]]' shape applied to
+    * under their single home cell — [[ivfSearch]]'s probe discipline applied to
     * dedup pair generation. Cross-cell near-dups that a codebook
     * boundary splits (the single-cell form's documented recall trade)
     * are recovered when either endpoint probes the other's home; pair

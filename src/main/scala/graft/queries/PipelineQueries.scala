@@ -496,8 +496,10 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
     val exact = Knn.bruteForceTopK(emb.where(col("vec_id") < PROBE_CAP), emb, DIM, 1)
       .select(col("probe_id"), col("cand_id").as("exact_cand"))
-    val ivf = Knn.ivfTopK(emb, ivfCentroids(emb), DIM, 1)
-      .where(col("probe_id") < PROBE_CAP)
+    // the probe bound is structural (ivfSearch's bounded side), not a
+    // post-filter relying on pushdown through the rank window
+    val ivf = Knn.ivfSearch(emb.where(col("vec_id") < PROBE_CAP), emb,
+        ivfCentroids(emb), DIM, k = 1, nprobe = 1)
       .select(col("probe_id"), col("cand_id").as("ann_cand"))
     val agree = when(col("ann_cand") === col("exact_cand"), 1L).otherwise(0L)
     exact.join(ivf, Seq("probe_id"), "left")
@@ -509,13 +511,15 @@ object PipelineQueries {
   val KMEANS_K = 8
   val IVF_NPROBE = 2
 
-  /** IVF ANN with nprobe=2 — the recall lever over [[xIvfknn]]: probes
-    * search their two nearest cells, candidates stay under their home
-    * cell; fan-out linear in nprobe.
+  /** IVF ANN with nprobe=2 — the recall lever over [[xIvfknn]]: each
+    * bounded-workload probe ([[PROBE_CAP]]) searches its two nearest
+    * cells, candidates stay under their home cell; fan-out linear in
+    * nprobe, search cost linear in corpus size ([[Knn.ivfSearch]]).
     */
   def xIvfknn2(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Knn.ivfTopKProbes(emb, ivfCentroids(emb), DIM, k = 1, nprobe = IVF_NPROBE)
+    Knn.ivfSearch(emb.where(col("vec_id") < PROBE_CAP), emb,
+        ivfCentroids(emb), DIM, k = 1, nprobe = IVF_NPROBE)
       .select(col("probe_id").as("vec_id"), col("cand_id"),
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
@@ -576,7 +580,8 @@ object PipelineQueries {
     val seed = emb.where(col("vec_id") < KMEANS_K)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
-    Knn.ivfTopKProbes(emb, trained, DIM, k = 1, nprobe = IVF_NPROBE)
+    Knn.ivfSearch(emb.where(col("vec_id") < PROBE_CAP), emb, trained,
+        DIM, k = 1, nprobe = IVF_NPROBE)
       .select(col("probe_id").as("vec_id"), col("cand_id"),
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
@@ -815,12 +820,20 @@ object PipelineQueries {
       .orderBy("cell")
   }
 
-  /** IVF ANN (nprobe=1): nearest neighbor within the probe's own cell —
-    * the learned-bucket sibling of x_lshknn.
+  /** IVF ANN (nprobe=1): nearest in-cell neighbor for the bounded probe
+    * workload ([[PROBE_CAP]] — the same contract as x_cosine/x_knn) on
+    * the serving-path shape [[Knn.ivfSearch]]: probe cells broadcast,
+    * corpus home-assigned and streamed, partial top-k before the one
+    * exchange. The 10× scale probe caught the previous all-corpus-probe
+    * form scaling ~25× at 10× data (n²/k pair volume) — a fixed probe
+    * workload over a growing index is the search semantics that holds
+    * at 100 TB; the corpus-searches-itself workload is dedup and lives
+    * in x_semdedup* with its cellCap.
     */
   def xIvfknn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Knn.ivfTopK(emb, ivfCentroids(emb), DIM, 1)
+    Knn.ivfSearch(emb.where(col("vec_id") < PROBE_CAP), emb,
+        ivfCentroids(emb), DIM, k = 1, nprobe = 1)
       .select(col("probe_id").as("vec_id"), col("cand_id"),
         detRound4(col("sim")).as("sim"))
       .orderBy("vec_id")
@@ -2658,7 +2671,7 @@ object PipelineQueries {
         |              FROM embeddings WHERE vec_id < $IVF_K),
         |${scoredSql("cent", "scoredc")},
         |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cent_id AS cell
-        |           FROM scoredc WHERE rk <= $IVF_NPROBE),
+        |           FROM scoredc WHERE rk <= $IVF_NPROBE AND vec_id < $PROBE_CAP),
         |homes AS (SELECT vec_id AS cand_id, embedding AS ce, cent_id AS cell
         |          FROM scoredc WHERE rk = 1),
         |pairs AS (SELECT probe_id, cand_id,
@@ -2702,7 +2715,7 @@ object PipelineQueries {
         |${refineSql("k2", "k3", 3)},
         |${scoredSql("k3", "sc")},
         |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cent_id AS cell
-        |           FROM sc WHERE rk <= $IVF_NPROBE),
+        |           FROM sc WHERE rk <= $IVF_NPROBE AND vec_id < $PROBE_CAP),
         |homes AS (SELECT vec_id AS cand_id, embedding AS ce, cent_id AS cell
         |          FROM sc WHERE rk = 1),
         |pairs AS (SELECT probe_id, cand_id,
@@ -2761,7 +2774,8 @@ object PipelineQueries {
         |pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
         |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
         |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
-        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |  FROM (SELECT * FROM asgn WHERE vec_id < $PROBE_CAP) a
+        |  JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         |r AS (SELECT probe_id, cand_id, sim,
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
         |      FROM pairs)
@@ -3431,12 +3445,13 @@ object PipelineQueries {
         |pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
         |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
         |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
-        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |  FROM (SELECT * FROM asgn WHERE vec_id < $PROBE_CAP) a
+        |  JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         |r AS (SELECT probe_id, cand_id, sim,
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
         |      FROM pairs),
         |ann1 AS (SELECT probe_id, cand_id AS ann_cand FROM r
-        |         WHERE rank = 1 AND probe_id < $PROBE_CAP),
+        |         WHERE rank = 1),
         |$recallSuffixSql""".stripMargin,
     "x_regex_tokens" ->
       """SELECT doc_id,

@@ -102,6 +102,34 @@ class VectorSpec extends SparkSpec {
     assert(Set(1L, 4L, 5L).contains(top(4L)) && top(4L) != 4L)
   }
 
+  test("ivfSearch: bounded probes search nprobe cells, corpus streams against broadcast probe cells") {
+    val vecs = Seq(
+      (0L, Array(10.0f, 0.0f)), (1L, Array(0.0f, 10.0f)),       // centroids
+      (2L, Array(9.0f, 1.0f)), (3L, Array(8.0f, 0.5f)),          // cluster of 0
+      (4L, Array(1.0f, 9.0f)), (5L, Array(0.5f, 8.0f)))          // cluster of 1
+      .toDF("vec_id", "embedding")
+    val cents = vecs.where(col("vec_id") < 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val probes = vecs.where(col("vec_id").isin(2L, 4L))
+    val out = Knn.ivfSearch(probes, vecs, cents, 2, 1, 1)
+    // ONLY the bounded probe set emits, from its own cell at nprobe=1
+    val top = out.select("probe_id", "cand_id").as[(Long, Long)].collect().toMap
+    assert(top.keySet == Set(2L, 4L))
+    assert(Set(0L, 3L).contains(top(2L)))
+    assert(Set(1L, 5L).contains(top(4L)))
+    // nprobe covering every cell degenerates to exact brute force
+    val all = Knn.ivfSearch(probes, vecs, cents, 2, 1, 2)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toMap
+    val exact = Knn.bruteForceTopK(probes, vecs, 2, 1)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toMap
+    assert(all == exact)
+    // plan: probe-cell table broadcasts; the corpus side never does
+    // (no corpus-sized broadcast, no cartesian, no sort-merge shuffle)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("kmeansRefine moves centroids to quantized cluster means; empty cells retained") {
     // two tight clusters; seeds are one member of each + one far-off seed
     // that attracts nothing (the empty-cell retention path)
