@@ -326,7 +326,67 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "event_type = c* | count(user_id, distinct=true, as=n_users)")
 
+  /** crypto:md5 / crypto:sha256 scalar digests (hex strings, compared
+    * byte-for-byte by the oracle) — the event-fingerprint surface.
+    */
+  def hqHash(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(h = crypto:md5(event_type)) " +
+        "| h2 := crypto:sha256(concat(event_type, \"|\", h)) " +
+        "| groupBy(h, h2) | sort(h)")
+
+  /** base64Encode → base64Decode round-trip (the parseCsv discipline:
+    * construct in-query, decode back, compare typed).
+    */
+  def hqBase64(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "event_id < 500 | eval(b = base64Encode(props)) " +
+        "| rt := base64Decode(b) | select(event_id, b, rt) | sort(event_id)")
+
+  /** parseUrl(): scheme/host/path/query promotion — URL built in-query
+    * from event fields, then parsed back (the differential proof that
+    * parse inverts construction).
+    */
+  def hqParseurl(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "parseJson(props, k) " +
+        "| eval(u = concat(\"https://svc-\", event_type, \".example.com/u/\", user_id % 10, \"?k=\", k)) " +
+        "| parseUrl(u) | groupBy(host, path) | sort(host, path)")
+
+  /** kvParse(): k=v pair promotion with a typed filter on the promoted
+    * value — the KV sibling of parseJson/parseCsv.
+    */
+  def hqKvparse(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "parseJson(props, k) | eval(kv = concat(\"ty=\", event_type, \" kn=\", k)) " +
+        "| kvParse(kv, keys=[ty, kn]) | kn >= 95 | groupBy(ty) | sort(ty)")
+
+  /** shannonEntropy(): per-event character entropy in bits, bucketed at
+    * 4 decimals via round(ent·10⁴) — the randomness/DGA signal. The
+    * quantized-term sum makes the oracle's unnest+group replay exact.
+    */
+  def hqEntropy(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(ent = shannonEntropy(props)) | e4 := round(ent * 10000) " +
+        "| groupBy(e4) | sort(e4)")
+
+  /** array:length / array:contains over a splitString array, with the
+    * LogScale string-truthiness filter (`hit = true`).
+    */
+  def hqArray(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(kv = concat(event_type, \" u\", user_id % 4)) " +
+        "| splitString(field=kv, by=\" \", as=parts) " +
+        "| hit := array:contains(parts, \"u1\") | hit = true " +
+        "| n := array:length(parts) | groupBy(event_type, n) | sort(event_type)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_hash"      -> hqHash _,
+    "hq_base64"    -> hqBase64 _,
+    "hq_parseurl"  -> hqParseurl _,
+    "hq_kvparse"   -> hqKvparse _,
+    "hq_entropy"   -> hqEntropy _,
+    "hq_array"     -> hqArray _,
     "hq_split"     -> hqSplit _,
     "hq_math"      -> hqMath _,
     "hq_cidr"      -> hqCidr _,
@@ -373,6 +433,44 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_hash" ->
+      """SELECT md5(event_type) AS h,
+        |       sha256(event_type || '|' || md5(event_type)) AS h2,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1, 2 ORDER BY h""".stripMargin,
+    "hq_base64" ->
+      """SELECT event_id, to_base64(encode(props)) AS b, props AS rt
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+    "hq_parseurl" ->
+      """SELECT 'svc-' || event_type || '.example.com' AS host,
+        |       '/u/' || CAST(user_id % 10 AS VARCHAR) AS path,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1, 2 ORDER BY host, path""".stripMargin,
+    "hq_kvparse" ->
+      """SELECT event_type AS ty, CAST(count(*) AS BIGINT) AS _count
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) >= 95
+        |GROUP BY 1 ORDER BY ty""".stripMargin,
+    "hq_entropy" ->
+      """WITH ch AS (SELECT event_id, unnest(string_split(props, '')) AS c
+        |            FROM events),
+        |cnt AS (SELECT event_id, c, CAST(count(*) AS DOUBLE) AS n
+        |        FROM ch GROUP BY event_id, c),
+        |tot AS (SELECT event_id, sum(n) AS t FROM cnt GROUP BY event_id),
+        |q AS (SELECT c.event_id,
+        |        CAST(round((c.n / t.t) * ln(c.n / t.t) / ln(2) * 1099511627776) AS BIGINT) AS tq
+        |      FROM cnt c JOIN tot t USING (event_id)),
+        |ent AS (SELECT event_id, -(CAST(sum(tq) AS DOUBLE) / 1099511627776) AS e
+        |        FROM q GROUP BY event_id)
+        |SELECT CAST(round(e * 10000) AS BIGINT) AS e4,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM ent GROUP BY 1 ORDER BY e4""".stripMargin,
+    "hq_array" ->
+      """SELECT event_type,
+        |       CAST(len(string_split(event_type || ' u' || CAST(user_id % 4 AS VARCHAR), ' ')) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events WHERE user_id % 4 = 1
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
     "hq_math" ->
       """SELECT CAST(floor(sqrt(value)) AS BIGINT) AS b,
         |       CAST(count(*) AS BIGINT) AS _count

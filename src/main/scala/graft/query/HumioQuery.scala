@@ -494,9 +494,15 @@ object HumioQuery {
           if (tok.contains('.')) lit(tok.toDouble) else lit(tok.toLong)
         case c if c.isLetter || c == '_' || c == '@' =>
           val start = pos
+          // ':' continues an identifier only when a letter follows — the
+          // LogScale namespaced function names (crypto:md5, array:length);
+          // `:=` never reaches here (Assign splits at stage level), and a
+          // trailing ':' stays an error
           while (pos < input.length &&
             (input(pos).isLetterOrDigit || input(pos) == '_' ||
-             input(pos) == '.' || input(pos) == '@')) pos += 1
+             input(pos) == '.' || input(pos) == '@' ||
+             (input(pos) == ':' && pos + 1 < input.length &&
+              input(pos + 1).isLetter))) pos += 1
           val name = input.substring(start, pos)
           ws()
           if (peek == '(') { pos += 1; fnCall(name) } else col(name)
@@ -537,6 +543,40 @@ object HumioQuery {
         case "pow"      => pow(a.head, a(1))
         case "concat"   => concat(a: _*)
         case "coalesce" => coalesce(a: _*)
+        // LogScale round(): nearest integer (half away from zero — the
+        // same convention in Spark and DuckDB for positive values)
+        case "round"    => round(one).cast("long")
+        case "md5" | "crypto:md5"       => md5(one.cast("string"))
+        case "sha256" | "crypto:sha256" => sha2(one.cast("string"), 256)
+        case "base64Encode" => base64(one.cast("string").cast("binary"))
+        case "base64Decode" => unbase64(one).cast("string")
+        case "array:length" => size(one).cast("long")
+        // LogScale truthiness: booleans surface as the STRINGS
+        // "true"/"false", so the result filters with `hit = true` and
+        // round-trips through a VARCHAR oracle column
+        case "array:contains" =>
+          require(a.size == 2, "array:contains(array, value) takes 2 arguments")
+          when(exists(a.head, x => x === a(1)), lit("true")).otherwise(lit("false"))
+        case "shannonEntropy" =>
+          // per-value character entropy in bits (-Σ p·log2 p), the DGA/
+          // randomness signal. Per-character terms are QUANTIZED to
+          // round(term·2^40) and summed as exact integers (the
+          // kmeansRefine discipline), so the sum is independent of
+          // character-visit order and a SQL oracle that groups the chars
+          // in any order replays it bit-for-bit; the trailing "" element
+          // Spark's split-on-empty-regex emits is dropped before counting
+          val chars = filter(split(one.cast("string"), ""), c => c =!= "")
+          val t = size(chars).cast("double")
+          def p(ch: Column): Column =
+            size(filter(chars, c => c === ch)).cast("double") / t
+          val q = lit(1099511627776L)  // 2^40
+          // functions.aggregate, qualified: the compiler's own
+          // aggregate(spec, qualified) helper shadows the HOF here
+          -(org.apache.spark.sql.functions.aggregate(
+              array_distinct(chars), lit(0L),
+              (acc, ch) =>
+                acc + round(p(ch) * log(p(ch)) / log(lit(2.0d)) * q).cast("long"))
+            .cast("double") / q)
         case other => throw new IllegalArgumentException(
           s"unknown function in expression: $other")
       }
@@ -604,6 +644,29 @@ object HumioQuery {
         // promote $.key of a JSON string field to a real column named key
         val Seq(jsonField, key) = pos.take(2)
         df.withColumn(key, get_json_object(col(jsonField), s"$$.$key"))
+      case "parseUrl" =>
+        // parseUrl(field): promote scheme/host/path/query components of a
+        // URL field (LogScale parseUrl), one regex-backed extraction per
+        // component — no explode, no shuffle
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("parseUrl() needs a field"))
+        val u = col(f)
+        df.withColumn("scheme", parse_url(u, lit("PROTOCOL")))
+          .withColumn("host", parse_url(u, lit("HOST")))
+          .withColumn("path", parse_url(u, lit("PATH")))
+          .withColumn("query", parse_url(u, lit("QUERY")))
+      case "kvParse" =>
+        // kvParse(field, keys=[k1, k2, …]): promote space-separated k=v
+        // pairs to named string columns (LogScale kvParse over an explicit
+        // key list — the DataFrame schema is static, the parseJson
+        // convention). One str_to_map per row, codegen'd lookups.
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("kvParse() needs a field"))
+        val kvmap = str_to_map(col(f), lit(" "), lit("="))
+        listArg(named.getOrElse("keys",
+            throw new IllegalArgumentException("kvParse() needs keys=")))
+          .foldLeft(df) { case (d, k) =>
+            d.withColumn(k.trim, try_element_at(kvmap, lit(k.trim))) }
       case "splitString" =>
         // splitString(field=f, by=regex, as=out): tokenize a string field
         // into an array column; by= is a regex, as in LogScale

@@ -603,4 +603,49 @@ class HumioQuerySpec extends SparkSpec {
         HumioQuery.run(ips, s"""cidr(ip, subnet="$bad")""")
       }
   }
+
+  test("crypto/base64/round scalar functions and namespaced names") {
+    val t = Seq((1L, "abc")).toDF("event_id", "s")
+    val r = HumioQuery.run(t,
+      "eval(h = crypto:md5(s)) | h2 := sha256(s) | b := base64Encode(s) " +
+        "| rt := base64Decode(b) | n := round(length(s) / 2.0) " +
+        "| select(h, h2, b, rt, n)").head
+    assert(r.getString(0) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getString(1) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getString(2) == "YWJj" && r.getString(3) == "abc")
+    assert(r.getLong(4) == 2L)     // round half up: 1.5 -> 2
+  }
+
+  test("shannonEntropy: 0 bits for a uniform char, exact bits for a balanced alphabet") {
+    val t = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("event_id", "s")
+    val out = HumioQuery.run(t,
+      "eval(e = shannonEntropy(s)) | e4 := round(e * 10000) | select(event_id, e4) | sort(event_id)")
+      .as[(Long, Long)].collect().toMap
+    // p=1 -> 0 bits; two chars at 1/2 -> 1 bit; four at 1/4 -> 2 bits
+    assert(out == Map(1L -> 0L, 2L -> 10000L, 3L -> 20000L))
+  }
+
+  test("array functions use LogScale string truthiness; kvParse missing keys go NULL") {
+    val t = Seq((1L, "x y z", "a=1 b=two"), (2L, "x", "a=3"))
+      .toDF("event_id", "txt", "kv")
+    val arr = HumioQuery.run(t,
+      "splitString(field=txt, by=\" \", as=parts) | n := array:length(parts) " +
+        "| hit := array:contains(parts, \"y\") | select(event_id, n, hit) | sort(event_id)")
+      .collect()
+    assert(arr(0).getLong(1) == 3L && arr(0).getString(2) == "true")
+    assert(arr(1).getLong(1) == 1L && arr(1).getString(2) == "false")
+    val kvp = HumioQuery.run(t,
+      "kvParse(kv, keys=[a, b]) | select(event_id, a, b) | sort(event_id)").collect()
+    assert(kvp(0).getString(1) == "1" && kvp(0).getString(2) == "two")
+    assert(kvp(1).getString(1) == "3" && kvp(1).isNullAt(2))
+  }
+
+  test("parseUrl promotes scheme/host/path/query") {
+    val t = Seq((1L, "https://h.example.com/a/b?k=1")).toDF("event_id", "u")
+    val r = HumioQuery.run(t,
+      "parseUrl(u) | select(scheme, host, path, query)").head
+    assert(r.getString(0) == "https" && r.getString(1) == "h.example.com")
+    assert(r.getString(2) == "/a/b" && r.getString(3) == "k=1")
+  }
 }
