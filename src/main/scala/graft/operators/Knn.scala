@@ -60,6 +60,36 @@ object Knn {
           .otherwise(col("col._2")).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: each probe's single
+    * most-similar candidate with a DIFFERENT label — the pair a
+    * retrieval/embedding trainer wants next to the positive. Both sides
+    * carry a `label` column; `probes` MUST be the bounded side (the
+    * [[bruteForceTopK]] contract): probes broadcast with their labels,
+    * the corpus STREAMS with no shuffle, the label-mismatch predicate
+    * rides the broadcast join, and [[graft.functions.TopKByScore]]
+    * reduces each candidate partition to |probes| rows before the one
+    * exchange. Ties and NULL sims follow the bruteForceTopK conventions
+    * (sim desc, cand_id asc; zero-norm → NULL restored after the merge).
+    */
+  def hardNegatives(probes: DataFrame, corpus: DataFrame, dim: Int): DataFrame = {
+    FloatDot.register(probes.sparkSession)
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("label").as("probe_label"), col("embedding").as("pe"),
+      Vectors.norm(col("embedding"), dim).as("pn"))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("label").as("cand_label"), col("embedding").as("ce"),
+      Vectors.norm(col("embedding"), dim).as("cn"))
+    val topk = udaf(graft.functions.TopKByScore(1))
+    c.join(broadcast(p), col("probe_label") =!= col("cand_label"))
+      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+      .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
+      .groupBy("probe_id")
+      .agg(topk(col("cand_id"), col("sim")).as("top"))
+      .select(col("probe_id"), col("top")(0)("_1").as("cand_id"),
+        when(col("top")(0)("_2") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("top")(0)("_2")).as("sim"))
+  }
+
   /** IVF cell assignment: each vector goes to its nearest centroid by
     * cosine (argmax dot over the broadcast centroid set, ties to the
     * lower cent_id). Centroids here are a deterministic sample of the

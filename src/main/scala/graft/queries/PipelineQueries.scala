@@ -163,6 +163,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Linear quality classifier (the fastText-style gate distilled to its
+    * dataflow): four per-document features — ln(token count), mean word
+    * length, stopword ratio, type-token ratio — combined under FIXED
+    * published-style weights into one score, gated at 0. One corpus
+    * scan, per-row arithmetic, no shuffle before the sink: the shape a
+    * learned quality filter runs at 100 TB (weights broadcast-free
+    * plan-time literals; swapping in trained weights changes constants,
+    * not the plan). The score > 0 gate is exact cross-engine: both
+    * engines evaluate the identical left-associated expression over the
+    * same doubles, and the fixture's nearest score to 0 is 5e-5 — nine
+    * orders above ULP drift.
+    */
+  def xQualityLr(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks).cast("double")
+    val awl = Text.sumWordLen(toks).cast("double") / n
+    val stop = Text.stopwordHits(toks, Text.stopwordSets.head._2).cast("double") / n
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val score = lit(-2.0) + lit(0.5) * log(n) + lit(0.2) * awl +
+      lit(3.0) * stop - lit(1.5) * ttr
+    Tables.documents(s, dir)
+      .select(col("doc_id"), detRound4(score).as("lr_score"),
+        (score > 0).cast("bigint").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Hard-negative mining for contrastive training: each bounded probe's
+    * most-similar candidate with a DIFFERENT label — the pair a
+    * retrieval/embedding trainer wants next to the positive. Scale shape
+    * = [[Knn.bruteForceTopK]]'s exactly: probes (with their labels)
+    * broadcast, the corpus STREAMS with no shuffle, the label-mismatch
+    * predicate rides the broadcast join, and TopKByScore partial-
+    * aggregates each partition to |probes| rows before the one exchange.
+    */
+  def xHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Knn.hardNegatives(emb.where(col("vec_id") < KNN_CAP), emb, DIM)
+      .select(col("probe_id").as("vec_id"), col("cand_id").as("hard_neg"),
+        detRound4(col("sim")).as("sim"))
+      .orderBy("vec_id")
+  }
+
   def xFingerprint(s: SparkSession, dir: String): DataFrame =
     // sig0 of the MinHash family == the fingerprint; the explode+min-agg
     // path evaluates md5 once per shingle as a scalar (the per-row
@@ -2052,6 +2094,8 @@ object PipelineQueries {
     "x_langid"      -> xLangid _,
     "x_langid_ngram" -> xLangidNgram _,
     "x_quality"     -> xQuality _,
+    "x_quality_lr"  -> xQualityLr _,
+    "x_hard_negatives" -> xHardNegatives _,
     "x_fingerprint" -> xFingerprint _,
     "x_docdedup"    -> xDocdedup _,
     "x_minhash"     -> xMinhash _,
@@ -3153,6 +3197,31 @@ object PipelineQueries {
         |SELECT b.doc_id, d.lang AS labeled_lang, b.plang AS pred_lang, b.hits
         |FROM best b JOIN d ON b.doc_id = d.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "x_quality_lr" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(len(toks) AS DOUBLE) AS n,
+        |        CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS DOUBLE) / len(toks) AS awl,
+        |        CAST(len(list_filter(toks, x -> x IN ($enList))) AS DOUBLE) / len(toks) AS stop,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |      FROM t),
+        |s AS (SELECT doc_id,
+        |        -2.0 + 0.5 * ln(n) + 0.2 * awl + 3.0 * stop - 1.5 * ttr AS score
+        |      FROM f)
+        |SELECT doc_id, ${detRound4Sql("score")} AS lr_score,
+        |       CAST(score > 0 AS BIGINT) AS kept
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "x_hard_negatives" ->
+      s"""WITH pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+        |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < $KNN_CAP) a
+        |  JOIN embeddings b ON a.label <> b.label),
+        |r AS (SELECT probe_id, cand_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+        |      FROM pairs)
+        |SELECT probe_id AS vec_id, cand_id AS hard_neg, ${detRound4Sql("sim")} AS sim
+        |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin,
     "x_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks,
         |       CAST(len(list_filter(string_split(text,' '), x -> x IN ($enList))) AS BIGINT) AS en_hits

@@ -130,6 +130,22 @@ class VectorSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("hardNegatives: best different-label candidate; same-label never surfaces") {
+    val vecs = Seq(
+      (0L, 0, Array(10.0f, 0.0f)),
+      (1L, 0, Array(9.9f, 0.1f)),    // nearest overall but same label — excluded
+      (2L, 1, Array(8.0f, 2.0f)),    // best different-label candidate
+      (3L, 1, Array(0.0f, 10.0f)))   // different label, dissimilar
+      .toDF("vec_id", "label", "embedding")
+    val out = Knn.hardNegatives(vecs.where(col("vec_id") === 0), vecs, 2)
+    assert(out.select("probe_id", "cand_id").as[(Long, Long)].collect().toMap
+      == Map(0L -> 2L))
+    // probes broadcast, corpus streams — no shuffle join, no cartesian
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("kmeansRefine moves centroids to quantized cluster means; empty cells retained") {
     // two tight clusters; seeds are one member of each + one far-off seed
     // that attracts nothing (the empty-cell retention path)
