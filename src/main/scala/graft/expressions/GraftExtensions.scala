@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharTrigrams].getName, "graft_char_trigrams"),
       (children: Seq[Expression]) => CharTrigrams(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_entropy"),
+      (children: Seq[Expression]) => CharEntropy(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_trigram_jaccard"),
       new ExpressionInfo(classOf[TrigramJaccard].getName, "graft_trigram_jaccard"),
       (children: Seq[Expression]) => TrigramJaccard(children(0), children(1))))

@@ -101,6 +101,10 @@ object HumioQuery {
     */
   def run(df: DataFrame, query: String,
           tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    // native-expression backends used by the expression language
+    // (shannonEntropy → graft_entropy) resolve at analysis time, so the
+    // session must know them before any stage's Column is attached
+    graft.expressions.CharEntropy.register(df.sparkSession)
     val out = splitPipes(query).map(_.trim).filter(_.nonEmpty)
       .foldLeft(df)((acc, stage) => applyStage(acc, stage, tables))
     // timechart()/bucket() on a stream carry their window struct hidden
@@ -559,24 +563,13 @@ object HumioQuery {
           when(exists(a.head, x => x === a(1)), lit("true")).otherwise(lit("false"))
         case "shannonEntropy" =>
           // per-value character entropy in bits (-Σ p·log2 p), the DGA/
-          // randomness signal. Per-character terms are QUANTIZED to
+          // randomness signal — [[graft.expressions.CharEntropy]]: one
+          // codegen'd counting pass; per-character terms quantized to
           // round(term·2^40) and summed as exact integers (the
-          // kmeansRefine discipline), so the sum is independent of
+          // kmeansRefine discipline), so the result is independent of
           // character-visit order and a SQL oracle that groups the chars
-          // in any order replays it bit-for-bit; the trailing "" element
-          // Spark's split-on-empty-regex emits is dropped before counting
-          val chars = filter(split(one.cast("string"), ""), c => c =!= "")
-          val t = size(chars).cast("double")
-          def p(ch: Column): Column =
-            size(filter(chars, c => c === ch)).cast("double") / t
-          val q = lit(1099511627776L)  // 2^40
-          // functions.aggregate, qualified: the compiler's own
-          // aggregate(spec, qualified) helper shadows the HOF here
-          -(org.apache.spark.sql.functions.aggregate(
-              array_distinct(chars), lit(0L),
-              (acc, ch) =>
-                acc + round(p(ch) * log(p(ch)) / log(lit(2.0d)) * q).cast("long"))
-            .cast("double") / q)
+          // in any order replays it bit-for-bit
+          call_function("graft_entropy", one.cast("string"))
         case other => throw new IllegalArgumentException(
           s"unknown function in expression: $other")
       }
