@@ -1983,6 +1983,69 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Expected CDC chunk length in words (boundary when the word's
+    * 32-bit md5 value ≡ 0 mod this). */
+  val CDC_DIV = 16L
+
+  /** One row per (doc, word): position, and the winnow-convention word
+    * value (first 8 md5 hex digits as an unsigned 32-bit integer —
+    * cross-engine exact). The shared feed of the two CDC queries.
+    */
+  private def cdcWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "word")))
+      .withColumn("v",
+        expr("cast(conv(substring(md5(word), 1, 8), 16, 10) as bigint)"))
+
+  /** Content-defined chunking (the Rabin/FastCDC idea at word level): a
+    * chunk boundary falls AFTER word i when its md5-derived value ≡ 0
+    * (mod [[CDC_DIV]]) — boundaries depend only on CONTENT, so an
+    * insertion early in a document shifts chunk boundaries only locally
+    * (unlike the fixed-size x_chunks windows) and duplicated text
+    * re-aligns to identical chunks for chunk-level dedup. chunk id =
+    * running count of prior boundaries (one per-doc window over the
+    * exploded tokens — the x_pack shape: narrow, per-doc partitions);
+    * the chunk signature is the exact integer SUM of member word values
+    * (order-independent — no collect_list ordering hazard, v < 2^32 and
+    * docs < 2^11 words keep the sum exact) with member count and first
+    * position.
+    */
+  def xCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cdcWords(s, dir)
+      .withColumn("b", (col("v") % CDC_DIV === 0).cast("long"))
+      .withColumn("chunk", coalesce(sum("b").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_words"),
+        min("pos").cast("bigint").as("first_pos"),
+        sum("v").as("chunk_sig"))
+      .orderBy("doc_id", "chunk")
+  }
+
+  /** Chunk-level dedup over the CDC chunks — THE content-defined-
+    * chunking use case: chunks whose (signature, length) recur, across
+    * or within documents (exact-duplicate documents' chunks all
+    * re-align; a shared passage inside otherwise-different documents
+    * re-aligns after its first in-chunk boundary). One extra
+    * hash-aggregate over [[xCdcChunks]]' bounded output.
+    */
+  def xCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cdcWords(s, dir)
+      .withColumn("b", (col("v") % CDC_DIV === 0).cast("long"))
+      .withColumn("chunk", coalesce(sum("b").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_words"), sum("v").as("chunk_sig"))
+      .groupBy("chunk_sig", "n_words")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct("doc_id").as("n_docs"))
+      .where(col("n_copies") > 1)
+      .orderBy("chunk_sig")
+  }
+
   val PPS_PER_SHARD = 20
 
   /** Weighted sampling via PPS SYSTEMATIC selection — the curation pass
@@ -2096,6 +2159,8 @@ object PipelineQueries {
     "x_quality"     -> xQuality _,
     "x_quality_lr"  -> xQualityLr _,
     "x_hard_negatives" -> xHardNegatives _,
+    "x_cdc_chunks"  -> xCdcChunks _,
+    "x_cdc_dedup"   -> xCdcDedup _,
     "x_fingerprint" -> xFingerprint _,
     "x_docdedup"    -> xDocdedup _,
     "x_minhash"     -> xMinhash _,
@@ -2490,9 +2555,29 @@ object PipelineQueries {
     * polynomial of the first 8 md5 chars is the expression's unsigned
     * first-4-digest-bytes value.
     */
+  /** First 8 md5 hex digits of `e` as an unsigned 32-bit BIGINT — the
+    * winnow/CDC word-value convention, replayed digit-by-digit. */
+  private def hvSql(e: String): String =
+    s"CAST(list_aggregate(list_transform(range(1, 9), j -> (strpos('0123456789abcdef', substr(md5($e), CAST(j AS INTEGER), 1)) - 1) * CAST(16 ** (8 - j) AS BIGINT)), 'sum') AS BIGINT)"
+
+  private val cdcCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |e AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+      |        i -> {'pos': i - 1, 'word': toks[i]})) AS s FROM t),
+      |x AS (SELECT doc_id, s.pos AS pos, ${hvSql("s.word")} AS v FROM e),
+      |c AS (SELECT doc_id, pos, v,
+      |        coalesce(sum(CASE WHEN v % $CDC_DIV = 0 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |      FROM x),
+      |ch AS (SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+      |         CAST(count(*) AS BIGINT) AS n_words,
+      |         CAST(min(pos) AS BIGINT) AS first_pos,
+      |         CAST(sum(v) AS BIGINT) AS chunk_sig
+      |       FROM c GROUP BY doc_id, chunk)""".stripMargin
+
   private val winnowCtes: String = {
-    def hv(e: String) =
-      s"CAST(list_aggregate(list_transform(range(1, 9), j -> (strpos('0123456789abcdef', substr(md5($e), CAST(j AS INTEGER), 1)) - 1) * CAST(16 ** (8 - j) AS BIGINT)), 'sum') AS BIGINT)"
+    def hv(e: String) = hvSql(e)
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
       |vv AS (SELECT doc_id, toks, list_transform(toks, w -> ${hv("w")}) AS vals FROM t),
       |g AS (SELECT doc_id,
@@ -3273,6 +3358,16 @@ object PipelineQueries {
       s"""WITH $winnowCtes
         |SELECT doc_id, fp FROM fps
         |ORDER BY doc_id, fp""".stripMargin,
+    "x_cdc_chunks" ->
+      s"""WITH $cdcCtes
+        |SELECT doc_id, chunk, n_words, first_pos, chunk_sig
+        |FROM ch ORDER BY doc_id, chunk""".stripMargin,
+    "x_cdc_dedup" ->
+      s"""WITH $cdcCtes
+        |SELECT chunk_sig, n_words, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ch GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY chunk_sig""".stripMargin,
     "x_winnow_pairs" ->
       s"""WITH $winnowCtes,
         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WINNOW_DF_CAP),
