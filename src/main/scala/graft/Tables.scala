@@ -64,12 +64,22 @@ object Tables {
             s"[tables] events read failed ($cls); retrying with nanosAsLong=true")
           // the failed read never enters the cache, so this re-read with
           // the flag set is what gets cached; if the retry fails too the
-          // failure wasn't the nanos type — undo the session-global flip
+          // failure wasn't the nanos type — RESTORE the prior flag value
+          // rather than unsetting: a prior successful nanos read from a
+          // different dir may have set it, and its cached plan
+          // re-resolves the conf at every execution, so clobbering it
+          // would break that table retroactively
+          val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           try table(spark, dir, "events")
           catch {
             case _: Exception =>
-              spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+              prior match {
+                case Some(v) =>
+                  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+                case None =>
+                  spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+              }
               throw e
           }
       }

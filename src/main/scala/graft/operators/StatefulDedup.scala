@@ -34,8 +34,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulDedup {
   /** Identities of the ≤ n rows emitted for one key: event-time millis
     * (Long.MinValue for a null ts — such rows have no event-time
-    * position but still carry identity) and the event_id tiebreak
-    * (0 when absent). */
+    * position but still carry identity) and the event_id tiebreak.
+    * When the stream has no event_id column, the second component is a
+    * deterministic full-row content hash instead (stable across JVM
+    * restarts, so checkpoint resume keeps collapsing redeliveries) —
+    * two genuinely different rows sharing a timestamp then stay
+    * distinct, as the batch twin keeps them; only identical
+    * redeliveries collapse. With event_id present, (ts, event_id) IS
+    * row identity by the data model's convention. */
   case class SeenIds(ids: List[(Long, Long)])
 
   def keepFirstN(df: DataFrame, keys: Seq[String], n: Int): DataFrame = {
@@ -64,15 +70,30 @@ object StatefulDedup {
                   case m: java.lang.Number => m.longValue()
                   case _ => 0L
                 }
-              else 0L
+              // no event_id column: identify the row by its CONTENT so
+              // distinct same-ts rows survive (the batch twin keeps
+              // both) while byte-identical redeliveries still collapse.
+              // MurmurHash3 is seed-free and stable across JVMs, so a
+              // checkpoint-resumed query keeps recognizing redeliveries
+              // (same NUL/"v"-prefix field encoding as the group key: a
+              // null field stays distinct from the string "null" and
+              // ("a","bc") from ("ab","c"))
+              else scala.util.hashing.MurmurHash3.stringHash(
+                (0 until r.length).map(i =>
+                  if (r.isNullAt(i)) "\u0000"
+                  else "v" + String.valueOf(r.get(i))).mkString("\u0001")).toLong
               (t, e)
             }
             // bounded (one micro-batch of one key), so the sort is safe —
             // and required: Spark guarantees no intra-group order, and the
             // batch verb prefers recency, so admission within the batch
-            // runs newest-first by (ts, event_id)
+            // runs newest-first by (ts, event_id). Reverse Ordering, NOT
+            // key negation: -Long.MinValue overflows back to MinValue and
+            // would promote null-ts rows to newest; under reverse
+            // ordering the MinValue sentinel sorts last, the batch
+            // verb's NULLS-LAST
             val ordered = rows.toVector.map(r => (idOf(r), r))
-              .sortBy { case ((t, e), _) => (-t, -e) }
+              .sortBy { case (id, _) => id }(Ordering[(Long, Long)].reverse)
             var seen = state.getOption.map(_.ids).getOrElse(Nil)
             val out = ordered.flatMap { case (id, r) =>
               if (seen.contains(id)) None          // redelivery collapses

@@ -2043,7 +2043,11 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_copies"),
         countDistinct("doc_id").as("n_docs"))
       .where(col("n_copies") > 1)
-      .orderBy("chunk_sig")
+      // n_words in the sort: the group key is (chunk_sig, n_words), and
+      // a 32-bit-sum sig collision between groups of different n_words
+      // would leave row order engine-ambiguous under the positional
+      // compare (zero such ties in the fixtures today — latent hazard)
+      .orderBy("chunk_sig", "n_words")
   }
 
   val PPS_PER_SHARD = 20
@@ -3367,7 +3371,7 @@ object PipelineQueries {
         |SELECT chunk_sig, n_words, CAST(count(*) AS BIGINT) AS n_copies,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM ch GROUP BY 1, 2 HAVING count(*) > 1
-        |ORDER BY chunk_sig""".stripMargin,
+        |ORDER BY chunk_sig, n_words""".stripMargin,
     "x_winnow_pairs" ->
       s"""WITH $winnowCtes,
         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WINNOW_DF_CAP),

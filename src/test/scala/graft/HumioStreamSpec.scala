@@ -361,6 +361,28 @@ class HumioStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup(limit=2) without event_id: distinct same-ts rows both survive, redelivery still collapses") {
+    // no event_id column → row identity falls back to the content hash:
+    // two DIFFERENT rows sharing a timestamp must both count (the batch
+    // twin keeps both), while a byte-identical redelivery must not
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Double, String)]
+    val df = mem.toDF().toDF("user", "value", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val a = ("u1", 1.0, "2024-03-01 00:10:00")
+    val b = ("u1", 2.0, "2024-03-01 00:10:00")   // same ts, distinct payload
+    val out = HumioQuery.runStream(df, "dedup(user, limit=2)", watermark = "1 hour")
+    val query = out.writeStream.format("memory").queryName("hq_dedup_noid")
+      .outputMode("append").start()
+    try {
+      mem.addData(a, a, b); query.processAllAvailable()   // in-batch redelivery of a
+      mem.addData(a); query.processAllAvailable()         // cross-batch redelivery
+      val vals = spark.table("hq_dedup_noid")
+        .select("value").as[Double].collect().toSeq.sorted
+      assert(vals == Seq(1.0, 2.0), s"kept $vals")
+    } finally query.stop()
+  }
+
   test("stream-stream join(within=, mode=left) keeps unmatched events and matches the batch twin") {
     // same banded self-correlate as the inner spec, but mode=left: an
     // event with NO click sharing its key inside ±30 min must SURVIVE

@@ -27,12 +27,23 @@ def norm(v):
     return v
 
 def main():
+    # --budget is recognized ANYWHERE; any other --flag is an error.
+    # Otherwise `check.py OUT SF --budget 120` would silently treat
+    # '--budget' as a query-name filter, match nothing, and exit green
+    # having checked nothing — the guard must never no-op quietly.
     args = sys.argv[1:]
     budget = None
-    if args and args[0] == "--budget":
-        budget = float(args[1]); args = args[2:]
-    out_dir, sf_dir = args[0], args[1]
-    only = set(args[2:])
+    i = 0
+    rest = []
+    while i < len(args):
+        if args[i] == "--budget":
+            budget = float(args[i + 1]); i += 2
+        elif args[i].startswith("--"):
+            sys.exit(f"unknown flag {args[i]} (only --budget <sec> is supported)")
+        else:
+            rest.append(args[i]); i += 1
+    out_dir, sf_dir = rest[0], rest[1]
+    only = set(rest[2:])
     oracle_secs = {}
     con = duckdb.connect()
     for t in TABLES:
@@ -73,6 +84,9 @@ def main():
         flag = "" if etypes == gtypes else f"  [type-diff exp={etypes} got={gtypes}]"
         print(f"OK   {name}: {len(erows)} rows{flag}")
         n_ok += 1
+    if only and n_ok + n_bad == 0:
+        sys.exit(f"no query matched the filter {sorted(only)} — "
+                 "a typo'd name must not read as a green run")
     print(f"== {n_ok} ok, {n_bad} bad ==")
     if budget is not None:
         total = sum(oracle_secs.values())
