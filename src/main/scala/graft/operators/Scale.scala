@@ -140,6 +140,40 @@ object Scale {
   // inner plan, so rand() inside a scalar subquery would otherwise slip
   // through and be shared unsoundly. subqueriesAll is transitive
   // (subqueries of subqueries), so one level of recursion here suffices.
+  // Session-scoped memo for COLLECTED bounded artifacts (a trained
+  // model, a profile table) — the [[graft.operators.Knn.kmeansTrain]]
+  // codebook-memo contract generalized: keyed by the artifact
+  // DataFrame's canonical analyzed plan, output schema, the
+  // execution-time conf key, and a caller tag; same opt-in
+  // ([[StageMemoConf]]) and soundness contract (immutable sources,
+  // stable confs); stopped sessions' entries swept on access.
+  private val artifactMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), AnyRef]()
+
+  /** Memoize `compute` (a driver-side collection of the bounded
+    * artifact `df` derives) per session. Falls back to computing
+    * directly when the memo is off, the input streams, or the plan is
+    * nondeterministic — the caller's query-construction cost then stays
+    * what it was, paid per call.
+    */
+  def memoArtifact[T <: AnyRef](df: DataFrame, tag: String)(compute: => T): T = {
+    val s = df.sparkSession
+    val analyzed = df.queryExecution.analyzed
+    val memoSafe = !df.isStreaming &&
+      s.conf.get(StageMemoConf, "false").toBoolean && planDeterministic(analyzed)
+    if (!memoSafe) compute
+    else {
+      artifactMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+      val schemaKey = analyzed.output
+        .map(a => s"${a.name}:${a.dataType.catalogString}:${a.nullable}")
+        .mkString(",")
+      artifactMemo.computeIfAbsent(
+        (s, s"$tag;${memoConfKey(s)};$schemaKey", analyzed.canonicalized),
+        _ => compute).asInstanceOf[T]
+    }
+  }
+
   private[operators] def planDeterministic(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     p.collect { case n => n.expressions }.flatten.forall(_.deterministic) &&

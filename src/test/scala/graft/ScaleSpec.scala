@@ -28,6 +28,35 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("memoArtifact: opt-in, keyed by canonical plan + tag; recomputes when off") {
+    val mk = () => spark.range(100).toDF("id").withColumn("v", col("id") % 5)
+    var computes = 0
+    def collectIt(df: org.apache.spark.sql.DataFrame): java.lang.Long = {
+      computes += 1; java.lang.Long.valueOf(df.count())
+    }
+    // default OFF: every call recomputes
+    Scale.memoArtifact(mk(), "t1")(collectIt(mk()))
+    Scale.memoArtifact(mk(), "t1")(collectIt(mk()))
+    assert(computes == 2, "memo must be opt-in")
+    spark.conf.set(Scale.StageMemoConf, "true")
+    try {
+      computes = 0
+      val a = Scale.memoArtifact(mk(), "t1")(collectIt(mk()))
+      val b = Scale.memoArtifact(mk(), "t1")(collectIt(mk()))
+      assert(computes == 1 && a == b, "equal plan+tag must hit the memo")
+      // a different TAG or PLAN misses
+      Scale.memoArtifact(mk(), "t2")(collectIt(mk()))
+      Scale.memoArtifact(mk().where(col("v") > 1), "t1")(
+        collectIt(mk().where(col("v") > 1)))
+      assert(computes == 3)
+      // a nondeterministic plan never memoizes
+      val nd = () => mk().withColumn("r", rand())
+      Scale.memoArtifact(nd(), "t1")(collectIt(mk()))
+      Scale.memoArtifact(nd(), "t1")(collectIt(mk()))
+      assert(computes == 5, "nondeterministic plans must bypass the memo")
+    } finally spark.conf.unset(Scale.StageMemoConf)
+  }
+
   test("stage memo (opt-in): canonically equal plans share one staged " +
     "relation; renames, default-off, and nondeterministic plans do not") {
     val mk = () => spark.range(500).toDF("id")
