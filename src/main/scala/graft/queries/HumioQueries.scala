@@ -380,7 +380,16 @@ object HumioQueries {
         "| hit := array:contains(parts, \"u1\") | hit = true " +
         "| n := array:length(parts) | groupBy(event_type, n) | sort(event_type)")
 
+  /** time:hour / time:dayOfWeek / time:month extraction — the
+    * when-does-it-happen panel (ISO day-of-week, Monday=1).
+    */
+  def hqTimefns(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(h = time:hour(ts)) | dw := time:dayOfWeek(ts) " +
+        "| m := time:month(ts) | groupBy(h, dw, m) | sort(h, dw, m)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_timefns"   -> hqTimefns _,
     "hq_hash"      -> hqHash _,
     "hq_base64"    -> hqBase64 _,
     "hq_parseurl"  -> hqParseurl _,
@@ -433,6 +442,12 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_timefns" ->
+      """SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
+        |       CAST(isodow(ts) AS BIGINT) AS dw,
+        |       CAST(date_part('month', ts) AS BIGINT) AS m,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1, 2, 3 ORDER BY h, dw, m""".stripMargin,
     "hq_hash" ->
       """SELECT md5(event_type) AS h,
         |       sha256(event_type || '|' || md5(event_type)) AS h2,

@@ -180,7 +180,20 @@ object LogQueries {
       .orderBy("bucket_ms", "event_type")
   }
 
+  /** Fixed-width value histogram per event type — the latency-histogram
+    * panel: one hash aggregate, bin = floor(value/100); integer binning
+    * is exact on both engines (no percentile machinery, no sort until
+    * the bounded output).
+    */
+  def lHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / 100).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l_histogram"  -> lHistogram _,
     "l_anomaly"    -> lAnomaly _,
     "l_mad"        -> lMad _,
     "l_timechart"  -> lTimechart _,
@@ -197,6 +210,10 @@ object LogQueries {
     "l_late"       -> lLate _)
 
   private val oracleBase: Map[String, String] = Map(
+    "l_histogram" ->
+      """SELECT event_type, CAST(floor(value / 100) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
     "l_anomaly" ->
       s"""WITH b AS (
         |  SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,

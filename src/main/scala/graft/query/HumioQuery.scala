@@ -554,6 +554,15 @@ object HumioQuery {
         case "sha256" | "crypto:sha256" => sha2(one.cast("string"), 256)
         case "base64Encode" => base64(one.cast("string").cast("binary"))
         case "base64Decode" => unbase64(one).cast("string")
+        // LogScale time:* extraction functions: session-zone wall-clock
+        // components (the session zone is pinned UTC engine-wide).
+        // dayOfWeek is ISO (Monday=1..Sunday=7), computed arithmetically
+        // from dayofweek's Sun=1 convention so both engines agree
+        case "time:hour"  => hour(one).cast("long")
+        case "time:month" => month(one).cast("long")
+        case "time:year"  => year(one).cast("long")
+        case "time:dayOfMonth" => dayofmonth(one).cast("long")
+        case "time:dayOfWeek"  => ((dayofweek(one) + 5) % 7 + 1).cast("long")
         case "array:length" => size(one).cast("long")
         // LogScale truthiness: booleans surface as the STRINGS
         // "true"/"false", so the result filters with `hit = true` and
