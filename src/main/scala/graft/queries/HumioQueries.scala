@@ -388,7 +388,16 @@ object HumioQueries {
       "eval(h = time:hour(ts)) | dw := time:dayOfWeek(ts) " +
         "| m := time:month(ts) | groupBy(h, dw, m) | sort(h, dw, m)")
 
+  /** parseInt(x, 16) over a substr of a digest — the hex-ID promotion
+    * (session ids, trace ids) every log pipeline does somewhere.
+    */
+  def hqParseint(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(hx = crypto:md5(event_type)) | n := parseInt(substr(hx, 1, 4), 16) " +
+        "| groupBy(event_type, n) | sort(event_type)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq_parseint"  -> hqParseint _,
     "hq_timefns"   -> hqTimefns _,
     "hq_hash"      -> hqHash _,
     "hq_base64"    -> hqBase64 _,
@@ -442,6 +451,11 @@ object HumioQueries {
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_parseint" ->
+      """SELECT event_type,
+        |       CAST(('0x' || substr(md5(event_type), 1, 4))::BIGINT AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
     "hq_timefns" ->
       """SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
         |       CAST(isodow(ts) AS BIGINT) AS dw,

@@ -192,7 +192,27 @@ object LogQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bin")
 
+  /** Cohort retention: users bucketed by FIRST-seen day, counted on
+    * each later active day as an offset — the activation/retention
+    * triangle. Two aggregates whose keys are bounded (users, then
+    * cohort×offset cells) and one equi-join on user_id; day arithmetic
+    * is integer-exact on both engines.
+    */
+  def lRetention(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = days.groupBy("user_id").agg(min("d").as("cohort"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset").cast("bigint").as("day_offset"), col("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l_retention"  -> lRetention _,
     "l_histogram"  -> lHistogram _,
     "l_anomaly"    -> lAnomaly _,
     "l_mad"        -> lMad _,
@@ -210,6 +230,14 @@ object LogQueries {
     "l_late"       -> lLate _)
 
   private val oracleBase: Map[String, String] = Map(
+    "l_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |       CAST(d - cohort AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT days.user_id) AS BIGINT) AS n_users
+        |FROM days JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     "l_histogram" ->
       """SELECT event_type, CAST(floor(value / 100) AS BIGINT) AS bin,
         |       CAST(count(*) AS BIGINT) AS n

@@ -210,6 +210,31 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** The dataset datasheet in ONE corpus scan: volume (docs, tokens,
+    * chars), diversity (languages, sources), shape (mean doc length),
+    * and the quality-gate pass share — the numbers a dataset card opens
+    * with. Every stat is a map-side-combining aggregate over the same
+    * per-doc projection; integer sums keep the means exact.
+    */
+  def xDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks)
+    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"), n.as("n_words"),
+        (n.between(5, 2000) && (enHits.cast("double") / n) < 0.4)
+          .cast("bigint").as("ok"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_tokens"),
+        sum("n_chars").as("total_chars"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        detRound4(sum(col("n_words")).cast("double") / count(lit(1)))
+          .as("mean_doc_tokens"),
+        detRound4(sum(col("ok")).cast("double") / count(lit(1)))
+          .as("quality_pass_share"))
+  }
+
   def xFingerprint(s: SparkSession, dir: String): DataFrame =
     // sig0 of the MinHash family == the fingerprint; the explode+min-agg
     // path evaluates md5 once per shingle as a scalar (the per-row
@@ -2170,6 +2195,7 @@ object PipelineQueries {
     "x_hard_negatives" -> xHardNegatives _,
     "x_cdc_chunks"  -> xCdcChunks _,
     "x_cdc_dedup"   -> xCdcDedup _,
+    "x_dataset_card" -> xDatasetCard _,
     "x_fingerprint" -> xFingerprint _,
     "x_docdedup"    -> xDocdedup _,
     "x_minhash"     -> xMinhash _,
@@ -3291,6 +3317,23 @@ object PipelineQueries {
         |SELECT b.doc_id, d.lang AS labeled_lang, b.plang AS pred_lang, b.hits
         |FROM best b JOIN d ON b.doc_id = d.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "x_dataset_card" ->
+      s"""WITH t AS (SELECT lang, source, n_chars,
+        |        string_split(text,' ') AS toks,
+        |        CAST(len(list_filter(string_split(text,' '), x -> x IN ($enList))) AS BIGINT) AS en_hits
+        |      FROM documents),
+        |f AS (SELECT lang, source, n_chars, len(toks) AS n_words,
+        |        CAST(len(toks) BETWEEN 5 AND 2000
+        |             AND CAST(en_hits AS DOUBLE) / len(toks) < 0.4 AS BIGINT) AS ok
+        |      FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       ${detRound4Sql("CAST(sum(n_words) AS DOUBLE) / count(*)")} AS mean_doc_tokens,
+        |       ${detRound4Sql("CAST(sum(ok) AS DOUBLE) / count(*)")} AS quality_pass_share
+        |FROM f""".stripMargin,
     "x_quality_lr" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |f AS (SELECT doc_id,

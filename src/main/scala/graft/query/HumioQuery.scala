@@ -518,12 +518,20 @@ object HumioQuery {
     /** scalar function call inside an expression: length(f), lower(f), … */
     private def fnCall(name: String): Column = {
       val fnArgs = Seq.newBuilder[Column]
+      // raw source text per argument — for the functions whose argument
+      // must be a PLAN-TIME constant (parseInt's radix): Spark 4's
+      // Column no longer exposes its expression, so the literal is
+      // recovered from the query text itself
+      val rawArgs = Seq.newBuilder[String]
       ws()
       if (peek == ')') pos += 1
       else {
         var done = false
         while (!done) {
-          fnArgs += addSub(); ws()
+          val argStart = pos
+          fnArgs += addSub()
+          rawArgs += input.substring(argStart, pos).trim
+          ws()
           peek match {
             case ',' => pos += 1
             case ')' => pos += 1; done = true
@@ -533,6 +541,7 @@ object HumioQuery {
         }
       }
       val a = fnArgs.result()
+      val raw = rawArgs.result()
       def one: Column = { require(a.size == 1, s"$name takes 1 argument"); a.head }
       name match {
         case "length"   => length(one)
@@ -554,6 +563,18 @@ object HumioQuery {
         case "sha256" | "crypto:sha256" => sha2(one.cast("string"), 256)
         case "base64Encode" => base64(one.cast("string").cast("binary"))
         case "base64Decode" => unbase64(one).cast("string")
+        case "substr" =>
+          require(a.size == 3, "substr(field, start, len) takes 3 arguments")
+          a.head.substr(a(1), a(2))   // 1-based, the SQL convention
+        case "parseInt" =>
+          // parseInt(field, radix): radix must be a plan-time integer
+          // literal (it selects the conv() base — LogScale's radix=)
+          require(a.size == 2, "parseInt(field, radix) takes 2 arguments")
+          val radix = raw(1).toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"parseInt radix must be an integer literal, got '${raw(1)}'"))
+          require(radix >= 2 && radix <= 36, s"parseInt radix out of range: $radix")
+          conv(a.head, radix, 10).cast("long")
         // LogScale time:* extraction functions: session-zone wall-clock
         // components (the session zone is pinned UTC engine-wide).
         // dayOfWeek is ISO (Monday=1..Sunday=7), computed arithmetically

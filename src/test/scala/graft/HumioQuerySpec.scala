@@ -641,6 +641,28 @@ class HumioQuerySpec extends SparkSpec {
     assert(kvp(1).getString(1) == "3" && kvp(1).isNullAt(2))
   }
 
+  test("CharEntropy matches the naive definition and is char-order independent") {
+    val rnd = new scala.util.Random(42)
+    def compute(s: String): Double = graft.expressions.CharEntropy.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    for (_ <- 1 to 200) {
+      val len = rnd.nextInt(40)
+      val s = (0 until len).map(_ => "ab0{}:,\" xyz".charAt(rnd.nextInt(12))).mkString
+      val got = compute(s)
+      if (s.isEmpty) assert(got == 0.0)
+      else {
+        val t = s.length.toDouble
+        val naive = -s.groupBy(identity).values
+          .map(g => (g.length / t) * math.log(g.length / t) / math.log(2.0)).sum
+        // quantized-term sum: within d·2^-40 of the unquantized value
+        assert(math.abs(got - naive) < 1e-9, s"'$s' got $got naive $naive")
+        // any permutation of the characters yields the IDENTICAL bits —
+        // the property the SQL oracle's arbitrary-order group-by relies on
+        assert(compute(new String(rnd.shuffle(s.toList).toArray)) == got)
+      }
+    }
+  }
+
   test("parseUrl promotes scheme/host/path/query") {
     val t = Seq((1L, "https://h.example.com/a/b?k=1")).toDF("event_id", "u")
     val r = HumioQuery.run(t,
