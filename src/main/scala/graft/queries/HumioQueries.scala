@@ -77,6 +77,27 @@ object HumioQueries {
   def hqTop(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir), "user_id < 50 | top(event_type, limit=3)")
 
+  /** if() conditional eval — nested branches band `value`, a second arm
+    * exercises `and` + a parenthesized condition group; NULL conditions
+    * take the else branch (CASE WHEN semantics in both engines).
+    */
+  def hqIf(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(band = if(value >= 100, then=\"high\", " +
+        "else=if(value >= 10, then=\"mid\", else=\"low\"))) " +
+        "| mid2 := if((value >= 10 and value < 55) or value >= 300, then=1, else=0) " +
+        "| groupBy(band, mid2) | sort(band, mid2)")
+
+  /** string predicates startsWith/endsWith/contains — truthiness strings
+    * standalone, boolean conditions inside if().
+    */
+  def hqStrpred(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "eval(cls = if(startsWith(event_type, \"p\") or contains(event_type, \"iew\"), " +
+        "then=\"pv\", else=\"other\")) " +
+        "| hit := endsWith(event_type, \"up\") " +
+        "| groupBy(cls, hit) | sort(cls, hit)")
+
   /** multi-aggregate groupBy (function=[…] list form). */
   def hqMultiagg(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -448,9 +469,24 @@ object HumioQueries {
     "hq_regex_extract" -> hqRegexExtract _,
     "hq_top"       -> hqTop _,
     "hq_evalfn"    -> hqEvalfn _,
+    "hq_if"        -> hqIf _,
+    "hq_strpred"   -> hqStrpred _,
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
+    "hq_if" ->
+      """SELECT CASE WHEN value >= 100 THEN 'high'
+        |            WHEN value >= 10 THEN 'mid' ELSE 'low' END AS band,
+        |       CAST(CASE WHEN (value >= 10 AND value < 55) OR value >= 300
+        |            THEN 1 ELSE 0 END AS BIGINT) AS mid2,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1, 2 ORDER BY band, mid2""".stripMargin,
+    "hq_strpred" ->
+      """SELECT CASE WHEN event_type LIKE 'p%' OR strpos(event_type, 'iew') > 0
+        |            THEN 'pv' ELSE 'other' END AS cls,
+        |       CASE WHEN event_type LIKE '%up' THEN 'true' ELSE 'false' END AS hit,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1, 2 ORDER BY cls, hit""".stripMargin,
     "hq_parseint" ->
       """SELECT event_type,
         |       CAST(('0x' || substr(md5(event_type), 1, 4))::BIGINT AS BIGINT) AS n,

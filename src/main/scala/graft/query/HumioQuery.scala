@@ -28,7 +28,11 @@ import graft.functions.Det.detRound4
   *   assign    := field := expr              — computed field (LogScale `:=`);
   *                expr is + - * / % arithmetic over fields/literals with
   *                parens and scalar fns: length lower upper abs floor
-  *                ceil sqrt exp ln pow concat coalesce
+  *                ceil sqrt exp ln pow concat coalesce, plus
+  *                if(cond, then=a, else=b) — cond supports == != < <= >
+  *                >= comparisons, and/or, parenthesized groups, and bare
+  *                truthiness (value = "true"); string predicates
+  *                startsWith/endsWith/contains return "true"/"false"
   *   eval      := eval(field = expr)         — function form of assign
   *   caseBlk   := case { cond | f := v ; … [; * | f := v] }
   *                — first matching arm assigns; events matching NO arm are
@@ -509,11 +513,134 @@ object HumioQuery {
               input(pos + 1).isLetter))) pos += 1
           val name = input.substring(start, pos)
           ws()
-          if (peek == '(') { pos += 1; fnCall(name) } else col(name)
+          if (peek == '(') {
+            pos += 1
+            if (name == "if") parseIf() else fnCall(name)
+          } else col(name)
         case other =>
           throw new IllegalArgumentException(
             s"unexpected '$other' at $pos in expression: '$input'")
       }
+    }
+
+    // ---- condition grammar (the first argument of if()) -------------
+    //
+    //   cond := and ('or' and)*
+    //   and  := cmp ('and' cmp)*
+    //   cmp  := '(' cond ')'                 — when followed by a boolean
+    //                                          continuation (, ) and or)
+    //         | addSub (cmpOp addSub)?       — cmpOp ∈ == != <= >= < > =
+    //
+    // A bare operand with no comparison operator is LogScale TRUTHINESS:
+    // the value compared against the STRING "true" — the convention the
+    // string-predicate functions (startsWith, contains, array:contains)
+    // follow when assigned to a field, so `if(contains(f, "x"), …)` and
+    // `hit := contains(f, "x") | hit = true` agree. NULL conditions take
+    // the else branch in both engines (CASE WHEN semantics).
+
+    /** True and consumes when the keyword `w` sits at `pos` with a word
+      * boundary after it; never consumes on false. */
+    private def word(w: String): Boolean = {
+      ws()
+      val end = pos + w.length
+      val at = input.startsWith(w, pos) &&
+        (end >= input.length ||
+          !(input(end).isLetterOrDigit || input(end) == '_'))
+      if (at) pos = end
+      at
+    }
+    private def wordAhead(w: String): Boolean = {
+      val save = pos
+      val at = word(w)
+      pos = save
+      at
+    }
+
+    private def condExpr(): Column = {
+      var left = andExpr(); ws()
+      while (word("or")) { left = left || andExpr(); ws() }
+      left
+    }
+    private def andExpr(): Column = {
+      var left = cmpExpr(); ws()
+      while (word("and")) { left = left && cmpExpr(); ws() }
+      left
+    }
+    private def cmpExpr(): Column = {
+      ws()
+      if (peek == '(') {
+        // a parenthesized CONDITION, accepted only when the group is a
+        // complete boolean operand — '(a + b) * 2 > c' falls through to
+        // the arithmetic parse below because '*' is not a continuation
+        val save = pos
+        try {
+          pos += 1
+          val c = condExpr(); ws()
+          require(peek == ')', "unclosed '(' in condition")
+          pos += 1; ws()
+          if (pos >= input.length || peek == ',' || peek == ')' ||
+              wordAhead("and") || wordAhead("or")) return c
+          pos = save
+        } catch { case _: IllegalArgumentException => pos = save }
+      }
+      val left = addSub(); ws()
+      val two = if (pos + 1 < input.length) input.substring(pos, pos + 2) else ""
+      two match {
+        case "==" => pos += 2; left === addSub()
+        case "!=" => pos += 2; left =!= addSub()
+        case "<=" => pos += 2; left <= addSub()
+        case ">=" => pos += 2; left >= addSub()
+        case _ => peek match {
+          case '<' => pos += 1; left < addSub()
+          case '>' => pos += 1; left > addSub()
+          case '=' => pos += 1; left === addSub()
+          case _   => left.cast("string") === lit("true")   // truthiness
+        }
+      }
+    }
+
+    /** if(cond, then=a, else=b) — LogScale's conditional eval function.
+      * then=/else= accepted labeled (either order) or positional; the
+      * open paren is already consumed by the caller.
+      */
+    private def parseIf(): Column = {
+      val cond = condExpr(); ws()
+      require(peek == ',', s"if() expects ', then=…' after the condition in '$input'")
+      pos += 1
+      val (l1, v1) = branchArg(); ws()
+      require(peek == ',', s"if() expects a third argument in '$input'")
+      pos += 1
+      val (l2, v2) = branchArg(); ws()
+      require(peek == ')', s"missing ')' closing if() in '$input'")
+      pos += 1
+      val thenC =
+        if (l1.contains("then")) v1
+        else if (l2.contains("then")) v2
+        else if (l1.isEmpty) v1
+        else throw new IllegalArgumentException(s"if() missing then= branch in '$input'")
+      val elseC =
+        if (l2.contains("else")) v2
+        else if (l1.contains("else")) v1
+        else if (l2.isEmpty) v2
+        else throw new IllegalArgumentException(s"if() missing else= branch in '$input'")
+      when(cond, thenC).otherwise(elseC)
+    }
+    /** One if() branch: an optional then=/else= label, then a value
+      * expression (which may itself be a nested if()). */
+    private def branchArg(): (Option[String], Column) = {
+      ws()
+      for (lbl <- Seq("then", "else")) {
+        val save = pos
+        if (word(lbl)) {
+          ws()
+          if (peek == '=' && (pos + 1 >= input.length || input(pos + 1) != '=')) {
+            pos += 1
+            return (Some(lbl), addSub())
+          }
+          pos = save
+        }
+      }
+      (None, addSub())
     }
     /** scalar function call inside an expression: length(f), lower(f), … */
     private def fnCall(name: String): Column = {
@@ -591,6 +718,25 @@ object HumioQuery {
         case "array:contains" =>
           require(a.size == 2, "array:contains(array, value) takes 2 arguments")
           when(exists(a.head, x => x === a(1)), lit("true")).otherwise(lit("false"))
+        // string predicates — LogScale truthiness convention: the result
+        // is the STRING "true"/"false" (so it round-trips a VARCHAR
+        // oracle column and filters with `= true`); a NULL input takes
+        // the "false" branch in both engines. In if()-condition position
+        // the truthiness wrap in cmpExpr compares back against "true".
+        case "startsWith" | "text:startsWith" =>
+          require(a.size == 2, s"$name(string, prefix) takes 2 arguments")
+          when(a.head.cast("string").startsWith(a(1)), lit("true"))
+            .otherwise(lit("false"))
+        case "endsWith" | "text:endsWith" =>
+          require(a.size == 2, s"$name(string, suffix) takes 2 arguments")
+          when(a.head.cast("string").endsWith(a(1)), lit("true"))
+            .otherwise(lit("false"))
+        case "contains" | "text:contains" =>
+          require(a.size == 2, s"$name(string, substring) takes 2 arguments")
+          when(a.head.cast("string").contains(a(1)), lit("true"))
+            .otherwise(lit("false"))
+        case "math:log10" => log10(one)
+        case "math:log2"  => log2(one)
         case "shannonEntropy" =>
           // per-value character entropy in bits (-Σ p·log2 p), the DGA/
           // randomness signal — [[graft.expressions.CharEntropy]]: one

@@ -134,6 +134,50 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("if(): comparisons, and/or, labeled branches in either order, nesting") {
+    val out = HumioQuery.run(df,
+      "eval(band = if(value >= 30, then=\"hi\", else=if(value >= 20, then=\"mid\", else=\"lo\"))) " +
+        "| select(event_id, band) | sort(event_id)")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "lo"), (2L, "mid"), (3L, "hi"), (4L, "hi")))
+    // labels in else-first order, == and != comparisons
+    val m = HumioQuery.run(df,
+      "f := if(event_type == \"click\", else=0, then=1) " +
+        "| g := if(event_type != \"click\", then=1, else=0) | select(event_id, f, g) | sort(event_id)")
+      .as[(Long, Long, Long)].collect().map { case (i, f, g) => i -> ((f, g)) }.toMap
+    assert(m(1L) == ((1L, 0L)) && m(2L) == ((0L, 1L)))
+    // positional branches
+    assert(HumioQuery.run(df, "p := if(value < 15, 1, 2) | p = 1").count() == 1)
+  }
+
+  test("if() condition grouping: boolean parens vs arithmetic parens") {
+    // (cond) and (cond) — parenthesized boolean groups
+    val n = HumioQuery.run(df,
+      "k := if((value >= 20 and value < 40) or event_type == \"click\", then=1, else=0) | k = 1")
+    assert(n.count() == 3, "rows 1,2,3 match; the error row (40.0) does not")
+    // (a + b) * 2 > c — the paren is ARITHMETIC and must fall through
+    val a = HumioQuery.run(df,
+      "k := if((value + 10) * 2 >= 80, then=1, else=0) | k = 1")
+    assert(a.count() == 2, "(30+10)*2 and (40+10)*2 clear 80")
+  }
+
+  test("string predicates return truthiness strings and work as if() conditions") {
+    val out = HumioQuery.run(df,
+      "hit := startsWith(event_type, \"c\") " +
+        "| e := endsWith(event_type, \"w\") | c := contains(event_type, \"rro\") " +
+        "| k := if(contains(event_type, \"ick\"), then=1, else=0) " +
+        "| select(event_id, hit, e, c, k) | sort(event_id)")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out(0) == ((1L, "true", "false", "false", 1L)))
+    assert(out(1) == ((2L, "false", "true", "false", 0L)))
+    assert(out(3) == ((4L, "false", "false", "true", 0L)))
+    // truthiness string filters back with = true (LogScale convention)
+    assert(HumioQuery.run(df, "hit := startsWith(event_type, \"c\") | hit = true").count() == 2)
+    // bare truthiness in condition position compares against "true"
+    assert(HumioQuery.run(df,
+      "h := endsWith(event_type, \"k\") | k := if(h, then=1, else=0) | k = 1").count() == 2)
+  }
+
   test("in(): equality and wildcard membership OR'd into one filter") {
     assert(HumioQuery.run(df, "in(event_type, values=[error, vi*])").count() == 2)
     assert(HumioQuery.run(df, "in(event_id, values=[1, 3])").count() == 2)
