@@ -2080,6 +2080,94 @@ object PipelineQueries {
       .orderBy("chunk_sig", "n_words")
   }
 
+  /** Words per "line" for the line-level family: the fixture corpus has
+    * no newlines, so a line is a fixed 8-word segment (the same
+    * synthetic-boundary convention as [[xChunks]]).
+    */
+  val SEG_WORDS = 8
+  /** A segment is boilerplate when it appears in ≥ this many DISTINCT
+    * documents (the CCNet header/footer removal threshold).
+    */
+  val BOILER_DF = 3
+
+  /** One row per (doc, line): line index and line text — the shared feed
+    * of the line-level dedup family. Built by slicing the token array
+    * per row (no explode-then-regroup, no collect_list ordering
+    * hazard); narrow until a consumer shuffles.
+    */
+  private def docSegments(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("nseg", expr(s"(size(toks) + ${SEG_WORDS - 1}) div $SEG_WORDS"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(nseg - 1 as int)),
+           |  k -> concat_ws(' ', slice(toks, k * $SEG_WORDS + 1, $SEG_WORDS)))"""
+          .stripMargin)).as(Seq("seg", "seg_text")))
+
+  /** CCNet-style corpus-wide LINE dedup with document reconstruction:
+    * every occurrence of a line after its first (corpus order =
+    * (doc_id, line index)) is dropped, and each document is rebuilt
+    * from its surviving lines. Per doc: line counts, retention ratio,
+    * and the rebuilt text. ONE shuffle, on the line text (the dedup
+    * key); the rebuild is a per-doc aggregate over sorted structs (no
+    * collect_list order dependence). At 100 TB this is the standard
+    * line-hash repartition — no driver state, no window over the
+    * corpus, and the hot "every doc has it" line lands in one partition
+    * only for its own group (skew bounded by occurrence count of the
+    * single most common line; salt the rank if that ever dominates).
+    */
+  def xLinededup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("seg_text").orderBy("doc_id", "seg")
+    docSegments(s, dir)
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg"), col("seg_text"))))),
+          x => x("seg_text"))).as("text_kept"))
+      .withColumn("kept_ratio", detRound4(col("n_kept") / col("n_seg")))
+      .select(col("doc_id"), col("n_seg"), col("n_kept"),
+        col("kept_ratio"), col("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate REMOVAL stats: lines whose document frequency reaches
+    * [[BOILER_DF]] are boilerplate (headers/footers/navigation in web
+    * corpora); per doc, how many of its lines are boilerplate and the
+    * contamination ratio. The df table derives from one line-key
+    * aggregate; the flag attaches back with an equi-join on the line
+    * text — left to the optimizer (the df≥K set is data-dependent:
+    * tiny here and broadcast by AQE, shuffle-joined at corpus scale).
+    */
+  def xBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val segs = docSegments(s, dir)
+    val boiler = segs.groupBy("seg_text")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= BOILER_DF)
+      .select(col("seg_text"), lit(1L).as("boiler"))
+    segs.join(boiler, Seq("seg_text"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(coalesce(col("boiler"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio", detRound4(col("n_boiler") / col("n_seg")))
+      .orderBy("doc_id")
+  }
+
+  /** The boilerplate line inventory itself: line text, document
+    * frequency, total occurrences — the bounded review artifact a
+    * curation run ships alongside the scrub (df ≥ [[BOILER_DF]] keeps
+    * it small by construction).
+    */
+  def xBoilerLines(s: SparkSession, dir: String): DataFrame =
+    docSegments(s, dir)
+      .groupBy("seg_text")
+      .agg(countDistinct("doc_id").as("df"),
+        count(lit(1)).as("occ"))
+      .where(col("df") >= BOILER_DF)
+      .orderBy("seg_text")
+
   val PPS_PER_SHARD = 20
 
   /** Weighted sampling via PPS SYSTEMATIC selection — the curation pass
@@ -2195,6 +2283,9 @@ object PipelineQueries {
     "x_hard_negatives" -> xHardNegatives _,
     "x_cdc_chunks"  -> xCdcChunks _,
     "x_cdc_dedup"   -> xCdcDedup _,
+    "x_linededup"   -> xLinededup _,
+    "x_boilerplate" -> xBoilerplate _,
+    "x_boiler_lines" -> xBoilerLines _,
     "x_dataset_card" -> xDatasetCard _,
     "x_fingerprint" -> xFingerprint _,
     "x_docdedup"    -> xDocdedup _,
@@ -2594,6 +2685,17 @@ object PipelineQueries {
     * winnow/CDC word-value convention, replayed digit-by-digit. */
   private def hvSql(e: String): String =
     s"CAST(list_aggregate(list_transform(range(1, 9), j -> (strpos('0123456789abcdef', substr(md5($e), CAST(j AS INTEGER), 1)) - 1) * CAST(16 ** (8 - j) AS BIGINT)), 'sum') AS BIGINT)"
+
+  /** Shared oracle CTE for the line-level family: per-doc [[SEG_WORDS]]-
+    * word segments via list slicing (DuckDB has no WITH ORDINALITY;
+    * range+list_slice replays [[docSegments]] exactly).
+    */
+  private val segCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sg AS (SELECT doc_id, unnest(range(0, (len(toks) + ${SEG_WORDS - 1}) // $SEG_WORDS)) AS seg, toks FROM t),
+      |segs AS (SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+      |           array_to_string(list_slice(toks, seg * $SEG_WORDS + 1, seg * $SEG_WORDS + $SEG_WORDS), ' ') AS seg_text
+      |         FROM sg)""".stripMargin
 
   private val cdcCtes: String =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -3420,6 +3522,31 @@ object PipelineQueries {
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM ch GROUP BY 1, 2 HAVING count(*) > 1
         |ORDER BY chunk_sig, n_words""".stripMargin,
+    "x_linededup" ->
+      s"""WITH $segCtes,
+        |k AS (SELECT doc_id, seg, seg_text,
+        |        row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg) AS rn
+        |      FROM segs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       ${detRound4Sql("sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS kept_ratio,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg), '') AS text_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_boilerplate" ->
+      s"""WITH $segCtes,
+        |b AS (SELECT seg_text FROM segs GROUP BY seg_text
+        |      HAVING count(DISTINCT doc_id) >= $BOILER_DF)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+        |       CAST(sum(CASE WHEN b.seg_text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       ${detRound4Sql("sum(CASE WHEN b.seg_text IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS boiler_ratio
+        |FROM segs LEFT JOIN b ON segs.seg_text = b.seg_text
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_boiler_lines" ->
+      s"""WITH $segCtes
+        |SELECT seg_text, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(count(*) AS BIGINT) AS occ
+        |FROM segs GROUP BY seg_text HAVING count(DISTINCT doc_id) >= $BOILER_DF
+        |ORDER BY seg_text""".stripMargin,
     "x_winnow_pairs" ->
       s"""WITH $winnowCtes,
         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WINNOW_DF_CAP),

@@ -551,6 +551,49 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.gramDupFlag(pos).queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("line dedup keeps each distinct line exactly once and rebuilds docs in order") {
+    import graft.queries.PipelineQueries
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineQueries.xLinededup(spark, dir).cache()
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      // every distinct line survives exactly once corpus-wide:
+      // Σ n_kept == |distinct 8-word segments|
+      val kept = out.agg(sum("n_kept")).as[Long].head()
+      val distinctSegs = docs
+        .withColumn("toks", split(col("text"), " "))
+        .select(explode(expr(
+          "transform(sequence(0, cast((size(toks) + 7) div 8 - 1 as int)), " +
+            "k -> concat_ws(' ', slice(toks, k * 8 + 1, 8)))")).as("seg_text"))
+        .agg(countDistinct("seg_text")).as[Long].head()
+      assert(kept == distinctSegs,
+        s"sum(n_kept)=$kept must equal distinct segment count $distinctSegs")
+      // a fully-retained doc rebuilds to its original text verbatim
+      val full = out.where(col("n_kept") === col("n_seg"))
+        .join(docs, "doc_id")
+        .where(col("text_kept") =!= col("text"))
+        .count()
+      assert(full == 0L, "reconstruction must preserve word order for fully-kept docs")
+      // totals: n_seg is ceil(words/8) for every doc
+      val badSeg = out.join(docs, "doc_id")
+        .withColumn("exp", expr("(size(split(text, ' ')) + 7) div 8"))
+        .where(col("n_seg") =!= col("exp")).count()
+      assert(badSeg == 0L)
+    } finally out.unpersist()
+  }
+
+  test("boilerplate stats agree with the boilerplate line inventory") {
+    import graft.queries.PipelineQueries
+    val dir = "/root/testdata/sf0.001"
+    val perDoc = PipelineQueries.xBoilerplate(spark, dir)
+      .agg(sum("n_boiler")).as[Long].head()
+    val inventory = PipelineQueries.xBoilerLines(spark, dir)
+      .agg(coalesce(sum("occ"), lit(0L))).as[Long].head()
+    assert(perDoc == inventory,
+      s"per-doc boiler occurrences ($perDoc) must equal the inventory total ($inventory)")
+  }
+
   test("dupClusters leaves pair endpoints outside docs inert") {
     // pairs may reference docs a gate upstream removed: a foreign
     // endpoint must neither take a label nor become one (a cluster id
