@@ -88,6 +88,16 @@ object HumioQueries {
         "| mid2 := if((value >= 10 and value < 55) or value >= 300, then=1, else=0) " +
         "| groupBy(band, mid2) | sort(band, mid2)")
 
+  /** stdDev() aggregate — exact integer second moments (DECIMAL sums of
+    * round(x·2^20) quantized values), so the sample stddev is
+    * partition-order-independent and the DuckDB oracle replays the same
+    * formula bit-for-bit (its own stddev_samp would float-sum in row
+    * order).
+    */
+  def hqStddev(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "groupBy(event_type, function=[count(), stdDev(value)]) | sort(event_type)")
+
   /** string predicates startsWith/endsWith/contains — truthiness strings
     * standalone, boolean conditions inside if().
     */
@@ -471,6 +481,7 @@ object HumioQueries {
     "hq_evalfn"    -> hqEvalfn _,
     "hq_if"        -> hqIf _,
     "hq_strpred"   -> hqStrpred _,
+    "hq_stddev"    -> hqStddev _,
     "hq_multiagg"  -> hqMultiagg _)
 
   val oracle: Map[String, String] = Map(
@@ -487,6 +498,17 @@ object HumioQueries {
         |       CASE WHEN event_type LIKE '%up' THEN 'true' ELSE 'false' END AS hit,
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events GROUP BY 1, 2 ORDER BY cls, hit""".stripMargin,
+    "hq_stddev" ->
+      """WITH q AS (SELECT event_type, value,
+        |             CAST(round(value * 1048576) AS HUGEINT) AS q
+        |           FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS _count,
+        |       CASE WHEN count(value) > 1 THEN
+        |         floor((sqrt(CAST(count(value) * sum(q * q) - sum(q) * sum(q) AS DOUBLE)
+        |                     / (count(value) * (count(value) - 1))) / 1048576.0)
+        |               * 10000.0 + 0.5) / 10000.0
+        |       ELSE NULL END AS _stddev_value
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hq_parseint" ->
       """SELECT event_type,
         |       CAST(('0x' || substr(md5(event_type), 1, 4))::BIGINT AS BIGINT) AS n,

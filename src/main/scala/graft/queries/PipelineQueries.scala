@@ -1637,6 +1637,50 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_words"), detRound4(col("alp")).as("avg_logprob"))
       .orderBy("doc_id")
 
+  /** Add-k smoothing constant of the bigram LM (×2 to stay integral in
+    * oracle arithmetic: α = [[BIGRAM_ALPHA2]]/2 = 0.5).
+    */
+  val BIGRAM_ALPHA2 = 1
+
+  /** Bigram-LM perplexity scoring — the KenLM-style quality filter one
+    * order up from [[xUnigramLp]]: per doc, the mean log P(wᵢ | wᵢ₋₁)
+    * under an add-½ smoothed bigram model trained on the corpus itself.
+    * Shapes: bigrams build per row by slicing the token array (no
+    * self-join on positions); corpus counts come from WINDOWS over the
+    * one (doc, w1, w2) aggregate — c(w1,w2) partitioned by the pair,
+    * context totals c(w1·) by the first word — because a separate
+    * groupBy branch would rescan the corpus (the unigramScores lesson:
+    * pruning differentiates subtrees, ReuseExchange never fires).
+    * Vocabulary size arrives as a broadcast 1-row cross join. Two
+    * shuffles over the compact aggregate; the corpus explodes once.
+    */
+  def xBigramLp(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(2, size(toks)),
+          |  i -> struct(element_at(toks, i - 1) AS w1, element_at(toks, i) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("c_b", sum("c").over(Window.partitionBy("w1", "w2")))
+      .withColumn("c_ctx", sum("c").over(Window.partitionBy("w1")))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("v"))
+    bg.crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        (sum(col("c").cast("double") *
+          log((col("c_b").cast("double") * 2.0 + BIGRAM_ALPHA2) /
+            (col("c_ctx").cast("double") * 2.0 + col("v").cast("double") * BIGRAM_ALPHA2)))
+          / sum(col("c")).cast("double")).as("alp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        detRound4(col("alp")).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc (doc_id, n_words, alp) unigram-LM scores — the shared core
     * of [[xUnigramLp]] (the score table) and [[xLpBuckets]] (the
     * quantile-bucket pacing table).
@@ -2331,6 +2375,7 @@ object PipelineQueries {
     "x_repetition"  -> xRepetition _,
     "x_bm25"        -> xBm25 _,
     "x_unigram_lp"  -> xUnigramLp _,
+    "x_bigram_lp"   -> xBigramLp _,
     "x_bpe_pairs"   -> xBpePairs _,
     "x_bpe_train"   -> xBpeTrain _,
     "x_bpe_apply"   -> xBpeApply _,
@@ -3314,6 +3359,24 @@ object PipelineQueries {
         |  ${detRound4Sql("sum(CAST(c AS DOUBLE) * (ln(CAST(c_w AS DOUBLE)) - ln(CAST(n_total AS DOUBLE)))) / CAST(sum(c) AS DOUBLE)")} AS avg_logprob
         |FROM cdw JOIN cw USING (word) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_bigram_lp" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+        |         i -> {'w1': toks[i - 1], 'w2': toks[i]})) AS b
+        |       FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+        |      FROM bg GROUP BY 1, 2, 3),
+        |cb AS (SELECT doc_id, c,
+        |         CAST(sum(c) OVER (PARTITION BY w1, w2) AS BIGINT) AS c_b,
+        |         CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS c_ctx FROM c),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
+        |        (SELECT unnest(string_split(text,' ')) AS w FROM documents))
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  ${detRound4Sql(
+             "sum(CAST(c AS DOUBLE) * ln((CAST(c_b AS DOUBLE) * 2.0 + " +
+             s"$BIGRAM_ALPHA2) / (CAST(c_ctx AS DOUBLE) * 2.0 + $BIGRAM_ALPHA2 * " +
+             "CAST(v AS DOUBLE)))) / CAST(sum(c) AS DOUBLE)")} AS avg_logprob
+        |FROM cb CROSS JOIN v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_decontam" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t),

@@ -38,8 +38,9 @@ import graft.functions.Det.detRound4
   *                — first matching arm assigns; events matching NO arm are
   *                DROPPED unless a `*` catch-all arm exists (LogScale case)
   *   groupBy   := groupBy(field[, function=agg | function=[agg, agg, …]])
-  *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f); list form names
-  *                results _count / _sum_f / _avg_f / _min_f / _max_f
+  *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f)|stdDev(f)|
+  *                percentile(f, p); list form names results _count /
+  *                _sum_f / _avg_f / _min_f / _max_f / _stddev_f / _p<p>_f
   *   top       := top(field[, limit=n][, sum=f]) — most frequent values
   *                (or largest sum(f) with sum=), desc with value
   *                tie-break (default limit 10)
@@ -342,6 +343,25 @@ object HumioQuery {
         // convention — engine round() semantics differ on edge doubles
         (detRound4(percentile(col(parts.head), lit(p / 100.0))),
           if (qualified) s"_p${pn}_${parts.head}" else s"_p$pn")
+      case FnCall("stdDev", f) =>
+        // sample standard deviation via EXACT integer second moments:
+        // values quantize to round(x·2^20), Σq and Σq² accumulate as
+        // DECIMAL(38,0) (a float Σx² is partition-order-dependent; the
+        // decimal sums are exact in any order in both engines), and the
+        // variance assembles in one deterministic double division at
+        // the end — the kmeansRefine discipline applied to a second
+        // moment. Deterministic-regime contract: |x| ≲ 4e8 so n·Σq²
+        // stays well under 38 digits. n = 1 → NULL (stddev_samp
+        // convention; the guard also keeps ANSI division happy).
+        val fc = col(f.trim)
+        val q = round(fc * (1L << 20)).cast("decimal(38,0)")
+        val n = count(fc)
+        val s1 = sum(q)
+        val s2 = sum(q * q)
+        val varQ = (n.cast("decimal(38,0)") * s2 - s1 * s1).cast("double")
+        val sd = sqrt(varQ / (n * (n - lit(1L))).cast("double")) / lit(1048576.0)
+        (when(n > 1, detRound4(sd)).otherwise(lit(null).cast("double")),
+          nm("stddev", f))
       case other => throw new IllegalArgumentException(s"unknown function: $other")
     }
   }

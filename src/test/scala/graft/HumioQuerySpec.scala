@@ -134,6 +134,17 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("stdDev(): exact sample stddev, NULL for singleton groups") {
+    val out = HumioQuery.run(df,
+      "groupBy(event_type, function=[count(), stdDev(value)]) | sort(event_type)")
+      .collect()
+    // click: {10, 30} → sample sd = sqrt(200) = 14.142135…, detRound4 → 14.1421
+    val click = out.find(_.getString(0) == "click").get
+    assert(click.getDouble(2) == 14.1421, s"got ${click.getDouble(2)}")
+    // singleton groups (view, error) follow the stddev_samp NULL convention
+    assert(out.find(_.getString(0) == "error").get.isNullAt(2))
+  }
+
   test("if(): comparisons, and/or, labeled branches in either order, nesting") {
     val out = HumioQuery.run(df,
       "eval(band = if(value >= 30, then=\"hi\", else=if(value >= 20, then=\"mid\", else=\"lo\"))) " +
