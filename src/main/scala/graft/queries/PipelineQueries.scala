@@ -659,6 +659,36 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Coreset / prototype selection — the diversity-preserving
+    * downsampling step of embedding-side curation (the SemDeDup "keep
+    * one representative per semantic cluster" shape): train the
+    * [[KMEANS_ROUNDS]]-round codebook, assign every vector to its home
+    * cell, and keep the cell MEDOID (max cosine to the trained
+    * centroid; vec_id tie-break). Scale shape: codebook broadcast both
+    * times (k rows), n·k codegen'd dot products, and the per-cell
+    * argmax is max_by over a composite ordering struct — only the k
+    * winners cross the exchange (the ivfAssign discipline), never a
+    * rank window over the n scored rows.
+    */
+  def xCoreset(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val seed = emb.where(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
+    val cent = broadcast(trained.select(col("cent_id").as("cell"),
+      col("cvec"), Vectors.norm(col("cvec"), DIM).as("cnrm")))
+    Knn.ivfAssign(emb, trained, DIM)
+      .join(cent, "cell")
+      .withColumn("csim", expr("try_divide(graft_dot(embedding, cvec), nrm * cnrm)"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        max_by(struct(col("vec_id"), col("csim")),
+          struct(col("csim"), -col("vec_id"))).as("m"))
+      .select(col("cell"), col("n_vecs"), col("m.vec_id").as("medoid"),
+        detRound4(col("m.csim")).as("sim"))
+      .orderBy("cell")
+  }
+
   /** τ stays at 0.3 deliberately: round 7's ~8-minute oracle wall for
     * x_semdedup was NOT the percolated closure itself (500 vectors cap
     * the all-pairs reach at 250k rows — trivial) but DuckDB re-inlining
@@ -2359,6 +2389,7 @@ object PipelineQueries {
     "x_ivfknn"      -> xIvfknn _,
     "x_ivf_train"   -> xIvfTrain _,
     "x_ivf_train2"  -> xIvfTrain2 _,
+    "x_coreset"     -> xCoreset _,
     "x_ivfknn_trained" -> xIvfknnTrained _,
     "x_semdedup"    -> xSemdedup _,
     "x_ivfknn2"     -> xIvfknn2 _,
@@ -3065,6 +3096,26 @@ object PipelineQueries {
         |            THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM embeddings e LEFT JOIN minr m USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
+    "x_coreset" ->
+      s"""WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < $KMEANS_K),
+        |${refineSql("cent0", "k1", 1)},
+        |${refineSql("k1", "k2", 2)},
+        |${refineSql("k2", "k3", 3)},
+        |${asgnSql("k3", "af")},
+        |sc AS (SELECT af.vec_id, af.cell,
+        |         list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |           i -> CAST(af.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')
+        |           / (${normSql("af.embedding")} * ${normSql("c.cvec")}) AS csim
+        |       FROM af JOIN k3 c ON af.cell = c.cent_id),
+        |m AS (SELECT cell, vec_id, csim,
+        |        row_number() OVER (PARTITION BY cell ORDER BY csim DESC, vec_id) AS rk
+        |      FROM sc),
+        |n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM sc GROUP BY cell)
+        |SELECT n.cell, n.n_vecs, m.vec_id AS medoid,
+        |       ${detRound4Sql("m.csim")} AS sim
+        |FROM n JOIN m ON n.cell = m.cell AND m.rk = 1
+        |ORDER BY n.cell""".stripMargin,
     "x_ivf_train2" ->
       s"""WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
         |              FROM embeddings WHERE vec_id < $KMEANS_K),
