@@ -255,6 +255,54 @@ object LogAnalytics {
       .where(col("rn") === 1).drop("rn")
   }
 
+  /** Ordered-funnel analysis with a per-step conversion window: per
+    * key, stage i counts only when it happens strictly AFTER the key's
+    * stage-(i−1) completion AND within `stepWindowMs` of it (the
+    * product-analytics "view → click within a day → purchase within a
+    * day" question — without the bound the funnel saturates on any
+    * long-lived log). One shuffle: every stage timestamp is a
+    * conditional-min window over the same key partitioning, each
+    * depending on the previous stage's column, so Catalyst stacks the
+    * Window nodes on ONE exchange (no per-stage self-joins). Millisecond
+    * integer arithmetic on both engines (unix_millis / epoch_ms both
+    * truncate), so the window comparison is exact. Output is a per-key
+    * stage vector; callers aggregate to the funnel table.
+    */
+  def funnelStages(events: DataFrame, key: Column, ts: Column,
+                   stageOf: Column, stages: Seq[String],
+                   stepWindowMs: Long): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+    val base = events.select(key.as("k"),
+      unix_millis(ts).as("t"), stageOf.as("st"))
+    stages.zipWithIndex.foldLeft(base) { case (df, (stage, i)) =>
+      val cond =
+        if (i == 0) col("st") === stage
+        else col("st") === stage && col(s"t${i - 1}").isNotNull &&
+          col("t") > col(s"t${i - 1}") &&
+          col("t") - col(s"t${i - 1}") <= stepWindowMs
+      df.withColumn(s"t$i", min(when(cond, col("t"))).over(w))
+    }
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        stages.indices.map(i => max(col(s"t$i")).as(s"s$i")): _*)
+  }
+
+  /** Event-transition matrix (the first-order Markov view of a log):
+    * per key, consecutive event pairs in (ts, tiebreak) order →
+    * (from, to) counts. One shuffle for the lead window; the count
+    * aggregate reuses nothing corpus-sized.
+    */
+  def transitions(events: DataFrame, key: Column, ts: Column,
+                  tieBreak: Column, typeCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tb"))
+    events.select(key.as("k"), ts.as("t"), tieBreak.as("tb"),
+        typeCol.as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Late-data policy replay (batch twin of `withWatermark`): drop events
     * more than `latenessMs` behind the running max event-time of their
     * partition, in arrival (offset) order.

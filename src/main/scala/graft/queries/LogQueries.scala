@@ -211,7 +211,37 @@ object LogQueries {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Step window of the funnel: 1 day — discriminating on the fixture
+    * (sf0.1: 1500 → 536 → 217 users), where an unbounded funnel
+    * saturates.
+    */
+  val FUNNEL_STEP_MS = 86400000L
+
+  /** Ordered funnel view → click → purchase with a 1-day per-step
+    * conversion window ([[LogAnalytics.funnelStages]] — stacked
+    * conditional-min windows on ONE user exchange, no per-stage
+    * self-joins).
+    */
+  def lFunnel(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.funnelStages(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+        FUNNEL_STEP_MS)
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("s0").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("s1").isNotNull, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("s2").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+
+  /** First-order event-transition matrix ([[LogAnalytics.transitions]]):
+    * consecutive per-user event pairs in (ts, event_id) order.
+    */
+  def lTransitions(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.transitions(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))
+      .orderBy("from_type", "to_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l_funnel"     -> lFunnel _,
+    "l_transitions" -> lTransitions _,
     "l_retention"  -> lRetention _,
     "l_histogram"  -> lHistogram _,
     "l_anomaly"    -> lAnomaly _,
@@ -230,6 +260,34 @@ object LogQueries {
     "l_late"       -> lLate _)
 
   private val oracleBase: Map[String, String] = Map(
+    "l_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+        |u1 AS (SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN tms END) AS t0
+        |       FROM ev GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, min(e.tms) AS t1
+        |       FROM ev e JOIN u1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND u1.t0 IS NOT NULL
+        |         AND e.tms > u1.t0 AND e.tms - u1.t0 <= $FUNNEL_STEP_MS
+        |       GROUP BY e.user_id),
+        |u3 AS (SELECT e.user_id, min(e.tms) AS t2
+        |       FROM ev e JOIN u2 USING (user_id)
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.tms > u2.t1 AND e.tms - u2.t1 <= $FUNNEL_STEP_MS
+        |       GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(u1.t0) AS BIGINT) AS n_view,
+        |       CAST(count(u2.t1) AS BIGINT) AS n_click,
+        |       CAST(count(u3.t2) AS BIGINT) AS n_purchase
+        |FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)""".stripMargin,
+    "l_transitions" ->
+      """WITH p AS (SELECT user_id, event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS to_type
+        |           FROM events)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     "l_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY user_id)

@@ -110,16 +110,17 @@ class HumioQuerySpec extends SparkSpec {
     val out = HumioQuery.run(stream,
       """in(event_type, values=[click, vi*]) | replace(/^v/, with=V, field=event_type)
         || rename(field=event_type, as=et) | format("%s#%d", field=[et, event_id], as=tag)
-        || default(field=extra, value=none) | select(event_id, tag, extra)"""
+        || default(field=extra, value=none) | kind := if(startsWith(tag, "c"), then="C", else="O")
+        || select(event_id, tag, extra, kind)"""
         .stripMargin.replace("\n", " "))
     val q = out.writeStream.format("memory").queryName("dslnarrow")
       .outputMode("append").trigger(Trigger.ProcessingTime(50L)).start()
     mem.addData((1L, "click"), (2L, "view"), (3L, "error"))
     q.processAllAvailable()
-    val rows = spark.sql("select event_id, tag, extra from dslnarrow")
-      .as[(Long, String, String)].collect().toSet
+    val rows = spark.sql("select event_id, tag, extra, kind from dslnarrow")
+      .as[(Long, String, String, String)].collect().toSet
     q.stop()
-    assert(rows == Set((1L, "click#1", "none"), (2L, "View#2", "none")),
+    assert(rows == Set((1L, "click#1", "none", "C"), (2L, "View#2", "none", "O")),
       s"got $rows")
   }
 

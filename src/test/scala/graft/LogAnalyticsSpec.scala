@@ -22,6 +22,29 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L), (2L, 4L, 0L)))
   }
 
+  test("funnelStages: order and step-window gate each stage on the previous one") {
+    val H = 60L // minutes per hour
+    val df = Seq(
+      // u1: view → click(+1h) → purchase(+1h more): full funnel
+      (1L, ts(0), "view"), (1L, ts(H), "click"), (1L, ts(2 * H), "purchase"),
+      // u2: click BEFORE its first view → click never counts
+      (2L, ts(H), "view"), (2L, ts(0), "click"),
+      // u3: click 25h after view — outside the 24h step window
+      (3L, ts(0), "view"), (3L, ts(25 * H), "click"),
+      // u4: purchase before click → stages 1-2 only
+      (4L, ts(0), "view"), (4L, ts(H), "purchase"), (4L, ts(2 * H), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = LogAnalytics.funnelStages(df, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"), 24 * 3600000L)
+      .select(col("k"), col("s0").isNotNull, col("s1").isNotNull, col("s2").isNotNull)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(out(1L) == ((true, true, true)))
+    assert(out(2L) == ((true, false, false)), "pre-view click must not convert")
+    assert(out(3L) == ((true, false, false)), "out-of-window click must not convert")
+    assert(out(4L) == ((true, true, false)), "pre-click purchase must not convert")
+  }
+
   test("dedupKeepFirst keeps the earliest by (ts, tiebreak)") {
     val df = Seq(
       (1L, "a", ts(5), 10L), (1L, "a", ts(1), 11L),  // keep 11 (earlier ts)
