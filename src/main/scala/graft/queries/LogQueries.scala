@@ -231,6 +231,34 @@ object LogQueries {
         sum(when(col("s1").isNotNull, 1L).otherwise(0L)).as("n_click"),
         sum(when(col("s2").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
 
+  /** Time-to-convert distribution per funnel step — the latency view of
+    * [[lFunnel]]: for users who converted a step within the window, the
+    * p50/p90 of the step lag in integer milliseconds. Both steps emit
+    * from ONE pass over the funnelStages relation (a per-row struct
+    * array filtered non-null then exploded — a union of two filters
+    * would recompute the window lineage twice, since column pruning
+    * differentiates the subtrees and ReuseExchange never fires).
+    */
+  def lConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val st = LogAnalytics.funnelStages(Tables.events(s, dir), col("user_id"),
+      col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+      FUNNEL_STEP_MS)
+    st.select(explode(filter(array(
+        when(col("s1").isNotNull,
+          struct(lit("1_view_to_click").as("step"),
+            (col("s1") - col("s0")).as("lag_ms"))),
+        when(col("s2").isNotNull,
+          struct(lit("2_click_to_purchase").as("step"),
+            (col("s2") - col("s1")).as("lag_ms")))),
+        x => x.isNotNull)).as("e"))
+      .select(col("e.step").as("step"), col("e.lag_ms").as("lag_ms"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_converted"),
+        ConnectorQueries.detRound4(percentile(col("lag_ms"), lit(0.5))).as("p50_ms"),
+        ConnectorQueries.detRound4(percentile(col("lag_ms"), lit(0.9))).as("p90_ms"))
+      .orderBy("step")
+  }
+
   /** First-order event-transition matrix ([[LogAnalytics.transitions]]):
     * consecutive per-user event pairs in (ts, event_id) order.
     */
@@ -241,6 +269,7 @@ object LogQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l_funnel"     -> lFunnel _,
+    "l_conversion_lag" -> lConversionLag _,
     "l_transitions" -> lTransitions _,
     "l_retention"  -> lRetention _,
     "l_histogram"  -> lHistogram _,
@@ -280,6 +309,30 @@ object LogQueries {
         |       CAST(count(u2.t1) AS BIGINT) AS n_click,
         |       CAST(count(u3.t2) AS BIGINT) AS n_purchase
         |FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)""".stripMargin,
+    "l_conversion_lag" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+        |u1 AS (SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN tms END) AS t0
+        |       FROM ev GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, min(e.tms) AS t1
+        |       FROM ev e JOIN u1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND u1.t0 IS NOT NULL
+        |         AND e.tms > u1.t0 AND e.tms - u1.t0 <= $FUNNEL_STEP_MS
+        |       GROUP BY e.user_id),
+        |u3 AS (SELECT e.user_id, min(e.tms) AS t2
+        |       FROM ev e JOIN u2 USING (user_id)
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.tms > u2.t1 AND e.tms - u2.t1 <= $FUNNEL_STEP_MS
+        |       GROUP BY e.user_id),
+        |lags AS (SELECT '1_view_to_click' AS step, u2.t1 - u1.t0 AS lag_ms
+        |         FROM u2 JOIN u1 USING (user_id)
+        |         UNION ALL
+        |         SELECT '2_click_to_purchase' AS step, u3.t2 - u2.t1 AS lag_ms
+        |         FROM u3 JOIN u2 USING (user_id))
+        |SELECT step, CAST(count(*) AS BIGINT) AS n_converted,
+        |       floor((quantile_cont(lag_ms, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50_ms,
+        |       floor((quantile_cont(lag_ms, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90_ms
+        |FROM lags GROUP BY step ORDER BY step""".stripMargin,
     "l_transitions" ->
       """WITH p AS (SELECT user_id, event_type AS from_type,
         |             lead(event_type) OVER (PARTITION BY user_id

@@ -454,6 +454,56 @@ class HumioStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel emits stage completions matching the batch twin") {
+    import graft.operators.{LogAnalytics, StatefulFunnel}
+    implicit val sq = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val win = 3600000L // 1 h step window
+    // u1 completes all three (click exactly at the window edge — <= admits);
+    // u2's click arrives BEFORE its view (never converts); u3's click is
+    // 2.5 h after view — outside the window
+    val b1 = Seq((1L, 1L, "view", "2024-03-01 00:00:00"),
+      (2L, 2L, "click", "2024-03-01 00:00:00"),
+      (3L, 3L, "view", "2024-03-01 00:00:00"))
+    val b2 = Seq((4L, 1L, "click", "2024-03-01 01:00:00"),
+      (5L, 2L, "view", "2024-03-01 01:00:00"))
+    val b3 = Seq((6L, 1L, "purchase", "2024-03-01 01:30:00"),
+      (7L, 3L, "click", "2024-03-01 02:30:00"),
+      (4L, 1L, "click", "2024-03-01 01:00:00")) // redelivery: no re-emit
+    def shape(df: DataFrame): DataFrame =
+      df.select(col("_1").as("event_id"), col("_2").as("user_id"),
+        col("_3").as("event_type"), to_timestamp(col("_4")).as("ts"))
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val out = StatefulFunnel.progress(
+      shape(mem.toDF()).withWatermark("ts", "10 minutes"),
+      "user_id", stages, win)
+    val query = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); query.processAllAvailable()
+      mem.addData(b2: _*); query.processAllAvailable()
+      mem.addData(b3: _*); query.processAllAvailable()
+      val streamed = spark.table("funnel_stream")
+        .select("k", "stage_idx", "t_ms").as[(Long, Int, Long)].collect().toSet
+      // batch twin: the same events through funnelStages; expand the
+      // per-key stage vector to (k, stage_idx, ms) completion rows
+      val st = LogAnalytics.funnelStages(shape((b1 ++ b2 ++ b3).toDF()),
+        col("user_id"), col("ts"), col("event_type"), stages, win)
+        .select(col("k"), col("s0"), col("s1"), col("s2")).collect()
+      val batch = st.flatMap { r =>
+        (0 to 2).flatMap(i => if (r.isNullAt(i + 1)) None
+          else Some((r.getLong(0), i, r.getLong(i + 1))))
+      }.toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed == Set(
+        (1L, 0, epochMs("2024-03-01 00:00:00")),
+        (1L, 1, epochMs("2024-03-01 01:00:00")),
+        (1L, 2, epochMs("2024-03-01 01:30:00")),
+        (2L, 0, epochMs("2024-03-01 01:00:00")),
+        (3L, 0, epochMs("2024-03-01 00:00:00"))), s"got $streamed")
+    } finally query.stop()
+  }
+
   private def epochMs(s: String): Long =
     java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
