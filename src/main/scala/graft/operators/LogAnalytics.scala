@@ -271,6 +271,7 @@ object LogAnalytics {
   def funnelStages(events: DataFrame, key: Column, ts: Column,
                    stageOf: Column, stages: Seq[String],
                    stepWindowMs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
     val w = Window.partitionBy(col("k"))
     val base = events.select(key.as("k"),
       unix_millis(ts).as("t"), stageOf.as("st"))

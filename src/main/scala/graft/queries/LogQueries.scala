@@ -288,42 +288,37 @@ object LogQueries {
     "l_dedup"      -> lDedup _,
     "l_late"       -> lLate _)
 
+  /** Shared funnel-stage CTEs (u1/u2/u3 = per-user stage-completion
+    * times under the [[FUNNEL_STEP_MS]] window) — ONE copy spliced into
+    * both l_funnel and l_conversion_lag, the segCtes discipline: a
+    * window-semantics edit cannot diverge the two oracles.
+    */
+  private def funnelCtes: String =
+    s"""ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+      |u1 AS (SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN tms END) AS t0
+      |       FROM ev GROUP BY user_id),
+      |u2 AS (SELECT e.user_id, min(e.tms) AS t1
+      |       FROM ev e JOIN u1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND u1.t0 IS NOT NULL
+      |         AND e.tms > u1.t0 AND e.tms - u1.t0 <= $FUNNEL_STEP_MS
+      |       GROUP BY e.user_id),
+      |u3 AS (SELECT e.user_id, min(e.tms) AS t2
+      |       FROM ev e JOIN u2 USING (user_id)
+      |       WHERE e.event_type = 'purchase'
+      |         AND e.tms > u2.t1 AND e.tms - u2.t1 <= $FUNNEL_STEP_MS
+      |       GROUP BY e.user_id)""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
     "l_funnel" ->
-      s"""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
-        |u1 AS (SELECT user_id,
-        |         min(CASE WHEN event_type = 'view' THEN tms END) AS t0
-        |       FROM ev GROUP BY user_id),
-        |u2 AS (SELECT e.user_id, min(e.tms) AS t1
-        |       FROM ev e JOIN u1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND u1.t0 IS NOT NULL
-        |         AND e.tms > u1.t0 AND e.tms - u1.t0 <= $FUNNEL_STEP_MS
-        |       GROUP BY e.user_id),
-        |u3 AS (SELECT e.user_id, min(e.tms) AS t2
-        |       FROM ev e JOIN u2 USING (user_id)
-        |       WHERE e.event_type = 'purchase'
-        |         AND e.tms > u2.t1 AND e.tms - u2.t1 <= $FUNNEL_STEP_MS
-        |       GROUP BY e.user_id)
+      s"""WITH $funnelCtes
         |SELECT CAST(count(*) AS BIGINT) AS n_users,
         |       CAST(count(u1.t0) AS BIGINT) AS n_view,
         |       CAST(count(u2.t1) AS BIGINT) AS n_click,
         |       CAST(count(u3.t2) AS BIGINT) AS n_purchase
         |FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)""".stripMargin,
     "l_conversion_lag" ->
-      s"""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
-        |u1 AS (SELECT user_id,
-        |         min(CASE WHEN event_type = 'view' THEN tms END) AS t0
-        |       FROM ev GROUP BY user_id),
-        |u2 AS (SELECT e.user_id, min(e.tms) AS t1
-        |       FROM ev e JOIN u1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND u1.t0 IS NOT NULL
-        |         AND e.tms > u1.t0 AND e.tms - u1.t0 <= $FUNNEL_STEP_MS
-        |       GROUP BY e.user_id),
-        |u3 AS (SELECT e.user_id, min(e.tms) AS t2
-        |       FROM ev e JOIN u2 USING (user_id)
-        |       WHERE e.event_type = 'purchase'
-        |         AND e.tms > u2.t1 AND e.tms - u2.t1 <= $FUNNEL_STEP_MS
-        |       GROUP BY e.user_id),
+      s"""WITH $funnelCtes,
         |lags AS (SELECT '1_view_to_click' AS step, u2.t1 - u1.t0 AS lag_ms
         |         FROM u2 JOIN u1 USING (user_id)
         |         UNION ALL

@@ -355,7 +355,11 @@ object HumioQuery {
         // convention; the guard also keeps ANSI division happy).
         val fc = col(f.trim)
         val q = round(fc * (1L << 20)).cast("decimal(38,0)")
-        val n = count(fc)
+        // n counts the SAME rows the sums accumulate (count(q), not
+        // count(fc)): a NaN/Infinity value quantizes to NULL and must
+        // leave n too, or it would silently deflate the variance while
+        // the sums exclude it
+        val n = count(q)
         val s1 = sum(q)
         val s2 = sum(q * q)
         val varQ = (n.cast("decimal(38,0)") * s2 - s1 * s1).cast("double")

@@ -135,6 +135,19 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("math:log10 / math:log2 evaluate the right base") {
+    val out = HumioQuery.run(df,
+      "a := math:log10(value * 10) | b := math:log2(value * value / 25) " +
+        "| select(event_id, a, b) | sort(event_id)")
+      .as[(Long, Double, Double)].collect().toSeq
+    // row 1: value 10 → log10(100) = 2, log2(100/25 = 4) = 2
+    assert(out.head == ((1L, 2.0, 2.0)), s"got ${out.head}")
+    // row 3: value 30 → log10(300) ≈ 2.477, log2(36) ≈ 5.1699 — distinct
+    // from each other, so a base swap cannot pass
+    assert(math.abs(out(2)._2 - math.log10(300.0)) < 1e-12)
+    assert(math.abs(out(2)._3 - math.log(36.0) / math.log(2.0)) < 1e-12)
+  }
+
   test("stdDev(): exact sample stddev, NULL for singleton groups") {
     val out = HumioQuery.run(df,
       "groupBy(event_type, function=[count(), stdDev(value)]) | sort(event_type)")
