@@ -55,6 +55,19 @@ object HumioQueries {
         |       event_type = view | kind := "passive" }
         || groupBy(kind) | sort(kind)""".stripMargin.replace("\n", " "))
 
+  /** multi-assignment case arms: first match wins, assignments run
+    * sequentially within the arm, exact integer cents keep the summed
+    * measure order-independent.
+    */
+  def hqCaseMulti(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      """case { event_type = click | kind := "i" | cents := round(value * 100) * 2 ;
+        |       event_type = purchase | kind := "i" | cents := round(value * 100) * 10 ;
+        |       event_type = view | kind := "p" | cents := round(value * 100) ;
+        |       * | kind := "other" | cents := 0 }
+        || groupBy(kind, function=[count(), sum(cents)]) | sort(kind)"""
+        .stripMargin.replace("\n", " "))
+
   /** parseJson promotes several keys; absent keys become NULL columns. */
   def hqParsejson(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -475,6 +488,7 @@ object HumioQueries {
     "hq_timechart" -> hqTimechart _,
     "hq_eval"      -> hqEval _,
     "hq_case"      -> hqCase _,
+    "hq_case_multi" -> hqCaseMulti _,
     "hq_parsejson" -> hqParsejson _,
     "hq_regex_extract" -> hqRegexExtract _,
     "hq_top"       -> hqTop _,
@@ -498,6 +512,16 @@ object HumioQueries {
         |       CASE WHEN event_type LIKE '%up' THEN 'true' ELSE 'false' END AS hit,
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events GROUP BY 1, 2 ORDER BY cls, hit""".stripMargin,
+    "hq_case_multi" ->
+      """SELECT CASE WHEN event_type = 'click' THEN 'i'
+        |            WHEN event_type = 'purchase' THEN 'i'
+        |            WHEN event_type = 'view' THEN 'p' ELSE 'other' END AS kind,
+        |       CAST(count(*) AS BIGINT) AS _count,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN round(value * 100) * 2
+        |                     WHEN event_type = 'purchase' THEN round(value * 100) * 10
+        |                     WHEN event_type = 'view' THEN round(value * 100)
+        |                     ELSE 0 END) AS BIGINT) AS _sum_cents
+        |FROM events GROUP BY 1 ORDER BY kind""".stripMargin,
     "hq_stddev" ->
       """WITH q AS (SELECT event_type, value,
         |             CAST(round(value * 1048576) AS HUGEINT) AS q

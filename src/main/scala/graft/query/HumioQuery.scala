@@ -32,11 +32,14 @@ import graft.functions.Det.detRound4
   *                if(cond, then=a, else=b) — cond supports == != < <= >
   *                >= comparisons, and/or, parenthesized groups, and bare
   *                truthiness (value = "true"); string predicates
-  *                startsWith/endsWith/contains return "true"/"false"
+  *                startsWith/endsWith/contains/wildcard return
+  *                "true"/"false"
   *   eval      := eval(field = expr)         — function form of assign
-  *   caseBlk   := case { cond | f := v ; … [; * | f := v] }
-  *                — first matching arm assigns; events matching NO arm are
-  *                DROPPED unless a `*` catch-all arm exists (LogScale case)
+  *   caseBlk   := case { cond | f := v [| g := w …] ; … [; * | …] }
+  *                — first matching arm runs its assignments (sequential
+  *                within the arm); events matching NO arm are DROPPED
+  *                unless a `*` catch-all arm exists (LogScale case).
+  *                Fields an arm doesn't assign surface NULL
   *   groupBy   := groupBy(field[, function=agg | function=[agg, agg, …]])
   *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f)|stdDev(f)|
   *                percentile(f, p); list form names results _count /
@@ -377,31 +380,59 @@ object HumioQuery {
         .map(aggregate(_, qualified = true))
     else Seq(aggregate(spec))
 
-  /** `case { cond | field := value ; … }` — first matching arm assigns;
-    * events matching no arm are dropped unless a `*` arm exists
-    * (LogScale case semantics). All arms must assign the same field.
+  /** `case { cond | f := v [| g := w …] ; … }` — first matching arm
+    * runs its assignments; events matching no arm are dropped unless a
+    * `*` arm exists (LogScale case semantics). Assignments within an
+    * arm are SEQUENTIAL (a later one sees an earlier one's value, like
+    * any pipeline).
+    *
+    * Two plan shapes: when every arm is a single assignment to one
+    * shared field (the common severity-classification form), the whole
+    * block compiles to ONE when-chain over one scan. The general
+    * multi-assignment form compiles to first-match branch selection —
+    * arm i filters on `condᵢ ∧ ¬cond₍<ᵢ₎` — with each branch its own
+    * assignment pipeline, unioned by name (fields an arm doesn't
+    * assign surface NULL, LogScale's absent-field behavior).
     */
   private def applyCase(df: DataFrame, body: String): DataFrame = {
     val arms = splitTop(body, ';').map { arm =>
-      val sides = splitTop(arm, '|')
-      (sides, arm) match {
-        case (Seq(condS, Assign(f, v)), _) =>
-          val cond = if (condS.trim == "*") lit(true) else condS.trim match {
-            case Compare(field, op, raw) => predicate(field, op, raw.trim)
-            case other => throw new IllegalArgumentException(s"bad case condition: '$other'")
-          }
-          (cond, f, parseExpr(v))
-        case _ => throw new IllegalArgumentException(s"bad case arm: '$arm'")
+      val sides = splitTop(arm, '|').map(_.trim)
+      require(sides.length >= 2, s"bad case arm: '$arm'")
+      val cond = if (sides.head == "*") lit(true) else sides.head match {
+        case Compare(field, op, raw) => predicate(field, op, raw.trim)
+        case other => throw new IllegalArgumentException(s"bad case condition: '$other'")
       }
+      val assigns = sides.tail.map {
+        case Assign(f, v) => (f, v)
+        case other => throw new IllegalArgumentException(
+          s"bad case arm statement (only `field := expr` allowed): '$other'")
+      }
+      (cond, assigns)
     }
     require(arms.nonEmpty, "empty case block")
-    val targets = arms.map(_._2).distinct
-    require(targets.size == 1,
-      s"case arms must assign one field, got ${targets.mkString(", ")}")
-    val assigned = arms.tail.foldLeft(when(arms.head._1, arms.head._3)) {
-      case (w, (c, _, v)) => w.when(c, v)
+    val singleShared = arms.forall(_._2.size == 1) &&
+      arms.map(_._2.head._1).distinct.size == 1
+    if (singleShared) {
+      val target = arms.head._2.head._1
+      val assigned = arms.tail.foldLeft(
+        when(arms.head._1, parseExpr(arms.head._2.head._2))) {
+        case (w, (c, as)) => w.when(c, parseExpr(as.head._2))
+      }
+      df.where(arms.map(_._1).reduce(_ || _)).withColumn(target, assigned)
+    } else {
+      val branches = arms.zipWithIndex.map { case ((cond, assigns), i) =>
+        // first-match: this arm minus every earlier arm's match set
+        // (NULL conditions coalesce to false on both sides, so a row
+        // with a null comparison neither matches nor blocks)
+        val firstMatch = arms.take(i).map(_._1)
+          .foldLeft(coalesce(cond, lit(false)))(
+            (c, p) => c && !coalesce(p, lit(false)))
+        assigns.foldLeft(df.where(firstMatch)) {
+          case (d, (f, v)) => d.withColumn(f, parseExpr(v))
+        }
+      }
+      branches.reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    df.where(arms.map(_._1).reduce(_ || _)).withColumn(targets.head, assigned)
   }
 
   /** `replace(/regex/, with=repl, field=f[, as=g])` — $1-style group
@@ -761,6 +792,18 @@ object HumioQuery {
             .otherwise(lit("false"))
         case "math:log10" => log10(one)
         case "math:log2"  => log2(one)
+        case "wildcard" =>
+          // wildcard(field, pattern) — glob match ('*' multi, '?' single),
+          // the filter grammar's wildcard semantics as a function;
+          // truthiness-string result like the other predicates. The
+          // pattern must be a literal (it compiles to a LIKE pattern at
+          // plan time; LIKE metachars in it are escaped first).
+          require(a.size == 2, "wildcard(field, pattern) takes 2 arguments")
+          val pat = raw(1).stripPrefix("\"").stripSuffix("\"")
+          val likePat = pat.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace('*', '%').replace('?', '_')
+          when(a.head.cast("string").like(likePat), lit("true"))
+            .otherwise(lit("false"))
         case "shannonEntropy" =>
           // per-value character entropy in bits (-Σ p·log2 p), the DGA/
           // randomness signal — [[graft.expressions.CharEntropy]]: one

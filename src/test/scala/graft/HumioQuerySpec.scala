@@ -135,6 +135,39 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("case: multi-assignment arms run sequentially, first match wins, unassigned fields NULL") {
+    val out = HumioQuery.run(df,
+      """case { value >= 30 | kind := "big" | dbl := value * 2 | quad := dbl * 2 ;
+        |       event_type = click | kind := "click" ;
+        |       * | kind := "rest" }
+        || select(event_id, kind, dbl, quad) | sort(event_id)"""
+        .stripMargin.replace("\n", " "))
+      .collect()
+    // row 3 (click, 30): value>=30 matches FIRST — not the click arm
+    val r3 = out.find(_.getLong(0) == 3L).get
+    assert(r3.getString(1) == "big" && r3.getDouble(2) == 60.0 &&
+      r3.getDouble(3) == 120.0, "sequential: quad sees dbl's new value")
+    // row 1 (click, 10): second arm; dbl/quad unassigned → NULL
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getString(1) == "click" && r1.isNullAt(2) && r1.isNullAt(3))
+    // row 2 (view, 20): catch-all
+    assert(out.find(_.getLong(0) == 2L).get.getString(1) == "rest")
+    assert(out.length == 4)
+  }
+
+  test("wildcard(): glob match as a truthiness function") {
+    val out = HumioQuery.run(df,
+      "w := wildcard(event_type, \"c*ck\") | q := wildcard(event_type, \"v?ew\") " +
+        "| select(event_id, w, q) | sort(event_id)")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out(0) == ((1L, "true", "false")))
+    assert(out(1) == ((2L, "false", "true")))
+    assert(out(3) == ((4L, "false", "false")))
+    // usable as an if() condition
+    assert(HumioQuery.run(df,
+      "k := if(wildcard(event_type, \"*r*\"), then=1, else=0) | k = 1").count() == 1)
+  }
+
   test("math:log10 / math:log2 evaluate the right base") {
     val out = HumioQuery.run(df,
       "a := math:log10(value * 10) | b := math:log2(value * value / 25) " +
