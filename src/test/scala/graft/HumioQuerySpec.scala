@@ -168,6 +168,64 @@ class HumioQuerySpec extends SparkSpec {
       "k := if(wildcard(event_type, \"*r*\"), then=1, else=0) | k = 1").count() == 1)
   }
 
+  test("if() condition grammar: random boolean trees and flat chains match a Scala twin") {
+    import scala.util.Random
+    val rnd = new Random(11)
+    val ops = Seq(">", ">=", "<", "<=", "==", "!=")
+    def cmp(op: String, v: Double, x: Double): Boolean = op match {
+      case ">" => v > x;  case ">=" => v >= x; case "<" => v < x
+      case "<=" => v <= x; case "==" => v == x; case "!=" => v != x
+    }
+    val rows = Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0)
+    def check(cond: String, expect: Double => Boolean): Unit = {
+      val q = s"k := if($cond, then=1, else=0) | select(event_id, k) | sort(event_id)"
+      val got = HumioQuery.run(df, q).as[(Long, Long)].collect().toMap
+      rows.foreach { case (id, v) =>
+        assert(got(id) == (if (expect(v)) 1L else 0L), s"'$q' at value $v") }
+    }
+    // nested parenthesized trees
+    sealed trait C
+    case class Leaf(op: String, x: Double) extends C
+    case class Node(and: Boolean, l: C, r: C) extends C
+    def gen(d: Int): C =
+      if (d == 0 || rnd.nextInt(3) == 0)
+        Leaf(ops(rnd.nextInt(6)), rnd.nextInt(5) * 10.0)
+      else Node(rnd.nextBoolean(), gen(d - 1), gen(d - 1))
+    def render(c: C): String = c match {
+      case Leaf(op, x) => s"value $op $x"
+      case Node(a, l, r) =>
+        s"(${render(l)}) ${if (a) "and" else "or"} (${render(r)})"
+    }
+    def eval(c: C, v: Double): Boolean = c match {
+      case Leaf(op, x) => cmp(op, v, x)
+      case Node(a, l, r) =>
+        if (a) eval(l, v) && eval(r, v) else eval(l, v) || eval(r, v)
+    }
+    (1 to 8).foreach { _ =>
+      val c = gen(3); check(render(c), eval(c, _))
+    }
+    // flat unparenthesized chains — 'and' must bind tighter than 'or'
+    (1 to 8).foreach { _ =>
+      val leaves = List.fill(2 + rnd.nextInt(3))(
+        (ops(rnd.nextInt(6)), rnd.nextInt(5) * 10.0))
+      val joins = List.fill(leaves.size - 1)(rnd.nextBoolean()) // true = and
+      val cond = leaves.zipWithIndex.map { case ((op, x), i) =>
+        (if (i == 0) "" else if (joins(i - 1)) " and " else " or ") +
+          s"value $op $x"
+      }.mkString
+      def expect(v: Double): Boolean = {
+        // split into OR groups of AND runs
+        val terms = leaves.map { case (op, x) => cmp(op, v, x) }
+        var orAcc = false; var andAcc = terms.head
+        joins.zip(terms.tail).foreach { case (isAnd, t) =>
+          if (isAnd) andAcc &&= t else { orAcc ||= andAcc; andAcc = t }
+        }
+        orAcc || andAcc
+      }
+      check(cond, expect)
+    }
+  }
+
   test("math:log10 / math:log2 evaluate the right base") {
     val out = HumioQuery.run(df,
       "a := math:log10(value * 10) | b := math:log2(value * value / 25) " +
