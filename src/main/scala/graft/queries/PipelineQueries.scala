@@ -1685,7 +1685,7 @@ object PipelineQueries {
     * shuffles over the compact aggregate; the corpus explodes once.
     */
   def xBigramLp(s: SparkSession, dir: String): DataFrame = {
-    val bg = Tables.documents(s, dir)
+    val cdw = Tables.documents(s, dir)
       .withColumn("toks", Text.tokens(col("text")))
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1694,8 +1694,22 @@ object PipelineQueries {
           .stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
-      .withColumn("c_b", sum("c").over(Window.partitionBy("w1", "w2")))
-      .withColumn("c_ctx", sum("c").over(Window.partitionBy("w1")))
+      // staged: the aggregate feeds BOTH the pair-count branch and the
+      // score join, and pruning-differentiated subtrees never reuse an
+      // exchange — without staging the corpus would re-explode per
+      // branch (the unigramScores lesson)
+      .transform(graft.operators.Scale.stage(_))
+    // corpus counts as COMPACT side tables, not windows over the full
+    // (doc, w1, w2) relation: the pair table aggregates map-side and
+    // moves only distinct pairs; the context table derives from IT (one
+    // more hash aggregate over pairs) and is vocabulary-sized →
+    // broadcast here (shuffle-join it at a scale where the vocabulary
+    // itself is huge). The full relation crosses the wire ONCE, for the
+    // (w1, w2) join — at 100× data the previous second full-relation
+    // window exchange (partition by w1) was the dominant cost.
+    val pairs = cdw.groupBy("w1", "w2").agg(sum("c").as("c_b"))
+    val ctx = broadcast(pairs.groupBy("w1").agg(sum("c_b").as("c_ctx")))
+    val bg = cdw.join(pairs, Seq("w1", "w2")).join(ctx, Seq("w1"))
     val vocab = Tables.documents(s, dir)
       .select(explode(Text.tokens(col("text"))).as("w"))
       .agg(countDistinct("w").as("v"))
