@@ -504,6 +504,45 @@ class HumioStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming transitions chain across batches and match the batch lead() twin") {
+    import graft.operators.{LogAnalytics, StatefulTransitions}
+    implicit val sq = spark.sqlContext
+    val b1 = Seq((1L, 1L, "view", "2024-03-01 00:00:00"),
+      (2L, 1L, "click", "2024-03-01 00:05:00"),
+      (3L, 2L, "view", "2024-03-01 00:00:00"))
+    // cross-batch chaining: u1's purchase pairs with the STORED click
+    val b2 = Seq((4L, 1L, "purchase", "2024-03-01 00:20:00"),
+      (5L, 2L, "error", "2024-03-01 00:10:00"),
+      // same-ts pair for u2 ordered by event_id tiebreak
+      (6L, 2L, "click", "2024-03-01 00:10:00"))
+    def shape(df: DataFrame): DataFrame =
+      df.select(col("_1").as("event_id"), col("_2").as("user_id"),
+        col("_3").as("event_type"), to_timestamp(col("_4")).as("ts"))
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val out = StatefulTransitions.pairs(
+      shape(mem.toDF()).withWatermark("ts", "10 minutes"), "user_id")
+    val query = out.writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); query.processAllAvailable()
+      mem.addData(b2: _*); query.processAllAvailable()
+      val streamed = spark.table("trans_stream")
+        .select("k", "from_type", "to_type").as[(Long, String, String)]
+        .collect().sorted.toSeq
+      val batch = LogAnalytics.transitions(shape((b1 ++ b2).toDF()),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .collect().flatMap(r => Seq.fill(r.getLong(2).toInt)(
+          (0L, r.getString(0), r.getString(1))))
+      // compare as multisets of (from, to) — the batch twin aggregates,
+      // the stream emits pairs
+      val sPairs = streamed.map { case (_, f, t) => (f, t) }.sorted
+      val bPairs = batch.map { case (_, f, t) => (f, t) }.toSeq.sorted
+      assert(sPairs == bPairs, s"stream $sPairs vs batch $bPairs")
+      assert(sPairs == Seq(("click", "purchase"), ("error", "click"),
+        ("view", "click"), ("view", "error")), s"got $sPairs")
+    } finally query.stop()
+  }
+
   private def epochMs(s: String): Long =
     java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
