@@ -2590,7 +2590,7 @@ object PipelineQueries {
       }.mkString(" + ")
       s"SELECT vec_id, $t AS tbl, $bucketSql AS bucket FROM embeddings"
     }.mkString("\nUNION ALL\n")
-    s"""WITH keyed AS (
+    s"""WITH keyed AS MATERIALIZED (
       |$keyedSelects),
       |capped AS (SELECT tbl, bucket, vec_id FROM (
       |    SELECT tbl, bucket, vec_id,
