@@ -135,6 +135,27 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("multi-assignment case (branch-union plan) runs on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("event_id", "event_type")
+    val out = HumioQuery.run(stream,
+      """case { event_type = click | kind := "i" | w := event_id * 2 ;
+        |       event_type = view | kind := "p" ;
+        |       * | kind := "o" | w := 0 }
+        || select(event_id, kind, w)""".stripMargin.replace("\n", " "))
+    val q = out.writeStream.format("memory").queryName("case_multi_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "click"), (2L, "view"), (3L, "error"))
+    q.processAllAvailable()
+    val rows = spark.sql("select event_id, kind, w from case_multi_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set((1L, "i", 2L), (2L, "p", -1L), (3L, "o", 0L)), s"got $rows")
+  }
+
   test("case: multi-assignment arms run sequentially, first match wins, unassigned fields NULL") {
     val out = HumioQuery.run(df,
       """case { value >= 30 | kind := "big" | dbl := value * 2 | quad := dbl * 2 ;

@@ -225,6 +225,47 @@ class VectorSpec extends SparkSpec {
     assert(t1(0L).head > t1(0L)(1) && t1(1L)(1) > t1(1L).head)
   }
 
+  test("coreset medoid: per cell, the vector most cosine-aligned with its trained centroid wins") {
+    import org.apache.spark.sql.functions.{broadcast, expr, max_by, struct}
+    val data = (0 until 20).map { i =>
+      val t = 0.02f * (i / 2)
+      (i.toLong, if (i % 2 == 0) Array(1.0f, t) else Array(t, 1.0f))
+    }
+    val vecs = data.toDF("vec_id", "embedding")
+    val seed = vecs.where(col("vec_id") < 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, _) = Knn.kmeansTrain(vecs, seed, 2, 10)
+    val cents = trained.as[(Long, Seq[Double])].collect().toMap
+    // the x_coreset shape: assignment, broadcast centroid join, max_by
+    val cent = broadcast(trained.select(col("cent_id").as("cell"),
+      col("cvec"), graft.functions.Vectors.norm(col("cvec"), 2).as("cnrm")))
+    val got = Knn.ivfAssign(vecs, trained, 2)
+      .join(cent, "cell")
+      .withColumn("csim", expr("try_divide(graft_dot(embedding, cvec), nrm * cnrm)"))
+      .groupBy("cell")
+      .agg(max_by(struct(col("vec_id"), col("csim")),
+        struct(col("csim"), -col("vec_id"))).as("m"))
+      .select(col("cell"), col("m.vec_id"))
+      .as[(Long, Long)].collect().toMap
+    // Scala twin: nearest centroid per vector, then per-cell argmax
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val assigned = data.map { case (id, arr) =>
+      val v = arr.map(_.toDouble).toSeq
+      val cell = cents.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+      (id, cell, cos(v, cents(cell)))
+    }
+    val expected = assigned.groupBy(_._2).map { case (cell, vs) =>
+      cell -> vs.maxBy { case (id, _, s) => (s, -id) }._1
+    }
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.size == 2 && got.values.toSet.size == 2,
+      "two cells, two distinct medoids")
+  }
+
   test("kmeansTrain codebook memo: opt-in repeat calls share one artifact, different inputs do not") {
     val vecs = (0 until 20).map { i =>
       val t = 0.02f * (i / 2)
