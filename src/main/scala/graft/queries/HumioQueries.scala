@@ -55,6 +55,13 @@ object HumioQueries {
         |       event_type = view | kind := "passive" }
         || groupBy(kind) | sort(kind)""".stripMargin.replace("\n", " "))
 
+  /** collect(): distinct values gathered into one sorted space-joined
+    * field, limit-capped after the sort.
+    */
+  def hqCollect(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "value >= 300 | collect(event_type, limit=3, as=types)")
+
   /** multi-assignment case arms: first match wins, assignments run
     * sequentially within the arm, exact integer cents keep the summed
     * measure order-independent.
@@ -489,6 +496,7 @@ object HumioQueries {
     "hq_eval"      -> hqEval _,
     "hq_case"      -> hqCase _,
     "hq_case_multi" -> hqCaseMulti _,
+    "hq_collect"   -> hqCollect _,
     "hq_parsejson" -> hqParsejson _,
     "hq_regex_extract" -> hqRegexExtract _,
     "hq_top"       -> hqTop _,
@@ -512,6 +520,10 @@ object HumioQueries {
         |       CASE WHEN event_type LIKE '%up' THEN 'true' ELSE 'false' END AS hit,
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events GROUP BY 1, 2 ORDER BY cls, hit""".stripMargin,
+    "hq_collect" ->
+      """SELECT array_to_string(
+        |  list_slice(list_sort(list(DISTINCT event_type)), 1, 3), ' ') AS types
+        |FROM events WHERE value >= 300""".stripMargin,
     "hq_case_multi" ->
       """SELECT CASE WHEN event_type = 'click' THEN 'i'
         |            WHEN event_type = 'purchase' THEN 'i'

@@ -60,6 +60,9 @@ import graft.functions.Det.detRound4
   *   default   := default(field=f, value=v)  — fill NULL / create missing
   *   agg       := count([f][, distinct=true][, as=n]) | sum(f[, as=n]) |
   *                avg | min | max — standalone one-row aggregate
+  *   collect   := collect(field[, limit=n][, as=out]) — distinct values
+  *                gathered into one space-joined field (sorted for
+  *                determinism; limit caps after the sort)
   *   pctile    := percentile(field, percentiles=[50, 90, 99]) → _50 _90 _99
   *   join      := join({subquery}, field=f[, key=k][, include=[c1, …]])
   *                — inner join vs the subquery over the same input;
@@ -1221,6 +1224,20 @@ object HumioQuery {
           case "min" => min(f); case "max" => max(f)
         }
         df.agg(agg.as(named.getOrElse("as", s"_$name")))
+      case "collect" =>
+        // collect(field[, limit=n][, as=out]) — LogScale collect():
+        // gather the field's DISTINCT values into one field. Values
+        // sort before joining (collect_set order is partition-dependent;
+        // LogScale's own order is unspecified, so the engine picks the
+        // deterministic one) and a limit= caps the kept values AFTER
+        // the sort — bounded output, replayable, and the oracle's
+        // list_sort/list_slice replays it exactly.
+        val f = pos.headOption.getOrElse(
+          throw new IllegalArgumentException("collect() needs a field"))
+        val limit = named.get("limit").map(_.toInt)
+        val sorted = array_sort(collect_set(col(f).cast("string")))
+        val capped = limit.map(n => slice(sorted, 1, n)).getOrElse(sorted)
+        df.agg(concat_ws(" ", capped).as(named.getOrElse("as", f)))
       case "percentile" =>
         // percentile(field, percentiles=[50, 90, 99][, approx=true]) →
         // one row of _50 / _90 / _99 columns. Exact interpolated

@@ -135,6 +135,19 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("collect(): sorted distinct values, limit caps after the sort") {
+    val all = HumioQuery.run(df, "collect(event_type, as=types)")
+      .as[String].collect().head
+    assert(all == "click error view")
+    val capped = HumioQuery.run(df, "collect(event_type, limit=2, as=types)")
+      .as[String].collect().head
+    assert(capped == "click error", "limit keeps the first n AFTER sorting")
+    // numeric fields stringify; default output name is the field
+    val ids = HumioQuery.run(df, "value >= 30.0 | collect(event_id)")
+    assert(ids.columns.toSeq == Seq("event_id"))
+    assert(ids.as[String].collect().head == "3 4")
+  }
+
   test("multi-assignment case (branch-union plan) runs on a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
