@@ -19,6 +19,7 @@ import graft.functions.Det.detRound4
   *                select | timechart
   *   filter    := field op value (op ∈ =, !=, >, >=, <, <=; '*' wildcard in =/!= values)
   *   regex     := field = /pattern/          — RLIKE partial match
+  *                (field != /pattern/ negates; NULL passes neither)
   *   regexEx   := regex(/pat/, field=f)      — named-capture groups become
   *                columns; non-matching events are DROPPED (LogScale regex)
   *   search    := search(text)               — substring over every string column
@@ -306,8 +307,13 @@ object HumioQuery {
 
   private def predicate(field: String, op: String, raw: String): Column = {
     val c = col(field)
-    if (op == "=" && raw.length > 1 && raw.startsWith("/") && raw.endsWith("/"))
-      return c.rlike(raw.substring(1, raw.length - 1))
+    if ((op == "=" || op == "!=") && raw.length > 1 &&
+        raw.startsWith("/") && raw.endsWith("/")) {
+      val m = c.rlike(raw.substring(1, raw.length - 1))
+      // NULL never passes either polarity — the same convention as the
+      // literal ops below (c =!= lit is NULL on NULL too)
+      return if (op == "=") m else !m
+    }
     val wildcard = (op == "=" || op == "!=") && raw.contains("*") && !raw.startsWith("\"")
     (op, wildcard) match {
       case ("=", true)  => c.like(raw.replace("*", "%"))

@@ -135,6 +135,16 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("negated regex filter: field != /re/ keeps non-matching events") {
+    assert(HumioQuery.run(df, "event_type != /^(click|view)$/").count() == 1)
+    assert(HumioQuery.run(df, "event_type != /x/").count() == 4)
+    // NULL passes neither polarity (the literal-op convention)
+    val withNull = df.withColumn("maybe",
+      when(col("event_id") === 1L, col("event_type")))
+    assert(HumioQuery.run(withNull, "maybe = /cl/").count() == 1)
+    assert(HumioQuery.run(withNull, "maybe != /cl/").count() == 0)
+  }
+
   test("collect(): sorted distinct values, limit caps after the sort") {
     val all = HumioQuery.run(df, "collect(event_type, as=types)")
       .as[String].collect().head
