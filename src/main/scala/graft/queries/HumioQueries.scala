@@ -55,6 +55,11 @@ object HumioQueries {
         |       event_type = view | kind := "passive" }
         || groupBy(kind) | sort(kind)""".stripMargin.replace("\n", " "))
 
+  /** top(percent=true): count share of the PRE-limit total per value. */
+  def hqTopPct(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "value < 100 | top(event_type, limit=3, percent=true)")
+
   /** collect(): distinct values gathered into one sorted space-joined
     * field, limit-capped after the sort.
     */
@@ -497,6 +502,7 @@ object HumioQueries {
     "hq_case"      -> hqCase _,
     "hq_case_multi" -> hqCaseMulti _,
     "hq_collect"   -> hqCollect _,
+    "hq_top_pct"   -> hqTopPct _,
     "hq_parsejson" -> hqParsejson _,
     "hq_regex_extract" -> hqRegexExtract _,
     "hq_top"       -> hqTop _,
@@ -520,6 +526,15 @@ object HumioQueries {
         |       CASE WHEN event_type LIKE '%up' THEN 'true' ELSE 'false' END AS hit,
         |       CAST(count(*) AS BIGINT) AS _count
         |FROM events GROUP BY 1, 2 ORDER BY cls, hit""".stripMargin,
+    "hq_top_pct" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS _count
+        |           FROM events WHERE value < 100 GROUP BY event_type),
+        |t AS (SELECT sum(_count) AS total FROM g)
+        |SELECT event_type, _count,
+        |       floor((CAST(_count AS DOUBLE) * 100.0 / CAST(total AS DOUBLE))
+        |             * 10000.0 + 0.5) / 10000.0 AS _percent
+        |FROM g CROSS JOIN t
+        |ORDER BY _count DESC, event_type LIMIT 3""".stripMargin,
     "hq_collect" ->
       """SELECT array_to_string(
         |  list_slice(list_sort(list(DISTINCT event_type)), 1, 3), ' ') AS types

@@ -45,9 +45,10 @@ import graft.functions.Det.detRound4
   *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f)|stdDev(f)|
   *                percentile(f, p); list form names results _count /
   *                _sum_f / _avg_f / _min_f / _max_f / _stddev_f / _p<p>_f
-  *   top       := top(field[, limit=n][, sum=f]) — most frequent values
-  *                (or largest sum(f) with sum=), desc with value
-  *                tie-break (default limit 10)
+  *   top       := top(field[, limit=n][, sum=f][, percent=true]) — most
+  *                frequent values (or largest sum(f) with sum=), desc
+  *                with value tie-break (default limit 10); percent=true
+  *                adds the pre-limit count share as _percent
   *   sort      := sort(field[, order=asc|desc][, limit=n])
   *   head      := head(n)
   *   tail      := tail(n)                     — n most recent by ts
@@ -841,14 +842,32 @@ object HumioQuery {
           .agg(aggs.head._1.as(aggs.head._2),
             aggs.tail.map { case (c, n) => c.as(n) }: _*)
       case "top" =>
-        // top(field[, limit=n][, sum=f]) — most frequent values (or, with
-        // sum=f, the values with the largest total f — LogScale's
-        // weighted form); ties broken by the group values for
-        // determinism (LogScale defaults to 10)
+        // top(field[, limit=n][, sum=f][, percent=true]) — most frequent
+        // values (or, with sum=f, the values with the largest total f —
+        // LogScale's weighted form); ties broken by the group values for
+        // determinism (LogScale defaults to 10). percent=true adds each
+        // group's share of the PRE-limit total as _percent — count form
+        // only (integer counts divide exactly once; a float-weighted
+        // total would be accumulation-order-dependent), 4-decimal
+        // stabilized, denominator from a broadcast 1-row aggregate.
         val limit = named.get("limit").map(_.toInt).getOrElse(10)
         val (measure, mName) = named.get("sum")
           .map(f => (sum(col(f)), "_sum")).getOrElse((count(lit(1)), "_count"))
-        df.groupBy(pos.map(col): _*).agg(measure.as(mName))
+        val grouped = df.groupBy(pos.map(col): _*).agg(measure.as(mName))
+        val withPct =
+          if (!named.get("percent").contains("true")) grouped
+          else {
+            require(named.get("sum").isEmpty,
+              "top(percent=true) supports the count form only — a " +
+                "float-weighted share would be accumulation-order-dependent")
+            grouped
+              .crossJoin(broadcast(grouped.agg(sum(col(mName)).as("_total"))))
+              .withColumn("_percent",
+                detRound4(col(mName).cast("double") * 100.0 /
+                  col("_total").cast("double")))
+              .drop("_total")
+          }
+        withPct
           .orderBy(col(mName).desc +: pos.map(col(_).asc): _*)
           .limit(limit)
       case "eval" =>

@@ -135,6 +135,17 @@ class HumioQuerySpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 2L && m(3L) == 0L)
   }
 
+  test("top(percent=true): share of the pre-limit total; weighted form refused") {
+    val out = HumioQuery.run(df, "top(event_type, limit=2, percent=true)")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("click", 2L, 50.0), ("error", 1L, 25.0)),
+      s"got $out — percent must use the PRE-limit denominator")
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.run(df, "top(event_type, sum=value, percent=true)")
+    }
+    assert(e.getMessage.contains("count form only"))
+  }
+
   test("negated regex filter: field != /re/ keeps non-matching events") {
     assert(HumioQuery.run(df, "event_type != /^(click|view)$/").count() == 1)
     assert(HumioQuery.run(df, "event_type != /x/").count() == 4)
