@@ -21,10 +21,21 @@ import org.apache.spark.sql.types._
   * construct). State expires via EventTimeTimeout once no further
   * progress is possible: a completed funnel expires at the next
   * watermark tick, an in-flight one once the watermark passes
-  * `t_last + stepWindowMs` (the next stage's admission deadline). The
-  * documented trade, identical to the dedup twin's: an event arriving
-  * AFTER expiry re-enters an empty state and may re-emit — the
-  * watermark bounds both state and exactness.
+  * `t_last + stepWindowMs` (the next stage's admission deadline).
+  *
+  * Expiry makes the streaming semantics ATTEMPT-based where the batch
+  * twin is global-min-based: after a stalled funnel's deadline passes,
+  * a later stage-0 event starts a NEW attempt and emits again (dedup
+  * of attempts forever would need per-key state forever). On in-order
+  * arrival every batch emission still appears in the stream — an
+  * admissible stage-i event (ts ≤ t_{i-1} + window) arrives while the
+  * watermark, which lags max event time, is still short of the
+  * deadline — so the stream is a SUPERSET of the batch twin whose
+  * extra rows are exactly the restarted attempts, and its FIRST
+  * stage-0 emission per key is the batch t0. Both properties are
+  * spec-proven on randomized batch splits; exact set equality holds
+  * when each key's progress fits one state lifetime (the deterministic
+  * spec).
   *
   * Divergence from batch, also watermark-bounded: a late-but-admissible
   * event with an EARLIER event time than an already-completed stage

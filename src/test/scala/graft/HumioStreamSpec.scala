@@ -504,6 +504,57 @@ class HumioStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel: random in-order streams under random batch splits equal the batch twin") {
+    import graft.operators.{LogAnalytics, StatefulFunnel}
+    import scala.util.Random
+    implicit val sq = spark.sqlContext
+    val rnd = new Random(23)
+    val stages = Seq("view", "click", "purchase")
+    val types = stages ++ Seq("error", "signup")
+    val win = 3600000L
+    // random events over 6 users, event-time-sorted (the documented
+    // agreement contract), split at random batch boundaries — exercises
+    // state chaining across arbitrary micro-batch cuts
+    val events = (1 to 60).map { i =>
+      (i.toLong, (1 + rnd.nextInt(6)).toLong,
+        types(rnd.nextInt(types.size)),
+        s"2024-03-01 ${"%02d".format(rnd.nextInt(18))}:${"%02d".format(rnd.nextInt(60))}:00")
+    }.sortBy(e => (e._4, e._1))
+    val cut1 = 15 + rnd.nextInt(15); val cut2 = cut1 + 10 + rnd.nextInt(15)
+    def shape(df: DataFrame): DataFrame =
+      df.select(col("_1").as("event_id"), col("_2").as("user_id"),
+        col("_3").as("event_type"), to_timestamp(col("_4")).as("ts"))
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val out = StatefulFunnel.progress(
+      shape(mem.toDF()).withWatermark("ts", "10 minutes"), "user_id", stages, win)
+    val query = out.writeStream.format("memory").queryName("funnel_rand")
+      .outputMode("append").start()
+    try {
+      Seq(events.take(cut1), events.slice(cut1, cut2), events.drop(cut2))
+        .foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+      val streamed = spark.table("funnel_rand")
+        .select("k", "stage_idx", "t_ms").as[(Long, Int, Long)].collect().toSet
+      val st = LogAnalytics.funnelStages(shape(events.toDF()),
+        col("user_id"), col("ts"), col("event_type"), stages, win)
+        .select(col("k"), col("s0"), col("s1"), col("s2")).collect()
+      val batch = st.flatMap { r =>
+        (0 to 2).flatMap(i => if (r.isNullAt(i + 1)) None
+          else Some((r.getLong(0), i, r.getLong(i + 1))))
+      }.toSet
+      // attempt semantics: the stream is a SUPERSET of the batch twin
+      // (extra rows = attempts restarted after state expiry), and its
+      // FIRST stage-0 emission per key is the batch t0
+      assert((batch -- streamed).isEmpty,
+        s"cuts ($cut1,$cut2): batch rows missing from stream ${batch -- streamed}")
+      val firstS0 = streamed.filter(_._2 == 0).groupBy(_._1)
+        .map { case (k, rs) => (k, 0, rs.map(_._3).min) }.toSet
+      val batchS0 = batch.filter(_._2 == 0)
+      assert(firstS0 == batchS0,
+        s"first stage-0 per key must be the batch t0: $firstS0 vs $batchS0")
+      assert(batch.nonEmpty, "fixture must exercise at least one conversion")
+    } finally query.stop()
+  }
+
   test("streaming transitions chain across batches and match the batch lead() twin") {
     import graft.operators.{LogAnalytics, StatefulTransitions}
     implicit val sq = spark.sqlContext
