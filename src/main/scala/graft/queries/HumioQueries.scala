@@ -139,6 +139,43 @@ object HumioQueries {
       "event_type != error | groupBy(event_type, function=[count(), sum(user_id), max(value)]) " +
         "| sort(event_type)")
 
+  /** accumulate(): running per-user spend in (ts, event_id) sequence
+    * order — exact integer cents keep the running sum engine-invariant
+    * (a float running sum would drift with association order).
+    */
+  def hqAccumulate(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "user_id < 50 | cents := round(value * 100) " +
+        "| accumulate(field=cents, function=sum, by=user_id, as=run) " +
+        "| select(user_id, event_id, cents, run) | sort(user_id, event_id)")
+
+  /** neighbor(): previous event's value per user, one sequence lag; the
+    * first event of each user surfaces NULL (and a NULL delta).
+    */
+  def hqNeighbor(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "user_id < 30 | cents := round(value * 100) " +
+        "| neighbor(cents, distance=1, by=user_id, as=prev) " +
+        "| delta := cents - prev " +
+        "| select(user_id, event_id, cents, prev, delta) | sort(user_id, event_id)")
+
+  /** slidingWindow(): 3-event moving spend per user over the RAW event
+    * sequence (window() smooths aggregated buckets; this rides events).
+    */
+  def hqSlidingwin(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "user_id < 40 | cents := round(value * 100) " +
+        "| slidingWindow(field=cents, function=sum, events=3, by=user_id, as=w3) " +
+        "| select(user_id, event_id, cents, w3) | sort(user_id, event_id)")
+
+  /** bitfield(): low bits of user_id as named truthiness flags, grouped
+    * — the flag-decode + aggregate composition.
+    */
+  def hqBitfield(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "bitfield(user_id, flags=[f0, f1, f2]) " +
+        "| groupBy(f0, f1, f2) | sort(f0, f1, f2)")
+
   /** in(): OR'd equality + wildcard membership, one pushed-down filter. */
   def hqIn(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -510,9 +547,45 @@ object HumioQueries {
     "hq_if"        -> hqIf _,
     "hq_strpred"   -> hqStrpred _,
     "hq_stddev"    -> hqStddev _,
-    "hq_multiagg"  -> hqMultiagg _)
+    "hq_multiagg"  -> hqMultiagg _,
+    "hq_accumulate" -> hqAccumulate _,
+    "hq_neighbor"  -> hqNeighbor _,
+    "hq_slidingwin" -> hqSlidingwin _,
+    "hq_bitfield"  -> hqBitfield _)
 
   val oracle: Map[String, String] = Map(
+    "hq_accumulate" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE user_id < 50)
+        |SELECT user_id, event_id, cents,
+        |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "hq_neighbor" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE user_id < 30),
+        |n AS (SELECT user_id, event_id, cents,
+        |        lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM e)
+        |SELECT user_id, event_id, cents, prev,
+        |       CAST(cents - prev AS BIGINT) AS delta
+        |FROM n ORDER BY user_id, event_id""".stripMargin,
+    "hq_slidingwin" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE user_id < 40)
+        |SELECT user_id, event_id, cents,
+        |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "hq_bitfield" ->
+      """SELECT CASE WHEN (user_id >> 0) & 1 = 1 THEN 'true' ELSE 'false' END AS f0,
+        |       CASE WHEN (user_id >> 1) & 1 = 1 THEN 'true' ELSE 'false' END AS f1,
+        |       CASE WHEN (user_id >> 2) & 1 = 1 THEN 'true' ELSE 'false' END AS f2,
+        |       CAST(count(*) AS BIGINT) AS _count
+        |FROM events GROUP BY 1, 2, 3 ORDER BY f0, f1, f2""".stripMargin,
     "hq_if" ->
       """SELECT CASE WHEN value >= 100 THEN 'high'
         |            WHEN value >= 10 THEN 'mid' ELSE 'low' END AS band,

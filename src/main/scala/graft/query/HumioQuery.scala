@@ -100,6 +100,20 @@ import graft.functions.Det.detRound4
   *                the element replaces the field, origin index in _index
   *   parseCsv  := parseCsv(field, columns=[c1, c2, …]) — promote
   *                comma-separated values to named string columns
+  *   accum     := accumulate(field=f[, function=sum|count|min|max|avg]
+  *                [, by=k][, as=out]) — running aggregate over the event
+  *                sequence in (ts, event_id) order (LogScale sequence
+  *                function family); batch stage
+  *   slidingWin:= slidingWindow(field=f, events=n[, function=…][, by=k]
+  *                [, as=out]) — moving aggregate over the last n EVENTS
+  *                (window() smooths the last n BUCKETS; this one rides
+  *                the raw sequence); batch stage
+  *   neighbor  := neighbor(field[, distance=n][, by=k][, as=out]) — copy
+  *                the field's value from the event `distance` back in
+  *                sequence order (NULL when absent); batch stage
+  *   bitfield  := bitfield(field=f, flags=[a, b, …]) — promote the low
+  *                bits of an integer field to named "true"/"false" flag
+  *                columns, bit i → flags[i]
   * }}}
   *
   * Example:
@@ -1022,6 +1036,84 @@ object HumioQuery {
           val w = base.orderBy(col(orderCol)).rowsBetween(-(n - 1), 0)
           df.withColumn(outCol, m.over(w))
         }
+      case "accumulate" | "slidingWindow" =>
+        // accumulate(field=f[, function=…][, by=k][, as=out]) — running
+        // aggregate over the event sequence; slidingWindow(…, events=n)
+        // bounds the frame to the last n events. LogScale's sequence
+        // functions. Sequence order is (ts, event_id) — the engine's
+        // total event order — so results are replayable and the SQL
+        // oracle agrees row-for-row. Batch sequence stages (the tail()
+        // reasoning: a stream has no total order inside the watermark);
+        // run them over a drained stream.
+        //
+        // SCALE: with by= the window shuffles ONCE on the key — the
+        // session()/l_funnel shape, safe at any corpus size. Without by=
+        // a running aggregate is inherently one ordered partition; keep
+        // the keyless form for post-aggregate or filtered relations
+        // (LogScale's own sequence functions run inside the bounded
+        // result pipeline for the same reason).
+        require(!df.isStreaming,
+          s"$name() is a batch sequence stage — a stream has no total " +
+            "event order; drain the stream and run it as a batch pass")
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException(s"$name() needs a field"))
+        val outCol = named.getOrElse("as", s"_${name.toLowerCase}")
+        val m: Column = named.getOrElse("function", "sum") match {
+          case "sum" => sum(col(f));  case "avg" => avg(col(f))
+          case "min" => min(col(f));  case "max" => max(col(f))
+          case "count" => count(col(f))
+          case other => throw new IllegalArgumentException(
+            s"$name(): unsupported function '$other'")
+        }
+        val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+          .getOrElse(SqlWindow.partitionBy())
+        val order = col("ts").asc +:
+          (if (df.columns.contains("event_id")) Seq(col("event_id").asc) else Nil)
+        val frame =
+          if (name == "accumulate")
+            base.orderBy(order: _*).rowsBetween(SqlWindow.unboundedPreceding, 0)
+          else {
+            val n = named.get("events").map(_.toInt).getOrElse(
+              throw new IllegalArgumentException("slidingWindow() needs events=n"))
+            require(n >= 1, s"slidingWindow(): events must be >= 1, got $n")
+            base.orderBy(order: _*).rowsBetween(-(n - 1), 0)
+          }
+        df.withColumn(outCol, m.over(frame))
+      case "neighbor" =>
+        // neighbor(field[, distance=n][, by=k][, as=out]) — copy the
+        // field from the event `distance` back in (ts, event_id)
+        // sequence order (LogScale neighbor()); NULL when no such event
+        // exists. Same batch-only and by= scale discipline as
+        // accumulate() above.
+        require(!df.isStreaming,
+          "neighbor() is a batch sequence stage — a stream has no total " +
+            "event order; drain the stream and run it as a batch pass")
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("neighbor() needs a field"))
+        val n = named.get("distance").map(_.toInt).getOrElse(1)
+        require(n >= 1, s"neighbor(): distance must be >= 1, got $n")
+        val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+          .getOrElse(SqlWindow.partitionBy())
+        val order = col("ts").asc +:
+          (if (df.columns.contains("event_id")) Seq(col("event_id").asc) else Nil)
+        df.withColumn(named.getOrElse("as", s"_prev_$f"),
+          lag(col(f), n).over(base.orderBy(order: _*)))
+      case "bitfield" =>
+        // bitfield(field=f, flags=[a, b, …]) — promote the low bits of an
+        // integer field to named "true"/"false" flag columns, bit i →
+        // flags[i] (LogScale bitfield:extractFlags, with the engine's
+        // string truthiness so the flags compose with if()/filters).
+        // Pure per-row shifts — codegen'd, streams unchanged.
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("bitfield() needs a field"))
+        val flags = listArg(named.getOrElse("flags",
+          throw new IllegalArgumentException("bitfield() needs flags=")))
+        require(flags.nonEmpty && flags.size <= 64,
+          s"bitfield(): flags= must name 1..64 bits, got ${flags.size}")
+        flags.zipWithIndex.foldLeft(df) { case (d, (fl, i)) =>
+          d.withColumn(fl.trim,
+            when(shiftright(col(f).cast("long"), i).bitwiseAND(1L) === 1L,
+              "true").otherwise("false")) }
       case "selfJoinFilter" =>
         // selfJoinFilter(field=k, where=f, having=[v1, v2, …]): keep
         // every event of the keys that have AT LEAST one event with

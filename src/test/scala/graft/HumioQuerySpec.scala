@@ -885,4 +885,80 @@ class HumioQuerySpec extends SparkSpec {
     assert(r.getString(0) == "https" && r.getString(1) == "h.example.com")
     assert(r.getString(2) == "/a/b" && r.getString(3) == "k=1")
   }
+
+  // sequence fixture: two keys, interleaved arrival order, a sub-second
+  // timestamp TIE on key a (events 3 and 4) so the event_id tie-break is
+  // actually exercised
+  private def seqDf = Seq(
+    (1L, "a", 10L, "2024-03-05 07:00:01"),
+    (2L, "b", 100L, "2024-03-05 07:00:02"),
+    (3L, "a", 20L, "2024-03-05 07:00:03"),
+    (4L, "a", 30L, "2024-03-05 07:00:03"),
+    (5L, "b", 200L, "2024-03-05 07:00:04"))
+    .toDF("event_id", "k", "v", "t")
+    .withColumn("ts", to_timestamp(col("t"))).drop("t")
+
+  test("accumulate: running sum per key in (ts, event_id) order") {
+    val out = HumioQuery.run(seqDf,
+      "accumulate(field=v, function=sum, by=k, as=run) | select(event_id, run) | sort(event_id)")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 10L, 2L -> 100L, 3L -> 30L, 4L -> 60L, 5L -> 300L))
+  }
+
+  test("accumulate: keyless form runs over the whole sequence") {
+    val out = HumioQuery.run(seqDf,
+      "accumulate(field=v, function=count, as=n) | select(event_id, n) | sort(event_id)")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("slidingWindow: last-n-events frame per key") {
+    val out = HumioQuery.run(seqDf,
+      "slidingWindow(field=v, function=sum, events=2, by=k, as=w) | select(event_id, w) | sort(event_id)")
+      .as[(Long, Long)].collect().toMap
+    // key a: 10, 10+20, 20+30; key b: 100, 100+200
+    assert(out == Map(1L -> 10L, 2L -> 100L, 3L -> 30L, 4L -> 50L, 5L -> 300L))
+  }
+
+  test("neighbor: lag per key, NULL when absent, distance respected") {
+    val out = HumioQuery.run(seqDf,
+      "neighbor(v, distance=1, by=k, as=prev) | select(event_id, prev) | sort(event_id)")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> None, 3L -> Some(10L),
+      4L -> Some(20L), 5L -> Some(100L)))
+    val d2 = HumioQuery.run(seqDf,
+      "neighbor(v, distance=2, by=k) | select(event_id, _prev_v) | sort(event_id)")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(d2 == Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some(10L), 5L -> None))
+  }
+
+  test("sequence stages reject streams with a reasoned error") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val sdf = ms.toDF().toDF("event_id", "k", "v", "ts")
+      .withWatermark("ts", "1 minute")
+    for (q <- Seq("accumulate(field=v, by=k)", "neighbor(v, by=k)",
+        "slidingWindow(field=v, events=2, by=k)")) {
+      val e = intercept[IllegalArgumentException] {
+        HumioQuery.run(sdf, q)
+      }
+      assert(e.getMessage.contains("batch sequence stage"), q)
+    }
+  }
+
+  test("bitfield: low bits decode to truthiness flags that compose") {
+    val t = Seq((1L, 5L), (2L, 2L), (3L, 7L)).toDF("event_id", "n")
+    val out = HumioQuery.run(t,
+      "bitfield(n, flags=[b0, b1, b2]) | select(event_id, b0, b1, b2) | sort(event_id)")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "true", "false", "true"),     // 5 = 101
+      (2L, "false", "true", "false"),    // 2 = 010
+      (3L, "true", "true", "true")))     // 7 = 111
+    // flags compose with downstream filters via string truthiness
+    assert(HumioQuery.run(t,
+      "bitfield(n, flags=[b0]) | b0 = true").count() == 2)
+  }
 }
