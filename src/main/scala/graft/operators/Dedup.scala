@@ -144,6 +144,58 @@ object Dedup {
         sum(col("e.cut")).cast("bigint").as("n_cut"))
   }
 
+  /** Duplicated-span ISLANDS for exact-substring dedup — the span-level
+    * artifact of the ExactSubstr discipline (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * `gram`-word span whose text occurs MORE THAN ONCE in the corpus is
+    * duplicated, and per document the overlapping duplicated spans merge
+    * into maximal islands (one row per island, 1-based inclusive word
+    * positions `s..e`).
+    *
+    * Differs from [[cutDupSpans]]/[[gramDupFlag]] deliberately: the dup
+    * predicate is OCCURRENCE count ≥ 2 (any doc, any position), so a
+    * document repeating its own phrase is flagged too (the self-spam
+    * signal cross-doc distinct-doc counting is blind to), and the output
+    * is the span inventory itself — the artifact an ESD cut pass or a
+    * human audit consumes — rather than the cut text.
+    *
+    * Scale shape: one explode to (doc, pos, gram-text) — linear in
+    * corpus tokens; ONE shuffle on the gram text for the occurrence
+    * count (count ≥ 2 needs no distinct — a plain count aggregate with
+    * map-side partials, cheaper than the distinct-doc flag); the dup
+    * set joins back on the same key (AQE broadcasts it when small);
+    * island merge is two windows over ONE doc_id exchange. No pair
+    * matrix: a gram occurring k times costs k rows, never k².
+    */
+  def substrIslands(docs: DataFrame, text: Column, gram: Int): DataFrame = {
+    require(gram >= 2, s"substrIslands: gram must be >= 2, got $gram")
+    graft.expressions.WordShingles.register(docs.sparkSession)
+    val toks = Text.tokens(text)
+    // shinglesNative emits ONE whole-doc gram for docs shorter than
+    // `gram` words — those are whole-doc exact-dup signals at a
+    // different granularity (exactGroups' job), excluded here so every
+    // span is a true gram-length window
+    val grams = docs
+      .where(size(toks) >= gram)
+      .select(col("doc_id"), posexplode(Text.shinglesNative(toks, gram))
+        .as(Seq("p0", "gtext")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("gtext"))
+    val dup = grams.groupBy("gtext").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("gtext")
+    val spans = grams.join(dup, Seq("gtext"))
+      .select(col("doc_id"), col("s"), (col("s") + (gram - 1)).as("e"))
+    // gaps-and-islands over (doc_id, s): a span starts a new island iff
+    // it begins past the running max end of everything before it
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val prevMax = max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("ni", when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
   /** Exact-duplicate groups by content hash (md5 of the raw text). */
   def exactGroups(docs: DataFrame, text: Column): DataFrame =
     docs.groupBy(md5(text.cast("binary")).as("content_hash"))

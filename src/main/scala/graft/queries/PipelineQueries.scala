@@ -1519,6 +1519,24 @@ object PipelineQueries {
     Dedup.cutDupSpans(Tables.documents(s, dir), col("text"), 4)
       .orderBy("doc_id")
 
+  /** ExactSubstr gram width: 6 words — wide enough that a duplicated
+    * span is a real copied phrase on this corpus (1061 duplicated
+    * 6-grams at sf0.01, 11k at sf0.1), narrow enough to stay
+    * non-vacuous; the [[Dedup.substrIslands]] contract. */
+  val ESD_GRAM = 6
+
+  /** Exact-substring duplicated-span inventory ([[Dedup.substrIslands]]):
+    * maximal merged islands of ≥2-occurrence 6-word spans, one row per
+    * island with its word positions and length — the span-level ESD
+    * artifact (occurrence-based, so within-doc self-repeats flag too),
+    * complementing the cross-doc measurement (x_dupgrams) and cut
+    * (x_dedup_cut) twins.
+    */
+  def xSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.substrIslands(Tables.documents(s, dir), col("text"), ESD_GRAM)
+      .withColumn("len", col("e") - col("s") + 1)
+      .orderBy("doc_id", "s")
+
   /** Build `q` with [[Dedup.GramJoinModeConf]] active — the
     * AQE-skew-splittable distinct→count→equi-join dup flag instead of
     * the gram-partitioned window. The conf is read at PLAN BUILD time
@@ -2426,6 +2444,7 @@ object PipelineQueries {
     "x_bpe_apply"   -> xBpeApply _,
     "x_dupgrams"    -> xDupgrams _,
     "x_dedup_cut"   -> xDedupCut _,
+    "x_substr_spans" -> xSubstrSpans _,
     "x_dupgrams_skewjoin"  -> xDupgramsSkewjoin _,
     "x_dedup_cut_skewjoin" -> xDedupCutSkewjoin _,
     "x_dedup_incremental"  -> xDedupIncremental _,
@@ -3362,6 +3381,27 @@ object PipelineQueries {
         |       CAST(sum(CASE WHEN dup = 1 THEN len ELSE 0 END) AS BIGINT) AS n_dup_grams,
         |       CAST(coalesce(max(CASE WHEN dup = 1 THEN len END), 0) AS BIGINT) AS max_dup_run
         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_substr_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CAST(unnest(range(1, len(toks) - $ESD_GRAM + 2)) AS BIGINT) AS s, toks
+        |      FROM t WHERE len(toks) >= $ESD_GRAM),
+        |gr AS MATERIALIZED (SELECT doc_id, s,
+        |        array_to_string(list_slice(toks, s, s + $ESD_GRAM - 1), ' ') AS gtext
+        |      FROM g),
+        |d AS (SELECT gtext FROM gr GROUP BY gtext HAVING count(*) >= 2),
+        |sp AS (SELECT gr.doc_id, s, s + $ESD_GRAM - 1 AS e FROM gr JOIN d USING (gtext)),
+        |i0 AS (SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |       FROM sp),
+        |i1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM i0),
+        |i2 AS (SELECT doc_id, s, e,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS UNBOUNDED PRECEDING) AS island FROM i1)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e,
+        |       CAST(max(e) - min(s) + 1 AS BIGINT) AS len
+        |FROM i2 GROUP BY doc_id, island ORDER BY doc_id, s""".stripMargin,
     "x_dedup_cut" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, ${gramsSql(4)} AS grams FROM t),

@@ -594,6 +594,37 @@ class DedupSpec extends SparkSpec {
       s"per-doc boiler occurrences ($perDoc) must equal the inventory total ($inventory)")
   }
 
+  test("substrIslands: occurrence semantics, island merge, full-copy coverage") {
+    // doc 10 repeats its own 6-word phrase (within-doc occurrence —
+    // cross-doc distinct-doc counting would NOT flag this); docs 11/12
+    // are exact copies of each other; doc 13 is unique
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (10L, s"$phrase $phrase"),
+      (11L, "one two three four five six seven eight nine"),
+      (12L, "one two three four five six seven eight nine"),
+      (13L, "ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substrIslands(d, col("text"), 6)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // doc 10: grams at positions 1..7; only "alpha…zeta" (pos 1 and 7)
+    // occurs twice → spans [1,6] and [7,12], ADJACENT but not
+    // overlapping → two islands, jointly covering the whole doc
+    // docs 11/12: every gram of each occurs twice (the twin) → spans
+    // merge into ONE island covering all 9 words
+    // doc 13: unique — absent
+    assert(out == Seq((10L, 1L, 6L), (10L, 7L, 12L),
+      (11L, 1L, 9L), (12L, 1L, 9L)))
+    // islands are disjoint per doc and each at least gram words long
+    out.groupBy(_._1).foreach { case (_, spans) =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) => assert(s2 > e1)
+        case _ =>
+      }
+      spans.foreach { case (_, s, e) => assert(e - s + 1 >= 6) }
+    }
+  }
+
   test("dupClusters leaves pair endpoints outside docs inert") {
     // pairs may reference docs a gate upstream removed: a foreign
     // endpoint must neither take a label nor become one (a cluster id
