@@ -103,14 +103,16 @@ import graft.functions.Det.detRound4
   *   accum     := accumulate(field=f[, function=sum|count|min|max|avg]
   *                [, by=k][, as=out]) — running aggregate over the event
   *                sequence in (ts, event_id) order (LogScale sequence
-  *                function family); batch stage
+  *                function family); streams with by= + LONG values
+  *                (keyed O(1) state, live emission)
   *   slidingWin:= slidingWindow(field=f, events=n[, function=…][, by=k]
   *                [, as=out]) — moving aggregate over the last n EVENTS
   *                (window() smooths the last n BUCKETS; this one rides
-  *                the raw sequence); batch stage
+  *                the raw sequence); streams with by= (ring state)
   *   neighbor  := neighbor(field[, distance=n][, by=k][, as=out]) — copy
   *                the field's value from the event `distance` back in
-  *                sequence order (NULL when absent); batch stage
+  *                sequence order (NULL when absent); streams with by=
+  *                (lag-ring state)
   *   bitfield  := bitfield(field=f, flags=[a, b, …]) — promote the low
   *                bits of an integer field to named "true"/"false" flag
   *                columns, bit i → flags[i]
@@ -1052,52 +1054,78 @@ object HumioQuery {
         // the keyless form for post-aggregate or filtered relations
         // (LogScale's own sequence functions run inside the bounded
         // result pipeline for the same reason).
-        require(!df.isStreaming,
-          s"$name() is a batch sequence stage — a stream has no total " +
-            "event order; drain the stream and run it as a batch pass")
+        //
+        // STREAMING twin ([[graft.operators.StatefulSequence]]): per-key
+        // live emission — O(1) state for accumulate, O(events) for the
+        // sliding ring; requires by= (keyed state — a keyless stream has
+        // no total order), a LONG value column (the exact-integer
+        // discipline), and fn ∈ sum|count|min|max. In-order arrival =
+        // batch-twin equal (HumioStreamSpec); late events fold in at
+        // arrival position, bounded by the watermark.
         val f = named.get("field").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException(s"$name() needs a field"))
         val outCol = named.getOrElse("as", s"_${name.toLowerCase}")
-        val m: Column = named.getOrElse("function", "sum") match {
-          case "sum" => sum(col(f));  case "avg" => avg(col(f))
-          case "min" => min(col(f));  case "max" => max(col(f))
-          case "count" => count(col(f))
-          case other => throw new IllegalArgumentException(
-            s"$name(): unsupported function '$other'")
-        }
-        val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
-          .getOrElse(SqlWindow.partitionBy())
-        val order = col("ts").asc +:
-          (if (df.columns.contains("event_id")) Seq(col("event_id").asc) else Nil)
-        val frame =
+        if (df.isStreaming) {
+          requireWatermarked(df, name)
+          require(named.contains("by"),
+            s"$name() on a stream needs by= — sequence state is per key; " +
+              "a keyless stream has no total order to run over")
+          val fn = named.getOrElse("function", "sum")
           if (name == "accumulate")
-            base.orderBy(order: _*).rowsBetween(SqlWindow.unboundedPreceding, 0)
-          else {
-            val n = named.get("events").map(_.toInt).getOrElse(
-              throw new IllegalArgumentException("slidingWindow() needs events=n"))
-            require(n >= 1, s"slidingWindow(): events must be >= 1, got $n")
-            base.orderBy(order: _*).rowsBetween(-(n - 1), 0)
+            graft.operators.StatefulSequence.running(df, named("by"), f, fn, outCol)
+          else
+            graft.operators.StatefulSequence.ring(df, named("by"), f,
+              named.get("events").map(_.toInt).getOrElse(
+                throw new IllegalArgumentException("slidingWindow() needs events=n")),
+              "sliding", fn, outCol)
+        } else {
+          val m: Column = named.getOrElse("function", "sum") match {
+            case "sum" => sum(col(f));  case "avg" => avg(col(f))
+            case "min" => min(col(f));  case "max" => max(col(f))
+            case "count" => count(col(f))
+            case other => throw new IllegalArgumentException(
+              s"$name(): unsupported function '$other'")
           }
-        df.withColumn(outCol, m.over(frame))
+          val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+            .getOrElse(SqlWindow.partitionBy())
+          val order = col("ts").asc +:
+            (if (df.columns.contains("event_id")) Seq(col("event_id").asc) else Nil)
+          val frame =
+            if (name == "accumulate")
+              base.orderBy(order: _*).rowsBetween(SqlWindow.unboundedPreceding, 0)
+            else {
+              val n = named.get("events").map(_.toInt).getOrElse(
+                throw new IllegalArgumentException("slidingWindow() needs events=n"))
+              require(n >= 1, s"slidingWindow(): events must be >= 1, got $n")
+              base.orderBy(order: _*).rowsBetween(-(n - 1), 0)
+            }
+          df.withColumn(outCol, m.over(frame))
+        }
       case "neighbor" =>
         // neighbor(field[, distance=n][, by=k][, as=out]) — copy the
         // field from the event `distance` back in (ts, event_id)
         // sequence order (LogScale neighbor()); NULL when no such event
-        // exists. Same batch-only and by= scale discipline as
-        // accumulate() above.
-        require(!df.isStreaming,
-          "neighbor() is a batch sequence stage — a stream has no total " +
-            "event order; drain the stream and run it as a batch pass")
+        // exists. Same by= scale discipline and streaming twin
+        // (lag-mode ring, O(distance) state per key) as accumulate().
         val f = named.get("field").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException("neighbor() needs a field"))
         val n = named.get("distance").map(_.toInt).getOrElse(1)
         require(n >= 1, s"neighbor(): distance must be >= 1, got $n")
-        val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
-          .getOrElse(SqlWindow.partitionBy())
-        val order = col("ts").asc +:
-          (if (df.columns.contains("event_id")) Seq(col("event_id").asc) else Nil)
-        df.withColumn(named.getOrElse("as", s"_prev_$f"),
-          lag(col(f), n).over(base.orderBy(order: _*)))
+        val outCol = named.getOrElse("as", s"_prev_$f")
+        if (df.isStreaming) {
+          requireWatermarked(df, "neighbor")
+          require(named.contains("by"),
+            "neighbor() on a stream needs by= — sequence state is per " +
+              "key; a keyless stream has no total order to run over")
+          graft.operators.StatefulSequence.ring(
+            df, named("by"), f, n, "lag", "sum", outCol)
+        } else {
+          val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+            .getOrElse(SqlWindow.partitionBy())
+          val order = col("ts").asc +:
+            (if (df.columns.contains("event_id")) Seq(col("event_id").asc) else Nil)
+          df.withColumn(outCol, lag(col(f), n).over(base.orderBy(order: _*)))
+        }
       case "bitfield" =>
         // bitfield(field=f, flags=[a, b, …]) — promote the low bits of an
         // integer field to named "true"/"false" flag columns, bit i →

@@ -933,19 +933,30 @@ class HumioQuerySpec extends SparkSpec {
       4L -> Some(10L), 5L -> None))
   }
 
-  test("sequence stages reject streams with a reasoned error") {
+  test("KEYLESS sequence stages reject streams with a reasoned error") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
     val sdf = ms.toDF().toDF("event_id", "k", "v", "ts")
       .withWatermark("ts", "1 minute")
-    for (q <- Seq("accumulate(field=v, by=k)", "neighbor(v, by=k)",
-        "slidingWindow(field=v, events=2, by=k)")) {
+    // keyed forms stream (HumioStreamSpec proves batch agreement); the
+    // keyless forms have no per-key state to bound and must refuse
+    for (q <- Seq("accumulate(field=v)", "neighbor(v)",
+        "slidingWindow(field=v, events=2)")) {
       val e = intercept[IllegalArgumentException] {
         HumioQuery.run(sdf, q)
       }
-      assert(e.getMessage.contains("batch sequence stage"), q)
+      assert(e.getMessage.contains("needs by="), q)
     }
+    // and a float value column refuses the streaming twin (exact-integer
+    // discipline) rather than silently drifting from the batch twin
+    val msF = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val fdf = msF.toDF().toDF("event_id", "k", "v", "ts")
+      .withWatermark("ts", "1 minute")
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.run(fdf, "accumulate(field=v, by=k)")
+    }
+    assert(e.getMessage.contains("LONG value column"))
   }
 
   test("bitfield: low bits decode to truthiness flags that compose") {

@@ -594,6 +594,62 @@ class HumioStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  // ---- DSL sequence-function streaming twins (StatefulSequence) ----
+  // each drains two in-order batches and must equal the batch twin
+  // row-for-row; the same-ts pair (events 3/4) exercises the event_id
+  // tie-break, and the cross-batch boundary exercises stored state
+
+  private val seqB1 = Seq(
+    (1L, "click", 10.0, "2024-03-01 00:00:01"),
+    (2L, "view", 100.0, "2024-03-01 00:00:02"),
+    (3L, "click", 20.0, "2024-03-01 00:00:03"),
+    (4L, "click", 30.0, "2024-03-01 00:00:03"))
+  private val seqB2 = Seq(
+    (5L, "view", 200.0, "2024-03-01 00:00:04"),
+    (6L, "click", 40.0, "2024-03-01 00:00:05"))
+
+  private def seqTwinCheck(q: String, outCol: String): Unit = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "10 minutes")
+    val name = s"seq_${outCol}_${math.abs(q.hashCode)}"
+    val query = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(seqB1: _*); query.processAllAvailable()
+      mem.addData(seqB2: _*); query.processAllAvailable()
+      val streamed = spark.table(name).select(col("event_id"), col(outCol))
+        .as[(Long, Option[Long])].collect().toMap
+      val batch = HumioQuery.run(toEvents((seqB1 ++ seqB2).toDF()), q)
+        .select(col("event_id"), col(outCol))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(streamed == batch, s"$q: stream $streamed vs batch $batch")
+      assert(streamed.size == 6)
+    } finally query.stop()
+  }
+
+  test("streaming accumulate: running per-key sum chains across batches") {
+    seqTwinCheck("cents := round(value * 100) | " +
+      "accumulate(field=cents, function=sum, by=event_type, as=run)", "run")
+  }
+
+  test("streaming slidingWindow: last-n-events ring matches the batch frame") {
+    seqTwinCheck("cents := round(value * 100) | " +
+      "slidingWindow(field=cents, function=sum, events=2, by=event_type, as=w2)", "w2")
+  }
+
+  test("streaming neighbor: lag ring matches the batch lag, NULL on firsts") {
+    seqTwinCheck("cents := round(value * 100) | " +
+      "neighbor(cents, distance=1, by=event_type, as=prev)", "prev")
+  }
+
+  test("streaming accumulate count form and min/max fold") {
+    seqTwinCheck("cents := round(value * 100) | " +
+      "accumulate(field=cents, function=count, by=event_type, as=n)", "n")
+    seqTwinCheck("cents := round(value * 100) | " +
+      "accumulate(field=cents, function=max, by=event_type, as=mx)", "mx")
+  }
+
   private def epochMs(s: String): Long =
     java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
