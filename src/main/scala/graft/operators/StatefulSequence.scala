@@ -123,6 +123,59 @@ object StatefulSequence {
       }(Encoders.product[AccState], Encoders.row(outSchema))
   }
 
+  /** partition() state: the previous event's value in string form
+    * (None = the previous value was NULL) + the running 1-based
+    * sub-sequence index; idx == 0 means no event seen yet. */
+  case class PartState(tMs: Long, eid: Long, lastVal: Option[String],
+                       idx: Long)
+
+  /** Streaming partition(): 1-based sub-sequence index per key,
+    * incremented whenever the value changes from the previous event
+    * (null-safe: NULL→v and v→NULL are changes, NULL→NULL is not) —
+    * the change() comparison runs on the value's string form, so any
+    * column type keys the change detection (the index, not the value,
+    * is what's emitted).
+    */
+  def partitionIdx(df: DataFrame, keyCol: String, valueCol: String,
+                   outCol: String): DataFrame = {
+    val schema = df.schema
+    val tsIdx = schema.fieldIndex("ts")
+    val eidIdx = schema.fieldNames.indexOf("event_id")
+    val keyIdx = schema.fieldIndex(keyCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    val outSchema = schema.add(outCol, LongType, nullable = false)
+    df.where(col(keyCol).isNotNull)
+      .groupByKey(rowKeyFn(keyIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[PartState, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[PartState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ordered = orderedRows(rows, tsIdx, eidIdx)
+            if (ordered.isEmpty) Iterator.empty
+            else {
+              var st = state.getOption.getOrElse(PartState(0L, 0L, None, 0L))
+              val out = ordered.map { r =>
+                val v: Option[String] =
+                  if (r.isNullAt(vIdx)) None else Some(String.valueOf(r.get(vIdx)))
+                if (st.idx == 0L || v != st.lastVal)
+                  st = st.copy(lastVal = v, idx = st.idx + 1)
+                Row.fromSeq(r.toSeq :+ st.idx)
+              }
+              val last = ordered.last
+              st = st.copy(
+                tMs = last.getAs[java.sql.Timestamp](tsIdx).getTime,
+                eid = if (eidIdx >= 0 && !last.isNullAt(eidIdx))
+                  last.getLong(eidIdx) else 0L)
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.tMs, state.getCurrentWatermarkMs() + 1))
+              out.iterator
+            }
+          }
+      }(Encoders.product[PartState], Encoders.row(outSchema))
+  }
+
   /** Ring twin serving BOTH bounded sequence verbs: state is the last
     * `cap` values per key (rows, not non-null values). `mode` selects
     * the emission:

@@ -168,6 +168,15 @@ object HumioQueries {
         "| slidingWindow(field=cents, function=sum, events=3, by=user_id, as=w3) " +
         "| select(user_id, event_id, cents, w3) | sort(user_id, event_id)")
 
+  /** partition(): 1-based sub-sequence index per user, incremented at
+    * every event_type change in sequence order — the value-change
+    * gaps-and-islands twin of session()'s time-gap split.
+    */
+  def hqPartition(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "user_id < 40 | partition(field=event_type, by=user_id, as=part) " +
+        "| select(user_id, event_id, event_type, part) | sort(user_id, event_id)")
+
   /** bitfield(): low bits of user_id as named truthiness flags, grouped
     * — the flag-decode + aggregate composition.
     */
@@ -551,6 +560,7 @@ object HumioQueries {
     "hq_accumulate" -> hqAccumulate _,
     "hq_neighbor"  -> hqNeighbor _,
     "hq_slidingwin" -> hqSlidingwin _,
+    "hq_partition" -> hqPartition _,
     "hq_bitfield"  -> hqBitfield _)
 
   val oracle: Map[String, String] = Map(
@@ -580,6 +590,20 @@ object HumioQueries {
         |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "hq_partition" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type
+        |           FROM events WHERE user_id < 40),
+        |c AS (SELECT user_id, event_id, ts, event_type,
+        |        CASE WHEN row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY ts, event_id) = 1 THEN 1
+        |             WHEN lag(event_type) OVER (PARTITION BY user_id
+        |                  ORDER BY ts, event_id) IS DISTINCT FROM event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM e)
+        |SELECT user_id, event_id, event_type,
+        |       CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS part
+        |FROM c ORDER BY user_id, event_id""".stripMargin,
     "hq_bitfield" ->
       """SELECT CASE WHEN (user_id >> 0) & 1 = 1 THEN 'true' ELSE 'false' END AS f0,
         |       CASE WHEN (user_id >> 1) & 1 = 1 THEN 'true' ELSE 'false' END AS f1,

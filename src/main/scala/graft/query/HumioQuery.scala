@@ -113,6 +113,11 @@ import graft.functions.Det.detRound4
   *                the field's value from the event `distance` back in
   *                sequence order (NULL when absent); streams with by=
   *                (lag-ring state)
+  *   partition := partition(field=f[, by=k][, as=out]) — 1-based
+  *                sub-sequence index, incremented whenever f's value
+  *                CHANGES from the previous event in sequence order
+  *                (LogScale partition(split=change(f))); streams with
+  *                by= (last-value state)
   *   bitfield  := bitfield(field=f, flags=[a, b, …]) — promote the low
   *                bits of an integer field to named "true"/"false" flag
   *                columns, bit i → flags[i]
@@ -1125,6 +1130,40 @@ object HumioQuery {
           val order = col("ts").asc +:
             (if (df.columns.contains("event_id")) Seq(col("event_id").asc) else Nil)
           df.withColumn(outCol, lag(col(f), n).over(base.orderBy(order: _*)))
+        }
+      case "partition" =>
+        // partition(field=f[, by=k][, as=out]) — 1-based sub-sequence
+        // index that increments whenever f's value changes from the
+        // previous event in (ts, event_id) order (LogScale's
+        // partition(split=change(f)); gaps-and-islands as a live verb —
+        // session() splits on TIME gaps, this splits on VALUE changes).
+        // Null-safe comparison: NULL→value and value→NULL are changes,
+        // NULL→NULL is not. Same by= scale discipline and streaming
+        // twin (last-value state) as the other sequence stages.
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("partition() needs a field"))
+        val outCol = named.getOrElse("as", "_partition")
+        if (df.isStreaming) {
+          requireWatermarked(df, "partition")
+          require(named.contains("by"),
+            "partition() on a stream needs by= — sequence state is per " +
+              "key; a keyless stream has no total order to run over")
+          graft.operators.StatefulSequence.partitionIdx(df, named("by"), f, outCol)
+        } else {
+          val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+            .getOrElse(SqlWindow.partitionBy())
+          val order = col("ts").asc +:
+            (if (df.columns.contains("event_id")) Seq(col("event_id").asc) else Nil)
+          val w = base.orderBy(order: _*)
+          val chg = when(row_number().over(w) === 1, 1L)
+            .when(!(lag(col(f), 1).over(w) <=> col(f)), 1L)
+            .otherwise(0L)
+          // the change flag must materialize before the running sum (a
+          // window can't nest a window); both ride ONE key exchange
+          df.withColumn("__graft_chg", chg)
+            .withColumn(outCol, sum("__graft_chg")
+              .over(w.rowsBetween(SqlWindow.unboundedPreceding, 0)))
+            .drop("__graft_chg")
         }
       case "bitfield" =>
         // bitfield(field=f, flags=[a, b, …]) — promote the low bits of an

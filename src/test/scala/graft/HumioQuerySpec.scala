@@ -959,6 +959,24 @@ class HumioQuerySpec extends SparkSpec {
     assert(e.getMessage.contains("LONG value column"))
   }
 
+  test("partition: increments at value changes, null-safe, per key") {
+    val d = Seq(
+      (1L, "a", Some("x"), "2024-03-05 07:00:01"),
+      (2L, "a", Some("x"), "2024-03-05 07:00:02"),   // same value — no split
+      (3L, "a", Some("y"), "2024-03-05 07:00:03"),   // change → 2
+      (4L, "a", None, "2024-03-05 07:00:04"),        // y → NULL is a change → 3
+      (5L, "a", None, "2024-03-05 07:00:05"),        // NULL → NULL is NOT → 3
+      (6L, "a", Some("y"), "2024-03-05 07:00:06"),   // NULL → y → 4
+      (7L, "b", Some("x"), "2024-03-05 07:00:07"))   // other key restarts at 1
+      .toDF("event_id", "k", "v", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = HumioQuery.run(d,
+      "partition(field=v, by=k, as=p) | select(event_id, p) | sort(event_id)")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 3L, 6L -> 4L, 7L -> 1L))
+  }
+
   test("bitfield: low bits decode to truthiness flags that compose") {
     val t = Seq((1L, 5L), (2L, 2L), (3L, 7L)).toDF("event_id", "n")
     val out = HumioQuery.run(t,

@@ -643,6 +643,13 @@ class HumioStreamSpec extends SparkSpec {
       "neighbor(cents, distance=1, by=event_type, as=prev)", "prev")
   }
 
+  test("streaming partition: change index chains across batches") {
+    // one shared key, event_type as the changing value: the index must
+    // split at every click↔view flip, including the cross-batch one
+    // (batch2's view vs the STORED click) — per the batch window twin
+    seqTwinCheck("k1 := 1 | partition(field=event_type, by=k1, as=p)", "p")
+  }
+
   test("streaming accumulate count form and min/max fold") {
     seqTwinCheck("cents := round(value * 100) | " +
       "accumulate(field=cents, function=count, by=event_type, as=n)", "n")
