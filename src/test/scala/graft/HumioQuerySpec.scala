@@ -977,6 +977,67 @@ class HumioQuerySpec extends SparkSpec {
       5L -> 3L, 6L -> 4L, 7L -> 1L))
   }
 
+  test("sequence verbs match a Scala fold on randomized keys/ties/nulls") {
+    val rnd = new scala.util.Random(4242)
+    // 120 events over 3 keys with deliberate ts collisions (coarse
+    // second resolution) and ~15% NULL values — the tie-break and
+    // null conventions under fire
+    val rows = (1 to 120).map { i =>
+      val k = s"k${rnd.nextInt(3)}"
+      val t = new java.sql.Timestamp(1700000000000L + rnd.nextInt(40) * 1000L)
+      val v: Option[Long] = if (rnd.nextInt(100) < 15) None
+        else Some(rnd.nextInt(1000).toLong)
+      (i.toLong, k, v, t)
+    }
+    val d = rows.toDF("event_id", "k", "v", "ts")
+    // reference order: (ts, event_id) within key
+    val byKey = rows.groupBy(_._2).view.mapValues(
+      _.sortBy(r => (r._4.getTime, r._1))).toMap
+    def expect[A](f: Seq[(Long, String, Option[Long], java.sql.Timestamp)] => Seq[(Long, A)]) =
+      byKey.values.flatMap(f).toMap
+
+    val accRun = HumioQuery.run(d,
+      "accumulate(field=v, function=sum, by=k, as=run) | select(event_id, run)")
+      .as[(Long, Option[Long])].collect().toMap
+    val accExp = expect { evs =>
+      evs.scanLeft((0L, Option.empty[Long])) { case ((_, acc), e) =>
+        (e._1, e._3.map(_ + acc.getOrElse(0L)).orElse(acc))
+      }.tail.map { case (id, acc) => (id, acc) }
+    }
+    assert(accRun == accExp)
+
+    val win3 = HumioQuery.run(d,
+      "slidingWindow(field=v, function=max, events=3, by=k, as=w) | select(event_id, w)")
+      .as[(Long, Option[Long])].collect().toMap
+    val winExp = expect { evs =>
+      evs.indices.map { i =>
+        val frame = evs.slice(math.max(0, i - 2), i + 1).flatMap(_._3)
+        (evs(i)._1, if (frame.isEmpty) None else Some(frame.max))
+      }
+    }
+    assert(win3 == winExp)
+
+    val lag2 = HumioQuery.run(d,
+      "neighbor(v, distance=2, by=k, as=p) | select(event_id, p)")
+      .as[(Long, Option[Long])].collect().toMap
+    val lagExp = expect { evs =>
+      evs.indices.map(i => (evs(i)._1, if (i < 2) None else evs(i - 2)._3))
+    }
+    assert(lag2 == lagExp)
+
+    val part = HumioQuery.run(d,
+      "partition(field=v, by=k, as=p) | select(event_id, p)")
+      .as[(Long, Long)].collect().toMap
+    val partExp = expect { evs =>
+      evs.scanLeft((0L, Option.empty[Option[Long]], 0L)) {
+        case ((_, lastV, idx), e) =>
+          val ni = if (idx == 0 || !lastV.contains(e._3)) idx + 1 else idx
+          (e._1, Some(e._3), ni)
+      }.tail.map { case (id, _, idx) => (id, idx) }
+    }
+    assert(part == partExp)
+  }
+
   test("bitfield: low bits decode to truthiness flags that compose") {
     val t = Seq((1L, 5L), (2L, 2L), (3L, 7L)).toDF("event_id", "n")
     val out = HumioQuery.run(t,
