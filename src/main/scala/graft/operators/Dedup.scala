@@ -180,9 +180,18 @@ object Dedup {
       .select(col("doc_id"), posexplode(Text.shinglesNative(toks, gram))
         .as(Seq("p0", "gtext")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("gtext"))
-    val dup = grams.groupBy("gtext").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= 2).select("gtext")
-    val spans = grams.join(dup, Seq("gtext"))
+    // occurrence count as a whole-partition window over ONE gram
+    // exchange — the explode lineage runs once and no dup-set join is
+    // needed (a groupBy+join-back formulation re-ran the explode on
+    // both sides and probed every gram through a 100k-string broadcast
+    // hash: measured 15× at 10× data; this shape re-measured 3.4×).
+    // Skew bound: the frame is the gram's occurrence count (max 5 on
+    // the fixture; boilerplate-hot grams at corpus scale would shift
+    // this to the count≥2 equi-join exactly like [[GramJoinModeConf]])
+    val wg = Window.partitionBy("gtext")
+    val spans = grams
+      .withColumn("occ", count(lit(1)).over(wg))
+      .where(col("occ") >= 2)
       .select(col("doc_id"), col("s"), (col("s") + (gram - 1)).as("e"))
     // gaps-and-islands over (doc_id, s): a span starts a new island iff
     // it begins past the running max end of everything before it
