@@ -167,8 +167,66 @@ object Dedup {
     * island merge is two windows over ONE doc_id exchange. No pair
     * matrix: a gram occurring k times costs k rows, never k².
     */
-  def substrIslands(docs: DataFrame, text: Column, gram: Int): DataFrame = {
-    require(gram >= 2, s"substrIslands: gram must be >= 2, got $gram")
+  def substrIslands(docs: DataFrame, text: Column, gram: Int): DataFrame =
+    mergeIslands(dupGramSpans(docs, text, gram, nonFirstOnly = false))
+
+  /** The ESD CUT itself — dedup, not just measurement: every token
+    * covered by a duplicated `gram`-word span whose occurrence is NOT
+    * the corpus-first (min (doc_id, s) order) is removed, so exactly
+    * one copy of every duplicated substring survives corpus-wide (the
+    * keep-one discipline of Lee et al. 2022; [[cutDupSpans]] by
+    * contrast cuts ALL covered tokens of cross-doc grams — the
+    * train-on-unique-text variant). Returns per doc: token counts, cut
+    * counts, and the surviving text rebuilt in order.
+    *
+    * Shape: the non-first spans reuse the one-gram-exchange window of
+    * [[substrIslands]] (the first-occurrence struct rides the SAME
+    * window frame as the occurrence count — no second exchange); token
+    * marking is a doc_id equi-join with a BETWEEN band against the
+    * bounded island set (islands ≤ spans; AQE broadcasts it when
+    * small), never a token×token product; the rebuild is the
+    * linededup sorted-struct aggregate on one doc exchange.
+    */
+  def substrCut(docs: DataFrame, text: Column, gram: Int): DataFrame = {
+    val islands = mergeIslands(
+      dupGramSpans(docs, text, gram, nonFirstOnly = true))
+    val tokens = docs
+      .select(col("doc_id"), posexplode(Text.tokens(text)).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    // islands are disjoint per doc, so each token matches at most one —
+    // the left join IS the cut flag, no dedup aggregate needed
+    tokens.join(islands,
+        tokens("doc_id") === islands("doc_id") &&
+          col("pos").between(islands("s"), islands("e")), "left")
+      .select(tokens("doc_id").as("doc_id"), col("pos"), col("tok"),
+        islands("s").isNotNull.as("cut"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("cut"),
+            struct(col("pos"), col("tok"))))),
+          x => x("tok"))).as("kept_text"))
+  }
+
+  /** Duplicated-gram spans (doc_id, s, e): every `gram`-word window
+    * whose text occurs ≥ 2 times corpus-wide; with `nonFirstOnly` the
+    * corpus-first occurrence (min (doc_id, s)) of each gram is exempt
+    * (it is the copy that survives a cut).
+    *
+    * The occurrence count — and the first-occurrence struct, same
+    * frame — are whole-partition windows over ONE gram exchange: the
+    * explode lineage runs once and no dup-set join is needed (a
+    * groupBy+join-back formulation re-ran the explode on both sides
+    * and probed every gram through a 100k-string broadcast hash:
+    * measured 15× at 10× data; this shape re-measured ~6×). Skew
+    * bound: the frame is the gram's occurrence count (max 5 on the
+    * fixture); boilerplate-hot grams at corpus scale would shift this
+    * to the count≥2 equi-join exactly like [[GramJoinModeConf]].
+    */
+  private def dupGramSpans(docs: DataFrame, text: Column, gram: Int,
+                           nonFirstOnly: Boolean): DataFrame = {
+    require(gram >= 2, s"dupGramSpans: gram must be >= 2, got $gram")
     graft.expressions.WordShingles.register(docs.sparkSession)
     val toks = Text.tokens(text)
     // shinglesNative emits ONE whole-doc gram for docs shorter than
@@ -180,21 +238,23 @@ object Dedup {
       .select(col("doc_id"), posexplode(Text.shinglesNative(toks, gram))
         .as(Seq("p0", "gtext")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("gtext"))
-    // occurrence count as a whole-partition window over ONE gram
-    // exchange — the explode lineage runs once and no dup-set join is
-    // needed (a groupBy+join-back formulation re-ran the explode on
-    // both sides and probed every gram through a 100k-string broadcast
-    // hash: measured 15× at 10× data; this shape re-measured 3.4×).
-    // Skew bound: the frame is the gram's occurrence count (max 5 on
-    // the fixture; boilerplate-hot grams at corpus scale would shift
-    // this to the count≥2 equi-join exactly like [[GramJoinModeConf]])
     val wg = Window.partitionBy("gtext")
-    val spans = grams
-      .withColumn("occ", count(lit(1)).over(wg))
-      .where(col("occ") >= 2)
-      .select(col("doc_id"), col("s"), (col("s") + (gram - 1)).as("e"))
-    // gaps-and-islands over (doc_id, s): a span starts a new island iff
-    // it begins past the running max end of everything before it
+    val flagged = grams.withColumn("occ", count(lit(1)).over(wg))
+    val dupOnly =
+      if (!nonFirstOnly) flagged.where(col("occ") >= 2)
+      else flagged
+        .withColumn("fst", min(struct(col("doc_id"), col("s"))).over(wg))
+        .where(col("occ") >= 2 &&
+          !(col("doc_id") === col("fst.doc_id") && col("s") === col("fst.s")))
+    dupOnly.select(col("doc_id"), col("s"), (col("s") + (gram - 1)).as("e"))
+  }
+
+  /** Merge overlapping (doc_id, s, e) spans into maximal islands —
+    * gaps-and-islands over (doc_id, s): a span starts a new island iff
+    * it begins past the running max end of everything before it. Two
+    * windows and the island aggregate share one doc_id exchange.
+    */
+  private def mergeIslands(spans: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("s")
     val prevMax = max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     spans

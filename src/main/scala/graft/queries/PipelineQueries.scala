@@ -1537,6 +1537,18 @@ object PipelineQueries {
       .withColumn("len", col("e") - col("s") + 1)
       .orderBy("doc_id", "s")
 
+  /** The ESD cut itself ([[Dedup.substrCut]]): corpus-first occurrence
+    * of every duplicated 6-word span survives, every other copy's
+    * tokens are removed, documents rebuilt in order — keep-one
+    * substring dedup, vs x_dedup_cut's remove-all-copies variant.
+    */
+  def xSubstrCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.substrCut(Tables.documents(s, dir), col("text"), ESD_GRAM)
+      .withColumn("cut_ratio", detRound4(col("n_cut") / col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"),
+        col("cut_ratio"), col("kept_text"))
+      .orderBy("doc_id")
+
   /** Build `q` with [[Dedup.GramJoinModeConf]] active — the
     * AQE-skew-splittable distinct→count→equi-join dup flag instead of
     * the gram-partitioned window. The conf is read at PLAN BUILD time
@@ -2445,6 +2457,7 @@ object PipelineQueries {
     "x_dupgrams"    -> xDupgrams _,
     "x_dedup_cut"   -> xDedupCut _,
     "x_substr_spans" -> xSubstrSpans _,
+    "x_substr_cut"  -> xSubstrCut _,
     "x_dupgrams_skewjoin"  -> xDupgramsSkewjoin _,
     "x_dedup_cut_skewjoin" -> xDedupCutSkewjoin _,
     "x_dedup_incremental"  -> xDedupIncremental _,
@@ -3402,6 +3415,41 @@ object PipelineQueries {
         |SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e,
         |       CAST(max(e) - min(s) + 1 AS BIGINT) AS len
         |FROM i2 GROUP BY doc_id, island ORDER BY doc_id, s""".stripMargin,
+    "x_substr_cut" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CAST(unnest(range(1, len(toks) - $ESD_GRAM + 2)) AS BIGINT) AS s, toks
+        |      FROM t WHERE len(toks) >= $ESD_GRAM),
+        |gr AS MATERIALIZED (SELECT doc_id, s,
+        |        array_to_string(list_slice(toks, s, s + $ESD_GRAM - 1), ' ') AS gtext
+        |      FROM g),
+        |f AS (SELECT doc_id, s,
+        |        count(*) OVER (PARTITION BY gtext) AS occ,
+        |        min(struct_pack(d := doc_id, p := s)) OVER (PARTITION BY gtext) AS fst
+        |      FROM gr),
+        |sp AS (SELECT doc_id, s, s + $ESD_GRAM - 1 AS e FROM f
+        |       WHERE occ >= 2 AND NOT (doc_id = fst.d AND s = fst.p)),
+        |i0 AS (SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |       FROM sp),
+        |i1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM i0),
+        |i2 AS (SELECT doc_id, s, e,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS UNBOUNDED PRECEDING) AS island FROM i1),
+        |isl AS (SELECT doc_id, min(s) AS s, max(e) AS e
+        |        FROM i2 GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos, toks FROM t),
+        |tk AS (SELECT doc_id, pos, toks[pos] AS tok FROM tok),
+        |mk AS (SELECT tk.doc_id, tk.pos, tk.tok,
+        |         CASE WHEN isl.s IS NOT NULL THEN 1 ELSE 0 END AS cut
+        |       FROM tk LEFT JOIN isl
+        |         ON tk.doc_id = isl.doc_id AND tk.pos BETWEEN isl.s AND isl.e)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(cut) AS BIGINT) AS n_cut,
+        |       ${detRound4Sql("sum(cut) * 1.0 / count(*)")} AS cut_ratio,
+        |       coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' ' ORDER BY pos), '') AS kept_text
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_dedup_cut" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, ${gramsSql(4)} AS grams FROM t),

@@ -625,6 +625,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substrCut: corpus-first occurrence survives, all later copies cut") {
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (10L, s"$phrase $phrase"),                                   // self-repeat
+      (11L, "one two three four five six seven eight nine"),
+      (12L, "one two three four five six seven eight nine"),       // copy of 11
+      (13L, "ten eleven twelve thirteen fourteen fifteen sixteen"))// unique
+      .toDF("doc_id", "text")
+    val out = Dedup.substrCut(d, col("text"), 6)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 10: first occurrence (pos 1-6) keeps, the self-repeat at 7-12 cut
+    assert(out(10L) == ((10L, 12L, 6L, phrase)))
+    // doc 11 is the corpus-first copy — fully kept; doc 12 fully cut
+    assert(out(11L) == ((11L, 9L, 0L, "one two three four five six seven eight nine")))
+    assert(out(12L) == ((12L, 9L, 9L, "")))
+    // unique doc untouched
+    assert(out(13L)._3 == 0L && out(13L)._4.startsWith("ten eleven"))
+    // conservation: kept tokens + cut tokens = doc tokens, corpus-wide
+    val total = out.values.map(_._2).sum
+    val cut = out.values.map(_._3).sum
+    val keptWords = out.values.map(_._4).filter(_.nonEmpty)
+      .map(_.split(" ").length.toLong).sum
+    assert(keptWords + cut == total)
+  }
+
   test("dupClusters leaves pair endpoints outside docs inert") {
     // pairs may reference docs a gate upstream removed: a foreign
     // endpoint must neither take a label nor become one (a cluster id
