@@ -177,6 +177,14 @@ object HumioQueries {
       "user_id < 40 | partition(field=event_type, by=user_id, as=part) " +
         "| select(user_id, event_id, event_type, part) | sort(user_id, event_id)")
 
+  /** series(): the ordered per-user event-type timeline (first 5) —
+    * collect() gathers distinct values, this keeps order and repeats.
+    */
+  def hqSeries(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "user_id < 30 | series(field=event_type, by=user_id, limit=5, as=seq) " +
+        "| sort(user_id)")
+
   /** bitfield(): low bits of user_id as named truthiness flags, grouped
     * — the flag-decode + aggregate composition.
     */
@@ -561,6 +569,7 @@ object HumioQueries {
     "hq_neighbor"  -> hqNeighbor _,
     "hq_slidingwin" -> hqSlidingwin _,
     "hq_partition" -> hqPartition _,
+    "hq_series"    -> hqSeries _,
     "hq_bitfield"  -> hqBitfield _)
 
   val oracle: Map[String, String] = Map(
@@ -590,6 +599,12 @@ object HumioQueries {
         |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "hq_series" ->
+      """SELECT user_id,
+        |       array_to_string(list_slice(
+        |         list(event_type ORDER BY ts, event_id), 1, 5), ' ') AS seq
+        |FROM events WHERE user_id < 30
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "hq_partition" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type
         |           FROM events WHERE user_id < 40),

@@ -267,10 +267,30 @@ object LogQueries {
         col("ts"), col("event_id"), col("event_type"))
       .orderBy("from_type", "to_type")
 
+  /** Top opening paths: each user's first 5 event types in
+    * (ts, event_id) order joined into a path string, counted across
+    * users — the n-step journey mining l_transitions only sees one
+    * step of. One sorted-struct aggregate per user (the series() /
+    * linededup rebuild shape, no window) + one path count; ties cut
+    * deterministically by (count desc, path asc).
+    */
+  def lPaths(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(concat_ws(" > ", transform(
+        slice(array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+          col("event_type").as("v")))), 1, 5),
+        x => x("v"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l_funnel"     -> lFunnel _,
     "l_conversion_lag" -> lConversionLag _,
     "l_transitions" -> lTransitions _,
+    "l_paths"      -> lPaths _,
     "l_retention"  -> lRetention _,
     "l_histogram"  -> lHistogram _,
     "l_anomaly"    -> lAnomaly _,
@@ -310,6 +330,13 @@ object LogQueries {
       |       GROUP BY e.user_id)""".stripMargin
 
   private val oracleBase: Map[String, String] = Map(
+    "l_paths" ->
+      """WITH s AS (SELECT user_id,
+        |      array_to_string(list_slice(
+        |        list(event_type ORDER BY ts, event_id), 1, 5), ' > ') AS path
+        |    FROM events GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM s GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
     "l_funnel" ->
       s"""WITH $funnelCtes
         |SELECT CAST(count(*) AS BIGINT) AS n_users,

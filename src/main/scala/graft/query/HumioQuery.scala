@@ -121,6 +121,11 @@ import graft.functions.Det.detRound4
   *   bitfield  := bitfield(field=f, flags=[a, b, …]) — promote the low
   *                bits of an integer field to named "true"/"false" flag
   *                columns, bit i → flags[i]
+  *   series    := series(field=f, by=k[, limit=n][, sep=s][, as=out]) —
+  *                one row per key: f's values joined in (ts, event_id)
+  *                order (first n with limit=) — the per-entity timeline
+  *                (collect() gathers DISTINCT values; this keeps order
+  *                and repeats)
   * }}}
   *
   * Example:
@@ -1165,6 +1170,34 @@ object HumioQuery {
               .over(w.rowsBetween(SqlWindow.unboundedPreceding, 0)))
             .drop("__graft_chg")
         }
+      case "series" =>
+        // series(field=f, by=k[, limit=n][, sep=s][, as=out]) — the
+        // ordered value sequence per key (LogScale series(); collect()
+        // gathers distinct UNORDERED values, this is the per-entity
+        // TIMELINE — the path-mining / funnel-input artifact). One
+        // sorted-struct aggregate on one key exchange (the linededup
+        // rebuild shape — no window, no collect_list order hazard).
+        require(!df.isStreaming,
+          "series() is a batch aggregate — an unwindowed streaming " +
+            "aggregation never emits in append mode; aggregate a " +
+            "drained stream, or bucket first and aggregate per window")
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("series() needs a field"))
+        val k = named.getOrElse("by",
+          throw new IllegalArgumentException("series() needs by="))
+        val sep = unquote(named.getOrElse("sep", " "))
+        val ordered = array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("t"),
+          (if (df.columns.contains("event_id")) col("event_id")
+           else lit(0L)).as("i"),
+          col(f).cast("string").as("v"))))
+        val limited = named.get("limit").map(_.toInt) match {
+          case Some(n) => slice(ordered, 1, n)
+          case None    => ordered
+        }
+        df.groupBy(col(k))
+          .agg(concat_ws(sep, transform(limited, x => x("v")))
+            .as(named.getOrElse("as", "_series")))
       case "bitfield" =>
         // bitfield(field=f, flags=[a, b, …]) — promote the low bits of an
         // integer field to named "true"/"false" flag columns, bit i →

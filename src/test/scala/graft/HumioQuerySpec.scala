@@ -1038,6 +1038,28 @@ class HumioQuerySpec extends SparkSpec {
     assert(part == partExp)
   }
 
+  test("series: ordered per-key timeline keeps repeats, honors limit/sep") {
+    val out = HumioQuery.run(seqDf,
+      "series(field=v, by=k, as=tl) | sort(k)")
+      .as[(String, String)].collect().toMap
+    // key a: 10, then the same-ts pair (20, 30) ordered by event_id
+    assert(out == Map("a" -> "10 20 30", "b" -> "100 200"))
+    val lim = HumioQuery.run(seqDf,
+      "series(field=v, by=k, limit=2, sep=\",\", as=tl) | sort(k)")
+      .as[(String, String)].collect().toMap
+    assert(lim == Map("a" -> "10,20", "b" -> "100,200"))
+    // streaming reject: unwindowed aggregate never emits in append mode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val sdf = ms.toDF().toDF("event_id", "k", "v", "ts")
+      .withWatermark("ts", "1 minute")
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.run(sdf, "series(field=v, by=k)")
+    }
+    assert(e.getMessage.contains("batch aggregate"))
+  }
+
   test("bitfield: low bits decode to truthiness flags that compose") {
     val t = Seq((1L, 5L), (2L, 2L), (3L, 7L)).toDF("event_id", "n")
     val out = HumioQuery.run(t,
