@@ -650,6 +650,42 @@ class HumioStreamSpec extends SparkSpec {
     seqTwinCheck("k1 := 1 | partition(field=event_type, by=k1, as=p)", "p")
   }
 
+  test("streaming accumulate: a within-watermark late event folds at arrival position") {
+    // the documented divergence bound: a late-but-within-watermark event
+    // EMITS (state accepts it) with the running value as of its ARRIVAL
+    // position — it cannot retroactively shift values already emitted
+    // for later-timestamped events (append mode cannot retract)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val q = "cents := round(value * 100) | " +
+      "accumulate(field=cents, function=sum, by=event_type, as=run)"
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "1 hour")
+    val query = out.writeStream.format("memory").queryName("seq_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click", 10.0, "2024-03-01 00:00:01"),
+        (2L, "click", 20.0, "2024-03-01 00:10:00"))
+      query.processAllAvailable()
+      // event 3 is EARLIER than both consumed events but inside the
+      // watermark: it folds in at arrival → run = 10+20+5
+      mem.addData((3L, "click", 5.0, "2024-03-01 00:00:00"))
+      query.processAllAvailable()
+      val got = spark.table("seq_late").select("event_id", "run")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1000L, 2L -> 3000L, 3L -> 3500L))
+      // while the BATCH twin (total order) would have ordered event 3 first
+      val batch = HumioQuery.run(toEvents(Seq(
+          (1L, "click", 10.0, "2024-03-01 00:00:01"),
+          (2L, "click", 20.0, "2024-03-01 00:10:00"),
+          (3L, "click", 5.0, "2024-03-01 00:00:00")).toDF()), q)
+        .select("event_id", "run").as[(Long, Long)].collect().toMap
+      assert(batch == Map(3L -> 500L, 1L -> 1500L, 2L -> 3500L))
+      // the FINAL running total agrees — the divergence is transient
+      // ordering, never lost or double-counted contributions
+      assert(got.values.max == batch.values.max)
+    } finally query.stop()
+  }
+
   test("streaming accumulate count form and min/max fold") {
     seqTwinCheck("cents := round(value * 100) | " +
       "accumulate(field=cents, function=count, by=event_type, as=n)", "n")
