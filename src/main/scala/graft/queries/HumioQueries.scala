@@ -185,6 +185,15 @@ object HumioQueries {
       "user_id < 30 | series(field=event_type, by=user_id, limit=5, as=seq) " +
         "| sort(user_id)")
 
+  /** slidingTimeWindow(): trailing-24h spend per user at each event —
+    * the time-span moving aggregate (slidingWindow counts events).
+    */
+  def hqSlidingtime(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "user_id < 40 | cents := round(value * 100) " +
+        "| slidingTimeWindow(field=cents, span=1d, function=sum, by=user_id, as=w1d) " +
+        "| select(user_id, event_id, cents, w1d) | sort(user_id, event_id)")
+
   /** bitfield(): low bits of user_id as named truthiness flags, grouped
     * — the flag-decode + aggregate composition.
     */
@@ -570,6 +579,7 @@ object HumioQueries {
     "hq_slidingwin" -> hqSlidingwin _,
     "hq_partition" -> hqPartition _,
     "hq_series"    -> hqSeries _,
+    "hq_slidingtime" -> hqSlidingtime _,
     "hq_bitfield"  -> hqBitfield _)
 
   val oracle: Map[String, String] = Map(
@@ -598,6 +608,14 @@ object HumioQueries {
         |SELECT user_id, event_id, cents,
         |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "hq_slidingtime" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE user_id < 40)
+        |SELECT user_id, event_id, cents,
+        |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY tms
+        |            RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW) AS BIGINT) AS w1d
         |FROM e ORDER BY user_id, event_id""".stripMargin,
     "hq_series" ->
       """SELECT user_id,

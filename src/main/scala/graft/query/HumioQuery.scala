@@ -113,6 +113,11 @@ import graft.functions.Det.detRound4
   *                the field's value from the event `distance` back in
   *                sequence order (NULL when absent); streams with by=
   *                (lag-ring state)
+  *   slidingTW := slidingTimeWindow(field=f, span=<n><s|m|h|d>
+  *                [, function=…][, by=k][, as=out]) — moving aggregate
+  *                over the trailing time SPAN ending at each event
+  *                (slidingWindow counts EVENTS; this one counts time);
+  *                batch stage
   *   partition := partition(field=f[, by=k][, as=out]) — 1-based
   *                sub-sequence index, incremented whenever f's value
   *                CHANGES from the previous event in sequence order
@@ -1136,6 +1141,37 @@ object HumioQuery {
             (if (df.columns.contains("event_id")) Seq(col("event_id").asc) else Nil)
           df.withColumn(outCol, lag(col(f), n).over(base.orderBy(order: _*)))
         }
+      case "slidingTimeWindow" =>
+        // slidingTimeWindow(field=f, span=…[, function=…][, by=k]
+        // [, as=out]) — moving aggregate over the trailing time span
+        // (ts-millis RANGE frame [t−span+1, t], so equal-timestamp
+        // peers always share one frame — value-based framing is what
+        // keeps ties deterministic in both engines). Batch stage with a
+        // reasoned streaming error: trailing-span state is bounded by
+        // TRAFFIC inside the span, not by a cap — on a stream, bucket
+        // with timechart() and smooth with window() instead (bounded
+        // state, same trailing-time shape at bucket granularity).
+        require(!df.isStreaming,
+          "slidingTimeWindow() is a batch stage — its per-key state is " +
+            "traffic-bound (every event inside the trailing span); on a " +
+            "stream, bucket with timechart() and smooth with window()")
+        val f = named.get("field").orElse(pos.headOption).getOrElse(
+          throw new IllegalArgumentException("slidingTimeWindow() needs a field"))
+        val span = spanMs(named.getOrElse("span",
+          throw new IllegalArgumentException("slidingTimeWindow() needs span=")))
+        val outCol = named.getOrElse("as", "_slidingtimewindow")
+        val m: Column = named.getOrElse("function", "sum") match {
+          case "sum" => sum(col(f));  case "avg" => avg(col(f))
+          case "min" => min(col(f));  case "max" => max(col(f))
+          case "count" => count(col(f))
+          case other => throw new IllegalArgumentException(
+            s"slidingTimeWindow(): unsupported function '$other'")
+        }
+        val base = named.get("by").map(k => SqlWindow.partitionBy(col(k)))
+          .getOrElse(SqlWindow.partitionBy())
+        val w = base.orderBy(unix_millis(col("ts")))
+          .rangeBetween(-(span - 1), 0)
+        df.withColumn(outCol, m.over(w))
       case "partition" =>
         // partition(field=f[, by=k][, as=out]) — 1-based sub-sequence
         // index that increments whenever f's value changes from the

@@ -1060,6 +1060,29 @@ class HumioQuerySpec extends SparkSpec {
     assert(e.getMessage.contains("batch aggregate"))
   }
 
+  test("slidingTimeWindow: trailing span frame, equal-ts peers share it") {
+    // key a: events at :01, :03, :03 (tie), key b at :02, :04 — a 2s
+    // trailing span covers [t-1999ms, t]
+    val out = HumioQuery.run(seqDf,
+      "slidingTimeWindow(field=v, span=2s, function=sum, by=k, as=w) " +
+        "| select(event_id, w) | sort(event_id)")
+      .as[(Long, Long)].collect().toMap
+    // e1: just 10. e3/e4 are ts PEERS — both frames are [:01.001, :03],
+    // e1 (exactly 2s back) falls outside → both see 20+30 = 50. e2:
+    // 100. e5 at :04: frame [:02.001, :04] excludes e2 at :02 → 200.
+    assert(out == Map(1L -> 10L, 2L -> 100L, 3L -> 50L, 4L -> 50L, 5L -> 200L))
+    // streaming rejection is reasoned
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val sdf = ms.toDF().toDF("event_id", "k", "v", "ts")
+      .withWatermark("ts", "1 minute")
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.run(sdf, "slidingTimeWindow(field=v, span=2s, by=k)")
+    }
+    assert(e.getMessage.contains("traffic-bound"))
+  }
+
   test("bitfield: low bits decode to truthiness flags that compose") {
     val t = Seq((1L, 5L), (2L, 2L), (3L, 7L)).toDF("event_id", "n")
     val out = HumioQuery.run(t,
