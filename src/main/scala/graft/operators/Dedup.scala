@@ -221,8 +221,10 @@ object Dedup {
     * and probed every gram through a 100k-string broadcast hash:
     * measured 15× at 10× data; this shape re-measured ~6×). Skew
     * bound: the frame is the gram's occurrence count (max 5 on the
-    * fixture); boilerplate-hot grams at corpus scale would shift this
-    * to the count≥2 equi-join exactly like [[GramJoinModeConf]].
+    * fixture); for Zipfian corpora with boilerplate-hot grams,
+    * [[GramJoinModeConf]] selects the skew-safe aggregate+join-back
+    * formulation instead (AQE-splittable, result-identical — the
+    * `_skewjoin` query twins hash-prove it on the real corpus).
     */
   private def dupGramSpans(docs: DataFrame, text: Column, gram: Int,
                            nonFirstOnly: Boolean): DataFrame = {
@@ -238,14 +240,35 @@ object Dedup {
       .select(col("doc_id"), posexplode(Text.shinglesNative(toks, gram))
         .as(Seq("p0", "gtext")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("gtext"))
-    val wg = Window.partitionBy("gtext")
-    val flagged = grams.withColumn("occ", count(lit(1)).over(wg))
     val dupOnly =
-      if (!nonFirstOnly) flagged.where(col("occ") >= 2)
-      else flagged
-        .withColumn("fst", min(struct(col("doc_id"), col("s"))).over(wg))
-        .where(col("occ") >= 2 &&
+      if (docs.sparkSession.conf.get(GramJoinModeConf, "false").toBoolean) {
+        // skew-safe formulation (the [[GramJoinModeConf]] escape hatch,
+        // result-identical — the _skewjoin twins hash-prove it): the
+        // per-gram stats aggregate once (map-side partials absorb a hot
+        // gram) and join back on the STAGED gram relation, so the
+        // explode lineage still runs once and no window ever sees a
+        // Zipfian gram's whole partition in one frame
+        val staged = Scale.stage(grams)
+        val stats = staged.groupBy("gtext")
+          .agg(count(lit(1)).as("occ"),
+            min(struct(col("doc_id"), col("s"))).as("fst"))
+          .where(col("occ") >= 2)
+          .select(col("gtext"), col("fst"))
+        val joined = staged.join(stats, Seq("gtext"))
+        if (!nonFirstOnly) joined
+        else joined.where(
           !(col("doc_id") === col("fst.doc_id") && col("s") === col("fst.s")))
+      } else {
+        // default: occurrence count (and the first-occurrence struct,
+        // same frame) as whole-partition windows over ONE gram exchange
+        val wg = Window.partitionBy("gtext")
+        val flagged = grams.withColumn("occ", count(lit(1)).over(wg))
+        if (!nonFirstOnly) flagged.where(col("occ") >= 2)
+        else flagged
+          .withColumn("fst", min(struct(col("doc_id"), col("s"))).over(wg))
+          .where(col("occ") >= 2 &&
+            !(col("doc_id") === col("fst.doc_id") && col("s") === col("fst.s")))
+      }
     dupOnly.select(col("doc_id"), col("s"), (col("s") + (gram - 1)).as("e"))
   }
 

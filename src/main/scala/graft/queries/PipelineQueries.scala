@@ -1571,6 +1571,14 @@ object PipelineQueries {
   def xDupgramsSkewjoin(s: SparkSession, dir: String): DataFrame =
     withGramJoinMode(s)(xDupgrams(s, dir))
 
+  /** [[xSubstrSpans]] under the skew-safe aggregate+join-back spans. */
+  def xSubstrSpansSkewjoin(s: SparkSession, dir: String): DataFrame =
+    withGramJoinMode(s)(xSubstrSpans(s, dir))
+
+  /** [[xSubstrCut]] under the skew-safe aggregate+join-back spans. */
+  def xSubstrCutSkewjoin(s: SparkSession, dir: String): DataFrame =
+    withGramJoinMode(s)(xSubstrCut(s, dir))
+
   /** Per-doc KEYWORD extraction — top-3 tf-idf terms per document (the
     * doc-level sibling of the corpus-level [[xTfidf]]): one corpus
     * explode into the (doc, word) aggregate, df as a word-partitioned
@@ -2460,6 +2468,8 @@ object PipelineQueries {
     "x_substr_cut"  -> xSubstrCut _,
     "x_dupgrams_skewjoin"  -> xDupgramsSkewjoin _,
     "x_dedup_cut_skewjoin" -> xDedupCutSkewjoin _,
+    "x_substr_spans_skewjoin" -> xSubstrSpansSkewjoin _,
+    "x_substr_cut_skewjoin" -> xSubstrCutSkewjoin _,
     "x_dedup_incremental"  -> xDedupIncremental _,
     "x_curate_incremental" -> xCurateIncremental _,
     "x_mix_temp"    -> xMixTemp _,
@@ -4124,6 +4134,8 @@ object PipelineQueries {
   val oracle: Map[String, String] = oracleBase ++ Map(
     "x_dedup_cut_skewjoin" -> oracleBase("x_dedup_cut"),
     "x_dupgrams_skewjoin" -> oracleBase("x_dupgrams"),
+    "x_substr_spans_skewjoin" -> oracleBase("x_substr_spans"),
+    "x_substr_cut_skewjoin" -> oracleBase("x_substr_cut"),
     // Bloom pre-filter + exact verify is result-identical to the exact
     // join alone (no false negatives), so the twin shares the oracle.
     "x_decontam_bloom" -> oracleBase("x_decontam"))
