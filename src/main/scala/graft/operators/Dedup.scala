@@ -226,20 +226,50 @@ object Dedup {
     * formulation instead (AQE-splittable, result-identical — the
     * `_skewjoin` query twins hash-prove it on the real corpus).
     */
-  private def dupGramSpans(docs: DataFrame, text: Column, gram: Int,
-                           nonFirstOnly: Boolean): DataFrame = {
-    require(gram >= 2, s"dupGramSpans: gram must be >= 2, got $gram")
+  /** One row per full `gram`-word window: (doc_id, s, gtext), s 1-based.
+    * shinglesNative emits ONE whole-doc gram for docs shorter than
+    * `gram` words — those are whole-doc exact-dup signals at a different
+    * granularity (exactGroups' job), excluded here so every span is a
+    * true gram-length window.
+    */
+  private def explodeGrams(docs: DataFrame, text: Column, gram: Int): DataFrame = {
+    require(gram >= 2, s"explodeGrams: gram must be >= 2, got $gram")
     graft.expressions.WordShingles.register(docs.sparkSession)
     val toks = Text.tokens(text)
-    // shinglesNative emits ONE whole-doc gram for docs shorter than
-    // `gram` words — those are whole-doc exact-dup signals at a
-    // different granularity (exactGroups' job), excluded here so every
-    // span is a true gram-length window
-    val grams = docs
+    docs
       .where(size(toks) >= gram)
       .select(col("doc_id"), posexplode(Text.shinglesNative(toks, gram))
         .as(Seq("p0", "gtext")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("gtext"))
+  }
+
+  /** The durable ESD gram index of a kept corpus: the DISTINCT gram
+    * texts (production writes this `gtext`-bucketed, the
+    * [[probeBandIndex]] discipline — probes join it with no index-side
+    * shuffle).
+    */
+  def substrGramIndex(docs: DataFrame, text: Column, gram: Int): DataFrame =
+    explodeGrams(docs, text, gram).select("gtext").distinct()
+
+  /** Incremental ESD ingest probe: duplicated-span islands of the
+    * arriving `probes` docs against a kept corpus's STORED gram index —
+    * a span is duplicated iff its text exists in the base (the base
+    * copy is the one that survives, so every probe-side occurrence
+    * flags). Work is |delta|·grams through one equi-join; the base
+    * corpus appears only through its bounded distinct-gram index and is
+    * never re-paired — the x_dedup_incremental discipline at substring
+    * granularity.
+    */
+  def probeSubstrIndex(index: DataFrame, probes: DataFrame, text: Column,
+                       gram: Int): DataFrame =
+    mergeIslands(
+      explodeGrams(probes, text, gram)
+        .join(index, Seq("gtext"))
+        .select(col("doc_id"), col("s"), (col("s") + (gram - 1)).as("e")))
+
+  private def dupGramSpans(docs: DataFrame, text: Column, gram: Int,
+                           nonFirstOnly: Boolean): DataFrame = {
+    val grams = explodeGrams(docs, text, gram)
     val dupOnly =
       if (docs.sparkSession.conf.get(GramJoinModeConf, "false").toBoolean) {
         // skew-safe formulation (the [[GramJoinModeConf]] escape hatch,

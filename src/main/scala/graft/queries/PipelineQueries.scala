@@ -1571,6 +1571,22 @@ object PipelineQueries {
   def xDupgramsSkewjoin(s: SparkSession, dir: String): DataFrame =
     withGramJoinMode(s)(xDupgrams(s, dir))
 
+  /** Incremental ESD: duplicated-span islands of an arriving delta
+    * (every fourth doc) against the kept corpus's STORED distinct-gram
+    * index ([[Dedup.probeSubstrIndex]]) — |delta|·grams work, base
+    * never re-paired; the ingest-mode substring-dedup path.
+    */
+  def xSubstrIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val idx = graft.operators.Scale.stage(
+      Dedup.substrGramIndex(docs.where(col("doc_id") % 4 =!= 0),
+        col("text"), ESD_GRAM))
+    Dedup.probeSubstrIndex(idx, docs.where(col("doc_id") % 4 === 0),
+        col("text"), ESD_GRAM)
+      .withColumn("len", col("e") - col("s") + 1)
+      .orderBy("doc_id", "s")
+  }
+
   /** [[xSubstrSpans]] under the skew-safe aggregate+join-back spans. */
   def xSubstrSpansSkewjoin(s: SparkSession, dir: String): DataFrame =
     withGramJoinMode(s)(xSubstrSpans(s, dir))
@@ -2470,6 +2486,7 @@ object PipelineQueries {
     "x_dedup_cut_skewjoin" -> xDedupCutSkewjoin _,
     "x_substr_spans_skewjoin" -> xSubstrSpansSkewjoin _,
     "x_substr_cut_skewjoin" -> xSubstrCutSkewjoin _,
+    "x_substr_incremental" -> xSubstrIncremental _,
     "x_dedup_incremental"  -> xDedupIncremental _,
     "x_curate_incremental" -> xCurateIncremental _,
     "x_mix_temp"    -> xMixTemp _,
@@ -3413,6 +3430,28 @@ object PipelineQueries {
         |      FROM g),
         |d AS (SELECT gtext FROM gr GROUP BY gtext HAVING count(*) >= 2),
         |sp AS (SELECT gr.doc_id, s, s + $ESD_GRAM - 1 AS e FROM gr JOIN d USING (gtext)),
+        |i0 AS (SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |       FROM sp),
+        |i1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM i0),
+        |i2 AS (SELECT doc_id, s, e,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS UNBOUNDED PRECEDING) AS island FROM i1)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e,
+        |       CAST(max(e) - min(s) + 1 AS BIGINT) AS len
+        |FROM i2 GROUP BY doc_id, island ORDER BY doc_id, s""".stripMargin,
+    "x_substr_incremental" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CAST(unnest(range(1, len(toks) - $ESD_GRAM + 2)) AS BIGINT) AS s, toks
+        |      FROM t WHERE len(toks) >= $ESD_GRAM),
+        |gr AS MATERIALIZED (SELECT doc_id, s,
+        |        array_to_string(list_slice(toks, s, s + $ESD_GRAM - 1), ' ') AS gtext
+        |      FROM g),
+        |idx AS (SELECT DISTINCT gtext FROM gr WHERE doc_id % 4 <> 0),
+        |sp AS (SELECT gr.doc_id, s, s + $ESD_GRAM - 1 AS e
+        |       FROM gr JOIN idx USING (gtext) WHERE gr.doc_id % 4 = 0),
         |i0 AS (SELECT doc_id, s, e,
         |         max(e) OVER (PARTITION BY doc_id ORDER BY s
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
