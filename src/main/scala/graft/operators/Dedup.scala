@@ -267,6 +267,33 @@ object Dedup {
         .join(index, Seq("gtext"))
         .select(col("doc_id"), col("s"), (col("s") + (gram - 1)).as("e")))
 
+  /** Streaming ESD quarantine: doc ids of ARRIVING documents sharing
+    * any `gram`-word span with the kept corpus's stored gram index —
+    * the [[streamingIngestDupIds]] discipline at substring granularity.
+    * The gram explode is stateless; the semi join is stream-static
+    * (the bounded index side broadcast or bucket-read, never a
+    * stream-side shuffle of state); redeliveries collapse via
+    * dropDuplicatesWithinWatermark, state bounded by the watermark.
+    */
+  def streamingSubstrDupIds(stream: DataFrame, text: Column, gram: Int,
+                            index: DataFrame,
+                            watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "streamingSubstrDupIds needs a streaming DataFrame — use probeSubstrIndex for batch")
+    require(!index.isStreaming, "the gram index side must be a static DataFrame")
+    graft.expressions.WordShingles.register(stream.sparkSession)
+    val toks = Text.tokens(text)
+    // ts rides along: the dedup state needs the event-time column to
+    // expire by the watermark (explodeGrams projects it away)
+    stream.withWatermark("ts", watermark)
+      .where(size(toks) >= gram)
+      .select(col("doc_id"), col("ts"),
+        explode(Text.shinglesNative(toks, gram)).as("gtext"))
+      .join(index.select("gtext"), Seq("gtext"), "left_semi")
+      .select("doc_id", "ts")
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   private def dupGramSpans(docs: DataFrame, text: Column, gram: Int,
                            nonFirstOnly: Boolean): DataFrame = {
     val grams = explodeGrams(docs, text, gram)
