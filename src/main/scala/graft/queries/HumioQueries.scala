@@ -194,6 +194,13 @@ object HumioQueries {
         "| slidingTimeWindow(field=cents, span=1d, function=sum, by=user_id, as=w1d) " +
         "| select(user_id, event_id, cents, w1d) | sort(user_id, event_id)")
 
+  /** top(rest=): the top-3 event types plus one labeled remainder row
+    * folding the rest — the bounded-cardinality report shape.
+    */
+  def hqTopRest(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "value < 100 | top(event_type, limit=3, rest=other, percent=true)")
+
   /** bitfield(): low bits of user_id as named truthiness flags, grouped
     * — the flag-decode + aggregate composition.
     */
@@ -580,6 +587,7 @@ object HumioQueries {
     "hq_partition" -> hqPartition _,
     "hq_series"    -> hqSeries _,
     "hq_slidingtime" -> hqSlidingtime _,
+    "hq_top_rest"  -> hqTopRest _,
     "hq_bitfield"  -> hqBitfield _)
 
   val oracle: Map[String, String] = Map(
@@ -609,6 +617,24 @@ object HumioQueries {
         |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "hq_top_rest" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS _count
+        |           FROM events WHERE value < 100 GROUP BY event_type),
+        |tot AS (SELECT sum(_count) AS t FROM g),
+        |t3 AS (SELECT g.event_type, g._count,
+        |         floor((CAST(g._count AS DOUBLE) * 100.0 / CAST(tot.t AS DOUBLE))
+        |               * 10000.0 + 0.5) / 10000.0 AS _percent
+        |       FROM g CROSS JOIN tot
+        |       ORDER BY g._count DESC, g.event_type LIMIT 3),
+        |r AS (SELECT 'other' AS event_type,
+        |        CAST(tot.t - (SELECT sum(_count) FROM t3) AS BIGINT) AS _count,
+        |        floor((CAST(tot.t - (SELECT sum(_count) FROM t3) AS DOUBLE)
+        |               * 100.0 / CAST(tot.t AS DOUBLE)) * 10000.0 + 0.5)
+        |          / 10000.0 AS _percent
+        |      FROM tot
+        |      WHERE tot.t > (SELECT coalesce(sum(_count), 0) FROM t3))
+        |SELECT * FROM (SELECT * FROM t3 UNION ALL SELECT * FROM r)
+        |ORDER BY _count DESC, event_type""".stripMargin,
     "hq_slidingtime" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
         |             CAST(round(value * 100) AS BIGINT) AS cents

@@ -45,10 +45,12 @@ import graft.functions.Det.detRound4
   *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f)|stdDev(f)|
   *                percentile(f, p); list form names results _count /
   *                _sum_f / _avg_f / _min_f / _max_f / _stddev_f / _p<p>_f
-  *   top       := top(field[, limit=n][, sum=f][, percent=true]) — most
-  *                frequent values (or largest sum(f) with sum=), desc
-  *                with value tie-break (default limit 10); percent=true
-  *                adds the pre-limit count share as _percent
+  *   top       := top(field[, limit=n][, sum=f][, percent=true]
+  *                [, rest=label]) — most frequent values (or largest
+  *                sum(f) with sum=), desc with value tie-break (default
+  *                limit 10); percent=true adds the pre-limit count
+  *                share as _percent; rest=label appends one remainder
+  *                row folding everything beyond the top n
   *   sort      := sort(field[, order=asc|desc][, limit=n])
   *   head      := head(n)
   *   tail      := tail(n)                     — n most recent by ts
@@ -898,9 +900,40 @@ object HumioQuery {
                   col("_total").cast("double")))
               .drop("_total")
           }
-        withPct
+        val limited = withPct
           .orderBy(col(mName).desc +: pos.map(col(_).asc): _*)
           .limit(limit)
+        named.get("rest") match {
+          case None => limited
+          case Some(label) =>
+            // rest=label folds everything BEYOND the top n into one
+            // labeled remainder row (LogScale top(rest=)) — computed as
+            // total − top-n sum from two 1-row aggregates (never a
+            // second scan of the group table), emitted only when a
+            // remainder exists. Output re-sorted so the rest row lands
+            // by its own weight.
+            require(pos.size == 1, "top(rest=) supports a single field")
+            val f = pos.head
+            require(df.schema(f).dataType ==
+              org.apache.spark.sql.types.StringType,
+              "top(rest=) needs a string field — the label replaces the value")
+            val total = grouped.agg(sum(col(mName)).as("__t"))
+            val topSum = limited.agg(sum(col(mName)).as("__s"))
+            val restRow = total.crossJoin(topSum)
+              .where(col("__t") > coalesce(col("__s"), lit(0L)))
+              .select(lit(unquote(label)).as(f),
+                (col("__t") - coalesce(col("__s"), lit(0L))).as(mName))
+            val restAligned =
+              if (!limited.columns.contains("_percent")) restRow
+              else restRow
+                .crossJoin(broadcast(grouped.agg(sum(col(mName)).as("_total"))))
+                .withColumn("_percent",
+                  detRound4(col(mName).cast("double") * 100.0 /
+                    col("_total").cast("double")))
+                .drop("_total")
+            limited.unionByName(restAligned)
+              .orderBy(col(mName).desc, col(f).asc)
+        }
       case "eval" =>
         require(named.size == 1 && pos.isEmpty,
           s"eval expects exactly one field=expression, got '$args'")

@@ -1083,6 +1083,22 @@ class HumioQuerySpec extends SparkSpec {
     assert(e.getMessage.contains("traffic-bound"))
   }
 
+  test("top(rest=) folds the remainder into one labeled row, or omits it") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "c"), (7L, "d")).toDF("event_id", "event_type")
+    val out = HumioQuery.run(d, "top(event_type, limit=2, rest=other)")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L), ("other", 2L)))
+    // no remainder → no rest row
+    val all = HumioQuery.run(d, "top(event_type, limit=10, rest=other)")
+      .as[(String, Long)].collect().toSeq
+    assert(all.map(_._1).sorted == Seq("a", "b", "c", "d"))
+    // percent form: shares still sum over the PRE-limit total
+    val pct = HumioQuery.run(d, "top(event_type, limit=2, rest=other, percent=true)")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(math.abs(pct.map(_._3).sum - 100.0) < 0.01)
+  }
+
   test("bitfield: low bits decode to truthiness flags that compose") {
     val t = Seq((1L, 5L), (2L, 2L), (3L, 7L)).toDF("event_id", "n")
     val out = HumioQuery.run(t,
