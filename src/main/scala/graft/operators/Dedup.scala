@@ -160,12 +160,13 @@ object Dedup {
     * human audit consumes — rather than the cut text.
     *
     * Scale shape: one explode to (doc, pos, gram-text) — linear in
-    * corpus tokens; ONE shuffle on the gram text for the occurrence
-    * count (count ≥ 2 needs no distinct — a plain count aggregate with
-    * map-side partials, cheaper than the distinct-doc flag); the dup
-    * set joins back on the same key (AQE broadcasts it when small);
-    * island merge is two windows over ONE doc_id exchange. No pair
-    * matrix: a gram occurring k times costs k rows, never k².
+    * corpus tokens; the occurrence count is a whole-partition window
+    * over ONE gram-text exchange (default mode — no dup-set join, the
+    * explode lineage runs once; [[GramJoinModeConf]] selects the
+    * skew-safe aggregate+join-back formulation for Zipfian corpora,
+    * hash-proven identical by the `_skewjoin` twins); island merge is
+    * two windows over ONE doc_id exchange. No pair matrix: a gram
+    * occurring k times costs k rows, never k².
     */
   def substrIslands(docs: DataFrame, text: Column, gram: Int): DataFrame =
     mergeIslands(dupGramSpans(docs, text, gram, nonFirstOnly = false))

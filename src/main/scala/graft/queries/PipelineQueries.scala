@@ -2839,6 +2839,34 @@ object PipelineQueries {
     * word segments via list slicing (DuckDB has no WITH ORDINALITY;
     * range+list_slice replays [[docSegments]] exactly).
     */
+  /** Shared oracle CTEs for the ESD (exact-substring) family: per-doc
+    * [[ESD_GRAM]]-word gram explode. `gr` is MATERIALIZED — it feeds
+    * multiple consumers (the round-8 recursive-CTE lesson).
+    */
+  private val esdGramCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, CAST(unnest(range(1, len(toks) - $ESD_GRAM + 2)) AS BIGINT) AS s, toks
+      |      FROM t WHERE len(toks) >= $ESD_GRAM),
+      |gr AS MATERIALIZED (SELECT doc_id, s,
+      |        array_to_string(list_slice(toks, s, s + $ESD_GRAM - 1), ' ') AS gtext
+      |      FROM g)""".stripMargin
+
+  /** Island-merge CTE chain over a `sp(doc_id, s, e)` span relation —
+    * the gaps-and-islands replay of [[Dedup.substrIslands]]' merge.
+    */
+  private val esdIslandCtes: String =
+    """i0 AS (SELECT doc_id, s, e,
+      |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |       FROM sp),
+      |i1 AS (SELECT doc_id, s, e,
+      |         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM i0),
+      |i2 AS (SELECT doc_id, s, e,
+      |         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+      |              ROWS UNBOUNDED PRECEDING) AS island FROM i1),
+      |isl AS (SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e
+      |        FROM i2 GROUP BY doc_id, island)""".stripMargin
+
   private val segCtes: String =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
       |sg AS (SELECT doc_id, unnest(range(0, (len(toks) + ${SEG_WORDS - 1}) // $SEG_WORDS)) AS seg, toks FROM t),
@@ -3422,72 +3450,29 @@ object PipelineQueries {
         |       CAST(coalesce(max(CASE WHEN dup = 1 THEN len END), 0) AS BIGINT) AS max_dup_run
         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_substr_spans" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |g AS (SELECT doc_id, CAST(unnest(range(1, len(toks) - $ESD_GRAM + 2)) AS BIGINT) AS s, toks
-        |      FROM t WHERE len(toks) >= $ESD_GRAM),
-        |gr AS MATERIALIZED (SELECT doc_id, s,
-        |        array_to_string(list_slice(toks, s, s + $ESD_GRAM - 1), ' ') AS gtext
-        |      FROM g),
+      s"""WITH $esdGramCtes,
         |d AS (SELECT gtext FROM gr GROUP BY gtext HAVING count(*) >= 2),
         |sp AS (SELECT gr.doc_id, s, s + $ESD_GRAM - 1 AS e FROM gr JOIN d USING (gtext)),
-        |i0 AS (SELECT doc_id, s, e,
-        |         max(e) OVER (PARTITION BY doc_id ORDER BY s
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |       FROM sp),
-        |i1 AS (SELECT doc_id, s, e,
-        |         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM i0),
-        |i2 AS (SELECT doc_id, s, e,
-        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
-        |              ROWS UNBOUNDED PRECEDING) AS island FROM i1)
-        |SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e,
-        |       CAST(max(e) - min(s) + 1 AS BIGINT) AS len
-        |FROM i2 GROUP BY doc_id, island ORDER BY doc_id, s""".stripMargin,
+        |$esdIslandCtes
+        |SELECT doc_id, s, e, CAST(e - s + 1 AS BIGINT) AS len
+        |FROM isl ORDER BY doc_id, s""".stripMargin,
     "x_substr_incremental" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |g AS (SELECT doc_id, CAST(unnest(range(1, len(toks) - $ESD_GRAM + 2)) AS BIGINT) AS s, toks
-        |      FROM t WHERE len(toks) >= $ESD_GRAM),
-        |gr AS MATERIALIZED (SELECT doc_id, s,
-        |        array_to_string(list_slice(toks, s, s + $ESD_GRAM - 1), ' ') AS gtext
-        |      FROM g),
+      s"""WITH $esdGramCtes,
         |idx AS (SELECT DISTINCT gtext FROM gr WHERE doc_id % 4 <> 0),
         |sp AS (SELECT gr.doc_id, s, s + $ESD_GRAM - 1 AS e
         |       FROM gr JOIN idx USING (gtext) WHERE gr.doc_id % 4 = 0),
-        |i0 AS (SELECT doc_id, s, e,
-        |         max(e) OVER (PARTITION BY doc_id ORDER BY s
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |       FROM sp),
-        |i1 AS (SELECT doc_id, s, e,
-        |         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM i0),
-        |i2 AS (SELECT doc_id, s, e,
-        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
-        |              ROWS UNBOUNDED PRECEDING) AS island FROM i1)
-        |SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e,
-        |       CAST(max(e) - min(s) + 1 AS BIGINT) AS len
-        |FROM i2 GROUP BY doc_id, island ORDER BY doc_id, s""".stripMargin,
+        |$esdIslandCtes
+        |SELECT doc_id, s, e, CAST(e - s + 1 AS BIGINT) AS len
+        |FROM isl ORDER BY doc_id, s""".stripMargin,
     "x_substr_cut" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |g AS (SELECT doc_id, CAST(unnest(range(1, len(toks) - $ESD_GRAM + 2)) AS BIGINT) AS s, toks
-        |      FROM t WHERE len(toks) >= $ESD_GRAM),
-        |gr AS MATERIALIZED (SELECT doc_id, s,
-        |        array_to_string(list_slice(toks, s, s + $ESD_GRAM - 1), ' ') AS gtext
-        |      FROM g),
+      s"""WITH $esdGramCtes,
         |f AS (SELECT doc_id, s,
         |        count(*) OVER (PARTITION BY gtext) AS occ,
         |        min(struct_pack(d := doc_id, p := s)) OVER (PARTITION BY gtext) AS fst
         |      FROM gr),
         |sp AS (SELECT doc_id, s, s + $ESD_GRAM - 1 AS e FROM f
         |       WHERE occ >= 2 AND NOT (doc_id = fst.d AND s = fst.p)),
-        |i0 AS (SELECT doc_id, s, e,
-        |         max(e) OVER (PARTITION BY doc_id ORDER BY s
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |       FROM sp),
-        |i1 AS (SELECT doc_id, s, e,
-        |         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM i0),
-        |i2 AS (SELECT doc_id, s, e,
-        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
-        |              ROWS UNBOUNDED PRECEDING) AS island FROM i1),
-        |isl AS (SELECT doc_id, min(s) AS s, max(e) AS e
-        |        FROM i2 GROUP BY doc_id, island),
+        |$esdIslandCtes,
         |tok AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos, toks FROM t),
         |tk AS (SELECT doc_id, pos, toks[pos] AS tok FROM tok),
         |mk AS (SELECT tk.doc_id, tk.pos, tk.tok,

@@ -887,50 +887,57 @@ object HumioQuery {
         val (measure, mName) = named.get("sum")
           .map(f => (sum(col(f)), "_sum")).getOrElse((count(lit(1)), "_count"))
         val grouped = df.groupBy(pos.map(col): _*).agg(measure.as(mName))
+        val wantPct = named.get("percent").contains("true")
+        val restLabel = named.get("rest")
+        // ONE 1-row totals aggregate feeds both the percent denominator
+        // and the rest row's weight/guard (grand total + group count)
+        lazy val totals = broadcast(grouped.agg(
+          sum(col(mName)).as("__t"), count(lit(1)).as("__ng")))
         val withPct =
-          if (!named.get("percent").contains("true")) grouped
+          if (!wantPct) grouped
           else {
             require(named.get("sum").isEmpty,
               "top(percent=true) supports the count form only — a " +
                 "float-weighted share would be accumulation-order-dependent")
-            grouped
-              .crossJoin(broadcast(grouped.agg(sum(col(mName)).as("_total"))))
+            grouped.crossJoin(totals)
               .withColumn("_percent",
                 detRound4(col(mName).cast("double") * 100.0 /
-                  col("_total").cast("double")))
-              .drop("_total")
+                  col("__t").cast("double")))
+              .drop("__t", "__ng")
           }
         val limited = withPct
           .orderBy(col(mName).desc +: pos.map(col(_).asc): _*)
           .limit(limit)
-        named.get("rest") match {
+        restLabel match {
           case None => limited
           case Some(label) =>
             // rest=label folds everything BEYOND the top n into one
-            // labeled remainder row (LogScale top(rest=)) — computed as
-            // total − top-n sum from two 1-row aggregates (never a
-            // second scan of the group table), emitted only when a
-            // remainder exists. Output re-sorted so the rest row lands
-            // by its own weight.
+            // labeled remainder row (LogScale top(rest=)) — weight =
+            // total − top-n sum from two 1-row aggregates; the guard is
+            // the GROUP COUNT (groups beyond the top n exist), not the
+            // weight difference — a sum= form with negative weights can
+            // have a remainder whose total is ≤ 0 and it must still
+            // surface. Output re-sorted so the rest row lands by its
+            // own weight.
             require(pos.size == 1, "top(rest=) supports a single field")
             val f = pos.head
             require(df.schema(f).dataType ==
               org.apache.spark.sql.types.StringType,
               "top(rest=) needs a string field — the label replaces the value")
-            val total = grouped.agg(sum(col(mName)).as("__t"))
-            val topSum = limited.agg(sum(col(mName)).as("__s"))
-            val restRow = total.crossJoin(topSum)
-              .where(col("__t") > coalesce(col("__s"), lit(0L)))
+            val topSum = limited.agg(
+              sum(col(mName)).as("__s"), count(lit(1)).as("__ns"))
+            val restRow = totals.crossJoin(topSum)
+              .where(col("__ng") > col("__ns"))
               .select(lit(unquote(label)).as(f),
-                (col("__t") - coalesce(col("__s"), lit(0L))).as(mName))
+                (col("__t") - coalesce(col("__s"), lit(0L))).as(mName),
+                col("__t"))
             val restAligned =
-              if (!limited.columns.contains("_percent")) restRow
+              if (!wantPct) restRow.drop("__t")
               else restRow
-                .crossJoin(broadcast(grouped.agg(sum(col(mName)).as("_total"))))
                 .withColumn("_percent",
                   detRound4(col(mName).cast("double") * 100.0 /
-                    col("_total").cast("double")))
-                .drop("_total")
+                    col("__t").cast("double")))
+                .drop("__t")
             limited.unionByName(restAligned)
               .orderBy(col(mName).desc, col(f).asc)
         }

@@ -686,6 +686,31 @@ class HumioStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming accumulate: NULL keys form one sequence, like the batch null partition") {
+    implicit val sq = spark.sqlContext
+    val q = "cents := round(value * 100) | " +
+      "accumulate(field=cents, function=sum, by=event_type, as=run)"
+    val rows = Seq(
+      (1L, null.asInstanceOf[String], 10.0, "2024-03-01 00:00:01"),
+      (2L, "null", 70.0, "2024-03-01 00:00:02"),    // the STRING "null"
+      (3L, null.asInstanceOf[String], 20.0, "2024-03-01 00:00:03"))
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("seq_nullkey")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*); query.processAllAvailable()
+      val streamed = spark.table("seq_nullkey").select("event_id", "run")
+        .as[(Long, Long)].collect().toMap
+      // null-key rows are NOT dropped and chain together; the string
+      // "null" key stays a separate sequence (sentinel discipline)
+      assert(streamed == Map(1L -> 1000L, 2L -> 7000L, 3L -> 3000L))
+      val batch = HumioQuery.run(toEvents(rows.toDF()), q)
+        .select("event_id", "run").as[(Long, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("streaming accumulate count form and min/max fold") {
     seqTwinCheck("cents := round(value * 100) | " +
       "accumulate(field=cents, function=count, by=event_type, as=n)", "n")
