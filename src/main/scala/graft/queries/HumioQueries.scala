@@ -201,6 +201,14 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "value < 100 | top(event_type, limit=3, rest=other, percent=true)")
 
+  /** fieldstats(): per-field presence + exact cardinality of a
+    * projected relation — the schema-introspection report.
+    */
+  def hqFieldstats(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "user_id < 50 | select(event_type, user_id, value) " +
+        "| fieldstats() | sort(field)")
+
   /** bitfield(): low bits of user_id as named truthiness flags, grouped
     * — the flag-decode + aggregate composition.
     */
@@ -588,6 +596,7 @@ object HumioQueries {
     "hq_series"    -> hqSeries _,
     "hq_slidingtime" -> hqSlidingtime _,
     "hq_top_rest"  -> hqTopRest _,
+    "hq_fieldstats" -> hqFieldstats _,
     "hq_bitfield"  -> hqBitfield _)
 
   val oracle: Map[String, String] = Map(
@@ -617,6 +626,17 @@ object HumioQueries {
         |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "hq_fieldstats" ->
+      """WITH e AS (SELECT event_type, user_id, value FROM events WHERE user_id < 50)
+        |SELECT 'event_type' AS field, CAST(count(event_type) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct FROM e
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+        |       CAST(count(DISTINCT user_id) AS BIGINT) FROM e
+        |UNION ALL
+        |SELECT 'value', CAST(count(value) AS BIGINT),
+        |       CAST(count(DISTINCT value) AS BIGINT) FROM e
+        |ORDER BY field""".stripMargin,
     "hq_top_rest" ->
       """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS _count
         |           FROM events WHERE value < 100 GROUP BY event_type),

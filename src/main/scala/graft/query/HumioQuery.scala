@@ -128,6 +128,8 @@ import graft.functions.Det.detRound4
   *   bitfield  := bitfield(field=f, flags=[a, b, …]) — promote the low
   *                bits of an integer field to named "true"/"false" flag
   *                columns, bit i → flags[i]
+  *   fieldstats:= fieldstats() — one (field, n, n_distinct) row per
+  *                column of the current relation
   *   series    := series(field=f, by=k[, limit=n][, sep=s][, as=out]) —
   *                one row per key: f's values joined in (ts, event_id)
   *                order (first n with limit=) — the per-entity timeline
@@ -1274,6 +1276,27 @@ object HumioQuery {
         df.groupBy(col(k))
           .agg(concat_ws(sep, transform(limited, x => x("v")))
             .as(named.getOrElse("as", "_series")))
+      case "fieldstats" =>
+        // fieldstats() — per-field presence and cardinality of the
+        // current relation (LogScale fieldstats()): ONE aggregate pass
+        // computing count + exact distinct per column, unpivoted with
+        // stack() to a (field, n, n_distinct) row per column. The
+        // multi-distinct aggregate expands the input #columns-fold —
+        // the inspection cost is explicit; project first (select) to
+        // bound it.
+        require(!df.isStreaming,
+          "fieldstats() is a batch aggregate — an unwindowed streaming " +
+            "aggregation never emits in append mode; inspect a drained " +
+            "stream instead")
+        val cols = df.columns.toSeq
+        require(cols.nonEmpty, "fieldstats(): relation has no columns")
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"__n_$c"),
+          countDistinct(col(c)).as(s"__d_$c")))
+        val stackArgs = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
+        df.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(
+            s"stack(${cols.length}, $stackArgs) AS (field, n, n_distinct)")
       case "bitfield" =>
         // bitfield(field=f, flags=[a, b, …]) — promote the low bits of an
         // integer field to named "true"/"false" flag columns, bit i →

@@ -1099,6 +1099,15 @@ class HumioQuerySpec extends SparkSpec {
     assert(math.abs(pct.map(_._3).sum - 100.0) < 0.01)
   }
 
+  test("fieldstats: per-field presence and exact cardinality") {
+    val d = Seq((1L, "a", Some(1.5)), (2L, "a", None), (3L, "b", Some(1.5)))
+      .toDF("event_id", "t", "v")
+    val out = HumioQuery.run(d, "fieldstats() | sort(field)")
+      .as[(String, Long, Long)].collect().toSeq
+    // n counts NON-NULL per field; n_distinct is exact over non-nulls
+    assert(out == Seq(("event_id", 3L, 3L), ("t", 3L, 2L), ("v", 2L, 1L)))
+  }
+
   test("bitfield: low bits decode to truthiness flags that compose") {
     val t = Seq((1L, 5L), (2L, 2L), (3L, 7L)).toDF("event_id", "n")
     val out = HumioQuery.run(t,
