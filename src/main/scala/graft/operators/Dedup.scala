@@ -295,6 +295,43 @@ object Dedup {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs over `gram`-word shingles:
+    * C(a→b) = |rare-grams(a) ∩ grams(b)| / |grams(a)| — the quoted-
+    * inside detector. Jaccard dilutes a short doc embedded in a long
+    * one (|A∩B|/|A∪B| → small); containment normalizes by the SMALL
+    * side, so full embeds score 1.0 regardless of the host's size.
+    *
+    * Candidate pairs come only from grams shared by 2..`dfCap` docs —
+    * the winnow-pairs rare-fingerprint discipline: a boilerplate gram
+    * in thousands of docs would emit df² pairs, while every true embed
+    * still surfaces through its rare grams (an embedded span's grams
+    * have df ≈ 2). Pair volume is bounded by Σ df² over rare grams ≤
+    * dfCap · Σ df — linear in gram rows, never corpus². Both the
+    * numerator (shared rare grams) and denominator (all grams of a)
+    * are defined over DISTINCT per-doc grams; one staged gram relation
+    * feeds the per-doc counts, the rare filter, and both join sides.
+    */
+  def containmentPairs(docs: DataFrame, text: Column, gram: Int,
+                       dfCap: Int): DataFrame = {
+    require(dfCap >= 2, s"containmentPairs: dfCap must be >= 2, got $dfCap")
+    val g = Scale.stage(
+      explodeGrams(docs, text, gram).select("doc_id", "gtext").distinct())
+    val na = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val rare = g.groupBy("gtext").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap)
+      .select("gtext")
+    val k = g.join(rare, Seq("gtext"))
+    val pairs = k.select(col("doc_id").as("doc_a"), col("gtext"))
+      .join(k.select(col("doc_id").as("doc_b"), col("gtext")), Seq("gtext"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(na.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_grams").cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"))
+  }
+
   private def dupGramSpans(docs: DataFrame, text: Column, gram: Int,
                            nonFirstOnly: Boolean): DataFrame = {
     val grams = explodeGrams(docs, text, gram)

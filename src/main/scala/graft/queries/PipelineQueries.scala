@@ -1587,6 +1587,23 @@ object PipelineQueries {
       .orderBy("doc_id", "s")
   }
 
+  /** Rare-gram df cap for containment candidates (the winnow-pairs
+    * discipline) and the report threshold. */
+  val CONT_DF_CAP = 8
+  val CONT_MIN = 0.5
+
+  /** Asymmetric containment pairs ([[Dedup.containmentPairs]]):
+    * C(a→b) = shared rare 6-grams / grams(a) — the quoted-inside
+    * detector Jaccard dilutes; pairs at ≥ [[CONT_MIN]].
+    */
+  def xContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir).select("doc_id", "text"),
+        col("text"), ESD_GRAM, CONT_DF_CAP)
+      .where(col("containment") >= CONT_MIN)
+      .withColumn("containment", detRound4(col("containment")))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+
   /** [[xSubstrSpans]] under the skew-safe aggregate+join-back spans. */
   def xSubstrSpansSkewjoin(s: SparkSession, dir: String): DataFrame =
     withGramJoinMode(s)(xSubstrSpans(s, dir))
@@ -2487,6 +2504,7 @@ object PipelineQueries {
     "x_substr_spans_skewjoin" -> xSubstrSpansSkewjoin _,
     "x_substr_cut_skewjoin" -> xSubstrCutSkewjoin _,
     "x_substr_incremental" -> xSubstrIncremental _,
+    "x_containment" -> xContainment _,
     "x_dedup_incremental"  -> xDedupIncremental _,
     "x_curate_incremental" -> xCurateIncremental _,
     "x_mix_temp"    -> xMixTemp _,
@@ -3456,6 +3474,22 @@ object PipelineQueries {
         |$esdIslandCtes
         |SELECT doc_id, s, e, CAST(e - s + 1 AS BIGINT) AS len
         |FROM isl ORDER BY doc_id, s""".stripMargin,
+    "x_containment" ->
+      s"""WITH $esdGramCtes,
+        |gd AS (SELECT DISTINCT doc_id, gtext FROM gr),
+        |na AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+        |rare AS (SELECT gtext FROM gd GROUP BY gtext
+        |         HAVING count(*) BETWEEN 2 AND $CONT_DF_CAP),
+        |k AS (SELECT gd.doc_id, gd.gtext FROM gd JOIN rare USING (gtext)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(count(*) AS BIGINT) AS shared
+        |      FROM k a JOIN k b ON a.gtext = b.gtext AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT doc_a, doc_b, shared,
+        |        shared * 1.0 / na.n AS containment
+        |      FROM p JOIN na ON p.doc_a = na.doc_id)
+        |SELECT doc_a, doc_b, shared, ${detRound4Sql("containment")} AS containment
+        |FROM c WHERE containment >= $CONT_MIN ORDER BY doc_a, doc_b""".stripMargin,
     "x_substr_incremental" ->
       s"""WITH $esdGramCtes,
         |idx AS (SELECT DISTINCT gtext FROM gr WHERE doc_id % 4 <> 0),

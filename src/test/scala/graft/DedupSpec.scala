@@ -267,6 +267,22 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("containmentPairs: a short doc embedded in a long host scores 1.0 one-way") {
+    val quote = "alpha beta gamma delta epsilon zeta eta"
+    val host = s"lots of framing words before $quote and plenty of trailing " +
+      "words after the embedded quote continue onward further still more"
+    val d = Seq((1L, quote), (2L, host), (3L, unrelated)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, col("text"), 6, 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // every 6-gram of the quote appears in the host → C(quote→host)=1.0;
+    // the host has many grams of its own → C(host→quote) is small but
+    // present; the unrelated doc pairs with nothing
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((2L, 1L)) > 0.0 && out((2L, 1L)) < 0.2)
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("SigUnion aggregates the element-wise minimum signature (mergeable sketch)") {
     import org.apache.spark.sql.functions.udaf
     val perDoc = Dedup.withPermMinhashSigs(docs, col("text"), 8)
