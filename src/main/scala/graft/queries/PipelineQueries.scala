@@ -1587,6 +1587,27 @@ object PipelineQueries {
       .orderBy("doc_id", "s")
   }
 
+  /** The EXACT-SUBSTRING curation pipeline — the curate matrix with the
+    * ESD keep-one cut as its dedup stage: quality gates → benchmark
+    * decontamination → [[Dedup.substrCut]] (corpus-first occurrence of
+    * every duplicated 6-word span survives; docs left more than half
+    * duplicated drop entirely — which subsumes exact dedup: a verbatim
+    * copy is one full-doc span, so the later copy is fully cut and
+    * filtered, keep-first semantics for free) → train split → chunking.
+    * The substring stage replaces x_curate_clean's whole-doc md5 dedup
+    * with span-granular dedup over the SAME gated relation.
+    */
+  def xCurateExact(s: SparkSession, dir: String): DataFrame = {
+    val clean = decontamGatedDocs(s, dir)
+    val cut = Dedup.substrCut(clean, col("text"), ESD_GRAM)
+      .where(col("n_cut") * 2 < col("n_tokens"))
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val train = cut.where(Sampling.pct(col("doc_id")) < 80)
+    Sampling.chunked(train.select("doc_id", "text"), col("text"), CHUNK_BUDGET)
+      .select("doc_id", "chunk", "n_tok")
+      .orderBy("doc_id", "chunk")
+  }
+
   /** Rare-gram df cap for containment candidates (the winnow-pairs
     * discipline) and the report threshold. */
   val CONT_DF_CAP = 8
@@ -2505,6 +2526,7 @@ object PipelineQueries {
     "x_substr_cut_skewjoin" -> xSubstrCutSkewjoin _,
     "x_substr_incremental" -> xSubstrIncremental _,
     "x_containment" -> xContainment _,
+    "x_curate_exact" -> xCurateExact _,
     "x_dedup_incremental"  -> xDedupIncremental _,
     "x_curate_incremental" -> xCurateIncremental _,
     "x_mix_temp"    -> xMixTemp _,
@@ -2861,13 +2883,14 @@ object PipelineQueries {
     * [[ESD_GRAM]]-word gram explode. `gr` is MATERIALIZED — it feeds
     * multiple consumers (the round-8 recursive-CTE lesson).
     */
-  private val esdGramCtes: String =
-    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+  private def esdGramCtesOver(base: String): String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM $base),
       |g AS (SELECT doc_id, CAST(unnest(range(1, len(toks) - $ESD_GRAM + 2)) AS BIGINT) AS s, toks
       |      FROM t WHERE len(toks) >= $ESD_GRAM),
       |gr AS MATERIALIZED (SELECT doc_id, s,
       |        array_to_string(list_slice(toks, s, s + $ESD_GRAM - 1), ' ') AS gtext
       |      FROM g)""".stripMargin
+  private val esdGramCtes: String = esdGramCtesOver("documents")
 
   /** Island-merge CTE chain over a `sp(doc_id, s, e)` span relation —
     * the gaps-and-islands replay of [[Dedup.substrIslands]]' merge.
@@ -3474,6 +3497,48 @@ object PipelineQueries {
         |$esdIslandCtes
         |SELECT doc_id, s, e, CAST(e - s + 1 AS BIGINT) AS len
         |FROM isl ORDER BY doc_id, s""".stripMargin,
+    "x_curate_exact" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t0),
+        |ev AS (SELECT DISTINCT gram FROM g0 WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT g0.doc_id FROM g0 JOIN ev USING (gram)
+        |        WHERE g0.doc_id % 50 <> 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |         len(string_split(text, ' ')) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS swr
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |f AS MATERIALIZED (SELECT doc_id, text FROM q
+        |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4
+        |        AND doc_id NOT IN (SELECT doc_id FROM bad)),
+        |${esdGramCtesOver("f")},
+        |fw AS (SELECT doc_id, s,
+        |         count(*) OVER (PARTITION BY gtext) AS occ,
+        |         min(struct_pack(d := doc_id, p := s)) OVER (PARTITION BY gtext) AS fst
+        |       FROM gr),
+        |sp AS (SELECT doc_id, s, s + $ESD_GRAM - 1 AS e FROM fw
+        |       WHERE occ >= 2 AND NOT (doc_id = fw.fst.d AND s = fw.fst.p)),
+        |$esdIslandCtes,
+        |tok AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos, toks FROM t),
+        |tk AS (SELECT doc_id, pos, toks[pos] AS tok FROM tok),
+        |mk AS (SELECT tk.doc_id, tk.pos, tk.tok,
+        |         CASE WHEN isl.s IS NOT NULL THEN 1 ELSE 0 END AS cut
+        |       FROM tk LEFT JOIN isl
+        |         ON tk.doc_id = isl.doc_id AND tk.pos BETWEEN isl.s AND isl.e),
+        |per AS (SELECT doc_id, count(*) AS n_tokens, sum(cut) AS n_cut,
+        |          coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' ' ORDER BY pos), '') AS kept
+        |        FROM mk GROUP BY doc_id),
+        |ct AS (SELECT doc_id, kept AS text FROM per WHERE n_cut * 2 < n_tokens),
+        |tr AS (SELECT doc_id, text FROM ct WHERE ${hashBucketSql("doc_id")} % 100 < 80),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
+        |n2 AS (SELECT doc_id, len(toks) AS n FROM t2 WHERE len(toks) > 0),
+        |e2 AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
+        |      FROM n2)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
+        |FROM e2 ORDER BY doc_id, chunk""".stripMargin,
     "x_containment" ->
       s"""WITH $esdGramCtes,
         |gd AS (SELECT DISTINCT doc_id, gtext FROM gr),

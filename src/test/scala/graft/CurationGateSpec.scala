@@ -150,6 +150,24 @@ class CurationGateSpec extends SparkSpec {
     assert(cnts == cnts.sortBy(-_), "ranked by descending count")
   }
 
+  test("x_curate_exact's dedup stage: ESD cut + half rule = keep-first on twins") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // the fixture corpus has NO verbatim twins (its duplication is
+    // span-level), so the subsumption claim is proven synthetically:
+    // the later verbatim copy is one full-doc duplicated span, fully
+    // cut, and the >50% rule drops it — keep-first exact dedup
+    val twin = "one two three four five six seven eight nine"
+    val d = Seq((1L, twin), (2L, twin),
+      (3L, "ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.substrCut(d, col("text"), 6)
+      .where(col("n_cut") * 2 < col("n_tokens"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L),
+      s"first copy and the unique doc survive, the twin drops: $survivors")
+  }
+
   test("BM25 scores exactly the docs containing a query term, positively") {
     val out = PipelineQueries.xBm25(spark, dir).cache()
     val expected = Tables.documents(spark, dir)
