@@ -314,28 +314,47 @@ object Dedup {
   def containmentPairs(docs: DataFrame, text: Column, gram: Int,
                        dfCap: Int): DataFrame = {
     require(dfCap >= 2, s"containmentPairs: dfCap must be >= 2, got $dfCap")
-    // ONE corpus lineage, never recomputed: per-gram doc frequency via
-    // the gramDupFlag lag-flag trick (first row per (gram, doc) flags,
-    // sum over the gram partition = distinct-doc count — no distinct
-    // pre-shuffle), then the per-doc distinct-gram DENOMINATOR as a
-    // doc-partitioned count window over the flagged rows, so the rare
-    // k relation carries its own n_grams. Only THAT bounded relation
-    // is staged for the self-join (a distinct→count→join-back
-    // formulation recomputed the corpus explode on every consumer:
-    // measured 24× at 10× data; this shape ~7×).
-    val raw = explodeGrams(docs, text, gram)
-    val wg = Window.partitionBy("gtext").orderBy("doc_id", "s")
-    val nd = when(lag("doc_id", 1).over(wg).isNull ||
-      lag("doc_id", 1).over(wg) =!= col("doc_id"), 1L).otherwise(0L)
-    val gd = raw
-      .withColumn("nd", nd)
-      .withColumn("df", sum("nd").over(Window.partitionBy("gtext")))
-      .where(col("nd") === 1L)
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy("doc_id")))
-    val k = Scale.stage(
-      gd.where(col("df") >= 2 && col("df") <= dfCap)
-        .select("doc_id", "gtext", "n_grams"))
+    // ONE corpus lineage, never recomputed. Default mode: per-gram doc
+    // frequency via the gramDupFlag lag-flag trick (first row per
+    // (gram, doc) flags, sum over the gram partition = distinct-doc
+    // count — no distinct pre-shuffle), then the per-doc distinct-gram
+    // DENOMINATOR as a doc-partitioned count window over the flagged
+    // rows, so the rare k relation carries its own n_grams. Only THAT
+    // bounded relation is staged for the self-join (a
+    // distinct→count→join-back formulation recomputed the corpus
+    // explode on every consumer: measured 24× at 10× data; this shape
+    // 1.6×). [[GramJoinModeConf]] selects the skew-safe
+    // aggregate+join-back formulation instead — a Zipfian boilerplate
+    // gram would land its every occurrence in one non-splittable
+    // window task here; the aggregate path partial-aggregates it
+    // map-side and is AQE-splittable (the gramDupFlag trade, the
+    // `_skewjoin` twin hash-proves mode-invariance), at the cost of
+    // staging the distinct gram relation for its three consumers.
+    val k =
+      if (docs.sparkSession.conf.get(GramJoinModeConf, "false").toBoolean) {
+        val g = Scale.stage(
+          explodeGrams(docs, text, gram).select("doc_id", "gtext").distinct())
+        val na = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val rare = g.groupBy("gtext").agg(count(lit(1)).as("df"))
+          .where(col("df") >= 2 && col("df") <= dfCap)
+          .select("gtext")
+        Scale.stage(g.join(rare, Seq("gtext")).join(na, Seq("doc_id"))
+          .select("doc_id", "gtext", "n_grams"))
+      } else {
+        val raw = explodeGrams(docs, text, gram)
+        val wg = Window.partitionBy("gtext").orderBy("doc_id", "s")
+        val nd = when(lag("doc_id", 1).over(wg).isNull ||
+          lag("doc_id", 1).over(wg) =!= col("doc_id"), 1L).otherwise(0L)
+        val gd = raw
+          .withColumn("nd", nd)
+          .withColumn("df", sum("nd").over(Window.partitionBy("gtext")))
+          .where(col("nd") === 1L)
+          .withColumn("n_grams",
+            count(lit(1)).over(Window.partitionBy("doc_id")))
+        Scale.stage(
+          gd.where(col("df") >= 2 && col("df") <= dfCap)
+            .select("doc_id", "gtext", "n_grams"))
+      }
     k.select(col("doc_id").as("doc_a"), col("gtext"),
         col("n_grams"))
       .join(k.select(col("doc_id").as("doc_b"), col("gtext")), Seq("gtext"))

@@ -1590,7 +1590,7 @@ object PipelineQueries {
   /** The EXACT-SUBSTRING curation pipeline — the curate matrix with the
     * ESD keep-one cut as its dedup stage: quality gates → benchmark
     * decontamination → [[Dedup.substrCut]] (corpus-first occurrence of
-    * every duplicated 6-word span survives; docs left more than half
+    * every duplicated 6-word span survives; docs AT LEAST half
     * duplicated drop entirely — which subsumes exact dedup: a verbatim
     * copy is one full-doc span, so the later copy is fully cut and
     * filtered, keep-first semantics for free) → train split → chunking.
@@ -1624,6 +1624,10 @@ object PipelineQueries {
       .withColumn("containment", detRound4(col("containment")))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"))
       .orderBy("doc_a", "doc_b")
+
+  /** [[xContainment]] under the skew-safe aggregate+join-back mode. */
+  def xContainmentSkewjoin(s: SparkSession, dir: String): DataFrame =
+    withGramJoinMode(s)(xContainment(s, dir))
 
   /** [[xSubstrSpans]] under the skew-safe aggregate+join-back spans. */
   def xSubstrSpansSkewjoin(s: SparkSession, dir: String): DataFrame =
@@ -2526,6 +2530,7 @@ object PipelineQueries {
     "x_substr_cut_skewjoin" -> xSubstrCutSkewjoin _,
     "x_substr_incremental" -> xSubstrIncremental _,
     "x_containment" -> xContainment _,
+    "x_containment_skewjoin" -> xContainmentSkewjoin _,
     "x_curate_exact" -> xCurateExact _,
     "x_dedup_incremental"  -> xDedupIncremental _,
     "x_curate_incremental" -> xCurateIncremental _,
@@ -2879,6 +2884,27 @@ object PipelineQueries {
     * word segments via list slicing (DuckDB has no WITH ORDINALITY;
     * range+list_slice replays [[docSegments]] exactly).
     */
+  /** Shared oracle CTE block for the curation gates — THE single SQL
+    * definition of quality (n_words 5..2000, stopword ratio < 0.4) +
+    * benchmark decontamination (4-gram overlap with the doc_id%50 eval
+    * slice), replaying [[decontamGatedDocs]]; ends at `f(doc_id, text)`.
+    */
+  private val curateGateCtes: String =
+    s"""t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |g0 AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t0),
+      |ev AS (SELECT DISTINCT gram FROM g0 WHERE doc_id % 50 = 0),
+      |bad AS (SELECT DISTINCT g0.doc_id FROM g0 JOIN ev USING (gram)
+      |        WHERE g0.doc_id % 50 <> 0),
+      |q AS (
+      |  SELECT doc_id, text,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS swr
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |f AS MATERIALIZED (SELECT doc_id, text FROM q
+      |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4
+      |        AND doc_id NOT IN (SELECT doc_id FROM bad))""".stripMargin
+
   /** Shared oracle CTEs for the ESD (exact-substring) family: per-doc
     * [[ESD_GRAM]]-word gram explode. `gr` is MATERIALIZED — it feeds
     * multiple consumers (the round-8 recursive-CTE lesson).
@@ -3397,20 +3423,7 @@ object PipelineQueries {
         |  CAST(floor(target * total) AS BIGINT) AS target_tokens
         |FROM s ORDER BY source, lang""".stripMargin,
     "x_curate_clean" ->
-      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t0),
-        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
-        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
-        |        WHERE g.doc_id % 50 <> 0),
-        |q AS (
-        |  SELECT doc_id, text,
-        |         len(string_split(text, ' ')) AS n_words,
-        |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
-        |           / len(string_split(text, ' ')) AS swr
-        |  FROM documents WHERE doc_id % 50 <> 0),
-        |f AS (SELECT doc_id, text FROM q
-        |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4
-        |        AND doc_id NOT IN (SELECT doc_id FROM bad)),
+      s"""WITH $curateGateCtes,
         |d AS (SELECT doc_id, text,
         |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM f),
@@ -3498,20 +3511,7 @@ object PipelineQueries {
         |SELECT doc_id, s, e, CAST(e - s + 1 AS BIGINT) AS len
         |FROM isl ORDER BY doc_id, s""".stripMargin,
     "x_curate_exact" ->
-      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |g0 AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t0),
-        |ev AS (SELECT DISTINCT gram FROM g0 WHERE doc_id % 50 = 0),
-        |bad AS (SELECT DISTINCT g0.doc_id FROM g0 JOIN ev USING (gram)
-        |        WHERE g0.doc_id % 50 <> 0),
-        |q AS (
-        |  SELECT doc_id, text,
-        |         len(string_split(text, ' ')) AS n_words,
-        |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
-        |           / len(string_split(text, ' ')) AS swr
-        |  FROM documents WHERE doc_id % 50 <> 0),
-        |f AS MATERIALIZED (SELECT doc_id, text FROM q
-        |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4
-        |        AND doc_id NOT IN (SELECT doc_id FROM bad)),
+      s"""WITH $curateGateCtes,
         |${esdGramCtesOver("f")},
         |fw AS (SELECT doc_id, s,
         |         count(*) OVER (PARTITION BY gtext) AS occ,
@@ -4259,6 +4259,7 @@ object PipelineQueries {
     "x_dupgrams_skewjoin" -> oracleBase("x_dupgrams"),
     "x_substr_spans_skewjoin" -> oracleBase("x_substr_spans"),
     "x_substr_cut_skewjoin" -> oracleBase("x_substr_cut"),
+    "x_containment_skewjoin" -> oracleBase("x_containment"),
     // Bloom pre-filter + exact verify is result-identical to the exact
     // join alone (no false negatives), so the twin shares the oracle.
     "x_decontam_bloom" -> oracleBase("x_decontam"))

@@ -1290,10 +1290,19 @@ object HumioQuery {
             "stream instead")
         val cols = df.columns.toSeq
         require(cols.nonEmpty, "fieldstats(): relation has no columns")
+        // names are spliced into generated SQL — escape string-literal
+        // quotes and double embedded backticks so a column like o'brien,
+        // a.b, or one containing a backtick can't break the parse (the
+        // aggregation side quotes too: bare col() would read a dotted
+        // name as nested-field access)
+        def strLit(c: String) =
+          "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        def ident(c: String) = "`" + c.replace("`", "``") + "`"
         val aggs = cols.flatMap(c => Seq(
-          count(col(c)).as(s"__n_$c"),
-          countDistinct(col(c)).as(s"__d_$c")))
-        val stackArgs = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
+          count(col(ident(c))).as(s"__n_$c"),
+          countDistinct(col(ident(c))).as(s"__d_$c")))
+        val stackArgs = cols.map(c =>
+          s"${strLit(c)}, ${ident(s"__n_$c")}, ${ident(s"__d_$c")}").mkString(", ")
         df.agg(aggs.head, aggs.tail: _*)
           .selectExpr(
             s"stack(${cols.length}, $stackArgs) AS (field, n, n_distinct)")
