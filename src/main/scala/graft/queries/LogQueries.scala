@@ -267,6 +267,30 @@ object LogQueries {
         col("ts"), col("event_id"), col("event_type"))
       .orderBy("from_type", "to_type")
 
+  /** SEASONAL-baseline anomaly: hourly buckets judged against the mean
+    * of their own (series, hour-of-day) slot — the diurnal-pattern
+    * removal [[lAnomaly]]'s global z-cut can't do (a nightly batch
+    * spike is "normal at 02:00" but 3σ against the all-day mean).
+    * Flag = count > 1.5× the slot baseline, tested in EXACT integers
+    * (n·cnt·2 > 3·tot — no float mean crosses the filter), lift
+    * reported 4-decimal-stabilized. Two one-exchange windows over the
+    * bounded bucket relation.
+    */
+  def lSeasonal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = LogAnalytics.timechart(Tables.events(s, dir), "hour", col("event_type"))
+      .withColumnRenamed("dim", "event_type")
+      .withColumn("hod", ((col("bucket_ms") / 3600000L) % 24).cast("long"))
+    val w = Window.partitionBy("event_type", "hod")
+    b.withColumn("tot", sum("n").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(col("n") * col("cnt") * 2L > lit(3L) * col("tot"))
+      .select(col("bucket_ms"), col("event_type"), col("hod"), col("n"),
+        ConnectorQueries.detRound4(
+          col("n").cast("double") * col("cnt") / col("tot")).as("lift"))
+      .orderBy("bucket_ms", "event_type")
+  }
+
   /** Top opening paths: each user's first 5 event types in
     * (ts, event_id) order joined into a path string, counted across
     * users — the n-step journey mining l_transitions only sees one
@@ -291,6 +315,7 @@ object LogQueries {
     "l_conversion_lag" -> lConversionLag _,
     "l_transitions" -> lTransitions _,
     "l_paths"      -> lPaths _,
+    "l_seasonal"   -> lSeasonal _,
     "l_retention"  -> lRetention _,
     "l_histogram"  -> lHistogram _,
     "l_anomaly"    -> lAnomaly _,
@@ -330,6 +355,17 @@ object LogQueries {
       |       GROUP BY e.user_id)""".stripMargin
 
   private val oracleBase: Map[String, String] = Map(
+    "l_seasonal" ->
+      """WITH b AS (SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS bucket_ms,
+        |        event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |h AS (SELECT *, CAST((bucket_ms // 3600000) % 24 AS BIGINT) AS hod FROM b),
+        |g AS (SELECT *, sum(n) OVER (PARTITION BY event_type, hod) AS tot,
+        |        count(*) OVER (PARTITION BY event_type, hod) AS cnt FROM h)
+        |SELECT bucket_ms, event_type, hod, n,
+        |       floor((CAST(n AS DOUBLE) * cnt / tot) * 10000.0 + 0.5) / 10000.0 AS lift
+        |FROM g WHERE n * cnt * 2 > 3 * tot
+        |ORDER BY bucket_ms, event_type""".stripMargin,
     "l_paths" ->
       """WITH s AS (SELECT user_id,
         |      array_to_string(list_slice(

