@@ -201,6 +201,12 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "value < 100 | top(event_type, limit=3, rest=other, percent=true)")
 
+  /** range() aggregate: per-group max − min spread in exact cents. */
+  def hqRange(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "cents := round(value * 100) " +
+        "| groupBy(event_type, function=[count(), range(cents)]) | sort(event_type)")
+
   /** fieldstats(): per-field presence + exact cardinality of a
     * projected relation — the schema-introspection report.
     */
@@ -597,6 +603,7 @@ object HumioQueries {
     "hq_slidingtime" -> hqSlidingtime _,
     "hq_top_rest"  -> hqTopRest _,
     "hq_fieldstats" -> hqFieldstats _,
+    "hq_range"     -> hqRange _,
     "hq_bitfield"  -> hqBitfield _)
 
   val oracle: Map[String, String] = Map(
@@ -626,6 +633,11 @@ object HumioQueries {
         |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "hq_range" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS _count,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT))
+        |            - min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS _range_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "hq_fieldstats" ->
       """WITH e AS (SELECT event_type, user_id, value FROM events WHERE user_id < 50)
         |SELECT 'event_type' AS field, CAST(count(event_type) AS BIGINT) AS n,

@@ -42,9 +42,10 @@ import graft.functions.Det.detRound4
   *                unless a `*` catch-all arm exists (LogScale case).
   *                Fields an arm doesn't assign surface NULL
   *   groupBy   := groupBy(field[, function=agg | function=[agg, agg, …]])
-  *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f)|stdDev(f)|
-  *                percentile(f, p); list form names results _count /
-  *                _sum_f / _avg_f / _min_f / _max_f / _stddev_f / _p<p>_f
+  *                agg ∈ count()|sum(f)|avg(f)|min(f)|max(f)|range(f)|
+  *                stdDev(f)|percentile(f, p); list form names results
+  *                _count / _sum_f / _avg_f / _min_f / _max_f / _range_f /
+  *                _stddev_f / _p<p>_f
   *   top       := top(field[, limit=n][, sum=f][, percent=true]
   *                [, rest=label]) — most frequent values (or largest
   *                sum(f) with sum=), desc with value tie-break (default
@@ -377,6 +378,11 @@ object HumioQuery {
       case FnCall("avg", f)    => (avg(col(f.trim)), nm("avg", f))
       case FnCall("min", f)    => (min(col(f.trim)), nm("min", f))
       case FnCall("max", f)    => (max(col(f.trim)), nm("max", f))
+      case FnCall("range", f)  =>
+        // range(f) = max − min (LogScale range()) — two partial-agg
+        // buffers, one result column; exact on integers, and max−min of
+        // the same doubles is reproducible (no accumulation order)
+        (max(col(f.trim)) - min(col(f.trim)), nm("range", f))
       case FnCall("percentile", a) =>
         // percentile(f, p) inside groupBy: exact interpolated percentile,
         // 4-decimal stabilized like the standalone verb; named _p<p>_f
