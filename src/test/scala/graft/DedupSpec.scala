@@ -283,6 +283,58 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("ESD family matches a brute-force Scala reference on random corpora") {
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("a", "b", "c", "d", "e")  // tiny vocab → heavy collisions
+    val G = 6
+    for (trial <- 1 to 8) {
+      val docs = (1L to (6 + rnd.nextInt(6)).toLong).map { id =>
+        val n = 4 + rnd.nextInt(22)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      // brute-force reference
+      val grams = docs.flatMap { case (id, t) =>
+        val w = t.split(" ")
+        if (w.length < G) Nil
+        else (0 to w.length - G).map(i => (id, i + 1L, w.slice(i, i + G).mkString(" ")))
+      }
+      val occ = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      def islandsOf(spans: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+        val sorted = spans.sortBy(_._1)
+        sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (s, e)) =>
+          acc.lastOption match {
+            case Some((ps, pe)) if s <= pe => acc.init :+ (ps, math.max(pe, e))
+            case _ => acc :+ (s, e)
+          }
+        }
+      }
+      val refIslands = grams.filter(g => occ(g._3) >= 2)
+        .groupBy(_._1).flatMap { case (id, gs) =>
+          islandsOf(gs.map(g => (g._2, g._2 + G - 1))).map(i => (id, i._1, i._2))
+        }.toSet
+      val gotIslands = Dedup.substrIslands(df, col("text"), G)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotIslands == refIslands, s"trial $trial islands: " +
+        s"got ${gotIslands.toSeq.sorted} ref ${refIslands.toSeq.sorted}")
+      // cut reference: non-first occurrences (corpus-first = min (doc, s))
+      val first = grams.filter(g => occ(g._3) >= 2)
+        .groupBy(_._3).view.mapValues(gs => gs.map(g => (g._1, g._2)).min).toMap
+      val refCut = docs.map { case (id, t) =>
+        val w = t.split(" ")
+        val spans = grams.filter(g => g._1 == id && occ(g._3) >= 2 &&
+          first(g._3) != ((id, g._2))).map(g => (g._2, g._2 + G - 1))
+        val cutPos = islandsOf(spans).flatMap { case (s, e) => s to e }.toSet
+        val kept = w.zipWithIndex.collect {
+          case (tok, i) if !cutPos.contains(i + 1L) => tok }.mkString(" ")
+        (id, w.length.toLong, cutPos.size.toLong, kept)
+      }.toSet
+      val gotCut = Dedup.substrCut(df, col("text"), G)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(gotCut == refCut, s"trial $trial cut mismatch")
+    }
+  }
+
   test("SigUnion aggregates the element-wise minimum signature (mergeable sketch)") {
     import org.apache.spark.sql.functions.udaf
     val perDoc = Dedup.withPermMinhashSigs(docs, col("text"), 8)
