@@ -1598,7 +1598,11 @@ object PipelineQueries {
     * with span-granular dedup over the SAME gated relation.
     */
   def xCurateExact(s: SparkSession, dir: String): DataFrame = {
-    val clean = decontamGatedDocs(s, dir)
+    // the gated relation feeds BOTH the gram side (islands) and the
+    // token side (marking) of the cut — staged so the quality/decontam
+    // lineage runs once (measured: recompute-twice and staged are flat
+    // at the 10x probe; the stage wins the second corpus scan at scale)
+    val clean = graft.operators.Scale.stage(decontamGatedDocs(s, dir))
     val cut = Dedup.substrCut(clean, col("text"), ESD_GRAM)
       .where(col("n_cut") * 2 < col("n_tokens"))
       .select(col("doc_id"), col("kept_text").as("text"))
