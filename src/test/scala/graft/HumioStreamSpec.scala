@@ -711,6 +711,33 @@ class HumioStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming ring state chains THREE batches; min over the sliding frame") {
+    implicit val sq = spark.sqlContext
+    val q = "cents := round(value * 100) | " +
+      "slidingWindow(field=cents, function=min, events=3, by=event_type, as=m3)"
+    val b1 = Seq((1L, "click", 50.0, "2024-03-01 00:00:01"))
+    val b2 = Seq((2L, "click", 20.0, "2024-03-01 00:00:02"),
+      (3L, "click", 90.0, "2024-03-01 00:00:03"))
+    val b3 = Seq((4L, "click", 70.0, "2024-03-01 00:00:04"))
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("seq_ring3")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); query.processAllAvailable()
+      mem.addData(b2: _*); query.processAllAvailable()
+      mem.addData(b3: _*); query.processAllAvailable()
+      val got = spark.table("seq_ring3").select("event_id", "m3")
+        .as[(Long, Long)].collect().toMap
+      // frames: [50], [50,20], [50,20,90], [20,90,70] — min chains the
+      // ring across all three batch boundaries
+      assert(got == Map(1L -> 5000L, 2L -> 2000L, 3L -> 2000L, 4L -> 2000L))
+      val batch = HumioQuery.run(toEvents((b1 ++ b2 ++ b3).toDF()), q)
+        .select("event_id", "m3").as[(Long, Long)].collect().toMap
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("streaming accumulate count form and min/max fold") {
     seqTwinCheck("cents := round(value * 100) | " +
       "accumulate(field=cents, function=count, by=event_type, as=n)", "n")
