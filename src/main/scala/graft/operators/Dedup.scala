@@ -189,18 +189,22 @@ object Dedup {
     * linededup sorted-struct aggregate on one doc exchange.
     */
   def substrCut(docs: DataFrame, text: Column, gram: Int): DataFrame = {
+    // both sides derive from the same `docs` lineage — alias the island
+    // side so the join attributes are unambiguous (no reliance on
+    // plan-id self-join disambiguation, no trivially-true-equals WARNs)
     val islands = mergeIslands(
-      dupGramSpans(docs, text, gram, nonFirstOnly = true))
+      dupGramSpans(docs, text, gram, nonFirstOnly = true)).alias("isl")
     val tokens = docs
       .select(col("doc_id"), posexplode(Text.tokens(text)).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      .alias("tk")
     // islands are disjoint per doc, so each token matches at most one —
     // the left join IS the cut flag, no dedup aggregate needed
     tokens.join(islands,
-        tokens("doc_id") === islands("doc_id") &&
-          col("pos").between(islands("s"), islands("e")), "left")
-      .select(tokens("doc_id").as("doc_id"), col("pos"), col("tok"),
-        islands("s").isNotNull.as("cut"))
+        col("tk.doc_id") === col("isl.doc_id") &&
+          col("tk.pos").between(col("isl.s"), col("isl.e")), "left")
+      .select(col("tk.doc_id").as("doc_id"), col("tk.pos").as("pos"),
+        col("tk.tok").as("tok"), col("isl.s").isNotNull.as("cut"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
