@@ -105,9 +105,26 @@ object Text {
     "fr" -> Seq("le", "la", "les", "et", "de", "un"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不"))
 
+  /** Codegen'd stopword scoring ([[graft.expressions.StopwordCounts]]):
+    * array<long> of per-language hit counts in [[stopwordSets]] order —
+    * ONE pass over the tokens where the [[stopwordHits]] HOF re-scans
+    * once per language. Requires `StopwordCounts.register(spark)`.
+    */
+  def stopwordCountsNative(toks: Column): Column =
+    call_function("graft_stopword_counts", toks)
+
+  /** Codegen'd [[langId]] twin: argmax over [[stopwordCountsNative]]
+    * with the same first-wins tie order (differentially tested equal).
+    * Repeated calls on one select list dedup via Spark's subexpression
+    * elimination, so scoring+hits+best still cost one counting pass.
+    */
+  def langIdNative(toks: Column): Column =
+    call_function("graft_lang_best", stopwordCountsNative(toks))
+
   /** Heuristic language ID: argmax of stopword hits with a fixed
     * tie-break order (en > de > es > fr > zh). Expressed as a CASE chain
-    * so the DuckDB oracle can replay it verbatim.
+    * so the DuckDB oracle can replay it verbatim. Declarative REFERENCE
+    * form — hot paths use [[langIdNative]].
     */
   def langId(toks: Column): Column = {
     val hits = stopwordSets.map { case (lang, sw) => lang -> stopwordHits(toks, sw) }

@@ -41,6 +41,16 @@ object PipelineQueries {
 
   // ---- text analysis -------------------------------------------------
 
+  /** English stopword hit count via the ONE-pass native scorer
+    * ([[graft.expressions.StopwordCounts]]) — every quality/curation
+    * gate reads this; the HOF form re-scanned the token array per
+    * language. element_at is 1-based; "en" is stopwordSets.head.
+    */
+  private def enStopHits(s: SparkSession, toks: Column): Column = {
+    graft.expressions.StopwordCounts.register(s)
+    element_at(Text.stopwordCountsNative(toks), 1)
+  }
+
   def xTokens(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))
     Tables.documents(s, dir)
@@ -60,13 +70,18 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   def xLangid(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.StopwordCounts.register(s)
     val toks = Text.tokens(col("text"))
-    val hitCols = Text.stopwordSets.map { case (lang, sw) =>
-      Text.stopwordHits(toks, sw).cast("bigint").as(s"${lang}_hits")
+    // one native counting pass serves all five hit columns AND the
+    // argmax — the repeated counts calls dedup via subexpression
+    // elimination inside whole-stage codegen
+    val counts = Text.stopwordCountsNative(toks)
+    val hitCols = Text.stopwordSets.zipWithIndex.map { case ((lang, _), i) =>
+      element_at(counts, i + 1).as(s"${lang}_hits")
     }
     Tables.documents(s, dir)
       .select((col("doc_id") +: col("lang").as("labeled_lang") +: hitCols :+
-        Text.langId(toks).as("pred_lang")): _*)
+        Text.langIdNative(toks).as("pred_lang")): _*)
       .orderBy("doc_id")
   }
 
@@ -77,9 +92,10 @@ object PipelineQueries {
     * bounded matrix.
     */
   def xLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.StopwordCounts.register(s)
     val toks = Text.tokens(col("text"))
     Tables.documents(s, dir)
-      .select(col("lang").as("labeled_lang"), Text.langId(toks).as("pred_lang"))
+      .select(col("lang").as("labeled_lang"), Text.langIdNative(toks).as("pred_lang"))
       .groupBy("labeled_lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("row_share",
@@ -157,7 +173,7 @@ object PipelineQueries {
   def xQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
-    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val enHits = enStopHits(s, toks)
     Tables.documents(s, dir)
       .select(col("doc_id"), n.as("n_words"),
         detRound4(Text.sumWordLen(toks).cast("double") / n).as("avg_word_len"),
@@ -184,7 +200,7 @@ object PipelineQueries {
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks).cast("double")
     val awl = Text.sumWordLen(toks).cast("double") / n
-    val stop = Text.stopwordHits(toks, Text.stopwordSets.head._2).cast("double") / n
+    val stop = enStopHits(s, toks).cast("double") / n
     val ttr = size(array_distinct(toks)).cast("double") / n
     val score = lit(-2.0) + lit(0.5) * log(n) + lit(0.2) * awl +
       lit(3.0) * stop - lit(1.5) * ttr
@@ -219,7 +235,7 @@ object PipelineQueries {
   def xDatasetCard(s: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
-    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val enHits = enStopHits(s, toks)
     Tables.documents(s, dir)
       .select(col("lang"), col("source"), col("n_chars"), n.as("n_words"),
         (n.between(5, 2000) && (enHits.cast("double") / n) < 0.4)
@@ -318,7 +334,7 @@ object PipelineQueries {
     graft.expressions.WordShingles.register(s)
     val toks = Text.tokens(col("text"))
     val nW = Text.nWords(toks)
-    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val enHits = enStopHits(s, toks)
     val docs = Tables.documents(s, dir)
     val delta = docs.where(col("doc_id") % 4 === 0)
     def grams(d: DataFrame) = d.select(col("doc_id"),
@@ -1394,7 +1410,7 @@ object PipelineQueries {
     graft.expressions.WordShingles.register(s)
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
-    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val enHits = enStopHits(s, toks)
     val docs = Tables.documents(s, dir)
     def grams(d: DataFrame) = d.select(col("doc_id"),
       explode(Text.shinglesNative(toks, 4)).as("gram"))
@@ -2057,7 +2073,7 @@ object PipelineQueries {
   def xCurate(s: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
-    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val enHits = enStopHits(s, toks)
     val quality = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), n.as("n_words"),
         (enHits.cast("double") / n).as("swr"))
@@ -2088,7 +2104,7 @@ object PipelineQueries {
   def xCurateFuzzy(s: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
-    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val enHits = enStopHits(s, toks)
     val quality = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), n.as("n_words"),
         (enHits.cast("double") / n).as("swr"))
@@ -2127,7 +2143,7 @@ object PipelineQueries {
   def xCurateSemantic(s: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
-    val enHits = Text.stopwordHits(toks, Text.stopwordSets.head._2)
+    val enHits = enStopHits(s, toks)
     val quality = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), n.as("n_words"),
         (enHits.cast("double") / n).as("swr"))

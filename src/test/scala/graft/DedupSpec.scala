@@ -154,6 +154,46 @@ class DedupSpec extends SparkSpec {
     assert(nn == Seq("") && nn == nh)
   }
 
+  test("StopwordCounts/LangBest native equals the HOF scoring and langId fold") {
+    graft.expressions.StopwordCounts.register(spark)
+    // vocabulary mixing every language's stopwords (incl. the
+    // overlapping de/la), CJK, noise, and repeats — repeats matter
+    // because stopwordHits counts TOTAL hits, not distinct
+    val vocab = Text.stopwordSets.flatMap(_._2) ++
+      Seq("fox", "qqq", "zz9", "", "Le", "THE")  // case-sensitive: no hit
+    val rnd = new scala.util.Random(41)
+    val texts = Seq("", "the the the und und la la",
+      "el la los de y que", "的 是 了") ++
+      (0 until 60).map(_ =>
+        (0 until rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = Text.tokens(col("text"))
+    val native = df.select(col("doc_id"),
+        Text.stopwordCountsNative(toks).as("c"),
+        Text.langIdNative(toks).as("best"))
+      .as[(Long, Seq[Long], String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val hof = df.select(col("doc_id"),
+        array(Text.stopwordSets.map(p =>
+          Text.stopwordHits(toks, p._2).cast("long")): _*).as("c"),
+        Text.langId(toks).as("best"))
+      .as[(Long, Seq[Long], String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(native == hof)
+    // all-zero counts tie-break to the first language in set order
+    assert(native(0L)._2 == "en")
+    // "la" counts for BOTH es and fr (overlap), never for en/de/zh
+    val laOnly = Seq((9L, "la la")).toDF("doc_id", "text")
+      .select(Text.stopwordCountsNative(Text.tokens(col("text"))).as("c"))
+      .as[Seq[Long]].collect().head
+    assert(laOnly == Seq(0L, 0L, 2L, 2L, 0L))
+    // NULL text → NULL counts and NULL best (size(filter(NULL)) parity)
+    val nullRow = Seq(1L).toDF("id")
+      .select(Text.stopwordCountsNative(lit(null).cast("array<string>")).as("c"),
+        Text.langIdNative(lit(null).cast("array<string>")).as("b"))
+      .collect().head
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
+
   test("TrigramJaccard fused expression equals the declarative set formula") {
     graft.expressions.TrigramJaccard.register(spark)
     val rnd = new scala.util.Random(23)
