@@ -52,6 +52,17 @@ object Connector {
   def kvFlatten(kvArray: Column): Column =
     map_from_entries(transform(kvArray, e => struct(e("Key"), e("ValueString"))))
 
+  /** Fused one-pass twin of [[kvFlatten]]
+    * ([[graft.expressions.KvLastWinMap]], differentially tested equal):
+    * no interpreted transform lambda, no map builder, and cheap enough
+    * that repeated key extracts dedup via codegen subexpression
+    * elimination instead of needing a Generate barrier. Requires
+    * `KvLastWinMap.register(spark)`; input must already be
+    * struct<Key,ValueString> (positional).
+    */
+  def kvFlattenNative(kvArray: Column): Column =
+    call_function("graft_kv_lastwin", kvArray)
+
   def lastWinPolicy(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 

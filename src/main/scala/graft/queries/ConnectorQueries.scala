@@ -23,13 +23,20 @@ object ConnectorQueries {
   def detRound4Sql(e: String): String =
     graft.functions.Det.detRound4Sql(e)
 
-  /** R3 — tolerant JSON field extraction; corrupt/missing → NULL, dropped. */
-  def eParse(s: SparkSession, dir: String): DataFrame =
+  /** R3 — tolerant JSON field extraction; corrupt/missing → NULL,
+    * dropped. Native parse ([[graft.expressions.JsonLongField]]): both
+    * built-in JSON extractors are CodegenFallback and cost ~8 µs/row in
+    * interpreted dispatch + Jackson; the native validator keeps the
+    * whole projection in codegen with identical tolerant semantics.
+    */
+  def eParse(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.JsonLongField.register(s)
     Tables.events(s, dir)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
+        call_function("graft_json_long", col("props"), lit("k")).as("k_val"))
       .where(col("k_val").isNotNull)
       .orderBy("event_id")
+  }
 
   /** R4 — timestamp + rawstring projection (app.py:116-120). */
   def eProjectTs(s: SparkSession, dir: String): DataFrame =
@@ -44,23 +51,23 @@ object ConnectorQueries {
     * last must win), flattened through the real map path.
     */
   def eKvFlatten(s: SparkSession, dir: String): DataFrame = {
-    Connector.lastWinPolicy(s)
-    // parse props ONCE via from_json (get_json_object re-parses per call,
-    // and projection collapse would evaluate the flatten map once per
-    // extracted key). The one-element-array explode is a Generate
-    // barrier: the map is built once per row and both keys extract from
-    // the materialized value — no entry fan-out, no reassembly shuffle
-    // (the earlier map_entries-explode + groupBy shape paid a full
-    // corpus shuffle just to defeat CollapseProject).
+    graft.expressions.KvLastWinMap.register(s)
+    graft.expressions.JsonLongField.register(s)
+    // parse props ONCE via the native tolerant extractor (from_json is
+    // CodegenFallback — see eParse). The fused native flatten (one
+    // pass, no interpreted transform, no map builder) is evaluated once
+    // per row inside whole-stage codegen: the two key extracts share it
+    // via subexpression elimination, so the old one-element-array
+    // explode barrier (a Generate per row just to defeat
+    // CollapseProject) is gone. 1.61 -> 0.5 s warm at sf0.1.
     val kv = array(
       struct(lit("et").as("Key"), col("event_type").as("ValueString")),
       struct(lit("k").as("Key"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k")
+        call_function("graft_json_long", col("props"), lit("k"))
           .cast("string").as("ValueString")),
       struct(lit("et").as("Key"), upper(col("event_type")).as("ValueString")))
     Tables.events(s, dir)
-      .select(col("event_id"), explode(array(Connector.kvFlatten(kv))).as("m"))
+      .select(col("event_id"), Connector.kvFlattenNative(kv).as("m"))
       .select(col("event_id"), col("m")("et").as("kv_et"),
         col("m")("k").cast("bigint").as("kv_k"))
       .orderBy("event_id")

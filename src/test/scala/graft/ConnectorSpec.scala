@@ -37,6 +37,73 @@ class ConnectorSpec extends SparkSpec {
     assert(out == "update2")
   }
 
+  test("KvLastWinMap native equals map_from_entries under LAST_WIN") {
+    graft.expressions.KvLastWinMap.register(spark)
+    Connector.lastWinPolicy(spark)
+    // duplicate keys (first position, last value), NULL values kept,
+    // empty array, many keys — against the declarative form
+    val kvs: Seq[Seq[(String, String)]] = Seq(
+      Seq("a" -> "1", "b" -> "2", "a" -> "3"),
+      Seq("a" -> "1", "a" -> null, "b" -> "x", "c" -> "y", "b" -> "z"),
+      Seq(),
+      Seq("k" -> null),
+      (0 until 20).map(i => s"k${i % 7}" -> s"v$i"))
+    val df = kvs.zipWithIndex
+      .map { case (kv, i) => (i.toLong, kv) }
+      .toDF("id", "kv")
+      .select(col("id"), col("kv").cast(
+        "array<struct<Key:string,ValueString:string>>").as("kv"))
+    val native = df.select(col("id"), Connector.kvFlattenNative(col("kv")).as("m"))
+      .as[(Long, Map[String, String])].collect().toMap
+    val hof = df.select(col("id"), Connector.kvFlatten(col("kv")).as("m"))
+      .as[(Long, Map[String, String])].collect().toMap
+    assert(native == hof)
+    // key ORDER also matches (first-occurrence position)
+    val nk = df.select(col("id"), map_keys(Connector.kvFlattenNative(col("kv"))).as("k"))
+      .as[(Long, Seq[String])].collect().toMap
+    val hk = df.select(col("id"), map_keys(Connector.kvFlatten(col("kv"))).as("k"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(nk == hk)
+    // NULL array → NULL map, like map_from_entries
+    val nullArr = Seq(1).toDF("id").select(Connector.kvFlattenNative(
+      lit(null).cast("array<struct<Key:string,ValueString:string>>")).as("m"))
+    assert(nullArr.collect().head.isNullAt(0))
+  }
+
+  test("JsonLongField native equals from_json tolerant long extraction") {
+    graft.expressions.JsonLongField.register(spark)
+    val docs = Seq(
+      """{"k": 76}""", """{"k":-5}""", """{"k": 0}""",
+      """  {  "k" : 123 }  """,                       // whitespace
+      """{"j": 1}""",                                 // key absent
+      """{"k": 1.5}""", """{"k": 1e3}""",             // non-integral
+      """{"k": "12"}""",                              // string-typed
+      """{"k": true}""", """{"k": null}""",           // non-number
+      """{"k": 99999999999999999999}""",              // overflow
+      """{"k": 007}""",                               // leading zeros = corrupt
+      """{"k": 1,}""", """{"k" 1}""", """not json""", // malformed
+      """{"k": 1} trailing""",                        // trailing tolerated (=1)
+      """{"a": {"k": 9}, "b": [{"k": 8}]}""",         // nested k ignored
+      """{"a": "\"k\": 7"}""",                        // k inside a string
+      """{"a": [1, [2, {"b": "}"}]], "k": 42}""",     // deep nesting
+      """{"k": 1, "k": 2}""",                         // duplicate: last wins
+      "", "{}", "[1,2]")                              // non-object roots
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "props")
+    val native = df.select(col("id"),
+        call_function("graft_json_long", col("props"), lit("k")).as("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val builtin = df.select(col("id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k").as("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(native == builtin,
+      (native.toSeq.sortBy(_._1) zip builtin.toSeq.sortBy(_._1))
+        .filter(p => p._1 != p._2).toString)
+    assert(native(0L) == 76L && native(18L) == 42L && native(19L) == 2L)
+    assert(native(4L) == null && native(16L) == null)
+  }
+
   test("flatten without AuditKeyValues is a no-op, not a null (app.py:123-124)") {
     val noKv = """{"metadata": {"offset": 7, "eventCreationTime": 1}, "event": {"UserId": "x"}}"""
     val out = ConnectorPipeline.transform(Seq(noKv).toDF("value"), "h", "s")
