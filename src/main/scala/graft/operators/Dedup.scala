@@ -55,14 +55,34 @@ object Dedup {
     * Both modes return the same (doc_id, pos, gram, dup) column order —
     * callers may bind positionally.
     */
+  /** The canonical positional-gram relation per (corpus, gram) — every
+    * token of every doc exploded to its `k`-word shingles (a short
+    * doc's single whole-text gram included). Deliberately UNSTAGED: the
+    * codegen'd explode re-runs cheaper than a corpus-sized checkpoint
+    * reads back (measured at sf0.1 — staging this relation regressed
+    * every window-mode consumer ~25%); [[gramDupFlag]]'s join mode
+    * stages it itself for its two consumers, and the memo then shares
+    * the staged copy across the `_skewjoin` twins.
+    */
+  def posGrams(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    graft.expressions.WordShingles.register(docs.sparkSession)
+    docs.select(col("doc_id"), posexplode(
+      Text.shinglesNative(Text.tokens(text), k)).as(Seq("pos", "gram")))
+  }
+
   def gramDupFlag(pos: DataFrame): DataFrame =
     if (pos.sparkSession.conf.get(GramJoinModeConf, "false").toBoolean) {
-      val staged = Scale.stage(pos)
-      val dupGrams = staged.select("gram", "doc_id").distinct()
+      // stage only the BOUNDED dup-gram set (grams in ≥2 docs), not the
+      // corpus-sized gram relation: the codegen'd explode re-runs
+      // cheaper than a corpus checkpoint reads back (measured at
+      // sf0.1), so the flag side re-derives from `pos` while the
+      // aggregate side is computed once per session and shared across
+      // the skewjoin twins through the stage-memo
+      val dupGrams = Scale.stage(pos.select("gram", "doc_id").distinct()
         .groupBy("gram").agg(count(lit(1)).as("__nd"))
         .where(col("__nd") >= 2)
-        .select(col("gram"), lit(1).as("__dup"))
-      staged.join(dupGrams, Seq("gram"), "left")
+        .select(col("gram"), lit(1).as("__dup")))
+      pos.join(dupGrams, Seq("gram"), "left")
         .withColumn("dup", coalesce(col("__dup"), lit(0)))
         .select("doc_id", "pos", "gram", "dup")
     } else {
@@ -104,10 +124,7 @@ object Dedup {
     */
   def cutDupSpans(docs: DataFrame, text: Column, k: Int): DataFrame = {
     require(k >= 2, s"cutDupSpans: k must be >= 2, got $k")
-    graft.expressions.WordShingles.register(docs.sparkSession)
-    val pos = docs.select(col("doc_id"), posexplode(
-      Text.shinglesNative(Text.tokens(text), k)).as(Seq("pos", "gram")))
-    val dup = gramDupFlag(pos)
+    val dup = gramDupFlag(posGrams(docs, text, k))
     // token t is cut iff max(dup) over grams [t-k+1, t] (doc-clipped).
     // The rolling maxima are materialized as columns FIRST (window
     // expressions cannot ride inside the generator); all share one
@@ -241,6 +258,10 @@ object Dedup {
     require(gram >= 2, s"explodeGrams: gram must be >= 2, got $gram")
     graft.expressions.WordShingles.register(docs.sparkSession)
     val toks = Text.tokens(text)
+    // UNSTAGED like posGrams: the explode is codegen'd and re-runs
+    // cheaper than a corpus-sized checkpoint reads back; what gets
+    // staged is the BOUNDED dup-occurrence relation derived from it
+    // (dupGramSpans), which the spans/cut family then shares.
     docs
       .where(size(toks) >= gram)
       .select(col("doc_id"), posexplode(Text.shinglesNative(toks, gram))
@@ -369,38 +390,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"))
   }
 
-  private def dupGramSpans(docs: DataFrame, text: Column, gram: Int,
-                           nonFirstOnly: Boolean): DataFrame = {
+  /** The STAGED bounded dup-occurrence relation per (corpus, gram):
+    * (doc_id, s, is_first) for every occurrence of a ≥2-occurrence
+    * gram. This is the "stage only SMALL filtered relations" shape —
+    * duplicated-gram occurrences are a tiny slice of the corpus (11k of
+    * 265k gram rows at sf0.1) — so the spans query, the cut query, and
+    * both bench runs of each share ONE explode+count pass through the
+    * session stage-memo and then read a checkpoint thousands of times
+    * smaller than the corpus.
+    */
+  private def dupOccurrences(docs: DataFrame, text: Column,
+                             gram: Int): DataFrame = {
     val grams = explodeGrams(docs, text, gram)
-    val dupOnly =
+    val isFirst = (col("doc_id") === col("fst.doc_id") &&
+      col("s") === col("fst.s")).as("is_first")
+    val rel =
       if (docs.sparkSession.conf.get(GramJoinModeConf, "false").toBoolean) {
         // skew-safe formulation (the [[GramJoinModeConf]] escape hatch,
         // result-identical — the _skewjoin twins hash-prove it): the
         // per-gram stats aggregate once (map-side partials absorb a hot
-        // gram) and join back on the STAGED gram relation, so the
-        // explode lineage still runs once and no window ever sees a
-        // Zipfian gram's whole partition in one frame
-        val staged = Scale.stage(grams)
-        val stats = staged.groupBy("gtext")
+        // gram) and join back, so no window ever sees a Zipfian gram's
+        // whole partition in one frame. Only the BOUNDED ≥2-occurrence
+        // stats are staged (the gramDupFlag discipline) — the explode
+        // re-runs per consumer, cheaper than a corpus checkpoint
+        val stats = Scale.stage(grams.groupBy("gtext")
           .agg(count(lit(1)).as("occ"),
             min(struct(col("doc_id"), col("s"))).as("fst"))
           .where(col("occ") >= 2)
-          .select(col("gtext"), col("fst"))
-        val joined = staged.join(stats, Seq("gtext"))
-        if (!nonFirstOnly) joined
-        else joined.where(
-          !(col("doc_id") === col("fst.doc_id") && col("s") === col("fst.s")))
+          .select(col("gtext"), col("fst")))
+        grams.join(stats, Seq("gtext"))
+          .select(col("doc_id"), col("s"), isFirst)
       } else {
         // default: occurrence count (and the first-occurrence struct,
         // same frame) as whole-partition windows over ONE gram exchange
         val wg = Window.partitionBy("gtext")
-        val flagged = grams.withColumn("occ", count(lit(1)).over(wg))
-        if (!nonFirstOnly) flagged.where(col("occ") >= 2)
-        else flagged
+        grams
+          .withColumn("occ", count(lit(1)).over(wg))
           .withColumn("fst", min(struct(col("doc_id"), col("s"))).over(wg))
-          .where(col("occ") >= 2 &&
-            !(col("doc_id") === col("fst.doc_id") && col("s") === col("fst.s")))
+          .where(col("occ") >= 2)
+          .select(col("doc_id"), col("s"), isFirst)
       }
+    Scale.stage(rel)
+  }
+
+  private def dupGramSpans(docs: DataFrame, text: Column, gram: Int,
+                           nonFirstOnly: Boolean): DataFrame = {
+    val occ = dupOccurrences(docs, text, gram)
+    val dupOnly = if (nonFirstOnly) occ.where(!col("is_first")) else occ
     dupOnly.select(col("doc_id"), col("s"), (col("s") + (gram - 1)).as("e"))
   }
 

@@ -182,6 +182,15 @@ object Scale {
 
   def stage(df: DataFrame, eager: Boolean = false): DataFrame = {
     val s = df.sparkSession
+    // idempotent on an already-materialized relation: a LogicalRDD leaf
+    // IS concrete data (a prior stage's checkpoint) — re-checkpointing
+    // it would only copy the blocks. Lets an operator stage its input
+    // defensively while callers pass pre-staged shared relations
+    // (posGrams / explodeGrams) without paying twice.
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => return df
+      case _ => ()
+    }
     val reliable = s.conf.get(ReliableCheckpointConf, "false").toBoolean
     def doStage(): DataFrame =
       if (reliable) {

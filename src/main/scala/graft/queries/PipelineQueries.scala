@@ -1493,10 +1493,8 @@ object PipelineQueries {
     * run-length groups and two bounded aggregates finish.
     */
   def xDupgrams(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.WordShingles.register(s)
-    val pos = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(
-        Text.shinglesNative(Text.tokens(col("text")), 4)).as(Seq("pos", "gram")))
+    // the ONE staged 4-gram relation the cut/dupgrams family shares
+    val pos = Dedup.posGrams(Tables.documents(s, dir), col("text"), 4)
     val flagged = Dedup.gramDupFlag(pos)
       .withColumn("dup", col("dup").cast("bigint"))
     // gaps-and-islands: consecutive positions with the same dup flag
@@ -1709,12 +1707,20 @@ object PipelineQueries {
     * (word, freq) dictionary; every round runs over the zipf-bounded
     * vocabulary with a flag-only driver (one merge pair per round).
     */
-  def xBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .select(explode(Text.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-    graft.operators.Bpe.train(words, BPE_ROUNDS).orderBy("merge_idx")
-  }
+  /** The ONE staged word-frequency dictionary the BPE family shares —
+    * train, apply, and pairs (and both bench runs of each) all pay a
+    * single corpus word explode through the session stage-memo; the
+    * identical `words` plan also keys [[graft.operators.Bpe.train]]'s
+    * merge-table memo, so train and apply share the training loop.
+    */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.stage(
+      Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")))
+
+  def xBpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(bpeWords(s, dir), BPE_ROUNDS).orderBy("merge_idx")
 
   /** BPE tokenizer APPLY — the closing bracket of the tokenizer
     * lifecycle: train [[BPE_ROUNDS]] merges on the corpus dictionary,
@@ -1733,10 +1739,7 @@ object PipelineQueries {
     */
   def xBpeApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = graft.operators.Scale.stage(
-      Tables.documents(s, dir)
-        .select(explode(Text.tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq")))
+    val words = bpeWords(s, dir)
     val merges = graft.operators.Bpe.train(words, BPE_ROUNDS)
       .orderBy("merge_idx")
       .select(col("left_sym"), col("right_sym"))
@@ -1749,10 +1752,7 @@ object PipelineQueries {
   }
 
   def xBpePairs(s: SparkSession, dir: String): DataFrame = {
-    val v = Tables.documents(s, dir)
-      .select(explode(Text.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .where(length(col("word")) >= 2)
+    val v = bpeWords(s, dir).where(length(col("word")) >= 2)
     val w = Window.orderBy(col("cnt").desc, col("pair"))
     v.select(col("freq"), explode(transform(
         sequence(lit(1), length(col("word")) - 1),

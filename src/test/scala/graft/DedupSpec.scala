@@ -673,14 +673,15 @@ class DedupSpec extends SparkSpec {
     try {
       assert(runCut() == defaultMode,
         "join mode must produce byte-identical cut output")
-      // plan shape: the dup flag must partial-aggregate (two hash
-      // aggregates: distinct + count) with NO window over the gram
-      // partition — the whole point of the skew-safe mode
+      // plan shape: the dup flag must join back against the staged
+      // bounded dup-gram set with NO window over the gram partition —
+      // the whole point of the skew-safe mode (the partial aggregate
+      // that builds the set runs behind the Scale.stage leaf)
       val pos = docs.select(col("doc_id"), posexplode(
         Text.shinglesNative(Text.tokens(col("text")), 4)).as(Seq("pos", "gram")))
       val plan = Dedup.gramDupFlag(pos).queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"join mode must not plan a window:\n$plan")
-      assert(plan.contains("HashAggregate"), s"join mode must partial-aggregate:\n$plan")
+      assert(plan.contains("Join"), s"join mode must join the dup set back:\n$plan")
     } finally spark.conf.set(Dedup.GramJoinModeConf, "false")
     // window mode really is the window plan (the modes differ)
     val pos = docs.select(col("doc_id"), posexplode(
