@@ -205,12 +205,34 @@ object Dedup {
     * small), never a token×token product; the rebuild is the
     * linededup sorted-struct aggregate on one doc exchange.
     */
-  def substrCut(docs: DataFrame, text: Column, gram: Int): DataFrame = {
-    // both sides derive from the same `docs` lineage — alias the island
-    // side so the join attributes are unambiguous (no reliance on
-    // plan-id self-join disambiguation, no trivially-true-equals WARNs)
-    val islands = mergeIslands(
-      dupGramSpans(docs, text, gram, nonFirstOnly = true)).alias("isl")
+  def substrCut(docs: DataFrame, text: Column, gram: Int): DataFrame =
+    applyIslandCut(docs, text,
+      mergeIslands(dupGramSpans(docs, text, gram, nonFirstOnly = true)))
+
+  /** Incremental ESD CUT: remove from the arriving `probes` docs every
+    * token covered by a span whose text exists in the kept corpus's
+    * STORED distinct-gram index (the base copy survives, so every
+    * probe-side occurrence is cut) and rebuild the surviving text — the
+    * [[probeSubstrIndex]] islands composed with the [[substrCut]]
+    * rebuild. Work is |delta|·grams through one equi-join; the base
+    * corpus appears only as its bounded index. Delta-internal
+    * duplicates are the NEXT ingest's problem (the probed index then
+    * contains them) — the same convention as the banded incremental
+    * path ([[probeBandIndex]]).
+    */
+  def substrCutAgainstIndex(index: DataFrame, probes: DataFrame,
+                            text: Column, gram: Int): DataFrame =
+    applyIslandCut(probes, text, probeSubstrIndex(index, probes, text, gram))
+
+  /** Token marking + per-doc rebuild shared by the cut variants: mark
+    * every token covered by an island, count, and rebuild the uncut
+    * text in order. Both sides may derive from the same `docs` lineage —
+    * the aliases keep the join attributes unambiguous (no reliance on
+    * plan-id self-join disambiguation, no trivially-true-equals WARNs).
+    */
+  private def applyIslandCut(docs: DataFrame, text: Column,
+                             islandSpans: DataFrame): DataFrame = {
+    val islands = islandSpans.alias("isl")
     val tokens = docs
       .select(col("doc_id"), posexplode(Text.tokens(text)).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))

@@ -307,6 +307,38 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("substrCutAgainstIndex cuts base-covered spans, keeps fresh text") {
+    val phrase = "alpha beta gamma delta epsilon zeta"  // exactly 6 words
+    val base = Seq((0L, s"prefix words here $phrase and a tail end")).toDF("doc_id", "text")
+    val index = Dedup.substrGramIndex(base, col("text"), 6)
+    // 10: embeds the base phrase (6 covered tokens cut, flanks survive)
+    // 11: shares no 6-gram (fully kept)
+    // 12: short doc, fewer than 6 words (no grams -> fully kept)
+    // 13: verbatim copy of base doc 0 (fully cut)
+    val delta = Seq(
+      (10L, s"fresh open $phrase fresh close"),
+      (11L, "nothing here matches anything at all truly for sure"),
+      (12L, "too short for grams"),
+      (13L, s"prefix words here $phrase and a tail end"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substrCutAgainstIndex(index, delta, col("text"), 6)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == ((10L, 6L, "fresh open fresh close")))
+    assert(out(11L)._2 == 0L && out(11L)._3 == "nothing here matches anything at all truly for sure")
+    assert(out(12L) == ((4L, 0L, "too short for grams")))
+    assert(out(13L) == ((13L, 13L, "")), "a verbatim base copy is fully cut")
+    // delta-internal duplicates are NOT cut against each other (the
+    // documented next-ingest convention): two identical fresh docs both
+    // survive untouched
+    val twins = Seq((20L, "brand new words appearing nowhere in the base corpus today"),
+      (21L, "brand new words appearing nowhere in the base corpus today"))
+      .toDF("doc_id", "text")
+    val t = Dedup.substrCutAgainstIndex(index, twins, col("text"), 6)
+      .as[(Long, Long, Long, String)].collect()
+    assert(t.forall(_._3 == 0L), "delta-internal dups pass this ingest")
+  }
+
   test("containmentPairs: a short doc embedded in a long host scores 1.0 one-way") {
     val quote = "alpha beta gamma delta epsilon zeta eta"
     val host = s"lots of framing words before $quote and plenty of trailing " +
