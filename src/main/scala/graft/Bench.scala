@@ -21,6 +21,15 @@ object Bench {
       .config("spark.graft.stage.memo", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // probe knob pass-through: SPARK_GRAFT_CONF="k=v;k=v" sets session
+    // confs before any plan builds (e.g. spark.graft.ivf.k to retune
+    // the codebook with the corpus at a scale-probe SF). Not used by
+    // the driver's runs — those measure the declared defaults.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // warm-up: session init, codegen compiler, shuffle machinery — so the
     // first timed query isn't charged for JVM/Spark startup
     spark.range(1000000).selectExpr("sum(id)").collect()

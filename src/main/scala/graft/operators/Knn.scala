@@ -215,9 +215,17 @@ object Knn {
       .where(col("rk") <= nprobe)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("nrm").as("pn"), col("cent_id").as("cell"))
-    val homes = ivfAssign(corpus, centroids, dim)
+    // the home-assigned corpus IS the stored IVF index — staged so a
+    // session's repeat searches (and every query sharing the codebook)
+    // serve from the materialized index instead of re-running the n·k
+    // assignment pass. This is what makes a √n-scaled codebook sane:
+    // assignment is n·k = n^1.5 at k ~ √n, an INDEX-BUILD cost paid
+    // once, while the per-search scan stays |probes|·nprobe·|cell|
+    // (measured at the 100× probe: warm 47.6 s unstaged → index-read
+    // bound staged)
+    val homes = Scale.stage(ivfAssign(corpus, centroids, dim)
       .select(col("cell"), col("vec_id").as("cand_id"),
-        col("embedding").as("ce"), col("nrm").as("cn"))
+        col("embedding").as("ce"), col("nrm").as("cn")))
     val topk = udaf(graft.functions.TopKByScore(k))
     // NULL sim (zero-norm vector under try_divide) rides the primitive
     // aggregate buffer as -Inf and is restored after the merge — the
@@ -304,6 +312,31 @@ object Knn {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     (DataFrame, Int)]()
+
+  /** Session conf overriding the codebook size `k` — the scale knob of
+    * the IVF family. Declared queries pin their fixture k as the
+    * default (oracle replay needs a constant) but read this conf first,
+    * so a probe or a production session can retune k with the corpus
+    * without touching the plans.
+    */
+  val CodebookKConf = "spark.graft.ivf.k"
+
+  /** Codebook-size rule for library callers: the [[CodebookKConf]]
+    * override when set, else ceil(√n) — the SemDeDup cell discipline.
+    * With k ~ √n, cells stay O(√n), so the serving path's per-probe
+    * work (nprobe·|cell|) and any within-cell quadratic term grow as
+    * √n instead of n/k-with-fixed-k (the r9 100×-probe finding: fixed
+    * k=8 made x_ivfknn_trained's warm serving 4.3× at 100× data from
+    * cell growth alone). The corpus count is a one-row driver
+    * artifact, memoized per session under the stage-memo contract.
+    */
+  def codebookSize(vectors: DataFrame): Int =
+    vectors.sparkSession.conf.getOption(CodebookKConf).map(_.toInt)
+      .getOrElse {
+        val n = Scale.memoArtifact(vectors, "codebook_n")(
+          java.lang.Long.valueOf(vectors.count()))
+        math.max(1, math.ceil(math.sqrt(n.doubleValue())).toInt)
+      }
 
   def kmeansTrain(vectors: DataFrame, seed: DataFrame, dim: Int,
                   maxRounds: Int): (DataFrame, Int) = {

@@ -185,6 +185,26 @@ object HumioQueries {
       "user_id < 30 | series(field=event_type, by=user_id, limit=5, as=seq) " +
         "| sort(user_id)")
 
+  /** Windowed series(): the span= form — per-user per-DAY event
+    * timeline, one row per (bucket, user). This is the variant that
+    * also STREAMS (each bucket's series emits when the watermark closes
+    * it — HumioStreamSpec proves batch-twin agreement per bucket).
+    */
+  def hqSeriesSpan(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "user_id < 20 | series(field=event_type, by=user_id, span=1d, " +
+        "limit=5, as=seq) | sort(_bucket_ms, user_id)")
+
+  /** Windowed fieldstats(): the span= form — per-DAY presence +
+    * exact cardinality per column; the streaming twin computes the
+    * same stats per closed bucket (cardinality via collect_set —
+    * streaming forbids DISTINCT aggregates).
+    */
+  def hqFieldstatsSpan(s: SparkSession, dir: String): DataFrame =
+    HumioQuery.run(ev(s, dir),
+      "user_id < 50 | fields(ts, event_type, value) | " +
+        "fieldstats(span=1d) | sort(_bucket_ms, field)")
+
   /** slidingTimeWindow(): trailing-24h spend per user at each event —
     * the time-span moving aggregate (slidingWindow counts events).
     */
@@ -600,6 +620,8 @@ object HumioQueries {
     "hq_slidingwin" -> hqSlidingwin _,
     "hq_partition" -> hqPartition _,
     "hq_series"    -> hqSeries _,
+    "hq_series_span" -> hqSeriesSpan _,
+    "hq_fieldstats_span" -> hqFieldstatsSpan _,
     "hq_slidingtime" -> hqSlidingtime _,
     "hq_top_rest"  -> hqTopRest _,
     "hq_fieldstats" -> hqFieldstats _,
@@ -681,6 +703,28 @@ object HumioQueries {
         |         list(event_type ORDER BY ts, event_id), 1, 5), ' ') AS seq
         |FROM events WHERE user_id < 30
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "hq_series_span" ->
+      """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000) * 86400000 AS _bucket_ms,
+        |       user_id,
+        |       array_to_string(list_slice(
+        |         list(event_type ORDER BY ts, event_id), 1, 5), ' ') AS seq
+        |FROM events WHERE user_id < 20
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "hq_fieldstats_span" ->
+      """WITH e AS (SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000) * 86400000 AS b,
+        |             CAST(ts AS TIMESTAMP) AS ts2, event_type, value
+        |           FROM events WHERE user_id < 50),
+        |u AS (
+        |  SELECT b, 'ts' AS field, CAST(count(ts2) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT ts2) AS BIGINT) AS n_distinct FROM e GROUP BY b
+        |  UNION ALL
+        |  SELECT b, 'event_type', CAST(count(event_type) AS BIGINT),
+        |         CAST(count(DISTINCT event_type) AS BIGINT) FROM e GROUP BY b
+        |  UNION ALL
+        |  SELECT b, 'value', CAST(count(value) AS BIGINT),
+        |         CAST(count(DISTINCT value) AS BIGINT) FROM e GROUP BY b)
+        |SELECT b AS _bucket_ms, field, n, n_distinct FROM u
+        |ORDER BY _bucket_ms, field""".stripMargin,
     "hq_partition" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type
         |           FROM events WHERE user_id < 40),

@@ -599,6 +599,18 @@ object PipelineQueries {
   val KMEANS_K = 8
   val IVF_NPROBE = 2
 
+  /** Codebook size for the trained-kmeans family: the
+    * [[Knn.CodebookKConf]] session override when set (the scale probe
+    * retunes k ~ √n with the corpus — see [[Knn.codebookSize]]), else
+    * the pinned fixture default the DuckDB oracles replay.
+    */
+  private def kmeansK(s: SparkSession): Int =
+    s.conf.getOption(Knn.CodebookKConf).map(_.toInt).getOrElse(KMEANS_K)
+
+  /** Same rule for the fixture-codebook IVF serving family. */
+  private def ivfFixtureK(s: SparkSession): Int =
+    s.conf.getOption(Knn.CodebookKConf).map(_.toInt).getOrElse(IVF_K)
+
   /** IVF ANN with nprobe=2 — the recall lever over [[xIvfknn]]: each
     * bounded-workload probe ([[PROBE_CAP]]) searches its two nearest
     * cells, candidates stay under their home cell; fan-out linear in
@@ -623,7 +635,7 @@ object PipelineQueries {
     */
   def xIvfTrain(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val seed = emb.where(col("vec_id") < KMEANS_K)
+    val seed = emb.where(col("vec_id") < kmeansK(s))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val trained = Knn.kmeansRefine(emb, seed, DIM)
     Knn.ivfAssign(emb, trained, DIM)
@@ -645,7 +657,7 @@ object PipelineQueries {
     */
   def xIvfTrain2(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val seed = emb.where(col("vec_id") < KMEANS_K)
+    val seed = emb.where(col("vec_id") < kmeansK(s))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
     Knn.ivfAssign(emb, trained, DIM)
@@ -665,7 +677,7 @@ object PipelineQueries {
     */
   def xIvfknnTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val seed = emb.where(col("vec_id") < KMEANS_K)
+    val seed = emb.where(col("vec_id") < kmeansK(s))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
     Knn.ivfSearch(emb.where(col("vec_id") < PROBE_CAP), emb, trained,
@@ -688,7 +700,7 @@ object PipelineQueries {
     */
   def xCoreset(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val seed = emb.where(col("vec_id") < KMEANS_K)
+    val seed = emb.where(col("vec_id") < kmeansK(s))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
     val cent = broadcast(trained.select(col("cent_id").as("cell"),
@@ -760,7 +772,7 @@ object PipelineQueries {
     */
   def xSemdedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val seed = emb.where(col("vec_id") < KMEANS_K)
+    val seed = emb.where(col("vec_id") < kmeansK(s))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
     val pairs = Knn.cellPairs(Knn.ivfAssign(emb, trained, DIM),
@@ -799,7 +811,7 @@ object PipelineQueries {
     */
   def xSemdedupProbe(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val seed = emb.where(col("vec_id") < KMEANS_K)
+    val seed = emb.where(col("vec_id") < kmeansK(s))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val (trained, _) = Knn.kmeansTrain(emb, seed, DIM, KMEANS_ROUNDS)
     val pairs = Knn.cellPairsProbed(emb, trained, DIM,
@@ -828,7 +840,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
     val base = emb.where(col("vec_id") % 4 =!= 0)
     val delta = emb.where(col("vec_id") % 4 === 0)
-    val seed = base.orderBy("vec_id").limit(KMEANS_K)
+    val seed = base.orderBy("vec_id").limit(kmeansK(s))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val (trained, _) = Knn.kmeansTrain(base, seed, DIM, KMEANS_ROUNDS)
     Knn.probeCellIndex(delta, Knn.ivfAssign(base, trained, DIM), trained,
@@ -925,7 +937,7 @@ object PipelineQueries {
   }
 
   private def ivfCentroids(emb: DataFrame): DataFrame =
-    emb.where(col("vec_id") < IVF_K)
+    emb.where(col("vec_id") < ivfFixtureK(emb.sparkSession))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
 
   /** IVF cell occupancy — the codebook-assignment half of the IVF index

@@ -1255,16 +1255,18 @@ object HumioQuery {
             .drop("__graft_chg")
         }
       case "series" =>
-        // series(field=f, by=k[, limit=n][, sep=s][, as=out]) — the
-        // ordered value sequence per key (LogScale series(); collect()
-        // gathers distinct UNORDERED values, this is the per-entity
-        // TIMELINE — the path-mining / funnel-input artifact). One
-        // sorted-struct aggregate on one key exchange (the linededup
-        // rebuild shape — no window, no collect_list order hazard).
-        require(!df.isStreaming,
-          "series() is a batch aggregate — an unwindowed streaming " +
-            "aggregation never emits in append mode; aggregate a " +
-            "drained stream, or bucket first and aggregate per window")
+        // series(field=f, by=k[, span=5m][, limit=n][, sep=s][, as=out])
+        // — the ordered value sequence per key (LogScale series();
+        // collect() gathers distinct UNORDERED values, this is the
+        // per-entity TIMELINE — the path-mining / funnel-input
+        // artifact). One sorted-struct aggregate on one key exchange
+        // (the linededup rebuild shape — no window, no collect_list
+        // order hazard). With span= the series is PER TIME BUCKET
+        // (_bucket_ms rides first) — and that windowed form STREAMS:
+        // each bucket's series emits when the watermark closes it
+        // (state = the bucket's values per key, watermark-bounded); the
+        // unwindowed form stays batch-only (an unwindowed streaming
+        // aggregation never emits in append mode).
         val f = named.get("field").orElse(pos.headOption).getOrElse(
           throw new IllegalArgumentException("series() needs a field"))
         val k = named.getOrElse("by",
@@ -1279,21 +1281,46 @@ object HumioQuery {
           case Some(n) => slice(ordered, 1, n)
           case None    => ordered
         }
-        df.groupBy(col(k))
-          .agg(concat_ws(sep, transform(limited, x => x("v")))
-            .as(named.getOrElse("as", "_series")))
+        val seriesCol = concat_ws(sep, transform(limited, x => x("v")))
+          .as(named.getOrElse("as", "_series"))
+        named.get("span") match {
+          case None =>
+            require(!df.isStreaming,
+              "series() without span= is a batch aggregate — an " +
+                "unwindowed streaming aggregation never emits in append " +
+                "mode; add span= for per-bucket series, or aggregate a " +
+                "drained stream")
+            df.groupBy(col(k)).agg(seriesCol)
+          case Some(sp) =>
+            val span = spanMs(sp)
+            if (df.isStreaming) {
+              requireWatermarked(df, "series")
+              df.groupBy(window(col("ts"), s"$span milliseconds"), col(k))
+                .agg(seriesCol)
+                .select(unix_millis(col("window.start")).as("_bucket_ms"),
+                  col(k), col(named.getOrElse("as", "_series")))
+            } else {
+              // floor, not cast-truncation — the timeBucketed discipline
+              val bucket = floor(unix_millis(col("ts")) / span)
+                .cast("long") * span
+              df.withColumn("_bucket_ms", bucket)
+                .groupBy(col("_bucket_ms"), col(k))
+                .agg(seriesCol)
+            }
+        }
       case "fieldstats" =>
-        // fieldstats() — per-field presence and cardinality of the
-        // current relation (LogScale fieldstats()): ONE aggregate pass
-        // computing count + exact distinct per column, unpivoted with
-        // stack() to a (field, n, n_distinct) row per column. The
+        // fieldstats([span=5m]) — per-field presence and cardinality of
+        // the current relation (LogScale fieldstats()): ONE aggregate
+        // pass computing count + exact distinct per column, unpivoted
+        // with stack() to a (field, n, n_distinct) row per column. The
         // multi-distinct aggregate expands the input #columns-fold —
         // the inspection cost is explicit; project first (select) to
-        // bound it.
-        require(!df.isStreaming,
-          "fieldstats() is a batch aggregate — an unwindowed streaming " +
-            "aggregation never emits in append mode; inspect a drained " +
-            "stream instead")
+        // bound it. With span= the stats are PER TIME BUCKET
+        // (_bucket_ms rides first) — and that windowed form STREAMS:
+        // streaming forbids DISTINCT aggregates, so cardinality is the
+        // exact size(collect_set(…)) per window (state = the window's
+        // distinct values per column, watermark-bounded); each bucket
+        // emits when the watermark closes it.
         val cols = df.columns.toSeq
         require(cols.nonEmpty, "fieldstats(): relation has no columns")
         // names are spliced into generated SQL — escape string-literal
@@ -1304,14 +1331,42 @@ object HumioQuery {
         def strLit(c: String) =
           "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
         def ident(c: String) = "`" + c.replace("`", "``") + "`"
-        val aggs = cols.flatMap(c => Seq(
+        def aggsWith(distinct: String => Column) = cols.flatMap(c => Seq(
           count(col(ident(c))).as(s"__n_$c"),
-          countDistinct(col(ident(c))).as(s"__d_$c")))
+          distinct(c).as(s"__d_$c")))
         val stackArgs = cols.map(c =>
           s"${strLit(c)}, ${ident(s"__n_$c")}, ${ident(s"__d_$c")}").mkString(", ")
-        df.agg(aggs.head, aggs.tail: _*)
-          .selectExpr(
-            s"stack(${cols.length}, $stackArgs) AS (field, n, n_distinct)")
+        val stackExpr =
+          s"stack(${cols.length}, $stackArgs) AS (field, n, n_distinct)"
+        named.get("span") match {
+          case None =>
+            require(!df.isStreaming,
+              "fieldstats() without span= is a batch aggregate — an " +
+                "unwindowed streaming aggregation never emits in append " +
+                "mode; add span= for per-bucket stats, or inspect a " +
+                "drained stream")
+            val aggs = aggsWith(c => countDistinct(col(ident(c))))
+            df.agg(aggs.head, aggs.tail: _*).selectExpr(stackExpr)
+          case Some(sp) =>
+            val span = spanMs(sp)
+            if (df.isStreaming) {
+              requireWatermarked(df, "fieldstats")
+              val aggs = aggsWith(c =>
+                size(collect_set(col(ident(c)))).cast("long"))
+              df.groupBy(window(col("ts"), s"$span milliseconds"))
+                .agg(aggs.head, aggs.tail: _*)
+                .withColumn("_bucket_ms", unix_millis(col("window.start")))
+                .selectExpr("_bucket_ms", stackExpr)
+            } else {
+              val bucket = floor(unix_millis(col("ts")) / span)
+                .cast("long") * span
+              val aggs = aggsWith(c => countDistinct(col(ident(c))))
+              df.withColumn("_bucket_ms", bucket)
+                .groupBy(col("_bucket_ms"))
+                .agg(aggs.head, aggs.tail: _*)
+                .selectExpr("_bucket_ms", stackExpr)
+            }
+        }
       case "bitfield" =>
         // bitfield(field=f, flags=[a, b, …]) — promote the low bits of an
         // integer field to named "true"/"false" flag columns, bit i →

@@ -745,6 +745,85 @@ class HumioStreamSpec extends SparkSpec {
       "accumulate(field=cents, function=max, by=event_type, as=mx)", "mx")
   }
 
+  test("streaming windowed series() matches the batch twin per bucket") {
+    val q = "series(field=event_type, by=value, span=1h, sep=\"-\", as=tl)"
+    val batch1 = Seq(
+      (1L, "view", 1.0, "2024-03-01 00:05:00"),
+      (2L, "click", 1.0, "2024-03-01 00:20:00"),
+      (3L, "view", 2.0, "2024-03-01 00:10:00"),
+      (4L, "buy", 1.0, "2024-03-01 00:40:00"))
+    val batch2 = Seq(
+      (5L, "click", 2.0, "2024-03-01 01:10:00"),
+      (6L, "view", 1.0, "2024-03-01 01:30:00"),
+      (7L, "click", 0.0, "2024-03-01 09:00:00"))  // watermark sentinel
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_series_w")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); query.processAllAvailable()
+      mem.addData(batch2: _*); query.processAllAvailable()
+      val streamed = spark.table("hq_series_w")
+        .as[(Long, Double, String)].collect().toSet
+      val expected = HumioQuery.run(toEvents((batch1 ++ batch2).toDF()), q)
+        .as[(Long, Double, String)].collect().toSet
+        .filter(_._1 < epochMs("2024-03-01 09:00:00"))
+      assert(streamed == expected)
+      // per-key per-bucket timelines in (ts, event_id) order
+      assert(expected.contains((epochMs("2024-03-01 00:00:00"), 1.0,
+        "view-click-buy")))
+      assert(expected.contains((epochMs("2024-03-01 00:00:00"), 2.0, "view")))
+      assert(expected.contains((epochMs("2024-03-01 01:00:00"), 1.0, "view")))
+    } finally query.stop()
+  }
+
+  test("streaming windowed fieldstats() matches the batch twin per bucket") {
+    val q = "fields(event_type, value, ts) | fieldstats(span=1h)"
+    val batch1 = Seq(
+      (1L, "view", 1.0, "2024-03-01 00:05:00"),
+      (2L, "click", 2.0, "2024-03-01 00:20:00"),
+      (3L, "view", 1.0, "2024-03-01 00:10:00"),
+      (4L, "buy", 3.0, "2024-03-01 01:40:00"))
+    val batch2 = Seq(
+      (5L, "click", 2.0, "2024-03-01 01:50:00"),
+      (6L, "view", 0.0, "2024-03-01 09:00:00"))  // watermark sentinel
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val out = HumioQuery.runStream(toEvents(mem.toDF()), q, watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("hq_fs_w")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); query.processAllAvailable()
+      mem.addData(batch2: _*); query.processAllAvailable()
+      val streamed = spark.table("hq_fs_w")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val expected = HumioQuery.run(toEvents((batch1 ++ batch2).toDF()), q)
+        .as[(Long, String, Long, Long)].collect().toSet
+        .filter(_._1 < epochMs("2024-03-01 09:00:00"))
+      assert(streamed == expected)
+      // bucket 00:00 has 3 events: event_type 2 distinct, value 2 distinct
+      assert(expected.contains((epochMs("2024-03-01 00:00:00"), "event_type", 3L, 2L)))
+      assert(expected.contains((epochMs("2024-03-01 00:00:00"), "value", 3L, 2L)))
+      assert(expected.contains((epochMs("2024-03-01 01:00:00"), "event_type", 2L, 2L)))
+    } finally query.stop()
+  }
+
+  test("unwindowed series()/fieldstats() still refuse streams with a reasoned error") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val e1 = intercept[IllegalArgumentException] {
+      HumioQuery.runStream(toEvents(mem.toDF()),
+        "series(field=event_type, by=value)", watermark = "10 minutes")
+    }
+    assert(e1.getMessage.contains("span="))
+    val e2 = intercept[IllegalArgumentException] {
+      HumioQuery.runStream(toEvents(mem.toDF()), "fieldstats()",
+        watermark = "10 minutes")
+    }
+    assert(e2.getMessage.contains("span="))
+  }
+
   private def epochMs(s: String): Long =
     java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
