@@ -59,6 +59,44 @@ object ConnectorPipeline {
   def transformRaw(lines: DataFrame): DataFrame =
     lines.where(length(col("value")) > 0).select(col("value"))
 
+  /** Normalized option map for [[fromKafka]]: brokers + topic with the
+    * connector-shaped defaults (read from the earliest retained offset
+    * on first start — resume is the checkpoint's job, mirroring the
+    * reference's offset-file bootstrap; don't fail the query when
+    * retention already aged out records the checkpoint still names).
+    * `extra` overrides anything, including the defaults.
+    */
+  def kafkaOptions(brokers: String, topic: String,
+                   extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "false") ++ extra
+
+  /** Kafka line source — the third way in: yields the SAME
+    * `value: STRING` relation the Falcon DSv2 source and the
+    * MemoryStream test path feed into [[transform]]/[[transformRaw]],
+    * so the whole downstream pipeline (parse → flatten → enrich →
+    * trigger → bulk sink → checkpoint) is source-agnostic. Requires
+    * the spark-sql-kafka connector on the runtime classpath (it is a
+    * separate artifact, not bundled with Spark); options are the
+    * standard Kafka source options ([[kafkaOptions]] builds the common
+    * shape). Validation here fails fast at CONSTRUCTION with the two
+    * mistakes a config can't recover from at runtime — no brokers, or
+    * no topic selector.
+    */
+  def fromKafka(spark: SparkSession, options: Map[String, String]): DataFrame = {
+    require(options.contains("kafka.bootstrap.servers"),
+      "fromKafka needs kafka.bootstrap.servers (use kafkaOptions(brokers, topic))")
+    require(Seq("subscribe", "subscribePattern", "assign").exists(options.contains),
+      "fromKafka needs a topic selector: subscribe, subscribePattern, or assign")
+    spark.readStream.format("kafka").options(options).load()
+      // the Kafka wire value is bytes; the connector's line protocol is
+      // UTF-8 text — one cast yields the canonical line relation
+      .selectExpr("CAST(value AS STRING) AS value")
+  }
+
   /** Bulk-delivery contract of the Humio sink (app.py:151-176). `post`
     * returns false / throws on failure; the pipeline translates that
     * into a failed micro-batch, which Structured Streaming replays —

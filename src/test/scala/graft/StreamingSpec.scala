@@ -293,6 +293,38 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(spark.sql("select count(*) from dd").as[Long].head() == 2L)
   }
+
+  test("fromKafka: option mapping, fail-fast validation, and the kafka source path") {
+    // kafkaOptions: connector-shaped defaults, extra overrides anything
+    val opts = ConnectorPipeline.kafkaOptions("b1:9092,b2:9092", "audit")
+    assert(opts("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(opts("subscribe") == "audit")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("failOnDataLoss") == "false")
+    val tuned = ConnectorPipeline.kafkaOptions("b:9092", "t",
+      Map("startingOffsets" -> "latest", "maxOffsetsPerTrigger" -> "5000"))
+    assert(tuned("startingOffsets") == "latest" &&
+      tuned("maxOffsetsPerTrigger") == "5000")
+    // construction-time validation fires BEFORE any source lookup
+    val e1 = intercept[IllegalArgumentException] {
+      ConnectorPipeline.fromKafka(spark, Map("subscribe" -> "t"))
+    }
+    assert(e1.getMessage.contains("kafka.bootstrap.servers"))
+    val e2 = intercept[IllegalArgumentException] {
+      ConnectorPipeline.fromKafka(spark, Map("kafka.bootstrap.servers" -> "b:9092"))
+    }
+    assert(e2.getMessage.contains("topic selector"))
+    // with valid options the construction reaches the DSv2 lookup for
+    // the `kafka` format — this container ships Spark without the
+    // kafka connector artifact, so the lookup itself names the source
+    // (proving the format("kafka") wiring; with the jar on the
+    // classpath the same call yields the value: STRING line relation)
+    val e3 = intercept[Exception] {
+      ConnectorPipeline.fromKafka(spark, opts)
+    }
+    assert(e3.getMessage.toLowerCase.contains("kafka"),
+      s"expected the kafka source lookup, got: ${e3.getMessage}")
+  }
 }
 
 object StreamingSpec {
