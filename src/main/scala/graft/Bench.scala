@@ -139,15 +139,18 @@ object Bench {
         val spiky = warmOn && cold0 > 0 && warm > 0 &&
           cold0 > math.max(3 * warm, warm + 2.0) &&
           refCold.get(name).forall(r => cold0 > 2 * r)
-        val (cold, reruns) =
-          if (!spiky) (cold0, 0)
+        val (cold, warm2, reruns) =
+          if (!spiky) (cold0, warm, 0)
           else {
             val third = timedRun(name, fn)
             System.err.println(f"[bench] $name rerun (spike? cold=$cold0%.2f " +
               f"warm=$warm%.2f): $third%.2f")
-            (if (third < 0) cold0 else math.min(cold0, third), 1)
+            if (third < 0) (cold0, warm, 1)
+            // the rerun is the warmest run of all — fold it into BOTH
+            // so the record stays internally consistent (cold >= warm)
+            else (math.min(cold0, third), math.min(warm, third), 1)
           }
-        name -> ((cold, warm, cold0, reruns))
+        name -> ((cold, warm2, cold0, reruns))
       }
     def fmt(v: Double, scale: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString

@@ -9,8 +9,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Tolerant top-level JSON long-field extraction — the connector's R3
-  * parse (`from_json(s, 'k BIGINT').k`) as a codegen'd native
-  * expression.
+  * parse as a codegen'd native expression.
   *
   * Both of Spark's JSON extractors (JsonToStructs behind from_json,
   * GetJsonObject) are CodegenFallback: one appearance breaks the whole
@@ -21,18 +20,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * must parse, exactly like from_json) that captures the target
   * top-level field while scanning.
   *
-  * Tolerant semantics, differentially tested against from_json:
-  * malformed document → NULL; key absent → NULL; value not an integral
-  * JSON number (string/float/exponent/overflow/true/null/object) →
-  * NULL; duplicate top-level key → LAST value (Jackson's map
-  * semantics); nested occurrences of the key (inside sub-objects,
-  * arrays, or string values) never match. JSON strictness matches
-  * Jackson defaults: no leading zeros, valid escape sequences required
-  * everywhere, but content AFTER the root object is tolerated (Jackson
-  * never reads past the root value).
+  * Tolerant semantics (differentially tested against
+  * `from_json(s, 'k BIGINT').k` — every behavior below except the one
+  * noted widening was MEASURED on Spark 4, not assumed): malformed
+  * document → NULL; non-object root (array/scalar) → NULL; key absent
+  * or JSON `null` value → NULL; duplicate top-level key → the LAST
+  * SUCCESSFUL occurrence wins (PERMISSIVE keeps the partial row on a
+  * conversion failure, so a failed occurrence leaves the previous
+  * value; an explicit JSON null does overwrite); nested occurrences
+  * of the key (inside
+  * sub-objects, arrays, or string values) never match. JSON
+  * strictness matches Jackson defaults: no leading zeros,
+  * ASCII-hex-only escape sequences validated everywhere, content
+  * AFTER the root tolerated (Jackson never reads past the root
+  * value).
   *
-  * `key` must be a foldable string literal (it parameterizes the scan,
-  * not the data).
+  * ONE deliberate widening vs from_json: a STRING value whose trimmed
+  * content is an optionally-signed decimal integer coerces to its long
+  * (`{"k": "12"}` → 12) — the get_json_object + CAST semantics this
+  * expression replaced in eParse, and what the committed DuckDB oracle
+  * (`CAST(… AS BIGINT)`) computes; from_json nulls string-typed
+  * values.
+  *
+  * `key` must be a non-null foldable string literal (it parameterizes
+  * the scan, not the data).
   */
 case class JsonLongField(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,6 +60,10 @@ case class JsonLongField(left: Expression, right: Expression)
     else if (!right.foldable)
       TypeCheckResult.TypeCheckFailure(
         "graft_json_long requires a literal key")
+    else if (right.eval(null) == null)
+      // fail at ANALYSIS, not with an NPE resolving keyStr at codegen
+      TypeCheckResult.TypeCheckFailure(
+        "graft_json_long requires a non-null literal key")
     else TypeCheckResult.TypeCheckSuccess
 
   // the key is plan-time constant; resolve it once
@@ -102,10 +117,14 @@ object JsonLongField {
     def parse(): java.lang.Long = {
       try {
         ws()
+        // object roots only: from_json with a struct schema yields NULL
+        // for array/scalar roots (measured on Spark 4 — no
+        // array-as-rows in the expression context), as does the
+        // oracle's ->> extraction
         if (i >= n || s.charAt(i) != '{') return null
         parseObject(top = true)
-        // trailing content after the root object is TOLERATED — Jackson
-        // never reads past the root value, so from_json accepts it too
+        // trailing content after the root value is TOLERATED — Jackson
+        // never reads past the root, so from_json accepts it too
         hit
       } catch { case _: BadJson => null }
     }
@@ -116,8 +135,14 @@ object JsonLongField {
       while (true) {
         ws()
         val k = parseString(); ws(); expect(':'); ws()
-        if (top && k == key) hit = parseTopValue()
-        else parseValue()
+        if (top && k == key) {
+          // the LAST SUCCESSFUL occurrence wins — measured from_json
+          // behavior ({"k": 1.5, "k": 2} → 2 AND {"k": 2, "k": 1.5} →
+          // 2): PERMISSIVE keeps the partial row on a conversion
+          // failure, so a failed occurrence leaves the previous value;
+          // an explicit JSON null DOES overwrite (Some(null))
+          parseTopValue().foreach(v => hit = v)
+        } else parseValue()
         ws()
         peek() match {
           case ',' => i += 1
@@ -127,17 +152,31 @@ object JsonLongField {
       }
     }
 
-    /** Value in the target position: parse as any JSON value, but
-      * capture a long ONLY for a plain integral number in range.
+    /** Value in the target position: parse as any JSON value; Some for
+      * a coercible long — a plain integral number in range, a JSON
+      * null (Some(null)), or (the get_json_object+cast legacy this
+      * replaced) a string whose trimmed content is an optionally-signed
+      * decimal integer — None for anything else.
       */
-    private def parseTopValue(): java.lang.Long = {
+    private def parseTopValue(): Option[java.lang.Long] = {
       if (peek() == '-' || (peek() >= '0' && peek() <= '9')) {
         val start = i
         val isInt = parseNumber()
-        if (!isInt) return null
-        try java.lang.Long.valueOf(s.substring(start, i))
-        catch { case _: NumberFormatException => null }  // overflow
-      } else { parseValue(); null }
+        if (!isInt) return None
+        try Some(java.lang.Long.valueOf(s.substring(start, i)))
+        catch { case _: NumberFormatException => None }  // overflow
+      } else if (peek() == '"') {
+        val str = parseString().trim
+        val body = if (str.startsWith("-") || str.startsWith("+")) str.substring(1) else str
+        if (body.nonEmpty && body.forall(c => c >= '0' && c <= '9')) {
+          try Some(java.lang.Long.valueOf(str))
+          catch { case _: NumberFormatException => None }
+        } else None
+      } else if (peek() == 'n') {
+        // a JSON null coerces to a NULL field WITHOUT corrupting the
+        // record (a later duplicate may still win) — Jackson parity
+        literal("null"); Some(null)
+      } else { parseValue(); None }
     }
 
     private def parseValue(): Unit = peek() match {
@@ -186,7 +225,11 @@ object JsonLongField {
             case 'u' =>
               if (i + 4 >= n) throw Bad
               val hex = s.substring(i + 1, i + 5)
-              if (!hex.forall(h => Character.digit(h, 16) >= 0)) throw Bad
+              // ASCII hex only — Character.digit also accepts Unicode
+              // digit code points (Arabic-Indic, fullwidth) that
+              // Jackson rejects
+              if (!hex.forall(h => (h >= '0' && h <= '9') ||
+                  (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F'))) throw Bad
               sb.append(Integer.parseInt(hex, 16).toChar)
               i += 4
             case _ => throw Bad

@@ -136,7 +136,10 @@ case class LangBest(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.LangBest.compute($c);")
+      s"""
+         |${ev.value} = graft.expressions.LangBest.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -145,11 +148,19 @@ case class LangBest(child: Expression) extends UnaryExpression {
 object LangBest {
   private val ident = new FunctionIdentifier("graft_lang_best")
 
+  /** Designed for [[StopwordCounts]] output (a dense non-null 5-array),
+    * but the function is session-registered so arbitrary arrays can
+    * reach it: an empty array or one with NULL elements yields NULL
+    * rather than an index crash or a garbage read.
+    */
   def compute(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    if (n == 0 || n > StopwordCounts.langs.length) return null
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
     var best = 0
     var bestScore = arr.getLong(0)
-    var i = 1
-    val n = arr.numElements()
+    i = 1
     while (i < n) {
       val v = arr.getLong(i)
       if (v > bestScore) { best = i; bestScore = v }

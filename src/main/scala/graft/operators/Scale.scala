@@ -182,16 +182,20 @@ object Scale {
 
   def stage(df: DataFrame, eager: Boolean = false): DataFrame = {
     val s = df.sparkSession
+    val reliable = s.conf.get(ReliableCheckpointConf, "false").toBoolean
     // idempotent on an already-materialized relation: a LogicalRDD leaf
     // IS concrete data (a prior stage's checkpoint) — re-checkpointing
     // it would only copy the blocks. Lets an operator stage its input
-    // defensively while callers pass pre-staged shared relations
-    // (posGrams / explodeGrams) without paying twice.
-    df.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => return df
-      case _ => ()
+    // defensively while callers pass pre-staged shared relations.
+    // NOT applied in reliable mode: there a LogicalRDD may be a merely
+    // LOCAL checkpoint (or a caller-made RDD), and skipping would
+    // silently drop the durability the conf promises.
+    if (!reliable) {
+      df.queryExecution.analyzed match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => return df
+        case _ => ()
+      }
     }
-    val reliable = s.conf.get(ReliableCheckpointConf, "false").toBoolean
     def doStage(): DataFrame =
       if (reliable) {
         require(s.sparkContext.getCheckpointDir.isDefined,

@@ -599,17 +599,18 @@ object PipelineQueries {
   val KMEANS_K = 8
   val IVF_NPROBE = 2
 
-  /** Codebook size for the trained-kmeans family: the
+  /** Codebook size rule shared by the IVF families: the
     * [[Knn.CodebookKConf]] session override when set (the scale probe
     * retunes k ~ √n with the corpus — see [[Knn.codebookSize]]), else
     * the pinned fixture default the DuckDB oracles replay.
     */
-  private def kmeansK(s: SparkSession): Int =
-    s.conf.getOption(Knn.CodebookKConf).map(_.toInt).getOrElse(KMEANS_K)
+  private def codebookK(s: SparkSession, fixtureDefault: Int): Int =
+    s.conf.getOption(Knn.CodebookKConf).map(_.toInt).getOrElse(fixtureDefault)
+
+  private def kmeansK(s: SparkSession): Int = codebookK(s, KMEANS_K)
 
   /** Same rule for the fixture-codebook IVF serving family. */
-  private def ivfFixtureK(s: SparkSession): Int =
-    s.conf.getOption(Knn.CodebookKConf).map(_.toInt).getOrElse(IVF_K)
+  private def ivfFixtureK(s: SparkSession): Int = codebookK(s, IVF_K)
 
   /** IVF ANN with nprobe=2 — the recall lever over [[xIvfknn]]: each
     * bounded-workload probe ([[PROBE_CAP]]) searches its two nearest

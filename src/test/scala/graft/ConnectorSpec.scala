@@ -77,7 +77,6 @@ class ConnectorSpec extends SparkSpec {
       """  {  "k" : 123 }  """,                       // whitespace
       """{"j": 1}""",                                 // key absent
       """{"k": 1.5}""", """{"k": 1e3}""",             // non-integral
-      """{"k": "12"}""",                              // string-typed
       """{"k": true}""", """{"k": null}""",           // non-number
       """{"k": 99999999999999999999}""",              // overflow
       """{"k": 007}""",                               // leading zeros = corrupt
@@ -87,21 +86,48 @@ class ConnectorSpec extends SparkSpec {
       """{"a": "\"k\": 7"}""",                        // k inside a string
       """{"a": [1, [2, {"b": "}"}]], "k": 42}""",     // deep nesting
       """{"k": 1, "k": 2}""",                         // duplicate: last wins
-      "", "{}", "[1,2]")                              // non-object roots
+      """{"k": 1.5, "k": 2}""",                       // failed occ skipped = 2
+      """{"k": null, "k": 2}""",                      // null then valid = 2
+      """{"k": 2, "k": 1.5}""",                       // failed occ keeps prev = 2
+      """{"k": 2, "k": null}""",                      // explicit null overwrites
+      """[{"k": 5}, {"k": 6}]""",                     // array root = null
+      """[1, {"k": 3}]""",                            // array root = null
+      "", "{}", "[1,2]", "[]")                        // other roots
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = docs.toDF("id", "props")
-    val native = df.select(col("id"),
-        call_function("graft_json_long", col("props"), lit("k")).as("v"))
-      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
-    val builtin = df.select(col("id"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k").as("v"))
-      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    def extract(c: org.apache.spark.sql.Column) =
+      df.select(col("id"), c.as("v")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val native = extract(call_function("graft_json_long", col("props"), lit("k")))
+    val builtin = extract(from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k"))
     assert(native == builtin,
       (native.toSeq.sortBy(_._1) zip builtin.toSeq.sortBy(_._1))
         .filter(p => p._1 != p._2).toString)
-    assert(native(0L) == 76L && native(18L) == 42L && native(19L) == 2L)
+    assert(native(0L) == 76L && native(17L) == 42L && native(18L) == 2L)
     assert(native(4L) == null && native(16L) == null)
+    assert(native(19L) == 2L, "failed occurrence is skipped, later valid wins")
+    assert(native(20L) == 2L, "a JSON-null occurrence does not corrupt")
+    assert(native(21L) == 2L, "failed occurrence keeps the previous value")
+    assert(native(22L) == null, "explicit JSON null overwrites")
+    assert(native(23L) == null && native(24L) == null, "array roots are NULL")
+    // the ONE deliberate widening vs from_json: integral STRING values
+    // coerce (the get_json_object + CAST semantics of the committed
+    // DuckDB oracle); non-integral strings still poison
+    val widened = extract(call_function("graft_json_long",
+      lit("""{"k": "12"}"""), lit("k")))
+    assert(widened.values.head == 12L)
+    val widenedNeg = extract(call_function("graft_json_long",
+      lit("""{"k": " -7 "}"""), lit("k")))
+    assert(widenedNeg.values.head == -7L)
+    val badStr = extract(call_function("graft_json_long",
+      lit("""{"k": "x12"}"""), lit("k")))
+    assert(badStr.values.head == null)
+    // unicode escape hex must be ASCII hex (Jackson parity): an
+    // Arabic-Indic digit in \u makes the document malformed
+    val badHex = extract(call_function("graft_json_long",
+      lit("{\"k\": 5, \"s\": \"\\u0\u0663zz\"}"), lit("k")))
+    assert(badHex.values.head == null)
   }
 
   test("flatten without AuditKeyValues is a no-op, not a null (app.py:123-124)") {
