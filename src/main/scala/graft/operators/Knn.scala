@@ -60,6 +60,81 @@ object Knn {
           .otherwise(col("col._2")).as("sim"))
   }
 
+  /** MMR (maximal marginal relevance) diversity re-ranking — the
+    * retrieval-side step after ANN: for each bounded probe, re-rank its
+    * top-`pool` candidate set by iteratively picking
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` (round 1 is
+    * pure relevance, score λ·rel), emitting `k` picks per probe. The
+    * training-data use is diverse few-shot/context selection: nearest
+    * neighbors without MMR are often near-duplicates of each other.
+    *
+    * Scale shape: the candidate pool comes from [[bruteForceTopK]]
+    * (probes broadcast, corpus streams, |probes|·pool rows through one
+    * exchange); the iterative argmax then runs per probe over the
+    * BOUNDED pool via mapGroups — probes distribute, each group is
+    * `pool` rows, and the pairwise-sim matrix a chained window/join
+    * formulation would re-shuffle k times lives in one task's O(pool²)
+    * doubles instead. Determinism: ties break (score desc, cand_id
+    * asc); pool sims use the same index-order double dot as the SQL
+    * oracle, so the argmax replays exactly cross-engine.
+    *
+    * Output: (probe_id, pick 1..k, cand_id, score).
+    */
+  def mmrRerank(probes: DataFrame, corpus: DataFrame, dim: Int,
+                pool: Int, k: Int, lam: Double): DataFrame = {
+    val s = probes.sparkSession
+    import s.implicits._
+    val emb = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cvec"))
+    val top = bruteForceTopK(probes, corpus, dim, pool)
+      // a zero-norm candidate's NULL sim can't rank under MMR (and
+      // would NPE the primitive decode) — drop it from the pool
+      .where(col("sim").isNotNull)
+      .join(emb, "cand_id")
+      .select(col("probe_id"), col("cand_id"), col("sim"), col("cvec"))
+      .as[(Long, Long, Double, Seq[Float])]
+    top.groupByKey(_._1)
+      .flatMapGroups { (pid: Long, it: Iterator[(Long, Long, Double, Seq[Float])]) =>
+        // deterministic iteration order (the pool arrives unordered
+        // from the shuffle); ties in the argmax break by cand_id asc
+        val cands = it.map(t => (t._2, t._3, {
+          val a = new Array[Double](t._4.length)
+          var i = 0
+          while (i < a.length) { a(i) = t._4(i).toDouble; i += 1 }
+          a
+        })).toVector.sortBy(_._1)
+        // index-order double dot + norms — the dotSql/normSql replay
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        var selected = Vector.empty[Array[Double]]
+        var remaining = cands
+        val out = Vector.newBuilder[(Long, Long, Long, Double)]
+        var r = 1
+        while (r <= k && remaining.nonEmpty) {
+          val scored = remaining.map { case (id, rel, v) =>
+            val pen =
+              if (selected.isEmpty) 0.0
+              else selected.map(sv => cos(v, sv)).max
+            (id, v, lam * rel - (1 - lam) * pen)
+          }
+          val best = scored.reduceLeft { (a, b) =>
+            if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a
+          }
+          out += ((pid, r.toLong, best._1, best._3))
+          selected = selected :+ best._2
+          remaining = remaining.filterNot(_._1 == best._1)
+          r += 1
+        }
+        out.result().iterator
+      }
+      .toDF("probe_id", "pick", "cand_id", "score")
+  }
+
   /** Hard-negative mining for contrastive training: each probe's single
     * most-similar candidate with a DIFFERENT label — the pair a
     * retrieval/embedding trainer wants next to the positive. Both sides

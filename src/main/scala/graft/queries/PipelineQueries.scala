@@ -513,6 +513,60 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** MMR knobs: bounded probe workload, top-10 candidate pool per
+    * probe, 5 diversity-aware picks, λ = 0.5 (exact in binary — the
+    * (1−λ) arithmetic replays bit-for-bit cross-engine). */
+  val MMR_PROBES = 20
+  val MMR_POOL = 10
+  val MMR_K = 5
+  val MMR_LAMBDA = 0.5
+
+  /** MMR diversity re-ranking ([[Knn.mmrRerank]]): each probe's top-10
+    * cosine pool re-ranked to 5 picks by λ·rel − (1−λ)·max-sim-to-
+    * selected — nearest neighbors without MMR are often near-dups of
+    * each other; this is the diverse-context selection step. The
+    * oracle unrolls the five argmax rounds as SQL CTEs over the same
+    * pool and pairwise-sim relations.
+    */
+  def xMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Knn.mmrRerank(emb.where(col("vec_id") < MMR_PROBES), emb, DIM,
+        MMR_POOL, MMR_K, MMR_LAMBDA)
+      .select(col("probe_id").as("vec_id"), col("pick"), col("cand_id"),
+        detRound4(col("score")).as("score"))
+      .orderBy("vec_id", "pick")
+  }
+
+  /** Scalar (int8-style) embedding quantization: per-dimension corpus
+    * [min, max] → 0..255 codes → reconstruction, reported as per-vector
+    * MSE. The memory-4× lever before PQ ([[xPq]]'s 16× codes); exact
+    * cross-engine because quantize/dequantize is pure double arithmetic
+    * in a fixed parenthesization and the per-vector error sums in index
+    * order. Scale shape: one explode into a 64-row map-side-partial
+    * min/max aggregate, collected to two broadcast arrays; the
+    * quantization pass is per-row over the corpus with no shuffle.
+    */
+  def xSq8(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.Sq8Error.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val dims = emb
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val scales = broadcast(dims.agg(
+      transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+        p => p("mn")).as("mn"),
+      transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+        p => p("mx")).as("mx")))
+    // one codegen'd quantize-dequantize-error pass per row (the
+    // declarative transform+aggregate twin is Sq8Error's spec fixture)
+    emb.crossJoin(scales)
+      .select(col("vec_id"),
+        detRound4(call_function("graft_sq8_err",
+          col("embedding"), col("mn"), col("mx")) / DIM).as("mse"))
+      .orderBy("vec_id")
+  }
+
   def xKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Knn.bruteForceTopK(emb.where(col("vec_id") < KNN_CAP), emb, DIM, 3)
@@ -2573,6 +2627,8 @@ object PipelineQueries {
     "x_jaccard"     -> xJaccard _,
     "x_ngram_jaccard" -> xNgramJaccard _,
     "x_cosine"      -> xCosine _,
+    "x_mmr"         -> xMmr _,
+    "x_sq8"         -> xSq8 _,
     "x_knn"         -> xKnn _,
     "x_lshknn"      -> xLshknn _,
     "x_embdup"      -> xEmbdup _,
@@ -4232,6 +4288,70 @@ object PipelineQueries {
         |       ${detRound4Sql("CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE) / (len(a.grams) + len(b.grams) - len(list_distinct(list_intersect(a.grams, b.grams))))")} AS jac3
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    "x_mmr" -> {
+      // rounds 2..MMR_K unrolled: each scores the un-picked pool rows
+      // by λ·rel − (1−λ)·max sim to everything selected so far, then
+      // argmax per probe (score desc, cand_id asc)
+      val rounds = (2 to MMR_K).map { r =>
+        s"""sc$r AS (SELECT p.probe_id, p.cand_id, p.rel,
+           |    $MMR_LAMBDA * p.rel - (1 - $MMR_LAMBDA) * max(ps.sim) AS score
+           |  FROM pool p
+           |  JOIN sel${r - 1} s ON s.probe_id = p.probe_id
+           |  JOIN ps ON ps.probe_id = p.probe_id AND ps.ca = p.cand_id
+           |         AND ps.cb = s.cand_id
+           |  LEFT JOIN sel${r - 1} x ON x.probe_id = p.probe_id
+           |         AND x.cand_id = p.cand_id
+           |  WHERE x.cand_id IS NULL
+           |  GROUP BY p.probe_id, p.cand_id, p.rel),
+           |pick$r AS (SELECT probe_id, cand_id, score, CAST($r AS BIGINT) AS pick FROM sc$r
+           |  QUALIFY row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY score DESC, cand_id) = 1),
+           |sel$r AS MATERIALIZED (SELECT probe_id, cand_id FROM sel${r - 1}
+           |  UNION ALL SELECT probe_id, cand_id FROM pick$r)""".stripMargin
+      }.mkString(",\n")
+      val picks = (1 to MMR_K).map(r => s"SELECT * FROM pick$r").mkString(" UNION ALL ")
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < $MMR_PROBES),
+        |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+        |pr AS (SELECT probe_id, cand_id,
+        |         ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |       FROM p JOIN c ON probe_id <> cand_id),
+        |pool AS MATERIALIZED (SELECT probe_id, cand_id, sim AS rel FROM pr
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY sim DESC, cand_id) <= $MMR_POOL),
+        |pe2 AS MATERIALIZED (SELECT pool.probe_id, pool.cand_id, e.embedding
+        |  FROM pool JOIN embeddings e ON e.vec_id = pool.cand_id),
+        |ps AS MATERIALIZED (SELECT a.probe_id, a.cand_id AS ca, b.cand_id AS cb,
+        |    ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |  FROM (SELECT probe_id, cand_id, embedding AS pe FROM pe2) a
+        |  JOIN (SELECT probe_id, cand_id, embedding AS ce FROM pe2) b
+        |    ON a.probe_id = b.probe_id AND a.cand_id <> b.cand_id),
+        |pick1 AS (SELECT probe_id, cand_id, $MMR_LAMBDA * rel AS score,
+        |    CAST(1 AS BIGINT) AS pick FROM pool
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY rel DESC, cand_id) = 1),
+        |sel1 AS MATERIALIZED (SELECT probe_id, cand_id FROM pick1),
+        |$rounds
+        |SELECT probe_id AS vec_id, pick, cand_id,
+        |       ${detRound4Sql("score")} AS score
+        |FROM ($picks) ORDER BY vec_id, pick""".stripMargin
+    },
+    "x_sq8" -> {
+      val x = "CAST(embedding[i] AS DOUBLE)"
+      val span = "(mx[i] - mn[i])"
+      val q = s"(CASE WHEN $span = 0 THEN 0 ELSE round((($x - mn[i]) / $span) * 255) END)"
+      val deq = s"(mn[i] + ($q * $span) / 255.0)"
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |d0 AS (SELECT unnest(range(1, ${DIM + 1})) AS d, embedding FROM e),
+        |d AS (SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
+        |             max(CAST(embedding[d] AS DOUBLE)) AS mx
+        |      FROM d0 GROUP BY d),
+        |s AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM d),
+        |m AS (SELECT vec_id,
+        |        list_aggregate(list_transform(range(1, ${DIM + 1}), i ->
+        |          ($x - $deq) * ($x - $deq)), 'sum') / $DIM AS mse
+        |      FROM e CROSS JOIN s)
+        |SELECT vec_id, ${detRound4Sql("mse")} AS mse FROM m ORDER BY vec_id""".stripMargin
+    },
     "x_cosine" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < $PROBE_CAP),
         |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),

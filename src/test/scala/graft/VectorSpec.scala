@@ -370,4 +370,68 @@ class VectorSpec extends SparkSpec {
     // each cell rounds to 4 decimals → the sum drifts at most n_cells/2e4
     assert(math.abs(total - 1.0) < 0.01, s"shares must sum to ~1, got $total")
   }
+
+  test("Sq8Error native equals the declarative quantize-dequantize HOF") {
+    graft.expressions.Sq8Error.register(spark)
+    val dim = 8
+    val rnd = new scala.util.Random(59)
+    val vecs = (0L until 40L).map(id =>
+      (id, Array.fill(dim)(rnd.nextFloat() * 4 - 2))) :+
+      // a constant dimension (span 0) must quantize to code 0, error 0
+      (40L, Array.fill(dim)(0.5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val dims = df.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val scales = broadcast(dims.agg(
+      transform(array_sort(collect_list(struct(col("d"), col("mn")))), p => p("mn")).as("mn"),
+      transform(array_sort(collect_list(struct(col("d"), col("mx")))), p => p("mx")).as("mx")))
+    val hofTerms = transform(sequence(lit(0), lit(dim - 1)), i => {
+      val x = element_at(col("embedding"), i + 1).cast("double")
+      val mn = element_at(col("mn"), i + 1)
+      val mx = element_at(col("mx"), i + 1)
+      val span = mx - mn
+      val q = when(span === 0, lit(0.0)).otherwise(round(((x - mn) / span) * 255))
+      val deq = mn + (q * span) / 255.0
+      (x - deq) * (x - deq)
+    })
+    val joined = df.crossJoin(scales)
+    val native = joined.select(col("vec_id"),
+        expr("graft_sq8_err(embedding, mn, mx)").as("e"))
+      .as[(Long, Double)].collect().toMap
+    val hof = joined.select(col("vec_id"),
+        aggregate(hofTerms, lit(0.0), (a, t) => a + t).as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(native == hof, "bit-exact against the declarative twin")
+    // max per-dim error of uniform 8-bit quantization is (span/255)/2
+    // per component -> mse bounded by (span_max/510)^2 * dim... loose
+    // sanity: errors are tiny and non-negative
+    assert(native.values.forall(e => e >= 0.0 && e < 1e-3))
+  }
+
+  test("MMR re-ranking diversifies: the near-dup of pick 1 is demoted") {
+    // probe at (1,0); candidates: two near-identical vectors very close
+    // to the probe, and one moderately-similar but DIFFERENT direction.
+    // Pure top-3 ranks the twins 1-2; MMR at lambda=0.5 must pick the
+    // diverse candidate second (the twin's sim-to-selected ~1.0 kills
+    // its margin).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),            // probe
+      (1L, Array(0.99f, 0.10f, 0.0f)),          // near the probe
+      (2L, Array(0.99f, 0.11f, 0.0f)),          // near-dup of 1
+      (3L, Array(0.70f, 0.0f, 0.70f)),          // diverse, still relevant
+      (4L, Array(-1.0f, 0.0f, 0.0f)))           // anti-relevant
+      .toDF("vec_id", "embedding")
+    val out = Knn.mmrRerank(vecs.where(col("vec_id") === 0), vecs, 3,
+        pool = 4, k = 3, lam = 0.5)
+      .select("pick", "cand_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L, "pick 1 is pure relevance")
+    assert(out(2L) == 3L, "pick 2 is the diverse candidate, not the near-dup")
+    assert(out(3L) == 2L, "the near-dup lands third")
+    // determinism: ties and ordering are stable across runs
+    val again = Knn.mmrRerank(vecs.where(col("vec_id") === 0), vecs, 3,
+        pool = 4, k = 3, lam = 0.5)
+      .select("pick", "cand_id").as[(Long, Long)].collect().toMap
+    assert(again == out)
+  }
 }
