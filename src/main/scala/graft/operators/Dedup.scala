@@ -638,12 +638,25 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Session conf overriding the SimHash band count — the recall/cost
+    * knob of [[simhashCandidates]]. Candidate volume is BIRTHDAY-BOUND:
+    * random (dissimilar) signatures collide on a width-w band at rate
+    * n²·nBands/2^w, so a fixed width saturates as the corpus grows
+    * (the full-suite ×10 probe measured x_simhash_pairs at 24× warm —
+    * 16-bit bands over 50k docs). Production retunes with n: fewer,
+    * WIDER bands (w ≳ log2(n) + margin) trade recall (the pigeonhole
+    * guarantee covers hamming < nBands) for bounded accidental
+    * collisions — the Manku et al. web-crawl dedup design decision.
+    */
+  val SimhashBandsConf = "spark.graft.dedup.simhashBands"
+
   /** SimHash near-dup pipeline: cut each 64-bit signature into `nBands`
     * equal bit-bands; docs sharing ANY band become candidates (a pair
     * within Hamming distance d < nBands must agree on some band —
     * pigeonhole); only candidates pay the exact Hamming verification.
     * Same scale shape as the MinHash path: band equi-join, never the
-    * pair matrix.
+    * pair matrix. Size the bands with the corpus — see
+    * [[SimhashBandsConf]].
     */
   def simhashCandidates(docs: DataFrame, text: Column, nBands: Int,
                         maxHamming: Int): DataFrame = {

@@ -22,10 +22,9 @@ object Parsers {
   /** One promoted field: output column `name` = JSON `path` of the
     * payload, cast to `castTo` (a Spark SQL type name).
     *
-    * `path` must be a TOP-LEVEL `$.key` reference — the registry shares
-    * one `from_json` parse across every promoted field (the whole point
-    * of the layer), and a shared flat parse schema can only address
-    * top-level keys. Nested paths are rejected at plan time.
+    * `path` must be a TOP-LEVEL `$.key` reference — the extraction
+    * ([[graft.expressions.JsonStrField]]) addresses top-level keys;
+    * nested paths are rejected at plan time.
     */
   case class FieldSpec(name: String, path: String, castTo: String)
 
@@ -52,19 +51,18 @@ object Parsers {
   def applyRegistry(df: DataFrame, typeCol: Column, payloadCol: Column,
                     registry: Seq[(String, ParserSpec)]): DataFrame = {
     require(registry.nonEmpty, "empty parser registry")
-    // reserved working column — refuse rather than silently make every
-    // later reference to it ambiguous (same rule as Sampling.stratifiedN)
-    val payload = "__graft_parser_payload"
-    require(!df.columns.contains(payload), s"input already has a $payload column")
     def jsonKey(path: String): String = {
       require(path.matches("""\$\.[A-Za-z_][A-Za-z0-9_]*"""),
         s"applyRegistry: only top-level $$.key paths are supported, got '$path'")
       path.drop(2)
     }
-    // one shared parse schema: every promoted key as string, cast per arm
-    val keys = registry.flatMap(_._2.fields.map(f => jsonKey(f.path))).distinct
-    val schema = org.apache.spark.sql.types.StructType(keys.map(k =>
-      org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
+    // native per-key extraction (graft_json_str — from_json string-form
+    // semantics per field): from_json is CodegenFallback, and its one
+    // shared parse needed a Generate barrier to stop projection
+    // collapse from re-running Jackson per field; the native calls stay
+    // inside whole-stage codegen, where repeated extracts of the same
+    // key dedup via subexpression elimination
+    graft.expressions.JsonStrField.register(df.sparkSession)
     // distinct output fields, first-seen order; each compiles to one
     // when-chain over the event types that promote it
     val outFields = registry.flatMap(_._2.fields.map(_.name)).distinct
@@ -75,18 +73,17 @@ object Parsers {
       when(typeCol === registry.head._1, lit(registry.head._2.parser))) {
       case (w, (t, spec)) => w.when(typeCol === t, lit(spec.parser))
     }
-    val withParsed = df.select(df.columns.map(col) :+
-      explode(array(from_json(payloadCol, schema))).as(payload): _*)
     val fieldCols = outFields.map { name =>
       val arms = byField(name)
       def armCol(f: FieldSpec) =
-        col(payload)(jsonKey(f.path)).cast(f.castTo)
+        call_function("graft_json_str", payloadCol, lit(jsonKey(f.path)))
+          .cast(f.castTo)
       arms.tail.foldLeft(
         when(typeCol === arms.head._1, armCol(arms.head._2))) {
         case (w, (t, f)) => w.when(typeCol === t, armCol(f))
       }.as(name)
     }
-    withParsed
+    df
       .withColumn("parser", parserCol)
       .withColumn("parsed", parserCol.isNotNull.cast("bigint"))
       .select(df.columns.map(col) ++ Seq(col("parser"), col("parsed")) ++ fieldCols: _*)

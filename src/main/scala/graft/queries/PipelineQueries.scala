@@ -439,7 +439,11 @@ object PipelineQueries {
     */
   def xSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(Tables.documents(s, dir), col("text"),
-        nBands = 4, maxHamming = 12)
+        // fixture default 4 (16-bit bands, the oracle's pin); the conf
+        // retunes band width with the corpus (birthday bound — see
+        // Dedup.SimhashBandsConf)
+        nBands = s.conf.getOption(Dedup.SimhashBandsConf).map(_.toInt).getOrElse(4),
+        maxHamming = 12)
       .orderBy("doc_a", "doc_b")
 
   def xJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -1259,20 +1263,33 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Diagnostic probe set of the PQ/IVF-PQ recall metrics: every 100th
+    * vec_id, CAPPED — the cap is what keeps the probe count FIXED as
+    * the corpus grows (the ANN-probe discipline: a proportional sample
+    * re-introduces n²/100 exact-side pair volume — the full-suite ×10
+    * probe measured x_pq_recall at 42× warm before the cap). The cap
+    * covers every fixture vec_id at sf0.01 AND sf0.1, so declared
+    * hashes are unchanged; at 10× data the probe workload stays 20.
+    */
+  val PQ_PROBE_CAP = 2000
+
+  private def pqProbeRows(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") % 100 === 0 && col("vec_id") < PQ_PROBE_CAP)
+
   /** PQ asymmetric-distance recall@1 — the accuracy metric of the
     * compressed tier: each probe builds its 8×16 codeword distance table
     * (ADC lookup table), candidate distances are the SUM of 8 table
     * lookups over the 4-byte codes (never touching the original
     * vectors), and the approx nearest is scored against the exact-L2
-    * nearest. Scale shape: the probe set is a deterministic diagnostic
-    * sample (vec_id % 100) so dtab stays tiny and broadcast; the code
-    * table — 8 small ints per vector, the whole point of PQ — is the
-    * only corpus-sized relation scanned; exact side broadcasts only the
-    * probes and partial-aggregates (the r5 exact-KNN shape).
+    * nearest. Scale shape: the probe set is the bounded diagnostic
+    * sample ([[pqProbeRows]]) so dtab stays tiny and broadcast; the
+    * code table — 8 small ints per vector, the whole point of PQ — is
+    * the only corpus-sized relation scanned; exact side broadcasts only
+    * the probes and partial-aggregates (the r5 exact-KNN shape).
     */
   def xPqRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val probeRows = emb.where(col("vec_id") % 100 === 0)
+    val probeRows = pqProbeRows(emb)
     // ADC lookup table: probe × subspace × codeword (|probes|·128 rows)
     val dtab = pqSubRows(probeRows).join(broadcast(pqCents(emb)), "j")
       .select(col("vec_id").as("p"), col("j"), col("c"),
@@ -1318,7 +1335,7 @@ object PipelineQueries {
   def xIvfpq(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.FloatDot.register(s)
     val emb = Tables.embeddings(s, dir)
-    val probeRows = emb.where(col("vec_id") % 100 === 0)
+    val probeRows = pqProbeRows(emb)
     val cents = ivfCentroids(emb)
     // probe-side cell ranking: |sample|·k rows, broadcast centroids
     val cn = cents.select(col("cent_id"), col("cvec"),
@@ -3467,7 +3484,7 @@ object PipelineQueries {
         |dtab AS (SELECT s.vec_id AS p, s.j, c.c,
         |    list_aggregate(list_transform(range(1, ${PQ_SUB + 1}),
         |      i -> (s.sl[i] - c.csl[i]) * (s.sl[i] - c.csl[i])), 'sum') AS td2
-        |  FROM sub s JOIN cent c ON s.j = c.j WHERE s.vec_id % 100 = 0),
+        |  FROM sub s JOIN cent c ON s.j = c.j WHERE s.vec_id % 100 = 0 AND vec_id < $PQ_PROBE_CAP),
         |adc AS (SELECT d.p, k.cand, sum(d.td2) AS ad2
         |  FROM codes k JOIN dtab d ON k.j = d.j AND k.code = d.c AND k.cand <> d.p
         |  GROUP BY 1, 2),
@@ -3478,7 +3495,7 @@ object PipelineQueries {
         |      i -> (CAST(p.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
         |         * (CAST(p.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))), 'sum') AS d2
         |  FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
-        |  WHERE p.vec_id % 100 = 0),
+        |  WHERE p.vec_id % 100 = 0 AND p.vec_id < $PQ_PROBE_CAP),
         |ebest AS (SELECT p, cand,
         |    row_number() OVER (PARTITION BY p ORDER BY d2, cand) AS rn FROM ex)
         |SELECT a.p AS probe_id, a.cand AS pq_nn, e.cand AS exact_nn,
@@ -3491,7 +3508,7 @@ object PipelineQueries {
         |${scoredSql("icent", "sc")},
         |$pqBaseCtes,
         |probes AS (SELECT vec_id AS p, cent_id AS cell FROM sc
-        |           WHERE rk <= $IVF_NPROBE AND vec_id % 100 = 0),
+        |           WHERE rk <= $IVF_NPROBE AND vec_id % 100 = 0 AND vec_id < $PQ_PROBE_CAP),
         |homes AS (SELECT vec_id AS cand, cent_id AS cell FROM sc WHERE rk = 1),
         |pairs AS (SELECT p, cand FROM probes JOIN homes USING (cell)
         |          WHERE cand <> p),
@@ -3499,7 +3516,7 @@ object PipelineQueries {
         |dtab AS (SELECT s.vec_id AS p, s.j, c.c AS code,
         |    list_aggregate(list_transform(range(1, ${PQ_SUB + 1}),
         |      i -> (s.sl[i] - c.csl[i]) * (s.sl[i] - c.csl[i])), 'sum') AS td2
-        |  FROM sub s JOIN cent c ON s.j = c.j WHERE s.vec_id % 100 = 0),
+        |  FROM sub s JOIN cent c ON s.j = c.j WHERE s.vec_id % 100 = 0 AND vec_id < $PQ_PROBE_CAP),
         |adc AS (SELECT pr.p, pr.cand, sum(d.td2) AS ad2
         |  FROM pairs pr JOIN codes k ON k.cand = pr.cand
         |  JOIN dtab d ON d.p = pr.p AND d.j = k.j AND d.code = k.code

@@ -130,6 +130,40 @@ class ConnectorSpec extends SparkSpec {
     assert(badHex.values.head == null)
   }
 
+  test("JsonStrField native equals from_json string-form extraction") {
+    graft.expressions.JsonStrField.register(spark)
+    val docs = Seq(
+      """{"k": 76}""",                                // number -> literal text
+      """{"k": -1.5e3}""",                            // float text preserved
+      """{"k": "hello world"}""",                     // string -> decoded
+      """{"k": "a\"b\\cA"}""",                   // escapes decoded
+      """{"k": true}""", """{"k": false}""",          // bool -> text
+      """{"k": null}""",                              // null -> NULL
+      """{"j": 1}""",                                 // absent -> NULL
+      """{"k": "x", "k": "y"}""",                     // duplicate: last wins
+      """{"a": {"k": "no"}, "k": "yes"}""",           // nested ignored
+      """not json""", "", "[1]", "{bad")              // corrupt -> NULL
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "props")
+    def extract(c: org.apache.spark.sql.Column) =
+      df.select(col("id"), c.as("v")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val native = extract(call_function("graft_json_str", col("props"), lit("k")))
+    val builtin = extract(from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k STRING"))("k"))
+    assert(native == builtin,
+      (native.toSeq.sortBy(_._1) zip builtin.toSeq.sortBy(_._1))
+        .filter(p => p._1 != p._2).toString)
+    assert(native(0L) == "76" && native(1L) == "-1500.0")
+    assert(native(2L) == "hello world" && native(3L) == "a\"b\\cA")
+    assert(native(8L) == "y")
+    // compact object/array values round-trip as their source span (the
+    // documented raw-span behavior; matches from_json on compact input)
+    val obj = extract(call_function("graft_json_str",
+      lit("""{"k":{"a":1},"j":2}"""), lit("k")))
+    assert(obj.values.head == """{"a":1}""")
+  }
+
   test("flatten without AuditKeyValues is a no-op, not a null (app.py:123-124)") {
     val noKv = """{"metadata": {"offset": 7, "eventCreationTime": 1}, "event": {"UserId": "x"}}"""
     val out = ConnectorPipeline.transform(Seq(noKv).toDF("value"), "h", "s")
