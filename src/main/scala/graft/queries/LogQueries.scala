@@ -180,6 +180,89 @@ object LogQueries {
       .orderBy("bucket_ms", "event_type")
   }
 
+  /** SLO error-budget knobs: the budget is the allowed error RATE (the
+    * fixture's base error share is ~0.20, so 0.21 makes genuine
+    * elevated hours burn), and the SRE multiwindow rule alerts only
+    * when BOTH the fast window (1 bucket) and the slow window (6
+    * buckets) burn — a single noisy hour inside a quiet stretch stays
+    * silent. 109 alert rows at sf0.01, 8 at sf0.1.
+    */
+  val SLO_BUDGET = 0.21
+  val BURN_FAST = 1.2
+  val BURN_SLOW = 1.05
+  // one literal, spliced into BOTH engines (0.21 + 0.04 would be a
+  // different double than 0.25)
+  val DEBOUNCE_RATE = 0.25
+  val HOUR_MS = 3600000L
+
+  /** Hourly (bucket_ms, n_total, n_err) — the shared base of the SRE
+    * pair ([[lBurnRate]], [[lDebounce]]): one map-side-combining
+    * aggregate over the corpus; everything after runs on the bounded
+    * bucket relation.
+    */
+  private def hourlyErrors(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((floor(unix_millis(col("ts")) / HOUR_MS) * HOUR_MS)
+        .cast("long").as("bucket_ms"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+
+  /** SRE multiwindow burn-rate alert: per hour, the error rate over the
+    * budget (burn1) and the trailing-6-hour rate over the budget
+    * (burn6 — rate of SUMS, not mean of rates: the window's own error
+    * rate); alert rows are hours where both windows burn. The rolling
+    * sums ride one global window over the BOUNDED bucket relation (720
+    * rows — single-partition is the right plan for a bounded series;
+    * the corpus-sized work all happened in the one aggregate).
+    * Verdicts are exact cross-engine: both engines evaluate the
+    * identical division chain on identical integers.
+    */
+  def lBurnRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket_ms").rowsBetween(-5, 0)
+    val burn1 = (col("n_err").cast("double") / col("n_total").cast("double")) /
+      lit(SLO_BUDGET)
+    hourlyErrors(s, dir)
+      .withColumn("e6", sum("n_err").over(w))
+      .withColumn("t6", sum("n_total").over(w))
+      .withColumn("burn1", burn1)
+      .withColumn("burn6",
+        (col("e6").cast("double") / col("t6").cast("double")) / lit(SLO_BUDGET))
+      .where(col("burn1") > BURN_FAST && col("burn6") > BURN_SLOW)
+      .select(col("bucket_ms"), col("n_err"), col("n_total"),
+        ConnectorQueries.detRound4(col("burn1")).as("burn1"),
+        ConnectorQueries.detRound4(col("burn6")).as("burn6"))
+      .orderBy("bucket_ms")
+  }
+
+  /** Alert DEBOUNCING: consecutive over-budget hours collapse into one
+    * alert episode (gaps-and-islands on the bucket grid — a new episode
+    * starts when the previous flagged hour is more than one bucket
+    * back), reported as (start, end, n_buckets, peak_rate). The page a
+    * human gets instead of 6 pages for one incident. Same bounded-
+    * relation shape as [[lBurnRate]].
+    */
+  def lDebounce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.orderBy("bucket_ms")
+    val rate = col("n_err").cast("double") / col("n_total").cast("double")
+    hourlyErrors(s, dir)
+      .withColumn("rate", rate)
+      .where(col("rate") > DEBOUNCE_RATE)
+      .withColumn("ni",
+        when(lag("bucket_ms", 1).over(wo).isNull ||
+          col("bucket_ms") - lag("bucket_ms", 1).over(wo) > HOUR_MS, 1L)
+          .otherwise(0L))
+      .withColumn("ep", sum("ni").over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("ep")
+      .agg(min("bucket_ms").as("start_ms"), max("bucket_ms").as("end_ms"),
+        count(lit(1)).as("n_buckets"),
+        ConnectorQueries.detRound4(max(col("rate"))).as("peak_rate"))
+      .select("start_ms", "end_ms", "n_buckets", "peak_rate")
+      .orderBy("start_ms")
+  }
+
   /** Fixed-width value histogram per event type — the latency-histogram
     * panel: one hash aggregate, bin = floor(value/100); integer binning
     * is exact on both engines (no percentile machinery, no sort until
@@ -320,6 +403,8 @@ object LogQueries {
     "l_histogram"  -> lHistogram _,
     "l_anomaly"    -> lAnomaly _,
     "l_mad"        -> lMad _,
+    "l_burn_rate"  -> lBurnRate _,
+    "l_debounce"   -> lDebounce _,
     "l_timechart"  -> lTimechart _,
     "l_sliding"    -> lSliding _,
     "l_session"    -> lSession _,
@@ -354,7 +439,42 @@ object LogQueries {
       |         AND e.tms > u2.t1 AND e.tms - u2.t1 <= $FUNNEL_STEP_MS
       |       GROUP BY e.user_id)""".stripMargin
 
+  /** Hourly error-count CTE shared by the SRE pair. */
+  private val hourlyErrCte: String =
+    s"""b AS (SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // $HOUR_MS) * $HOUR_MS AS bucket_ms,
+      |        CAST(count(*) AS BIGINT) AS n_total,
+      |        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+      |      FROM events GROUP BY 1)""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
+    "l_burn_rate" ->
+      s"""WITH $hourlyErrCte,
+        |w AS (SELECT *,
+        |        sum(n_err) OVER (ORDER BY bucket_ms ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6,
+        |        sum(n_total) OVER (ORDER BY bucket_ms ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS t6
+        |      FROM b),
+        |f AS (SELECT bucket_ms, n_err, n_total,
+        |        (CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE)) / $SLO_BUDGET AS burn1,
+        |        (CAST(e6 AS DOUBLE) / CAST(t6 AS DOUBLE)) / $SLO_BUDGET AS burn6
+        |      FROM w)
+        |SELECT bucket_ms, n_err, n_total,
+        |       floor(burn1 * 10000.0 + 0.5) / 10000.0 AS burn1,
+        |       floor(burn6 * 10000.0 + 0.5) / 10000.0 AS burn6
+        |FROM f WHERE burn1 > $BURN_FAST AND burn6 > $BURN_SLOW
+        |ORDER BY bucket_ms""".stripMargin,
+    "l_debounce" ->
+      s"""WITH $hourlyErrCte,
+        |f AS (SELECT *, CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) AS rate
+        |      FROM b WHERE CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) > $DEBOUNCE_RATE),
+        |g AS (SELECT *, CASE WHEN lag(bucket_ms) OVER (ORDER BY bucket_ms) IS NULL
+        |          OR bucket_ms - lag(bucket_ms) OVER (ORDER BY bucket_ms) > $HOUR_MS
+        |        THEN 1 ELSE 0 END AS ni FROM f),
+        |e AS (SELECT *, sum(ni) OVER (ORDER BY bucket_ms ROWS UNBOUNDED PRECEDING) AS ep FROM g)
+        |SELECT CAST(min(bucket_ms) AS BIGINT) AS start_ms,
+        |       CAST(max(bucket_ms) AS BIGINT) AS end_ms,
+        |       CAST(count(*) AS BIGINT) AS n_buckets,
+        |       floor(max(rate) * 10000.0 + 0.5) / 10000.0 AS peak_rate
+        |FROM e GROUP BY ep ORDER BY start_ms""".stripMargin,
     "l_seasonal" ->
       """WITH b AS (SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS bucket_ms,
         |        event_type, CAST(count(*) AS BIGINT) AS n
