@@ -164,6 +164,76 @@ class ConnectorSpec extends SparkSpec {
     assert(obj.values.head == """{"a":1}""")
   }
 
+  test("JSON natives match from_json on randomized documents (property)") {
+    graft.expressions.JsonLongField.register(spark)
+    graft.expressions.JsonStrField.register(spark)
+    val rnd = new scala.util.Random(97)
+    def randString(): String = {
+      val chars = "abzAZ09 _-!?/\\\"\n\té世"
+      (0 until rnd.nextInt(8)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\t' => "\\t"
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def randValue(depth: Int): String = rnd.nextInt(if (depth > 2) 6 else 8) match {
+      case 0 => rnd.nextInt(2000000).toString
+      case 1 => (rnd.nextDouble() * 100 - 50).toString
+      case 2 => jsonStr(randString())
+      case 3 => "true"
+      case 4 => "false"
+      case 5 => "null"
+      case 6 => "[" + Seq.fill(rnd.nextInt(3))(randValue(depth + 1)).mkString(",") + "]"
+      case 7 => "{" + Seq.fill(rnd.nextInt(3))(
+        jsonStr(randString()) + ":" + randValue(depth + 1)).mkString(",") + "}"
+    }
+    def randDoc(): String = {
+      val fields = Seq.fill(rnd.nextInt(5))(
+        (if (rnd.nextInt(3) == 0) "\"k\"" else jsonStr(randString())) +
+          ": " + randValue(0))
+      "{" + fields.mkString(", ") + "}"
+    }
+    val docs = (0 until 400).map(i => (i.toLong, randDoc()))
+    val df = docs.toDF("id", "props")
+    def cmp(nat: org.apache.spark.sql.Column, ref: org.apache.spark.sql.Column,
+            label: String): Unit = {
+      val rows = df.select(col("id"), nat.as("n"), ref.as("r")).collect()
+      val bad = rows.filter(r => (r.isNullAt(1) != r.isNullAt(2)) ||
+        (!r.isNullAt(1) && r.get(1) != r.get(2)))
+      assert(bad.isEmpty, s"$label diverged on: " + bad.take(3).map(r =>
+        docs(r.getLong(0).toInt)._2 + s" -> native=${r.get(1)} builtin=${r.get(2)}")
+        .mkString(" | "))
+    }
+    // long form: exclude the documented string-coercion widening by
+    // comparing only where the ref is non-null OR the native is null
+    // (a native value with a null ref must be a string coercion)
+    val longRows = df.select(col("id"),
+        call_function("graft_json_long", col("props"), lit("k")).as("n"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k").as("r"))
+      .collect()
+    val longBad = longRows.filter { r =>
+      if (r.isNullAt(1)) !r.isNullAt(2)          // native null, ref value = bug
+      else if (!r.isNullAt(2)) r.getLong(1) != r.getLong(2)
+      else {
+        // native-only value must be the documented integral-string case
+        val doc = docs(r.getLong(0).toInt)._2
+        !doc.contains("\"k\"") || !doc.contains("\"")
+      }
+    }
+    assert(longBad.isEmpty, "long form diverged on: " + longBad.take(3).map(r =>
+      docs(r.getLong(0).toInt)._2).mkString(" | "))
+    cmp(call_function("graft_json_str", col("props"), lit("k")),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k STRING"))("k"),
+      "string form")
+  }
+
   test("flatten without AuditKeyValues is a no-op, not a null (app.py:123-124)") {
     val noKv = """{"metadata": {"offset": 7, "eventCreationTime": 1}, "event": {"UserId": "x"}}"""
     val out = ConnectorPipeline.transform(Seq(noKv).toDF("value"), "h", "s")
