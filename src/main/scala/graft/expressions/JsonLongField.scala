@@ -112,6 +112,10 @@ object JsonLongField {
   private final class Parser(s: String, key: String) {
     private var i = 0
     private val n = s.length
+    // Jackson (2.15+, as shipped with Spark 4) bounds nesting at 1000
+    // and surfaces deeper documents as malformed -> NULL; an unbounded
+    // recursive descent would instead die with StackOverflowError
+    private var depth = 0
     private var hit: java.lang.Long = null
 
     def parse(): java.lang.Long = {
@@ -130,8 +134,10 @@ object JsonLongField {
     }
 
     private def parseObject(top: Boolean): Unit = {
+      depth += 1
+      if (depth > 1000) throw Bad
       expect('{'); ws()
-      if (peek() == '}') { i += 1; return }
+      if (peek() == '}') { i += 1; depth -= 1; return }
       while (true) {
         ws()
         val k = parseString(); ws(); expect(':'); ws()
@@ -146,7 +152,7 @@ object JsonLongField {
         ws()
         peek() match {
           case ',' => i += 1
-          case '}' => i += 1; return
+          case '}' => i += 1; depth -= 1; return
           case _ => throw Bad
         }
       }
@@ -165,7 +171,7 @@ object JsonLongField {
         if (!isInt) return None
         try Some(java.lang.Long.valueOf(s.substring(start, i)))
         catch { case _: NumberFormatException => None }  // overflow
-      } else if (peek() == '"') {
+      } else if (peek() == '"' || peek() == '\'') {
         val str = parseString().trim
         val body = if (str.startsWith("-") || str.startsWith("+")) str.substring(1) else str
         if (body.nonEmpty && body.forall(c => c >= '0' && c <= '9')) {
@@ -182,7 +188,7 @@ object JsonLongField {
     private def parseValue(): Unit = peek() match {
       case '{' => parseObject(top = false)
       case '[' => parseArray()
-      case '"' => parseString(); ()
+      case '"' | '\'' => parseString(); ()
       case 't' => literal("true")
       case 'f' => literal("false")
       case 'n' => literal("null")
@@ -191,30 +197,39 @@ object JsonLongField {
     }
 
     private def parseArray(): Unit = {
+      depth += 1
+      if (depth > 1000) throw Bad
       expect('['); ws()
-      if (peek() == ']') { i += 1; return }
+      if (peek() == ']') { i += 1; depth -= 1; return }
       while (true) {
         ws(); parseValue(); ws()
         peek() match {
           case ',' => i += 1
-          case ']' => i += 1; return
+          case ']' => i += 1; depth -= 1; return
           case _ => throw Bad
         }
       }
     }
 
+    /** Accepts both quote characters — Spark's JSON options default
+      * allowSingleQuotes=true, and the differential specs pin the
+      * behavior against from_json.
+      */
     private def parseString(): String = {
-      expect('"')
+      val q = peek()
+      if (q != '"' && q != '\'') throw Bad
+      i += 1
       val sb = new java.lang.StringBuilder()
       while (true) {
         if (i >= n) throw Bad
         val c = s.charAt(i)
-        if (c == '"') { i += 1; return sb.toString }
+        if (c == q) { i += 1; return sb.toString }
         else if (c == '\\') {
           i += 1
           if (i >= n) throw Bad
           s.charAt(i) match {
             case '"' => sb.append('"')
+            case '\'' => sb.append('\'')
             case '\\' => sb.append('\\')
             case '/' => sb.append('/')
             case 'b' => sb.append('\b')

@@ -84,6 +84,10 @@ object JsonStrField {
   private final class Parser(s: String, key: String) {
     private var i = 0
     private val n = s.length
+    // Jackson (2.15+, as shipped with Spark 4) bounds nesting at 1000
+    // and surfaces deeper documents as malformed -> NULL; an unbounded
+    // recursive descent would instead die with StackOverflowError
+    private var depth = 0
     private var hit: String = null
 
     def parse(): String = {
@@ -96,8 +100,10 @@ object JsonStrField {
     }
 
     private def parseObject(top: Boolean): Unit = {
+      depth += 1
+      if (depth > 1000) throw Bad
       expect('{'); ws()
-      if (peek() == '}') { i += 1; return }
+      if (peek() == '}') { i += 1; depth -= 1; return }
       while (true) {
         ws()
         val k = parseString(); ws(); expect(':'); ws()
@@ -106,7 +112,7 @@ object JsonStrField {
         ws()
         peek() match {
           case ',' => i += 1
-          case '}' => i += 1; return
+          case '}' => i += 1; depth -= 1; return
           case _ => throw Bad
         }
       }
@@ -116,7 +122,7 @@ object JsonStrField {
       * null (the field is NULL, matching from_json).
       */
     private def parseTopValue(): String = peek() match {
-      case '"' => parseString()
+      case '"' | '\'' => parseString()
       case 't' => literal("true"); "true"
       case 'f' => literal("false"); "false"
       case 'n' => literal("null"); null
@@ -139,7 +145,7 @@ object JsonStrField {
     private def parseValue(): Unit = peek() match {
       case '{' => parseObject(top = false)
       case '[' => parseArray()
-      case '"' => parseString(); ()
+      case '"' | '\'' => parseString(); ()
       case 't' => literal("true")
       case 'f' => literal("false")
       case 'n' => literal("null")
@@ -148,30 +154,39 @@ object JsonStrField {
     }
 
     private def parseArray(): Unit = {
+      depth += 1
+      if (depth > 1000) throw Bad
       expect('['); ws()
-      if (peek() == ']') { i += 1; return }
+      if (peek() == ']') { i += 1; depth -= 1; return }
       while (true) {
         ws(); parseValue(); ws()
         peek() match {
           case ',' => i += 1
-          case ']' => i += 1; return
+          case ']' => i += 1; depth -= 1; return
           case _ => throw Bad
         }
       }
     }
 
+    /** Accepts both quote characters — Spark's JSON options default
+      * allowSingleQuotes=true, and the differential specs pin the
+      * behavior against from_json.
+      */
     private def parseString(): String = {
-      expect('"')
+      val q = peek()
+      if (q != '"' && q != '\'') throw Bad
+      i += 1
       val sb = new java.lang.StringBuilder()
       while (true) {
         if (i >= n) throw Bad
         val c = s.charAt(i)
-        if (c == '"') { i += 1; return sb.toString }
+        if (c == q) { i += 1; return sb.toString }
         else if (c == '\\') {
           i += 1
           if (i >= n) throw Bad
           s.charAt(i) match {
             case '"' => sb.append('"')
+            case '\'' => sb.append('\'')
             case '\\' => sb.append('\\')
             case '/' => sb.append('/')
             case 'b' => sb.append('\b')

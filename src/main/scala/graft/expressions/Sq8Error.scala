@@ -17,13 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantically identical to the declarative
   * `aggregate(transform(sequence(...), i -> ...))` chain it replaces
-  * (differentially tested): `q = round(((x−mn)/span)·255)` with Spark's
-  * half-up rounding — `floor(v + 0.5)` is exact for it here because q
-  * is non-negative and bounded by 255, far below the magnitudes where
-  * the `+0.5` addition itself rounds — `deq = mn + (q·span)/255`, a
-  * zero span quantizes to code 0 (deq = mn, zero error). The HOF form
-  * pays interpreted lambda dispatch per dimension per row — corpus-
-  * linear work at 100 TB; this is one codegen'd loop.
+  * (differentially tested): `q = round(((x−mn)/span)·255)` with
+  * EXACTLY Spark's round() — BigDecimal HALF_UP on the shortest
+  * decimal representation. (`floor(v + 0.5)` is NOT equivalent: for
+  * v = 0.49999999999999994 the `+0.5` addition itself rounds the sum
+  * up to 1.0, flipping the code by one where Spark and DuckDB both
+  * round to 0 — the one-ulp cross-engine hash hazard Det.scala
+  * exists to avoid.) `deq = mn + (q·span)/255`; a zero span
+  * quantizes to code 0 (deq = mn, zero error). The HOF form pays
+  * interpreted lambda dispatch per dimension per row — corpus-linear
+  * work at 100 TB; this is one codegen'd loop with one small
+  * BigDecimal per dimension (the CharEntropy discipline).
   */
 case class Sq8Error(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -64,7 +68,10 @@ object Sq8Error {
       val lo = mn.getDouble(i)
       val hi = mx.getDouble(i)
       val span = hi - lo
-      val q = if (span == 0) 0.0 else math.floor(((x - lo) / span) * 255 + 0.5)
+      val q =
+        if (span == 0) 0.0
+        else BigDecimal(((x - lo) / span) * 255)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
       val deq = lo + (q * span) / 255.0
       val t = x - deq
       sum += t * t

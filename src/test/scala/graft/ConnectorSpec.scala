@@ -164,6 +164,52 @@ class ConnectorSpec extends SparkSpec {
     assert(obj.values.head == """{"a":1}""")
   }
 
+  test("JSON natives honor from_json's single-quote leniency and depth bound") {
+    graft.expressions.JsonLongField.register(spark)
+    graft.expressions.JsonStrField.register(spark)
+    // Spark's JSON options default allowSingleQuotes=true — pin the
+    // native parsers against from_json on single-quoted docs
+    val docs = Seq(
+      """{'k': 5}""",                    // single-quoted key
+      """{'k': 'five'}""",              // single-quoted value
+      """{"k": 'mix"ed'}""",            // raw double quote inside single
+      """{'k': 'don\'t'}""",            // escaped single quote
+      """{'j': [1, {'a': 'b'}], 'k': 9}""")  // nested single-quoted elsewhere
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "props")
+    def both(schema: String) = {
+      val nat = if (schema == "k BIGINT") "graft_json_long" else "graft_json_str"
+      df.select(col("id"),
+          call_function(nat, col("props"), lit("k")).as("n"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL(schema))("k").as("r"))
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2)))
+    }
+    for (row <- both("k STRING"))
+      assert(row._2 == row._3, s"string form diverged on doc ${row._1}: $row")
+    for (row <- both("k BIGINT"))
+      assert(row._2 == row._3, s"long form diverged on doc ${row._1}: $row")
+    // nesting depth: 1000-deep is malformed → NULL (Jackson's
+    // StreamReadConstraints), NOT a StackOverflowError
+    val deep = "[" * 5000 + "]" * 5000
+    val deepDoc = s"""{"k": $deep}"""
+    val d = Seq((1L, deepDoc)).toDF("id", "props")
+    val out = d.select(
+      call_function("graft_json_str", col("props"), lit("k")).as("a"),
+      call_function("graft_json_long", col("props"), lit("k")).as("b"))
+      .collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("parseJson rejects nested paths at plan time") {
+    import graft.query.HumioQuery
+    val ev = Seq((1L, """{"a": {"b": 2}}""")).toDF("event_id", "props")
+    val e = intercept[IllegalArgumentException] {
+      HumioQuery.run(ev, "parseJson(props, a.b)")
+    }
+    assert(e.getMessage.contains("top-level"))
+  }
+
   test("JSON natives match from_json on randomized documents (property)") {
     graft.expressions.JsonLongField.register(spark)
     graft.expressions.JsonStrField.register(spark)
