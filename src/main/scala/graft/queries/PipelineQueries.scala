@@ -550,25 +550,68 @@ object PipelineQueries {
     * min/max aggregate, collected to two broadcast arrays; the
     * quantization pass is per-row over the corpus with no shuffle.
     */
-  def xSq8(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.Sq8Error.register(s)
-    val emb = Tables.embeddings(s, dir)
-    val dims = emb
+  /** Per-dimension corpus [min, max] as two broadcast arrays — the
+    * shared scale table of the SQ8 pair. */
+  private def sq8Scales(emb: DataFrame): DataFrame =
+    broadcast(emb
       .select(posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy("d").agg(min(col("x").cast("double")).as("mn"),
         max(col("x").cast("double")).as("mx"))
-    val scales = broadcast(dims.agg(
-      transform(array_sort(collect_list(struct(col("d"), col("mn")))),
-        p => p("mn")).as("mn"),
-      transform(array_sort(collect_list(struct(col("d"), col("mx")))),
-        p => p("mx")).as("mx")))
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+          p => p("mn")).as("mn"),
+        transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+          p => p("mx")).as("mx")))
+
+  def xSq8(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.Sq8Error.register(s)
+    val emb = Tables.embeddings(s, dir)
     // one codegen'd quantize-dequantize-error pass per row (the
     // declarative transform+aggregate twin is Sq8Error's spec fixture)
-    emb.crossJoin(scales)
+    emb.crossJoin(sq8Scales(emb))
       .select(col("vec_id"),
         detRound4(call_function("graft_sq8_err",
           col("embedding"), col("mn"), col("mx")) / DIM).as("mse"))
       .orderBy("vec_id")
+  }
+
+  /** SQ8 recall@1 — does 4×-compressed storage preserve nearest
+    * neighbors? Each bounded probe's exact-L2 nearest over the
+    * DEQUANTIZED corpus vs over the original floats (the x_pq_recall
+    * shape one tier up the accuracy ladder: SQ8's 64 codes/vector vs
+    * PQ's 8). The dequantized vectors come from one per-row declarative
+    * pass (round() on both engines, the proven-equal convention) and
+    * the bounded probe set is [[pqProbeRows]] — at fixed probes the
+    * search side is linear in corpus size.
+    */
+  def xSq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val dq = transform(sequence(lit(0), lit(DIM - 1)), i => {
+      val x = element_at(col("embedding"), i + 1).cast("double")
+      val mn = element_at(col("mn"), i + 1)
+      val mx = element_at(col("mx"), i + 1)
+      val span = mx - mn
+      val q = when(span === 0, lit(0.0))
+        .otherwise(round(((x - mn) / span) * 255))
+      mn + (q * span) / 255.0
+    })
+    val dqv = emb.crossJoin(sq8Scales(emb))
+      .select(col("vec_id"), dq.as("dqv"),
+        transform(col("embedding"), v => v.cast("double")).as("fv"))
+    val probes = dqv.where(col("vec_id") % 100 === 0 &&
+        col("vec_id") < PQ_PROBE_CAP)
+      .select(col("vec_id").as("p"), col("dqv").as("pdq"), col("fv").as("pfv"))
+    def nn(valCol: Column, out: String) = dqv
+      .join(broadcast(probes), col("vec_id") =!= col("p"))
+      .withColumn("d2", valCol)
+      .groupBy("p")
+      .agg(min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as(out))
+    val approx = nn(l2sq(col("pdq"), col("dqv")), "sq8_nn")
+    val exact = nn(l2sq(col("pfv"), col("fv")), "exact_nn")
+    approx.join(exact, "p")
+      .select(col("p").as("probe_id"), col("sq8_nn"), col("exact_nn"),
+        (col("sq8_nn") === col("exact_nn")).cast("bigint").as("hit"))
+      .orderBy("probe_id")
   }
 
   def xKnn(s: SparkSession, dir: String): DataFrame = {
@@ -2646,6 +2689,7 @@ object PipelineQueries {
     "x_cosine"      -> xCosine _,
     "x_mmr"         -> xMmr _,
     "x_sq8"         -> xSq8 _,
+    "x_sq8_recall"  -> xSq8Recall _,
     "x_knn"         -> xKnn _,
     "x_lshknn"      -> xLshknn _,
     "x_embdup"      -> xEmbdup _,
@@ -4368,6 +4412,40 @@ object PipelineQueries {
         |          ($x - $deq) * ($x - $deq)), 'sum') / $DIM AS mse
         |      FROM e CROSS JOIN s)
         |SELECT vec_id, ${detRound4Sql("mse")} AS mse FROM m ORDER BY vec_id""".stripMargin
+    },
+    "x_sq8_recall" -> {
+      val x = "CAST(embedding[i] AS DOUBLE)"
+      val span = "(mx[i] - mn[i])"
+      val q = s"(CASE WHEN $span = 0 THEN 0 ELSE round((($x - mn[i]) / $span) * 255) END)"
+      val deq = s"(mn[i] + ($q * $span) / 255.0)"
+      def l2(a: String, b: String) =
+        s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> " +
+          s"($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |d0 AS (SELECT unnest(range(1, ${DIM + 1})) AS d, embedding FROM e),
+        |d AS (SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
+        |             max(CAST(embedding[d] AS DOUBLE)) AS mx
+        |      FROM d0 GROUP BY d),
+        |s AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM d),
+        |v AS MATERIALIZED (SELECT vec_id,
+        |      list_transform(range(1, ${DIM + 1}), i -> $deq) AS dqv,
+        |      list_transform(range(1, ${DIM + 1}), i -> $x) AS fv
+        |    FROM e CROSS JOIN s),
+        |p AS (SELECT vec_id AS p, dqv AS pdq, fv AS pfv FROM v
+        |      WHERE vec_id % 100 = 0 AND vec_id < $PQ_PROBE_CAP),
+        |ax AS (SELECT p.p, v.vec_id, ${l2("pdq", "dqv")} AS d2
+        |       FROM v JOIN p ON v.vec_id <> p.p),
+        |ab AS (SELECT p, vec_id,
+        |         row_number() OVER (PARTITION BY p ORDER BY d2, vec_id) AS rn FROM ax),
+        |ex AS (SELECT p.p, v.vec_id, ${l2("pfv", "fv")} AS d2
+        |       FROM v JOIN p ON v.vec_id <> p.p),
+        |eb AS (SELECT p, vec_id,
+        |         row_number() OVER (PARTITION BY p ORDER BY d2, vec_id) AS rn FROM ex)
+        |SELECT a.p AS probe_id, a.vec_id AS sq8_nn, b.vec_id AS exact_nn,
+        |       CAST(a.vec_id = b.vec_id AS BIGINT) AS hit
+        |FROM (SELECT * FROM ab WHERE rn = 1) a
+        |JOIN (SELECT * FROM eb WHERE rn = 1) b ON a.p = b.p
+        |ORDER BY probe_id""".stripMargin
     },
     "x_cosine" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < $PROBE_CAP),
