@@ -184,6 +184,64 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, the published
+    * heuristic filter battery every large-scale text pipeline runs before
+    * dedup): per-document rule columns PLUS the composed verdict, so
+    * downstream curation can gate on `pass` and audit WHICH rule fired —
+    * the operational difference between a filter and a filter report.
+    * Rules here: word-count bounds [50, 100k], mean word length in
+    * [3, 10], ≥2 stopword hits, duplicate-3-gram fraction ≤ 0.02, and
+    * ≥80% of words containing an alphabetic character. Every RULE is an
+    * integer comparison (mean·n and fraction·k forms), so verdicts are
+    * exact cross-engine; only the display columns round. The dup-3-gram
+    * threshold is fixture-tuned (real corpora run 0.15-0.30; the
+    * word-salad fixture's small vocabulary makes repeated 3-grams rare,
+    * so 0.02 is where the rule splits at both SFs — the l_burn_rate
+    * non-vacuity discipline); wordlen keeps Gopher's published [3, 10]
+    * even though the fixture never leaves it (spec-covered). Everything is
+    * per-row arithmetic over the token array — no explode, no shuffle
+    * before the output sort — so the operator is embarrassingly parallel
+    * at any corpus size. The punctuation-dependent Gopher rules (bullet/
+    * ellipsis line ratios) are intentionally absent: the fixture corpus
+    * has no punctuation (TESTDATA.md), so they would be oracle-invisible;
+    * symbol hygiene is covered by the alpha-word rule (spec-tested on
+    * synthetic docs in QualityRulesSpec).
+    */
+  def xGopherRules(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Text.nWords(toks).as("n_words"),
+        Text.sumWordLen(toks).as("sum_len"),
+        enStopHits(s, toks).as("stop_hits"),
+        greatest(size(toks) - 2, lit(1)).cast("bigint").as("n_g3"),
+        size(array_distinct(Text.shinglesNative(toks, 3))).cast("bigint")
+          .as("d_g3"),
+        size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("bigint")
+          .as("alpha_words"))
+      .select(col("doc_id"), col("n_words"),
+        detRound4(col("sum_len").cast("double") / col("n_words"))
+          .as("mean_word_len"),
+        col("stop_hits"),
+        detRound4(lit(1.0) - col("d_g3").cast("double") / col("n_g3"))
+          .as("dup3_frac"),
+        detRound4(col("alpha_words").cast("double") / col("n_words"))
+          .as("alpha_frac"),
+        col("n_words").between(50, 100000).cast("bigint").as("r_words"),
+        (col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10).cast("bigint").as("r_wordlen"),
+        (col("stop_hits") >= 2).cast("bigint").as("r_stop"),
+        ((col("n_g3") - col("d_g3")) * 50 <= col("n_g3")).cast("bigint")
+          .as("r_dup"),
+        (col("alpha_words") * 5 >= col("n_words") * 4).cast("bigint")
+          .as("r_alpha"))
+      .withColumn("pass",
+        (col("r_words") + col("r_wordlen") + col("r_stop") + col("r_dup") +
+          col("r_alpha") === 5).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
   /** Linear quality classifier (the fastText-style gate distilled to its
     * dataflow): four per-document features — ln(token count), mean word
     * length, stopword ratio, type-token ratio — combined under FIXED
@@ -611,6 +669,44 @@ object PipelineQueries {
     approx.join(exact, "p")
       .select(col("p").as("probe_id"), col("sq8_nn"), col("exact_nn"),
         (col("sq8_nn") === col("exact_nn")).cast("bigint").as("hit"))
+      .orderBy("probe_id")
+  }
+
+  /** Matryoshka truncation width for [[xMrlRecall]] (first 16 of 64
+    * dims = a 4× storage/compute cut, the published MRL serving trade).
+    */
+  val MRL_DIM = 16
+
+  /** Matryoshka-truncation recall (Kusupati et al. 2022, arXiv:
+    * 2205.13147): does nearest-neighbor search over only the FIRST
+    * [[MRL_DIM]] embedding dimensions return the same neighbor as the
+    * full vector? This is the serving question MRL-trained embedders
+    * answer with "yes" and random embeddings answer with "mostly no" —
+    * either way the measurement pipeline is identical: per probe, the
+    * truncated-space NN and the full-space NN from the same one
+    * broadcast-probes × corpus stream (the [[xSq8Recall]] shape:
+    * probes bounded by [[PQ_PROBE_CAP]], corpus never collected, one
+    * partial-aggregated min_by per probe). hit-rate over probes is the
+    * recall@1 a dimension-truncation rollout would ship on.
+    */
+  def xMrlRecall(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("fv"))
+      .withColumn("tv", slice(col("fv"), 1, MRL_DIM))
+    val probes = v.where(col("vec_id") % 100 === 0 &&
+        col("vec_id") < PQ_PROBE_CAP)
+      .select(col("vec_id").as("p"), col("fv").as("pfv"), col("tv").as("ptv"))
+    def nn(valCol: Column, out: String) = v
+      .join(broadcast(probes), col("vec_id") =!= col("p"))
+      .withColumn("d2", valCol)
+      .groupBy("p")
+      .agg(min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as(out))
+    val approx = nn(l2sq(col("ptv"), col("tv")), "mrl_nn")
+    val exact = nn(l2sq(col("pfv"), col("fv")), "exact_nn")
+    approx.join(exact, "p")
+      .select(col("p").as("probe_id"), col("mrl_nn"), col("exact_nn"),
+        (col("mrl_nn") === col("exact_nn")).cast("bigint").as("hit"))
       .orderBy("probe_id")
   }
 
@@ -1465,6 +1561,43 @@ object PipelineQueries {
       .orderBy("source", "lang")
   }
 
+  /** Repeat ceiling for [[xMixEpochs]] — past ~4 epochs repeated data
+    * stops buying loss (Muennighoff et al. 2023, arXiv:2305.16264); 2
+    * here so the cap is non-vacuous on the fixture mixture.
+    */
+  val MIX_MAX_EPOCHS = 2
+
+  /** Epoch planning under a data-constrained token budget (Muennighoff
+    * et al. 2023): given the observed source×lang token mixture and a
+    * budget of 2× the corpus redistributed UNIFORMLY across cells (the
+    * [[xMixWeights]] target), how many epochs of each cell does the
+    * training run consume, where does the repeat ceiling bite, and how
+    * many tokens does each capped cell leave unfilled? `epochs` is the
+    * raw requirement, `capped_epochs` what the run actually takes,
+    * `deficit_tokens` the shortfall the mixer must reassign elsewhere.
+    * Budget scales WITH the corpus (2×total/cells), so the plan is
+    * SF-free; all arithmetic runs on the bounded cell relation after the
+    * one mixCells aggregate — same scan shape as x_source_mix.
+    */
+  def xMixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    mixCells(s, dir)
+      .withColumn("target_tokens",
+        floor(sum(col("est_tokens")).over(w) * 2.0 / count(lit(1)).over(w))
+          .cast("bigint"))
+      .select(col("source"), col("lang"), col("est_tokens"),
+        col("target_tokens"),
+        detRound4(col("target_tokens").cast("double") / col("est_tokens"))
+          .as("epochs"),
+        detRound4(least(lit(MIX_MAX_EPOCHS.toDouble),
+          col("target_tokens").cast("double") / col("est_tokens")))
+          .as("capped_epochs"),
+        greatest(lit(0L),
+          col("target_tokens") - col("est_tokens") * MIX_MAX_EPOCHS)
+          .cast("bigint").as("deficit_tokens"))
+      .orderBy("source", "lang")
+  }
+
   /** TEMPERATURE-scaled mixture re-weighting (T = 2) — the standard
     * smoothing between the observed mixture (T = 1) and uniform
     * (T → ∞): sampled share ∝ observed_share^(1/T), the multilingual/
@@ -1959,6 +2092,65 @@ object PipelineQueries {
     unigramScores(s, dir)
       .select(col("doc_id"), col("n_words"), detRound4(col("alp")).as("avg_logprob"))
       .orderBy("doc_id")
+
+  /** DSIR feature-space size (hashed-unigram buckets) and the fixed
+    * selection cap. The cap is the ANN-probe discipline applied to data
+    * selection: output is top-[[DSIR_TOP]] regardless of corpus size, so
+    * the final ordered take is a distributed TakeOrdered, never a full
+    * sort materialization.
+    */
+  val DSIR_B = 64
+  val DSIR_TOP = 100
+  /** 2⁴⁰ — the established quantizer for order-independent double sums. */
+  val DSIR_Q = 1099511627776.0
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169, the published recipe for picking pretraining data
+    * that "looks like" a target domain): score every document by how much
+    * likelier its hashed-unigram features are under the TARGET
+    * distribution (here the lang='en' slice stands in for the target
+    * corpus) than under the raw-corpus proposal, then keep the top
+    * scorers. Per-bucket log-ratios λ_b = ln p̂_t(b) − ln p̂_p(b)
+    * (add-one smoothed) are QUANTIZED once to round(λ·2⁴⁰) on the
+    * 64-row broadcast table, so each document's score is an exact
+    * integer Σ c_b·λq_b — order-independent across partitions and
+    * engines (the shannonEntropy discipline); ln only ever runs on the
+    * bounded bucket table, never per row. Shapes: one corpus explode →
+    * one (doc, bucket) count aggregate; the λ table aggregates that same
+    * relation down to 64 rows inside its broadcast build; scoring joins
+    * the broadcast back and sums per doc. Final ranking orders by the
+    * ROUNDED weight (then doc_id) so a 1-ulp ln() divergence between
+    * engines can never flip the selection order.
+    */
+  def xDsir(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val cells = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("word"))
+      .withColumn("b",
+        expr(s"cast(conv(substring(md5(word), 1, 8), 16, 10) as bigint) % $DSIR_B"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+    val lam = cells.groupBy("b")
+      .agg(sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"),
+        sum(col("c")).as("cp"))
+      .withColumn("nt", sum("ct").over(w))
+      .withColumn("np", sum("cp").over(w))
+      .select(col("b"),
+        round((log((col("ct") + 1).cast("double") / (col("nt") + DSIR_B)) -
+          log((col("cp") + 1).cast("double") / (col("np") + DSIR_B))) * DSIR_Q)
+          .cast("bigint").as("lq"))
+    cells.join(broadcast(lam), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c") * col("lq")).as("wq"))
+      .select(col("doc_id"), col("lang"),
+        detRound4(col("wq").cast("double") / DSIR_Q).as("dsir_weight"))
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(DSIR_TOP)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("dsir_weight").desc, col("doc_id")))
+        .cast("bigint"))
+      .orderBy("rank")
+  }
 
   /** Add-k smoothing constant of the bigram LM (×2 to stay integral in
     * oracle arithmetic: α = [[BIGRAM_ALPHA2]]/2 = 0.5).
@@ -2661,6 +2853,10 @@ object PipelineQueries {
     "x_langid_ngram" -> xLangidNgram _,
     "x_quality"     -> xQuality _,
     "x_quality_lr"  -> xQualityLr _,
+    "x_gopher_rules" -> xGopherRules _,
+    "x_dsir"        -> xDsir _,
+    "x_mix_epochs"  -> xMixEpochs _,
+    "x_mrl_recall"  -> xMrlRecall _,
     "x_hard_negatives" -> xHardNegatives _,
     "x_cdc_chunks"  -> xCdcChunks _,
     "x_cdc_dedup"   -> xCdcDedup _,
@@ -4022,6 +4218,64 @@ object PipelineQueries {
         |       CAST(len(toks) BETWEEN 5 AND 2000
         |            AND CAST(en_hits AS DOUBLE) / len(toks) < 0.4 AS BIGINT) AS quality_ok
         |FROM t ORDER BY doc_id""".stripMargin,
+    "x_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |r AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS BIGINT) AS sum_len,
+        |        CAST(len(list_filter(toks, x -> x IN ($enList))) AS BIGINT) AS stop_hits,
+        |        CAST(greatest(len(toks) - 2, 1) AS BIGINT) AS n_g3,
+        |        CAST(len(list_distinct(${gramsSql(3)})) AS BIGINT) AS d_g3,
+        |        CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words
+        |      FROM t),
+        |v AS (SELECT doc_id, n_words,
+        |        ${detRound4Sql("CAST(sum_len AS DOUBLE) / n_words")} AS mean_word_len,
+        |        stop_hits,
+        |        ${detRound4Sql("1.0 - CAST(d_g3 AS DOUBLE) / n_g3")} AS dup3_frac,
+        |        ${detRound4Sql("CAST(alpha_words AS DOUBLE) / n_words")} AS alpha_frac,
+        |        CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_words,
+        |        CAST(sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS BIGINT) AS r_wordlen,
+        |        CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+        |        CAST((n_g3 - d_g3) * 50 <= n_g3 AS BIGINT) AS r_dup,
+        |        CAST(alpha_words * 5 >= n_words * 4 AS BIGINT) AS r_alpha
+        |      FROM r)
+        |SELECT *, CAST(r_words + r_wordlen + r_stop + r_dup + r_alpha = 5 AS BIGINT) AS pass
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "x_dsir" ->
+      s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS word FROM documents),
+        |wb AS (SELECT doc_id, lang, ${hvSql("word")} % $DSIR_B AS b FROM w),
+        |cells AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+        |          FROM wb GROUP BY 1, 2, 3),
+        |lam0 AS (SELECT b, sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct,
+        |                sum(c) AS cp
+        |         FROM cells GROUP BY b),
+        |lam AS (SELECT b, CAST(round((ln((ct + 1.0) / (sum(ct) OVER () + $DSIR_B))
+        |                             - ln((cp + 1.0) / (sum(cp) OVER () + $DSIR_B)))
+        |                            * $DSIR_Q) AS BIGINT) AS lq
+        |        FROM lam0),
+        |sc AS (SELECT doc_id, lang,
+        |         ${detRound4Sql(s"CAST(sum(c * lq) AS DOUBLE) / $DSIR_Q")} AS dsir_weight
+        |       FROM cells JOIN lam USING (b) GROUP BY doc_id, lang),
+        |rk AS (SELECT doc_id, lang, dsir_weight,
+        |         CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS BIGINT) AS rank
+        |       FROM sc)
+        |SELECT * FROM rk WHERE rank <= $DSIR_TOP ORDER BY rank""".stripMargin,
+    "x_mix_epochs" ->
+      s"""WITH t AS (SELECT source, lang,
+        |    list_aggregate(list_transform(string_split(text,' '),
+        |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS t
+        |  FROM documents),
+        |g AS (SELECT source, lang, CAST(sum(t) AS BIGINT) AS est_tokens
+        |      FROM t GROUP BY source, lang),
+        |s AS (SELECT *,
+        |        CAST(floor(CAST(sum(est_tokens) OVER () AS DOUBLE) * 2.0
+        |                   / count(*) OVER ()) AS BIGINT) AS target_tokens
+        |      FROM g)
+        |SELECT source, lang, est_tokens, target_tokens,
+        |  ${detRound4Sql("CAST(target_tokens AS DOUBLE) / est_tokens")} AS epochs,
+        |  ${detRound4Sql(s"least(CAST($MIX_MAX_EPOCHS AS DOUBLE), CAST(target_tokens AS DOUBLE) / est_tokens)")} AS capped_epochs,
+        |  CAST(greatest(0, target_tokens - est_tokens * $MIX_MAX_EPOCHS) AS BIGINT) AS deficit_tokens
+        |FROM s ORDER BY source, lang""".stripMargin,
     "x_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |h AS (SELECT doc_id, $hashesSql AS hs FROM t)
@@ -4442,6 +4696,30 @@ object PipelineQueries {
         |eb AS (SELECT p, vec_id,
         |         row_number() OVER (PARTITION BY p ORDER BY d2, vec_id) AS rn FROM ex)
         |SELECT a.p AS probe_id, a.vec_id AS sq8_nn, b.vec_id AS exact_nn,
+        |       CAST(a.vec_id = b.vec_id AS BIGINT) AS hit
+        |FROM (SELECT * FROM ab WHERE rn = 1) a
+        |JOIN (SELECT * FROM eb WHERE rn = 1) b ON a.p = b.p
+        |ORDER BY probe_id""".stripMargin
+    },
+    "x_mrl_recall" -> {
+      def l2(a: String, b: String, d: Int) =
+        s"list_aggregate(list_transform(range(1, ${d + 1}), i -> " +
+          s"($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
+      s"""WITH v AS MATERIALIZED (SELECT vec_id,
+        |      list_transform(range(1, ${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS fv,
+        |      list_transform(range(1, ${MRL_DIM + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS tv
+        |    FROM embeddings),
+        |p AS (SELECT vec_id AS p, fv AS pfv, tv AS ptv FROM v
+        |      WHERE vec_id % 100 = 0 AND vec_id < $PQ_PROBE_CAP),
+        |ax AS (SELECT p.p, v.vec_id, ${l2("ptv", "tv", MRL_DIM)} AS d2
+        |       FROM v JOIN p ON v.vec_id <> p.p),
+        |ab AS (SELECT p, vec_id,
+        |         row_number() OVER (PARTITION BY p ORDER BY d2, vec_id) AS rn FROM ax),
+        |ex AS (SELECT p.p, v.vec_id, ${l2("pfv", "fv", DIM)} AS d2
+        |       FROM v JOIN p ON v.vec_id <> p.p),
+        |eb AS (SELECT p, vec_id,
+        |         row_number() OVER (PARTITION BY p ORDER BY d2, vec_id) AS rn FROM ex)
+        |SELECT a.p AS probe_id, a.vec_id AS mrl_nn, b.vec_id AS exact_nn,
         |       CAST(a.vec_id = b.vec_id AS BIGINT) AS hit
         |FROM (SELECT * FROM ab WHERE rn = 1) a
         |JOIN (SELECT * FROM eb WHERE rn = 1) b ON a.p = b.p
