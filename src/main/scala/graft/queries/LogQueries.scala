@@ -235,6 +235,35 @@ object LogQueries {
       .orderBy("bucket_ms")
   }
 
+  /** Apdex "satisfied" latency threshold; tolerating runs to 4T (the
+    * published Apdex convention). T = 25 sits at ~P40 of the fixture's
+    * value distribution, so all three bands are populated every hour.
+    */
+  val APDEX_T = 25.0
+
+  /** Hourly Apdex score (the Apdex Alliance formula, the standard
+    * user-satisfaction rollup SRE dashboards publish next to burn
+    * rate): score = (satisfied + tolerating/2) / total per hour, with
+    * satisfied = value ≤ T and tolerating = T < value ≤ 4T. One
+    * scan + one hash aggregate on the hour key — the [[lBurnRate]]
+    * shape; band membership is computed BEFORE the aggregate so the
+    * map side combines, and the score divides two exact integer counts
+    * once per bucket (no float accumulation to diverge cross-engine).
+    */
+  def lApdex(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((floor(unix_millis(col("ts")) / HOUR_MS) * HOUR_MS)
+        .cast("long").as("bucket_ms"))
+      .agg(count(lit(1)).as("n_total"),
+        sum((col("value") <= APDEX_T).cast("long")).as("n_sat"),
+        sum((col("value") > APDEX_T && col("value") <= 4 * APDEX_T)
+          .cast("long")).as("n_tol"))
+      .select(col("bucket_ms"), col("n_total"), col("n_sat"), col("n_tol"),
+        ConnectorQueries.detRound4(
+          (col("n_sat").cast("double") + col("n_tol").cast("double") / 2) /
+            col("n_total").cast("double")).as("apdex"))
+      .orderBy("bucket_ms")
+
   /** Alert DEBOUNCING: consecutive over-budget hours collapse into one
     * alert episode (gaps-and-islands on the bucket grid — a new episode
     * starts when the previous flagged hour is more than one bucket
@@ -404,6 +433,7 @@ object LogQueries {
     "l_anomaly"    -> lAnomaly _,
     "l_mad"        -> lMad _,
     "l_burn_rate"  -> lBurnRate _,
+    "l_apdex"      -> lApdex _,
     "l_debounce"   -> lDebounce _,
     "l_timechart"  -> lTimechart _,
     "l_sliding"    -> lSliding _,
@@ -462,6 +492,18 @@ object LogQueries {
         |       floor(burn6 * 10000.0 + 0.5) / 10000.0 AS burn6
         |FROM f WHERE burn1 > $BURN_FAST AND burn6 > $BURN_SLOW
         |ORDER BY bucket_ms""".stripMargin,
+    "l_apdex" ->
+      s"""WITH b AS (SELECT
+        |    CAST((epoch_ms(CAST(ts AS TIMESTAMP)) // $HOUR_MS) * $HOUR_MS AS BIGINT) AS bucket_ms,
+        |    value FROM events),
+        |a AS (SELECT bucket_ms,
+        |        CAST(count(*) AS BIGINT) AS n_total,
+        |        CAST(sum(CASE WHEN value <= $APDEX_T THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+        |        CAST(sum(CASE WHEN value > $APDEX_T AND value <= ${4 * APDEX_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_tol
+        |      FROM b GROUP BY bucket_ms)
+        |SELECT bucket_ms, n_total, n_sat, n_tol,
+        |  ${ConnectorQueries.detRound4Sql("(CAST(n_sat AS DOUBLE) + CAST(n_tol AS DOUBLE) / 2) / CAST(n_total AS DOUBLE)")} AS apdex
+        |FROM a ORDER BY bucket_ms""".stripMargin,
     "l_debounce" ->
       s"""WITH $hourlyErrCte,
         |f AS (SELECT *, CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) AS rate

@@ -207,11 +207,15 @@ object PipelineQueries {
     * symbol hygiene is covered by the alpha-word rule (spec-tested on
     * synthetic docs in QualityRulesSpec).
     */
-  def xGopherRules(s: SparkSession, dir: String): DataFrame = {
+  /** Shared per-document rule frame behind [[xGopherRules]] (the report)
+    * and [[xRuleAblation]] (the per-source rollup): raw counters plus
+    * integer-exact rule verdicts, `source` retained for the rollup.
+    */
+  private def gopherRuleFrame(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.WordShingles.register(s)
     val toks = Text.tokens(col("text"))
     Tables.documents(s, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         Text.nWords(toks).as("n_words"),
         Text.sumWordLen(toks).as("sum_len"),
         enStopHits(s, toks).as("stop_hits"),
@@ -220,6 +224,23 @@ object PipelineQueries {
           .as("d_g3"),
         size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("bigint")
           .as("alpha_words"))
+      .withColumn("r_words",
+        col("n_words").between(50, 100000).cast("bigint"))
+      .withColumn("r_wordlen",
+        (col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10).cast("bigint"))
+      .withColumn("r_stop", (col("stop_hits") >= 2).cast("bigint"))
+      .withColumn("r_dup",
+        ((col("n_g3") - col("d_g3")) * 50 <= col("n_g3")).cast("bigint"))
+      .withColumn("r_alpha",
+        (col("alpha_words") * 5 >= col("n_words") * 4).cast("bigint"))
+      .withColumn("pass",
+        (col("r_words") + col("r_wordlen") + col("r_stop") + col("r_dup") +
+          col("r_alpha") === 5).cast("bigint"))
+  }
+
+  def xGopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRuleFrame(s, dir)
       .select(col("doc_id"), col("n_words"),
         detRound4(col("sum_len").cast("double") / col("n_words"))
           .as("mean_word_len"),
@@ -228,19 +249,30 @@ object PipelineQueries {
           .as("dup3_frac"),
         detRound4(col("alpha_words").cast("double") / col("n_words"))
           .as("alpha_frac"),
-        col("n_words").between(50, 100000).cast("bigint").as("r_words"),
-        (col("sum_len") >= col("n_words") * 3 &&
-          col("sum_len") <= col("n_words") * 10).cast("bigint").as("r_wordlen"),
-        (col("stop_hits") >= 2).cast("bigint").as("r_stop"),
-        ((col("n_g3") - col("d_g3")) * 50 <= col("n_g3")).cast("bigint")
-          .as("r_dup"),
-        (col("alpha_words") * 5 >= col("n_words") * 4).cast("bigint")
-          .as("r_alpha"))
-      .withColumn("pass",
-        (col("r_words") + col("r_wordlen") + col("r_stop") + col("r_dup") +
-          col("r_alpha") === 5).cast("bigint"))
+        col("r_words"), col("r_wordlen"), col("r_stop"), col("r_dup"),
+        col("r_alpha"), col("pass"))
       .orderBy("doc_id")
-  }
+
+  /** Per-source quality ablation — the rollup a curation engineer reads
+    * before dropping a source from the mix: for each source, how many
+    * docs fail each [[gopherRuleFrame]] rule and what fraction survives
+    * the whole battery. One corpus scan + one 20-row aggregate (rules
+    * are per-row integers, so the map side combines); at 100 TB this is
+    * the same plan with more partitions.
+    */
+  def xRuleAblation(s: SparkSession, dir: String): DataFrame =
+    gopherRuleFrame(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - sum("r_words")).as("fail_words"),
+        (count(lit(1)) - sum("r_wordlen")).as("fail_wordlen"),
+        (count(lit(1)) - sum("r_stop")).as("fail_stop"),
+        (count(lit(1)) - sum("r_dup")).as("fail_dup"),
+        (count(lit(1)) - sum("r_alpha")).as("fail_alpha"),
+        sum("pass").as("n_pass"))
+      .withColumn("pass_rate",
+        detRound4(col("n_pass").cast("double") / col("n_docs")))
+      .orderBy("source")
 
   /** Linear quality classifier (the fastText-style gate distilled to its
     * dataflow): four per-document features — ln(token count), mean word
@@ -2059,6 +2091,72 @@ object PipelineQueries {
       .groupBy("token")
       .agg(count(lit(1)).as("n_instances"), sum("freq").as("n_occurrences"))
       .orderBy("token")
+  }
+
+  /** Per-language tokenizer fertility under the corpus-trained BPE —
+    * the tokenizer-fairness report (how many subword tokens each
+    * language pays per word/char; the multilingual-cost concern in
+    * e.g. the XLM-R and NLLB analyses): train [[BPE_ROUNDS]] merges on
+    * the shared staged dictionary (memoized with x_bpe_train/apply),
+    * tokenize the VOCABULARY once, then weight per-word token counts by
+    * each language's word frequencies. The corpus pays one extra
+    * (lang, word) aggregate; everything else runs on the Zipf-bounded
+    * vocabulary, and the final metrics divide exact integer sums once
+    * per language.
+    */
+  def xBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = bpeWords(s, dir)
+    val merges = graft.operators.Bpe.train(words, BPE_ROUNDS)
+      .orderBy("merge_idx")
+      .select(col("left_sym"), col("right_sym"))
+      .as[(String, String)].collect().toSeq
+    val tokenized = graft.operators.Bpe.tokenize(words, merges)
+      .select(col("word"), size(col("tokens")).cast("long").as("n_toks"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .join(tokenized, "word")
+      .groupBy("lang")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_toks")).as("n_tokens"),
+        sum(col("freq") * length(col("word"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        detRound4(col("n_tokens").cast("double") / col("n_words"))
+          .as("tokens_per_word"),
+        detRound4(col("n_chars").cast("double") / col("n_tokens"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  /** Shard count for [[xShardOrder]] — small here; at 100 TB this is
+    * the writer-fleet width (thousands), and the plan is unchanged.
+    */
+  val SHARD_N = 16
+
+  /** Deterministic shard layout for training-data writes (the
+    * WebDataset/Megatron-style sharding step between curation and the
+    * trainer): every doc gets a stable pseudo-random shard — the
+    * md5 bucket of a salted doc key mod [[SHARD_N]] — and a stable
+    * position within its shard (hash order, doc_id tiebreak), giving a
+    * coordinator-free global permutation: any writer can materialize
+    * its shard independently, and changing the salt re-deals the next
+    * epoch's order without moving data. The window partitions BY SHARD
+    * — never a global orderBy-cumsum, which would serialize the corpus
+    * through one partition — so the one exchange is the shard shuffle
+    * the write needs anyway. Per-doc token estimates ride along so
+    * downstream packers know their budgets.
+    */
+  def xShardOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Text.tokenCountEstimate(col("text")).as("est_tokens"),
+        Sampling.hashBucket(concat(lit("epoch0:"), col("doc_id"))).as("hv"))
+      .withColumn("shard", (col("hv") % SHARD_N).cast("bigint"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("est_tokens"))
+      .orderBy("shard", "pos")
   }
 
   def xBpePairs(s: SparkSession, dir: String): DataFrame = {
