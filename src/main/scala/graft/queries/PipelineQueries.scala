@@ -2952,6 +2952,7 @@ object PipelineQueries {
     "x_quality"     -> xQuality _,
     "x_quality_lr"  -> xQualityLr _,
     "x_gopher_rules" -> xGopherRules _,
+    "x_rule_ablation" -> xRuleAblation _,
     "x_dsir"        -> xDsir _,
     "x_mix_epochs"  -> xMixEpochs _,
     "x_mrl_recall"  -> xMrlRecall _,
@@ -3014,6 +3015,7 @@ object PipelineQueries {
     "x_bpe_pairs"   -> xBpePairs _,
     "x_bpe_train"   -> xBpeTrain _,
     "x_bpe_apply"   -> xBpeApply _,
+    "x_bpe_fertility" -> xBpeFertility _,
     "x_dupgrams"    -> xDupgrams _,
     "x_dedup_cut"   -> xDedupCut _,
     "x_substr_spans" -> xSubstrSpans _,
@@ -4113,6 +4115,26 @@ object PipelineQueries {
       s"WITH ${bpeSqlCtes(BPE_ROUNDS)},\n${bpeTrainSelect(BPE_ROUNDS)}",
     "x_bpe_apply" ->
       s"WITH ${bpeSqlCtes(BPE_ROUNDS)},\n${bpeApplySelect(BPE_ROUNDS)}",
+    // Fertility replay: the delimiter encoding is injective (symbols
+    // concatenate back to the word), so stripping chr(1)/chr(2) from the
+    // trained cell string recovers the vocab key and len(symbols) is the
+    // per-word token count — no need to thread `word` through the rounds.
+    "x_bpe_fertility" ->
+      s"""WITH ${bpeSqlCtes(BPE_ROUNDS)},
+        |ft AS (SELECT replace(replace(s, chr(1), ''), chr(2), '') AS word,
+        |         CAST(len(string_split(substr(s, 2, length(s) - 2), chr(2)||chr(1))) AS BIGINT) AS n_toks
+        |       FROM bs$BPE_ROUNDS),
+        |flw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+        |        FROM (SELECT lang, unnest(string_split(text,' ')) AS word FROM documents)
+        |        WHERE word <> '' GROUP BY 1, 2),
+        |fj AS (SELECT lang, freq, n_toks, CAST(length(word) AS BIGINT) AS wl
+        |       FROM flw JOIN ft USING (word))
+        |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+        |       CAST(sum(freq * n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(freq * wl) AS BIGINT) AS n_chars,
+        |       ${detRound4Sql("CAST(sum(freq * n_toks) AS DOUBLE) / sum(freq)")} AS tokens_per_word,
+        |       ${detRound4Sql("CAST(sum(freq * wl) AS DOUBLE) / sum(freq * n_toks)")} AS chars_per_token
+        |FROM fj GROUP BY lang ORDER BY lang""".stripMargin,
     "x_lp_buckets" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
         |cdw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
@@ -4339,6 +4361,34 @@ object PipelineQueries {
         |      FROM r)
         |SELECT *, CAST(r_words + r_wordlen + r_stop + r_dup + r_alpha = 5 AS BIGINT) AS pass
         |FROM v ORDER BY doc_id""".stripMargin,
+    "x_rule_ablation" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS BIGINT) AS sum_len,
+        |        CAST(len(list_filter(toks, x -> x IN ($enList))) AS BIGINT) AS stop_hits,
+        |        CAST(greatest(len(toks) - 2, 1) AS BIGINT) AS n_g3,
+        |        CAST(len(list_distinct(${gramsSql(3)})) AS BIGINT) AS d_g3,
+        |        CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words
+        |      FROM t),
+        |v AS (SELECT source,
+        |        CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_words,
+        |        CAST(sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS BIGINT) AS r_wordlen,
+        |        CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+        |        CAST((n_g3 - d_g3) * 50 <= n_g3 AS BIGINT) AS r_dup,
+        |        CAST(alpha_words * 5 >= n_words * 4 AS BIGINT) AS r_alpha
+        |      FROM r),
+        |p AS (SELECT *, CAST(r_words + r_wordlen + r_stop + r_dup + r_alpha = 5 AS BIGINT) AS pass
+        |      FROM v)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) - sum(r_words) AS BIGINT) AS fail_words,
+        |       CAST(count(*) - sum(r_wordlen) AS BIGINT) AS fail_wordlen,
+        |       CAST(count(*) - sum(r_stop) AS BIGINT) AS fail_stop,
+        |       CAST(count(*) - sum(r_dup) AS BIGINT) AS fail_dup,
+        |       CAST(count(*) - sum(r_alpha) AS BIGINT) AS fail_alpha,
+        |       CAST(sum(pass) AS BIGINT) AS n_pass,
+        |       ${detRound4Sql("CAST(sum(pass) AS DOUBLE) / count(*)")} AS pass_rate
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "x_dsir" ->
       s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS word FROM documents),
         |wb AS (SELECT doc_id, lang, ${hvSql("word")} % $DSIR_B AS b FROM w),
