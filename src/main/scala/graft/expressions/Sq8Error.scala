@@ -60,7 +60,13 @@ object Sq8Error {
   private val ident = new FunctionIdentifier("graft_sq8_err")
 
   def compute(emb: ArrayData, mn: ArrayData, mx: ArrayData): Double = {
-    val n = math.min(emb.numElements(), math.min(mn.numElements(), mx.numElements()))
+    val n = emb.numElements()
+    // a scale table from a different corpus (or a truncated one) is a
+    // caller bug — fail loudly instead of silently scoring a prefix
+    if (mn.numElements() != n || mx.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_sq8_err: scale arrays must match the embedding dimension " +
+          s"(embedding=$n, mn=${mn.numElements()}, mx=${mx.numElements()})")
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -68,10 +74,15 @@ object Sq8Error {
       val lo = mn.getDouble(i)
       val hi = mx.getDouble(i)
       val span = hi - lo
+      // clamp to the code range like a real SQ8 encoder: a component
+      // outside [mn, mx] (scales trained on an earlier corpus snapshot,
+      // the realistic serving case) saturates instead of producing an
+      // out-of-range code and a nonsense error term
       val q =
         if (span == 0) 0.0
-        else BigDecimal(((x - lo) / span) * 255)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else math.max(0.0, math.min(255.0,
+          BigDecimal(((x - lo) / span) * 255)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble))
       val deq = lo + (q * span) / 255.0
       val t = x - deq
       sum += t * t

@@ -184,15 +184,22 @@ object Scale {
     val s = df.sparkSession
     val reliable = s.conf.get(ReliableCheckpointConf, "false").toBoolean
     // idempotent on an already-materialized relation: a LogicalRDD leaf
-    // IS concrete data (a prior stage's checkpoint) — re-checkpointing
-    // it would only copy the blocks. Lets an operator stage its input
-    // defensively while callers pass pre-staged shared relations.
+    // backed by a checkpointed-or-persisted RDD IS concrete data (a
+    // prior stage's checkpoint) — re-checkpointing it would only copy
+    // the blocks. Lets an operator stage its input defensively while
+    // callers pass pre-staged shared relations. The storage-level gate
+    // matters: a caller-built spark.createDataFrame(rdd) is ALSO a
+    // LogicalRDD leaf, but its RDD recomputes per consumer (and may be
+    // nondeterministic) — that one must still be staged.
     // NOT applied in reliable mode: there a LogicalRDD may be a merely
-    // LOCAL checkpoint (or a caller-made RDD), and skipping would
-    // silently drop the durability the conf promises.
+    // LOCAL checkpoint, and skipping would silently drop the durability
+    // the conf promises.
     if (!reliable) {
       df.queryExecution.analyzed match {
-        case _: org.apache.spark.sql.execution.LogicalRDD => return df
+        case lr: org.apache.spark.sql.execution.LogicalRDD
+            if lr.rdd.isCheckpointed ||
+              lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+          return df
         case _ => ()
       }
     }

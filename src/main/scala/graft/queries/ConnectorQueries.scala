@@ -28,6 +28,11 @@ object ConnectorQueries {
     * built-in JSON extractors are CodegenFallback and cost ~8 µs/row in
     * interpreted dispatch + Jackson; the native validator keeps the
     * whole projection in codegen with identical tolerant semantics.
+    * One documented semantic delta vs the old get_json_object+CAST
+    * form, mirroring the committed DuckDB oracle: integral STRINGS
+    * still widen ("5" → 5), but non-integral NUMERICS now yield NULL
+    * and drop the row ({"k": 1.5} used to string-cast to a truncated
+    * 1) — a float-valued k is corrupt under this field's long schema.
     */
   def eParse(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.JsonLongField.register(s)

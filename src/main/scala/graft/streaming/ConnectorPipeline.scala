@@ -65,14 +65,25 @@ object ConnectorPipeline {
     * reference's offset-file bootstrap; don't fail the query when
     * retention already aged out records the checkpoint still names).
     * `extra` overrides anything, including the defaults.
+    *
+    * failOnDataLoss=false means aged-out offsets are SKIPPED, not
+    * fatal — silent data loss as a library default is a real operator
+    * tradeoff, so the defaulted case logs a warning; pass it
+    * explicitly in `extra` (either value) to own the choice silently.
     */
   def kafkaOptions(brokers: String, topic: String,
-                   extra: Map[String, String] = Map.empty): Map[String, String] =
+                   extra: Map[String, String] = Map.empty): Map[String, String] = {
+    if (!extra.contains("failOnDataLoss"))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "kafkaOptions defaulting failOnDataLoss=false: offsets aged out " +
+          "by retention are skipped silently (the reference's offset-file " +
+          "bootstrap behavior); pass failOnDataLoss explicitly to silence")
     Map(
       "kafka.bootstrap.servers" -> brokers,
       "subscribe" -> topic,
       "startingOffsets" -> "earliest",
       "failOnDataLoss" -> "false") ++ extra
+  }
 
   /** Kafka line source — the third way in: yields the SAME
     * `value: STRING` relation the Falcon DSv2 source and the

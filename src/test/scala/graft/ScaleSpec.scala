@@ -115,6 +115,28 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset(Scale.StageMemoConf)
   }
 
+  test("stage idempotence gates on materialization, not plan shape: a " +
+    "staged relation is returned as-is; a caller-built RDD DataFrame is staged") {
+    // a prior stage's output: LogicalRDD leaf backed by a persisted/
+    // checkpointed RDD — re-staging must be the identity
+    val staged = Scale.stage(spark.range(200).toDF("id"))
+    assert(Scale.stage(staged) eq staged,
+      "stage() on an already-staged relation must be a no-op")
+    // a caller-built spark.createDataFrame(rdd) is ALSO a LogicalRDD
+    // leaf, but nothing has materialized it — stage() must actually
+    // pin it (the old plan-shape-only gate silently no-op'd here,
+    // leaving a nondeterministic RDD recomputed per consumer)
+    val rdd = spark.sparkContext.parallelize(1 to 100)
+      .map(i => org.apache.spark.sql.Row(i.toLong))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val raw = spark.createDataFrame(rdd, schema)
+    val pinned = Scale.stage(raw)
+    assert(!(pinned eq raw), "an unmaterialized RDD relation must be staged")
+    assert(pinned.count() == 100)
+  }
+
   test("scalableCountDistinct equals count_distinct") {
     val rnd = new Random(2)
     val df = (1 to 1000).map(_ => (rnd.nextInt(4), rnd.nextInt(50))).toDF("dim", "v")

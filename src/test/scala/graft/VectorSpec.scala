@@ -409,6 +409,27 @@ class VectorSpec extends SparkSpec {
     assert(native.values.forall(e => e >= 0.0 && e < 1e-3))
   }
 
+  test("Sq8Error saturates out-of-range components and rejects scale mismatch") {
+    graft.expressions.Sq8Error.register(spark)
+    // scales trained on [0, 1]; the serving vector leaves the range on
+    // both sides — codes must clamp to 0/255, so the error equals the
+    // squared distance to the range edge (deq = mn or mx exactly)
+    val df = Seq((1L, Array(-0.5f, 1.5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("mn", array(lit(0.0), lit(0.0)))
+      .withColumn("mx", array(lit(1.0), lit(1.0)))
+    val e = df.select(expr("graft_sq8_err(embedding, mn, mx)"))
+      .as[Double].head()
+    assert(math.abs(e - (0.25 + 0.25)) < 1e-12,
+      s"clamped codes reconstruct the range edges, got $e")
+    // a 1-dim scale table against a 2-dim vector is a caller bug
+    val bad = df.withColumn("mn", array(lit(0.0)))
+    val thrown = intercept[Exception] {
+      bad.select(expr("graft_sq8_err(embedding, mn, mx)")).collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
   test("MMR re-ranking diversifies: the near-dup of pick 1 is demoted") {
     // probe at (1,0); candidates: two near-identical vectors very close
     // to the probe, and one moderately-similar but DIFFERENT direction.
