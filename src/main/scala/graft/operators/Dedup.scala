@@ -650,6 +650,41 @@ object Dedup {
     */
   val SimhashBandsConf = "spark.graft.dedup.simhashBands"
 
+  /** Band-width rule for a 64-bit SimHash over an `n`-doc corpus: the
+    * smallest width w ∈ {16, 32, 64} with 2^w ≥ 4n. Under it the
+    * expected ACCIDENTAL candidate volume (random signatures colliding
+    * on a band, the birthday term) is nBands·n²/2^(w+1) ≤ n/2 at every
+    * tier — linear in the corpus by construction, so the default plan
+    * survives any scale-up without a conf. The recall trade per width
+    * (the Manku et al. design decision — one 64-bit signature only
+    * subdivides so many ways): w=16 → 4 bands, pigeonhole GUARANTEES
+    * every pair at hamming ≤ 3 and catches most ≤ 12; w=32 → 2 bands,
+    * guarantee drops to hamming ≤ 1 (near-identical docs — SimHash
+    * near-dups concentrate there, and anything hash-equal on either
+    * half still surfaces); w=64 → exact-signature match only. A recall-
+    * critical corpus at n > 16384 should pin [[SimhashBandsConf]] to 4
+    * and pay the quadratic tail knowingly, or move to the MinHash LSH
+    * path whose signature width grows with permutations.
+    */
+  def simhashWidthFor(n: Long): Int =
+    if (4L * n <= (1L << 16)) 16
+    else if (BigInt(4) * BigInt(n) <= (BigInt(1) << 32)) 32
+    else 64
+
+  /** Band COUNT for `docs` under [[simhashWidthFor]]: the
+    * [[SimhashBandsConf]] session override when set, else 64/w with w
+    * scaled from the corpus count (a one-row driver artifact, memoized
+    * per session under the stage-memo contract — the
+    * [[graft.operators.Knn.codebookSize]] discipline).
+    */
+  def simhashBands(docs: DataFrame): Int =
+    docs.sparkSession.conf.getOption(SimhashBandsConf).map(_.toInt)
+      .getOrElse {
+        val n = Scale.memoArtifact(docs, "simhash_n")(
+          java.lang.Long.valueOf(docs.count()))
+        64 / simhashWidthFor(n.longValue())
+      }
+
   /** SimHash near-dup pipeline: cut each 64-bit signature into `nBands`
     * equal bit-bands; docs sharing ANY band become candidates (a pair
     * within Hamming distance d < nBands must agree on some band —
@@ -662,7 +697,9 @@ object Dedup {
                         maxHamming: Int): DataFrame = {
     require(64 % nBands == 0, s"nBands=$nBands must divide 64")
     val width = 64 / nBands
-    val mask = (1L << width) - 1
+    // width 64 (one band = whole signature): 1L<<64 wraps to 1 in JVM
+    // shift semantics, which would mask every key to 0
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = withSimhash(docs, text).select(col("doc_id"), col("simhash"))
     // the full signature rides along in the band rows: the verification
     // needs no rejoin (which would re-evaluate the md5-per-word simhash

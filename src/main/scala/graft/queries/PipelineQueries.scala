@@ -523,16 +523,19 @@ object PipelineQueries {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
-  /** SimHash near-dup pipeline end-to-end: 4 × 16-bit bands → candidate
-    * equi-join → exact Hamming verification at distance ≤ 12
+  /** SimHash near-dup pipeline end-to-end: corpus-scaled bit-bands →
+    * candidate equi-join → exact Hamming verification at distance ≤ 12
     * ([[Dedup.simhashCandidates]]) — the bit-signature twin of x_neardup.
+    * The band layout defaults from the corpus count
+    * ([[Dedup.simhashWidthFor]]: 4×16-bit through n = 16384 — both
+    * fixture SFs — then 2×32, bounding accidental collisions to ≤ n/2
+    * pairs at any scale); the DuckDB oracle replays the same integer
+    * rule from count(*), so the hash match holds at every SF without a
+    * pinned constant. [[Dedup.SimhashBandsConf]] still overrides.
     */
   def xSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(Tables.documents(s, dir), col("text"),
-        // fixture default 4 (16-bit bands, the oracle's pin); the conf
-        // retunes band width with the corpus (birthday bound — see
-        // Dedup.SimhashBandsConf)
-        nBands = s.conf.getOption(Dedup.SimhashBandsConf).map(_.toInt).getOrElse(4),
+        nBands = Dedup.simhashBands(Tables.documents(s, dir)),
         maxHamming = 12)
       .orderBy("doc_a", "doc_b")
 
@@ -4723,9 +4726,15 @@ object PipelineQueries {
         |u AS (SELECT doc_id,
         |        CAST((CAST(simhash AS HUGEINT) + 18446744073709551616) % 18446744073709551616 AS HUGEINT) AS uv
         |      FROM sh),
+        |wsel AS (SELECT CASE WHEN 4 * count(*) <= 65536 THEN 16
+        |                     WHEN 4 * count(*) <= 4294967296 THEN 32
+        |                     ELSE 64 END AS w
+        |         FROM documents),
         |long AS (SELECT doc_id, b.b AS band,
-        |           CAST((uv // (CAST(1 AS HUGEINT) << CAST(48 - b.b * 16 AS INTEGER))) % 65536 AS BIGINT) AS key
-        |         FROM u CROSS JOIN range(0, 4) b(b)),
+        |           (uv // (CAST(1 AS HUGEINT) << CAST(64 - w * (b.b + 1) AS INTEGER)))
+        |             % (CAST(1 AS HUGEINT) << CAST(w AS INTEGER)) AS key
+        |         FROM u CROSS JOIN wsel CROSS JOIN range(0, 4) b(b)
+        |         WHERE b.b < 64 // w),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
         |         FROM long a JOIN long b2 ON a.band = b2.band AND a.key = b2.key
         |         WHERE a.doc_id < b2.doc_id)

@@ -483,6 +483,29 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not survive band + Hamming filter")
   }
 
+  test("simhash band width scales with the corpus: 2^w >= 4n tiers, conf override, " +
+    "1-band masking correct") {
+    // the tier rule, pinned at its exact boundaries: 4 bands (w=16)
+    // through n = 16384, 2 bands (w=32) through n = 2^30, then 1
+    assert(Dedup.simhashWidthFor(1L) == 16)
+    assert(Dedup.simhashWidthFor(16384L) == 16, "4n = 2^16 is the last 16-bit n")
+    assert(Dedup.simhashWidthFor(16385L) == 32)
+    assert(Dedup.simhashWidthFor(1L << 30) == 32, "4n = 2^32 is the last 32-bit n")
+    assert(Dedup.simhashWidthFor((1L << 30) + 1) == 64)
+    // the DataFrame wrapper counts the corpus; the conf overrides it
+    assert(Dedup.simhashBands(docs) == 4, s"${docs.count()} docs sit in the 16-bit tier")
+    spark.conf.set(Dedup.SimhashBandsConf, "2")
+    try assert(Dedup.simhashBands(docs) == 2, "conf override wins")
+    finally spark.conf.unset(Dedup.SimhashBandsConf)
+    // nBands = 1 (width 64) is the whole signature: 1L << 64 wraps to 1
+    // in JVM shift semantics, so the mask needs its special case — the
+    // exact-dup pair must still collide and verify at Hamming 0
+    val one = Dedup.simhashCandidates(docs, col("text"), nBands = 1, maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(one.map(p => (p._1, p._2)).toSet == Set((0L, 3L)),
+      "1-band candidates are exactly the identical-signature pairs")
+  }
+
   test("punctRatio counts the ASCII punctuation class; empty text is NULL") {
     val d = Seq((1L, "no punct here"), (2L, "a,b.c!"), (3L, ""), (4L, "!!!"))
       .toDF("doc_id", "text")
