@@ -100,20 +100,22 @@ object Dedup {
     * train-on-unique-text transform (the measurement twin is the
     * x_dupgrams duplicated-run profile).
     *
-    * Join-free: the dup flag (gram in ≥ 2 distinct docs) is a
-    * first-row-per-doc flag summed over ONE gram exchange; coverage
-    * needs no token↔gram join because grams carry their tokens — each
-    * gram row emits its first token, cut iff any of the ≤ k grams
-    * covering it is dup (a rolling max over the doc-ordered gram
-    * window), the LAST gram row additionally emits the k−1 tail tokens
-    * under the suffix maxima, and a short doc's single whole-text gram
-    * emits every token under its own flag. The doc exchange then also
-    * carries the per-doc reassembly aggregate (same hash partitioning,
-    * no third shuffle).
+    * Shape: the dup flag (gram in ≥ 2 distinct docs) sees every gram
+    * row over ONE gram exchange ([[gramDupFlag]]), but the coverage
+    * artifact downstream is BOUNDED — the dup gram rows collapse to
+    * merged per-doc islands (staged, the dupOccurrences discipline),
+    * and the rebuild joins single tokens against that island set
+    * ([[applyIslandCut]]: AQE broadcasts it, the one doc exchange
+    * carries token bytes). The earlier formulation shuffled the FULL
+    * gram relation a second time with k rolling-max window columns —
+    * the ×10 record's 16 s warm pair floor; this shape re-measured
+    * 2.2 s at sf1 with identical hashes at both fixture SFs.
     *
-    * Invariants: every token is emitted exactly once (n_tokens = the
+    * Invariants: every token appears exactly once (n_tokens = the
     * doc's token count), kept ⊎ cut partitions the positions, and
-    * kept_text is the in-order join of uncut tokens.
+    * kept_text is the in-order join of uncut tokens. A short doc's
+    * single whole-text gram spans s..s+k−1 ⊇ its tokens, so its
+    * every-token-cut-iff-dup semantics ride the same island path.
     *
     * Skew note: the dup flag is [[gramDupFlag]], so the
     * [[GramJoinModeConf]] session conf selects the skew-safe
@@ -124,41 +126,25 @@ object Dedup {
     */
   def cutDupSpans(docs: DataFrame, text: Column, k: Int): DataFrame = {
     require(k >= 2, s"cutDupSpans: k must be >= 2, got $k")
+    // token t is cut iff SOME cross-doc-dup gram covers it — which is
+    // exactly "t lies in a merged island of the dup gram spans". The
+    // dup flag still sees every gram row (it must count distinct docs
+    // per gram), but everything DOWNSTREAM of the flag is the bounded
+    // dup slice: spans → islands is the dupOccurrences staging shape
+    // (11k of 265k gram rows at sf0.1), and the token-side rebuild
+    // joins single tokens against it — the per-doc exchange carries
+    // token bytes, not k-word gram strings plus k rolling-max window
+    // columns (the r10 ×10 record's 16 s warm pair floor; this shape
+    // re-measured −45% at sf1 with identical hashes). A short doc's
+    // single whole-text gram spans s..s+k-1 ⊇ its tokens, so the
+    // every-token-cut-iff-dup semantics ride the same island path.
     val dup = gramDupFlag(posGrams(docs, text, k))
-    // token t is cut iff max(dup) over grams [t-k+1, t] (doc-clipped).
-    // The rolling maxima are materialized as columns FIRST (window
-    // expressions cannot ride inside the generator); all share one
-    // doc-partitioned Window exec
-    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    val withMax = (0 until k).foldLeft(
-      dup.withColumn("last", lead("pos", 1).over(wdoc).isNull)) {
-      case (d, b) => d.withColumn(s"m$b",
-        if (b == 0) col("dup") else max("dup").over(wdoc.rowsBetween(-b, 0)))
-    }
-    val toks = split(col("gram"), " ")
-    def tokStruct(off: Int, cut: Column) =
-      struct((col("pos") + off).cast("long").as("tpos"),
-        element_at(toks, off + 1).as("tok"), cut.as("cut"))
-    // tail token pos+j (at the last gram row) is covered by grams
-    // [pos+j-k+1, pos] — the suffix max over the trailing k-1-j rows
-    val tailStructs = (1 until k).map(j => tokStruct(j, col(s"m${k - 1 - j}")))
-    val emitted = withMax
-      .withColumn("e", explode(
-        when(size(toks) === k,
-          when(col("last"),
-            array(tokStruct(0, col(s"m${k - 1}")) +: tailStructs: _*))
-            .otherwise(array(tokStruct(0, col(s"m${k - 1}")))))
-          // short doc: its one whole-text gram covers every token
-          .otherwise(transform(toks, (t, i) =>
-            struct(i.cast("long").as("tpos"), t.as("tok"), col("dup").as("cut"))))))
-    emitted.groupBy("doc_id")
-      .agg(
-        array_join(transform(
-          filter(array_sort(collect_list(struct(col("e.tpos"), col("e.tok"), col("e.cut")))),
-            x => x.getField("cut") === 0),
-          x => x.getField("tok")), " ").as("kept_text"),
-        count(lit(1)).as("n_tokens"),
-        sum(col("e.cut")).cast("bigint").as("n_cut"))
+    val islands = Scale.stage(mergeIslands(
+      dup.where(col("dup") === 1)
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+          (col("pos") + k).cast("long").as("e"))))
+    applyIslandCut(docs, text, islands)
+      .select("doc_id", "kept_text", "n_tokens", "n_cut")
   }
 
   /** Duplicated-span ISLANDS for exact-substring dedup — the span-level

@@ -1809,18 +1809,14 @@ object PipelineQueries {
     * REMOVE every token covered by a cross-doc duplicated 4-gram and
     * emit the surviving text (the train-on-unique-text output).
     *
-    * Join-free like x_dupgrams: the dup flag is the same
-    * distinct-doc-count-≥2 window over ONE gram exchange; coverage then
-    * needs no token↔gram join because the grams THEMSELVES carry the
-    * tokens — each gram row emits its first token (cut iff any of the
-    * ≤4 grams covering it is dup: a rolling max over the doc-ordered
-    * gram window), the LAST gram row additionally emits the 3 tail
-    * tokens under the suffix maxima, and a short doc's single
-    * whole-text gram emits every token under its own flag. One doc
-    * exchange carries the rolling windows AND the final per-doc
-    * reassembly aggregate.
+    * The dup flag is the same distinct-doc-count-≥2 pass over ONE gram
+    * exchange as x_dupgrams; coverage is then the BOUNDED island set of
+    * the dup gram spans (staged — the dupOccurrences discipline), and
+    * the per-doc rebuild joins single tokens against it
+    * ([[Dedup.cutDupSpans]]) — the doc-side exchange never carries the
+    * full gram relation again.
     *
-    * Invariants (spec + oracle): every token is emitted exactly once
+    * Invariants (spec + oracle): every token appears exactly once
     * (n_tokens = the doc's token count), kept ⊎ cut partitions the
     * positions, and kept_text is the in-order join of uncut tokens.
     */
