@@ -1967,6 +1967,62 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk")
   }
 
+  /** The incremental SEMANTIC curation path — the last column of the
+    * curate ingest matrix: the arriving delta (doc_id%4==0) passes the
+    * quality gate and benchmark decontamination, then its EMBEDDINGS
+    * probe the kept base corpus's stored cell index
+    * ([[Knn.probeCellIndex]] — codebook trained on the BASE only, the
+    * ingest run reads the index, it never retrains or re-pairs the
+    * base) and any delta doc within [[SEMDEDUP_PROBE_TAU]] cosine of a
+    * base vector in its [[IVF_NPROBE]] nearest cells is quarantined;
+    * survivors chunk. |delta|-sized end to end: gate and decontam scan
+    * the delta, the probe is |delta|·nprobe·cellCap, and the base
+    * appears only as its bounded trained artifacts (codebook + staged
+    * cell index). Delta docs with no embedding row pass the semantic
+    * stage untouched (nothing to compare — the same convention as
+    * [[xCurateSemantic]]'s gated join). Closure-free oracle: the gate
+    * CTEs compose with the kmeans replay and one probe join — no
+    * transitive closure, linear in the hit count.
+    */
+  def xCurateSemanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val toks = Text.tokens(col("text"))
+    val nW = Text.nWords(toks)
+    val enHits = enStopHits(s, toks)
+    val docs = Tables.documents(s, dir)
+    val delta = docs.where(col("doc_id") % 4 === 0)
+    def grams4(d: DataFrame) = d.select(col("doc_id"),
+      explode(Text.shinglesNative(toks, 4)).as("gram"))
+    // quality gate on the arriving delta (eval-slice docs never ingest)
+    val quality = delta.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"), nW.as("n_words"),
+        (enHits.cast("double") / nW).as("swr"))
+      .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
+    // decontamination: the eval 4-gram set is the fixed broadcast
+    // artifact every ingest run reuses
+    val evalGrams = grams4(docs.where(col("doc_id") % 50 === 0))
+      .select("gram").distinct()
+    val contam = grams4(quality.select("doc_id", "text"))
+      .join(broadcast(evalGrams), "gram").select("doc_id").distinct()
+    val clean = quality.join(broadcast(contam), Seq("doc_id"), "left_anti")
+    // semantic quarantine: only the gated delta's vectors probe the
+    // base's stored cell index — gate first, probe less
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.where(col("vec_id") % 4 =!= 0)
+    val seed = base.orderBy("vec_id").limit(kmeansK(s))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, _) = Knn.kmeansTrain(base, seed, DIM, KMEANS_ROUNDS)
+    val probes = emb.where(col("vec_id") % 4 === 0)
+      .join(clean.select(col("doc_id").as("vec_id")), "vec_id")
+    val dupIds = Knn.probeCellIndex(probes, Knn.ivfAssign(base, trained, DIM),
+        trained, DIM, SEMDEDUP_PROBE_TAU, IVF_NPROBE, semdedupCellCap(s))
+      .select(col("vec_id").as("doc_id"))
+    val kept = clean.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+    Sampling.chunked(kept.select("doc_id", "text"), col("text"), CHUNK_BUDGET)
+      .select("doc_id", "chunk", "n_tok")
+      .orderBy("doc_id", "chunk")
+  }
+
   /** Rare-gram df cap for containment candidates (the winnow-pairs
     * discipline) and the report threshold. */
   val CONT_DF_CAP = 8
@@ -3030,6 +3086,7 @@ object PipelineQueries {
     "x_dedup_incremental"  -> xDedupIncremental _,
     "x_curate_incremental" -> xCurateIncremental _,
     "x_curate_exact_incremental" -> xCurateExactIncremental _,
+    "x_curate_semantic_incremental" -> xCurateSemanticIncremental _,
     "x_mix_temp"    -> xMixTemp _,
     "x_lp_buckets"  -> xLpBuckets _,
     "x_keyterms"    -> xKeyterms _,
@@ -4631,6 +4688,52 @@ object PipelineQueries {
         |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
         |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
         |FROM e2 ORDER BY doc_id, chunk""".stripMargin,
+    // the exact-incremental gate CTEs composed with x_semdedup_
+    // incremental's base-trained kmeans replay: gated delta vectors
+    // probe the base assignment, any tau hit quarantines the doc, the
+    // survivors chunk. No transitive closure anywhere.
+    "x_curate_semantic_incremental" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        |        WHERE g.doc_id % 4 = 0 AND g.doc_id % 50 <> 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |         len(string_split(text, ' ')) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS swr
+        |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 50 <> 0),
+        |f AS (SELECT doc_id, text FROM q
+        |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4
+        |        AND doc_id NOT IN (SELECT doc_id FROM bad)),
+        |bse AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
+        |dlt AS MATERIALIZED (SELECT e.* FROM embeddings e
+        |       JOIN f ON e.vec_id = f.doc_id),
+        |cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |          FROM bse ORDER BY vec_id LIMIT $KMEANS_K),
+        |${refineSql("cent0", "k1", 1, "bse")},
+        |${refineSql("k1", "k2", 2, "bse")},
+        |${refineSql("k2", "k3", 3, "bse")},
+        |${asgnSql("k3", "bi", "bse")},
+        |${scoredSql("k3", "dp", "dlt")},
+        |pr AS (SELECT vec_id, embedding, cent_id AS cell FROM dp
+        |       WHERE rk <= $IVF_NPROBE),
+        |hits AS (SELECT DISTINCT p.vec_id
+        |  FROM pr p JOIN bi h USING (cell)
+        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
+        |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU),
+        |kept AS (SELECT doc_id, text FROM f
+        |         WHERE doc_id NOT IN (SELECT vec_id FROM hits)),
+        |ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
+        |cn AS (SELECT doc_id, len(toks) AS n FROM ct WHERE len(toks) > 0),
+        |ce AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
+        |      FROM cn)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
+        |FROM ce ORDER BY doc_id, chunk""".stripMargin,
     "x_curate_semantic" ->
       s"""WITH RECURSIVE q AS (
         |  SELECT doc_id, text,
