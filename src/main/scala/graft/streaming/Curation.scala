@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.functions.Text
+import graft.operators.{Dedup, Sampling}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The streaming CURATION INGEST pipeline — the day-to-day 100 TB shape
+  * of the curate matrix, end to end in ONE streaming query: an arriving
+  * document stream passes the (stateless) quality gate, probes the
+  * benchmark eval-gram set and the kept corpus's stored band index, and
+  * the survivors chunk into training windows. The streaming twin of
+  * `x_curate_incremental` (reference dataflow: the connector's
+  * transform-per-batch loop, cses2humio app.py:100-150, generalized
+  * from event shipping to corpus curation).
+  *
+  * Dataflow (all joins stream-static — state never scales with the
+  * corpus, only with the watermark):
+  *
+  *  1. gate: a caller-supplied boolean column over the doc row —
+  *     stateless filter, no shuffle.
+  *  2. decontam probe: the doc's word `decontamGram`-shingles LEFT SEMI
+  *     join the static eval-gram set — any hit is a verdict row.
+  *  3. dup probe: the doc's MinHash band rows ([[Dedup.bandRows]]) LEFT
+  *     SEMI join the static stored band index — any hit is a verdict
+  *     row. The base corpus appears ONLY through its durable index
+  *     (bucketed parquet in production), never re-paired.
+  *  4. ONE windowed aggregation folds the verdict rows per doc:
+  *     `max(bad)` decides, `first(text)` carries the payload (exactly
+  *     one base row per gated doc supplies it). Append mode — a doc's
+  *     verdict emits when the watermark passes its window, and
+  *     at-least-once redelivery collapses inside the aggregate (a
+  *     redelivered doc adds duplicate verdict rows, same max/first).
+  *  5. survivors chunk ([[Sampling.chunked]]) — stateless explode.
+  *
+  * This is the single-stateful-operator formulation: quarantine rows
+  * UNION into the verdict aggregate rather than anti-joining the doc
+  * stream against a second stream (stream-stream anti joins don't
+  * exist, and a per-channel dedup would triple the state). State per
+  * in-flight doc is its text + flag, expired by the watermark.
+  *
+  * Watermark gotcha (spec-pinned): Catalyst pushes filters below
+  * `EventTimeWatermark`, so a watermark-advancing sentinel document
+  * must PASS the gate or it advances nothing.
+  *
+  * Output: (doc_id, chunk, n_tok, chunk_text) of kept docs, append
+  * mode. For the quarantine channel route [[streamingCurateVerdicts]]
+  * (bad = 1 rows) to a quarantine sink instead.
+  */
+object Curation {
+
+  /** Per-doc curation verdicts: (window, doc_id, bad, text), bad = 1
+    * iff the doc hit the eval-gram set or the stored band index. The
+    * composition point: [[streamingCurateIngest]] keeps bad = 0 and
+    * chunks; a quarantine writer keeps bad = 1.
+    */
+  def streamingCurateVerdicts(stream: DataFrame, gate: Column,
+                              evalGrams: DataFrame, bandIndex: DataFrame,
+                              numPerms: Int, rowsPerBand: Int,
+                              decontamGram: Int = 4,
+                              windowWidth: String = "1 minute",
+                              watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "streamingCurateVerdicts needs a streaming DataFrame — " +
+        "use xCurateIncremental's batch plan otherwise")
+    require(!evalGrams.isStreaming && !bandIndex.isStreaming,
+      "the eval-gram set and band index must be static DataFrames")
+    graft.expressions.WordShingles.register(stream.sparkSession)
+    val gated = stream.withWatermark("ts", watermark)
+      .where(gate)
+      .select("doc_id", "ts", "text")
+    val toks = Text.tokens(col("text"))
+    // exactly one base row per gated doc carries the payload; the two
+    // probe channels contribute flag-only rows (text null)
+    val base = gated.select(col("doc_id"), col("ts"), col("text"),
+      lit(0).as("bad"))
+    val contam = gated
+      .select(col("doc_id"), col("ts"),
+        explode(Text.shinglesNative(toks, decontamGram)).as("gram"))
+      .join(evalGrams.select("gram"), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("ts"),
+        lit(null).cast("string").as("text"), lit(1).as("bad"))
+    val dup = Dedup.bandRows(gated, col("text"), numPerms, rowsPerBand)
+      .join(bandIndex.select("band", "key"), Seq("band", "key"), "left_semi")
+      .select(col("doc_id"), col("ts"),
+        lit(null).cast("string").as("text"), lit(1).as("bad"))
+    base.unionByName(contam).unionByName(dup)
+      .groupBy(window(col("ts"), windowWidth), col("doc_id"))
+      .agg(max(col("bad")).as("bad"),
+        first(col("text"), ignoreNulls = true).as("text"))
+  }
+
+  /** The kept-side pipeline: gate → decontam → dup quarantine → chunk.
+    * See the object scaladoc for the dataflow and state contract.
+    */
+  def streamingCurateIngest(stream: DataFrame, gate: Column,
+                            evalGrams: DataFrame, bandIndex: DataFrame,
+                            numPerms: Int, rowsPerBand: Int,
+                            chunkBudget: Int,
+                            decontamGram: Int = 4,
+                            windowWidth: String = "1 minute",
+                            watermark: String = "10 minutes"): DataFrame = {
+    val kept = streamingCurateVerdicts(stream, gate, evalGrams, bandIndex,
+        numPerms, rowsPerBand, decontamGram, windowWidth, watermark)
+      .where(col("bad") === 0)
+      .select("doc_id", "text")
+    Sampling.chunked(kept, col("text"), chunkBudget)
+  }
+}

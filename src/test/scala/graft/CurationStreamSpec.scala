@@ -1,0 +1,149 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Dedup, Sampling}
+import graft.streaming.Curation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** End-to-end streaming curation ingest ([[Curation]]): batch
+  * agreement (same kept/chunk sets as the batch plan on the drained
+  * stream), redelivery collapse, quarantine routing, and checkpoint
+  * restart without replay.
+  */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gate = size(split(col("text"), " ")).between(3, 50)
+
+  // static artifacts of the kept corpus: the stored band index and the
+  // benchmark eval-gram set
+  private lazy val baseDocs = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta"),
+    (101L, "one two three four five six seven")).toDF("doc_id", "text")
+  private lazy val bandIndex = {
+    graft.expressions.ShinglePermMinHash.register(spark)
+    Dedup.bandRows(baseDocs, col("text"), 16, 2).select("band", "key").cache()
+  }
+  private lazy val evalGrams = {
+    graft.expressions.WordShingles.register(spark)
+    Seq("quick brown fox jumps over dog").toDF("text")
+      .select(explode(Text.shinglesNative(Text.tokens(col("text")), 4))
+        .as("gram"))
+      .distinct().cache()
+  }
+
+  // the five-doc ingest fixture: kept+multichunk / contaminated /
+  // base-dup / gate-fail-short / gate-fail-long
+  private val realDocs = Seq(
+    (1L, "2024-03-01 00:00:01", "totally fresh document words here today"),
+    (2L, "2024-03-01 00:00:02",
+      "the quick brown fox jumps over the lazy dog puppy"),
+    (3L, "2024-03-01 00:00:03", "alpha beta gamma delta epsilon zeta"),
+    (4L, "2024-03-01 00:00:04", "too short"),
+    (5L, "2024-03-01 00:00:05", (1 to 60).map(i => s"w$i").mkString(" ")))
+
+  /** The batch twin: the same gates, probes, and chunker as
+    * `x_curate_incremental`, on a static frame — the agreement oracle.
+    */
+  private def batchChunks(docs: DataFrame, budget: Int): Set[(Long, Long, Long, String)] = {
+    graft.expressions.WordShingles.register(spark)
+    val gated = docs.where(gate).select("doc_id", "text")
+    val contamIds = gated
+      .select(col("doc_id"),
+        explode(Text.shinglesNative(Text.tokens(col("text")), 4)).as("gram"))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    val dupIds = Dedup.bandRows(gated, col("text"), 16, 2)
+      .join(bandIndex, Seq("band", "key"), "left_semi")
+      .select("doc_id").distinct()
+    val kept = gated
+      .join(contamIds, Seq("doc_id"), "left_anti")
+      .join(dupIds, Seq("doc_id"), "left_anti")
+    Sampling.chunked(kept, col("text"), budget)
+      .as[(Long, Long, Long, String)].collect().toSet
+  }
+
+  private def toStream(mem: MemoryStream[(Long, String, String)]): DataFrame =
+    mem.toDF().toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  test("streaming curate ingest = the batch plan on the drained stream; " +
+    "redelivery collapses; quarantine routes the complement") {
+    val expected = batchChunks(realDocs.map(d => (d._1, d._3)).toDF("doc_id", "text"), 4)
+    assert(expected.map(_._1) == Set(1L), s"fixture sanity: only doc 1 survives, $expected")
+    assert(expected.size == 2, "budget 4 on a 6-word doc must yield 2 chunks")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Curation.streamingCurateIngest(toStream(mem), gate,
+        evalGrams, bandIndex, 16, 2, chunkBudget = 4)
+      .writeStream.format("memory").queryName("curate_ingest")
+      .outputMode("append").start()
+    val qq = Curation.streamingCurateVerdicts(toStream(mem), gate,
+        evalGrams, bandIndex, 16, 2)
+      .where(col("bad") === 1).select("doc_id")
+      .writeStream.format("memory").queryName("curate_quarantine")
+      .outputMode("append").start()
+    try {
+      // doc 1 redelivered (at-least-once) — its chunks must emit ONCE;
+      // the sentinel passes the gate (filters push below the watermark
+      // node) and advances the watermark past the real docs' window
+      mem.addData(realDocs.head +: realDocs :+
+        ((99L, "2024-03-02 00:00:00", "fresh sentinel advances the watermark")): _*)
+      q.processAllAvailable(); qq.processAllAvailable()
+      val got = spark.table("curate_ingest")
+        .as[(Long, Long, Long, String)].collect()
+      assert(got.length == got.toSet.size, s"no duplicate chunk rows: ${got.toSeq}")
+      assert(got.toSet == expected,
+        s"streaming chunks must equal the batch plan's:\n got ${got.toSet}\n exp $expected")
+      // the quarantine channel carries exactly the probed-out docs
+      // (gate failures are dropped silently, not quarantined)
+      val quarantined = spark.table("curate_quarantine").as[Long].collect().toSet
+      assert(quarantined == Set(2L, 3L),
+        s"contaminated + dup docs quarantine once each: $quarantined")
+    } finally { q.stop(); qq.stop() }
+  }
+
+  test("checkpoint restart: committed windows never re-emit, later windows flow") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cp = Files.createTempDirectory("graft-curate-cp").toString
+    val out = Files.createTempDirectory("graft-curate-out").toString
+    val mem = MemoryStream[(Long, String, String)]
+    def start() = Curation.streamingCurateIngest(toStream(mem), gate,
+        evalGrams, bandIndex, 16, 2, chunkBudget = 4)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode("append").start()
+
+    val q1 = start()
+    mem.addData(realDocs :+
+      ((98L, "2024-03-01 01:00:00", "first sentinel advances the watermark")): _*)
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = spark.read.parquet(out).where(col("doc_id") < 90)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(afterFirst.map(_._1) == Set(1L), s"phase 1 kept doc 1 only: $afterFirst")
+
+    // phase 2 on the SAME checkpoint: a later ingest batch plus the
+    // next sentinel — phase-1 chunks must not replay
+    val q2 = start()
+    mem.addData(
+      (6L, "2024-03-01 02:00:01", "another fresh kept document arrives now"),
+      (7L, "2024-03-01 02:00:02", "the quick brown fox jumps over everything"),
+      (97L, "2024-03-01 03:00:00", "second sentinel advances the watermark"))
+    q2.processAllAvailable(); q2.stop()
+
+    val all = spark.read.parquet(out).where(col("doc_id") < 90)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(all.length == all.toSet.size,
+      s"restart must not replay committed chunks: $all")
+    val expected = batchChunks(
+      (realDocs.map(d => (d._1, d._3)) ++ Seq(
+        (6L, "another fresh kept document arrives now"),
+        (7L, "the quick brown fox jumps over everything"))).toDF("doc_id", "text"), 4)
+    assert(all.toSet == expected,
+      s"restarted stream must converge to the batch plan:\n got ${all.toSet}\n exp $expected")
+  }
+}
