@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TrigramJaccard].getName, "graft_trigram_jaccard"),
       (children: Seq[Expression]) => TrigramJaccard(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bq_sign"),
+      new ExpressionInfo(classOf[BqSign64].getName, "graft_bq_sign"),
+      (children: Seq[Expression]) => BqSign64(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       WordShingles.builder))

@@ -707,6 +707,55 @@ object PipelineQueries {
       .orderBy("probe_id")
   }
 
+  /** Binary-quantization signatures ([[graft.expressions.BqSign64]]):
+    * the sign bits of all 64 dims packed into ONE signed long — 32×
+    * smaller than float32, the cheapest tier of the modern BQ serving
+    * stack. Per-row codegen'd pass, no shuffle before the output sort;
+    * downstream search is integer Hamming ([[xBqRecall]]).
+    */
+  def xBq(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BqSign64.register(s)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        call_function("graft_bq_sign", col("embedding")).as("bqsig"))
+      .orderBy("vec_id")
+  }
+
+  /** Binary-quantization recall@1 — does the 1-bit Hamming nearest
+    * neighbor agree with the full-precision L2 one? The [[xSq8Recall]]
+    * measurement shape verbatim (bounded capped probes broadcast,
+    * corpus streams, one partial-aggregated min_by per branch), with
+    * the approximate tier's distance a single `bit_count(xor)` per
+    * pair — sign-bit Hamming tracks the ANGLE between vectors (each
+    * flip is a hyperquadrant boundary), so against an L2 exact tier on
+    * unnormalized random fixtures the recall is the honest pessimistic
+    * number a BQ rollout would gate on; production re-ranks the
+    * Hamming top-k with exact scores.
+    */
+  def xBqRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BqSign64.register(s)
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        call_function("graft_bq_sign", col("embedding")).as("sig"),
+        transform(col("embedding"), x => x.cast("double")).as("fv"))
+    val probes = v.where(col("vec_id") % 100 === 0 &&
+        col("vec_id") < PQ_PROBE_CAP)
+      .select(col("vec_id").as("p"), col("sig").as("psig"), col("fv").as("pfv"))
+    val j = v.join(broadcast(probes), col("vec_id") =!= col("p"))
+    val approx = j
+      .withColumn("hd", bit_count(col("sig").bitwiseXOR(col("psig"))))
+      .groupBy("p")
+      .agg(min_by(col("vec_id"), struct(col("hd"), col("vec_id"))).as("bq_nn"))
+    val exact = j
+      .withColumn("d2", l2sq(col("pfv"), col("fv")))
+      .groupBy("p")
+      .agg(min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as("exact_nn"))
+    approx.join(exact, "p")
+      .select(col("p").as("probe_id"), col("bq_nn"), col("exact_nn"),
+        (col("bq_nn") === col("exact_nn")).cast("bigint").as("hit"))
+      .orderBy("probe_id")
+  }
+
   /** Matryoshka truncation width for [[xMrlRecall]] (first 16 of 64
     * dims = a 4× storage/compute cut, the published MRL serving trade).
     */
@@ -3040,6 +3089,8 @@ object PipelineQueries {
     "x_mmr"         -> xMmr _,
     "x_sq8"         -> xSq8 _,
     "x_sq8_recall"  -> xSq8Recall _,
+    "x_bq"          -> xBq _,
+    "x_bq_recall"   -> xBqRecall _,
     "x_knn"         -> xKnn _,
     "x_lshknn"      -> xLshknn _,
     "x_embdup"      -> xEmbdup _,
@@ -4952,6 +5003,47 @@ object PipelineQueries {
         |eb AS (SELECT p, vec_id,
         |         row_number() OVER (PARTITION BY p ORDER BY d2, vec_id) AS rn FROM ex)
         |SELECT a.p AS probe_id, a.vec_id AS sq8_nn, b.vec_id AS exact_nn,
+        |       CAST(a.vec_id = b.vec_id AS BIGINT) AS hit
+        |FROM (SELECT * FROM ab WHERE rn = 1) a
+        |JOIN (SELECT * FROM eb WHERE rn = 1) b ON a.p = b.p
+        |ORDER BY probe_id""".stripMargin
+    },
+    // sign bits assembled as two 32-bit halves, then two's-complement
+    // in HUGEINT — the simhashLongCte layout (dim i at long bit 63-i)
+    "x_bq" ->
+      s"""WITH b AS (SELECT vec_id,
+        |    sum(CASE WHEN t.i < 32 AND embedding[t.i + 1] > 0
+        |        THEN CAST(1 AS BIGINT) << CAST(31 - t.i AS INTEGER) ELSE 0 END) AS hi,
+        |    sum(CASE WHEN t.i >= 32 AND embedding[t.i + 1] > 0
+        |        THEN CAST(1 AS BIGINT) << CAST(63 - t.i AS INTEGER) ELSE 0 END) AS lo
+        |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id)
+        |SELECT vec_id,
+        |  CAST(CASE WHEN CAST(hi AS HUGEINT) * 4294967296 + lo >= CAST(9223372036854775808 AS HUGEINT)
+        |       THEN CAST(hi AS HUGEINT) * 4294967296 + lo - CAST(18446744073709551616 AS HUGEINT)
+        |       ELSE CAST(hi AS HUGEINT) * 4294967296 + lo END AS BIGINT) AS bqsig
+        |FROM b ORDER BY vec_id""".stripMargin,
+    // Hamming over sign bits without packing: count of dims whose sign
+    // classes differ — exactly bit_count(xor) of the packed signatures
+    "x_bq_recall" -> {
+      def l2(a: String, b: String) =
+        s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> " +
+          s"($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding,
+        |      list_transform(range(1, ${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS fv
+        |    FROM embeddings),
+        |p AS (SELECT vec_id AS p, embedding AS pe, fv AS pfv FROM v
+        |      WHERE vec_id % 100 = 0 AND vec_id < $PQ_PROBE_CAP),
+        |ax AS (SELECT p.p, v.vec_id,
+        |         CAST(len(list_filter(range(1, ${DIM + 1}),
+        |           i -> (p.pe[i] > 0) <> (v.embedding[i] > 0))) AS BIGINT) AS hd
+        |       FROM v JOIN p ON v.vec_id <> p.p),
+        |ab AS (SELECT p, vec_id,
+        |         row_number() OVER (PARTITION BY p ORDER BY hd, vec_id) AS rn FROM ax),
+        |ex AS (SELECT p.p, v.vec_id, ${l2("pfv", "fv")} AS d2
+        |       FROM v JOIN p ON v.vec_id <> p.p),
+        |eb AS (SELECT p, vec_id,
+        |         row_number() OVER (PARTITION BY p ORDER BY d2, vec_id) AS rn FROM ex)
+        |SELECT a.p AS probe_id, a.vec_id AS bq_nn, b.vec_id AS exact_nn,
         |       CAST(a.vec_id = b.vec_id AS BIGINT) AS hit
         |FROM (SELECT * FROM ab WHERE rn = 1) a
         |JOIN (SELECT * FROM eb WHERE rn = 1) b ON a.p = b.p

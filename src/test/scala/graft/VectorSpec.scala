@@ -430,6 +430,26 @@ class VectorSpec extends SparkSpec {
     assert(thrown.getMessage != null)
   }
 
+  test("BqSign64: MSB-first sign bits; zeros/NaN clear; short arrays pad; " +
+    "hamming tracks angle") {
+    graft.expressions.BqSign64.register(spark)
+    def sig(a: Array[Float]): Long =
+      Seq(Tuple1(a)).toDF("embedding")
+        .select(expr("graft_bq_sign(embedding)")).as[Long].head()
+    // dim 0 -> bit 63: a single positive first component is Long.MIN
+    assert(sig(Array(1.0f)) == Long.MinValue)
+    assert(sig(Array(-1.0f)) == 0L)
+    // strictly positive sets the bit; zero and NaN leave it clear
+    assert(sig(Array(0.0f, Float.NaN, 2.0f)) == (1L << 61))
+    // a 64-dim all-positive vector is all ones = -1
+    assert(sig(Array.fill(64)(0.5f)) == -1L)
+    // hamming between signatures counts sign flips = quadrant boundary
+    // crossings, the angular proxy BQ search ranks by
+    val a = sig(Array(1f, 1f, 1f, 1f))
+    val b = sig(Array(1f, -1f, 1f, -1f))
+    assert(java.lang.Long.bitCount(a ^ b) == 2)
+  }
+
   test("MMR re-ranking diversifies: the near-dup of pick 1 is demoted") {
     // probe at (1,0); candidates: two near-identical vectors very close
     // to the probe, and one moderately-similar but DIFFERENT direction.
