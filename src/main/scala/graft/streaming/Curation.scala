@@ -90,6 +90,75 @@ object Curation {
         first(col("text"), ignoreNulls = true).as("text"))
   }
 
+  /** The streaming EXACT-SUBSTRING curation ingest — the streaming twin
+    * of `x_curate_exact_incremental`: gate → decontam → ESD cut against
+    * the kept corpus's stored distinct-gram index → half-dup drop →
+    * chunk, in one query. The same single-stateful-operator design as
+    * [[streamingCurateVerdicts]], with a third verdict channel carrying
+    * the doc's DUPLICATED SPAN STARTS (its `esdGram`-shingles LEFT SEMI
+    * the static gram index, position riding through the semi join); the
+    * windowed aggregate collects them per doc (state = text + span
+    * list, bounded by the doc's own gram count and the watermark), and
+    * the cut itself is a stateless post-aggregation expression — token
+    * p is removed iff some collected span s covers it (p ∈ [s,
+    * s+esdGram−1]; the batch path's island merge is only an
+    * optimization of the same predicate, so kept text matches
+    * [[Dedup.substrCutAgainstIndex]] exactly). Docs at least half cut
+    * drop (the base HAS their content); survivors chunk.
+    */
+  def streamingCurateExactIngest(stream: DataFrame, gate: Column,
+                                 evalGrams: DataFrame, gramIndex: DataFrame,
+                                 esdGram: Int, chunkBudget: Int,
+                                 decontamGram: Int = 4,
+                                 windowWidth: String = "1 minute",
+                                 watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "streamingCurateExactIngest needs a streaming DataFrame — " +
+        "use xCurateExactIncremental's batch plan otherwise")
+    require(!evalGrams.isStreaming && !gramIndex.isStreaming,
+      "the eval-gram set and ESD gram index must be static DataFrames")
+    graft.expressions.WordShingles.register(stream.sparkSession)
+    val gated = stream.withWatermark("ts", watermark)
+      .where(gate)
+      .select("doc_id", "ts", "text")
+    val toks = Text.tokens(col("text"))
+    val nullS = lit(null).cast("long").as("s")
+    val nullText = lit(null).cast("string").as("text")
+    val base = gated.select(col("doc_id"), col("ts"), col("text"),
+      lit(0).as("bad"), nullS)
+    val contam = gated
+      .select(col("doc_id"), col("ts"),
+        explode(Text.shinglesNative(toks, decontamGram)).as("gram"))
+      .join(evalGrams.select("gram"), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("ts"), nullText, lit(1).as("bad"), nullS)
+    val spans = gated.where(size(toks) >= esdGram)
+      .select(col("doc_id"), col("ts"),
+        posexplode(Text.shinglesNative(toks, esdGram)).as(Seq("p0", "gtext")))
+      .select(col("doc_id"), col("ts"), col("gtext"),
+        (col("p0") + 1).cast("long").as("s"))
+      .join(gramIndex.select("gtext"), Seq("gtext"), "left_semi")
+      .select(col("doc_id"), col("ts"), nullText, lit(0).as("bad"), col("s"))
+    val agg = base.unionByName(contam).unionByName(spans)
+      .groupBy(window(col("ts"), windowWidth), col("doc_id"))
+      .agg(max(col("bad")).as("bad"),
+        first(col("text"), ignoreNulls = true).as("text"),
+        collect_list(col("s")).as("spans"))
+      .where(col("bad") === 0)
+    val toks2 = Text.tokens(col("text"))
+    val cut = agg
+      .select(col("doc_id"), col("spans"),
+        filter(transform(toks2, (t, i) =>
+            struct((i + 1).cast("long").as("pos"), t.as("tok"))),
+          x => !exists(col("spans"),
+            sp => x("pos").between(sp, sp + esdGram - 1))).as("kept"),
+        size(toks2).cast("long").as("n_tokens"))
+      .withColumn("n_cut", col("n_tokens") - size(col("kept")))
+      .where(col("n_cut") * 2 < col("n_tokens"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("kept"), x => x("tok"))).as("text"))
+    Sampling.chunked(cut, col("text"), chunkBudget)
+  }
+
   /** The kept-side pipeline: gate → decontam → dup quarantine → chunk.
     * See the object scaladoc for the dataflow and state contract.
     */

@@ -108,6 +108,59 @@ class CurationStreamSpec extends SparkSpec {
     } finally { q.stop(); qq.stop() }
   }
 
+  test("streaming exact-cut ingest = substrCutAgainstIndex + gates on the drained stream") {
+    graft.expressions.WordShingles.register(spark)
+    val esdGram = 4
+    val gramIndex = Dedup.substrGramIndex(baseDocs, col("text"), esdGram).cache()
+    val ingest = Seq(
+      // partial embed: base grams at s=4,5 cover tokens 4..8 (5 of 11
+      // cut) — survives the half-dup gate with the copied span removed
+      (11L, "2024-03-01 00:00:01",
+        "my own intro beta gamma delta epsilon zeta own outro end"),
+      // verbatim copy of a base doc (6 words, 3 dup spans → all cut) —
+      // drops at the half-dup gate
+      (12L, "2024-03-01 00:00:02", "alpha beta gamma delta epsilon zeta"),
+      // fresh doc — kept whole
+      (13L, "2024-03-01 00:00:03", "completely novel words flow through here"),
+      // contaminated — quarantined before the cut stage
+      (14L, "2024-03-01 00:00:04", "the quick brown fox jumps over it all"))
+    // batch twin: same gates + the batch ESD cut
+    val gated = ingest.map(d => (d._1, d._3)).toDF("doc_id", "text").where(gate)
+    val contamIds = gated
+      .select(col("doc_id"),
+        explode(Text.shinglesNative(Text.tokens(col("text")), 4)).as("gram"))
+      .join(evalGrams, Seq("gram"), "left_semi").select("doc_id").distinct()
+    val clean = gated.join(contamIds, Seq("doc_id"), "left_anti")
+    val cutBatch = Dedup.substrCutAgainstIndex(gramIndex,
+        clean.select("doc_id", "text"), col("text"), esdGram)
+      .where(col("n_cut") * 2 < col("n_tokens"))
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val expected = Sampling.chunked(cutBatch, col("text"), 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(expected.map(_._1) == Set(11L, 13L), s"fixture sanity: $expected")
+    assert(expected.exists(c => c._1 == 11L && !c._4.contains("beta")),
+      s"the embedded base span must be cut from doc 11: $expected")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Curation.streamingCurateExactIngest(toStream(mem), gate,
+        evalGrams, gramIndex, esdGram, chunkBudget = 4)
+      .writeStream.format("memory").queryName("curate_esd")
+      .outputMode("append").start()
+    try {
+      // doc 11 redelivered — spans double-collect but the cut predicate
+      // is idempotent (coverage, not counts), so chunks emit once
+      mem.addData(ingest.head +: ingest :+
+        ((96L, "2024-03-02 00:00:00", "sentinel advances the watermark here")): _*)
+      q.processAllAvailable()
+      val got = spark.table("curate_esd")
+        .as[(Long, Long, Long, String)].collect()
+      assert(got.length == got.toSet.size, s"no duplicate chunks: ${got.toSeq}")
+      assert(got.toSet == expected,
+        s"streaming ESD ingest must equal the batch plan:\n got ${got.toSet}\n exp $expected")
+    } finally { q.stop() }
+  }
+
   test("checkpoint restart: committed windows never re-emit, later windows flow") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val cp = Files.createTempDirectory("graft-curate-cp").toString
