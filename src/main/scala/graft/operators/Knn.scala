@@ -653,13 +653,30 @@ object Knn {
   def streamingProbeCellDupIds(stream: DataFrame, index: DataFrame,
                                centroids: DataFrame, dim: Int, tau: Double,
                                nprobe: Int, cellCap: Int,
-                               watermark: String = "10 minutes"): DataFrame = {
+                               watermark: String = "10 minutes"): DataFrame =
+    streamingProbeCellHits(stream.withWatermark("ts", watermark),
+        index, centroids, dim, tau, nprobe, cellCap)
+      .dropDuplicatesWithinWatermark("vec_id")
+
+  /** The STATELESS core of [[streamingProbeCellDupIds]]: one `(vec_id,
+    * ts)` row per τ-clearing stored-index neighbor of each arriving
+    * vector — NOT deduplicated (a vector matching m base vectors emits
+    * m rows). Compose it under your own stateful collapse: the
+    * quarantine stream dedups by vec_id; the streaming curation
+    * pipeline unions it as a verdict channel into its one windowed
+    * aggregate. `stream` must carry `vec_id`, `ts`, `embedding` and
+    * should already be watermarked by the caller.
+    */
+  private[graft] def streamingProbeCellHits(stream: DataFrame, index: DataFrame,
+                                            centroids: DataFrame, dim: Int,
+                                            tau: Double, nprobe: Int,
+                                            cellCap: Int): DataFrame = {
     require(stream.isStreaming,
-      "streamingProbeCellDupIds needs a streaming DataFrame — use probeCellIndex for batch")
+      "streamingProbeCellHits needs a streaming DataFrame — use probeCellIndex for batch")
     require(!index.isStreaming && !centroids.isStreaming,
       "the cell index and codebook must be static DataFrames")
     require(nprobe >= 1 && cellCap >= 1,
-      s"streamingProbeCellDupIds: nprobe=$nprobe and cellCap=$cellCap must be >= 1")
+      s"streamingProbeCellHits: nprobe=$nprobe and cellCap=$cellCap must be >= 1")
     FloatDot.register(stream.sparkSession)
     // plan-time collect of the codebook: k rows, the flag-only-driver
     // discipline (same as the BPE merge table / kmeans centroids)
@@ -684,7 +701,7 @@ object Knn {
         .otherwise(-sim)
       struct(key.as("neg"), lit(id).as("cell"))
     }: _*))
-    val probes = stream.withWatermark("ts", watermark)
+    val probes = stream
       .select(col("vec_id"), col("ts"), col("embedding").as("pe"), pn.as("pnrm"),
         explode(slice(scoredCells, 1, nprobe)).as("__c"))
       .select(col("vec_id"), col("ts"), col("pe"), col("pnrm"),
@@ -693,7 +710,6 @@ object Knn {
     probes.join(base, Seq("cell"))
       .where(expr("try_divide(graft_dot(pe, ce), pnrm * cn)") > tau)
       .select("vec_id", "ts")
-      .dropDuplicatesWithinWatermark("vec_id")
   }
 
   /** Multi-table sign-LSH top-k: `tables` is L plane-tables of p planes

@@ -159,6 +159,59 @@ object Curation {
     Sampling.chunked(cut, col("text"), chunkBudget)
   }
 
+  /** The streaming SEMANTIC curation ingest — the streaming twin of
+    * `x_curate_semantic_incremental`, completing the streaming curate
+    * trio (fuzzy band index / exact gram index / embedding cell index):
+    * gate → decontam → semantic quarantine against the kept corpus's
+    * STORED cell index → chunk. The stream must carry `doc_id`, `ts`,
+    * `text`, AND `embedding`; the semantic channel is
+    * [[graft.operators.Knn]]'s stateless probe core (codebook collected
+    * to literals at plan time — k codegen'd dot products per row, no
+    * stream-side shuffle before the static join), unioned as verdict
+    * rows into the same single windowed aggregate. A null embedding
+    * passes the semantic stage untouched (nothing to compare — the
+    * batch twin's convention).
+    */
+  def streamingCurateSemanticIngest(stream: DataFrame, gate: Column,
+                                    evalGrams: DataFrame,
+                                    cellIndex: DataFrame, centroids: DataFrame,
+                                    dim: Int, tau: Double, nprobe: Int,
+                                    cellCap: Int, chunkBudget: Int,
+                                    decontamGram: Int = 4,
+                                    windowWidth: String = "1 minute",
+                                    watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "streamingCurateSemanticIngest needs a streaming DataFrame — " +
+        "use xCurateSemanticIncremental's batch plan otherwise")
+    require(!evalGrams.isStreaming && !cellIndex.isStreaming &&
+      !centroids.isStreaming,
+      "the eval-gram set, cell index, and codebook must be static DataFrames")
+    graft.expressions.WordShingles.register(stream.sparkSession)
+    val gated = stream.withWatermark("ts", watermark)
+      .where(gate)
+      .select("doc_id", "ts", "text", "embedding")
+    val toks = Text.tokens(col("text"))
+    val nullText = lit(null).cast("string").as("text")
+    val base = gated.select(col("doc_id"), col("ts"), col("text"),
+      lit(0).as("bad"))
+    val contam = gated
+      .select(col("doc_id"), col("ts"),
+        explode(Text.shinglesNative(toks, decontamGram)).as("gram"))
+      .join(evalGrams.select("gram"), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("ts"), nullText, lit(1).as("bad"))
+    val sem = graft.operators.Knn.streamingProbeCellHits(
+        gated.select(col("doc_id").as("vec_id"), col("ts"), col("embedding")),
+        cellIndex, centroids, dim, tau, nprobe, cellCap)
+      .select(col("vec_id").as("doc_id"), col("ts"), nullText, lit(1).as("bad"))
+    val kept = base.unionByName(contam).unionByName(sem)
+      .groupBy(window(col("ts"), windowWidth), col("doc_id"))
+      .agg(max(col("bad")).as("bad"),
+        first(col("text"), ignoreNulls = true).as("text"))
+      .where(col("bad") === 0)
+      .select("doc_id", "text")
+    Sampling.chunked(kept, col("text"), chunkBudget)
+  }
+
   /** The kept-side pipeline: gate → decontam → dup quarantine → chunk.
     * See the object scaladoc for the dataflow and state contract.
     */

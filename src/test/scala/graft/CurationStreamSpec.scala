@@ -161,6 +161,63 @@ class CurationStreamSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("streaming semantic ingest = probeCellIndex + gates on the drained stream; " +
+    "null embeddings pass the semantic stage") {
+    import graft.operators.Knn
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    val baseVecs = Seq((100L, v(0)), (101L, v(2)), (102L, v(40)), (103L, v(88)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("cent_id", "cvec")
+    val cellIndex = Knn.ivfAssign(baseVecs, cents, 4).cache()
+    val ingest = Seq(
+      (21L, "2024-03-01 00:00:01", "a semantic near duplicate arrives here", v(1)),
+      (22L, "2024-03-01 00:00:02", "a genuinely novel direction doc here", v(135)),
+      (23L, "2024-03-01 00:00:03", "the quick brown fox jumps over all", v(135)),
+      (24L, "2024-03-01 00:00:04", "no embedding passes the semantic stage",
+        null.asInstanceOf[Array[Float]]))
+    // batch twin: gates then the batch cell-index probe
+    val gated = ingest.map(d => (d._1, d._3)).toDF("doc_id", "text").where(gate)
+    val contamIds = gated
+      .select(col("doc_id"),
+        explode(Text.shinglesNative(Text.tokens(col("text")), 4)).as("gram"))
+      .join(evalGrams, Seq("gram"), "left_semi").select("doc_id").distinct()
+    val clean = gated.join(contamIds, Seq("doc_id"), "left_anti")
+    val probeVecs = ingest.filter(_._4 != null).map(d => (d._1, d._4))
+      .toDF("vec_id", "embedding")
+      .join(clean.select(col("doc_id").as("vec_id")), "vec_id")
+    val dupIds = Knn.probeCellIndex(probeVecs, cellIndex, cents, 4, 0.9, 2, 100)
+      .select(col("vec_id").as("doc_id"))
+    val kept = clean.join(dupIds, Seq("doc_id"), "left_anti")
+    val expected = Sampling.chunked(kept, col("text"), 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(expected.map(_._1) == Set(22L, 24L),
+      s"fixture sanity: dup 21 and contaminated 23 drop, $expected")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Array[Float])]
+    val stream = mem.toDF().toDF("doc_id", "ts_s", "text", "embedding")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q = Curation.streamingCurateSemanticIngest(stream, gate,
+        evalGrams, cellIndex, cents, 4, 0.9, 2, 100, chunkBudget = 4)
+      .writeStream.format("memory").queryName("curate_sem")
+      .outputMode("append").start()
+    try {
+      mem.addData(ingest.head +: ingest :+
+        ((95L, "2024-03-02 00:00:00", "sentinel advances the watermark now", v(170))): _*)
+      q.processAllAvailable()
+      val got = spark.table("curate_sem")
+        .as[(Long, Long, Long, String)].collect()
+      assert(got.length == got.toSet.size, s"no duplicate chunks: ${got.toSeq}")
+      assert(got.toSet == expected,
+        s"streaming semantic ingest must equal the batch plan:\n got ${got.toSet}\n exp $expected")
+    } finally { q.stop(); cellIndex.unpersist() }
+  }
+
   test("checkpoint restart: committed windows never re-emit, later windows flow") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val cp = Files.createTempDirectory("graft-curate-cp").toString
