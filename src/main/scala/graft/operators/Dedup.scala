@@ -809,6 +809,59 @@ object Dedup {
     * Agreement with [[dupClusters]] on chains, stars, and random graphs
     * is spec-tested; both share the recursive-CTE DuckDB oracle.
     */
+  /** PageRank authority over an undirected pair graph — the canonical-
+    * copy signal [[dupClusters]]' min-label cannot give: within a dup
+    * cluster the HIGHEST-authority member (the one most docs duplicate)
+    * is the natural keeper, and across the corpus the score ranks
+    * boilerplate hubs for audit; the same damped power iteration ranks
+    * URL graphs in web-curation pipelines. Fixed `iters` rounds of
+    * pr' = (1−d)/n + d·Σ_incoming pr/deg, dangling (isolated) nodes
+    * holding the base term (their lost mass is NOT redistributed — the
+    * standard simplification, documented so the oracle replays it).
+    *
+    * Cross-engine exactness (the kmeansRefine discipline): each
+    * neighbor contribution quantizes to round(pr/deg · 2^40) and the
+    * per-node reduction sums exact longs, so the result is independent
+    * of partitioning and row order; only the final display column
+    * rounds. Scale shape: edges and degrees are bounded staged
+    * relations (pairs, not the corpus); each round is one equi-join +
+    * one partial-aggregated sum keyed by node, the lineage truncated
+    * per round ([[Scale.stage]] — the dupClusters loop discipline), and
+    * the driver sees only the node COUNT, never data.
+    */
+  def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    val q = 1099511627776.0 // 2^40
+    val n = Scale.memoArtifact(nodes, "pagerank_n")(
+      java.lang.Long.valueOf(nodes.count())).longValue()
+    require(n > 0, "pageRank: empty node set")
+    val base = (1.0 - damping) / n
+    val edges = Scale.stage(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val deg = Scale.stage(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val ids = nodes.select(col("doc_id"))
+    var pr = ids.select(col("doc_id"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.select(col("doc_id").as("src"), col("pr")), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          round((col("pr") / col("deg")) * q).cast("long").as("cq"))
+        .groupBy("dst").agg(sum("cq").as("sq"))
+      pr = Scale.stage(ids
+        .join(contrib.select(col("dst").as("doc_id"), col("sq")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("sq"), lit(0L)).cast("double") / q)).as("pr")))
+    }
+    pr.join(deg.select(col("src").as("doc_id"), col("deg")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"), col("pr"))
+  }
+
   def dupClustersStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     var edges = pairs
       .select(least(col("doc_a"), col("doc_b")).as("lo"),

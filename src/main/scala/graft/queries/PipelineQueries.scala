@@ -1198,6 +1198,34 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Power-iteration rounds for [[xPagerank]] — fixed so the oracle
+    * unrolls; authority ranks stabilize in a few damped rounds on
+    * near-dup graphs (diameter is small), and the round count is a
+    * plan-time constant at any corpus size.
+    */
+  val PR_ITERS = 3
+
+  /** PageRank authority over the near-dup candidate graph
+    * ([[Dedup.pageRank]] on [[Dedup.bandedCandidates]] pairs): the
+    * canonical-copy/boilerplate-hub signal complementing the
+    * connected-components keep-min rule — within a cluster the most-
+    * duplicated member is the natural keeper; corpus-wide the score
+    * ranks hub documents for audit (the same damped iteration that
+    * ranks URL graphs in web-curation pipelines). `authority` is pr·n
+    * (1.0 = the uniform score). Quantized-integer round sums make the
+    * three unrolled rounds bit-exact cross-engine.
+    */
+  def xPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
+    val nRow = broadcast(docs.agg(count(lit(1)).cast("bigint").as("__n")))
+    Dedup.pageRank(docs.select("doc_id"), pairs, PR_ITERS)
+      .crossJoin(nRow)
+      .select(col("doc_id"), col("deg"),
+        detRound4(col("pr") * col("__n").cast("double")).as("authority"))
+      .orderBy("doc_id")
+  }
+
   /** Group-level MinHash via the typed [[graft.functions.SigUnion]]
     * Aggregator: MinHash is mergeable (signature of a union = element-wise
     * min of signatures), so a per-language near-dup signature aggregates
@@ -3078,6 +3106,7 @@ object PipelineQueries {
     "x_lshpairs"    -> xLshpairs _,
     "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_dupclusters" -> xDupClusters _,
+    "x_pagerank"    -> xPagerank _,
     "x_cluster_stats" -> xClusterStats _,
     "x_dupclusters_star" -> xDupClustersStar _,
     "x_keep_best"   -> xKeepBest _,
@@ -4647,6 +4676,40 @@ object PipelineQueries {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // damped power iteration unrolled PR_ITERS times over the banded
+    // candidate graph; contributions quantize to round(pr/deg * 2^40)
+    // longs so every round's sum is order-exact — Dedup.pageRank's
+    // arithmetic replayed term for term ((1.0 - 0.85)/n, not 0.15/n:
+    // the subtraction itself must match the Scala double)
+    "x_pagerank" -> {
+      def prRound(i: Int, prev: String): String =
+        s"""c$i AS (SELECT e.dst, CAST(round(p.pr / dg.deg * 1099511627776.0) AS BIGINT) AS cq
+          |       FROM e JOIN $prev p ON e.src = p.doc_id JOIN dg ON e.src = dg.src),
+          |s$i AS (SELECT dst, sum(cq) AS sq FROM c$i GROUP BY dst),
+          |p$i AS MATERIALIZED (SELECT d.doc_id,
+          |         (1.0 - 0.85) / nn.n + 0.85 * (coalesce(s.sq, 0) / 1099511627776.0) AS pr
+          |       FROM pd d CROSS JOIN nn LEFT JOIN s$i s ON d.doc_id = s.dst)""".stripMargin
+      s"""WITH ${permSigsSql},
+        |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.doc_id < b.doc_id),
+        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |     UNION ALL SELECT doc_b, doc_a FROM cand),
+        |dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |pd AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |p0 AS MATERIALIZED (SELECT doc_id, 1.0 / nn.n AS pr FROM pd CROSS JOIN nn),
+        |${prRound(1, "p0")},
+        |${prRound(2, "p1")},
+        |${prRound(3, "p2")}
+        |SELECT p.doc_id, coalesce(dg.deg, 0) AS deg,
+        |       ${detRound4Sql("p.pr * nn.n")} AS authority
+        |FROM p3 p CROSS JOIN nn LEFT JOIN dg ON p.doc_id = dg.src
+        |ORDER BY p.doc_id""".stripMargin
+    },
     "x_dedup_incremental" ->
       s"""WITH ${permSigsSql},
         |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,

@@ -506,6 +506,48 @@ class DedupSpec extends SparkSpec {
       "1-band candidates are exactly the identical-signature pairs")
   }
 
+  test("pageRank matches a scalar reference on a random graph; hub of a star wins") {
+    // star: hub 0 with leaves 1..5, plus an isolated node 6
+    val ids = (0L to 6L).toDF("doc_id")
+    val star = (1L to 5L).map(l => (0L, l)).toDF("doc_a", "doc_b")
+    val pr = Dedup.pageRank(ids, star, iters = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(pr(0L)._1 == 5 && pr(1L)._1 == 1 && pr(6L)._1 == 0, "degrees ride along")
+    assert((1L to 5L).forall(l => pr(0L)._2 > pr(l)._2), "the hub outranks leaves")
+    assert((1L to 5L).forall(l => pr(l)._2 > pr(6L)._2),
+      "connected leaves outrank the isolated node")
+    assert(math.abs(pr(6L)._2 - 0.15 / 7) < 1e-15, "isolated = the base term only")
+
+    // random graph vs an independent scalar replay of the SAME quantized
+    // arithmetic — distribution/partitioning must not change a bit
+    val rnd = new scala.util.Random(17)
+    val nodes = (0L until 30L).toSeq
+    val pairs = (for {
+      a <- nodes; b <- nodes if a < b && rnd.nextInt(10) == 0
+    } yield (a, b)).distinct
+    val got = Dedup.pageRank(nodes.toDF("doc_id"),
+        pairs.toDF("doc_a", "doc_b"), iters = 3)
+      .select("doc_id", "pr").as[(Long, Double)].collect().toMap
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    val q = 1099511627776.0
+    var ref = nodes.map(_ -> 1.0 / 30).toMap
+    for (_ <- 1 to 3) {
+      val sums = nodes.map { v =>
+        v -> adj.getOrElse(v, Seq.empty)
+          // Spark round() semantics, not math.round: BigDecimal HALF_UP
+          // on the shortest decimal repr (the Sq8Error one-ulp lesson)
+          .map(u => BigDecimal(ref(u) / deg(u) * q)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      }.toMap
+      ref = nodes.map(v =>
+        v -> ((1.0 - 0.85) / 30 + 0.85 * (sums(v).toDouble / q))).toMap
+    }
+    assert(nodes.forall(v => got(v) == ref(v)),
+      s"bit-exact vs the scalar reference: ${nodes.filter(v => got(v) != ref(v))}")
+  }
+
   test("punctRatio counts the ASCII punctuation class; empty text is NULL") {
     val d = Seq((1L, "no punct here"), (2L, "a,b.c!"), (3L, ""), (4L, "!!!"))
       .toDF("doc_id", "text")
