@@ -1226,6 +1226,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Keep-by-AUTHORITY — [[xKeepBest]] with the keeper chosen by
+    * [[Dedup.pageRank]] instead of length: per near-dup cluster
+    * (size ≥ 2), the member the most other documents duplicate wins
+    * (ties to the lower doc_id), with its uniform-relative authority.
+    * Clusters and scores share one banded-candidate pair relation; the
+    * double argmax is exact cross-engine because every pr is the same
+    * quantized-round value in both engines.
+    */
+  def xKeepAuthority(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
+    val clusters = Dedup.dupClusters(docs, pairs)
+    val pr = Dedup.pageRank(docs.select("doc_id"), pairs, PR_ITERS)
+    val nRow = broadcast(docs.agg(count(lit(1)).cast("bigint").as("__n")))
+    clusters.join(pr.select("doc_id", "pr"), "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), struct(col("pr"), -col("doc_id"))).as("keep_doc"),
+        max("pr").as("__mx"))
+      .where(col("n_docs") >= 2)
+      .crossJoin(nRow)
+      .select(col("cluster"), col("n_docs"), col("keep_doc"),
+        detRound4(col("__mx") * col("__n").cast("double")).as("authority"))
+      .orderBy("cluster")
+  }
+
   /** Group-level MinHash via the typed [[graft.functions.SigUnion]]
     * Aggregator: MinHash is mergeable (signature of a union = element-wise
     * min of signatures), so a per-language near-dup signature aggregates
@@ -3107,6 +3133,7 @@ object PipelineQueries {
     "x_lshpairs_banded" -> xLshpairsBanded _,
     "x_dupclusters" -> xDupClusters _,
     "x_pagerank"    -> xPagerank _,
+    "x_keep_authority" -> xKeepAuthority _,
     "x_cluster_stats" -> xClusterStats _,
     "x_dupclusters_star" -> xDupClustersStar _,
     "x_keep_best"   -> xKeepBest _,
@@ -4676,6 +4703,36 @@ object PipelineQueries {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |WHERE a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the dup-cluster closure joined with the pagerank replay: keeper =
+    // rank-1 by (pr DESC, doc_id) within each >=2 cluster
+    "x_keep_authority" -> {
+      def prRound(i: Int, prev: String): String =
+        s"""c$i AS (SELECT e.dst, CAST(round(p.pr / dg.deg * 1099511627776.0) AS BIGINT) AS cq
+          |       FROM e JOIN $prev p ON e.src = p.doc_id JOIN dg ON e.src = dg.src),
+          |s$i AS (SELECT dst, sum(cq) AS sq FROM c$i GROUP BY dst),
+          |p$i AS MATERIALIZED (SELECT d.doc_id,
+          |         (1.0 - 0.85) / nn.n + 0.85 * (coalesce(s.sq, 0) / 1099511627776.0) AS pr
+          |       FROM pd d CROSS JOIN nn LEFT JOIN s$i s ON d.doc_id = s.dst)""".stripMargin
+      s"""$dupClustersCte,
+        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |     UNION ALL SELECT doc_b, doc_a FROM cand),
+        |dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |pd AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |p0 AS MATERIALIZED (SELECT doc_id, 1.0 / nn.n AS pr FROM pd CROSS JOIN nn),
+        |${prRound(1, "p0")},
+        |${prRound(2, "p1")},
+        |${prRound(3, "p2")},
+        |r AS (SELECT m.doc_id, m.cluster, p.pr,
+        |        row_number() OVER (PARTITION BY m.cluster ORDER BY p.pr DESC, m.doc_id) AS rn
+        |      FROM minr m JOIN p3 p USING (doc_id)),
+        |gg AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs, max(pr) AS mx
+        |       FROM r GROUP BY cluster)
+        |SELECT gg.cluster, gg.n_docs, r.doc_id AS keep_doc,
+        |       ${detRound4Sql("gg.mx * nn.n")} AS authority
+        |FROM gg JOIN r ON gg.cluster = r.cluster AND r.rn = 1 CROSS JOIN nn
+        |WHERE gg.n_docs >= 2 ORDER BY gg.cluster""".stripMargin
+    },
     // damped power iteration unrolled PR_ITERS times over the banded
     // candidate graph; contributions quantize to round(pr/deg * 2^40)
     // longs so every round's sum is order-exact — Dedup.pageRank's
