@@ -2408,6 +2408,69 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** Multiplicative-weight rounds and learning rate of [[xDoremi]];
+    * per-word surprisal quantum 2^20 (the DSIR λ discipline), weight
+    * normalization quantum 2^40 (the kmeansRefine sum discipline).
+    */
+  val DOREMI_ROUNDS = 3
+  val DOREMI_ETA = 1.0
+  val DOREMI_Q = 1048576L
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv:
+    * 2305.10429, distilled to its dataflow): domains with EXCESS loss
+    * over the corpus reference get upweighted by multiplicative
+    * weights, yielding the mixture α a next training run samples by.
+    * The loss proxy here is the corpus-unigram cross-entropy per word
+    * (the full method's proxy/reference model pair distils to
+    * one-model surprisal on a measurement engine); the update is the
+    * LINEARIZED multiplicative-weights step w′ = α·(1 + η·excess) —
+    * rational arithmetic only, so three unrolled rounds replay
+    * bit-for-bit cross-engine where exp() would be a libm-ulp hazard.
+    *
+    * Exactness: per-word surprisal quantizes to round(−ln(c_w/N)·2^20)
+    * BEFORE any order-dependent sum (the x_dsir λ discipline); domain
+    * sums are exact longs; each round renormalizes through
+    * round(w′·2^40) integer ratios. Scale: one corpus explode → one
+    * (source, word) aggregate; everything after runs on the bounded
+    * domain relation through whole-partition windows.
+    */
+  def xDoremi(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val csw = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val scored = csw
+      .withColumn("cw", sum("c").over(Window.partitionBy("word")))
+      .withColumn("nTot", sum("c").over(w))
+      .withColumn("sq",
+        round(-log(col("cw").cast("double") / col("nTot")) * DOREMI_Q)
+          .cast("bigint"))
+    val dom = scored.groupBy("source")
+      .agg(sum(col("c") * col("sq")).as("sumq"),
+        sum(col("c")).as("n_words"))
+      .withColumn("refq",
+        sum("sumq").over(w).cast("double") / sum("n_words").over(w))
+      .withColumn("xentq", col("sumq").cast("double") / col("n_words"))
+      .withColumn("excess",
+        greatest(lit(0.0), (col("xentq") - col("refq")) / DOREMI_Q))
+    val wq = 1099511627776.0 // 2^40
+    var cur = dom.withColumn("alpha", lit(1.0))
+    for (_ <- 1 to DOREMI_ROUNDS) {
+      cur = cur
+        .withColumn("__wq",
+          round(col("alpha") * (lit(1.0) + lit(DOREMI_ETA) * col("excess")) * wq)
+            .cast("bigint"))
+        .withColumn("alpha",
+          col("__wq").cast("double") / sum("__wq").over(w).cast("double"))
+        .drop("__wq")
+    }
+    cur.select(col("source"), col("n_words"),
+        detRound4(col("xentq") / DOREMI_Q.toDouble).as("xent"),
+        detRound4(col("excess")).as("excess"),
+        detRound4(col("alpha")).as("alpha"))
+      .orderBy("source")
+  }
+
   /** Add-k smoothing constant of the bigram LM (×2 to stay integral in
     * oracle arithmetic: α = [[BIGRAM_ALPHA2]]/2 = 0.5).
     */
@@ -3112,6 +3175,7 @@ object PipelineQueries {
     "x_gopher_rules" -> xGopherRules _,
     "x_rule_ablation" -> xRuleAblation _,
     "x_dsir"        -> xDsir _,
+    "x_doremi"      -> xDoremi _,
     "x_mix_epochs"  -> xMixEpochs _,
     "x_mrl_recall"  -> xMrlRecall _,
     "x_hard_negatives" -> xHardNegatives _,
@@ -4571,6 +4635,41 @@ object PipelineQueries {
         |         CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS BIGINT) AS rank
         |       FROM sc)
         |SELECT * FROM rk WHERE rank <= $DSIR_TOP ORDER BY rank""".stripMargin,
+    // linearized multiplicative weights unrolled DOREMI_ROUNDS times;
+    // surprisal quantized at 2^20 before any sum, weights renormalized
+    // through round(w * 2^40) integer ratios — no exp(), no libm drift
+    "x_doremi" -> {
+      def mwRound(i: Int, prev: String, alphaExpr: String): String =
+        s"""w$i AS (SELECT source, n_words, xentq, excess,
+          |        CAST(round($alphaExpr * (1.0 + 1.0 * excess) * 1099511627776.0) AS BIGINT) AS wq
+          |      FROM $prev),
+          |a$i AS (SELECT source, n_words, xentq, excess,
+          |        CAST(wq AS DOUBLE) / sum(wq) OVER () AS al FROM w$i)""".stripMargin
+      s"""WITH wds AS (SELECT source, unnest(string_split(text,' ')) AS word FROM documents),
+        |csw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        |        FROM wds GROUP BY 1, 2),
+        |sc AS (SELECT source, word, c,
+        |        CAST(round(-ln(CAST(sum(c) OVER (PARTITION BY word) AS DOUBLE)
+        |                       / sum(c) OVER ()) * $DOREMI_Q) AS BIGINT) AS sq
+        |      FROM csw),
+        |dom AS (SELECT source, CAST(sum(c * sq) AS BIGINT) AS sumq,
+        |          CAST(sum(c) AS BIGINT) AS n_words
+        |        FROM sc GROUP BY source),
+        |d2 AS (SELECT source, n_words,
+        |        CAST(sumq AS DOUBLE) / n_words AS xentq,
+        |        CAST(sum(sumq) OVER () AS DOUBLE) / sum(n_words) OVER () AS refq
+        |      FROM dom),
+        |d3 AS (SELECT source, n_words, xentq,
+        |        greatest(0.0, (xentq - refq) / $DOREMI_Q) AS excess FROM d2),
+        |${mwRound(1, "d3", "1.0")},
+        |${mwRound(2, "a1", "al")},
+        |${mwRound(3, "a2", "al")}
+        |SELECT source, n_words,
+        |       ${detRound4Sql(s"xentq / $DOREMI_Q.0")} AS xent,
+        |       ${detRound4Sql("excess")} AS excess,
+        |       ${detRound4Sql("al")} AS alpha
+        |FROM a3 ORDER BY source""".stripMargin
+    },
     "x_mix_epochs" ->
       s"""WITH t AS (SELECT source, lang,
         |    list_aggregate(list_transform(string_split(text,' '),
