@@ -138,7 +138,7 @@ object Bench {
         for (_ <- 1 until repeat)
           try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           catch { case _: Throwable => () }
-        val la = loadAvg()
+        val la0 = loadAvg()
         val cold0 = timedRun(name, fn)
         val warm =
           if (!warmOn || cold0 < 0) cold0
@@ -165,7 +165,10 @@ object Bench {
             // spike never deflates the next run's ratchet guard.
             else (math.min(cold0, third), math.min(warm, third), 1)
           }
-        name -> ((cold, warm2, cold0, reruns, la))
+        // max of pre/post samples: a burst STARTING mid-run would be
+        // invisible to a pre-run-only sample (the 1-minute decay means
+        // the pre value mostly measures the previous query)
+        name -> ((cold, warm2, cold0, reruns, math.max(la0, loadAvg())))
       }
     val loadAfter = loadAvg()
     def fmt(v: Double, scale: Int): String =

@@ -19,11 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * is the cheapest ANN tier, re-ranked by exact scores when recall
   * matters (measured by x_bq_recall).
   *
-  * Strictly positive components set the bit (x > 0; zeros and NaN
-  * leave it clear — NaN > 0 is false in both JVM float compare and
-  * SQL, so the DuckDB oracle replays bit-for-bit). One codegen'd loop
-  * per row, no per-dimension lambda dispatch (the Sq8Error
-  * discipline).
+  * Strictly positive components set the bit; zeros and NaN leave it
+  * clear. NaN needs care cross-engine: JVM `NaN > 0f` is false, but
+  * DuckDB's comparison TOTAL-ORDERS NaN above every value (`'nan'::
+  * FLOAT > 0` is TRUE), so the DuckDB oracle must guard with
+  * `NOT isnan(x)` to replay this bit-for-bit. One codegen'd loop per
+  * row, no per-dimension lambda dispatch (the Sq8Error discipline).
   */
 case class BqSign64(child: Expression) extends UnaryExpression {
 

@@ -659,9 +659,11 @@ object Dedup {
 
   /** Band COUNT for `docs` under [[simhashWidthFor]]: the
     * [[SimhashBandsConf]] session override when set, else 64/w with w
-    * scaled from the corpus count (a one-row driver artifact, memoized
-    * per session under the stage-memo contract — the
-    * [[graft.operators.Knn.codebookSize]] discipline).
+    * scaled from the corpus count — a one-row driver artifact, memoized
+    * per session under the stage-memo contract (the
+    * [[graft.operators.Knn.codebookSize]] discipline; sessions without
+    * the opt-in memo conf pay a metadata-cheap count() per plan build —
+    * pin the conf if even that matters).
     */
   def simhashBands(docs: DataFrame): Int =
     docs.sparkSession.conf.getOption(SimhashBandsConf).map(_.toInt)

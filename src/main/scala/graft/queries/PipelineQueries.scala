@@ -684,8 +684,11 @@ object PipelineQueries {
       val mn = element_at(col("mn"), i + 1)
       val mx = element_at(col("mx"), i + 1)
       val span = mx - mn
+      // clamp like the Sq8Error native (and the oracle): out-of-range
+      // components saturate to the code range edges
       val q = when(span === 0, lit(0.0))
-        .otherwise(round(((x - mn) / span) * 255))
+        .otherwise(least(lit(255.0),
+          greatest(lit(0.0), round(((x - mn) / span) * 255))))
       mn + (q * span) / 255.0
     })
     val dqv = emb.crossJoin(sq8Scales(emb))
@@ -1205,6 +1208,12 @@ object PipelineQueries {
     */
   val PR_ITERS = 3
 
+  /** Damping factor shared by the Scala iteration and the oracle's
+    * unrolled replay (interpolated into the SQL so a change breaks
+    * loudly in one place, not silently at hash-compare time).
+    */
+  val PR_DAMPING = 0.85
+
   /** PageRank authority over the near-dup candidate graph
     * ([[Dedup.pageRank]] on [[Dedup.bandedCandidates]] pairs): the
     * canonical-copy/boilerplate-hub signal complementing the
@@ -1219,7 +1228,7 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir)
     val pairs = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
     val nRow = broadcast(docs.agg(count(lit(1)).cast("bigint").as("__n")))
-    Dedup.pageRank(docs.select("doc_id"), pairs, PR_ITERS)
+    Dedup.pageRank(docs.select("doc_id"), pairs, PR_ITERS, PR_DAMPING)
       .crossJoin(nRow)
       .select(col("doc_id"), col("deg"),
         detRound4(col("pr") * col("__n").cast("double")).as("authority"))
@@ -1238,7 +1247,7 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir)
     val pairs = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
     val clusters = Dedup.dupClusters(docs, pairs)
-    val pr = Dedup.pageRank(docs.select("doc_id"), pairs, PR_ITERS)
+    val pr = Dedup.pageRank(docs.select("doc_id"), pairs, PR_ITERS, PR_DAMPING)
     val nRow = broadcast(docs.agg(count(lit(1)).cast("bigint").as("__n")))
     clusters.join(pr.select("doc_id", "pr"), "doc_id")
       .groupBy("cluster")
@@ -2439,9 +2448,13 @@ object PipelineQueries {
     val csw = Tables.documents(s, dir)
       .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    // corpus total as a broadcast 1-row cross join, NOT an empty-
+    // partition window: sum(c).over(partitionBy()) would funnel the
+    // whole vocabulary-scale (source, word) relation through one task
+    val nRow = broadcast(csw.agg(sum("c").as("nTot")))
     val scored = csw
       .withColumn("cw", sum("c").over(Window.partitionBy("word")))
-      .withColumn("nTot", sum("c").over(w))
+      .crossJoin(nRow)
       .withColumn("sq",
         round(-log(col("cw").cast("double") / col("nTot")) * DOREMI_Q)
           .cast("bigint"))
@@ -4641,7 +4654,7 @@ object PipelineQueries {
     "x_doremi" -> {
       def mwRound(i: Int, prev: String, alphaExpr: String): String =
         s"""w$i AS (SELECT source, n_words, xentq, excess,
-          |        CAST(round($alphaExpr * (1.0 + 1.0 * excess) * 1099511627776.0) AS BIGINT) AS wq
+          |        CAST(round($alphaExpr * (1.0 + $DOREMI_ETA * excess) * 1099511627776.0) AS BIGINT) AS wq
           |      FROM $prev),
           |a$i AS (SELECT source, n_words, xentq, excess,
           |        CAST(wq AS DOUBLE) / sum(wq) OVER () AS al FROM w$i)""".stripMargin
@@ -4661,14 +4674,14 @@ object PipelineQueries {
         |      FROM dom),
         |d3 AS (SELECT source, n_words, xentq,
         |        greatest(0.0, (xentq - refq) / $DOREMI_Q) AS excess FROM d2),
-        |${mwRound(1, "d3", "1.0")},
-        |${mwRound(2, "a1", "al")},
-        |${mwRound(3, "a2", "al")}
+        |${(1 to DOREMI_ROUNDS).map(i =>
+            mwRound(i, if (i == 1) "d3" else s"a${i - 1}",
+              if (i == 1) "1.0" else "al")).mkString(",\n")}
         |SELECT source, n_words,
         |       ${detRound4Sql(s"xentq / $DOREMI_Q.0")} AS xent,
         |       ${detRound4Sql("excess")} AS excess,
         |       ${detRound4Sql("al")} AS alpha
-        |FROM a3 ORDER BY source""".stripMargin
+        |FROM a$DOREMI_ROUNDS ORDER BY source""".stripMargin
     },
     "x_mix_epochs" ->
       s"""WITH t AS (SELECT source, lang,
@@ -4810,7 +4823,7 @@ object PipelineQueries {
           |       FROM e JOIN $prev p ON e.src = p.doc_id JOIN dg ON e.src = dg.src),
           |s$i AS (SELECT dst, sum(cq) AS sq FROM c$i GROUP BY dst),
           |p$i AS MATERIALIZED (SELECT d.doc_id,
-          |         (1.0 - 0.85) / nn.n + 0.85 * (coalesce(s.sq, 0) / 1099511627776.0) AS pr
+          |         (1.0 - $PR_DAMPING) / nn.n + $PR_DAMPING * (coalesce(s.sq, 0) / 1099511627776.0) AS pr
           |       FROM pd d CROSS JOIN nn LEFT JOIN s$i s ON d.doc_id = s.dst)""".stripMargin
       s"""$dupClustersCte,
         |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
@@ -4819,12 +4832,10 @@ object PipelineQueries {
         |pd AS (SELECT doc_id FROM documents),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |p0 AS MATERIALIZED (SELECT doc_id, 1.0 / nn.n AS pr FROM pd CROSS JOIN nn),
-        |${prRound(1, "p0")},
-        |${prRound(2, "p1")},
-        |${prRound(3, "p2")},
+        |${(1 to PR_ITERS).map(i => prRound(i, s"p${i - 1}")).mkString(",\n")},
         |r AS (SELECT m.doc_id, m.cluster, p.pr,
         |        row_number() OVER (PARTITION BY m.cluster ORDER BY p.pr DESC, m.doc_id) AS rn
-        |      FROM minr m JOIN p3 p USING (doc_id)),
+        |      FROM minr m JOIN p$PR_ITERS p USING (doc_id)),
         |gg AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs, max(pr) AS mx
         |       FROM r GROUP BY cluster)
         |SELECT gg.cluster, gg.n_docs, r.doc_id AS keep_doc,
@@ -4843,7 +4854,7 @@ object PipelineQueries {
           |       FROM e JOIN $prev p ON e.src = p.doc_id JOIN dg ON e.src = dg.src),
           |s$i AS (SELECT dst, sum(cq) AS sq FROM c$i GROUP BY dst),
           |p$i AS MATERIALIZED (SELECT d.doc_id,
-          |         (1.0 - 0.85) / nn.n + 0.85 * (coalesce(s.sq, 0) / 1099511627776.0) AS pr
+          |         (1.0 - $PR_DAMPING) / nn.n + $PR_DAMPING * (coalesce(s.sq, 0) / 1099511627776.0) AS pr
           |       FROM pd d CROSS JOIN nn LEFT JOIN s$i s ON d.doc_id = s.dst)""".stripMargin
       s"""WITH ${permSigsSql},
         |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
@@ -4858,12 +4869,10 @@ object PipelineQueries {
         |pd AS (SELECT doc_id FROM documents),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |p0 AS MATERIALIZED (SELECT doc_id, 1.0 / nn.n AS pr FROM pd CROSS JOIN nn),
-        |${prRound(1, "p0")},
-        |${prRound(2, "p1")},
-        |${prRound(3, "p2")}
+        |${(1 to PR_ITERS).map(i => prRound(i, s"p${i - 1}")).mkString(",\n")}
         |SELECT p.doc_id, coalesce(dg.deg, 0) AS deg,
         |       ${detRound4Sql("p.pr * nn.n")} AS authority
-        |FROM p3 p CROSS JOIN nn LEFT JOIN dg ON p.doc_id = dg.src
+        |FROM p$PR_ITERS p CROSS JOIN nn LEFT JOIN dg ON p.doc_id = dg.src
         |ORDER BY p.doc_id""".stripMargin
     },
     "x_dedup_incremental" ->
@@ -5179,7 +5188,7 @@ object PipelineQueries {
     "x_sq8" -> {
       val x = "CAST(embedding[i] AS DOUBLE)"
       val span = "(mx[i] - mn[i])"
-      val q = s"(CASE WHEN $span = 0 THEN 0 ELSE round((($x - mn[i]) / $span) * 255) END)"
+      val q = s"(CASE WHEN $span = 0 THEN 0 ELSE least(255, greatest(0, round((($x - mn[i]) / $span) * 255))) END)"
       val deq = s"(mn[i] + ($q * $span) / 255.0)"
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |d0 AS (SELECT unnest(range(1, ${DIM + 1})) AS d, embedding FROM e),
@@ -5196,7 +5205,7 @@ object PipelineQueries {
     "x_sq8_recall" -> {
       val x = "CAST(embedding[i] AS DOUBLE)"
       val span = "(mx[i] - mn[i])"
-      val q = s"(CASE WHEN $span = 0 THEN 0 ELSE round((($x - mn[i]) / $span) * 255) END)"
+      val q = s"(CASE WHEN $span = 0 THEN 0 ELSE least(255, greatest(0, round((($x - mn[i]) / $span) * 255))) END)"
       val deq = s"(mn[i] + ($q * $span) / 255.0)"
       def l2(a: String, b: String) =
         s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> " +
@@ -5231,9 +5240,9 @@ object PipelineQueries {
     // in HUGEINT — the simhashLongCte layout (dim i at long bit 63-i)
     "x_bq" ->
       s"""WITH b AS (SELECT vec_id,
-        |    sum(CASE WHEN t.i < 32 AND embedding[t.i + 1] > 0
+        |    sum(CASE WHEN t.i < 32 AND embedding[t.i + 1] > 0 AND NOT isnan(embedding[t.i + 1])
         |        THEN CAST(1 AS BIGINT) << CAST(31 - t.i AS INTEGER) ELSE 0 END) AS hi,
-        |    sum(CASE WHEN t.i >= 32 AND embedding[t.i + 1] > 0
+        |    sum(CASE WHEN t.i >= 32 AND embedding[t.i + 1] > 0 AND NOT isnan(embedding[t.i + 1])
         |        THEN CAST(1 AS BIGINT) << CAST(63 - t.i AS INTEGER) ELSE 0 END) AS lo
         |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id)
         |SELECT vec_id,
@@ -5254,7 +5263,8 @@ object PipelineQueries {
         |      WHERE vec_id % 100 = 0 AND vec_id < $PQ_PROBE_CAP),
         |ax AS (SELECT p.p, v.vec_id,
         |         CAST(len(list_filter(range(1, ${DIM + 1}),
-        |           i -> (p.pe[i] > 0) <> (v.embedding[i] > 0))) AS BIGINT) AS hd
+        |           i -> (p.pe[i] > 0 AND NOT isnan(p.pe[i]))
+        |                <> (v.embedding[i] > 0 AND NOT isnan(v.embedding[i])))) AS BIGINT) AS hd
         |       FROM v JOIN p ON v.vec_id <> p.p),
         |ab AS (SELECT p, vec_id,
         |         row_number() OVER (PARTITION BY p ORDER BY hd, vec_id) AS rn FROM ax),

@@ -49,6 +49,35 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Shared front of the three ingest pipelines: the watermarked gated
+    * stream (all caller columns preserved), its payload base channel
+    * (one row per gated doc, bad = 0), and the eval-gram contamination
+    * channel (flag-only rows, bad = 1). One definition so a decontam
+    * or watermark fix lands once.
+    */
+  private def gateAndDecontam(stream: DataFrame, gate: Column,
+                              evalGrams: DataFrame, decontamGram: Int,
+                              watermark: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(stream.isStreaming,
+      "the streaming curation pipelines need a streaming DataFrame — " +
+        "use the batch curate queries otherwise")
+    require(!evalGrams.isStreaming,
+      "the eval-gram set must be a static DataFrame")
+    graft.expressions.WordShingles.register(stream.sparkSession)
+    val gated = stream.withWatermark("ts", watermark).where(gate)
+    val toks = Text.tokens(col("text"))
+    val base = gated.select(col("doc_id"), col("ts"), col("text"),
+      lit(0).as("bad"))
+    val contam = gated
+      .select(col("doc_id"), col("ts"),
+        explode(Text.shinglesNative(toks, decontamGram)).as("gram"))
+      .join(evalGrams.select("gram"), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("ts"),
+        lit(null).cast("string").as("text"), lit(1).as("bad"))
+    (gated, base, contam)
+  }
+
   /** Per-doc curation verdicts: (window, doc_id, bad, text), bad = 1
     * iff the doc hit the eval-gram set or the stored band index. The
     * composition point: [[streamingCurateIngest]] keeps bad = 0 and
@@ -60,26 +89,11 @@ object Curation {
                               decontamGram: Int = 4,
                               windowWidth: String = "1 minute",
                               watermark: String = "10 minutes"): DataFrame = {
-    require(stream.isStreaming,
-      "streamingCurateVerdicts needs a streaming DataFrame — " +
-        "use xCurateIncremental's batch plan otherwise")
-    require(!evalGrams.isStreaming && !bandIndex.isStreaming,
-      "the eval-gram set and band index must be static DataFrames")
-    graft.expressions.WordShingles.register(stream.sparkSession)
-    val gated = stream.withWatermark("ts", watermark)
-      .where(gate)
-      .select("doc_id", "ts", "text")
-    val toks = Text.tokens(col("text"))
-    // exactly one base row per gated doc carries the payload; the two
-    // probe channels contribute flag-only rows (text null)
-    val base = gated.select(col("doc_id"), col("ts"), col("text"),
-      lit(0).as("bad"))
-    val contam = gated
-      .select(col("doc_id"), col("ts"),
-        explode(Text.shinglesNative(toks, decontamGram)).as("gram"))
-      .join(evalGrams.select("gram"), Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("ts"),
-        lit(null).cast("string").as("text"), lit(1).as("bad"))
+    require(!bandIndex.isStreaming,
+      "the band index must be a static DataFrame")
+    val (gated0, base, contam) =
+      gateAndDecontam(stream, gate, evalGrams, decontamGram, watermark)
+    val gated = gated0.select("doc_id", "ts", "text")
     val dup = Dedup.bandRows(gated, col("text"), numPerms, rowsPerBand)
       .join(bandIndex.select("band", "key"), Seq("band", "key"), "left_semi")
       .select(col("doc_id"), col("ts"),
@@ -112,25 +126,21 @@ object Curation {
                                  decontamGram: Int = 4,
                                  windowWidth: String = "1 minute",
                                  watermark: String = "10 minutes"): DataFrame = {
-    require(stream.isStreaming,
-      "streamingCurateExactIngest needs a streaming DataFrame — " +
-        "use xCurateExactIncremental's batch plan otherwise")
-    require(!evalGrams.isStreaming && !gramIndex.isStreaming,
-      "the eval-gram set and ESD gram index must be static DataFrames")
-    graft.expressions.WordShingles.register(stream.sparkSession)
-    val gated = stream.withWatermark("ts", watermark)
-      .where(gate)
-      .select("doc_id", "ts", "text")
+    require(!gramIndex.isStreaming,
+      "the ESD gram index must be a static DataFrame")
+    // the batch twin (Dedup.explodeGrams) rejects gram < 2 — mirror it
+    // so the documented batch agreement is checkable for every input
+    require(esdGram >= 2, s"streamingCurateExactIngest: esdGram must be >= 2, got $esdGram")
+    val (gated0, base4, contam4) =
+      gateAndDecontam(stream, gate, evalGrams, decontamGram, watermark)
+    val gated = gated0.select("doc_id", "ts", "text")
     val toks = Text.tokens(col("text"))
     val nullS = lit(null).cast("long").as("s")
     val nullText = lit(null).cast("string").as("text")
-    val base = gated.select(col("doc_id"), col("ts"), col("text"),
-      lit(0).as("bad"), nullS)
-    val contam = gated
-      .select(col("doc_id"), col("ts"),
-        explode(Text.shinglesNative(toks, decontamGram)).as("gram"))
-      .join(evalGrams.select("gram"), Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("ts"), nullText, lit(1).as("bad"), nullS)
+    val base = base4.select(col("doc_id"), col("ts"), col("text"),
+      col("bad"), nullS)
+    val contam = contam4.select(col("doc_id"), col("ts"), col("text"),
+      col("bad"), nullS)
     val spans = gated.where(size(toks) >= esdGram)
       .select(col("doc_id"), col("ts"),
         posexplode(Text.shinglesNative(toks, esdGram)).as(Seq("p0", "gtext")))
@@ -180,25 +190,12 @@ object Curation {
                                     decontamGram: Int = 4,
                                     windowWidth: String = "1 minute",
                                     watermark: String = "10 minutes"): DataFrame = {
-    require(stream.isStreaming,
-      "streamingCurateSemanticIngest needs a streaming DataFrame — " +
-        "use xCurateSemanticIncremental's batch plan otherwise")
-    require(!evalGrams.isStreaming && !cellIndex.isStreaming &&
-      !centroids.isStreaming,
-      "the eval-gram set, cell index, and codebook must be static DataFrames")
-    graft.expressions.WordShingles.register(stream.sparkSession)
-    val gated = stream.withWatermark("ts", watermark)
-      .where(gate)
-      .select("doc_id", "ts", "text", "embedding")
-    val toks = Text.tokens(col("text"))
+    require(!cellIndex.isStreaming && !centroids.isStreaming,
+      "the cell index and codebook must be static DataFrames")
+    val (gated0, base, contam) =
+      gateAndDecontam(stream, gate, evalGrams, decontamGram, watermark)
+    val gated = gated0.select("doc_id", "ts", "text", "embedding")
     val nullText = lit(null).cast("string").as("text")
-    val base = gated.select(col("doc_id"), col("ts"), col("text"),
-      lit(0).as("bad"))
-    val contam = gated
-      .select(col("doc_id"), col("ts"),
-        explode(Text.shinglesNative(toks, decontamGram)).as("gram"))
-      .join(evalGrams.select("gram"), Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("ts"), nullText, lit(1).as("bad"))
     val sem = graft.operators.Knn.streamingProbeCellHits(
         gated.select(col("doc_id").as("vec_id"), col("ts"), col("embedding")),
         cellIndex, centroids, dim, tau, nprobe, cellCap)
