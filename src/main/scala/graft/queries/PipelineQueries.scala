@@ -2326,6 +2326,31 @@ object PipelineQueries {
       .orderBy("shard", "pos")
   }
 
+  /** Per-shard WRITE MANIFEST over [[xShardOrder]]'s layout — what a
+    * writer fleet publishes and a trainer validates before reading:
+    * doc/token totals, the bin count a [[PACK_BUDGET]] concat-then-
+    * split pack of the shard yields, the boundary docs, and an order-
+    * sensitive md5 of the shard's doc sequence (any membership OR
+    * order drift flips it — the cheap end-to-end integrity check).
+    * One aggregate over the shard exchange [[xShardOrder]] already
+    * pays; the md5 string build is per-shard bounded (n/SHARD_N docs).
+    */
+  def xManifest(s: SparkSession, dir: String): DataFrame =
+    xShardOrder(s, dir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("est_tokens").as("est_tokens"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+          x => x("doc_id").cast("string"))).cast("binary")).as("manifest_md5"))
+      .withColumn("n_bins",
+        expr(s"(est_tokens + ${PACK_BUDGET - 1}) div $PACK_BUDGET"))
+      .select(col("shard"), col("n_docs"), col("est_tokens"), col("n_bins"),
+        col("first_doc"), col("last_doc"), col("manifest_md5"))
+      .orderBy("shard")
+
   def xBpePairs(s: SparkSession, dir: String): DataFrame = {
     val v = bpeWords(s, dir).where(length(col("word")) >= 2)
     val w = Window.orderBy(col("cnt").desc, col("pair"))
@@ -3176,6 +3201,8 @@ object PipelineQueries {
     "x_curate_semantic" -> xCurateSemantic _,
     "x_curate_all"  -> xCurateAll _,
     "x_pack"        -> xPack _,
+    "x_shard_order" -> xShardOrder _,
+    "x_manifest"    -> xManifest _,
     "x_pps_sample"  -> xPpsSample _,
     "x_quantize"    -> xQuantize _,
     "x_chunks"      -> xChunks _,
@@ -3851,6 +3878,34 @@ object PipelineQueries {
         |       CAST((cum - n_words) // $PACK_BUDGET AS BIGINT) AS first_bin,
         |       CAST((cum - 1) // $PACK_BUDGET AS BIGINT) AS last_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "x_shard_order" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(list_aggregate(list_transform(string_split(text,' '),
+        |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS BIGINT) AS est_tokens,
+        |    ${hashBucketSql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS hv
+        |  FROM documents),
+        |sh AS (SELECT doc_id, est_tokens, hv, CAST(hv % $SHARD_N AS BIGINT) AS shard FROM t)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS BIGINT) AS pos,
+        |       est_tokens
+        |FROM sh ORDER BY shard, pos""".stripMargin,
+    "x_manifest" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(list_aggregate(list_transform(string_split(text,' '),
+        |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS BIGINT) AS est_tokens,
+        |    ${hashBucketSql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS hv
+        |  FROM documents),
+        |sh AS (SELECT doc_id, est_tokens, hv, CAST(hv % $SHARD_N AS BIGINT) AS shard FROM t),
+        |so AS (SELECT doc_id, shard, est_tokens,
+        |         row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
+        |       FROM sh)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(est_tokens) AS BIGINT) AS est_tokens,
+        |       CAST((sum(est_tokens) + ${PACK_BUDGET - 1}) // $PACK_BUDGET AS BIGINT) AS n_bins,
+        |       arg_min(doc_id, pos) AS first_doc,
+        |       arg_max(doc_id, pos) AS last_doc,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS manifest_md5
+        |FROM so GROUP BY shard ORDER BY shard""".stripMargin,
     "x_chunks_overlap" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |n AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
