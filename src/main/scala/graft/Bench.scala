@@ -97,9 +97,13 @@ object Bench {
       "/root/repo/BENCH_LOCAL_r11.json")
     // host-load sampling: every round since r8 spent builder+judge
     // cycles adjudicating warm scatter by diffing two complete records;
-    // a per-query 1-minute loadavg sample makes it one field lookup —
-    // on this 32-thread host a clean bench sits near the low 30s, so a
-    // spiked query with loadavg 45+ is contention, not a plan
+    // a per-query 1-minute loadavg sample makes it one field lookup.
+    // Measured thresholds on this host (committed r11 records): a quiet
+    // start sits at 1.5-3, the suite's own local[32] bursts ramp the
+    // 1-minute average to ~3-4 mid-run, so a sample clearly above that
+    // ramp (4.5+) marks EXTERNAL contention; for in-suite spikes at
+    // normal loadavg, the isolated re-run is the final adjudicator
+    // (the roaming-single-spike phenomenon, SCALE_PROBE.md r11)
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage

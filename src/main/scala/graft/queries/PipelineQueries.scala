@@ -3748,6 +3748,41 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN minr m USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** One unrolled [[Dedup.pageRank]] round as oracle CTEs (c/s/p chain
+    * over `e`, `dg`, `pd`, `nn`) — THE single copy both the x_pagerank
+    * and x_keep_authority oracles splice, so the quantized arithmetic
+    * can only change in lock-step with [[PR_DAMPING]]/[[PR_ITERS]].
+    */
+  private def prRound(i: Int, prev: String): String =
+    s"""c$i AS (SELECT e.dst, CAST(round(p.pr / dg.deg * 1099511627776.0) AS BIGINT) AS cq
+      |       FROM e JOIN $prev p ON e.src = p.doc_id JOIN dg ON e.src = dg.src),
+      |s$i AS (SELECT dst, sum(cq) AS sq FROM c$i GROUP BY dst),
+      |p$i AS MATERIALIZED (SELECT d.doc_id,
+      |         (1.0 - $PR_DAMPING) / nn.n + $PR_DAMPING * (coalesce(s.sq, 0) / 1099511627776.0) AS pr
+      |       FROM pd d CROSS JOIN nn LEFT JOIN s$i s ON d.doc_id = s.dst)""".stripMargin
+
+  /** The shared e/dg/pd/nn/p0 prefix of the pagerank oracles. */
+  private val prPrefixCtes: String =
+    s"""e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
+      |     UNION ALL SELECT doc_b, doc_a FROM cand),
+      |dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      |pd AS (SELECT doc_id FROM documents),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |p0 AS MATERIALIZED (SELECT doc_id, 1.0 / nn.n AS pr FROM pd CROSS JOIN nn)""".stripMargin
+
+  /** The shared shard-layout CTEs (t, sh) of the x_shard_order and
+    * x_manifest oracles — one copy of the token-estimate rule and the
+    * 'epoch0:' shard salt, replaying [[graft.functions.Text.tokenCountEstimate]]
+    * and [[graft.operators.Sampling.hashBucket]].
+    */
+  private def shardCtes: String =
+    s"""t AS (SELECT doc_id,
+      |    CAST(list_aggregate(list_transform(string_split(text,' '),
+      |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS BIGINT) AS est_tokens,
+      |    ${hashBucketSql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS hv
+      |  FROM documents),
+      |sh AS (SELECT doc_id, est_tokens, hv, CAST(hv % $SHARD_N AS BIGINT) AS shard FROM t)""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
     "x_tfidf" ->
       s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
@@ -3879,23 +3914,13 @@ object PipelineQueries {
         |       CAST((cum - 1) // $PACK_BUDGET AS BIGINT) AS last_bin
         |FROM c ORDER BY doc_id""".stripMargin,
     "x_shard_order" ->
-      s"""WITH t AS (SELECT doc_id,
-        |    CAST(list_aggregate(list_transform(string_split(text,' '),
-        |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS BIGINT) AS est_tokens,
-        |    ${hashBucketSql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS hv
-        |  FROM documents),
-        |sh AS (SELECT doc_id, est_tokens, hv, CAST(hv % $SHARD_N AS BIGINT) AS shard FROM t)
+      s"""WITH ${shardCtes}
         |SELECT doc_id, shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS BIGINT) AS pos,
         |       est_tokens
         |FROM sh ORDER BY shard, pos""".stripMargin,
     "x_manifest" ->
-      s"""WITH t AS (SELECT doc_id,
-        |    CAST(list_aggregate(list_transform(string_split(text,' '),
-        |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS BIGINT) AS est_tokens,
-        |    ${hashBucketSql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS hv
-        |  FROM documents),
-        |sh AS (SELECT doc_id, est_tokens, hv, CAST(hv % $SHARD_N AS BIGINT) AS shard FROM t),
+      s"""WITH ${shardCtes},
         |so AS (SELECT doc_id, shard, est_tokens,
         |         row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
         |       FROM sh)
@@ -4873,20 +4898,8 @@ object PipelineQueries {
     // the dup-cluster closure joined with the pagerank replay: keeper =
     // rank-1 by (pr DESC, doc_id) within each >=2 cluster
     "x_keep_authority" -> {
-      def prRound(i: Int, prev: String): String =
-        s"""c$i AS (SELECT e.dst, CAST(round(p.pr / dg.deg * 1099511627776.0) AS BIGINT) AS cq
-          |       FROM e JOIN $prev p ON e.src = p.doc_id JOIN dg ON e.src = dg.src),
-          |s$i AS (SELECT dst, sum(cq) AS sq FROM c$i GROUP BY dst),
-          |p$i AS MATERIALIZED (SELECT d.doc_id,
-          |         (1.0 - $PR_DAMPING) / nn.n + $PR_DAMPING * (coalesce(s.sq, 0) / 1099511627776.0) AS pr
-          |       FROM pd d CROSS JOIN nn LEFT JOIN s$i s ON d.doc_id = s.dst)""".stripMargin
       s"""$dupClustersCte,
-        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
-        |     UNION ALL SELECT doc_b, doc_a FROM cand),
-        |dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-        |pd AS (SELECT doc_id FROM documents),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |p0 AS MATERIALIZED (SELECT doc_id, 1.0 / nn.n AS pr FROM pd CROSS JOIN nn),
+        |${prPrefixCtes},
         |${(1 to PR_ITERS).map(i => prRound(i, s"p${i - 1}")).mkString(",\n")},
         |r AS (SELECT m.doc_id, m.cluster, p.pr,
         |        row_number() OVER (PARTITION BY m.cluster ORDER BY p.pr DESC, m.doc_id) AS rn
@@ -4904,13 +4917,6 @@ object PipelineQueries {
     // arithmetic replayed term for term ((1.0 - 0.85)/n, not 0.15/n:
     // the subtraction itself must match the Scala double)
     "x_pagerank" -> {
-      def prRound(i: Int, prev: String): String =
-        s"""c$i AS (SELECT e.dst, CAST(round(p.pr / dg.deg * 1099511627776.0) AS BIGINT) AS cq
-          |       FROM e JOIN $prev p ON e.src = p.doc_id JOIN dg ON e.src = dg.src),
-          |s$i AS (SELECT dst, sum(cq) AS sq FROM c$i GROUP BY dst),
-          |p$i AS MATERIALIZED (SELECT d.doc_id,
-          |         (1.0 - $PR_DAMPING) / nn.n + $PR_DAMPING * (coalesce(s.sq, 0) / 1099511627776.0) AS pr
-          |       FROM pd d CROSS JOIN nn LEFT JOIN s$i s ON d.doc_id = s.dst)""".stripMargin
       s"""WITH ${permSigsSql},
         |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
         |                 string_agg(sig, '|' ORDER BY perm) AS key
@@ -4918,12 +4924,7 @@ object PipelineQueries {
         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         |         WHERE a.doc_id < b.doc_id),
-        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
-        |     UNION ALL SELECT doc_b, doc_a FROM cand),
-        |dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-        |pd AS (SELECT doc_id FROM documents),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |p0 AS MATERIALIZED (SELECT doc_id, 1.0 / nn.n AS pr FROM pd CROSS JOIN nn),
+        |${prPrefixCtes},
         |${(1 to PR_ITERS).map(i => prRound(i, s"p${i - 1}")).mkString(",\n")}
         |SELECT p.doc_id, coalesce(dg.deg, 0) AS deg,
         |       ${detRound4Sql("p.pr * nn.n")} AS authority
