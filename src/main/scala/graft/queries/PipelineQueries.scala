@@ -563,7 +563,7 @@ object PipelineQueries {
     val sigs = Dedup.withPermMinhashSigs(
       docs.select("doc_id", "text"), col("text"), N_PERMS)
     val sh = docs.select(col("doc_id"),
-      Text.shinglesNative(Text.tokens(col("text")), 3).as("sh"))
+      array_distinct(Text.shinglesNative(Text.tokens(col("text")), 3)).as("sh"))
     val est = size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
       b => b)).cast("double") / N_PERMS
     sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sa"))
@@ -572,7 +572,7 @@ object PipelineQueries {
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("est", est)
-      .withColumn("exact", Dedup.jaccard(col("sha"), col("shb")))
+      .withColumn("exact", Dedup.jaccardDistinct(col("sha"), col("shb")))
       .select(col("doc_a"), col("doc_b"),
         detRound4(col("est")).as("est_jac"),
         detRound4(col("exact")).as("exact_jac"),
@@ -1190,12 +1190,15 @@ object PipelineQueries {
     graft.expressions.WordShingles.register(s)
     val docs = Tables.documents(s, dir)
     val cands = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
+    // pre-distinct once per doc: the pair joins ship the smaller
+    // deduped sets and the per-pair verify drops to one hash-set pass
+    // (Dedup.jaccardDistinct — set-identical values)
     val sh = docs.select(col("doc_id"),
-      Text.shinglesNative(Text.tokens(col("text")), 3).as("sh"))
+      array_distinct(Text.shinglesNative(Text.tokens(col("text")), 3)).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("jac", Dedup.jaccard(col("sha"), col("shb")))
+      .withColumn("jac", Dedup.jaccardDistinct(col("sha"), col("shb")))
       .where(col("jac") >= 0.35)
       .select(col("doc_a"), col("doc_b"), detRound4(col("jac")).as("jac"))
       .orderBy("doc_a", "doc_b")
