@@ -300,6 +300,47 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Threshold grid for [[xQualitySweep]] — plan-time literals spanning
+    * the fixture score range non-vacuously at every point (212-446 of
+    * 500 kept at sf0.01).
+    */
+  val QUALITY_SWEEP_TAUS = Seq(-0.5, -0.25, 0.0, 0.25, 0.5)
+
+  /** Quality-gate CALIBRATION sweep — the operational question behind
+    * [[xQualityLr]]'s fixed cut: for each candidate threshold, how much
+    * of the corpus survives and what does the surviving text look like.
+    * One corpus scan; the per-doc score fans out over the BOUNDED
+    * 5-point grid and partial-aggregates map-side, so the sweep costs
+    * one aggregate more than the gate itself at any corpus size. Kept
+    * means are exact integer-sum ratios (one division at the end);
+    * verdict exactness rides the same ULP-margin argument as
+    * x_quality_lr (nearest raw score to any grid point ≳ 1e-4 — nine
+    * orders above cross-engine ln() drift).
+    */
+  def xQualitySweep(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks).cast("double")
+    val awl = Text.sumWordLen(toks).cast("double") / n
+    val stop = enStopHits(s, toks).cast("double") / n
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val score = lit(-2.0) + lit(0.5) * log(n) + lit(0.2) * awl +
+      lit(3.0) * stop - lit(1.5) * ttr
+    Tables.documents(s, dir)
+      .select(score.as("score"), Text.nWords(toks).as("n_words"))
+      .select(col("score"), col("n_words"),
+        explode(array(QUALITY_SWEEP_TAUS.map(lit): _*)).as("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("score") > col("tau")).cast("bigint")).as("n_kept"),
+        sum(when(col("score") > col("tau"), col("n_words"))
+          .otherwise(0L)).as("__kw"))
+      .select(col("tau"), col("n_kept"),
+        detRound4(col("n_kept").cast("double") / col("n_docs")).as("kept_frac"),
+        detRound4(expr("try_divide(CAST(__kw AS DOUBLE), CAST(n_kept AS DOUBLE))"))
+          .as("kept_mean_words"))
+      .orderBy("tau")
+  }
+
   /** Hard-negative mining for contrastive training: each bounded probe's
     * most-similar candidate with a DIFFERENT label — the pair a
     * retrieval/embedding trainer wants next to the positive. Scale shape
@@ -3215,6 +3256,7 @@ object PipelineQueries {
     "x_langid_ngram" -> xLangidNgram _,
     "x_quality"     -> xQuality _,
     "x_quality_lr"  -> xQualityLr _,
+    "x_quality_sweep" -> xQualitySweep _,
     "x_gopher_rules" -> xGopherRules _,
     "x_rule_ablation" -> xRuleAblation _,
     "x_dsir"        -> xDsir _,
@@ -4639,6 +4681,27 @@ object PipelineQueries {
         |SELECT doc_id, ${detRound4Sql("score")} AS lr_score,
         |       CAST(score > 0 AS BIGINT) AS kept
         |FROM s ORDER BY doc_id""".stripMargin,
+    "x_quality_sweep" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(len(toks) AS DOUBLE) AS n,
+        |        CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS DOUBLE) / len(toks) AS awl,
+        |        CAST(len(list_filter(toks, x -> x IN ($enList))) AS DOUBLE) / len(toks) AS stop,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        |      FROM t),
+        |sc AS (SELECT doc_id, n_words,
+        |        -2.0 + 0.5 * ln(n) + 0.2 * awl + 3.0 * stop - 1.5 * ttr AS score
+        |      FROM f),
+        |g AS (SELECT CAST(unnest([${QUALITY_SWEEP_TAUS.mkString(", ")}]) AS DOUBLE) AS tau),
+        |a AS (SELECT tau, count(*) AS n_docs,
+        |        CAST(sum(CASE WHEN score > tau THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        CAST(sum(CASE WHEN score > tau THEN n_words ELSE 0 END) AS BIGINT) AS kw
+        |      FROM sc CROSS JOIN g GROUP BY tau)
+        |SELECT tau, n_kept,
+        |       ${detRound4Sql("CAST(n_kept AS DOUBLE) / n_docs")} AS kept_frac,
+        |       ${detRound4Sql("CAST(kw AS DOUBLE) / nullif(CAST(n_kept AS DOUBLE), 0)")} AS kept_mean_words
+        |FROM a ORDER BY tau""".stripMargin,
     "x_hard_negatives" ->
       s"""WITH pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
         |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
