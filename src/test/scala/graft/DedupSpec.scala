@@ -506,6 +506,21 @@ class DedupSpec extends SparkSpec {
       "1-band candidates are exactly the identical-signature pairs")
   }
 
+  test("jaccardDistinct on deduped arrays equals jaccard on the raw arrays") {
+    val rnd = new scala.util.Random(23)
+    def arr() = Seq.fill(rnd.nextInt(30) + 1)(s"w${rnd.nextInt(12)}")
+    val rows = (1L to 200L).map(i => (i, arr(), arr()))
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("da", array_distinct(col("a")))
+      .withColumn("db", array_distinct(col("b")))
+    val diff = df.select(col("id"),
+        Dedup.jaccard(col("a"), col("b")).as("ref"),
+        Dedup.jaccardDistinct(col("da"), col("db")).as("opt"))
+      .where(col("ref") =!= col("opt"))
+      .count()
+    assert(diff == 0, "the one-pass set form must be value-identical")
+  }
+
   test("pageRank matches a scalar reference on a random graph; hub of a star wins") {
     // star: hub 0 with leaves 1..5, plus an isolated node 6
     val ids = (0L to 6L).toDF("doc_id")
