@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Knn, Sampling}
+import graft.operators.{Dedup, Knn, Sampling, Sketches}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -619,6 +619,125 @@ object PipelineQueries {
         detRound4(col("exact")).as("exact_jac"),
         detRound4(abs(col("est") - col("exact"))).as("abs_err"))
       .orderBy("doc_a")
+  }
+
+  /** The corpus 3-gram frequency relation the sketch queries share:
+    * one explode + one map-side-combined groupBy — the exact-counts
+    * side every sketch is judged against.
+    */
+  private def gramCounts(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    Tables.documents(s, dir)
+      .select(explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-Min sketch point estimates vs exact counts — the
+    * frequency-sketch twin of [[xMinhashEst]]: the D×W counter table
+    * ([[Sketches.cmsSketch]], ≤4096 rows regardless of corpus size) is
+    * probed for the top-50 grams and each estimate is scored against
+    * the exact count (overcount ≥ 0 by construction — CMS never
+    * undercounts). Scale shape: counts is one map-side-combined
+    * groupBy; the sketch and the TakeOrdered(50) probe set are both
+    * bounded and broadcast; nothing pairwise anywhere.
+    */
+  def xCms(s: SparkSession, dir: String): DataFrame = {
+    val counts = gramCounts(s, dir)
+    val sk = Sketches.cmsSketch(counts, col("gram"), col("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("gram")).limit(50)
+    val est = Sketches.cmsEstimate(top.select("gram"), col("gram"), sk)
+      .withColumnRenamed("item", "gram")
+    top.join(est, "gram")
+      .select(col("gram"), col("cnt").as("exact_cnt"), col("est").as("cms_est"),
+        (col("est") - col("cnt")).as("overcount"))
+      .orderBy("gram")
+  }
+
+  /** The CMS error-guarantee audit over the WHOLE vocabulary: one
+    * summary row — total grams, total mass N, how many estimates
+    * overcount at all, the worst and summed overcounts, and how many
+    * exceed the 2·N/W Markov bound (expected overcount per hash row is
+    * ≤ N/W; the min over [[Sketches.CMS_D]] rows should beat it, so
+    * this count is the sketch-health number an ingest would alert on).
+    * All-integer arithmetic — the bound check is (est−cnt)·W > 2·N,
+    * never a float division. N reaches the predicate via the
+    * aggregate-broadcast-crossJoin scalar pattern.
+    */
+  def xCmsErr(s: SparkSession, dir: String): DataFrame = {
+    val counts = gramCounts(s, dir)
+    val sk = Sketches.cmsSketch(counts, col("gram"), col("cnt"))
+    val est = Sketches.cmsEstimate(counts.select("gram"), col("gram"), sk)
+      .withColumnRenamed("item", "gram")
+    val nTot = counts.agg(sum(col("cnt")).as("n_total"))
+    counts.join(est, "gram").crossJoin(broadcast(nTot))
+      .agg(count(lit(1)).as("n_grams"),
+        max(col("n_total")).as("n_total"),
+        sum(col("est") - col("cnt")).as("sum_overcount"),
+        max(col("est") - col("cnt")).as("max_overcount"),
+        sum((col("est") > col("cnt")).cast("bigint")).as("n_over"),
+        sum(((col("est") - col("cnt")) * Sketches.CMS_W >
+          col("n_total") * 2).cast("bigint")).as("n_exceed_2nw"))
+  }
+
+  /** HyperLogLog register state over the gram stream — the oracled
+    * register-level twin of the estimate-only `q_approx` class: bucket
+    * = top 6 bits of md5, register = max(leading-zero rank) per bucket
+    * ([[Sketches.hllRegisters]]), numer = the exact integer
+    * harmonic-mean numerator 2^(59−register). No distinct pass — max
+    * is duplicate-idempotent, which is why HLL streams; the whole
+    * query is one explode + one 64-group aggregate. The float estimate
+    * α·m²/Σ2^−reg is deliberately NOT in the query (libm is not
+    * cross-engine); SketchesSpec derives it from these registers and
+    * checks it against the exact distinct count.
+    */
+  def xHll(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val grams = Tables.documents(s, dir)
+      .select(explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
+    Sketches.hllRegisters(grams, col("gram")).orderBy("bucket")
+  }
+
+  /** Signed-random-projection (Johnson–Lindenstrauss) compression:
+    * every embedding → 16 ±1-signed sums ([[Sketches.srpProject]], 4×
+    * smaller), the cheapest learned-free compression tier next to SQ8/
+    * PQ/BQ/MRL. The sign matrix is a Scala-derived CONSTANT both
+    * engines interpolate, so the projection is engine-exact; sums fold
+    * in ascending index (the summation-order contract). Per-row
+    * arithmetic in the scan projection — zero shuffles before the
+    * output sort.
+    */
+  def xSrp(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(Sketches.srpProject(col("embedding"), DIM)))
+      .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("k"),
+        detRound4(col("col")).as("proj"))
+      .orderBy("vec_id", "k")
+
+  /** SRP recall@1 — the [[xSq8Recall]] shape for the JL tier: nearest
+    * neighbour under 16-dim projected L2 vs exact 64-dim L2, per
+    * bounded probe ([[pqProbeRows]] discipline: fixed cap, corpus
+    * streams, argmin ties broken by vec_id through the min_by struct).
+    */
+  def xSrpRecall(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        Sketches.srpProject(col("embedding"), DIM).as("pv"),
+        transform(col("embedding"), x => x.cast("double")).as("fv"))
+    val probes = v.where(col("vec_id") % 100 === 0 &&
+        col("vec_id") < PQ_PROBE_CAP)
+      .select(col("vec_id").as("p"), col("pv").as("ppv"), col("fv").as("pfv"))
+    def nn(d2: Column, out: String) = v
+      .join(broadcast(probes), col("vec_id") =!= col("p"))
+      .withColumn("d2", d2)
+      .groupBy("p")
+      .agg(min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as(out))
+    val approx = nn(l2sq(col("ppv"), col("pv")), "srp_nn")
+    val exact = nn(l2sq(col("pfv"), col("fv")), "exact_nn")
+    approx.join(exact, "p")
+      .select(col("p").as("probe_id"), col("srp_nn"), col("exact_nn"),
+        (col("srp_nn") === col("exact_nn")).cast("bigint").as("hit"))
+      .orderBy("probe_id")
   }
 
   /** Character-trigram Jaccard between adjacent docs — the char-level
@@ -3275,6 +3394,11 @@ object PipelineQueries {
     "x_minhash"     -> xMinhash _,
     "x_minhash_perm" -> xMinhashPerm _,
     "x_minhash_est" -> xMinhashEst _,
+    "x_cms"         -> xCms _,
+    "x_cms_err"     -> xCmsErr _,
+    "x_hll"         -> xHll _,
+    "x_srp"         -> xSrp _,
+    "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
     "x_neardup"     -> xNeardup _,
     "x_winnow"      -> xWinnow _,
@@ -3437,6 +3561,18 @@ object PipelineQueries {
     s"CASE WHEN len(toks) >= $k THEN list_transform(" +
       s"range(1, len(toks) - ${k - 2}), i -> array_to_string(list_slice(toks, i, i + ${k - 1}), ' ')) " +
       "ELSE [array_to_string(toks, ' ')] END"
+
+  /** Shared Count-Min replay CTEs: c (exact 3-gram counts — the
+    * DuckDB twin of [[gramCounts]]) and sk (the D×W counter table —
+    * the twin of [[Sketches.cmsSketch]], counters as BIGINT `c2`).
+    */
+  private val cmsBaseCtes: String =
+    s"""t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT unnest(${gramsSql(3)}) AS gram FROM t),
+      |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+      |e0 AS (SELECT gram, cnt, unnest(range(0, ${Sketches.CMS_D})) AS r FROM c),
+      |eb AS (SELECT r, ${Sketches.cmsBucketSql("r", "gram")} AS bucket, cnt FROM e0),
+      |sk AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c2 FROM eb GROUP BY r, bucket)""".stripMargin
 
   /** DuckDB twin of [[Text.minhashSig]]: min over 8·salt-char-rotated
     * hex strings of the shared md5 list.
@@ -4881,6 +5017,86 @@ object PipelineQueries {
         |       ${detRound4Sql("abs(sp.est - ex.exact)")} AS abs_err
         |FROM sp JOIN ex ON sp.doc_a = ex.doc_a
         |ORDER BY sp.doc_a""".stripMargin,
+    "x_cms" ->
+      s"""WITH $cmsBaseCtes,
+        |top AS (SELECT gram, cnt FROM (SELECT gram, cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, gram) AS rn FROM c) q
+        |        WHERE rn <= 50),
+        |pe AS (SELECT gram, cnt, unnest(range(0, ${Sketches.CMS_D})) AS r FROM top),
+        |pb AS (SELECT gram, cnt, r, ${Sketches.cmsBucketSql("r", "gram")} AS bucket FROM pe),
+        |est AS (SELECT gram, cnt, min(c2) AS est
+        |        FROM pb JOIN sk USING (r, bucket) GROUP BY gram, cnt)
+        |SELECT gram, cnt AS exact_cnt, CAST(est AS BIGINT) AS cms_est,
+        |       CAST(est - cnt AS BIGINT) AS overcount
+        |FROM est ORDER BY gram""".stripMargin,
+    "x_cms_err" ->
+      s"""WITH $cmsBaseCtes,
+        |pe AS (SELECT gram, cnt, unnest(range(0, ${Sketches.CMS_D})) AS r FROM c),
+        |pb AS (SELECT gram, cnt, r, ${Sketches.cmsBucketSql("r", "gram")} AS bucket FROM pe),
+        |est AS (SELECT gram, cnt, min(c2) AS est
+        |        FROM pb JOIN sk USING (r, bucket) GROUP BY gram, cnt),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(max(n_total) AS BIGINT) AS n_total,
+        |       CAST(sum(est - cnt) AS BIGINT) AS sum_overcount,
+        |       CAST(max(est - cnt) AS BIGINT) AS max_overcount,
+        |       CAST(sum(CASE WHEN est > cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+        |       CAST(sum(CASE WHEN (est - cnt) * ${Sketches.CMS_W} > 2 * n_total
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed_2nw
+        |FROM est CROSS JOIN tot""".stripMargin,
+    "x_hll" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT unnest(${gramsSql(3)}) AS gram FROM t),
+        |m0 AS (SELECT md5(gram) AS m FROM g),
+        |h AS (SELECT ${Sketches.hex32Sql("m", 1)} AS v1,
+        |             ${Sketches.hex32Sql("m", 9)} AS v2 FROM m0),
+        |b AS (SELECT v1 >> ${32 - Sketches.HLL_B} AS bucket,
+        |        (v1 & ${(1L << (32 - Sketches.HLL_B)) - 1}) * ${1L << 32} + v2 AS w FROM h),
+        |rk AS (SELECT bucket, ${Sketches.rankCaseSql("w")} AS rnk FROM b),
+        |rg AS (SELECT bucket, max(rnk) AS register FROM rk GROUP BY bucket)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(register AS BIGINT) AS register,
+        |       CAST(${Sketches.numerCaseSql("register")} AS BIGINT) AS numer
+        |FROM rg ORDER BY bucket""".stripMargin,
+    "x_srp" ->
+      s"""WITH sgc AS (SELECT ${Sketches.srpSignsSql(DIM)} AS sg),
+        |p AS (SELECT vec_id, t.k,
+        |        list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |          i -> CAST(sg[k][i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |          'sum') AS proj
+        |      FROM embeddings CROSS JOIN sgc
+        |      CROSS JOIN range(1, ${Sketches.SRP_K + 1}) t(k))
+        |SELECT vec_id, CAST(k AS BIGINT) AS k, ${detRound4Sql("proj")} AS proj
+        |FROM p ORDER BY vec_id, k""".stripMargin,
+    "x_srp_recall" -> {
+      def l2(a: String, b: String, n: Int) =
+        s"list_aggregate(list_transform(range(1, ${n + 1}), i -> " +
+          s"($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
+      s"""WITH sgc AS (SELECT ${Sketches.srpSignsSql(DIM)} AS sg),
+        |v AS MATERIALIZED (SELECT vec_id,
+        |      list_transform(range(1, ${Sketches.SRP_K + 1}), k ->
+        |        list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |          i -> CAST(sg[k][i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |          'sum')) AS pv,
+        |      list_transform(range(1, ${DIM + 1}),
+        |        i -> CAST(embedding[i] AS DOUBLE)) AS fv
+        |    FROM embeddings CROSS JOIN sgc),
+        |p AS (SELECT vec_id AS p, pv AS ppv, fv AS pfv FROM v
+        |      WHERE vec_id % 100 = 0 AND vec_id < $PQ_PROBE_CAP),
+        |ax AS (SELECT p.p, v.vec_id, ${l2("ppv", "pv", Sketches.SRP_K)} AS d2
+        |       FROM v JOIN p ON v.vec_id <> p.p),
+        |ab AS (SELECT p, vec_id,
+        |         row_number() OVER (PARTITION BY p ORDER BY d2, vec_id) AS rn FROM ax),
+        |ex AS (SELECT p.p, v.vec_id, ${l2("pfv", "fv", DIM)} AS d2
+        |       FROM v JOIN p ON v.vec_id <> p.p),
+        |eb AS (SELECT p, vec_id,
+        |         row_number() OVER (PARTITION BY p ORDER BY d2, vec_id) AS rn FROM ex)
+        |SELECT a.p AS probe_id, a.vec_id AS srp_nn, b.vec_id AS exact_nn,
+        |       CAST(a.vec_id = b.vec_id AS BIGINT) AS hit
+        |FROM (SELECT * FROM ab WHERE rn = 1) a
+        |JOIN (SELECT * FROM eb WHERE rn = 1) b ON a.p = b.p
+        |ORDER BY probe_id""".stripMargin
+    },
     "x_winnow" ->
       s"""WITH $winnowCtes
         |SELECT doc_id, fp FROM fps

@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** Sketch-family semantics, pinned against independent SCALAR replays
+  * of the same md5 math (MessageDigest + BigInt, no Spark expressions)
+  * — the cross-engine determinism claim is that three implementations
+  * (Spark plan, DuckDB oracle, this replay) agree bit-for-bit.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- scalar replay helpers (independent of the Column code paths) ----
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hex32(m: String, pos0: Int): Long =
+    java.lang.Long.parseLong(m.substring(pos0, pos0 + 8), 16)
+
+  private def cmsBucketScalar(d: Int, item: String): Long =
+    hex32(md5Hex(s"$d:$item"), 0) % Sketches.CMS_W
+
+  /** Deterministic pseudo-corpus: word-ish items with a skewed
+    * repetition profile (item i appears 1 + (i % 7) times).
+    */
+  private def corpus(n: Int, tag: String): Seq[String] =
+    (0 until n).flatMap(i => Seq.fill(1 + i % 7)(s"$tag-item-${i % (n / 2 max 1)}"))
+
+  private def countsDf(items: Seq[String]) =
+    items.toDF("item").groupBy("item").agg(count(lit(1)).as("cnt"))
+
+  // ---------------------------- CMS ----------------------------
+
+  test("cms sketch equals the scalar-replay counter table") {
+    val items = corpus(200, "a")
+    val sk = Sketches.cmsSketch(countsDf(items), col("item"), col("cnt"))
+      .as[(Int, Long, Long)].collect().map { case (r, b, c) => ((r.toLong, b), c) }.toMap
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val replay = exact.toSeq
+      .flatMap { case (it, c) => (0 until Sketches.CMS_D).map(d => ((d.toLong, cmsBucketScalar(d, it)), c)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(sk == replay)
+  }
+
+  test("cms estimates never undercount, and equal exact counts absent collisions") {
+    val items = corpus(300, "b")
+    val cdf = countsDf(items)
+    val sk = Sketches.cmsSketch(cdf, col("item"), col("cnt"))
+    val est = Sketches.cmsEstimate(cdf.select("item"), col("item"), sk)
+      .as[(String, Long)].collect().toMap
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (it, c) => assert(est(it) >= c, s"undercount at $it") }
+    // collision-free items (all D buckets unshared) must estimate exactly
+    val buckets = exact.keys.toSeq
+      .flatMap(it => (0 until Sketches.CMS_D).map(d => ((d, cmsBucketScalar(d, it)), it)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val lonely = exact.keys.filter(it =>
+      (0 until Sketches.CMS_D).exists(d => buckets((d, cmsBucketScalar(d, it))) == 1))
+    assert(lonely.nonEmpty, "fixture too collided to test exactness")
+    lonely.foreach(it => assert(est(it) == exact(it), s"lonely item $it must be exact"))
+  }
+
+  test("cms sketches merge by (row, bucket) counter sum") {
+    val a = corpus(120, "m1")
+    val b = corpus(120, "m2")
+    def skMap(items: Seq[String]) =
+      Sketches.cmsSketch(countsDf(items), col("item"), col("cnt"))
+        .as[(Int, Long, Long)].collect().map { case (r, bk, c) => ((r, bk), c) }.toMap
+    val merged = (skMap(a).toSeq ++ skMap(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(skMap(a ++ b) == merged)
+  }
+
+  // ---------------------------- HLL ----------------------------
+
+  private def hllScalar(items: Seq[String]): Map[Long, Long] =
+    items.map { it =>
+      val m = md5Hex(it)
+      val v1 = hex32(m, 0)
+      val v2 = hex32(m, 8)
+      val bucket = v1 >> (32 - Sketches.HLL_B)
+      val w = ((v1 & ((1L << (32 - Sketches.HLL_B)) - 1)) << 32) | v2
+      val rank =
+        if (w == 0) Sketches.HLL_WBITS + 1
+        else Sketches.HLL_WBITS - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      (bucket, rank.toLong)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+
+  test("hll registers equal the scalar replay and ignore duplication") {
+    val items = (0 until 3000).map(i => s"hll-item-$i")
+    val once = Sketches.hllRegisters(items.toDF("item"), col("item"))
+      .as[(Long, Long, Long)].collect()
+    val twice = Sketches.hllRegisters((items ++ items).toDF("item"), col("item"))
+      .as[(Long, Long, Long)].collect()
+    assert(once.sortBy(_._1).toSeq == twice.sortBy(_._1).toSeq,
+      "max is duplicate-idempotent — HLL state must not see duplication")
+    val replay = hllScalar(items)
+    assert(once.map(r => (r._1, r._2)).toMap == replay)
+    // numer is exactly 2^(59 - register)
+    once.foreach { case (_, reg, numer) =>
+      assert(numer == (1L << (Sketches.HLL_WBITS + 1 - reg)))
+    }
+  }
+
+  test("hll estimate from the register table lands near the exact distinct count") {
+    val n = 5000
+    val items = (0 until n).flatMap(i => Seq(s"est-$i", s"est-$i")) // dups free
+    val regs = Sketches.hllRegisters(items.toDF("item"), col("item"))
+      .as[(Long, Long, Long)].collect()
+    val m = Sketches.HLL_M
+    val missing = m - regs.length
+    val harmonic = missing * 1.0 +
+      regs.map(_._3.toDouble / math.pow(2.0, Sketches.HLL_WBITS + 1)).sum
+    val alpha = 0.709 // α_64 (Flajolet et al. 2007)
+    val est = alpha * m * m / harmonic
+    assert(math.abs(est - n) / n < 0.35,
+      s"HLL estimate $est vs exact $n outside 35% (≈2.7σ at m=$m)")
+  }
+
+  // ---------------------------- SRP ----------------------------
+
+  test("srp signs are ±1, deterministic, and the projection matches a scalar replay") {
+    val dim = 8
+    val signs = Sketches.srpSigns(dim)
+    assert(signs.length == Sketches.SRP_K && signs.forall(_.length == dim))
+    assert(signs.flatten.forall(s => s == 1 || s == -1))
+    assert(signs == Sketches.srpSigns(dim), "constant table must be deterministic")
+    // replay: md5("k:i") first-nibble low bit
+    for (k <- 0 until Sketches.SRP_K; i <- 0 until dim) {
+      val nib = Integer.parseInt(md5Hex(s"$k:$i").substring(0, 1), 16)
+      assert(signs(k)(i) == (if ((nib & 1) == 1) 1 else -1))
+    }
+    val vecs = Seq((0L, (1 to dim).map(_.toFloat / 3f)), (1L, (1 to dim).map(i => -i.toFloat)))
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Sketches.srpProject(col("embedding"), dim).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until Sketches.SRP_K).map { k =>
+        (0 until dim).foldLeft(0.0)((acc, i) => acc + signs(k)(i) * v(i).toDouble)
+      }
+      assert(got(id) == want, s"projection replay mismatch for vec $id")
+    }
+  }
+
+  test("srp projected distances approximate true distances on a planted cluster") {
+    // two tight clusters far apart: projected L2 must separate them
+    val dim = 64
+    val mk = (base: Double, j: Int) => (0 until dim).map(i => (base + (i + j) % 3 * 0.01).toFloat)
+    val a = (0 until 5).map(j => (j.toLong, mk(0.0, j)))
+    val b = (0 until 5).map(j => (j + 10L, mk(5.0, j)))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Sketches.srpProject(col("embedding"), dim).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val within = for (x <- a; y <- a if x._1 < y._1) yield d2(df(x._1), df(y._1))
+    val across = for (x <- a; y <- b) yield d2(df(x._1), df(y._1))
+    assert(within.max < across.min,
+      "projected distances must separate far-apart clusters")
+  }
+}
