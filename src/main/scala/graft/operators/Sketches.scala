@@ -56,6 +56,11 @@ object Sketches {
     */
   val SRP_K = 16
 
+  /** K-minimum-values sketch size: relative error ≈ 1/√(k−2) ≈ 6% at
+    * 256. The state is k 63-bit hashes regardless of corpus size.
+    */
+  val KMV_K = 256
+
   /** First 8 hex nibbles of a 32-char md5 hex string, from `pos`
     * (1-based), as an unsigned 32-bit value in a long. The DuckDB twin
     * is [[hex32Sql]] — same nibbles, same value.
@@ -99,6 +104,19 @@ object Sketches {
       .groupBy(col("e.row").as("row"), col("e.bucket").as("bucket"))
       .agg(sum(col("e.c")).as("c"))
 
+  /** [[cmsSketch]] from RAW occurrences (no pre-count): one explode to
+    * (row, bucket) per item occurrence, one count aggregate. Same
+    * counters as the counted path (spec-pinned); this is the form a
+    * STREAMING ingest runs — a single stateful aggregation, counters
+    * merging by sum across micro-batches.
+    */
+  def cmsSketchRaw(items: DataFrame, item: Column): DataFrame =
+    items
+      .select(explode(array((0 until CMS_D).map(d =>
+        struct(lit(d).as("row"), cmsBucket(d, item).as("bucket"))): _*)).as("e"))
+      .groupBy(col("e.row").as("row"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** Point estimates from a sketch: for each row of `items` (column
     * `itemCol` named `item`), est = min over the D rows of the bucket
     * counter. The sketch is bounded (≤ D·W rows) → broadcast; the
@@ -116,6 +134,19 @@ object Sketches {
     probes.join(broadcast(sketch), Seq("row", "bucket"))
       .groupBy("item").agg(min(col("c")).as("est"))
   }
+
+  /** Join-cardinality estimate from two CMS sketches (the planner use:
+    * |A ⋈ B| on the sketched key ≈ min over hash rows of the counter
+    * inner product Σ_b cA[b]·cB[b] — an overestimate of Σ_key
+    * cntA·cntB, exact when no bucket collides). Operates ONLY on the
+    * two bounded counter tables: a ≤W-row join per hash row, one row
+    * out (`est_join`).
+    */
+  def cmsJoinEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA.withColumnRenamed("c", "ca")
+      .join(skB.withColumnRenamed("c", "cb"), Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join"))
 
   /** The HLL rank ladder as an engine-neutral CASE over the 58-bit
     * tail `w`: rank = (leading zeros of w in [[HLL_WBITS]] bits) + 1 =

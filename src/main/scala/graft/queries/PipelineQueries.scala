@@ -697,6 +697,62 @@ object PipelineQueries {
     Sketches.hllRegisters(grams, col("gram")).orderBy("bucket")
   }
 
+  /** CMS join-cardinality estimation — the query-planner use of the
+    * sketch (the AQE-style "how big is this join" question answered
+    * from two D×W counter tables instead of the data): the corpus is
+    * split by doc_id parity, each half's gram counts are sketched, and
+    * |A ⋈ B| on gram is estimated as min over the D rows of the
+    * counter inner product Σ_b cA[b]·cB[b] — an overestimate of the
+    * true join size Σ_gram cntA·cntB, exact when no bucket collides.
+    * One row out: estimate, exact, overcount. All-integer; the inner
+    * product is a ≤W-row join per hash row, computed entirely on the
+    * two bounded sketches.
+    */
+  def xCmsJoinest(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
+    def half(par: Int) = g.where(col("doc_id") % 2 === par)
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val (a, b) = (half(0), half(1))
+    val est = Sketches.cmsJoinEstimate(
+      Sketches.cmsSketch(a, col("gram"), col("cnt")),
+      Sketches.cmsSketch(b, col("gram"), col("cnt")))
+    val exact = a.withColumnRenamed("cnt", "ca").join(b.withColumnRenamed("cnt", "cb"), "gram")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_join"), col("exact_join"),
+        (col("est_join") - col("exact_join")).as("overcount"))
+  }
+
+  /** K-minimum-values distinct sketch — the mergeable cardinality
+    * sketch whose state is EXACTLY replayable as a TakeOrdered: the
+    * [[Sketches.KMV_K]] smallest md5-derived 64-bit hashes of the
+    * distinct gram set (two 32-bit halves joined, same nibble math as
+    * [[xHll]]). Unlike HLL it supports set INTERSECTION estimates, so
+    * it is the sketch a planner keeps per partition for overlap
+    * planning. Output: rank, hash value — integer state only; the
+    * (k−1)/θ float estimate lives in SketchesSpec next to the HLL one.
+    * Scale shape: one explode + distinct + TakeOrdered(k) — never a
+    * full sort at the output, vocabulary-sized input.
+    */
+  def xKmv(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val grams = Tables.documents(s, dir)
+      .select(explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
+      .distinct()
+    // 63-bit hash (top bit masked off v1): keeps the value positive in
+    // a signed BIGINT on both engines so min-order == unsigned order
+    val h = grams.select(md5(col("gram").cast("binary")).as("m"))
+      .select((Sketches.hex32(col("m"), 1).bitwiseAND(lit((1L << 31) - 1)) *
+        lit(1L << 32) + Sketches.hex32(col("m"), 9)).as("h"))
+    h.orderBy("h").limit(Sketches.KMV_K)
+      .select(row_number().over(Window.orderBy("h")).cast("bigint").as("rank"),
+        col("h"))
+      .orderBy("rank")
+  }
+
   /** Signed-random-projection (Johnson–Lindenstrauss) compression:
     * every embedding → 16 ±1-signed sums ([[Sketches.srpProject]], 4×
     * smaller), the cheapest learned-free compression tier next to SQ8/
@@ -3396,7 +3452,9 @@ object PipelineQueries {
     "x_minhash_est" -> xMinhashEst _,
     "x_cms"         -> xCms _,
     "x_cms_err"     -> xCmsErr _,
+    "x_cms_joinest" -> xCmsJoinest _,
     "x_hll"         -> xHll _,
+    "x_kmv"         -> xKmv _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5044,6 +5102,38 @@ object PipelineQueries {
         |       CAST(sum(CASE WHEN (est - cnt) * ${Sketches.CMS_W} > 2 * n_total
         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed_2nw
         |FROM est CROSS JOIN tot""".stripMargin,
+    "x_cms_joinest" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),
+        |ca AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+        |       WHERE doc_id % 2 = 0 GROUP BY gram),
+        |cb AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+        |       WHERE doc_id % 2 = 1 GROUP BY gram),
+        |ea AS (SELECT gram, cnt, unnest(range(0, ${Sketches.CMS_D})) AS r FROM ca),
+        |ba AS (SELECT r, ${Sketches.cmsBucketSql("r", "gram")} AS bucket, cnt FROM ea),
+        |sa AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c2a FROM ba GROUP BY r, bucket),
+        |e2 AS (SELECT gram, cnt, unnest(range(0, ${Sketches.CMS_D})) AS r FROM cb),
+        |bb AS (SELECT r, ${Sketches.cmsBucketSql("r", "gram")} AS bucket, cnt FROM e2),
+        |sb AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c2b FROM bb GROUP BY r, bucket),
+        |ip AS (SELECT sa.r, CAST(sum(sa.c2a * sb.c2b) AS BIGINT) AS ip
+        |       FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket GROUP BY sa.r),
+        |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join FROM ip),
+        |ex AS (SELECT CAST(coalesce(sum(ca.cnt * cb.cnt), 0) AS BIGINT) AS exact_join
+        |       FROM ca JOIN cb USING (gram))
+        |SELECT est_join, exact_join,
+        |       CAST(est_join - exact_join AS BIGINT) AS overcount
+        |FROM est CROSS JOIN ex""".stripMargin,
+    "x_kmv" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT unnest(${gramsSql(3)}) AS gram FROM t),
+        |g AS (SELECT DISTINCT gram FROM g0),
+        |m0 AS (SELECT md5(gram) AS m FROM g),
+        |h0 AS (SELECT (${Sketches.hex32Sql("m", 1)} & ${(1L << 31) - 1}) * ${1L << 32}
+        |         + ${Sketches.hex32Sql("m", 9)} AS h FROM m0),
+        |k AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM h0
+        |      ORDER BY h LIMIT ${Sketches.KMV_K})
+        |SELECT CAST(rank AS BIGINT) AS rank, CAST(h AS BIGINT) AS h
+        |FROM k ORDER BY rank""".stripMargin,
     "x_hll" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT unnest(${gramsSql(3)}) AS gram FROM t),

@@ -75,6 +75,58 @@ class SketchesSpec extends SparkSpec {
     assert(skMap(a ++ b) == merged)
   }
 
+  test("cms join estimate equals the scalar inner product and never undercounts") {
+    val a = corpus(150, "ja")
+    val b = corpus(150, "ja").map(s => if (s.hashCode % 3 == 0) s else s + "-b")
+    val skA = Sketches.cmsSketch(countsDf(a), col("item"), col("cnt"))
+    val skB = Sketches.cmsSketch(countsDf(b), col("item"), col("cnt"))
+    val est = Sketches.cmsJoinEstimate(skA, skB).as[Long].head()
+    def cm(items: Seq[String]) = {
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+      (0 until Sketches.CMS_D).map(d => exact.toSeq
+        .groupBy { case (it, _) => cmsBucketScalar(d, it) }
+        .view.mapValues(_.map(_._2).sum).toMap)
+    }
+    val (ta, tb) = (cm(a), cm(b))
+    val replay = (0 until Sketches.CMS_D).map(d =>
+      ta(d).map { case (bk, c) => c * tb(d).getOrElse(bk, 0L) }.sum).min
+    assert(est == replay)
+    val exactJoin = {
+      val ea = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val eb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      ea.map { case (it, c) => c * eb.getOrElse(it, 0L) }.sum
+    }
+    assert(exactJoin > 0, "fixture halves must overlap")
+    assert(est >= exactJoin, "inner-product estimate must not undercount")
+  }
+
+  // ---------------------------- KMV ----------------------------
+
+  private def kmvScalar(items: Seq[String]): Seq[Long] =
+    items.distinct
+      .map { it =>
+        val m = md5Hex(it)
+        ((hex32(m, 0) & ((1L << 31) - 1)) << 32) | hex32(m, 8)
+      }.sorted.take(Sketches.KMV_K)
+
+  test("kmv state merges as k-min of the union of states") {
+    val a = (0 until 2000).map(i => s"kmv-a-$i")
+    val b = (0 until 2000).map(i => s"kmv-${if (i % 2 == 0) "a" else "b"}-$i")
+    val merged = (kmvScalar(a) ++ kmvScalar(b)).distinct.sorted.take(Sketches.KMV_K)
+    assert(kmvScalar(a ++ b) == merged,
+      "k smallest of a union = k smallest of the two k-min states")
+  }
+
+  test("kmv estimate lands near the exact distinct count") {
+    val n = 20000
+    val hs = kmvScalar((0 until n).map(i => s"kmv-est-$i"))
+    assert(hs.length == Sketches.KMV_K)
+    val theta = hs.last.toDouble / math.pow(2.0, 63)
+    val est = (Sketches.KMV_K - 1) / theta
+    assert(math.abs(est - n) / n < 0.15,
+      s"KMV estimate $est vs exact $n outside 15% (≈2.4σ at k=${Sketches.KMV_K})")
+  }
+
   // ---------------------------- HLL ----------------------------
 
   private def hllScalar(items: Seq[String]): Map[Long, Long] =
