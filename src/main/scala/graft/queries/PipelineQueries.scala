@@ -38,6 +38,8 @@ object PipelineQueries {
   val PQ_M = 8
   val PQ_SUB = DIM / PQ_M
   val PQ_CODE_K = 16
+  // equi-width histogram bucket width for the n_chars quantile sketch
+  val HIST_W = 16
 
   // ---- text analysis -------------------------------------------------
 
@@ -751,6 +753,88 @@ object PipelineQueries {
       .select(row_number().over(Window.orderBy("h")).cast("bigint").as("rank"),
         col("h"))
       .orderBy("rank")
+  }
+
+  /** KMV set-INTERSECTION estimation — the operation HLL cannot do and
+    * the reason a planner keeps KMV states per partition: the corpus
+    * gram set is split by doc_id parity, each half is sketched
+    * ([[xKmv]] state), the union sketch is the k smallest of the two
+    * states MERGED, and every union-sketch member that appears in BOTH
+    * states votes for the intersection (sound because θ_U ≤ θ_A, θ_B:
+    * a union-sketch hash belonging to A is necessarily inside A's
+    * k-min state). Output is one all-integer row — n_both (the vote),
+    * theta_u (the k-th union hash), k, and the exact intersection /
+    * union distinct counts the spec scores the float estimates
+    * against. Scale shape: one distinct per half, three
+    * TakeOrdered(k), then joins of ≤k-row relations.
+    */
+  def xKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
+    // distinct on h (not just gram): KMV state is a set of HASHES
+    def hashes(par: Int) = g.where(col("doc_id") % 2 === par)
+      .select(col("gram")).distinct()
+      .select(md5(col("gram").cast("binary")).as("m"))
+      .select((Sketches.hex32(col("m"), 1).bitwiseAND(lit((1L << 31) - 1)) *
+        lit(1L << 32) + Sketches.hex32(col("m"), 9)).as("h"))
+      .distinct()
+    val (ha, hb) = (hashes(0), hashes(1))
+    def kmin(h: DataFrame) = h.orderBy("h").limit(Sketches.KMV_K)
+    val (ka, kb) = (kmin(ha), kmin(hb))
+    val ku = kmin(ka.union(kb).distinct())
+    val nBoth = ku.join(ka, Seq("h"), "left_semi")
+      .join(kb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val thetaU = ku.agg(max(col("h")).as("theta_u"))
+    val exact = ha.withColumn("in_a", lit(1)).join(
+        hb.withColumn("in_b", lit(1)), Seq("h"), "full_outer")
+      .agg(sum((col("in_a") * col("in_b")).cast("bigint")).as("exact_inter"),
+        count(lit(1)).as("exact_union"))
+    nBoth.crossJoin(broadcast(thetaU)).crossJoin(broadcast(exact))
+      .select(col("n_both"), col("theta_u"),
+        lit(Sketches.KMV_K.toLong).as("k"),
+        col("exact_inter"), col("exact_union"))
+  }
+
+  /** Equi-width histogram quantiles — the bounded-state percentile a
+    * planner/quality-gate keeps instead of a full sort: doc length
+    * (`n_chars`) is bucketed at width [[HIST_W]], and for each p ∈
+    * {25,50,90,99} the estimate is the first bucket whose cumulative
+    * count reaches ceil(p·N/100), scored against the exact discrete
+    * quantile (same index rule) computed from the per-VALUE counts.
+    * All-integer. Scale shape: two map-side-combined groupBys (values,
+    * buckets); the cumulative windows run over the bounded distinct-
+    * value/bucket relations, never the corpus; N arrives by aggregate
+    * broadcast cross join.
+    */
+  def xHistPctile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pcts = Seq(25, 50, 90, 99).toDF("p")
+    val n = docs.agg(count(lit(1)).as("n"))
+    val vc = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+    // floor-div, not CAST(x / w): DuckDB's CAST rounds where Spark's
+    // truncates — floor() agrees on both engines for the ≥0 domain
+    val bc = docs.groupBy(floor(col("n_chars") / HIST_W).cast("bigint").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
+    val tgt = pcts.crossJoin(broadcast(n))
+      .select(col("p"), ceil(col("p") * col("n") / 100).cast("bigint").as("idx"))
+    def pick(t: DataFrame, keyed: DataFrame, key: String, out: String) =
+      t.join(broadcast(keyed), col("cum") >= col("idx"))
+        .groupBy("p").agg(min(col(key)).as(out))
+    pick(tgt, vc, "v", "exact_q")
+      .join(pick(tgt, bc, "b", "hb"), "p")
+      .select(col("p").cast("bigint").as("p"), col("exact_q"),
+        (col("hb") * HIST_W).as("hist_lo"),
+        ((col("hb") + 1) * HIST_W - 1).as("hist_hi"),
+        (col("exact_q") - col("hb") * HIST_W).as("err_lo"))
+      .orderBy("p")
   }
 
   /** Signed-random-projection (Johnson–Lindenstrauss) compression:
@@ -3455,6 +3539,8 @@ object PipelineQueries {
     "x_cms_joinest" -> xCmsJoinest _,
     "x_hll"         -> xHll _,
     "x_kmv"         -> xKmv _,
+    "x_kmv_overlap" -> xKmvOverlap _,
+    "x_hist_pctile" -> xHistPctile _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5134,6 +5220,52 @@ object PipelineQueries {
         |      ORDER BY h LIMIT ${Sketches.KMV_K})
         |SELECT CAST(rank AS BIGINT) AS rank, CAST(h AS BIGINT) AS h
         |FROM k ORDER BY rank""".stripMargin,
+    "x_kmv_overlap" -> {
+      val mask = (1L << 31) - 1
+      def hSide(src: String) =
+        s"SELECT DISTINCT (${Sketches.hex32Sql("m", 1)} & $mask) * ${1L << 32} " +
+          s"+ ${Sketches.hex32Sql("m", 9)} AS h FROM $src"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),
+        |ma AS (SELECT DISTINCT md5(gram) AS m FROM g WHERE doc_id % 2 = 0),
+        |mb AS (SELECT DISTINCT md5(gram) AS m FROM g WHERE doc_id % 2 = 1),
+        |ha AS (${hSide("ma")}),
+        |hb AS (${hSide("mb")}),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT ${Sketches.KMV_K}),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT ${Sketches.KMV_K}),
+        |ku AS (SELECT h FROM (SELECT DISTINCT h FROM
+        |         (SELECT h FROM ka UNION ALL SELECT h FROM kb) u0) u1
+        |       ORDER BY h LIMIT ${Sketches.KMV_K}),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM ku
+        |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |th AS (SELECT CAST(max(h) AS BIGINT) AS theta_u FROM ku),
+        |u AS (SELECT h, max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+        |        max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+        |      FROM (SELECT h, 0 AS side FROM ha
+        |            UNION ALL SELECT h, 1 AS side FROM hb) s0 GROUP BY h),
+        |ex AS (SELECT CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter,
+        |              CAST(count(*) AS BIGINT) AS exact_union FROM u)
+        |SELECT n_both, theta_u, CAST(${Sketches.KMV_K} AS BIGINT) AS k,
+        |       exact_inter, exact_union
+        |FROM nb CROSS JOIN th CROSS JOIN ex""".stripMargin
+    },
+    "x_hist_pctile" ->
+      s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |p0 AS (SELECT unnest([25, 50, 90, 99]) AS p),
+        |tgt AS (SELECT p, CAST(ceil(p * n / 100.0) AS BIGINT) AS idx
+        |        FROM p0 CROSS JOIN n0),
+        |vc AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+        |vcc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vc),
+        |bc AS (SELECT CAST(floor(n_chars / $HIST_W.0) AS BIGINT) AS b,
+        |         count(*) AS c FROM documents GROUP BY 1),
+        |bcc AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM bc),
+        |eq AS (SELECT p, min(v) AS exact_q FROM tgt JOIN vcc ON cum >= idx GROUP BY p),
+        |hq AS (SELECT p, min(b) AS hb FROM tgt JOIN bcc ON cum >= idx GROUP BY p)
+        |SELECT CAST(p AS BIGINT) AS p, CAST(exact_q AS BIGINT) AS exact_q,
+        |       CAST(hb * $HIST_W AS BIGINT) AS hist_lo,
+        |       CAST((hb + 1) * $HIST_W - 1 AS BIGINT) AS hist_hi,
+        |       CAST(exact_q - hb * $HIST_W AS BIGINT) AS err_lo
+        |FROM eq JOIN hq USING (p) ORDER BY p""".stripMargin,
     "x_hll" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT unnest(${gramsSql(3)}) AS gram FROM t),

@@ -127,6 +127,22 @@ class SketchesSpec extends SparkSpec {
       s"KMV estimate $est vs exact $n outside 15% (≈2.4σ at k=${Sketches.KMV_K})")
   }
 
+  test("kmv union-sketch intersection vote estimates a planted 50% overlap") {
+    val n = 20000
+    val a = (0 until n).map(i => s"ov-a-$i")
+    val b = (0 until n).map(i => if (i % 2 == 0) s"ov-a-$i" else s"ov-b-$i")
+    val (ka, kb) = (kmvScalar(a), kmvScalar(b))
+    val ku = (ka ++ kb).distinct.sorted.take(Sketches.KMV_K)
+    val (saK, sbK) = (ka.toSet, kb.toSet)
+    val nBoth = ku.count(h => saK(h) && sbK(h))
+    val thetaU = ku.last.toDouble / math.pow(2.0, 63)
+    val estUnion = (Sketches.KMV_K - 1) / thetaU
+    val estInter = nBoth.toDouble / Sketches.KMV_K * estUnion
+    val exactInter = n / 2
+    assert(math.abs(estInter - exactInter) / exactInter < 0.25,
+      s"KMV intersection estimate $estInter vs exact $exactInter outside 25%")
+  }
+
   // ---------------------------- HLL ----------------------------
 
   private def hllScalar(items: Seq[String]): Map[Long, Long] =
