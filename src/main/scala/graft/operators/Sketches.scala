@@ -61,6 +61,94 @@ object Sketches {
     */
   val KMV_K = 256
 
+  /** AMS (Alon–Matias–Szegedy) F2 sketch: number of independent ±1
+    * sign rows; the estimate is the MEDIAN of the squared row sums, so
+    * an even count averages the two middle order statistics.
+    */
+  val AMS_D = 8
+
+  /** Bloom hash-function count. */
+  val BLOOM_K = 4
+
+  /** Bloom bit-count tiers (powers of two, 2^14..2^24). The WIDTH
+    * SCALES WITH THE INSERT COUNT — the [[graft.operators.Dedup.simhashWidthFor]]
+    * discipline: a fixture-pinned m saturates at 10× data (fill → 1,
+    * fp → 1). [[bloomMFor]] picks the smallest tier with m ≥ 2·k·n
+    * (fill ≤ 1−e^(−1/2) ≈ 39%, fp ≈ 0.39^k ≈ 2%), and the DuckDB
+    * oracle replays the SAME integer tiering from count(*) via
+    * [[bloomMCaseSql]], so the cross-engine match is SF-independent.
+    */
+  val BLOOM_TIERS: Seq[Int] = (14 to 24).map(1 << _)
+
+  /** Session override for the Bloom bit count (else scaled from the
+    * insert count — see [[BLOOM_TIERS]]).
+    */
+  val BloomMConf = "spark.graft.bloom.m"
+
+  /** Smallest tier with m ≥ 2·k·n; the top tier past that. */
+  def bloomMFor(n: Long): Int =
+    BLOOM_TIERS.find(m => m.toLong >= 2L * BLOOM_K * n)
+      .getOrElse(BLOOM_TIERS.last)
+
+  /** Engine-neutral CASE replaying [[bloomMFor]] over a count
+    * expression — splice into oracle SQL next to the same count the
+    * Spark plan derived m from.
+    */
+  def bloomMCaseSql(nExpr: String): String =
+    BLOOM_TIERS.init
+      .map(m => s"WHEN 2 * $BLOOM_K * ($nExpr) <= $m THEN $m")
+      .mkString("CASE ", " ", s" ELSE ${BLOOM_TIERS.last} END")
+
+  /** The ±1 AMS sign of `item` in sign row `d`: low bit of the first
+    * md5 nibble of "d~item" (the `~` salt keeps the AMS hash family
+    * disjoint from the CMS bucket family on the same items).
+    */
+  def amsSign(d: Int, item: Column): Column =
+    when(hex32(md5(concat(lit(s"$d~"), item).cast("binary")), 1)
+      .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+
+  /** DuckDB twin of [[amsSign]]. */
+  def amsSignSql(d: String, item: String): String =
+    s"(CASE WHEN ${hex32Sql(s"md5(concat(CAST($d AS VARCHAR), '~', $item))", 1)} & 1 = 1" +
+      " THEN 1 ELSE -1 END)"
+
+  /** Bloom bit index of `item` under hash function `j`, modulo the
+    * tier `m` ([[bloomMFor]]).
+    */
+  def bloomBit(j: Int, item: Column, m: Int): Column =
+    hex32(md5(concat(lit(s"$j#"), item).cast("binary")), 1) % m
+
+  /** DuckDB twin of [[bloomBit]] (`mExpr` is the replayed tier — a
+    * cross-joined scalar column or the [[bloomMCaseSql]] CASE).
+    */
+  def bloomBitSql(j: String, item: String, mExpr: String): String =
+    s"${hex32Sql(s"md5(concat(CAST($j AS VARCHAR), '#', $item))", 1)} % ($mExpr)"
+
+  /** The Bloom bit SET of an item column: distinct bit indices over
+    * the [[BLOOM_K]] hash functions — ≤m rows, the broadcast state
+    * membership probes join against.
+    */
+  def bloomBits(items: DataFrame, item: Column, m: Int): DataFrame =
+    items
+      .select(explode(array((0 until BLOOM_K).map(j =>
+        bloomBit(j, item, m)): _*)).as("bit"))
+      .distinct()
+
+  /** Membership probe: `maybe` = 1 iff ALL k bits of the item are set
+    * (no false negatives by construction; false positives measured by
+    * the caller against exact membership). The bit set is bounded →
+    * broadcast; probes stream.
+    */
+  def bloomMaybe(probes: DataFrame, item: Column, bits: DataFrame, m: Int): DataFrame =
+    probes.select(item.as("item"),
+        explode(array((0 until BLOOM_K).map(j => bloomBit(j, item, m)): _*)).as("bit"))
+      // left join + indicator (NOT a semi join): an item with zero set
+      // bits must still reach the aggregate to report maybe = 0
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"), "left")
+      .groupBy("item")
+      .agg((sum(coalesce(col("hit"), lit(0L))) === BLOOM_K)
+        .cast("bigint").as("maybe"))
+
   /** First 8 hex nibbles of a 32-char md5 hex string, from `pos`
     * (1-based), as an unsigned 32-bit value in a long. The DuckDB twin
     * is [[hex32Sql]] — same nibbles, same value.

@@ -837,6 +837,83 @@ object PipelineQueries {
       .orderBy("p")
   }
 
+  /** AMS F2 sketch — the second-moment / self-join-size estimator
+    * (Alon–Matias–Szegedy): [[Sketches.AMS_D]] independent ±1 sign
+    * rows, Z_d = Σ sign_d(gram)·cnt, estimate = median of Z², scored
+    * against the exact F2 = Σ cnt² (the size of the gram self-join —
+    * the quantity a planner wants before a skewed self-join, and the
+    * repetitiveness number a dedup pass alerts on). All integers; the
+    * even-count median averages the two middle order stats with
+    * floor-div. One explode + one 8-group aggregate; the median runs
+    * over the bounded 8-row relation.
+    */
+  def xAms(s: SparkSession, dir: String): DataFrame = {
+    val counts = gramCounts(s, dir)
+    val z = counts
+      .select(explode(array((0 until Sketches.AMS_D).map(d =>
+        struct(lit(d).as("d"),
+          (Sketches.amsSign(d, col("gram")) * col("cnt")).as("t"))): _*)).as("e"))
+      .groupBy(col("e.d").as("d")).agg(sum(col("e.t")).as("z"))
+      .select(col("d"), (col("z") * col("z")).as("z2"))
+    val med = z
+      .select(col("z2"), row_number().over(Window.orderBy("z2", "d")).as("rn"))
+      .where(col("rn") === Sketches.AMS_D / 2 || col("rn") === Sketches.AMS_D / 2 + 1)
+      .agg(sum(col("z2")).as("s2"))
+      .select(expr("CAST(s2 div 2 AS BIGINT)").as("est_f2"))
+    val exact = counts.agg(sum(col("cnt") * col("cnt")).as("exact_f2"))
+    med.crossJoin(broadcast(exact))
+      .select(col("est_f2"), col("exact_f2"),
+        detRound4(col("est_f2").cast("double") / col("exact_f2")).as("ratio"))
+  }
+
+  /** Explicit Bloom-filter membership — the oracled bit-state twin of
+    * the runtime-filter decontamination (`x_decontam_bloom` uses
+    * Spark's injected bloom; THIS one owns the bits): the even-half
+    * gram set builds an m-bit ([[Sketches.bloomMFor]], tier scaled
+    * from the insert count) / [[Sketches.BLOOM_K]]-hash filter, the
+    * odd half probes it, and the output is the
+    * confusion summary — no false negatives by construction (n_fn is
+    * asserted zero by the oracle match), measured false-positive rate
+    * against exact membership. The bit set is ≤m rows → broadcast;
+    * probes stream through one aggregate.
+    */
+  def xBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
+    def half(par: Int) = g.where(col("doc_id") % 2 === par)
+      .select("gram").distinct()
+    val (ga, gb) = (half(0), half(1))
+    // bit count scaled from the INSERT count (conf-overridable), the
+    // simhashBands discipline — the oracle replays the same tiering
+    // from count(*), so the match is SF-independent
+    val m = s.conf.getOption(Sketches.BloomMConf).map(_.toInt).getOrElse {
+      val n = graft.operators.Scale.memoArtifact(ga, "bloom_n")(
+        java.lang.Long.valueOf(ga.count()))
+      Sketches.bloomMFor(n.longValue())
+    }
+    val bits = Sketches.bloomBits(ga, col("gram"), m)
+    val maybe = Sketches.bloomMaybe(gb, col("gram"), bits, m)
+      .withColumnRenamed("item", "gram")
+    val flagged = gb
+      .join(ga.withColumn("member", lit(1L)), Seq("gram"), "left")
+      .select(col("gram"), coalesce(col("member"), lit(0L)).as("member"))
+      .join(maybe, "gram")
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    flagged.crossJoin(broadcast(nBits))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("member")).as("n_member"),
+        sum(col("maybe")).as("n_maybe"),
+        sum(when(col("maybe") === 1 && col("member") === 0, 1L).otherwise(0L)).as("n_fp"),
+        sum(when(col("maybe") === 0 && col("member") === 1, 1L).otherwise(0L)).as("n_fn"),
+        max(col("n_bits_set")).as("n_bits_set"),
+        detRound4(
+          sum(when(col("maybe") === 1 && col("member") === 0, 1L).otherwise(0L))
+            .cast("double") /
+          (count(lit(1)) - sum(col("member")))).as("fp_rate"))
+  }
+
   /** Signed-random-projection (Johnson–Lindenstrauss) compression:
     * every embedding → 16 ±1-signed sums ([[Sketches.srpProject]], 4×
     * smaller), the cheapest learned-free compression tier next to SQ8/
@@ -3541,6 +3618,8 @@ object PipelineQueries {
     "x_kmv"         -> xKmv _,
     "x_kmv_overlap" -> xKmvOverlap _,
     "x_hist_pctile" -> xHistPctile _,
+    "x_ams"         -> xAms _,
+    "x_bloom"       -> xBloom _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5249,6 +5328,52 @@ object PipelineQueries {
         |       exact_inter, exact_union
         |FROM nb CROSS JOIN th CROSS JOIN ex""".stripMargin
     },
+    "x_ams" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT unnest(${gramsSql(3)}) AS gram FROM t),
+        |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+        |z0 AS (SELECT gram, cnt, unnest(range(0, ${Sketches.AMS_D})) AS d FROM c),
+        |z1 AS (SELECT d, CAST(sum(${Sketches.amsSignSql("d", "gram")} * cnt) AS BIGINT) AS z
+        |       FROM z0 GROUP BY d),
+        |z2 AS (SELECT d, z * z AS z2 FROM z1),
+        |r AS (SELECT z2, row_number() OVER (ORDER BY z2, d) AS rn FROM z2),
+        |m AS (SELECT CAST(sum(z2) // 2 AS BIGINT) AS est_f2 FROM r
+        |      WHERE rn IN (${Sketches.AMS_D / 2}, ${Sketches.AMS_D / 2 + 1})),
+        |ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_f2 FROM c)
+        |SELECT est_f2, exact_f2,
+        |       ${detRound4Sql("est_f2 * 1.0 / exact_f2")} AS ratio
+        |FROM m CROSS JOIN ex""".stripMargin,
+    "x_bloom" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),
+        |ga AS MATERIALIZED (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+        |gb AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1),
+        |mm AS (SELECT ${Sketches.bloomMCaseSql("SELECT count(*) FROM ga")} AS m),
+        |bb0 AS (SELECT gram, m, unnest(range(0, ${Sketches.BLOOM_K})) AS j
+        |        FROM ga CROSS JOIN mm),
+        |bits AS (SELECT DISTINCT ${Sketches.bloomBitSql("j", "gram", "m")} AS bit FROM bb0),
+        |pb0 AS (SELECT gram, m, unnest(range(0, ${Sketches.BLOOM_K})) AS j
+        |        FROM gb CROSS JOIN mm),
+        |pb AS (SELECT gram, ${Sketches.bloomBitSql("j", "gram", "m")} AS bit FROM pb0),
+        |mb AS (SELECT gram,
+        |         CAST(sum(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END)
+        |              = ${Sketches.BLOOM_K} AS BIGINT) AS maybe
+        |       FROM pb GROUP BY gram),
+        |mem AS (SELECT gb.gram,
+        |          CAST(CASE WHEN ga.gram IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS member
+        |        FROM gb LEFT JOIN ga ON gb.gram = ga.gram),
+        |j AS (SELECT mb.gram, mb.maybe, mem.member FROM mb JOIN mem ON mb.gram = mem.gram),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
+        |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |       CAST(sum(member) AS BIGINT) AS n_member,
+        |       CAST(sum(maybe) AS BIGINT) AS n_maybe,
+        |       CAST(sum(CASE WHEN maybe = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+        |       CAST(sum(CASE WHEN maybe = 0 AND member = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+        |       CAST(max(n_bits_set) AS BIGINT) AS n_bits_set,
+        |       ${detRound4Sql(
+                  "sum(CASE WHEN maybe = 1 AND member = 0 THEN 1 ELSE 0 END) * 1.0 " +
+                  "/ (count(*) - sum(member))")} AS fp_rate
+        |FROM j CROSS JOIN nb""".stripMargin,
     "x_hist_pctile" ->
       s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |p0 AS (SELECT unnest([25, 50, 90, 99]) AS p),

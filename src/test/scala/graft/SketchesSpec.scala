@@ -143,6 +143,54 @@ class SketchesSpec extends SparkSpec {
       s"KMV intersection estimate $estInter vs exact $exactInter outside 25%")
   }
 
+  // ---------------------------- AMS ----------------------------
+
+  test("ams sign rows match the scalar replay and square-sum to the F2 neighborhood") {
+    val items = corpus(400, "ams")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val z = countsDf(items)
+      .select(explode(array((0 until Sketches.AMS_D).map(d =>
+        struct(lit(d).as("d"),
+          (Sketches.amsSign(d, col("item")) * col("cnt")).as("t"))): _*)).as("e"))
+      .groupBy(col("e.d").as("d")).agg(sum(col("e.t")).as("z"))
+      .as[(Int, Long)].collect().toMap
+    def signScalar(d: Int, it: String) =
+      if ((Integer.parseInt(md5Hex(s"$d~$it").substring(7, 8), 16) & 1) == 1) 1L else -1L
+    (0 until Sketches.AMS_D).foreach { d =>
+      val want = exact.map { case (it, c) => signScalar(d, it) * c }.sum
+      assert(z(d) == want, s"row $d")
+    }
+    val f2 = exact.values.map(c => c * c).sum
+    val med = z.values.map(v => v * v).toSeq.sorted
+      .slice(Sketches.AMS_D / 2 - 1, Sketches.AMS_D / 2 + 1).sum / 2
+    assert(med > 0 && med < 10 * f2, s"median-of-8 estimate $med vs F2 $f2 degenerate")
+  }
+
+  // ---------------------------- Bloom ----------------------------
+
+  test("bloom filter admits every inserted item and bounds false positives") {
+    val m = Sketches.bloomMFor(500)
+    val ins = (0 until 500).map(i => s"bl-in-$i").toDF("item")
+    val bits = Sketches.bloomBits(ins, col("item"), m)
+    val inHits = Sketches.bloomMaybe(ins, col("item"), bits, m)
+      .as[(String, Long)].collect()
+    assert(inHits.forall(_._2 == 1L), "a Bloom filter must have NO false negatives")
+    val out = (0 until 2000).map(i => s"bl-out-$i").toDF("item")
+    val fp = Sketches.bloomMaybe(out, col("item"), bits, m)
+      .as[(String, Long)].collect().count(_._2 == 1L)
+    assert(fp < 200, s"fp=$fp of 2000 absent probes — far above the ~2% design point")
+  }
+
+  test("bloom width tiers scale with the insert count on exact boundaries") {
+    val k = Sketches.BLOOM_K
+    assert(Sketches.bloomMFor(1) == Sketches.BLOOM_TIERS.head)
+    Sketches.BLOOM_TIERS.init.foreach { m =>
+      assert(Sketches.bloomMFor(m / (2 * k)) == m, s"n at the edge stays in tier $m")
+      assert(Sketches.bloomMFor(m / (2 * k) + 1) == m * 2, s"n past the edge promotes")
+    }
+    assert(Sketches.bloomMFor(Long.MaxValue / 16) == Sketches.BLOOM_TIERS.last)
+  }
+
   // ---------------------------- HLL ----------------------------
 
   private def hllScalar(items: Seq[String]): Map[Long, Long] =
