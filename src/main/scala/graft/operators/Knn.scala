@@ -759,4 +759,74 @@ object Knn {
       .where(col("rank") <= k)
       .select("probe_id", "cand_id", "rank", "sim")
   }
+
+  /** 2^20 — [[powerIteration]]'s per-component quantum (the
+    * [[kmeansRefine]] discipline's component scale).
+    */
+  val PowerQ: Long = 1L << 20
+
+  /** Dominant eigenvector of the corpus second-moment matrix
+    * S = Σ_i x_i·x_iᵀ by power iteration — the top principal direction
+    * a curation pipeline uses for embedding-space anisotropy
+    * diagnostics and "all-but-the-top" spectral cleanup (Mu & Viswanath
+    * 2018, arXiv:1702.01417).
+    *
+    * SCALE SHAPE: ONE corpus pass builds the quantized dim×dim moment
+    * matrix (a double posexplode, map-side-combined down to ≤dim² rows,
+    * staged once); every iteration then runs entirely on that bounded
+    * relation — at 100 TB the data is read once and extra iterations
+    * cost nothing more. (For T < dim the T-pass matvec variant does
+    * fewer multiplies, but it re-reads the corpus T times; at scale the
+    * scan, not the per-row dim² combine, is the bottleneck.) Each
+    * iteration's 64-row vector is staged (the [[Dedup.dupClusters]]
+    * loop discipline) so the two consumers per round — matvec and
+    * max-norm — don't compound lineage exponentially.
+    *
+    * EXACTNESS: components quantize once to p = round(x·2^20);
+    * M_jk = Σ p_j·p_k sums exactly as DECIMAL(38,0) in any partition
+    * order; each round's matvec s = M·r and max-norm renormalization
+    * r' = sign(s)·((|s|·2^20) div max|s|) are pure integer arithmetic —
+    * bit-reproducible across engines, partitionings and SFs. The one
+    * double appears at the end: the max-norm eigenvalue estimate
+    * λ ≈ max|s|/2^60, computed as an integer div to 4 decimals first.
+    * Headroom: |s| ≤ dim·n·(2^20·max|x|)²·2^20 — ~2^100 at n = 10^9,
+    * inside DECIMAL(38,0)'s ~2^126.
+    *
+    * Returns `dim` rows (dim 1-based, v_q the eigenvector component at
+    * 2^20 max-norm scale, lambda rounded to 4 decimals). The sign
+    * convention follows the all-ones start vector.
+    */
+  def powerIteration(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "powerIteration needs at least one round")
+    val s = vectors.sparkSession
+    import s.implicits._
+    val P = PowerQ
+    val qv = vectors.select(transform(col("embedding"),
+      x => round(x.cast("double") * P).cast("long")).as("q"))
+    val m = Scale.stage(
+      qv.select(posexplode(col("q")).as(Seq("j0", "pj")), col("q"))
+        .select(col("j0"), col("pj"), posexplode(col("q")).as(Seq("k0", "pk")))
+        .groupBy((col("j0") + 1).cast("bigint").as("j"),
+          (col("k0") + 1).cast("bigint").as("k"))
+        .agg(sum((col("pj") * col("pk")).cast("decimal(38,0)")).as("m")))
+    val r0 = (1 to dim).map(j => (j.toLong, P)).toDF("j", "r")
+    val (rF, mxF) = (1 to iters).foldLeft((r0, null: DataFrame)) {
+      case ((r, _), _) =>
+        val sv = m
+          .join(broadcast(r.select(col("j").as("k"), col("r").as("rk"))), "k")
+          .groupBy("j").agg(sum(col("m") * col("rk")).as("s"))
+        val mx = sv.agg(greatest(max(abs(col("s"))),
+          lit(1).cast("decimal(38,0)")).as("mx"))
+        val rn = Scale.stage(sv.crossJoin(broadcast(mx))
+          .select(col("j"),
+            (when(col("s") < 0, -1L).otherwise(1L) *
+              expr(s"(abs(s) * $P) div mx")).as("r")))
+        (rn, mx)
+    }
+    val lam = mxF.select(
+      (expr(s"(mx * 10000) div ${P * P * P}").cast("double") / 1e4).as("lambda0"))
+    rF.crossJoin(broadcast(lam))
+      .select(col("j").cast("bigint").as("dim"), col("r").cast("bigint").as("v_q"),
+        graft.functions.Det.detRound4(col("lambda0")).as("lambda"))
+  }
 }

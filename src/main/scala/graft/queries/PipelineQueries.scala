@@ -914,6 +914,23 @@ object PipelineQueries {
           (count(lit(1)) - sum(col("member")))).as("fp_rate"))
   }
 
+  /** Power-iteration rounds for [[xPowerIter]] — the oracle unrolls
+    * its CTE chain from THIS val, so a bump propagates to both engines.
+    */
+  val PI_ITERS = 8
+
+  /** Dominant eigenvector + eigenvalue of the embedding second-moment
+    * matrix ([[Knn.powerIteration]]): the spectral-anisotropy
+    * diagnostic of the embedding space ("all-but-the-top" cleanup, PCA
+    * whitening prep). One corpus pass builds the quantized 64×64
+    * moment matrix; [[PI_ITERS]] integer-exact max-norm power rounds
+    * run on that bounded staged relation — the oracle replays the
+    * identical integer recurrence unrolled from the same constants.
+    */
+  def xPowerIter(s: SparkSession, dir: String): DataFrame =
+    Knn.powerIteration(Tables.embeddings(s, dir), DIM, PI_ITERS)
+      .orderBy("dim")
+
   /** Signed-random-projection (Johnson–Lindenstrauss) compression:
     * every embedding → 16 ±1-signed sums ([[Sketches.srpProject]], 4×
     * smaller), the cheapest learned-free compression tier next to SQ8/
@@ -3620,6 +3637,7 @@ object PipelineQueries {
     "x_hist_pctile" -> xHistPctile _,
     "x_ams"         -> xAms _,
     "x_bloom"       -> xBloom _,
+    "x_power_iter"  -> xPowerIter _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5374,6 +5392,30 @@ object PipelineQueries {
                   "sum(CASE WHEN maybe = 1 AND member = 0 THEN 1 ELSE 0 END) * 1.0 " +
                   "/ (count(*) - sum(member))")} AS fp_rate
         |FROM j CROSS JOIN nb""".stripMargin,
+    // the iteration chain unrolls from the SAME Scala vals the query
+    // uses (PI_ITERS, Knn.PowerQ) — a constant bump moves both engines
+    "x_power_iter" -> {
+      val P = graft.operators.Knn.PowerQ
+      val iters = (1 to PI_ITERS).map { i =>
+        s"""s$i AS (SELECT m.j, sum(m.m * r.r) AS s FROM m JOIN r${i - 1} r ON m.k = r.j
+          |        GROUP BY m.j),
+          |x$i AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s$i),
+          |r$i AS (SELECT j, (CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((abs(s) * $P) // mx) AS r
+          |        FROM s$i CROSS JOIN x$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT list_transform(embedding, x ->
+        |       CAST(round(CAST(x AS DOUBLE) * $P) AS BIGINT)) AS q FROM embeddings),
+        |p0 AS (SELECT q, unnest(range(1, ${DIM + 1})) AS j FROM q),
+        |p1 AS (SELECT q, j, unnest(range(1, ${DIM + 1})) AS k FROM p0),
+        |m AS MATERIALIZED (SELECT j, k, sum(CAST(q[j] AS HUGEINT) * q[k]) AS m
+        |     FROM p1 GROUP BY j, k),
+        |r0 AS (SELECT unnest(range(1, ${DIM + 1})) AS j, CAST($P AS HUGEINT) AS r),
+        |$iters,
+        |l AS (SELECT CAST((mx * 10000) // ${P * P * P} AS BIGINT) AS le4 FROM x$PI_ITERS)
+        |SELECT CAST(j AS BIGINT) AS dim, CAST(r AS BIGINT) AS v_q,
+        |       ${detRound4Sql("le4 / 10000.0")} AS lambda
+        |FROM r$PI_ITERS CROSS JOIN l ORDER BY dim""".stripMargin
+    },
     "x_hist_pctile" ->
       s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |p0 AS (SELECT unnest([25, 50, 90, 99]) AS p),

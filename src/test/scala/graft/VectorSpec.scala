@@ -475,4 +475,47 @@ class VectorSpec extends SparkSpec {
       .select("pick", "cand_id").as[(Long, Long)].collect().toMap
     assert(again == out)
   }
+
+  test("power iteration matches a bit-exact scalar replay of the integer recurrence") {
+    val dim = 6
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f))
+    }
+    // plant a dominant direction so convergence is fast and unambiguous
+    val planted = vecs.map { case (id, v) =>
+      val a = v.clone(); a(2) = a(2) + 3.0f; (id, a)
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val got = Knn.powerIteration(df, dim, 8)
+      .orderBy("dim").as[(Long, Long, Double)].collect()
+
+    // scalar replay of the SAME integer algorithm
+    val P = Knn.PowerQ
+    // NOT math.round: engine round() is half-AWAY-FROM-ZERO; math.round
+    // is half-toward-+inf — they differ on negative exact halves
+    val q = planted.map(_._2.map(x =>
+      BigDecimal(x.toDouble * P).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val m = Array.ofDim[BigInt](dim, dim)
+    for (j <- 0 until dim; k <- 0 until dim)
+      m(j)(k) = q.map(v => BigInt(v(j)) * v(k)).sum
+    var r = Array.fill(dim)(BigInt(P))
+    var mx = BigInt(1)
+    for (_ <- 1 to 8) {
+      val sV = (0 until dim).map(j => (0 until dim).map(k => m(j)(k) * r(k)).sum)
+      mx = sV.map(_.abs).max.max(BigInt(1))
+      r = sV.map(s => (if (s < 0) BigInt(-1) else BigInt(1)) * (s.abs * P / mx)).toArray
+    }
+    val le4 = (mx * 10000 / (BigInt(P) * P * P)).toLong
+    got.foreach { case (d, vq, lam) =>
+      assert(BigInt(vq) == r(d.toInt - 1), s"component $d: $vq vs ${r(d.toInt - 1)}")
+      assert(math.abs(lam - le4 / 1e4) < 5e-5, s"lambda $lam vs ${le4 / 1e4}")
+    }
+    // the planted axis dominates: component 3 carries the max-norm peak
+    assert(got(2)._2 == P, s"planted dim should hit the max-norm scale: ${got.toSeq}")
+    // eigenvalue sanity: dominant eigenvalue >= trace/dim (mean eigenvalue)
+    val trace = q.map(v => v.map(x => BigInt(x) * x).sum).sum
+    assert(BigInt((got.head._3 * 1e4).toLong) * P * P * dim >= trace * 10000 / 2,
+      "dominant eigenvalue must be at least half the mean-eigenvalue bound")
+  }
 }
