@@ -931,6 +931,68 @@ object PipelineQueries {
     Knn.powerIteration(Tables.embeddings(s, dir), DIM, PI_ITERS)
       .orderBy("dim")
 
+  /** Spectral-outlier cut size. */
+  val OUTLIER_K = 20
+
+  /** Shared WITH-body for the power-iteration oracles: quantized
+    * vectors → 64×64 moment matrix (MATERIALIZED — referenced by every
+    * unrolled round) → [[PI_ITERS]] integer max-norm rounds, ending at
+    * `r$PI_ITERS` / `x$PI_ITERS`. The unroll derives from the same
+    * Scala vals [[Knn.PowerQ]]/[[PI_ITERS]] the Spark plan uses.
+    */
+  private def powerIterCtes: String = {
+    val P = graft.operators.Knn.PowerQ
+    val iters = (1 to PI_ITERS).map { i =>
+      s"""s$i AS (SELECT m.j, sum(m.m * r.r) AS s FROM m JOIN r${i - 1} r ON m.k = r.j
+        |        GROUP BY m.j),
+        |x$i AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s$i),
+        |r$i AS (SELECT j, (CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((abs(s) * $P) // mx) AS r
+        |        FROM s$i CROSS JOIN x$i)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (SELECT vec_id, list_transform(embedding, x ->
+      |       CAST(round(CAST(x AS DOUBLE) * $P) AS BIGINT)) AS q FROM embeddings),
+      |p0 AS (SELECT q, unnest(range(1, ${DIM + 1})) AS j FROM q),
+      |p1 AS (SELECT q, j, unnest(range(1, ${DIM + 1})) AS k FROM p0),
+      |m AS MATERIALIZED (SELECT j, k, sum(CAST(q[j] AS HUGEINT) * q[k]) AS m
+      |     FROM p1 GROUP BY j, k),
+      |r0 AS (SELECT unnest(range(1, ${DIM + 1})) AS j, CAST($P AS HUGEINT) AS r),
+      |$iters""".stripMargin
+  }
+
+  /** Spectral outlier scoring — the "all-but-the-top" consumer of
+    * [[xPowerIter]]: every vector's projection onto the dominant
+    * eigendirection (an exact integer Σ q_j·r_j over the 64-row
+    * broadcast direction) and its cosine to that axis; the
+    * [[OUTLIER_K]] most-aligned vectors are the anisotropy outliers a
+    * cleanup pass would recenter or drop. Norms assemble from exact
+    * integer sums (all < 2^53, so the double conversions are exact)
+    * into ONE sqrt+division per row. Scale shape: the power chain is
+    * one corpus pass + bounded iteration; scoring is one more corpus
+    * pass against two broadcast scalars; TakeOrdered(20) ends it.
+    */
+  def xSpectralOutliers(s: SparkSession, dir: String): DataFrame = {
+    val P = Knn.PowerQ
+    val emb = Tables.embeddings(s, dir)
+    val dirV = Knn.powerIteration(emb, DIM, PI_ITERS)
+    val q = emb.select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * P).cast("long"))).as(Seq("j0", "p")))
+      .select(col("vec_id"), (col("j0") + 1).cast("bigint").as("dim"), col("p"))
+    val scored = q.join(broadcast(dirV.select(col("dim"), col("v_q"))), "dim")
+      .groupBy("vec_id")
+      .agg(sum(col("p") * col("v_q")).as("proj"),
+        sum(col("p") * col("p")).as("q2"))
+    val r2 = dirV.agg(sum(col("v_q") * col("v_q")).as("r2"))
+    scored.crossJoin(broadcast(r2))
+      .select(col("vec_id"), col("proj").cast("bigint").as("proj_q"),
+        detRound4(when(col("q2") === 0, lit(0.0)).otherwise(
+          col("proj").cast("double") /
+            sqrt(col("q2").cast("double") * col("r2").cast("double"))))
+          .as("cos_pc1"))
+      .orderBy(abs(col("cos_pc1")).desc, col("vec_id"))
+      .limit(OUTLIER_K)
+      .orderBy("vec_id")
+  }
+
   /** Signed-random-projection (Johnson–Lindenstrauss) compression:
     * every embedding → 16 ±1-signed sums ([[Sketches.srpProject]], 4×
     * smaller), the cheapest learned-free compression tier next to SQ8/
@@ -3638,6 +3700,7 @@ object PipelineQueries {
     "x_ams"         -> xAms _,
     "x_bloom"       -> xBloom _,
     "x_power_iter"  -> xPowerIter _,
+    "x_spectral_outliers" -> xSpectralOutliers _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5396,26 +5459,28 @@ object PipelineQueries {
     // uses (PI_ITERS, Knn.PowerQ) — a constant bump moves both engines
     "x_power_iter" -> {
       val P = graft.operators.Knn.PowerQ
-      val iters = (1 to PI_ITERS).map { i =>
-        s"""s$i AS (SELECT m.j, sum(m.m * r.r) AS s FROM m JOIN r${i - 1} r ON m.k = r.j
-          |        GROUP BY m.j),
-          |x$i AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s$i),
-          |r$i AS (SELECT j, (CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((abs(s) * $P) // mx) AS r
-          |        FROM s$i CROSS JOIN x$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS (SELECT list_transform(embedding, x ->
-        |       CAST(round(CAST(x AS DOUBLE) * $P) AS BIGINT)) AS q FROM embeddings),
-        |p0 AS (SELECT q, unnest(range(1, ${DIM + 1})) AS j FROM q),
-        |p1 AS (SELECT q, j, unnest(range(1, ${DIM + 1})) AS k FROM p0),
-        |m AS MATERIALIZED (SELECT j, k, sum(CAST(q[j] AS HUGEINT) * q[k]) AS m
-        |     FROM p1 GROUP BY j, k),
-        |r0 AS (SELECT unnest(range(1, ${DIM + 1})) AS j, CAST($P AS HUGEINT) AS r),
-        |$iters,
+      s"""WITH $powerIterCtes,
         |l AS (SELECT CAST((mx * 10000) // ${P * P * P} AS BIGINT) AS le4 FROM x$PI_ITERS)
         |SELECT CAST(j AS BIGINT) AS dim, CAST(r AS BIGINT) AS v_q,
         |       ${detRound4Sql("le4 / 10000.0")} AS lambda
         |FROM r$PI_ITERS CROSS JOIN l ORDER BY dim""".stripMargin
     },
+    "x_spectral_outliers" ->
+      s"""WITH $powerIterCtes,
+        |w AS (SELECT vec_id, j, q[j] AS p
+        |      FROM (SELECT vec_id, q, unnest(range(1, ${DIM + 1})) AS j FROM q)),
+        |sc AS (SELECT w.vec_id, sum(w.p * r.r) AS proj, sum(w.p * w.p) AS q2
+        |       FROM w JOIN r$PI_ITERS r ON w.j = r.j GROUP BY w.vec_id),
+        |rr AS (SELECT sum(r * r) AS r2 FROM r$PI_ITERS),
+        |o AS (SELECT vec_id, CAST(proj AS BIGINT) AS proj_q,
+        |        ${detRound4Sql(
+                  "CASE WHEN q2 = 0 THEN 0.0 ELSE CAST(proj AS DOUBLE) " +
+                  "/ sqrt(CAST(q2 AS DOUBLE) * CAST(r2 AS DOUBLE)) END")} AS cos_pc1
+        |      FROM sc CROSS JOIN rr)
+        |SELECT * FROM
+        |  (SELECT vec_id, proj_q, cos_pc1 FROM o
+        |   ORDER BY abs(cos_pc1) DESC, vec_id LIMIT $OUTLIER_K)
+        |ORDER BY vec_id""".stripMargin,
     "x_hist_pctile" ->
       s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |p0 AS (SELECT unnest([25, 50, 90, 99]) AS p),

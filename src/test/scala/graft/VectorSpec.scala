@@ -518,4 +518,23 @@ class VectorSpec extends SparkSpec {
     assert(BigInt((got.head._3 * 1e4).toLong) * P * P * dim >= trace * 10000 / 2,
       "dominant eigenvalue must be at least half the mean-eigenvalue bound")
   }
+
+  test("power-iteration direction is axis-aligned on a planted anisotropic cloud") {
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    // background: tiny isotropic noise; planted: big spread along dim 5
+    val vecs = (0 until 120).map { i =>
+      val v = Array.fill(dim)((rnd.nextFloat() - 0.5f) * 0.1f)
+      v(4) = v(4) + (if (i % 2 == 0) 2.0f else -2.0f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val d = Knn.powerIteration(vecs, dim, 8)
+      .orderBy("dim").as[(Long, Long, Double)].collect()
+    val comps = d.map(_._2.toDouble)
+    val nrm = math.sqrt(comps.map(c => c * c).sum)
+    assert(math.abs(comps(4)) / nrm > 0.99,
+      s"dominant direction must align with the planted axis: ${comps.toSeq}")
+    assert(math.abs(comps(4)) == Knn.PowerQ.toDouble,
+      "the max-norm peak sits on the planted axis at full scale")
+  }
 }
