@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators: distribution-law fits and summary
+  * moments a curation pipeline reads before choosing thresholds.
+  *
+  * Exactness discipline: anything order-dependent (sums of doubles)
+  * quantizes to integers first — ln() runs only on BOUNDED relations
+  * (the x_dsir rule), per-value results quantize at 2^20, and all
+  * sums accumulate exactly as DECIMAL(38,0); doubles reappear in ONE
+  * final assembly per output column.
+  */
+object Stats {
+
+  /** 2^20 — the per-value quantum for [[zipfFit]]'s ln values. */
+  val LnQ: Long = 1L << 20
+
+  /** Zipf-law fit over a frequency relation: take the top-`k` items by
+    * count (the head — where Zipf's law is classically read), rank
+    * them 1..k, and fit ln(cnt) = intercept + slope·ln(rank) by OLS.
+    * A natural-language corpus sits near slope ≈ −1; the slope and r²
+    * are the repetitiveness / vocabulary-health numbers a pipeline
+    * alerts on (word-salad → flat slope, low r²; template spam →
+    * cliff-shaped head, low r²).
+    *
+    * One row out: (n_head, slope, intercept_ln, r2).
+    *
+    * SCALE SHAPE: the count relation aggregates map-side; TakeOrdered
+    * bounds the head at k rows, and everything after — the rank
+    * window, the ln quantization, the five sums — runs on that bounded
+    * relation (the empty-partition window is legal here for exactly
+    * that reason). EXACTNESS: x = round(ln rank·2^20) and
+    * y = round(ln cnt·2^20) are non-negative integers; Σx, Σy, Σx²,
+    * Σy², Σxy accumulate as DECIMAL(38,0); slope/intercept/r² each
+    * assemble in one double expression from those exact sums, so the
+    * result is independent of partitioning and bit-equal across
+    * engines (ln itself runs on ≤k rows — the bounded-table rule).
+    */
+  def zipfFit(counts: DataFrame, item: Column, cnt: Column, k: Int): DataFrame = {
+    val Q = LnQ
+    val head = counts.select(item.as("item"), cnt.as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("item"))
+    val xy = head.withColumn("rank", row_number().over(w))
+      .select(round(log(col("rank").cast("double")) * Q).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * Q).cast("long").as("y"))
+    val sums = xy.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    // degenerate-head guards (Spark ANSI: even DOUBLE /0 throws; DuckDB
+    // /0 is inf — the CASE makes both engines emit the same 0.0):
+    // zero x-variance (head of <= 1 row) -> slope/intercept 0; zero
+    // y-variance (all-tied counts) -> r2 0
+    sums.select(col("n").as("n_head"),
+      graft.functions.Det.detRound4(expr(
+        "CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE " +
+          "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END"))
+        .as("slope"),
+      graft.functions.Det.detRound4(expr(
+        s"CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE " +
+          s"CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / $Q END"))
+        .as("intercept_ln"),
+      graft.functions.Det.detRound4(expr(
+        "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0 ELSE " +
+          "CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)" +
+          " / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END"))
+        .as("r2"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Knn, Sampling, Sketches}
+import graft.operators.{Dedup, Knn, Sampling, Sketches, Stats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -865,6 +865,19 @@ object PipelineQueries {
       .select(col("est_f2"), col("exact_f2"),
         detRound4(col("est_f2").cast("double") / col("exact_f2")).as("ratio"))
   }
+
+  /** Zipf head size for [[xZipf]] — shared with the oracle. */
+  val ZIPF_K = 1000
+
+  /** Zipf-law fit over the corpus 3-gram frequencies
+    * ([[graft.operators.Stats.zipfFit]]): OLS slope/intercept/r² of
+    * ln(cnt) against ln(rank) on the top-[[ZIPF_K]] head — the
+    * vocabulary-health law a curation pass checks before trusting
+    * frequency-based filters (natural text ≈ −1 slope, high r²).
+    * ln() runs only on the bounded head; every sum is exact integers.
+    */
+  def xZipf(s: SparkSession, dir: String): DataFrame =
+    Stats.zipfFit(gramCounts(s, dir), col("gram"), col("cnt"), ZIPF_K)
 
   /** Explicit Bloom-filter membership — the oracled bit-state twin of
     * the runtime-filter decontamination (`x_decontam_bloom` uses
@@ -3701,6 +3714,7 @@ object PipelineQueries {
     "x_bloom"       -> xBloom _,
     "x_power_iter"  -> xPowerIter _,
     "x_spectral_outliers" -> xSpectralOutliers _,
+    "x_zipf"        -> xZipf _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5424,6 +5438,30 @@ object PipelineQueries {
         |SELECT est_f2, exact_f2,
         |       ${detRound4Sql("est_f2 * 1.0 / exact_f2")} AS ratio
         |FROM m CROSS JOIN ex""".stripMargin,
+    "x_zipf" -> {
+      val Q = Stats.LnQ
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT unnest(${gramsSql(3)}) AS gram FROM t),
+        |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+        |h AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, gram) AS rank
+        |      FROM c ORDER BY cnt DESC, gram LIMIT $ZIPF_K),
+        |xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * $Q) AS BIGINT) AS x,
+        |              CAST(round(ln(CAST(cnt AS DOUBLE)) * $Q) AS BIGINT) AS y FROM h),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM xy)
+        |SELECT n AS n_head,
+        |  ${detRound4Sql(
+              "CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE " +
+              "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END")} AS slope,
+        |  ${detRound4Sql(
+              s"CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE " +
+              s"CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / $Q END")} AS intercept_ln,
+        |  ${detRound4Sql(
+              "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0 ELSE " +
+              "CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)" +
+              " / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END")} AS r2
+        |FROM s""".stripMargin
+    },
     "x_bloom" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),

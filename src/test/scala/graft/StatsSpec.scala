@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zipf fit recovers slope -1 and r2 ~ 1 on an exact power law") {
+    // cnt(r) = round(C / r): the textbook Zipf head
+    val counts = (1 to 300).map(r => (f"item$r%04d", math.round(1e6 / r)))
+      .toDF("item", "cnt")
+    val row = Stats.zipfFit(counts, col("item"), col("cnt"), 300)
+      .as[(Long, Double, Double, Double)].head()
+    val (n, slope, intercept, r2) = row
+    assert(n == 300L)
+    assert(math.abs(slope + 1.0) < 0.01, s"slope $slope should be ~ -1")
+    assert(math.abs(intercept - math.log(1e6)) < 0.05,
+      s"intercept $intercept should be ~ ln(C)")
+    assert(r2 > 0.9999, s"r2 $r2 should be ~ 1 on an exact law")
+  }
+
+  test("zipf fit slope is flat on a near-uniform head (word-salad signature)") {
+    // near-uniform frequencies: after rank-sorting, ln(cnt) is still
+    // monotone (rank is DEFINED by the sort, so r2 stays highish) but
+    // the SLOPE — the signal a quality gate reads — collapses to ~0,
+    // nowhere near a natural corpus's -1
+    val counts = (1 to 100).map(r => (f"u$r%03d", 500L + (r * 37) % 5))
+      .toDF("item", "cnt")
+    val (_, slope, _, _) = Stats.zipfFit(counts, col("item"), col("cnt"), 100)
+      .as[(Long, Double, Double, Double)].head()
+    assert(math.abs(slope) < 0.01, s"slope $slope should be ~ 0 on uniform counts")
+  }
+
+  test("zipf fit survives degenerate heads: all-tied counts and a 1-row head") {
+    // all counts equal: y-variance 0 -> r2 guard (Spark ANSI would
+    // otherwise throw DIVIDE_BY_ZERO on the double division)
+    val tied = (1 to 50).map(r => (s"t$r", 10L)).toDF("item", "cnt")
+    val (n, _, _, r2) = Stats.zipfFit(tied, col("item"), col("cnt"), 20)
+      .as[(Long, Double, Double, Double)].head()
+    assert(n == 20L, "head is capped at k")
+    assert(r2 == 0.0, "all-tied head has no fit: r2 convention 0")
+    // one row: x-variance 0 -> slope/intercept guard
+    val one = Seq(("only", 42L)).toDF("item", "cnt")
+    val (n1, s1, i1, r21) = Stats.zipfFit(one, col("item"), col("cnt"), 20)
+      .as[(Long, Double, Double, Double)].head()
+    assert(n1 == 1L && s1 == 0.0 && i1 == 0.0 && r21 == 0.0)
+  }
+}
