@@ -40,13 +40,26 @@ object Stats {
     * engines (ln itself runs on ≤k rows — the bounded-table rule).
     */
   def zipfFit(counts: DataFrame, item: Column, cnt: Column, k: Int): DataFrame = {
-    val Q = LnQ
     val head = counts.select(item.as("item"), cnt.as("cnt"))
       .orderBy(col("cnt").desc, col("item")).limit(k)
     val w = Window.orderBy(col("cnt").desc, col("item"))
-    val xy = head.withColumn("rank", row_number().over(w))
-      .select(round(log(col("rank").cast("double")) * Q).cast("long").as("x"),
-        round(log(col("cnt").cast("double")) * Q).cast("long").as("y"))
+    lnOlsFit(head.withColumn("rank", row_number().over(w)),
+      col("rank"), col("cnt"))
+      .withColumnRenamed("n_pts", "n_head")
+  }
+
+  /** OLS fit of ln(y) against ln(x) over positive integer pairs — the
+    * shared core of [[zipfFit]] and the Heaps'-law fit. Non-positive
+    * pairs are outside the log-log domain and are dropped (both
+    * engines apply the same filter). One row out:
+    * (n_pts, slope, intercept_ln, r2), with the degenerate-variance
+    * guards described on [[zipfFit]].
+    */
+  def lnOlsFit(pairs: DataFrame, xv: Column, yv: Column): DataFrame = {
+    val Q = LnQ
+    val xy = pairs.where(xv > 0 && yv > 0)
+      .select(round(log(xv.cast("double")) * Q).cast("long").as("x"),
+        round(log(yv.cast("double")) * Q).cast("long").as("y"))
     val sums = xy.agg(count(lit(1)).as("n"),
       sum(col("x").cast("decimal(38,0)")).as("sx"),
       sum(col("y").cast("decimal(38,0)")).as("sy"),
@@ -57,7 +70,7 @@ object Stats {
     // /0 is inf — the CASE makes both engines emit the same 0.0):
     // zero x-variance (head of <= 1 row) -> slope/intercept 0; zero
     // y-variance (all-tied counts) -> r2 0
-    sums.select(col("n").as("n_head"),
+    sums.select(col("n").as("n_pts"),
       graft.functions.Det.detRound4(expr(
         "CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE " +
           "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END"))

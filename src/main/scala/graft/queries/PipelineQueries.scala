@@ -879,6 +879,41 @@ object PipelineQueries {
   def xZipf(s: SparkSession, dir: String): DataFrame =
     Stats.zipfFit(gramCounts(s, dir), col("gram"), col("cnt"), ZIPF_K)
 
+  /** Heaps'-law checkpoint count — shared with the oracle. */
+  val HEAPS_B = 16
+
+  /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β, read off
+    * [[HEAPS_B]] doc-prefix checkpoints (cut_i = (i·nDocs) div B —
+    * the rule derives from count(*) in BOTH engines, so it is
+    * SF-independent). Per checkpoint: tokens = Σ gram occurrences in
+    * the prefix, vocab = #grams whose FIRST occurrence (min doc_id —
+    * one aggregate, no running state) lands in the prefix; β and ln K
+    * come from [[Stats.lnOlsFit]] on the 16 bounded points. β well
+    * under 1 is healthy text; β ≈ 1 means vocabulary grows as fast as
+    * the corpus — the word-salad / boilerplate-explosion alarm. Scale
+    * shape: two map-side aggregates over one explode, then everything
+    * runs on ≤B-row or broadcast relations.
+    */
+  def xHeaps(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
+    val fo = g.groupBy("gram").agg(min(col("doc_id")).as("fd"))
+    val dt = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    val nD = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    val cuts = s.range(1, HEAPS_B + 1).toDF("i")
+      .crossJoin(broadcast(nD))
+      .select(col("i"), expr(s"(i * nd) div $HEAPS_B").as("cut"))
+    val toks = dt.crossJoin(broadcast(cuts))
+      .where(col("doc_id") < col("cut"))
+      .groupBy("i").agg(sum(col("ng")).as("tokens"))
+    val voc = fo.crossJoin(broadcast(cuts))
+      .where(col("fd") < col("cut"))
+      .groupBy("i").agg(count(lit(1)).as("vocab"))
+    Stats.lnOlsFit(toks.join(voc, "i"), col("tokens"), col("vocab"))
+  }
+
   /** Explicit Bloom-filter membership — the oracled bit-state twin of
     * the runtime-filter decontamination (`x_decontam_bloom` uses
     * Spark's injected bloom; THIS one owns the bits): the even-half
@@ -953,6 +988,32 @@ object PipelineQueries {
     * `r$PI_ITERS` / `x$PI_ITERS`. The unroll derives from the same
     * Scala vals [[Knn.PowerQ]]/[[PI_ITERS]] the Spark plan uses.
     */
+  /** Shared oracle tail replaying [[Stats.lnOlsFit]]: quantized ln-ln
+    * OLS with the degenerate-variance guards, over `src`'s positive
+    * (`xExpr`, `yExpr`) pairs. Ends the WITH chain (SELECT included).
+    */
+  private def lnOlsSqlTail(src: String, xExpr: String, yExpr: String,
+      nName: String): String = {
+    val Q = Stats.LnQ
+    s"""xy AS (SELECT CAST(round(ln(CAST($xExpr AS DOUBLE)) * $Q) AS BIGINT) AS x,
+      |              CAST(round(ln(CAST($yExpr AS DOUBLE)) * $Q) AS BIGINT) AS y
+      |       FROM $src WHERE $xExpr > 0 AND $yExpr > 0),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM xy)
+      |SELECT n AS $nName,
+      |  ${detRound4Sql(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE " +
+            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END")} AS slope,
+      |  ${detRound4Sql(
+            s"CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE " +
+            s"CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / $Q END")} AS intercept_ln,
+      |  ${detRound4Sql(
+            "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0 ELSE " +
+            "CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)" +
+            " / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END")} AS r2
+      |FROM s""".stripMargin
+  }
+
   private def powerIterCtes: String = {
     val P = graft.operators.Knn.PowerQ
     val iters = (1 to PI_ITERS).map { i =>
@@ -3715,6 +3776,7 @@ object PipelineQueries {
     "x_power_iter"  -> xPowerIter _,
     "x_spectral_outliers" -> xSpectralOutliers _,
     "x_zipf"        -> xZipf _,
+    "x_heaps"       -> xHeaps _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5438,30 +5500,27 @@ object PipelineQueries {
         |SELECT est_f2, exact_f2,
         |       ${detRound4Sql("est_f2 * 1.0 / exact_f2")} AS ratio
         |FROM m CROSS JOIN ex""".stripMargin,
-    "x_zipf" -> {
-      val Q = Stats.LnQ
+    "x_zipf" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT unnest(${gramsSql(3)}) AS gram FROM t),
         |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
         |h AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, gram) AS rank
         |      FROM c ORDER BY cnt DESC, gram LIMIT $ZIPF_K),
-        |xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * $Q) AS BIGINT) AS x,
-        |              CAST(round(ln(CAST(cnt AS DOUBLE)) * $Q) AS BIGINT) AS y FROM h),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
-        |             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM xy)
-        |SELECT n AS n_head,
-        |  ${detRound4Sql(
-              "CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE " +
-              "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END")} AS slope,
-        |  ${detRound4Sql(
-              s"CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE " +
-              s"CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / $Q END")} AS intercept_ln,
-        |  ${detRound4Sql(
-              "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0 ELSE " +
-              "CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)" +
-              " / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END")} AS r2
-        |FROM s""".stripMargin
-    },
+        |${lnOlsSqlTail("h", "rank", "cnt", "n_head")}""".stripMargin,
+    "x_heaps" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),
+        |fo AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram),
+        |dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY doc_id),
+        |nd0 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |cuts AS (SELECT i, (i * nd) // $HEAPS_B AS cut
+        |         FROM (SELECT unnest(range(1, ${HEAPS_B + 1})) AS i) CROSS JOIN nd0),
+        |tk AS (SELECT i, sum(ng) AS tokens FROM dt JOIN cuts ON dt.doc_id < cuts.cut
+        |       GROUP BY i),
+        |vc AS (SELECT i, CAST(count(*) AS BIGINT) AS vocab
+        |       FROM fo JOIN cuts ON fo.fd < cuts.cut GROUP BY i),
+        |p AS (SELECT tokens, vocab FROM tk JOIN vc USING (i)),
+        |${lnOlsSqlTail("p", "tokens", "vocab", "n_pts")}""".stripMargin,
     "x_bloom" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),

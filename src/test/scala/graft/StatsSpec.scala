@@ -32,6 +32,23 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(slope) < 0.01, s"slope $slope should be ~ 0 on uniform counts")
   }
 
+  test("lnOlsFit recovers a planted Heaps exponent and drops non-positive pairs") {
+    // V(n) = 3 * n^0.75 sampled at 16 growing checkpoints, plus junk
+    // rows outside the log-log domain that the fit must ignore
+    val pts = (1 to 16).map { i =>
+      val n = i * 10000L
+      (n, math.round(3.0 * math.pow(n.toDouble, 0.75)))
+    } ++ Seq((0L, 5L), (100L, 0L), (-3L, 7L))
+    val (np, slope, intercept, r2) = Stats.lnOlsFit(
+        pts.toDF("tokens", "vocab"), col("tokens"), col("vocab"))
+      .as[(Long, Double, Double, Double)].head()
+    assert(np == 16L, "non-positive pairs are outside the log-log domain")
+    assert(math.abs(slope - 0.75) < 0.005, s"slope $slope should be ~ beta")
+    assert(math.abs(intercept - math.log(3.0)) < 0.05,
+      s"intercept $intercept should be ~ ln K")
+    assert(r2 > 0.9999, s"r2 $r2 should be ~ 1 on an exact law")
+  }
+
   test("zipf fit survives degenerate heads: all-tied counts and a 1-row head") {
     // all counts equal: y-variance 0 -> r2 guard (Spark ANSI would
     // otherwise throw DIVIDE_BY_ZERO on the double division)
