@@ -48,6 +48,44 @@ object Stats {
       .withColumnRenamed("n_pts", "n_head")
   }
 
+  /** Pearson correlation for every pair of integer metric columns —
+    * the redundancy check a pipeline runs before composing quality
+    * features into one gate (two metrics at |r| ≈ 1 carry one signal).
+    *
+    * One pass: a single aggregate computes n, each Σm and every
+    * pairwise Σm_i·m_j as exact DECIMAL(38,0) sums (order-independent
+    * at any partitioning); each correlation then assembles in one
+    * double expression — the variance product multiplies as DOUBLE
+    * (two ~n²·max² decimals would overflow DECIMAL(38,0) at corpus
+    * scale). Zero variance on either side → r = 0 by convention (and
+    * Spark ANSI would otherwise throw on the double /0).
+    *
+    * Returns one row per unordered metric pair:
+    * (pair "a~b", n_docs, corr).
+    */
+  def corrPairs(df: DataFrame, metrics: Seq[(String, Column)]): DataFrame = {
+    require(metrics.size >= 2, "corrPairs needs at least two metrics")
+    val names = metrics.map(_._1)
+    val base = df.select(metrics.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val aggs = names.map(n => sum(col(n).cast("decimal(38,0)")).as(s"s_$n")) ++
+      (for { i <- names.indices; j <- i until names.size } yield
+        sum((col(names(i)) * col(names(j))).cast("decimal(38,0)"))
+          .as(s"p_${names(i)}_${names(j)}"))
+    val s = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairRows = for { i <- names.indices; j <- (i + 1) until names.size } yield {
+      val (a, b) = (names(i), names(j))
+      def varOf(x: String) = s"(n * p_${x}_$x - s_$x * s_$x)"
+      struct(lit(s"$a~$b").as("pair"),
+        expr(s"CASE WHEN ${varOf(a)} = 0 OR ${varOf(b)} = 0 THEN 0.0 ELSE " +
+          s"CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE)" +
+          s" / sqrt(CAST(${varOf(a)} AS DOUBLE) * CAST(${varOf(b)} AS DOUBLE)) END")
+          .as("corr0"))
+    }
+    s.select(col("n"), explode(array(pairRows: _*)).as("pr"))
+      .select(col("pr.pair").as("pair"), col("n").cast("bigint").as("n_docs"),
+        graft.functions.Det.detRound4(col("pr.corr0")).as("corr"))
+  }
+
   /** OLS fit of ln(y) against ln(x) over positive integer pairs — the
     * shared core of [[zipfFit]] and the Heaps'-law fit. Non-positive
     * pairs are outside the log-log domain and are dropped (both

@@ -914,6 +914,22 @@ object PipelineQueries {
     Stats.lnOlsFit(toks.join(voc, "i"), col("tokens"), col("vocab"))
   }
 
+  /** Pairwise Pearson correlation of the per-doc surface metrics
+    * ([[Stats.corrPairs]]): chars × words × distinct-words — the
+    * redundancy matrix read before composing them into a quality gate
+    * (near-1 pairs carry one signal and shouldn't be double-counted).
+    * One codegen'd metric projection + ONE aggregate of exact integer
+    * sums; three rows out.
+    */
+  def xCorr(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Stats.corrPairs(Tables.documents(s, dir), Seq(
+      "n_chars" -> length(col("text")).cast("long"),
+      "n_words" -> Text.nWords(toks),
+      "n_distinct" -> size(array_distinct(toks)).cast("long")))
+      .orderBy("pair")
+  }
+
   /** Explicit Bloom-filter membership — the oracled bit-state twin of
     * the runtime-filter decontamination (`x_decontam_bloom` uses
     * Spark's injected bloom; THIS one owns the bits): the even-half
@@ -3777,6 +3793,7 @@ object PipelineQueries {
     "x_spectral_outliers" -> xSpectralOutliers _,
     "x_zipf"        -> xZipf _,
     "x_heaps"       -> xHeaps _,
+    "x_corr"        -> xCorr _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5507,6 +5524,26 @@ object PipelineQueries {
         |h AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, gram) AS rank
         |      FROM c ORDER BY cnt DESC, gram LIMIT $ZIPF_K),
         |${lnOlsSqlTail("h", "rank", "cnt", "n_head")}""".stripMargin,
+    "x_corr" -> {
+      def varOf(x: String) = s"(n * p$x$x - s$x * s$x)"
+      def corrOf(a: String, b: String) = detRound4Sql(
+        s"CASE WHEN ${varOf(a)} = 0 OR ${varOf(b)} = 0 THEN 0.0 ELSE " +
+          s"CAST(n * p$a$b - s$a * s$b AS DOUBLE)" +
+          s" / sqrt(CAST(${varOf(a)} AS DOUBLE) * CAST(${varOf(b)} AS DOUBLE)) END")
+      s"""WITH t AS (SELECT text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT CAST(length(text) AS BIGINT) AS a, CAST(len(toks) AS BIGINT) AS b,
+        |             CAST(len(list_distinct(toks)) AS BIGINT) AS c FROM t),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(a) AS sa, sum(b) AS sb,
+        |             sum(c) AS sc, sum(a*a) AS paa, sum(b*b) AS pbb, sum(c*c) AS pcc,
+        |             sum(a*b) AS pab, sum(a*c) AS pac, sum(b*c) AS pbc FROM m)
+        |SELECT * FROM (
+        |  SELECT 'n_chars~n_words' AS pair, n AS n_docs, ${corrOf("a", "b")} AS corr FROM s
+        |  UNION ALL
+        |  SELECT 'n_chars~n_distinct', n, ${corrOf("a", "c")} FROM s
+        |  UNION ALL
+        |  SELECT 'n_words~n_distinct', n, ${corrOf("b", "c")} FROM s)
+        |ORDER BY pair""".stripMargin
+    },
     "x_heaps" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),

@@ -49,6 +49,38 @@ class StatsSpec extends SparkSpec {
     assert(r2 > 0.9999, s"r2 $r2 should be ~ 1 on an exact law")
   }
 
+  test("corrPairs: planted perfect, anti, and zero-variance relationships") {
+    val df = (1 to 200).map { i =>
+      (i.toLong, i * 2L + 5L, 300L - i, 7L)
+    }.toDF("a", "b", "c", "d")
+    val out = Stats.corrPairs(df, Seq(
+        "a" -> col("a"), "b" -> col("b"), "c" -> col("c"), "d" -> col("d")))
+      .as[(String, Long, Double)].collect()
+      .map { case (p, _, r) => p -> r }.toMap
+    assert(out.size == 6)
+    assert(out("a~b") == 1.0, "exact linear relation -> r = 1")
+    assert(out("a~c") == -1.0, "exact negative relation -> r = -1")
+    assert(out("a~d") == 0.0, "constant metric -> zero-variance convention 0")
+    assert(out("b~c") == -1.0)
+  }
+
+  test("corrPairs matches a scalar Pearson on random integers") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(_ => (rnd.nextInt(1000).toLong,
+      rnd.nextInt(1000).toLong))
+    val got = Stats.corrPairs(rows.toDF("x", "y"),
+        Seq("x" -> col("x"), "y" -> col("y")))
+      .as[(String, Long, Double)].head()._3
+    val n = rows.size.toDouble
+    val (sx, sy) = (rows.map(_._1).sum.toDouble, rows.map(_._2).sum.toDouble)
+    val sxx = rows.map(r => r._1 * r._1).sum.toDouble
+    val syy = rows.map(r => r._2 * r._2).sum.toDouble
+    val sxy = rows.map(r => r._1 * r._2).sum.toDouble
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(got - want) < 1e-4, s"$got vs $want")
+  }
+
   test("zipf fit survives degenerate heads: all-tied counts and a 1-row head") {
     // all counts equal: y-variance 0 -> r2 guard (Spark ANSI would
     // otherwise throw DIVIDE_BY_ZERO on the double division)
