@@ -126,13 +126,17 @@ object Sketches {
 
   /** The Bloom bit SET of an item column: distinct bit indices over
     * the [[BLOOM_K]] hash functions — ≤m rows, the broadcast state
-    * membership probes join against.
+    * membership probes join against. Spelled as a groupBy aggregation
+    * (NOT `.distinct()`, which lowers to a streaming Deduplicate that
+    * complete-mode rejects): the same batch Aggregate, and on a stream
+    * it becomes union-merged, duplicate-idempotent bit state.
     */
   def bloomBits(items: DataFrame, item: Column, m: Int): DataFrame =
     items
       .select(explode(array((0 until BLOOM_K).map(j =>
         bloomBit(j, item, m)): _*)).as("bit"))
-      .distinct()
+      .groupBy("bit").agg(count(lit(1)).as("n_set"))
+      .select("bit")
 
   /** Membership probe: `maybe` = 1 iff ALL k bits of the item are set
     * (no false negatives by construction; false positives measured by

@@ -48,6 +48,41 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Bloom bit set tracks the batch bits and ignores redelivery") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = Sketches.bloomMFor(200)
+    def bits(items: Seq[String]): Set[Long] =
+      Sketches.bloomBits(items.toDF("item"), col("item"), m)
+        .as[Long].collect().toSet
+    val mem = MemoryStream[String]
+    val q = Sketches.bloomBits(
+        mem.toDF().select(col("value").as("item")), col("item"), m)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.table("bloom_stream").as[Long].collect().toSet == bits(batch1))
+      // at-least-once redelivery: a bit SET is union-merged — idempotent
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.table("bloom_stream").as[Long].collect().toSet == bits(batch1),
+        "redelivery must not change the bit set")
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val drained = spark.table("bloom_stream").as[Long].collect().toSet
+      assert(drained == bits(batch1 ++ batch2),
+        "bits must union across micro-batches")
+      // no false negatives: every ingested item passes a membership
+      // probe against the drained streaming state
+      val state = drained.toSeq.toDF("bit")
+      val hits = Sketches.bloomMaybe((batch1 ++ batch2).distinct.toDF("item"),
+          col("item"), state, m)
+        .as[(String, Long)].collect()
+      assert(hits.forall(_._2 == 1L), "streamed Bloom state must admit every insert")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers track the batch registers across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[String]
