@@ -914,6 +914,107 @@ object PipelineQueries {
     Stats.lnOlsFit(toks.join(voc, "i"), col("tokens"), col("vocab"))
   }
 
+  /** Corpus drift detection — smoothed KL divergence (both directions)
+    * and total-variation distance between the gram distributions of
+    * the doc-parity halves: the snapshot-vs-snapshot shift monitor an
+    * ingest pipeline alerts on before a mixture rebalance. Add-one
+    * smoothing over the union vocabulary V keeps both logs finite.
+    *
+    * EXACTNESS: with L(k) = round(ln(k)·2^20) (ln on INTEGER inputs
+    * only), KL(P‖Q)·(N₀+V)·2^20 decomposes into the exact integer sum
+    * Σ (c₀+1)·(L(c₀+1) − L(c₁+1)) plus the scalar (N₀+V)·(L(N₁+V) −
+    * L(N₀+V)) — order-independent DECIMAL(38,0) sums, assembled into
+    * ONE double expression per output (the DSIR λ discipline,
+    * generalized from the 64-bucket table to per-integer-count ln).
+    * TV's numerator Σ |(c₀+1)(N₁+V) − (c₁+1)(N₀+V)| is exact integer
+    * arithmetic throughout.
+    *
+    * Scale shape: ONE corpus explode → one (gram, c₀, c₁) aggregate
+    * (map-side combined), staged once and consumed by the totals
+    * broadcast and the final sum — the corpus is read once, like
+    * [[xPowerIter]]'s moment build.
+    */
+  /** (gram, c0, c1): per-gram occurrence counts in the even/odd
+    * doc-parity halves — ONE corpus explode + one map-side-combined
+    * aggregate over the union vocabulary, staged once (two consumers:
+    * the totals broadcast and the per-gram scoring; the stage memo
+    * also shares it between [[xKl]] and [[xKeyness]]).
+    */
+  private def parityGramCounts(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    graft.operators.Scale.stage(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
+        .groupBy("gram").agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("c1")))
+  }
+
+  def xKl(s: SparkSession, dir: String): DataFrame = {
+    val Q = Stats.LnQ
+    def lnq(c: Column) = round(log(c.cast("double")) * Q).cast("long")
+    val byGram = parityGramCounts(s, dir)
+    val tot = byGram.agg(count(lit(1)).as("v"),
+      sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    val sums = byGram.crossJoin(broadcast(tot))
+      .select(col("c0"), col("c1"), col("v"), col("n0"), col("n1"),
+        (lnq(col("c0") + 1) - lnq(col("c1") + 1)).as("dl"))
+      .agg(max(col("v")).as("v"), max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        sum(((col("c0") + 1) * col("dl")).cast("decimal(38,0)")).as("a01"),
+        sum(((col("c1") + 1) * -col("dl")).cast("decimal(38,0)")).as("a10"),
+        sum(abs((col("c0") + 1).cast("decimal(38,0)") * (col("n1") + col("v")) -
+          (col("c1") + 1).cast("decimal(38,0)") * (col("n0") + col("v"))))
+          .as("tvnum"))
+    sums.select(col("v").as("n_vocab"), col("n0"), col("n1"),
+      detRound4((col("a01").cast("double") / (col("n0") + col("v")).cast("double") +
+        (lnq(col("n1") + col("v")) - lnq(col("n0") + col("v"))).cast("double")) / Q)
+        .as("kl_pq"),
+      detRound4((col("a10").cast("double") / (col("n1") + col("v")).cast("double") +
+        (lnq(col("n0") + col("v")) - lnq(col("n1") + col("v"))).cast("double")) / Q)
+        .as("kl_qp"),
+      detRound4(col("tvnum").cast("double") /
+        (lit(2.0) * (col("n0") + col("v")).cast("double") *
+          (col("n1") + col("v")).cast("double"))).as("tv"))
+  }
+
+  /** Keyness cut size — shared with the oracle. */
+  val KEYNESS_TOP = 20
+
+  /** Chi-squared keyness — the [[KEYNESS_TOP]] grams most
+    * DISCRIMINATIVE between the doc-parity halves (the classic corpus-
+    * linguistics keyness table; in a pipeline: "which n-grams drive
+    * the drift [[xKl]] just alerted on"). For gram g with half counts
+    * (c0, c1) and half totals (n0, n1), the 2×2 chi² collapses to
+    * N·(c0·n1 − c1·n0)² / (n0·n1·cnt·(N−cnt)) — every factor an exact
+    * integer (the cross term as DECIMAL), assembled in ONE double
+    * expression, zero-denominator guarded. dir = +1 marks
+    * even-half-leaning grams. Ordering is on the ROUNDED chi² with the
+    * gram tiebreak, so ranks agree cross-engine; TakeOrdered bounds it.
+    */
+  def xKeyness(s: SparkSession, dir: String): DataFrame = {
+    val byGram = parityGramCounts(s, dir)
+    val tot = byGram.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    byGram.crossJoin(broadcast(tot))
+      .withColumn("cross",
+        col("c0").cast("decimal(38,0)") * col("n1") -
+          col("c1").cast("decimal(38,0)") * col("n0"))
+      .withColumn("cnt", col("c0") + col("c1"))
+      .withColumn("chi2", detRound4(
+        when(col("n0") === 0 || col("n1") === 0 ||
+          col("n0") + col("n1") - col("cnt") === 0, lit(0.0))
+          .otherwise((col("n0") + col("n1")).cast("double") *
+            col("cross").cast("double") * col("cross").cast("double") /
+            (col("n0").cast("double") * col("n1").cast("double") *
+              col("cnt").cast("double") *
+              (col("n0") + col("n1") - col("cnt")).cast("double")))))
+      .select(col("gram"), col("c0"), col("c1"), col("chi2"),
+        when(col("cross") < 0, -1L).otherwise(1L).as("dir"))
+      .orderBy(col("chi2").desc, col("gram"))
+      .limit(KEYNESS_TOP)
+      .orderBy("gram")
+  }
+
   /** Pairwise Pearson correlation of the per-doc surface metrics
     * ([[Stats.corrPairs]]): chars × words × distinct-words — the
     * redundancy matrix read before composing them into a quality gate
@@ -3794,6 +3895,8 @@ object PipelineQueries {
     "x_zipf"        -> xZipf _,
     "x_heaps"       -> xHeaps _,
     "x_corr"        -> xCorr _,
+    "x_kl"          -> xKl _,
+    "x_keyness"     -> xKeyness _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5544,6 +5647,57 @@ object PipelineQueries {
         |  SELECT 'n_words~n_distinct', n, ${corrOf("b", "c")} FROM s)
         |ORDER BY pair""".stripMargin
     },
+    "x_kl" -> {
+      val Q = Stats.LnQ
+      def L(e: String) = s"CAST(round(ln(CAST($e AS DOUBLE)) * $Q) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),
+        |bg AS MATERIALIZED (SELECT gram,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |     FROM g GROUP BY gram),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c0) AS BIGINT) AS n0,
+        |              CAST(sum(c1) AS BIGINT) AS n1 FROM bg),
+        |sm AS (SELECT max(v) AS v, max(n0) AS n0, max(n1) AS n1,
+        |         sum((c0 + 1) * (${L("c0 + 1")} - ${L("c1 + 1")})) AS a01,
+        |         sum((c1 + 1) * (${L("c1 + 1")} - ${L("c0 + 1")})) AS a10,
+        |         sum(abs(CAST(c0 + 1 AS HUGEINT) * (n1 + v)
+        |               - CAST(c1 + 1 AS HUGEINT) * (n0 + v))) AS tvnum
+        |       FROM bg CROSS JOIN tt)
+        |SELECT v AS n_vocab, n0, n1,
+        |  ${detRound4Sql(s"(CAST(a01 AS DOUBLE) / CAST(n0 + v AS DOUBLE)" +
+             s" + CAST(${L("n1 + v")} - ${L("n0 + v")} AS DOUBLE)) / $Q")} AS kl_pq,
+        |  ${detRound4Sql(s"(CAST(a10 AS DOUBLE) / CAST(n1 + v AS DOUBLE)" +
+             s" + CAST(${L("n0 + v")} - ${L("n1 + v")} AS DOUBLE)) / $Q")} AS kl_qp,
+        |  ${detRound4Sql("CAST(tvnum AS DOUBLE)" +
+             " / (2.0 * CAST(n0 + v AS DOUBLE) * CAST(n1 + v AS DOUBLE))")} AS tv
+        |FROM sm""".stripMargin
+    },
+    "x_keyness" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),
+        |bg AS MATERIALIZED (SELECT gram,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |     FROM g GROUP BY gram),
+        |tt AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1
+        |       FROM bg),
+        |k AS (SELECT gram, c0, c1,
+        |        CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0 AS crs,
+        |        c0 + c1 AS cnt, n0, n1
+        |      FROM bg CROSS JOIN tt),
+        |sc AS (SELECT gram, c0, c1,
+        |         ${detRound4Sql(
+                   "CASE WHEN n0 = 0 OR n1 = 0 OR n0 + n1 - cnt = 0 THEN 0.0 ELSE " +
+                   "CAST(n0 + n1 AS DOUBLE) * CAST(crs AS DOUBLE) * CAST(crs AS DOUBLE)" +
+                   " / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(cnt AS DOUBLE)" +
+                   " * CAST(n0 + n1 - cnt AS DOUBLE)) END")} AS chi2,
+        |         CAST(CASE WHEN crs < 0 THEN -1 ELSE 1 END AS BIGINT) AS dir
+        |       FROM k)
+        |SELECT * FROM
+        |  (SELECT gram, c0, c1, chi2, dir FROM sc
+        |   ORDER BY chi2 DESC, gram LIMIT $KEYNESS_TOP)
+        |ORDER BY gram""".stripMargin,
     "x_heaps" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),

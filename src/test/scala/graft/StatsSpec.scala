@@ -81,6 +81,51 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(got - want) < 1e-4, s"$got vs $want")
   }
 
+  private def plantDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_docs").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x_kl is exactly zero on identical parity halves") {
+    // doc 2i and 2i+1 carry the SAME text: every gram has c0 == c1, so
+    // the quantized KL terms cancel exactly (not just approximately)
+    val texts = (0 until 20).map(i => s"alpha beta gamma delta epsilon t$i u$i v$i w$i")
+    val dir = plantDocs(texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((2L * i, t), (2L * i + 1, t))
+    })
+    val (v, n0, n1, kl01, kl10, tv) = graft.queries.PipelineQueries
+      .queries("x_kl")(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(n0 == n1 && v > 0)
+    assert(kl01 == 0.0 && kl10 == 0.0 && tv == 0.0,
+      s"identical halves must have zero drift: $kl01 $kl10 $tv")
+  }
+
+  test("x_keyness surfaces the planted odd-half marker gram first") {
+    val base = "one two three four five six seven"
+    val rows = (0 until 40).map { i =>
+      val t = if (i % 2 == 1) s"$base marker xx yy" else base
+      (i.toLong, t)
+    }
+    val dir = plantDocs(rows)
+    val top = graft.queries.PipelineQueries.queries("x_keyness")(spark, dir)
+      .orderBy(col("chi2").desc, col("gram"))
+      .as[(String, Long, Long, Double, Long)].collect()
+    val markerRows = top.filter(_._1.contains("marker"))
+    assert(markerRows.nonEmpty, s"marker grams must rank in the top: ${top.toSeq}")
+    markerRows.foreach { case (g, c0, c1, chi2, d) =>
+      assert(c0 == 0L && c1 == 20L && d == -1L && chi2 > 10.0,
+        s"$g should be odd-half exclusive: c0=$c0 c1=$c1 dir=$d chi2=$chi2")
+    }
+    // drift is now nonzero in both directions
+    val (_, _, _, kl01, kl10, tv) = graft.queries.PipelineQueries
+      .queries("x_kl")(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(kl01 > 0.0 && kl10 > 0.0 && tv > 0.0)
+  }
+
   test("zipf fit survives degenerate heads: all-tied counts and a 1-row head") {
     // all counts equal: y-variance 0 -> r2 guard (Spark ANSI would
     // otherwise throw DIVIDE_BY_ZERO on the double division)
