@@ -864,6 +864,57 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"), col("pr"))
   }
 
+  /** Triangle census + global clustering coefficient of an undirected
+    * pair graph — the dup-graph TOPOLOGY diagnostic next to
+    * [[pageRank]]'s centrality: a high clustering coefficient says the
+    * near-dup relation is transitively consistent (tight duplicate
+    * communities); triangles ≈ 0 with many edges says the candidate
+    * pairs are band-collision noise that a verify stage must cut.
+    *
+    * Algorithm: DEGREE-ORIENTED wedge counting (the standard
+    * distributed scheme): every edge orients from its (deg, id)-smaller
+    * endpoint, so each triangle is counted exactly ONCE (at its unique
+    * two-out-edge apex) and out-degrees are O(√m) even on a hot vertex
+    * — the wedge self-join is Σ outdeg² ≤ m^1.5, never the deg² blowup
+    * a hub would cause in an id-oriented join. All shapes are bounded
+    * staged pair relations; counts are exact integers; the one double
+    * is the final 3T/wedges.
+    *
+    * One row out: (n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering = 3·triangles / wedges, 0 when wedge-free).
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = Scale.stage(pairs
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct())
+    val und = e.select(col("lo").as("u")).unionAll(e.select(col("hi").as("u")))
+    val deg = Scale.stage(und.groupBy("u").agg(count(lit(1)).as("deg")))
+    val srcIsLo = col("dlo") < col("dhi") ||
+      (col("dlo") === col("dhi") && col("lo") < col("hi"))
+    val oriented = Scale.stage(e
+      .join(deg.select(col("u").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("u").as("hi"), col("deg").as("dhi")), "hi")
+      .select(when(srcIsLo, col("lo")).otherwise(col("hi")).as("src"),
+        when(srcIsLo, col("hi")).otherwise(col("lo")).as("dst")))
+    // wedge pair deduped by dst id-order; the closing edge is then
+    // (lo, hi)-canonical by construction and probes e directly
+    val wedges = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.dst").as("lo"), col("o2.dst").as("hi"))
+    val tri = wedges.join(e, Seq("lo", "hi")).agg(count(lit(1)).as("t"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nw = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("CAST(sum(CAST(deg AS DECIMAL(38,0)) * (deg - 1)) div 2 AS BIGINT)")
+        .as("n_wedges"))
+    nw.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("t").as("n_triangles"),
+        graft.functions.Det.detRound4(when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("t").cast("double") /
+            col("n_wedges").cast("double"))).as("clustering"))
+  }
+
   def dupClustersStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     var edges = pairs
       .select(least(col("doc_a"), col("doc_b")).as("lo"),

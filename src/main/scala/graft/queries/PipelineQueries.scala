@@ -1885,6 +1885,18 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Triangle census of the banded near-dup candidate graph
+    * ([[Dedup.triangleStats]]): transitive-consistency diagnostic —
+    * tight dup communities close their triangles; band-collision noise
+    * doesn't. Same pair relation as [[xPagerank]]; degree-oriented
+    * wedge join keeps a hot vertex at O(√m) out-degree.
+    */
+  def xTriangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.triangleStats(
+      Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND))
+  }
+
   /** Keep-by-AUTHORITY — [[xKeepBest]] with the keeper chosen by
     * [[Dedup.pageRank]] instead of length: per near-dup cluster
     * (size ≥ 2), the member the most other documents duplicate wins
@@ -3897,6 +3909,7 @@ object PipelineQueries {
     "x_corr"        -> xCorr _,
     "x_kl"          -> xKl _,
     "x_keyness"     -> xKeyness _,
+    "x_triangles"   -> xTriangles _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5955,6 +5968,35 @@ object PipelineQueries {
         |FROM p$PR_ITERS p CROSS JOIN nn LEFT JOIN dg ON p.doc_id = dg.src
         |ORDER BY p.doc_id""".stripMargin
     },
+    "x_triangles" ->
+      s"""WITH ${permSigsSql},
+        |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.doc_id < b.doc_id),
+        |und AS (SELECT doc_a AS u FROM cand UNION ALL SELECT doc_b AS u FROM cand),
+        |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |      FROM und GROUP BY u),
+        |ori AS MATERIALIZED (SELECT
+        |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND c.doc_a < c.doc_b)
+        |             THEN c.doc_a ELSE c.doc_b END AS src,
+        |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND c.doc_a < c.doc_b)
+        |             THEN c.doc_b ELSE c.doc_a END AS dst
+        |      FROM cand c JOIN deg d1 ON c.doc_a = d1.u JOIN deg d2 ON c.doc_b = d2.u),
+        |w AS (SELECT o1.dst AS lo, o2.dst AS hi FROM ori o1 JOIN ori o2
+        |      ON o1.src = o2.src AND o1.dst < o2.dst),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM w JOIN cand ON w.lo = cand.doc_a AND w.hi = cand.doc_b),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM cand),
+        |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |              CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+        |       ${detRound4Sql(
+                 "CASE WHEN n_wedges = 0 THEN 0.0 ELSE " +
+                 "3.0 * t / n_wedges END")} AS clustering
+        |FROM nw CROSS JOIN ne CROSS JOIN tri""".stripMargin,
     "x_dedup_incremental" ->
       s"""WITH ${permSigsSql},
         |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,

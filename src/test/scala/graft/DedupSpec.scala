@@ -911,4 +911,22 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.dupClusters(docs, pairs).as[(Long, Long)].collect().toMap
     assert(out == Map(5L -> 5L, 7L -> 5L, 9L -> 9L))
   }
+
+  test("triangleStats counts planted cliques, paths, and stars exactly") {
+    def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) =
+      Dedup.triangleStats(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long, Long, Long, Double)].head()
+    // K4: 4 triangles, 12 wedges, clustering 1.0 — every wedge closes
+    val k4 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    assert(stats(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+    // path 0-1-2-3: zero triangles, 2 wedges, clustering 0
+    assert(stats(Seq((0L, 1L), (1L, 2L), (2L, 3L))) == ((4L, 3L, 2L, 0L, 0.0)))
+    // hot star (center 0, leaves 1..5) + one closing edge 1-2:
+    // 1 triangle; wedges = C(5,2) at the center + 1 at each closed leaf
+    assert(stats((1L to 5L).map(l => (0L, l)) :+ ((1L, 2L))) ==
+      ((6L, 6L, 12L, 1L, 0.25)))
+    // dedup + canonicalization: reversed and duplicated edges collapse
+    assert(stats(Seq((1L, 0L), (0L, 1L), (1L, 2L), (0L, 2L), (2L, 0L))) ==
+      ((3L, 3L, 3L, 1L, 1.0)))
+  }
 }
