@@ -914,6 +914,76 @@ object PipelineQueries {
     Stats.lnOlsFit(toks.join(voc, "i"), col("tokens"), col("vocab"))
   }
 
+  /** Bootstrap replica count. */
+  val BOOT_B = 32
+
+  /** Poisson(1) inverse-CDF thresholds on the 2^32 hash scale —
+    * P(W ≤ k) · 2^32 for k = 0..4 (k = 5 past the last): the weights
+    * of the Poisson bootstrap, resolved by pure integer comparison on
+    * a 32-bit hash, so resampling is deterministic and identical in
+    * both engines.
+    */
+  val BOOT_THRESH: Seq[Long] =
+    Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563)
+      .map(p => (p * 4294967296.0).toLong)
+
+  /** Deterministic Poisson bootstrap of the mean-doc-length metric —
+    * error bars for a corpus statistic without a second pass over
+    * resampled data (Poisson bootstrap is the STREAMING bootstrap:
+    * each doc draws an independent Poisson(1) replica weight, here
+    * inverted from a salted 32-bit hash through the fixed
+    * [[BOOT_THRESH]] CDF table, so every engine and partitioning draws
+    * the same replicas). [[BOOT_B]] replica means come from ONE
+    * explode(×B) + one map-side-combined aggregate; the interval
+    * (replica min/max) and the bootstrap SE (exact quantized-mean
+    * variance, the stdDev discipline) read off the bounded 32-row
+    * relation. Scale: one corpus pass producing B×n rows map-combined
+    * to B — no resampled copy of the data ever materializes.
+    */
+  def xBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .cast("long").as("nw"))
+    // replica index explodes FIRST, then ONE md5/CASE runs on the
+    // exploded rows — 32 inlined md5+CASE trees in a single generator
+    // overflow Janino's method limit and drop the stage to interpreted
+    val u = Sketches.hex32(md5(concat(col("b").cast("string"), lit("!"),
+      col("doc_id").cast("string")).cast("binary")), 1)
+    val w = BOOT_THRESH.zipWithIndex
+      .foldRight(lit(BOOT_THRESH.size.toLong): Column) {
+        case ((t, k), els) => when(u < t, lit(k.toLong)).otherwise(els)
+      }
+    val reps = docs
+      .select(col("doc_id"), col("nw"),
+        explode(sequence(lit(0L), lit(BOOT_B - 1L))).as("b"))
+      .select(col("nw"), col("b"), w.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("nw")).as("swn"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        round(when(col("sw") === 0, lit(0.0))
+          .otherwise(col("swn").cast("double") / col("sw").cast("double")) * 10000)
+          .cast("long").as("mq"))
+    val ranked = reps.select(col("b"), col("mq"),
+      row_number().over(Window.orderBy("mq", "b")).as("rn"))
+    val lohi = ranked.agg(
+      min(when(col("rn") === 1, col("mq"))).as("loq"),
+      min(when(col("rn") === BOOT_B, col("mq"))).as("hiq"))
+    val se = reps.agg(count(lit(1)).as("bb"),
+      sum(col("mq").cast("decimal(38,0)")).as("sq"),
+      sum((col("mq") * col("mq")).cast("decimal(38,0)")).as("sqq"))
+    val overall = docs.agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tw"))
+    overall.crossJoin(broadcast(lohi)).crossJoin(broadcast(se))
+      .select(col("n_docs"),
+        detRound4(col("tw").cast("double") / col("n_docs").cast("double"))
+          .as("mean_words"),
+        (col("loq").cast("double") / 1e4).as("boot_lo"),
+        (col("hiq").cast("double") / 1e4).as("boot_hi"),
+        detRound4(sqrt(expr("CAST(bb * sqq - sq * sq AS DOUBLE)") /
+          (lit(BOOT_B.toDouble) * (BOOT_B - 1))) / 1e4).as("boot_se"))
+  }
+
   /** Corpus drift detection — smoothed KL divergence (both directions)
     * and total-variation distance between the gram distributions of
     * the doc-parity halves: the snapshot-vs-snapshot shift monitor an
@@ -3910,6 +3980,7 @@ object PipelineQueries {
     "x_kl"          -> xKl _,
     "x_keyness"     -> xKeyness _,
     "x_triangles"   -> xTriangles _,
+    "x_bootstrap"   -> xBootstrap _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5659,6 +5730,37 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT 'n_words~n_distinct', n, ${corrOf("b", "c")} FROM s)
         |ORDER BY pair""".stripMargin
+    },
+    "x_bootstrap" -> {
+      val wSql = BOOT_THRESH.zipWithIndex
+        .foldRight(s"${BOOT_THRESH.size}") { case ((t, k), els) =>
+          s"CASE WHEN u < $t THEN $k ELSE $els END"
+        }
+      val uSql = Sketches.hex32Sql(
+        "md5(concat(CAST(b AS VARCHAR), '!', CAST(doc_id AS VARCHAR)))", 1)
+      s"""WITH d AS (SELECT doc_id,
+        |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nw
+        |     FROM documents),
+        |e0 AS (SELECT doc_id, nw, unnest(range(0, $BOOT_B)) AS b FROM d),
+        |e1 AS (SELECT b, nw, $uSql AS u FROM e0),
+        |e2 AS (SELECT b, nw, CAST($wSql AS BIGINT) AS w FROM e1),
+        |r AS (SELECT b, CAST(sum(w * nw) AS BIGINT) AS swn,
+        |             CAST(sum(w) AS BIGINT) AS sw FROM e2 GROUP BY b),
+        |m AS MATERIALIZED (SELECT b, CAST(round((CASE WHEN sw = 0 THEN 0.0
+        |       ELSE CAST(swn AS DOUBLE) / sw END) * 10000) AS BIGINT) AS mq FROM r),
+        |rk AS (SELECT b, mq, row_number() OVER (ORDER BY mq, b) AS rn FROM m),
+        |lh AS (SELECT min(CASE WHEN rn = 1 THEN mq END) AS loq,
+        |              min(CASE WHEN rn = $BOOT_B THEN mq END) AS hiq FROM rk),
+        |sse AS (SELECT CAST(count(*) AS BIGINT) AS bb, sum(mq) AS sq,
+        |               sum(mq * mq) AS sqq FROM m),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(nw) AS BIGINT) AS tw FROM d)
+        |SELECT n_docs,
+        |  ${detRound4Sql("CAST(tw AS DOUBLE) / n_docs")} AS mean_words,
+        |  loq / 10000.0 AS boot_lo, hiq / 10000.0 AS boot_hi,
+        |  ${detRound4Sql(
+            s"sqrt(CAST(bb * sqq - sq * sq AS DOUBLE) / ($BOOT_B.0 * ${BOOT_B - 1})) / 10000.0")} AS boot_se
+        |FROM ov CROSS JOIN lh CROSS JOIN sse""".stripMargin
     },
     "x_kl" -> {
       val Q = Stats.LnQ

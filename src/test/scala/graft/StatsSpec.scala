@@ -126,6 +126,32 @@ class StatsSpec extends SparkSpec {
     assert(kl01 > 0.0 && kl10 > 0.0 && tv > 0.0)
   }
 
+  test("x_bootstrap collapses to a point interval on a constant-length corpus") {
+    // every doc the same length: every replica mean equals the corpus
+    // mean no matter which docs the Poisson weights pick — lo == hi ==
+    // mean, se == 0
+    val dir = plantDocs((0 until 60).map(i => (i.toLong, "a b c d e")))
+    val (n, mean, lo, hi, se) = graft.queries.PipelineQueries
+      .queries("x_bootstrap")(spark, dir)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(n == 60L && mean == 5.0)
+    assert(lo == 5.0 && hi == 5.0 && se == 0.0,
+      s"constant metric must bootstrap to a point: $lo $hi $se")
+  }
+
+  test("x_bootstrap brackets the mean on a mixed-length corpus") {
+    val texts = (0 until 100).map { i =>
+      (i.toLong, (0 to (i % 10)).map(k => s"w$k").mkString(" "))
+    }
+    val dir = plantDocs(texts)
+    val (n, mean, lo, hi, se) = graft.queries.PipelineQueries
+      .queries("x_bootstrap")(spark, dir)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(n == 100L)
+    assert(lo < mean && mean < hi, s"interval [$lo, $hi] must bracket $mean")
+    assert(se > 0.0 && se < 1.0, s"se $se should be small but positive")
+  }
+
   test("zipf fit survives degenerate heads: all-tied counts and a 1-row head") {
     // all counts equal: y-variance 0 -> r2 guard (Spark ANSI would
     // otherwise throw DIVIDE_BY_ZERO on the double division)
