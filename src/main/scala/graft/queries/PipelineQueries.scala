@@ -1085,6 +1085,40 @@ object PipelineQueries {
       .orderBy("gram")
   }
 
+  /** Dunning log-likelihood keyness (G²) — [[xKeyness]]'s
+    * better-calibrated sibling (chi² overweights rare events; G² is
+    * the corpus-linguistics standard, Dunning 1993). The 2×2 G²
+    * expands by the entropy identity
+    * 2·[Σ O·lnO + N·lnN − Σ margins·ln(margin)] whose ln arguments are
+    * ALL INTEGERS — so with L(k) = round(ln k·2^20) and the 0·ln0 = 0
+    * convention, each gram's G²·2^20/2 is one exact integer sum and
+    * ranking needs only the rounded double. Same staged parity-count
+    * relation as [[xKl]]/[[xKeyness]] (the stage memo shares it).
+    */
+  def xLlr(s: SparkSession, dir: String): DataFrame = {
+    val Q = Stats.LnQ
+    def xlx(c: Column): Column = when(c === 0, lit(0L))
+      .otherwise(c * round(log(c.cast("double")) * Q).cast("long"))
+    val byGram = parityGramCounts(s, dir)
+    val tot = byGram.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    byGram.crossJoin(broadcast(tot))
+      .withColumn("g2q",
+        xlx(col("c0")) + xlx(col("c1")) +
+          xlx(col("n0") - col("c0")) + xlx(col("n1") - col("c1")) +
+          xlx(col("n0") + col("n1")) -
+          xlx(col("c0") + col("c1")) -
+          xlx(col("n0") + col("n1") - col("c0") - col("c1")) -
+          xlx(col("n0")) - xlx(col("n1")))
+      .select(col("gram"), col("c0"), col("c1"),
+        detRound4(lit(2.0) * col("g2q").cast("double") / Q).as("g2"),
+        when(col("c0").cast("decimal(38,0)") * col("n1") <
+          col("c1").cast("decimal(38,0)") * col("n0"), -1L)
+          .otherwise(1L).as("dir"))
+      .orderBy(col("g2").desc, col("gram"))
+      .limit(KEYNESS_TOP)
+      .orderBy("gram")
+  }
+
   /** Pairwise Pearson correlation of the per-doc surface metrics
     * ([[Stats.corrPairs]]): chars × words × distinct-words — the
     * redundancy matrix read before composing them into a quality gate
@@ -3981,6 +4015,7 @@ object PipelineQueries {
     "x_keyness"     -> xKeyness _,
     "x_triangles"   -> xTriangles _,
     "x_bootstrap"   -> xBootstrap _,
+    "x_llr"         -> xLlr _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5787,6 +5822,32 @@ object PipelineQueries {
         |  ${detRound4Sql("CAST(tvnum AS DOUBLE)" +
              " / (2.0 * CAST(n0 + v AS DOUBLE) * CAST(n1 + v AS DOUBLE))")} AS tv
         |FROM sm""".stripMargin
+    },
+    "x_llr" -> {
+      val Q = Stats.LnQ
+      def xlx(e: String) = s"(CASE WHEN ($e) = 0 THEN 0 ELSE " +
+        s"($e) * CAST(round(ln(CAST($e AS DOUBLE)) * $Q) AS BIGINT) END)"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),
+        |bg AS MATERIALIZED (SELECT gram,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |     FROM g GROUP BY gram),
+        |tt AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1
+        |       FROM bg),
+        |k AS (SELECT gram, c0, c1,
+        |        ${xlx("c0")} + ${xlx("c1")} + ${xlx("n0 - c0")} + ${xlx("n1 - c1")}
+        |          + ${xlx("n0 + n1")} - ${xlx("c0 + c1")}
+        |          - ${xlx("n0 + n1 - c0 - c1")} - ${xlx("n0")} - ${xlx("n1")} AS g2q,
+        |        CAST(CASE WHEN CAST(c0 AS HUGEINT) * n1 < CAST(c1 AS HUGEINT) * n0
+        |             THEN -1 ELSE 1 END AS BIGINT) AS dir
+        |      FROM bg CROSS JOIN tt),
+        |sc AS (SELECT gram, c0, c1,
+        |         ${detRound4Sql(s"2.0 * CAST(g2q AS DOUBLE) / $Q")} AS g2, dir FROM k)
+        |SELECT * FROM
+        |  (SELECT gram, c0, c1, g2, dir FROM sc
+        |   ORDER BY g2 DESC, gram LIMIT $KEYNESS_TOP)
+        |ORDER BY gram""".stripMargin
     },
     "x_keyness" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

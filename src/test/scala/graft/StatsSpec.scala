@@ -124,6 +124,19 @@ class StatsSpec extends SparkSpec {
       .queries("x_kl")(spark, dir)
       .as[(Long, Long, Long, Double, Double, Double)].head()
     assert(kl01 > 0.0 && kl10 > 0.0 && tv > 0.0)
+    // the G2 view agrees: marker grams rank with positive keyness
+    // toward the odd half, and balanced grams score ~0
+    val llr = graft.queries.PipelineQueries.queries("x_llr")(spark, dir)
+      .as[(String, Long, Long, Double, Long)].collect()
+    val markerLlr = llr.filter(_._1.contains("marker"))
+    assert(markerLlr.nonEmpty, s"marker grams must make the G2 top: ${llr.toSeq}")
+    markerLlr.foreach { case (g, c0, c1, g2, d) =>
+      assert(c0 == 0L && d == -1L && g2 > 10.0, s"$g: c0=$c0 g2=$g2 dir=$d")
+    }
+    val balanced = llr.filter(r => r._2 > 0 && r._3 > 0)
+    balanced.foreach { case (g, _, _, g2, _) =>
+      assert(g2 >= 0.0, s"G2 is non-negative, got $g2 for $g")
+    }
   }
 
   test("x_bootstrap collapses to a point interval on a constant-length corpus") {
