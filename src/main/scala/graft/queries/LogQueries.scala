@@ -292,6 +292,52 @@ object LogQueries {
       .orderBy("start_ms")
   }
 
+  /** EWMA truncation depth and warm-up; α = 1/2 so every weight is an
+    * exact power of two — the smoothed state times 2^32 is an INTEGER
+    * (Σ n_{t−j}·2^(31−j) over the last 32 buckets), making the whole
+    * detector order-independent and bit-equal cross-engine with no
+    * floating accumulation at all. Spike rule: n > 3/2 · ewma_prev,
+    * compared as 2·n·2^32 > 3·sq_prev in integers.
+    */
+  val EWMA_LAGS = 32
+  val EWMA_WARMUP = 4
+  val EWMA_Q = 1L << 32
+
+  /** EWMA spike detector over per-type hourly event counts — the
+    * smoothed-baseline anomaly alert next to [[lBurnRate]]'s SLO view:
+    * a bucket fires when its count exceeds 1.5× the previous bucket's
+    * exponentially-weighted average (truncated at [[EWMA_LAGS]] row
+    * lags, zero pre-history, [[EWMA_WARMUP]] warm-up buckets skipped).
+    * The per-type bucket series is bounded (hours of retention), so the
+    * partitioned window is the right plan at any corpus width.
+    */
+  def lEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        (floor(unix_millis(col("ts")) / HOUR_MS) * HOUR_MS)
+          .cast("long").as("bucket_ms"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_ms")
+    val sq = (0 until EWMA_LAGS).map(j =>
+      coalesce(lag(col("n_events"), j).over(w), lit(0L)) * lit(1L << (31 - j)))
+      .reduce(_ + _)
+    hourly
+      // materialize sq BEFORE lagging it — a lag OF a window expression
+      // would nest window functions, which Spark rejects
+      .withColumn("sq", sq)
+      .withColumn("sq_prev", lag(col("sq"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") > EWMA_WARMUP && col("sq_prev") > 0 &&
+        col("n_events") * lit(2L) * EWMA_Q > col("sq_prev") * lit(3L))
+      .select(col("event_type"), col("bucket_ms"), col("n_events"),
+        ConnectorQueries.detRound4(col("sq_prev").cast("double") / EWMA_Q)
+          .as("ewma_prev"),
+        ConnectorQueries.detRound4(col("n_events").cast("double") * EWMA_Q /
+          col("sq_prev").cast("double")).as("ratio"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
   /** Fixed-width value histogram per event type — the latency-histogram
     * panel: one hash aggregate, bin = floor(value/100); integer binning
     * is exact on both engines (no percentile machinery, no sort until
@@ -433,6 +479,7 @@ object LogQueries {
     "l_anomaly"    -> lAnomaly _,
     "l_mad"        -> lMad _,
     "l_burn_rate"  -> lBurnRate _,
+    "l_ewma"       -> lEwma _,
     "l_apdex"      -> lApdex _,
     "l_debounce"   -> lDebounce _,
     "l_timechart"  -> lTimechart _,
@@ -477,6 +524,29 @@ object LogQueries {
       |      FROM events GROUP BY 1)""".stripMargin
 
   private val oracleBase: Map[String, String] = Map(
+    "l_ewma" -> {
+      val lags = (0 until EWMA_LAGS).map(j =>
+        s"coalesce(lag(n_events, $j) OVER tw, 0) * ${1L << (31 - j)}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT event_type,
+        |       (epoch_ms(CAST(ts AS TIMESTAMP)) // $HOUR_MS) * $HOUR_MS AS bucket_ms,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |     FROM events GROUP BY 1, 2),
+        |w1 AS (SELECT event_type, bucket_ms, n_events, $lags AS sq,
+        |         row_number() OVER tw AS rn
+        |       FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_ms)),
+        |w2 AS (SELECT event_type, bucket_ms, n_events, rn,
+        |         lag(sq, 1) OVER (PARTITION BY event_type ORDER BY bucket_ms) AS sq_prev
+        |       FROM w1)
+        |SELECT event_type, bucket_ms, n_events,
+        |       ${ConnectorQueries.detRound4Sql(s"sq_prev / $EWMA_Q.0")} AS ewma_prev,
+        |       ${ConnectorQueries.detRound4Sql(
+                 s"n_events * $EWMA_Q.0 / sq_prev")} AS ratio
+        |FROM w2
+        |WHERE rn > $EWMA_WARMUP AND sq_prev > 0
+        |  AND n_events * 2 * $EWMA_Q > sq_prev * 3
+        |ORDER BY event_type, bucket_ms""".stripMargin
+    },
     "l_burn_rate" ->
       s"""WITH $hourlyErrCte,
         |w AS (SELECT *,

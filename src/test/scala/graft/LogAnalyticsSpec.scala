@@ -199,4 +199,26 @@ class LogAnalyticsSpec extends SparkSpec {
       assert(lift > 1.5 - 1e-9, s"flagged rows exceed 1.5x lift, got $lift")
     }
   }
+
+  test("l_ewma flags exactly the planted hourly spike") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    val H = 3600000L
+    // 48 steady hours of 10 events, one 4x spike at hour 40
+    val rows = (0 until 48).flatMap { h =>
+      val n = if (h == 40) 40 else 10
+      (0 until n).map(k =>
+        (h.toLong * 100 + k, new Timestamp(h * H + k), 1L, "err", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.LogQueries.queries("l_ewma")(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.length == 1, s"only the spike fires: ${out.toSeq}")
+    val (et, b, n, ew, r) = out.head
+    assert(et == "err" && b == 40L * H && n == 40L)
+    assert(math.abs(ew - 10.0) < 0.01, s"baseline should be ~10, got $ew")
+    assert(r > 3.9 && r < 4.1, s"spike ratio should be ~4, got $r")
+    // the bucket AFTER the spike inherits an inflated baseline (~25)
+    // and its steady 10 events must NOT fire — EWMA decay, not a reset
+  }
 }
