@@ -47,9 +47,12 @@ object Sketches {
   val HLL_M = 1 << HLL_B
 
   /** Bits of the md5-derived hash left for the rank after the bucket
-    * takes [[HLL_B]]: two 32-bit halves minus the 6 bucket bits.
+    * takes [[HLL_B]]: two 32-bit halves minus the bucket bits. DERIVED
+    * from [[HLL_B]] (as are the shift/mask in [[hllRegisters]]) so a
+    * b bump moves the Spark plan, the rank ladder, and the DuckDB
+    * twins together.
     */
-  val HLL_WBITS = 58
+  val HLL_WBITS = 64 - HLL_B
 
   /** Signed-random-projection target dimension (64 → 16 = 4×
     * compression; JL distortion ~ √(ln n / k)).
@@ -141,7 +144,11 @@ object Sketches {
   /** Membership probe: `maybe` = 1 iff ALL k bits of the item are set
     * (no false negatives by construction; false positives measured by
     * the caller against exact membership). The bit set is bounded →
-    * broadcast; probes stream.
+    * broadcast; probes stream. The ALL-bits test is a MIN over the
+    * per-bit hit flags — duplicate-idempotent, so a probe relation
+    * with repeated items (an at-least-once stream) still answers
+    * correctly (a sum-vs-k test would see 2k hits and report a FALSE
+    * NEGATIVE for a genuinely inserted duplicate item).
     */
   def bloomMaybe(probes: DataFrame, item: Column, bits: DataFrame, m: Int): DataFrame =
     probes.select(item.as("item"),
@@ -150,7 +157,7 @@ object Sketches {
       // bits must still reach the aggregate to report maybe = 0
       .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"), "left")
       .groupBy("item")
-      .agg((sum(coalesce(col("hit"), lit(0L))) === BLOOM_K)
+      .agg((min(coalesce(col("hit"), lit(0L))) === 1L)
         .cast("bigint").as("maybe"))
 
   /** First 8 hex nibbles of a 32-char md5 hex string, from `pos`
@@ -237,8 +244,11 @@ object Sketches {
   def cmsJoinEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
     skA.withColumnRenamed("c", "ca")
       .join(skB.withColumnRenamed("c", "cb"), Seq("row", "bucket"))
-      .groupBy("row").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est_join"))
+      // counters hold corpus MASS: the product must widen to decimal
+      // BEFORE multiplying or it overflows Long near ~3e10 occurrences
+      .groupBy("row")
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("ip"))
+      .agg(min(col("ip")).cast("decimal(38,0)").as("est_join"))
 
   /** The HLL rank ladder as an engine-neutral CASE over the 58-bit
     * tail `w`: rank = (leading zeros of w in [[HLL_WBITS]] bits) + 1 =
@@ -269,9 +279,10 @@ object Sketches {
   def hllRegisters(items: DataFrame, item: Column): DataFrame = {
     val halves = items.select(md5(item.cast("binary")).as("m"))
       .select(hex32(col("m"), 1).as("v1"), hex32(col("m"), 9).as("v2"))
-    val mask = (1L << 26) - 1
+    val shift = 32 - HLL_B
+    val mask = (1L << shift) - 1
     halves
-      .select(shiftright(col("v1"), 26).as("bucket"),
+      .select(shiftright(col("v1"), shift).as("bucket"),
         (col("v1").bitwiseAND(lit(mask)) * lit(1L << 32) + col("v2")).as("w"))
       .select(col("bucket"), expr(rankCaseSql("w")).as("rank"))
       .groupBy("bucket").agg(max(col("rank")).cast("bigint").as("register"))

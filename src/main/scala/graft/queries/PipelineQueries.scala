@@ -711,21 +711,25 @@ object PipelineQueries {
     * two bounded sketches.
     */
   def xCmsJoinest(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.WordShingles.register(s)
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
-    def half(par: Int) = g.where(col("doc_id") % 2 === par)
-      .groupBy("gram").agg(count(lit(1)).as("cnt"))
-    val (a, b) = (half(0), half(1))
+    // half counts read off the ONE staged parity-count relation
+    // (shared with x_kl/x_keyness/x_llr/x_kmv_overlap/x_bloom via the
+    // stage memo) instead of re-exploding the corpus per half
+    val byGram = parityGramCounts(s, dir)
+    def half(c: String) = byGram.where(col(c) > 0)
+      .select(col("gram"), col(c).as("cnt"))
+    val (a, b) = (half("c0"), half("c1"))
     val est = Sketches.cmsJoinEstimate(
       Sketches.cmsSketch(a, col("gram"), col("cnt")),
       Sketches.cmsSketch(b, col("gram"), col("cnt")))
     val exact = a.withColumnRenamed("cnt", "ca").join(b.withColumnRenamed("cnt", "cb"), "gram")
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join"))
+      // decimal BEFORE the multiply (corpus-mass products overflow Long
+      // near ~3e10 occurrences); the output contract stays BIGINT
+      .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
+        lit(0L).cast("decimal(38,0)")).as("exact_join"))
     est.crossJoin(broadcast(exact))
-      .select(col("est_join"), col("exact_join"),
-        (col("est_join") - col("exact_join")).as("overcount"))
+      .select(col("est_join").cast("bigint").as("est_join"),
+        col("exact_join").cast("bigint").as("exact_join"),
+        (col("est_join") - col("exact_join")).cast("bigint").as("overcount"))
   }
 
   /** K-minimum-values distinct sketch — the mergeable cardinality
@@ -769,18 +773,15 @@ object PipelineQueries {
     * TakeOrdered(k), then joins of ≤k-row relations.
     */
   def xKmvOverlap(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.WordShingles.register(s)
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
+    // half gram SETS from the one staged parity-count relation
+    val byGram = parityGramCounts(s, dir)
     // distinct on h (not just gram): KMV state is a set of HASHES
-    def hashes(par: Int) = g.where(col("doc_id") % 2 === par)
-      .select(col("gram")).distinct()
+    def hashes(c: String) = byGram.where(col(c) > 0)
       .select(md5(col("gram").cast("binary")).as("m"))
       .select((Sketches.hex32(col("m"), 1).bitwiseAND(lit((1L << 31) - 1)) *
         lit(1L << 32) + Sketches.hex32(col("m"), 9)).as("h"))
       .distinct()
-    val (ha, hb) = (hashes(0), hashes(1))
+    val (ha, hb) = (hashes("c0"), hashes("c1"))
     def kmin(h: DataFrame) = h.orderBy("h").limit(Sketches.KMV_K)
     val (ka, kb) = (kmin(ha), kmin(hb))
     val ku = kmin(ka.union(kb).distinct())
@@ -790,7 +791,10 @@ object PipelineQueries {
     val thetaU = ku.agg(max(col("h")).as("theta_u"))
     val exact = ha.withColumn("in_a", lit(1)).join(
         hb.withColumn("in_b", lit(1)), Seq("h"), "full_outer")
-      .agg(sum((col("in_a") * col("in_b")).cast("bigint")).as("exact_inter"),
+      // coalesce: disjoint halves make every product NULL and a bare
+      // sum would return NULL where the oracle's max(CASE) path gives 0
+      .agg(coalesce(sum((col("in_a") * col("in_b")).cast("bigint")), lit(0L))
+        .as("exact_inter"),
         count(lit(1)).as("exact_union"))
     nBoth.crossJoin(broadcast(thetaU)).crossJoin(broadcast(exact))
       .select(col("n_both"), col("theta_u"),
@@ -854,15 +858,18 @@ object PipelineQueries {
         struct(lit(d).as("d"),
           (Sketches.amsSign(d, col("gram")) * col("cnt")).as("t"))): _*)).as("e"))
       .groupBy(col("e.d").as("d")).agg(sum(col("e.t")).as("z"))
-      .select(col("d"), (col("z") * col("z")).as("z2"))
+      // decimal BEFORE the square: |z| ~ sqrt(F2) exceeds the Long
+      // square root (~3e9) in the multi-TB regime
+      .select(col("d"), (col("z").cast("decimal(38,0)") * col("z")).as("z2"))
     val med = z
       .select(col("z2"), row_number().over(Window.orderBy("z2", "d")).as("rn"))
       .where(col("rn") === Sketches.AMS_D / 2 || col("rn") === Sketches.AMS_D / 2 + 1)
       .agg(sum(col("z2")).as("s2"))
       .select(expr("CAST(s2 div 2 AS BIGINT)").as("est_f2"))
-    val exact = counts.agg(sum(col("cnt") * col("cnt")).as("exact_f2"))
+    val exact = counts
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("exact_f2"))
     med.crossJoin(broadcast(exact))
-      .select(col("est_f2"), col("exact_f2"),
+      .select(col("est_f2"), col("exact_f2").cast("bigint").as("exact_f2"),
         detRound4(col("est_f2").cast("double") / col("exact_f2")).as("ratio"))
   }
 
@@ -1031,8 +1038,10 @@ object PipelineQueries {
       .select(col("c0"), col("c1"), col("v"), col("n0"), col("n1"),
         (lnq(col("c0") + 1) - lnq(col("c1") + 1)).as("dl"))
       .agg(max(col("v")).as("v"), max(col("n0")).as("n0"), max(col("n1")).as("n1"),
-        sum(((col("c0") + 1) * col("dl")).cast("decimal(38,0)")).as("a01"),
-        sum(((col("c1") + 1) * -col("dl")).cast("decimal(38,0)")).as("a10"),
+        // decimal BEFORE the multiply: a single gram count near ~3e11
+        // would overflow the Long product with the 2^25-scale ln delta
+        sum((col("c0") + 1).cast("decimal(38,0)") * col("dl")).as("a01"),
+        sum((col("c1") + 1).cast("decimal(38,0)") * -col("dl")).as("a10"),
         sum(abs((col("c0") + 1).cast("decimal(38,0)") * (col("n1") + col("v")) -
           (col("c1") + 1).cast("decimal(38,0)") * (col("n0") + col("v"))))
           .as("tvnum"))
@@ -1097,8 +1106,12 @@ object PipelineQueries {
     */
   def xLlr(s: SparkSession, dir: String): DataFrame = {
     val Q = Stats.LnQ
-    def xlx(c: Column): Column = when(c === 0, lit(0L))
-      .otherwise(c * round(log(c.cast("double")) * Q).cast("long"))
+    // the count widens to decimal BEFORE multiplying the 2^25-scale
+    // quantized ln — c·L(c) on the corpus total overflows Long at
+    // N ≈ 3.5e11 gram occurrences (the multi-TB regime)
+    def xlx(c: Column): Column = when(c === 0, lit(0L).cast("decimal(38,0)"))
+      .otherwise(c.cast("decimal(38,0)") *
+        round(log(c.cast("double")) * Q).cast("long"))
     val byGram = parityGramCounts(s, dir)
     val tot = byGram.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
     byGram.crossJoin(broadcast(tot))
@@ -1147,13 +1160,10 @@ object PipelineQueries {
     * probes stream through one aggregate.
     */
   def xBloom(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.WordShingles.register(s)
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(Text.shinglesNative(Text.tokens(col("text")), 3)).as("gram"))
-    def half(par: Int) = g.where(col("doc_id") % 2 === par)
-      .select("gram").distinct()
-    val (ga, gb) = (half(0), half(1))
+    // half gram SETS from the one staged parity-count relation
+    val byGram = parityGramCounts(s, dir)
+    def half(c: String) = byGram.where(col(c) > 0).select("gram")
+    val (ga, gb) = (half("c0"), half("c1"))
     // bit count scaled from the INSERT count (conf-overridable), the
     // simhashBands discipline — the oracle replays the same tiering
     // from count(*), so the match is SF-independent
@@ -1177,10 +1187,14 @@ object PipelineQueries {
         sum(when(col("maybe") === 1 && col("member") === 0, 1L).otherwise(0L)).as("n_fp"),
         sum(when(col("maybe") === 0 && col("member") === 1, 1L).otherwise(0L)).as("n_fn"),
         max(col("n_bits_set")).as("n_bits_set"),
-        detRound4(
-          sum(when(col("maybe") === 1 && col("member") === 0, 1L).otherwise(0L))
-            .cast("double") /
-          (count(lit(1)) - sum(col("member")))).as("fp_rate"))
+        // zero-guard: if the probe half is a SUBSET of the insert half
+        // there are no absent probes and the rate is 0 by convention
+        // (Spark ANSI throws on the bare /0; DuckDB yields inf)
+        detRound4(when(count(lit(1)) - sum(col("member")) === 0, lit(0.0))
+          .otherwise(
+            sum(when(col("maybe") === 1 && col("member") === 0, 1L).otherwise(0L))
+              .cast("double") /
+            (count(lit(1)) - sum(col("member"))))).as("fp_rate"))
   }
 
   /** Power-iteration rounds for [[xPowerIter]] — the oracle unrolls
@@ -5676,10 +5690,11 @@ object PipelineQueries {
         |e2 AS (SELECT gram, cnt, unnest(range(0, ${Sketches.CMS_D})) AS r FROM cb),
         |bb AS (SELECT r, ${Sketches.cmsBucketSql("r", "gram")} AS bucket, cnt FROM e2),
         |sb AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c2b FROM bb GROUP BY r, bucket),
-        |ip AS (SELECT sa.r, CAST(sum(sa.c2a * sb.c2b) AS BIGINT) AS ip
+        |ip AS (SELECT sa.r, sum(CAST(sa.c2a AS HUGEINT) * sb.c2b) AS ip
         |       FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket GROUP BY sa.r),
         |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join FROM ip),
-        |ex AS (SELECT CAST(coalesce(sum(ca.cnt * cb.cnt), 0) AS BIGINT) AS exact_join
+        |ex AS (SELECT CAST(coalesce(sum(CAST(ca.cnt AS HUGEINT) * cb.cnt), 0) AS BIGINT)
+        |         AS exact_join
         |       FROM ca JOIN cb USING (gram))
         |SELECT est_join, exact_join,
         |       CAST(est_join - exact_join AS BIGINT) AS overcount
@@ -5731,11 +5746,11 @@ object PipelineQueries {
         |z0 AS (SELECT gram, cnt, unnest(range(0, ${Sketches.AMS_D})) AS d FROM c),
         |z1 AS (SELECT d, CAST(sum(${Sketches.amsSignSql("d", "gram")} * cnt) AS BIGINT) AS z
         |       FROM z0 GROUP BY d),
-        |z2 AS (SELECT d, z * z AS z2 FROM z1),
+        |z2 AS (SELECT d, CAST(z AS HUGEINT) * z AS z2 FROM z1),
         |r AS (SELECT z2, row_number() OVER (ORDER BY z2, d) AS rn FROM z2),
         |m AS (SELECT CAST(sum(z2) // 2 AS BIGINT) AS est_f2 FROM r
         |      WHERE rn IN (${Sketches.AMS_D / 2}, ${Sketches.AMS_D / 2 + 1})),
-        |ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_f2 FROM c)
+        |ex AS (SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS exact_f2 FROM c)
         |SELECT est_f2, exact_f2,
         |       ${detRound4Sql("est_f2 * 1.0 / exact_f2")} AS ratio
         |FROM m CROSS JOIN ex""".stripMargin,
@@ -5809,8 +5824,8 @@ object PipelineQueries {
         |tt AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c0) AS BIGINT) AS n0,
         |              CAST(sum(c1) AS BIGINT) AS n1 FROM bg),
         |sm AS (SELECT max(v) AS v, max(n0) AS n0, max(n1) AS n1,
-        |         sum((c0 + 1) * (${L("c0 + 1")} - ${L("c1 + 1")})) AS a01,
-        |         sum((c1 + 1) * (${L("c1 + 1")} - ${L("c0 + 1")})) AS a10,
+        |         sum(CAST(c0 + 1 AS HUGEINT) * (${L("c0 + 1")} - ${L("c1 + 1")})) AS a01,
+        |         sum(CAST(c1 + 1 AS HUGEINT) * (${L("c1 + 1")} - ${L("c0 + 1")})) AS a10,
         |         sum(abs(CAST(c0 + 1 AS HUGEINT) * (n1 + v)
         |               - CAST(c1 + 1 AS HUGEINT) * (n0 + v))) AS tvnum
         |       FROM bg CROSS JOIN tt)
@@ -5826,7 +5841,7 @@ object PipelineQueries {
     "x_llr" -> {
       val Q = Stats.LnQ
       def xlx(e: String) = s"(CASE WHEN ($e) = 0 THEN 0 ELSE " +
-        s"($e) * CAST(round(ln(CAST($e AS DOUBLE)) * $Q) AS BIGINT) END)"
+        s"CAST($e AS HUGEINT) * CAST(round(ln(CAST($e AS DOUBLE)) * $Q) AS BIGINT) END)"
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(3)}) AS gram FROM t),
         |bg AS MATERIALIZED (SELECT gram,
@@ -5901,8 +5916,8 @@ object PipelineQueries {
         |        FROM gb CROSS JOIN mm),
         |pb AS (SELECT gram, ${Sketches.bloomBitSql("j", "gram", "m")} AS bit FROM pb0),
         |mb AS (SELECT gram,
-        |         CAST(sum(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END)
-        |              = ${Sketches.BLOOM_K} AS BIGINT) AS maybe
+        |         CAST(min(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END)
+        |              = 1 AS BIGINT) AS maybe
         |       FROM pb GROUP BY gram),
         |mem AS (SELECT gb.gram,
         |          CAST(CASE WHEN ga.gram IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS member
@@ -5916,8 +5931,9 @@ object PipelineQueries {
         |       CAST(sum(CASE WHEN maybe = 0 AND member = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
         |       CAST(max(n_bits_set) AS BIGINT) AS n_bits_set,
         |       ${detRound4Sql(
+                  "CASE WHEN count(*) - sum(member) = 0 THEN 0.0 ELSE " +
                   "sum(CASE WHEN maybe = 1 AND member = 0 THEN 1 ELSE 0 END) * 1.0 " +
-                  "/ (count(*) - sum(member))")} AS fp_rate
+                  "/ (count(*) - sum(member)) END")} AS fp_rate
         |FROM j CROSS JOIN nb""".stripMargin,
     // the iteration chain unrolls from the SAME Scala vals the query
     // uses (PI_ITERS, Knn.PowerQ) — a constant bump moves both engines

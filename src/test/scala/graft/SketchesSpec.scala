@@ -80,7 +80,8 @@ class SketchesSpec extends SparkSpec {
     val b = corpus(150, "ja").map(s => if (s.hashCode % 3 == 0) s else s + "-b")
     val skA = Sketches.cmsSketch(countsDf(a), col("item"), col("cnt"))
     val skB = Sketches.cmsSketch(countsDf(b), col("item"), col("cnt"))
-    val est = Sketches.cmsJoinEstimate(skA, skB).as[Long].head()
+    val est = Sketches.cmsJoinEstimate(skA, skB)
+      .select(col("est_join").cast("long")).as[Long].head()
     def cm(items: Seq[String]) = {
       val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
       (0 until Sketches.CMS_D).map(d => exact.toSeq
@@ -179,6 +180,20 @@ class SketchesSpec extends SparkSpec {
     val fp = Sketches.bloomMaybe(out, col("item"), bits, m)
       .as[(String, Long)].collect().count(_._2 == 1L)
     assert(fp < 200, s"fp=$fp of 2000 absent probes — far above the ~2% design point")
+  }
+
+  test("bloom membership is duplicate-safe: repeated probe items still admit") {
+    // an at-least-once stream probes the same item twice; the all-bits
+    // test is a MIN over hit flags (idempotent) — a sum-vs-k test
+    // would see 2k hits and report a false negative
+    val m = Sketches.bloomMFor(10)
+    val ins = (0 until 10).map(i => s"bd-$i").toDF("item")
+    val bits = Sketches.bloomBits(ins, col("item"), m)
+    val dupProbes = ((0 until 10) ++ (0 until 10)).map(i => s"bd-$i").toDF("item")
+    val hits = Sketches.bloomMaybe(dupProbes, col("item"), bits, m)
+      .as[(String, Long)].collect()
+    assert(hits.length == 10, "probe output is per distinct item")
+    assert(hits.forall(_._2 == 1L), s"duplicated inserts must still admit: ${hits.toSeq}")
   }
 
   test("bloom width tiers scale with the insert count on exact boundaries") {
