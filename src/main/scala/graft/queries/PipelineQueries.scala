@@ -1251,14 +1251,17 @@ object PipelineQueries {
 
   private def powerIterCtes: String = {
     val P = graft.operators.Knn.PowerQ
+    // every s$i is referenced TWICE (x$i and r$i): without MATERIALIZED
+    // DuckDB re-inlines the whole chain per reference — 2^ITERS blowup
+    // (measured 12.6/27.9 s oracle walls; materialized: sub-second)
     val iters = (1 to PI_ITERS).map { i =>
-      s"""s$i AS (SELECT m.j, sum(m.m * r.r) AS s FROM m JOIN r${i - 1} r ON m.k = r.j
-        |        GROUP BY m.j),
+      s"""s$i AS MATERIALIZED (SELECT m.j, sum(m.m * r.r) AS s
+        |        FROM m JOIN r${i - 1} r ON m.k = r.j GROUP BY m.j),
         |x$i AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s$i),
         |r$i AS (SELECT j, (CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((abs(s) * $P) // mx) AS r
         |        FROM s$i CROSS JOIN x$i)""".stripMargin
     }.mkString(",\n")
-    s"""q AS (SELECT vec_id, list_transform(embedding, x ->
+    s"""q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x ->
       |       CAST(round(CAST(x AS DOUBLE) * $P) AS BIGINT)) AS q FROM embeddings),
       |p0 AS (SELECT q, unnest(range(1, ${DIM + 1})) AS j FROM q),
       |p1 AS (SELECT q, j, unnest(range(1, ${DIM + 1})) AS k FROM p0),
