@@ -797,6 +797,22 @@ object Knn {
     * convention follows the all-ones start vector.
     */
   def powerIteration(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val (rF, mxF, _) = powerIterationState(vectors, dim, iters)
+    val P = PowerQ
+    val lam = mxF.select(
+      (expr(s"(mx * 10000) div ${P * P * P}").cast("double") / 1e4).as("lambda0"))
+    rF.crossJoin(broadcast(lam))
+      .select(col("j").cast("bigint").as("dim"), col("r").cast("bigint").as("v_q"),
+        graft.functions.Det.detRound4(col("lambda0")).as("lambda"))
+  }
+
+  /** [[powerIteration]]'s internals for consumers that need more than
+    * the assembled output row: (final quantized direction r(j, r), the
+    * last round's max-|s| scalar, the staged quantized moment matrix
+    * m(j, k, m)). Same exactness and staging contracts as the wrapper.
+    */
+  def powerIterationState(vectors: DataFrame, dim: Int,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1, "powerIteration needs at least one round")
     val s = vectors.sparkSession
     import s.implicits._
@@ -823,10 +839,6 @@ object Knn {
               expr(s"(abs(s) * $P) div mx")).as("r")))
         (rn, mx)
     }
-    val lam = mxF.select(
-      (expr(s"(mx * 10000) div ${P * P * P}").cast("double") / 1e4).as("lambda0"))
-    rF.crossJoin(broadcast(lam))
-      .select(col("j").cast("bigint").as("dim"), col("r").cast("bigint").as("v_q"),
-        graft.functions.Det.detRound4(col("lambda0")).as("lambda"))
+    (rF, mxF, m)
   }
 }

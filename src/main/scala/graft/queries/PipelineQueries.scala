@@ -1305,6 +1305,40 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** "All-but-the-top" energy audit — the actionable number behind
+    * [[xSpectralOutliers]]: how much of the embedding space's total
+    * second moment the dominant direction carries (pc1_share =
+    * (rᵀMr/rᵀr)/trace(M), all exact integer/decimal arithmetic off the
+    * SAME staged moment matrix; the one double appears per output
+    * column). A high share says the space is anisotropic and a
+    * whitening/centering pass will pay; resid_share is what a
+    * downstream ANN index would actually see after removal. One row:
+    * (n_vecs, m2_mean, pc1_share, resid_share).
+    */
+  def xWhiten(s: SparkSession, dir: String): DataFrame = {
+    val P = Knn.PowerQ
+    val emb = Tables.embeddings(s, dir)
+    val (r, _, m) = Knn.powerIterationState(emb, DIM, PI_ITERS)
+    val trace = m.where(col("j") === col("k")).agg(sum(col("m")).as("tr"))
+    val rmr = m
+      .join(broadcast(r.select(col("j"), col("r").as("rj"))), "j")
+      .join(broadcast(r.select(col("j").as("k"), col("r").as("rk"))), "k")
+      .agg(sum(col("m") * col("rj") * col("rk")).as("rmr"))
+    val rr = r.agg(sum(col("r") * col("r")).as("rr"))
+    val n = emb.agg(count(lit(1)).as("n_vecs"))
+    val share = when(col("tr") === 0 || col("rr") === 0, lit(0.0))
+      .otherwise(col("rmr").cast("double") /
+        (col("rr").cast("double") * col("tr").cast("double")))
+    n.crossJoin(broadcast(trace)).crossJoin(broadcast(rmr)).crossJoin(broadcast(rr))
+      .select(col("n_vecs"),
+        detRound4(when(col("n_vecs") === 0, lit(0.0)).otherwise(
+          col("tr").cast("double") /
+            (col("n_vecs").cast("double") * P.toDouble * P.toDouble)))
+          .as("m2_mean"),
+        detRound4(share).as("pc1_share"),
+        detRound4(lit(1.0) - share).as("resid_share"))
+  }
+
   /** Signed-random-projection (Johnson–Lindenstrauss) compression:
     * every embedding → 16 ±1-signed sums ([[Sketches.srpProject]], 4×
     * smaller), the cheapest learned-free compression tier next to SQ8/
@@ -1970,6 +2004,48 @@ object PipelineQueries {
       .where(col("jac") >= 0.35)
       .select(col("doc_a"), col("doc_b"), detRound4(col("jac")).as("jac"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Dedup-eval doc-id cap — FIXED (the ANN-probe discipline: a
+    * proportional sample would reintroduce n² truth pairs). 500 covers
+    * every sf0.01 doc (the fixture's dup pairs span ids 8–486), so the
+    * truth set is non-trivial at every SF.
+    */
+  val DEDUP_EVAL_CAP = 500L
+
+  /** Candidate-generation quality harness for the banded MinHash tier:
+    * on the first [[DEDUP_EVAL_CAP]] docs, exact all-pairs Jaccard
+    * (bounded ≤ C(200,2) pairs) defines the ≥0.35 near-dup TRUTH set;
+    * the banded candidates are scored against it — precision (how many
+    * candidate pairs are true near-dups), recall (how many true pairs
+    * the bands surface; the verify stage can never recover a pair the
+    * bands missed), F1 = 2·hit/(cand+truth) assembled from the exact
+    * counts. The number a pipeline watches when tuning
+    * N_PERMS/ROWS_PER_BAND. Truth is staged (two consumers).
+    */
+  def xDedupEval(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val docs = Tables.documents(s, dir).where(col("doc_id") < DEDUP_EVAL_CAP)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(Text.shinglesNative(Text.tokens(col("text")), 3)).as("sh"))
+    val truth = graft.operators.Scale.stage(
+      sh.as("a").join(broadcast(sh.as("b")), col("a.doc_id") < col("b.doc_id"))
+        .where(Dedup.jaccardDistinct(col("a.sh"), col("b.sh")) >= 0.35)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+    val cand = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nH = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH)).select(
+      col("n_truth"), col("n_cand"), col("n_hit"),
+      detRound4(when(col("n_cand") === 0, lit(0.0))
+        .otherwise(col("n_hit").cast("double") / col("n_cand"))).as("precision"),
+      detRound4(when(col("n_truth") === 0, lit(0.0))
+        .otherwise(col("n_hit").cast("double") / col("n_truth"))).as("recall"),
+      detRound4(when(col("n_cand") + col("n_truth") === 0, lit(0.0))
+        .otherwise(lit(2.0) * col("n_hit").cast("double") /
+          (col("n_cand") + col("n_truth")))).as("f1"))
   }
 
   /** Power-iteration rounds for [[xPagerank]] — fixed so the oracle
@@ -4025,6 +4101,7 @@ object PipelineQueries {
     "x_bloom"       -> xBloom _,
     "x_power_iter"  -> xPowerIter _,
     "x_spectral_outliers" -> xSpectralOutliers _,
+    "x_whiten"      -> xWhiten _,
     "x_zipf"        -> xZipf _,
     "x_heaps"       -> xHeaps _,
     "x_corr"        -> xCorr _,
@@ -4033,6 +4110,7 @@ object PipelineQueries {
     "x_triangles"   -> xTriangles _,
     "x_bootstrap"   -> xBootstrap _,
     "x_llr"         -> xLlr _,
+    "x_dedup_eval"  -> xDedupEval _,
     "x_srp"         -> xSrp _,
     "x_srp_recall"  -> xSrpRecall _,
     "x_group_sig"   -> xGroupSig _,
@@ -5948,6 +6026,24 @@ object PipelineQueries {
         |       ${detRound4Sql("le4 / 10000.0")} AS lambda
         |FROM r$PI_ITERS CROSS JOIN l ORDER BY dim""".stripMargin
     },
+    "x_whiten" -> {
+      val P = graft.operators.Knn.PowerQ
+      val share = s"CASE WHEN tr = 0 OR rr = 0 THEN 0.0 ELSE " +
+        s"CAST(rmr AS DOUBLE) / (CAST(rr AS DOUBLE) * CAST(tr AS DOUBLE)) END"
+      s"""WITH $powerIterCtes,
+        |tr0 AS (SELECT sum(m) AS tr FROM m WHERE j = k),
+        |rmr0 AS (SELECT sum(m.m * r1.r * r2.r) AS rmr
+        |         FROM m JOIN r$PI_ITERS r1 ON m.j = r1.j
+        |                JOIN r$PI_ITERS r2 ON m.k = r2.j),
+        |rr0 AS (SELECT sum(r * r) AS rr FROM r$PI_ITERS),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings)
+        |SELECT n_vecs,
+        |  ${detRound4Sql(s"CASE WHEN n_vecs = 0 THEN 0.0 ELSE " +
+             s"CAST(tr AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $P.0 * $P.0) END")} AS m2_mean,
+        |  ${detRound4Sql(share)} AS pc1_share,
+        |  ${detRound4Sql(s"1.0 - ($share)")} AS resid_share
+        |FROM nv CROSS JOIN tr0 CROSS JOIN rmr0 CROSS JOIN rr0""".stripMargin
+    },
     "x_spectral_outliers" ->
       s"""WITH $powerIterCtes,
         |w AS (SELECT vec_id, j, q[j] AS p
@@ -6083,6 +6179,36 @@ object PipelineQueries {
         |      GROUP BY 1, 2)
         |SELECT doc_a, doc_b, shared FROM p WHERE shared >= $WINNOW_SHARED_MIN
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_dedup_eval" -> {
+      val C = DEDUP_EVAL_CAP
+      s"""WITH ${permSigsSql},
+        |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs WHERE doc_id < $C GROUP BY doc_id, perm // $ROWS_PER_BAND),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.doc_id < b.doc_id),
+        |shc AS MATERIALIZED (SELECT doc_id, list_distinct(shingles) AS s
+        |      FROM sh WHERE doc_id < $C),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.s, b.s)) AS i, len(a.s) + len(b.s) AS t
+        |       FROM shc a JOIN shc b ON a.doc_id < b.doc_id),
+        |tr AS MATERIALIZED (SELECT doc_a, doc_b FROM pr
+        |      WHERE CAST(i AS DOUBLE) / (t - i) >= 0.35),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |       FROM cand JOIN tr USING (doc_a, doc_b))
+        |SELECT n_truth, n_cand, n_hit,
+        |  ${detRound4Sql(
+            "CASE WHEN n_cand = 0 THEN 0.0 ELSE CAST(n_hit AS DOUBLE) / n_cand END")} AS precision,
+        |  ${detRound4Sql(
+            "CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hit AS DOUBLE) / n_truth END")} AS recall,
+        |  ${detRound4Sql(
+            "CASE WHEN n_cand + n_truth = 0 THEN 0.0 ELSE " +
+            "2.0 * CAST(n_hit AS DOUBLE) / (n_cand + n_truth) END")} AS f1
+        |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin
+    },
     "x_neardup" ->
       s"""WITH ${permSigsSql},
         |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,

@@ -165,6 +165,22 @@ class StatsSpec extends SparkSpec {
     assert(se > 0.0 && se < 1.0, s"se $se should be small but positive")
   }
 
+  test("x_dedup_eval scores planted exact duplicates at full recall") {
+    // 20 distinct docs plus one exact duplicate pair: truth = 1 pair,
+    // and identical texts share every minhash band, so the banded tier
+    // must surface it -> recall 1.0, n_hit >= 1
+    val rows = (0 until 20).map { i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")
+    } :+ ((20L, "alpha7 beta7 gamma7 delta7 epsilon7 zeta7"))
+    val dir = plantDocs(rows)
+    val (nt, nc, nh, p, r, f1) = graft.queries.PipelineQueries
+      .queries("x_dedup_eval")(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(nt == 1L, s"exactly the planted duplicate pair is truth, got $nt")
+    assert(nh == 1L && r == 1.0, s"bands must surface an exact duplicate: hit=$nh r=$r")
+    assert(nc >= 1L && p > 0.0 && f1 > 0.0)
+  }
+
   test("zipf fit survives degenerate heads: all-tied counts and a 1-row head") {
     // all counts equal: y-variance 0 -> r2 guard (Spark ANSI would
     // otherwise throw DIVIDE_BY_ZERO on the double division)
