@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.expressions.FloatDot
 import graft.functions.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -825,8 +825,20 @@ object Knn {
         .groupBy((col("j0") + 1).cast("bigint").as("j"),
           (col("k0") + 1).cast("bigint").as("k"))
         .agg(sum((col("pj") * col("pk")).cast("decimal(38,0)")).as("m")))
+    val (rF, mxF) = powerRounds(s, m, dim, iters)
+    (rF, mxF, m)
+  }
+
+  /** The max-norm integer power rounds over an arbitrary (j, k, m)
+    * moment relation — shared by the top-1 chain and the deflated
+    * second-component chain. Returns (final r(j, r), last max-|s|).
+    */
+  private def powerRounds(s: org.apache.spark.sql.SparkSession,
+      m: DataFrame, dim: Int, iters: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val P = PowerQ
     val r0 = (1 to dim).map(j => (j.toLong, P)).toDF("j", "r")
-    val (rF, mxF) = (1 to iters).foldLeft((r0, null: DataFrame)) {
+    (1 to iters).foldLeft((r0, null: DataFrame)) {
       case ((r, _), _) =>
         val sv = m
           .join(broadcast(r.select(col("j").as("k"), col("r").as("rk"))), "k")
@@ -839,6 +851,75 @@ object Knn {
               expr(s"(abs(s) * $P) div mx")).as("r")))
         (rn, mx)
     }
-    (rF, mxF, m)
+  }
+
+  /** Exact TRUNCATING (toward-zero) division on signed DECIMALs via
+    * remainder subtraction on the absolute value: abs(a) − pmod(abs(a),
+    * b) is exactly divisible, so the decimal divide is exact at any
+    * scale, and re-applying the sign gives truncation — the SAME
+    * convention DuckDB's `//` uses on negatives (measured: -7 // 2 =
+    * -3, truncation, NOT floor). Spark's own `div` also truncates but
+    * returns Long, which overflows when the quotient itself exceeds
+    * 2^63 (the deflation quotients can at corpus scale).
+    */
+  private def divTrunc(a: Column, b: Column): Column =
+    (when(a < 0, lit(-1L)).otherwise(lit(1L)) *
+      ((abs(a) - pmod(abs(a), b)) / b).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+
+  /** Top-2 principal directions by INTEGER-EXACT deflation: run
+    * [[powerIterationState]], deflate M' = M − (r·rᵀ)·qd // rr with
+    * qd = (rᵀMr) // (rᵀr) (two truncating divisions keep every
+    * intermediate under DECIMAL(38,0)'s range — the single-expression
+    * form r_j·r_k·rᵀMr overflows at 2^154), then run the SAME rounds
+    * on the bounded deflated matrix. Both chains and the deflation are
+    * pure integer arithmetic, so the DuckDB oracle replays them
+    * bit-for-bit with `//`.
+    *
+    * Returns dim rows: (dim, v1_q, v2_q, lambda1, lambda2, cos12) —
+    * cos12 ≈ 0 certifies the deflation actually removed the top
+    * component. Scale: one corpus pass (the moment build); everything
+    * else bounded.
+    */
+  def powerIterationTop2(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val s = vectors.sparkSession
+    val P = PowerQ
+    val (r1, mx1, m) = powerIterationState(vectors, dim, iters)
+    val rr = r1.agg(sum(col("r") * col("r")).cast("decimal(38,0)").as("rr"))
+    val rj = broadcast(r1.select(col("j"), col("r").as("rj")))
+    val rk = broadcast(r1.select(col("j").as("k"), col("r").as("rk")))
+    val qd = m.join(rj, "j").join(rk, "k")
+      .agg(sum(col("m") * col("rj") * col("rk")).as("rmr"))
+      .crossJoin(broadcast(rr))
+      .select(divTrunc(col("rmr"), col("rr")).as("qd"), col("rr"))
+    val m2 = Scale.stage(m.join(rj, "j").join(rk, "k")
+      .crossJoin(broadcast(qd))
+      .select(col("j"), col("k"),
+        (col("m") - divTrunc(
+          (col("rj") * col("rk")).cast("decimal(38,0)") * col("qd"),
+          col("rr"))).as("m")))
+    val (r2, mx2) = powerRounds(s, m2, dim, iters)
+    def lam(mx: DataFrame, name: String) = mx.select(
+      (expr(s"(mx * 10000) div ${P * P * P}").cast("double") / 1e4).as(name))
+    val cos = r1.select(col("j"), col("r").as("r1"))
+      .join(r2.select(col("j"), col("r").as("r2")), "j")
+      .agg(sum(col("r1") * col("r2")).as("dot"),
+        sum(col("r1") * col("r1")).as("n1"),
+        sum(col("r2") * col("r2")).as("n2"))
+      .select(graft.functions.Det.detRound4(
+        when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+          .otherwise(col("dot").cast("double") /
+            sqrt(col("n1").cast("double") * col("n2").cast("double"))))
+        .as("cos12"))
+    r1.select(col("j"), col("r").as("v1"))
+      .join(r2.select(col("j"), col("r").as("v2")), "j")
+      .crossJoin(broadcast(lam(mx1, "l1")))
+      .crossJoin(broadcast(lam(mx2, "l2")))
+      .crossJoin(broadcast(cos))
+      .select(col("j").cast("bigint").as("dim"),
+        col("v1").cast("bigint").as("v1_q"), col("v2").cast("bigint").as("v2_q"),
+        graft.functions.Det.detRound4(col("l1")).as("lambda1"),
+        graft.functions.Det.detRound4(col("l2")).as("lambda2"),
+        col("cos12"))
   }
 }

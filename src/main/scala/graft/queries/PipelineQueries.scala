@@ -1249,26 +1249,36 @@ object PipelineQueries {
       |FROM s""".stripMargin
   }
 
+  /** The unrolled max-norm power rounds over moment relation `mName`,
+    * CTE names suffixed with `pfx` (chain A uses "", keeping the
+    * r0..r8 names the other oracles reference). Every s$i is
+    * referenced TWICE (x$i and r$i): without MATERIALIZED DuckDB
+    * re-inlines the whole chain per reference — 2^ITERS blowup
+    * (measured 12.6/27.9 s oracle walls; materialized: sub-second).
+    */
+  private def powerRoundsSql(mName: String, pfx: String): String = {
+    val P = graft.operators.Knn.PowerQ
+    val iters = (1 to PI_ITERS).map { i =>
+      s"""s$pfx$i AS MATERIALIZED (SELECT m.j, sum(m.m * r.r) AS s
+        |        FROM $mName m JOIN r$pfx${i - 1} r ON m.k = r.j GROUP BY m.j),
+        |x$pfx$i AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s$pfx$i),
+        |r$pfx$i AS (SELECT j,
+        |        (CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((abs(s) * $P) // mx) AS r
+        |        FROM s$pfx$i CROSS JOIN x$pfx$i)""".stripMargin
+    }.mkString(",\n")
+    s"""r${pfx}0 AS (SELECT unnest(range(1, ${DIM + 1})) AS j, CAST($P AS HUGEINT) AS r),
+      |$iters""".stripMargin
+  }
+
   private def powerIterCtes: String = {
     val P = graft.operators.Knn.PowerQ
-    // every s$i is referenced TWICE (x$i and r$i): without MATERIALIZED
-    // DuckDB re-inlines the whole chain per reference — 2^ITERS blowup
-    // (measured 12.6/27.9 s oracle walls; materialized: sub-second)
-    val iters = (1 to PI_ITERS).map { i =>
-      s"""s$i AS MATERIALIZED (SELECT m.j, sum(m.m * r.r) AS s
-        |        FROM m JOIN r${i - 1} r ON m.k = r.j GROUP BY m.j),
-        |x$i AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s$i),
-        |r$i AS (SELECT j, (CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((abs(s) * $P) // mx) AS r
-        |        FROM s$i CROSS JOIN x$i)""".stripMargin
-    }.mkString(",\n")
     s"""q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x ->
       |       CAST(round(CAST(x AS DOUBLE) * $P) AS BIGINT)) AS q FROM embeddings),
       |p0 AS (SELECT q, unnest(range(1, ${DIM + 1})) AS j FROM q),
       |p1 AS (SELECT q, j, unnest(range(1, ${DIM + 1})) AS k FROM p0),
       |m AS MATERIALIZED (SELECT j, k, sum(CAST(q[j] AS HUGEINT) * q[k]) AS m
       |     FROM p1 GROUP BY j, k),
-      |r0 AS (SELECT unnest(range(1, ${DIM + 1})) AS j, CAST($P AS HUGEINT) AS r),
-      |$iters""".stripMargin
+      |${powerRoundsSql("m", "")}""".stripMargin
   }
 
   /** Spectral outlier scoring — the "all-but-the-top" consumer of
@@ -1304,6 +1314,16 @@ object PipelineQueries {
       .limit(OUTLIER_K)
       .orderBy("vec_id")
   }
+
+  /** Top-2 PCA ([[Knn.powerIterationTop2]]): the first two principal
+    * directions of the embedding second moment by integer-exact
+    * deflation — both chains, the deflation quotients, and the
+    * orthogonality certificate (cos12 ≈ 0) replay bit-for-bit in the
+    * oracle. One corpus pass; everything else bounded.
+    */
+  def xPca2(s: SparkSession, dir: String): DataFrame =
+    Knn.powerIterationTop2(Tables.embeddings(s, dir), DIM, PI_ITERS)
+      .orderBy("dim")
 
   /** "All-but-the-top" energy audit — the actionable number behind
     * [[xSpectralOutliers]]: how much of the embedding space's total
@@ -4102,6 +4122,7 @@ object PipelineQueries {
     "x_power_iter"  -> xPowerIter _,
     "x_spectral_outliers" -> xSpectralOutliers _,
     "x_whiten"      -> xWhiten _,
+    "x_pca2"        -> xPca2 _,
     "x_zipf"        -> xZipf _,
     "x_heaps"       -> xHeaps _,
     "x_corr"        -> xCorr _,
@@ -6025,6 +6046,34 @@ object PipelineQueries {
         |SELECT CAST(j AS BIGINT) AS dim, CAST(r AS BIGINT) AS v_q,
         |       ${detRound4Sql("le4 / 10000.0")} AS lambda
         |FROM r$PI_ITERS CROSS JOIN l ORDER BY dim""".stripMargin
+    },
+    "x_pca2" -> {
+      val P = graft.operators.Knn.PowerQ
+      s"""WITH $powerIterCtes,
+        |rr0 AS (SELECT sum(r * r) AS rr FROM r$PI_ITERS),
+        |rmr0 AS (SELECT sum(m.m * a.r * b.r) AS rmr
+        |         FROM m JOIN r$PI_ITERS a ON m.j = a.j
+        |                JOIN r$PI_ITERS b ON m.k = b.j),
+        |qd0 AS (SELECT rmr // rr AS qd, rr FROM rmr0 CROSS JOIN rr0),
+        |m2 AS MATERIALIZED (SELECT m.j, m.k,
+        |       m.m - (CAST(a.r AS HUGEINT) * b.r * qd) // rr AS m
+        |     FROM m JOIN r$PI_ITERS a ON m.j = a.j
+        |            JOIN r$PI_ITERS b ON m.k = b.j CROSS JOIN qd0),
+        |${powerRoundsSql("m2", "b")},
+        |l1 AS (SELECT CAST((mx * 10000) // ${P * P * P} AS BIGINT) AS le4 FROM x$PI_ITERS),
+        |l2 AS (SELECT CAST((mx * 10000) // ${P * P * P} AS BIGINT) AS le4 FROM xb$PI_ITERS),
+        |c0 AS (SELECT sum(a.r * b.r) AS dot, sum(a.r * a.r) AS n1,
+        |              sum(b.r * b.r) AS n2
+        |       FROM r$PI_ITERS a JOIN rb$PI_ITERS b ON a.j = b.j)
+        |SELECT CAST(a.j AS BIGINT) AS dim, CAST(a.r AS BIGINT) AS v1_q,
+        |       CAST(b.r AS BIGINT) AS v2_q,
+        |       ${detRound4Sql("l1.le4 / 10000.0")} AS lambda1,
+        |       ${detRound4Sql("l2.le4 / 10000.0")} AS lambda2,
+        |       ${detRound4Sql(
+                 "CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE CAST(dot AS DOUBLE)" +
+                 " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END")} AS cos12
+        |FROM r$PI_ITERS a JOIN rb$PI_ITERS b ON a.j = b.j
+        |CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN c0 ORDER BY dim""".stripMargin
     },
     "x_whiten" -> {
       val P = graft.operators.Knn.PowerQ

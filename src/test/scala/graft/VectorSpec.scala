@@ -519,6 +519,29 @@ class VectorSpec extends SparkSpec {
       "dominant eigenvalue must be at least half the mean-eigenvalue bound")
   }
 
+  test("top-2 deflated power iteration recovers two planted orthogonal axes") {
+    val dim = 8
+    val rnd = new scala.util.Random(3)
+    // two planted axes with distinct energies over tiny noise
+    val vecs = (0 until 200).map { i =>
+      val v = Array.fill(dim)((rnd.nextFloat() - 0.5f) * 0.05f)
+      v(1) = v(1) + (if (i % 2 == 0) 3.0f else -3.0f)   // strongest axis
+      v(6) = v(6) + (if (i % 3 == 0) 2.0f else -1.0f)   // second axis
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val got = Knn.powerIterationTop2(vecs, dim, 8)
+      .orderBy("dim")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    val v1 = got.map(_._2.toDouble); val v2 = got.map(_._3.toDouble)
+    def share(v: Array[Double], j: Int) =
+      math.abs(v(j)) / math.sqrt(v.map(c => c * c).sum)
+    assert(share(v1, 1) > 0.99, s"v1 must ride the strongest axis: ${v1.toSeq}")
+    assert(share(v2, 6) > 0.95, s"v2 must ride the second axis: ${v2.toSeq}")
+    val (_, _, _, l1, l2, cos12) = got.head
+    assert(l1 > l2 && l2 > 0, s"eigenvalues must order: $l1 vs $l2")
+    assert(math.abs(cos12) < 0.05, s"deflated directions must be near-orthogonal: $cos12")
+  }
+
   test("power-iteration direction is axis-aligned on a planted anisotropic cloud") {
     val dim = 8
     val rnd = new scala.util.Random(7)
