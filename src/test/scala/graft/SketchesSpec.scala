@@ -196,6 +196,34 @@ class SketchesSpec extends SparkSpec {
     assert(hits.forall(_._2 == 1L), s"duplicated inserts must still admit: ${hits.toSeq}")
   }
 
+  test("bloomMCaseSql replays bloomMFor: the oracle CASE agrees on every boundary") {
+    // the SQL CASE is engine-neutral — evaluate it IN SPARK for the
+    // boundary insert counts and compare with the Scala rule, proving
+    // the cross-engine tier replay is the same function
+    val k = Sketches.BLOOM_K
+    val ns = Seq(1L, 2L) ++ Sketches.BLOOM_TIERS.init.flatMap { m =>
+      Seq(m.toLong / (2 * k) - 1, m.toLong / (2 * k), m.toLong / (2 * k) + 1)
+    } ++ Seq(Sketches.BLOOM_TIERS.last.toLong, Long.MaxValue / 32)
+    ns.foreach { n =>
+      val viaSql = spark.sql(
+        s"SELECT ${Sketches.bloomMCaseSql(n.toString)} AS m").as[Int].head()
+      assert(viaSql == Sketches.bloomMFor(n), s"n=$n: CASE $viaSql vs Scala")
+    }
+  }
+
+  test("bloomMaybe reports 0 for items with zero set bits (empty state)") {
+    // the left-join-plus-indicator contract: an item whose bits are ALL
+    // absent must still reach the aggregate and answer maybe = 0 (a
+    // semi join would silently drop it from the output)
+    val m = Sketches.bloomMFor(8)
+    val empty = Seq.empty[Long].toDF("bit")
+    val out = Sketches.bloomMaybe(
+        (0 until 5).map(i => s"z-$i").toDF("item"), col("item"), empty, m)
+      .as[(String, Long)].collect()
+    assert(out.length == 5, "every probe answers, even against empty state")
+    assert(out.forall(_._2 == 0L), s"empty filter admits nothing: ${out.toSeq}")
+  }
+
   test("bloom width tiers scale with the insert count on exact boundaries") {
     val k = Sketches.BLOOM_K
     assert(Sketches.bloomMFor(1) == Sketches.BLOOM_TIERS.head)

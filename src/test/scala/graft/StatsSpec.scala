@@ -165,6 +165,27 @@ class StatsSpec extends SparkSpec {
     assert(se > 0.0 && se < 1.0, s"se $se should be small but positive")
   }
 
+  test("x_kl satisfies Gibbs and TV bounds on random planted corpora") {
+    val rnd = new scala.util.Random(19)
+    (1 to 3).foreach { trial =>
+      val vocab = (0 until 30).map(k => s"w$trial-$k")
+      val rows = (0 until 30).map { i =>
+        val words = (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, words.mkString(" "))
+      }
+      val dir = plantDocs(rows)
+      val (v, n0, n1, kl01, kl10, tv) = graft.queries.PipelineQueries
+        .queries("x_kl")(spark, dir)
+        .as[(Long, Long, Long, Double, Double, Double)].head()
+      assert(v > 0 && n0 > 0 && n1 > 0)
+      // Gibbs: true KL >= 0; the 2^-20 ln quantization can dip a
+      // rounded-to-4-decimals result at most one ulp below zero
+      assert(kl01 >= -0.0002 && kl10 >= -0.0002,
+        s"trial $trial: KL must be (quantization-)non-negative: $kl01 $kl10")
+      assert(tv >= 0.0 && tv <= 1.0, s"trial $trial: TV in [0,1]: $tv")
+    }
+  }
+
   test("x_dedup_eval scores planted exact duplicates at full recall") {
     // 20 distinct docs plus one exact duplicate pair: truth = 1 pair,
     // and identical texts share every minhash band, so the banded tier
