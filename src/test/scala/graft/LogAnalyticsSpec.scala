@@ -221,4 +221,21 @@ class LogAnalyticsSpec extends SparkSpec {
     // the bucket AFTER the spike inherits an inflated baseline (~25)
     // and its steady 10 events must NOT fire — EWMA decay, not a reset
   }
+
+  test("l_ewma gap semantics are ROW lags: an empty hour is skipped, not zero-filled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_gap").toString
+    val H = 3600000L
+    // steady 10/hour, hours 20-29 entirely MISSING, then steady 10
+    // resumes: with row-lag semantics the baseline stays ~10 across
+    // the gap, so the resume bucket must NOT fire as a spike
+    val rows = ((0 until 20) ++ (30 until 48)).flatMap { h =>
+      (0 until 10).map(k =>
+        (h.toLong * 100 + k, new Timestamp(h * H + k), 1L, "err", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.LogQueries.queries("l_ewma")(spark, dir).collect()
+    assert(out.isEmpty,
+      s"a gap must not manufacture a spike under row-lag semantics: ${out.toSeq}")
+  }
 }

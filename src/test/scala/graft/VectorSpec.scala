@@ -542,6 +542,30 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(cos12) < 0.05, s"deflated directions must be near-orthogonal: $cos12")
   }
 
+  test("power iteration edge inputs: single vector and all-zero corpus") {
+    // one vector: S = x·xT is rank-1, the direction is x itself and
+    // lambda = ||x||^2 (to quantization)
+    val x = Array(0.5f, -0.25f, 0.125f, 0.0f)
+    val one = Seq((0L, x)).toDF("vec_id", "embedding")
+    val got = Knn.powerIteration(one, 4, 8)
+      .orderBy("dim").as[(Long, Long, Double)].collect()
+    val comps = got.map(_._2.toDouble)
+    // direction proportional to x, max-norm peak on dim 1
+    assert(comps(0) == Knn.PowerQ.toDouble)
+    assert(math.abs(comps(1) / comps(0) + 0.5) < 1e-4, s"${comps.toSeq}")
+    assert(math.abs(comps(2) / comps(0) - 0.25) < 1e-4)
+    assert(comps(3) == 0.0)
+    val l2 = x.map(c => c.toDouble * c).sum
+    assert(math.abs(got.head._3 - l2) < 1e-3, s"lambda ${got.head._3} vs |x|^2 $l2")
+    // all-zero corpus: the greatest(mx, 1) guard keeps every round
+    // defined; the direction collapses to 0 and lambda to 0
+    val zeros = (0 until 5).map(i => (i.toLong, Array.fill(4)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Knn.powerIteration(zeros, 4, 8)
+      .orderBy("dim").as[(Long, Long, Double)].collect()
+    assert(z.forall(r => r._2 == 0L && r._3 == 0.0), s"${z.toSeq}")
+  }
+
   test("power-iteration direction is axis-aligned on a planted anisotropic cloud") {
     val dim = 8
     val rnd = new scala.util.Random(7)
