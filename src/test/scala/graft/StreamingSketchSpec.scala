@@ -83,6 +83,40 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV state: aggregate + sort-limit in complete mode tracks the batch k-min set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val K = 16
+    // the same md5-derived 63-bit hash shape xKmv uses; distinct-ness
+    // comes from the groupBy (a streaming .distinct() would lower to
+    // Deduplicate, which complete mode rejects)
+    def hashed(df: org.apache.spark.sql.DataFrame) = df
+      .select(md5(col("item").cast("binary")).as("m"))
+      .select((Sketches.hex32(col("m"), 1).bitwiseAND(lit((1L << 31) - 1)) *
+        lit(1L << 32) + Sketches.hex32(col("m"), 9)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .orderBy("h").limit(K).select("h")
+    def batchKmv(items: Seq[String]): Seq[Long] =
+      hashed(items.toDF("item")).as[Long].collect().toSeq
+    val mem = MemoryStream[String]
+    val q = hashed(mem.toDF().select(col("value").as("item")))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.table("kmv_stream").as[Long].collect().toSeq == batchKmv(batch1))
+      // redelivery: the k-min SET is duplicate-idempotent
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.table("kmv_stream").as[Long].collect().toSeq == batchKmv(batch1))
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(spark.table("kmv_stream").as[Long].collect().toSeq ==
+        batchKmv(batch1 ++ batch2),
+        "the k smallest hashes must merge across micro-batches")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers track the batch registers across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[String]
