@@ -102,4 +102,75 @@ object Relational {
           abs(col("rts") - col("lts")) <= bandWidthMs, col("rts")))
       .drop("bin")
   }
+
+  /** ntile + lead-of-key + first_value-of-key over a LOW-CARDINALITY
+    * partition key, without the single-task-per-key sort that
+    * `Window.partitionBy(lowCardKey)` plans (a permanent parallelism
+    * cap: at 100 TB one task would sort a whole key's share). Instead:
+    *
+    *  1. broadcast per-key (min, max) of the order value → each row's
+    *     deterministic descending range bucket (pure arithmetic, no
+    *     percentile pass; equal values share a bucket, so bucket order
+    *     refines the (value desc, key asc) total order);
+    *  2. ONE tiny aggregate (≤ |keys|·`buckets` rows) yields per-bucket
+    *     counts + first keys → cumulative rank offsets, boundary
+    *     successor keys, the per-key top key, and the per-key row count
+    *     (windows over this bounded relation are free);
+    *  3. per (key, bucket) local row_number + broadcast offset = the
+    *     exact in-key rank; `lead` patches bucket-boundary rows with the
+    *     next non-empty bucket's first key; the tile comes from SQL
+    *     ntile's closed form (first n%tiles tiles carry ceil(n/tiles)).
+    *
+    * Max task sort ≈ n/(|keys|·`buckets`); `buckets` is a constant
+    * fan-out knob, not a data-dependent cap. Output: input columns +
+    * (tile LONG, next_key, top_key). Semantics are bit-identical to the
+    * plain window formulation — [[graft.queries.RelationalQueries.qNtile]]'s
+    * DuckDB oracle is the standing differential proof.
+    *
+    * `valueCol` is ordered DESCENDING; `keyCol` must be unique per
+    * `partCol` group (the deterministic tiebreak, ascending).
+    */
+  def scalableNtile(df: DataFrame, partCol: String, valueCol: String,
+                    keyCol: String, tiles: Int, buckets: Int = 64): DataFrame = {
+    val span = df.groupBy(partCol)
+      .agg(min(valueCol).as("__pmin"), max(valueCol).as("__pmax"))
+    val bucketed = df.join(broadcast(span), partCol)
+      .withColumn("__bkt",
+        when(col("__pmax") === col("__pmin"), lit(0)).otherwise(
+          least(lit(buckets - 1),
+            floor((col("__pmax") - col(valueCol)) /
+              ((col("__pmax") - col("__pmin")) / buckets)).cast("int"))))
+      .drop("__pmin", "__pmax")
+    val bagg = bucketed.groupBy(partCol, "__bkt")
+      .agg(count(lit(1)).as("__bc"),
+        min_by(col(keyCol),
+          struct((lit(-1.0) * col(valueCol)).as("nv"),
+            col(keyCol).as("k"))).as("__first"))
+    val wb = Window.partitionBy(partCol).orderBy("__bkt")
+    val binfo = bagg
+      .withColumn("__off", coalesce(
+        sum("__bc").over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__nextf", lead("__first", 1).over(wb))
+      .withColumn("top_key", first("__first").over(wb))
+      .withColumn("__n", sum("__bc").over(Window.partitionBy(partCol)))
+      .select(col(partCol), col("__bkt"), col("__off"), col("__nextf"),
+        col("top_key"), col("__n"))
+    val wloc = Window.partitionBy(partCol, "__bkt")
+      .orderBy(col(valueCol).desc, col(keyCol))
+    bucketed.join(broadcast(binfo), Seq(partCol, "__bkt"))
+      .withColumn("__r", col("__off") + row_number().over(wloc))
+      // in-bucket lead is null exactly on each bucket's last row, where
+      // the true successor is the next non-empty bucket's first key
+      .withColumn("next_key",
+        coalesce(lead(col(keyCol), 1).over(wloc), col("__nextf")))
+      .withColumn("__base", expr(s"__n DIV $tiles"))
+      .withColumn("__rem", col("__n") % tiles)
+      .withColumn("tile",
+        when(col("__r") <= col("__rem") * (col("__base") + 1),
+          expr("(__r - 1) DIV (__base + 1) + 1"))
+          .otherwise(expr(
+            "__rem + (__r - __rem * (__base + 1) - 1) DIV __base + 1"))
+          .cast("bigint"))
+      .drop("__bkt", "__off", "__nextf", "__n", "__r", "__base", "__rem")
+  }
 }

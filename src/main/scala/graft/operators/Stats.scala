@@ -69,7 +69,10 @@ object Stats {
     val base = df.select(metrics.map { case (n, c) => c.cast("long").as(n) }: _*)
     val aggs = names.map(n => sum(col(n).cast("decimal(38,0)")).as(s"s_$n")) ++
       (for { i <- names.indices; j <- i until names.size } yield
-        sum((col(names(i)) * col(names(j))).cast("decimal(38,0)"))
+        // decimal BEFORE the multiply: a per-row metric product of two
+        // ~3e9-scale longs (chars of a multi-GB doc) overflows long*long
+        // before a post-hoc cast could widen it
+        sum(col(names(i)).cast("decimal(38,0)") * col(names(j)))
           .as(s"p_${names(i)}_${names(j)}"))
     val s = base.agg(count(lit(1)).as("n"), aggs: _*)
     val pairRows = for { i <- names.indices; j <- (i + 1) until names.size } yield {

@@ -674,7 +674,11 @@ object PipelineQueries {
     counts.join(est, "gram").crossJoin(broadcast(nTot))
       .agg(count(lit(1)).as("n_grams"),
         max(col("n_total")).as("n_total"),
-        sum(col("est") - col("cnt")).as("sum_overcount"),
+        // decimal accumulate: est/cnt are corpus-mass longs, and the
+        // vocabulary-wide overcount sum can pass 2^63 in the multi-TB
+        // regime while DuckDB widens to HUGEINT; BIGINT only at output
+        sum((col("est") - col("cnt")).cast("decimal(38,0)"))
+          .cast("bigint").as("sum_overcount"),
         max(col("est") - col("cnt")).as("max_overcount"),
         sum((col("est") > col("cnt")).cast("bigint")).as("n_over"),
         sum(((col("est") - col("cnt")) * Sketches.CMS_W >
@@ -3363,7 +3367,10 @@ object PipelineQueries {
         round(-log(col("cw").cast("double") / col("nTot")) * DOREMI_Q)
           .cast("bigint"))
     val dom = scored.groupBy("source")
-      .agg(sum(col("c") * col("sq")).as("sumq"),
+      // decimal BEFORE the multiply: c·sq is a corpus-mass × quantized-ln
+      // product whose per-source sum reaches 2^63 near 1e12 words — the
+      // same overflow class fixed in cmsJoinEstimate/xKl/xLlr/xAms
+      .agg(sum(col("c").cast("decimal(38,0)") * col("sq")).as("sumq"),
         sum(col("c")).as("n_words"))
       .withColumn("refq",
         sum("sumq").over(w).cast("double") / sum("n_words").over(w))

@@ -106,20 +106,26 @@ object RelationalQueries {
   }
 
   /** Window-function breadth beyond ranks and frames: ntile quartiles,
-    * lead, and first_value over one deterministic window (unique
-    * (price desc, key) order). Same scale shape as every window op —
-    * one shuffle on the partition key.
+    * lead, and first_value over one deterministic (price desc, key)
+    * order per `o_orderpriority` — computed WITHOUT a per-priority
+    * single-task sort. A naive `Window.partitionBy(o_orderpriority)`
+    * caps parallelism at the key's 5 distinct values forever (one task
+    * sorts ~20 TB at 100 TB); [[graft.operators.Relational.scalableNtile]]
+    * splits each priority into deterministic price-range sub-buckets
+    * and reassembles ntile/lead/first_value from broadcast per-bucket
+    * offsets. The oracle stays the PLAIN windowed SQL — the driver
+    * hash-match is a differential proof the rewrite preserves the
+    * window semantics exactly (the [[qWindowSalted]] discipline).
     */
-  def qNtile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, dir)
+  def qNtile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.scalableNtile(
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        partCol = "o_orderpriority", valueCol = "o_totalprice",
+        keyCol = "o_orderkey", tiles = 4)
       .select(col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).cast("bigint").as("quartile"),
-        lead(col("o_orderkey"), 1).over(w).as("next_key"),
-        first_value(col("o_orderkey")).over(w).as("top_key"))
+        col("tile").as("quartile"), col("next_key"), col("top_key"))
       .orderBy("o_orderkey")
-  }
 
   /** The same top-1-per-customer as q_window, but through the two-phase
     * SALTED top-k ([[graft.operators.Scale.saltedTopKPerKey]]) — the skew

@@ -57,4 +57,57 @@ class RelationalSpec extends SparkSpec {
     assert(out(11L).contains(2.0))
     assert(out(12L).contains(2.0))
   }
+
+  private def plainNtile(df: org.apache.spark.sql.DataFrame, tiles: Int) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p")
+      .orderBy(col("v").desc, col("k"))
+    df.select(col("p"), col("k"),
+      ntile(tiles).over(w).cast("bigint").as("tile"),
+      lead(col("k"), 1).over(w).as("next_key"),
+      first_value(col("k")).over(w).as("top_key"))
+  }
+
+  test("scalableNtile: bit-identical to the plain window on adversarial shapes") {
+    // shapes that stress every reassembly seam: a key with fewer rows
+    // than tiles (n=2 < 4), n%tiles in {0,1,2,3}, heavy VALUE TIES that
+    // straddle bucket boundaries, a constant-value key (pmin == pmax),
+    // and a negative-value key
+    val rows = Seq.tabulate(37)(i => ("a", i.toLong, (i % 5).toDouble)) ++
+      Seq(("b", 100L, 7.0), ("b", 101L, 7.0)) ++
+      Seq.tabulate(8)(i => ("c", 200L + i, 3.25)) ++
+      Seq.tabulate(12)(i => ("d", 300L + i, -1.0 * i)) ++
+      Seq.tabulate(16)(i => ("e", 400L + i, i.toDouble))
+    val df = rows.toDF("p", "k", "v").repartition(7)
+    for (buckets <- Seq(1, 3, 64)) {
+      val got = Relational.scalableNtile(df, "p", "v", "k", 4, buckets)
+        .select("p", "k", "tile", "next_key", "top_key")
+        .orderBy("p", "k").collect().toSeq
+      val want = plainNtile(df, 4).orderBy("p", "k").collect().toSeq
+      assert(got == want, s"buckets=$buckets")
+    }
+  }
+
+  test("scalableNtile plan: no window partitioned on the low-card key alone") {
+    val df = Seq.tabulate(64)(i => ("a", i.toLong, i.toDouble)).toDF("p", "k", "v")
+    val out = Relational.scalableNtile(df, "p", "v", "k", 4)
+    out.collect()
+    // AQE wraps stages as leaf nodes — flatten through them by hand
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val windows = flatten(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the corpus-scale window must partition on (p, __bkt); only the
+    // bounded ≤|keys|·buckets bucket-info relation may window on p alone
+    val corpusWide = windows.filter(_.partitionSpec.map(_.sql) == Seq("p"))
+    assert(windows.nonEmpty, "expected window operators in the plan")
+    assert(corpusWide.forall(w =>
+        w.child.toString.contains("__bc") || w.toString.contains("__bc")),
+      s"a full-width window partitions on p alone:\n${corpusWide.mkString}")
+  }
 }
