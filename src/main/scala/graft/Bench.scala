@@ -94,7 +94,29 @@ object Bench {
     // measured, not asserted.
     val warmOn = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/BENCH_LOCAL_r11.json")
+      "/root/repo/BENCH_LOCAL_r12.json")
+    // run_ordinal: nth Bench invocation against this sfDir since HOST
+    // boot (a per-boot counter file — the JVM is fresh per run, so the
+    // ordinal must persist outside it). A cold total from ordinal > 1
+    // is page-cache/JIT-adjacent-hot and is NOT comparable round-over-
+    // round (the r11 record's 1.12 cold/warm ratio vs 1.8-2.2 on every
+    // true first run); SURVEY cites cold only from ordinal-1 records.
+    // The counter can still under-count cache warmth (Verify/EntrySmoke
+    // read the same parquet), so page_cache_hot is a one-sided signal:
+    // true ⇒ definitely hot; false ⇒ first BENCH read this boot.
+    val runOrdinal: Int = try {
+      val btime = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).toArray.map(_.toString)
+        .find(_.startsWith("btime ")).map(_.drop(6).trim).getOrElse("0")
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val f = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft_bench_${btime}_$tag")
+      val prev = if (java.nio.file.Files.exists(f))
+        new String(java.nio.file.Files.readAllBytes(f)).trim.toInt else 0
+      java.nio.file.Files.writeString(f, (prev + 1).toString)
+      prev + 1
+    } catch { case _: Exception => -1 }
+    val pageCacheHot = runOrdinal > 1
     // host-load sampling: every round since r8 spent builder+judge
     // cycles adjudicating warm scatter by diffing two complete records;
     // a per-query 1-minute loadavg sample makes it one field lookup.
@@ -210,6 +232,7 @@ object Bench {
       s""""warm_total":${fmt(warm, 2)},"n_queries":${results.size},""" +
       s""""reruns":$rerunCount,"loadavg_before":${fmt(loadBefore, 2)},""" +
       s""""loadavg_after":${fmt(loadAfter, 2)},""" +
+      s""""run_ordinal":$runOrdinal,"page_cache_hot":$pageCacheHot,""" +
       s""""bench_file":"$benchFile","sf":"$sfDir"}""")
     def fileMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"""    "$k": ${fmt(v, 2)}""" }.mkString("{\n", ",\n", "\n  }")
@@ -225,6 +248,8 @@ object Bench {
       s"""{\n  "sf": "$sfDir",\n  "unit": "sec",\n  "metric": "total",\n""" +
         s"""  "value": ${fmt(cold, 2)},\n  "warm_total": ${fmt(warm, 2)},\n""" +
         s"""  "n_queries": ${results.size},\n""" +
+        s"""  "run_ordinal": $runOrdinal, "page_cache_hot": $pageCacheHot,\n""" +
+        s"""  "full_suite": ${only.isEmpty},\n""" +
         s"""  "queries": ${fileMap(results.map { case (k, (c, _, _, _, _)) => k -> c })},\n""" +
         s"""  "queries_warm": ${fileMap(results.map { case (k, (_, w, _, _, _)) => k -> w })},\n""" +
         s"""  "loadavg_before": ${fmt(loadBefore, 2)}, "loadavg_after": ${fmt(loadAfter, 2)},\n""" +
