@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Det.detRound4
+
+/** Distribution-drift monitoring against a BOUNDED reference bin set —
+  * the data-quality alarm a 100 TB ingest pages on before a bad crawl
+  * poisons a shard: per time window, how far has the item (gram /
+  * event-type / domain) distribution moved from a reference snapshot?
+  *
+  * Design for scale:
+  *   - the reference is the top-[[REF_K]] bins by count plus ONE
+  *     out-of-vocabulary bin lumping the remaining mass — a closed,
+  *     bounded bin universe, so every per-window relation is at most
+  *     |windows|·([[REF_K]]+1) rows no matter the corpus size;
+  *   - scoring rides the same quantized-integer KL core as
+  *     [[graft.queries.PipelineQueries.xKl]]: L(k) = round(ln k·2^20)
+  *     on INTEGER arguments only, order-independent DECIMAL(38,0)
+  *     sums (decimal BEFORE every corpus-mass multiply), one double
+  *     assembly per output — bit-reproducible at any partitioning and
+  *     replayable by an exact SQL oracle;
+  *   - the streaming twin keeps ONE stateful windowed aggregate keyed
+  *     by (window, doc) with an idempotent first() payload, so
+  *     at-least-once redelivery collapses (the
+  *     [[graft.streaming.Curation]] discipline); KL/TV assembly is
+  *     stateless over that bounded state.
+  */
+object Drift {
+
+  /** Reference head size: bins beyond the top-[[REF_K]] lump into OOV. */
+  val REF_K = 1024
+
+  /** The out-of-vocabulary lump bin. */
+  val OOV = "__oov__"
+
+  /** Reference bin table from a pre-counted (bin, c) relation: the
+    * top-[[REF_K]] bins by (count desc, bin) keep their own counts;
+    * one [[OOV]] row carries the remaining mass (possibly 0). Output
+    * (bin, c1), ≤ [[REF_K]]+1 rows. The input should be staged if its
+    * lineage is corpus-sized — both the head TakeOrdered and the total
+    * re-read it.
+    */
+  def refBinsFromCounts(counts: DataFrame): DataFrame = {
+    val c = Scale.stage(counts.select(col("bin"), col("c")))
+    val head = Scale.stage(c.orderBy(col("c").desc, col("bin")).limit(REF_K))
+    val headMass = head.agg(coalesce(sum("c"), lit(0L)).as("hm"))
+    val totMass = c.agg(coalesce(sum("c"), lit(0L)).as("tm"))
+    head.select(col("bin"), col("c").as("c1"))
+      .unionByName(totMass.crossJoin(broadcast(headMass))
+        .select(lit(OOV).as("bin"), (col("tm") - col("hm")).as("c1")))
+  }
+
+  /** Per-window drift scores from per-(window, bin) counts vs a
+    * reference: smoothed KL both directions and (equally smoothed)
+    * total-variation distance, the [[graft.queries.PipelineQueries.xKl]]
+    * formulas evaluated over the CLOSED bin universe B = ref bins
+    * (head + OOV) — absent bins materialize on a |windows|·|B| grid
+    * (bounded by construction), so the add-one smoothing is exact, not
+    * approximated by a present-bins-only sum.
+    *
+    * `counts`: (wstart LONG, bin STRING, c0 LONG) with every input
+    * item already mapped into B (unknown bins counted under [[OOV]]).
+    * `ref`: (bin, c1) from [[refBinsFromCounts]]. Output per window:
+    * (wstart, n0, kl_wr = KL(window‖ref), kl_rw = KL(ref‖window), tv).
+    */
+  def windowDrift(counts: DataFrame, ref: DataFrame): DataFrame = {
+    val Q = Stats.LnQ
+    def lnq(c: Column) = round(log(c.cast("double")) * Q).cast("long")
+    // bounded relation (≤ windows·|B| rows), consumed by two branches
+    val cnts = Scale.stage(counts.select(
+      col("wstart"), col("bin"), col("c0").cast("long").as("c0")))
+    val wins = cnts.groupBy("wstart").agg(sum("c0").as("n0"))
+    val tot = ref.agg(count(lit(1)).as("v"), sum("c1").as("n1"))
+    val grid = wins.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ref))
+      .join(cnts, Seq("wstart", "bin"), "left")
+      .na.fill(0L, Seq("c0"))
+    val sums = grid
+      .select(col("wstart"), col("n0"), col("v"), col("n1"),
+        col("c0"), col("c1"),
+        (lnq(col("c0") + 1) - lnq(col("c1") + 1)).as("dl"))
+      .groupBy("wstart")
+      .agg(max("n0").as("n0"), max("v").as("v"), max("n1").as("n1"),
+        // decimal BEFORE the multiply — counts are corpus-mass longs
+        sum((col("c0") + 1).cast("decimal(38,0)") * col("dl")).as("a01"),
+        sum((col("c1") + 1).cast("decimal(38,0)") * -col("dl")).as("a10"),
+        sum(abs((col("c0") + 1).cast("decimal(38,0)") * (col("n1") + col("v")) -
+          (col("c1") + 1).cast("decimal(38,0)") * (col("n0") + col("v"))))
+          .as("tvnum"))
+    sums.select(col("wstart"), col("n0"),
+      detRound4((col("a01").cast("double") / (col("n0") + col("v")).cast("double") +
+        (lnq(col("n1") + col("v")) - lnq(col("n0") + col("v"))).cast("double")) / Q)
+        .as("kl_wr"),
+      detRound4((col("a10").cast("double") / (col("n1") + col("v")).cast("double") +
+        (lnq(col("n0") + col("v")) - lnq(col("n1") + col("v"))).cast("double")) / Q)
+        .as("kl_rw"),
+      detRound4(col("tvnum").cast("double") /
+        (lit(2.0) * (col("n0") + col("v")).cast("double") *
+          (col("n1") + col("v")).cast("double"))).as("tv"))
+  }
+
+  /** The STREAMING drift state: ONE stateful windowed aggregate,
+    * (event-time window, doc id) → first(items) — the
+    * single-stateful-operator design of [[graft.streaming.Curation]].
+    * first() makes at-least-once redelivery collapse (a redelivered
+    * doc re-hits its own key with the identical payload), which a
+    * per-gram sum-merged count state could not. State is the in-flight
+    * docs under the watermark; the reference never enters the stream —
+    * [[finishDrift]] joins it statelessly over the drained state.
+    */
+  def streamingDriftState(stream: DataFrame, tsCol: String, idCol: String,
+                          items: Column, width: String,
+                          delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), width).as("win"), col(idCol).as("id"))
+      .agg(first(items).as("items"))
+
+  /** Stateless KL/TV assembly over [[streamingDriftState]] output (or
+    * its batch twin): explode item arrays, map each item into the
+    * reference bin universe (head hit → itself, miss → [[OOV]]), count
+    * per (window, bin), score via [[windowDrift]].
+    */
+  def finishDrift(state: DataFrame, ref: DataFrame): DataFrame = {
+    val binned = state
+      .select(unix_millis(col("win.start")).as("wstart"),
+        explode(col("items")).as("item"))
+      .join(broadcast(ref.where(col("bin") =!= OOV).select(col("bin"))),
+        col("item") === col("bin"), "left")
+      .select(col("wstart"), coalesce(col("bin"), lit(OOV)).as("bin"))
+    windowDrift(binned.groupBy("wstart", "bin").agg(count(lit(1)).as("c0")), ref)
+  }
+}

@@ -338,6 +338,31 @@ object LogQueries {
       .orderBy("event_type", "bucket_ms")
   }
 
+  /** Drift-monitor window width: 1 day of events per score. */
+  val DRIFT_WIN_MS = 86400000L
+
+  /** Per-window distribution drift of the event-type mix vs the
+    * whole-log reference — the batch face of
+    * [[graft.operators.Drift]] (the streaming twin is
+    * [[graft.operators.Drift.streamingDriftState]], proven equal in
+    * DriftStreamSpec): smoothed KL both directions + total variation
+    * per 1-day window over the closed reference bin universe
+    * (top-[[graft.operators.Drift.REF_K]] bins + OOV lump). ONE corpus
+    * aggregate — the reference derives from a re-aggregate of the
+    * staged per-window counts, and everything downstream is
+    * |windows|·|bins| bounded.
+    */
+  def lDriftWindow(s: SparkSession, dir: String): DataFrame = {
+    val cnt = graft.operators.Scale.stage(
+      Tables.events(s, dir)
+        .groupBy((expr(s"unix_millis(ts) DIV $DRIFT_WIN_MS") * DRIFT_WIN_MS)
+          .as("wstart"), col("event_type").as("bin"))
+        .agg(count(lit(1)).as("c0")))
+    val ref = graft.operators.Drift.refBinsFromCounts(
+      cnt.groupBy("bin").agg(sum("c0").as("c")))
+    graft.operators.Drift.windowDrift(cnt, ref).orderBy("wstart")
+  }
+
   /** Fixed-width value histogram per event type — the latency-histogram
     * panel: one hash aggregate, bin = floor(value/100); integer binning
     * is exact on both engines (no percentile machinery, no sort until
@@ -480,6 +505,7 @@ object LogQueries {
     "l_mad"        -> lMad _,
     "l_burn_rate"  -> lBurnRate _,
     "l_ewma"       -> lEwma _,
+    "l_drift_window" -> lDriftWindow _,
     "l_apdex"      -> lApdex _,
     "l_debounce"   -> lDebounce _,
     "l_timechart"  -> lTimechart _,
@@ -524,6 +550,50 @@ object LogQueries {
       |      FROM events GROUP BY 1)""".stripMargin
 
   private val oracleBase: Map[String, String] = Map(
+    "l_drift_window" -> {
+      val Q = graft.operators.Stats.LnQ
+      val W = DRIFT_WIN_MS
+      val K = graft.operators.Drift.REF_K
+      def L(e: String) = s"CAST(round(ln(CAST($e AS DOUBLE)) * $Q) AS BIGINT)"
+      s"""WITH cnt AS MATERIALIZED (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // $W) * $W AS wstart,
+        |         event_type AS bin, CAST(count(*) AS BIGINT) AS c0
+        |  FROM events GROUP BY 1, 2),
+        |bc AS MATERIALIZED (SELECT bin, CAST(sum(c0) AS BIGINT) AS c
+        |                    FROM cnt GROUP BY bin),
+        |hd AS MATERIALIZED (SELECT bin, c FROM bc ORDER BY c DESC, bin LIMIT $K),
+        |ref AS MATERIALIZED (
+        |  SELECT bin, c AS c1 FROM hd
+        |  UNION ALL
+        |  SELECT '__oov__' AS bin,
+        |         (SELECT coalesce(sum(c), 0) FROM bc)
+        |           - (SELECT coalesce(sum(c), 0) FROM hd) AS c1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |              CAST(sum(c1) AS BIGINT) AS n1 FROM ref),
+        |wins AS (SELECT wstart, CAST(sum(c0) AS BIGINT) AS n0
+        |         FROM cnt GROUP BY wstart),
+        |grid AS (SELECT w.wstart, w.n0, r.bin, r.c1,
+        |                coalesce(c2.c0, 0) AS c0, tt.v, tt.n1
+        |         FROM wins w CROSS JOIN ref r CROSS JOIN tt
+        |         LEFT JOIN cnt c2 ON c2.wstart = w.wstart AND c2.bin = r.bin),
+        |sm AS (SELECT wstart, max(n0) AS n0, max(v) AS v, max(n1) AS n1,
+        |         sum(CAST(c0 + 1 AS HUGEINT) * (${L("c0 + 1")} - ${L("c1 + 1")})) AS a01,
+        |         sum(CAST(c1 + 1 AS HUGEINT) * (${L("c1 + 1")} - ${L("c0 + 1")})) AS a10,
+        |         sum(abs(CAST(c0 + 1 AS HUGEINT) * (n1 + v)
+        |               - CAST(c1 + 1 AS HUGEINT) * (n0 + v))) AS tvnum
+        |       FROM grid GROUP BY wstart)
+        |SELECT wstart, n0,
+        |  ${ConnectorQueries.detRound4Sql(
+             s"(CAST(a01 AS DOUBLE) / CAST(n0 + v AS DOUBLE)" +
+               s" + CAST(${L("n1 + v")} - ${L("n0 + v")} AS DOUBLE)) / $Q")} AS kl_wr,
+        |  ${ConnectorQueries.detRound4Sql(
+             s"(CAST(a10 AS DOUBLE) / CAST(n1 + v AS DOUBLE)" +
+               s" + CAST(${L("n0 + v")} - ${L("n1 + v")} AS DOUBLE)) / $Q")} AS kl_rw,
+        |  ${ConnectorQueries.detRound4Sql(
+             "CAST(tvnum AS DOUBLE) / (2.0 * CAST(n0 + v AS DOUBLE)" +
+               " * CAST(n1 + v AS DOUBLE))")} AS tv
+        |FROM sm ORDER BY wstart""".stripMargin
+    },
     "l_ewma" -> {
       val lags = (0 until EWMA_LAGS).map(j =>
         s"coalesce(lag(n_events, $j) OVER tw, 0) * ${1L << (31 - j)}")
