@@ -2710,14 +2710,133 @@ object PipelineQueries {
       .join(broadcast(evalGrams), "gram")
       .select("doc_id").distinct()
     val quality = docs.where(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), col("text"), n.as("n_words"),
+      .select(col("doc_id"), col("source"), col("text"), n.as("n_words"),
         (enHits.cast("double") / n).as("swr"))
       .where(col("n_words").between(5, 2000) && col("swr") < 0.4)
     // broadcast the contaminated-id list: it is bounded by the eval
     // overlap, and a shuffled anti-join would move every text-bearing
     // quality row instead
     quality.join(broadcast(contamIds), Seq("doc_id"), "left_anti")
-      .select("doc_id", "text")
+      .select("doc_id", "source", "text")
+  }
+
+  /** The source-gate keep rule: a source is dropped when any failure
+    * class (duplicate text, eval contamination, quality) is a
+    * 2-standard-error OUTLIER above the corpus-wide rate — the
+    * one-sided binomial z² > 4 test. RELATIVE, not absolute, because
+    * the absolute rates are scale-dependent (the fixture's eval-gram
+    * contamination grows from ~4% at sf0.01 to ~25% at sf0.1 — any
+    * fixed budget is vacuous at one SF or the other), while "which
+    * domains are anomalously worse than the corpus" is the question a
+    * reputation gate actually asks. Exactness: with per-source counts
+    * (c, n) and corpus totals (C, N), the test
+    * (c/n − C/N)² > 4·(C/N)(1−C/N)/n clears denominators to
+    * d = c·N − C·n (exact DECIMAL, decimal before the multiply) and
+    * d > 0 ∧ d² > 4·C·(N−C)·n — d² can pass 10^38 at 100 TB doc
+    * counts, so the comparison assembles in ONE double expression over
+    * the exact integer operands (identical IEEE ops both engines).
+    */
+  private def sourceOutlier(c: Column, n: Column,
+                            ctot: Column, ntot: Column): Column = {
+    val d = c.cast("decimal(38,0)") * ntot - ctot.cast("decimal(38,0)") * n
+    val dd = d.cast("double")
+    d > 0 && dd * dd > lit(4.0) * ctot.cast("double") *
+      (ntot - ctot).cast("double") * n.cast("double")
+  }
+
+  /** keep verdict over a [[sourceStats]]-shaped relation — factored so
+    * CurationGateSpec can drive the fixture-vacuous classes (dup,
+    * quality) with synthetic stats.
+    */
+  private[graft] def sourceVerdicts(stats: DataFrame): DataFrame = {
+    val tot = stats.agg(sum("n_docs").as("ntot"), sum("dup_cnt").as("dtot"),
+      sum("contam_cnt").as("ctot"), sum("qfail_cnt").as("qtot"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("keep",
+        (!sourceOutlier(col("dup_cnt"), col("n_docs"), col("dtot"), col("ntot")) &&
+          !sourceOutlier(col("contam_cnt"), col("n_docs"), col("ctot"), col("ntot")) &&
+          !sourceOutlier(col("qfail_cnt"), col("n_docs"), col("qtot"), col("ntot")))
+          .cast("bigint"))
+  }
+
+  /** (source, n_docs, sum_w, dup_cnt, contam_cnt, qfail_cnt) — the
+    * bounded (|sources|-row) reputation relation the source-level gate
+    * decides from, CCNet/Gopher-style: whole domains are admitted or
+    * dropped BEFORE doc-level curation spends effort on them. One
+    * corpus pass: per-doc flags (corpus-wide exact-dup window on the
+    * text hash, broadcast eval-overlap contamination ids, the standard
+    * length/stopword quality predicate) → one groupBy(source).
+    */
+  private def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.WordShingles.register(s)
+    val toks = Text.tokens(col("text"))
+    val n = Text.nWords(toks)
+    val enHits = enStopHits(s, toks)
+    val docs = Tables.documents(s, dir)
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(Text.shinglesNative(toks, 4)).as("gram"))
+    val evalGrams = grams(docs.where(col("doc_id") % 50 === 0))
+      .select("gram").distinct()
+    val contamIds = grams(docs.where(col("doc_id") % 50 =!= 0))
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id").distinct()
+    docs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"), n.as("nw"),
+        (enHits.cast("double") / n).as("swr"))
+      .withColumn("dupf", (count(lit(1)).over(
+        Window.partitionBy(md5(col("text").cast("binary")))) > 1).cast("long"))
+      .join(broadcast(contamIds.withColumn("contam", lit(1L))),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("contam"))
+      .withColumn("qfail",
+        (!(col("nw").between(5, 2000) && col("swr") < 0.4)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("sum_w"),
+        sum("dupf").as("dup_cnt"), sum("contam").as("contam_cnt"),
+        sum("qfail").as("qfail_cnt"))
+  }
+
+  /** Source-level curation gate — the per-source reputation table with
+    * outlier verdicts: doc counts, mean length, and the duplicate /
+    * eval-contamination / quality-failure shares, plus the relative
+    * keep verdict ([[sourceVerdicts]]' 2σ binomial outlier test per
+    * class). The relation is bounded by |sources| at any corpus size;
+    * the shares are single divisions of exact integer counts. On the
+    * fixture the contamination class is the live discriminator; the
+    * dup and quality classes are fixture-vacuous and covered by
+    * CurationGateSpec.
+    */
+  def xSourceGate(s: SparkSession, dir: String): DataFrame =
+    sourceVerdicts(sourceStats(s, dir)).select(col("source"), col("n_docs"),
+      detRound4(col("sum_w").cast("double") / col("n_docs")).as("mean_words"),
+      detRound4(col("dup_cnt").cast("double") / col("n_docs")).as("dup_share"),
+      detRound4(col("contam_cnt").cast("double") / col("n_docs"))
+        .as("contam_share"),
+      detRound4(col("qfail_cnt").cast("double") / col("n_docs"))
+        .as("qfail_share"),
+      col("keep"))
+    .orderBy("source")
+
+  /** The source-gated curation pipeline — [[xCurateClean]] with the
+    * source-level reputation gate composed between decontamination and
+    * exact dedup: docs of sources failing [[sourceKeepExpr]] drop as a
+    * whole (the CCNet/Gopher domain-blocklist pass), via ONE broadcast
+    * join of the kept-source list (bounded by |sources|). Everything
+    * else — quality gate, eval decontam, exact dedup, 80% split,
+    * chunking — is the shared curate machinery; docs stream through.
+    */
+  def xCurateSourced(s: SparkSession, dir: String): DataFrame = {
+    val kept = sourceVerdicts(sourceStats(s, dir))
+      .where(col("keep") === 1L).select("source")
+    val clean = decontamGatedDocs(s, dir).join(broadcast(kept), "source")
+    val deduped = clean
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+      .where(col("rn") === 1)
+    val train = deduped.where(Sampling.pct(col("doc_id")) < 80)
+    Sampling.chunked(train.select("doc_id", "text"), col("text"), CHUNK_BUDGET)
+      .select("doc_id", "chunk", "n_tok")
+      .orderBy("doc_id", "chunk")
   }
 
   /** The decontaminated curation pipeline — [[xCurate]] with a benchmark
@@ -4215,6 +4334,8 @@ object PipelineQueries {
     "x_winnow_pairs" -> xWinnowPairs _,
     "x_lang_confusion" -> xLangConfusion _,
     "x_curate_clean" -> xCurateClean _,
+    "x_source_gate" -> xSourceGate _,
+    "x_curate_sourced" -> xCurateSourced _,
     "x_vocab_coverage" -> xVocabCoverage _,
     "x_multimodal"  -> xMultimodal _,
     "x_frames"      -> xFrames _,
@@ -4583,14 +4704,52 @@ object PipelineQueries {
       |bad AS (SELECT DISTINCT g0.doc_id FROM g0 JOIN ev USING (gram)
       |        WHERE g0.doc_id % 50 <> 0),
       |q AS (
-      |  SELECT doc_id, text,
+      |  SELECT doc_id, source, text,
       |         len(string_split(text, ' ')) AS n_words,
       |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($enList))) AS DOUBLE)
       |           / len(string_split(text, ' ')) AS swr
       |  FROM documents WHERE doc_id % 50 <> 0),
-      |f AS MATERIALIZED (SELECT doc_id, text FROM q
+      |f AS MATERIALIZED (SELECT doc_id, source, text FROM q
       |      WHERE n_words BETWEEN 5 AND 2000 AND swr < 0.4
       |        AND doc_id NOT IN (SELECT doc_id FROM bad))""".stripMargin
+
+  /** Per-source reputation CTE over [[curateGateCtes]]'s `q`/`bad`
+    * (st = counts per source, ks = kept sources under the 2σ binomial
+    * outlier test of [[sourceVerdicts]]) — spliced by x_source_gate
+    * and x_curate_sourced so the verdict definition cannot diverge
+    * between them. The d construction is exact HUGEINT; the z²
+    * comparison assembles in one double expression (identical IEEE
+    * operand order to the Spark side).
+    */
+  private def srcOutlierSql(c: String, tot: String): String =
+    s"(CAST($c AS HUGEINT) * ntot - CAST($tot AS HUGEINT) * n_docs > 0 AND " +
+      s"CAST(CAST($c AS HUGEINT) * ntot - CAST($tot AS HUGEINT) * n_docs AS DOUBLE)" +
+      s" * CAST(CAST($c AS HUGEINT) * ntot - CAST($tot AS HUGEINT) * n_docs AS DOUBLE)" +
+      s" > 4.0 * CAST($tot AS DOUBLE) * CAST(ntot - $tot AS DOUBLE)" +
+      s" * CAST(n_docs AS DOUBLE))"
+
+  private val sourceStatsCtes: String =
+    s"""st AS MATERIALIZED (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_words) AS BIGINT) AS sum_w,
+      |         CAST(sum(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_cnt,
+      |         CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS contam_cnt,
+      |         CAST(sum(CASE WHEN n_words BETWEEN 5 AND 2000 AND swr < 0.4
+      |                  THEN 0 ELSE 1 END) AS BIGINT) AS qfail_cnt
+      |  FROM (SELECT q.*, count(*) OVER (PARTITION BY text) AS dc FROM q)
+      |  GROUP BY source),
+      |tt2 AS (SELECT CAST(sum(n_docs) AS BIGINT) AS ntot,
+      |               CAST(sum(dup_cnt) AS BIGINT) AS dtot,
+      |               CAST(sum(contam_cnt) AS BIGINT) AS ctot,
+      |               CAST(sum(qfail_cnt) AS BIGINT) AS qtot FROM st),
+      |kv AS (SELECT source,
+      |         CAST(CASE WHEN NOT ${srcOutlierSql("dup_cnt", "dtot")}
+      |                    AND NOT ${srcOutlierSql("contam_cnt", "ctot")}
+      |                    AND NOT ${srcOutlierSql("qfail_cnt", "qtot")}
+      |              THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |       FROM st CROSS JOIN tt2),
+      |ks AS (SELECT source FROM kv WHERE keep = 1)""".stripMargin
 
   /** Shared oracle CTEs for the ESD (exact-substring) family: per-doc
     * [[ESD_GRAM]]-word gram explode. `gr` is MATERIALIZED — it feeds
@@ -5167,6 +5326,34 @@ object PipelineQueries {
         |d AS (SELECT doc_id, text,
         |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM f),
+        |tr AS (SELECT doc_id, text FROM d
+        |       WHERE rn = 1 AND ${hashBucketSql("doc_id")} % 100 < 80),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
+        |n2 AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST((n + ${CHUNK_BUDGET - 1}) // $CHUNK_BUDGET AS BIGINT))) AS c
+        |      FROM n2)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk,
+        |       CAST(least($CHUNK_BUDGET, n - c * $CHUNK_BUDGET) AS BIGINT) AS n_tok
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
+    "x_source_gate" ->
+      s"""WITH $curateGateCtes,
+        |$sourceStatsCtes
+        |SELECT source, n_docs,
+        |  ${detRound4Sql("CAST(sum_w AS DOUBLE) / n_docs")} AS mean_words,
+        |  ${detRound4Sql("CAST(dup_cnt AS DOUBLE) / n_docs")} AS dup_share,
+        |  ${detRound4Sql("CAST(contam_cnt AS DOUBLE) / n_docs")} AS contam_share,
+        |  ${detRound4Sql("CAST(qfail_cnt AS DOUBLE) / n_docs")} AS qfail_share,
+        |  (SELECT keep FROM kv WHERE kv.source = st.source) AS keep
+        |FROM st ORDER BY source""".stripMargin,
+    "x_curate_sourced" ->
+      s"""WITH $curateGateCtes,
+        |$sourceStatsCtes,
+        |f2 AS (SELECT doc_id, text FROM f
+        |       WHERE source IN (SELECT source FROM ks)),
+        |d AS (SELECT doc_id, text,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM f2),
         |tr AS (SELECT doc_id, text FROM d
         |       WHERE rn = 1 AND ${hashBucketSql("doc_id")} % 100 < 80),
         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),

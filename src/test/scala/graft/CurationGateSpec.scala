@@ -168,6 +168,32 @@ class CurationGateSpec extends SparkSpec {
       s"first copy and the unique doc survive, the twin drops: $survivors")
   }
 
+  test("source gate: each failure class triggers its own 2-sigma outlier drop") {
+    import spark.implicits._
+    // 10 clean sources at the base rates, plus one outlier per class;
+    // columns mirror sourceStats: (source, n_docs, sum_w, dup, contam, qfail)
+    val base = (0 until 10).map(i => (s"ok$i", 1000L, 50000L, 10L, 10L, 10L))
+    val stats = (base ++ Seq(
+      ("dup_farm", 1000L, 50000L, 200L, 10L, 10L),
+      ("contam_farm", 1000L, 50000L, 10L, 200L, 10L),
+      ("junk_farm", 1000L, 50000L, 10L, 10L, 200L)))
+      .toDF("source", "n_docs", "sum_w", "dup_cnt", "contam_cnt", "qfail_cnt")
+    val keep = PipelineQueries.sourceVerdicts(stats)
+      .select("source", "keep").as[(String, Long)].collect().toMap
+    assert((0 until 10).forall(i => keep(s"ok$i") == 1L),
+      s"base-rate sources must pass: $keep")
+    assert(keep("dup_farm") == 0L && keep("contam_farm") == 0L &&
+      keep("junk_farm") == 0L,
+      s"each outlier class must drop its source independently: $keep")
+    // a uniformly-bad corpus has NO outliers — the gate is relative by
+    // design (an absolute budget is scale-dependent; see scaladoc)
+    val uniform = (0 until 10).map(i => (s"u$i", 1000L, 50000L, 300L, 300L, 300L))
+      .toDF("source", "n_docs", "sum_w", "dup_cnt", "contam_cnt", "qfail_cnt")
+    val uk = PipelineQueries.sourceVerdicts(uniform)
+      .select("source", "keep").as[(String, Long)].collect()
+    assert(uk.forall(_._2 == 1L), "uniform badness is not an outlier")
+  }
+
   test("BM25 scores exactly the docs containing a query term, positively") {
     val out = PipelineQueries.xBm25(spark, dir).cache()
     val expected = Tables.documents(spark, dir)
