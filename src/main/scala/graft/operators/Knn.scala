@@ -632,6 +632,63 @@ object Knn {
         min(col("base_id")).as("first_match"))
   }
 
+  /** Index staleness gate — the lifecycle decision a stored IVF index
+    * ([[ivfAssign]] + its training codebook) needs once a corpus keeps
+    * growing: has the CURRENT corpus drifted far enough from the
+    * codebook's TRAINING snapshot that the index should retrain?
+    * Signal: total variation between the training-time and current
+    * per-cell mass distributions under the SAME codebook — two bounded
+    * k-row relations, so the comparison costs two assignment passes
+    * and O(k) arithmetic at any corpus size. The verdict threshold is
+    * a fixed fraction of the (already scale-free) TV: retrain when
+    * TV > 1/[[INDEX_TV_DEN]], decided in exact integer arithmetic
+    * (tvnum·DEN > 2·N0·N1 — decimal before every multiply); the TV/
+    * max-shift doubles assemble once at the output. An empty side is
+    * definitionally stale (tv = 1, retrain = 1). One row out:
+    * (k_cells, n_base, n_cur, tv, max_cell_shift, retrain).
+    *
+    * The refresh path is [[kmeansTrain]] on the current corpus (the
+    * session-memoized artifact): IndexHealthSpec proves a refreshed
+    * codebook is bit-identical to a cold retrain, and that a drifted
+    * delta flips the verdict.
+    */
+  val INDEX_TV_DEN = 10L
+
+  def indexHealth(base: DataFrame, current: DataFrame,
+                  centroids: DataFrame, dim: Int): DataFrame = {
+    val m0 = ivfAssign(base, centroids, dim)
+      .groupBy("cell").agg(count(lit(1)).as("m0"))
+    val m1 = ivfAssign(current, centroids, dim)
+      .groupBy("cell").agg(count(lit(1)).as("m1"))
+    val cells = centroids.select(col("cent_id").as("cell"))
+    val joined = cells.join(m0, Seq("cell"), "left")
+      .join(m1, Seq("cell"), "left")
+      .na.fill(0L, Seq("m0", "m1"))
+    val tot = joined.agg(sum("m0").as("n0"), sum("m1").as("n1"))
+    val sums = joined.crossJoin(broadcast(tot))
+      .withColumn("dnum", abs(col("m0").cast("decimal(38,0)") * col("n1") -
+        col("m1").cast("decimal(38,0)") * col("n0")))
+      .agg(count(lit(1)).as("k_cells"), max("n0").as("n0"),
+        max("n1").as("n1"), sum("dnum").as("tvnum"), max("dnum").as("maxnum"))
+    sums.select(col("k_cells"),
+      col("n0").cast("bigint").as("n_base"),
+      col("n1").cast("bigint").as("n_cur"),
+      graft.functions.Det.detRound4(
+        when(col("n0") === 0 || col("n1") === 0, lit(1.0))
+          .otherwise(col("tvnum").cast("double") /
+            (lit(2.0) * col("n0").cast("double") * col("n1").cast("double"))))
+        .as("tv"),
+      graft.functions.Det.detRound4(
+        when(col("n0") === 0 || col("n1") === 0, lit(1.0))
+          .otherwise(col("maxnum").cast("double") /
+            (col("n0").cast("double") * col("n1").cast("double"))))
+        .as("max_cell_shift"),
+      when(col("n0") === 0 || col("n1") === 0, lit(1L))
+        .otherwise((col("tvnum") * INDEX_TV_DEN >
+          col("n0").cast("decimal(38,0)") * col("n1") * 2).cast("bigint"))
+        .as("retrain"))
+  }
+
   /** STREAMING semantic ingest dedup — the online twin of
     * [[probeCellIndex]], mirroring
     * [[graft.operators.Dedup.streamingIngestDupIds]]'s shape for

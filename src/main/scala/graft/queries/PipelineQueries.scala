@@ -1786,6 +1786,28 @@ object PipelineQueries {
     * fixture codebook). The oracle unrolls the same three quantized
     * refinements serially and replays the search against them.
     */
+  /** Index-lifecycle health check — the drift-triggered retrain gate
+    * over the stored semantic index ([[Knn.indexHealth]]): the codebook
+    * trained on the BASE corpus slice (the same base/seed/rounds as
+    * [[xCurateSemanticIncremental]]'s stored index) is held against the
+    * CURRENT corpus (base + the arriving quarter); per-cell mass
+    * distributions under that one codebook yield TV / max-cell-shift
+    * staleness metrics and the integer retrain verdict. Two assignment
+    * passes + O(k) arithmetic — the decision is bounded-relation work
+    * at any corpus size. IndexHealthSpec proves the refresh path
+    * (retrain on current == cold retrain, drifted delta flips the
+    * verdict); on the fixture's stationary random embeddings the
+    * honest verdict is retrain = 0.
+    */
+  def xIndexHealth(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.where(col("vec_id") % 4 =!= 0)
+    val seed = base.orderBy("vec_id").limit(kmeansK(s))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val (trained, _) = Knn.kmeansTrain(base, seed, DIM, KMEANS_ROUNDS)
+    Knn.indexHealth(base, emb, trained, DIM)
+  }
+
   def xIvfknnTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val seed = emb.where(col("vec_id") < kmeansK(s))
@@ -4343,6 +4365,7 @@ object PipelineQueries {
     "x_byte_features" -> xByteFeatures _,
     "x_semdedup_probe" -> xSemdedupProbe _,
     "x_semdedup_incremental" -> xSemdedupIncremental _,
+    "x_index_health" -> xIndexHealth _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -6644,6 +6667,37 @@ object PipelineQueries {
     // incremental's base-trained kmeans replay: gated delta vectors
     // probe the base assignment, any tau hit quarantines the doc, the
     // survivors chunk. No transitive closure anywhere.
+    "x_index_health" ->
+      s"""WITH bse AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
+        |cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |          FROM bse ORDER BY vec_id LIMIT $KMEANS_K),
+        |${refineSql("cent0", "k1", 1, "bse")},
+        |${refineSql("k1", "k2", 2, "bse")},
+        |${refineSql("k2", "k3", 3, "bse")},
+        |${asgnSql("k3", "ab", "bse")},
+        |${asgnSql("k3", "ac", "embeddings")},
+        |m0 AS (SELECT cell, CAST(count(*) AS BIGINT) AS m0 FROM ab GROUP BY cell),
+        |m1 AS (SELECT cell, CAST(count(*) AS BIGINT) AS m1 FROM ac GROUP BY cell),
+        |jd AS (SELECT k.cent_id AS cell, coalesce(m0.m0, 0) AS m0,
+        |              coalesce(m1.m1, 0) AS m1
+        |       FROM k3 k LEFT JOIN m0 ON k.cent_id = m0.cell
+        |                 LEFT JOIN m1 ON k.cent_id = m1.cell),
+        |tt AS (SELECT CAST(sum(m0) AS BIGINT) AS n0,
+        |              CAST(sum(m1) AS BIGINT) AS n1 FROM jd),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS k_cells,
+        |         max(n0) AS n0, max(n1) AS n1,
+        |         sum(abs(CAST(m0 AS HUGEINT) * n1 - CAST(m1 AS HUGEINT) * n0)) AS tvnum,
+        |         max(abs(CAST(m0 AS HUGEINT) * n1 - CAST(m1 AS HUGEINT) * n0)) AS maxnum
+        |       FROM jd CROSS JOIN tt)
+        |SELECT k_cells, CAST(n0 AS BIGINT) AS n_base, CAST(n1 AS BIGINT) AS n_cur,
+        |  ${detRound4Sql("CASE WHEN n0 = 0 OR n1 = 0 THEN 1.0 ELSE " +
+             "CAST(tvnum AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) END")} AS tv,
+        |  ${detRound4Sql("CASE WHEN n0 = 0 OR n1 = 0 THEN 1.0 ELSE " +
+             "CAST(maxnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) END")} AS max_cell_shift,
+        |  CAST(CASE WHEN n0 = 0 OR n1 = 0 THEN 1
+        |       WHEN tvnum * ${Knn.INDEX_TV_DEN} > CAST(n0 AS HUGEINT) * n1 * 2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS retrain
+        |FROM sm""".stripMargin,
     "x_curate_semantic_incremental" ->
       s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(${gramsSql(4)}) AS gram FROM t0),
