@@ -632,6 +632,48 @@ object Knn {
         min(col("base_id")).as("first_match"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 — the distance-margin variant): each probe from
+    * the source space retrieves its best target-space neighbor scored
+    * by margin(x,y) = cos(x,y) − (avgNNₖ(x) + avgNNₖ(y))/2, which
+    * discounts hub vectors whose neighborhoods are uniformly close.
+    * `probes` must be the bounded side (fixed cap); `tgt` streams
+    * through the forward k-NN, and the reverse k-NN's probe side is
+    * the ≤ |probes|·k distinct forward candidates. Neighborhood
+    * averages quantize sims at `q` and sum exact longs (order-free);
+    * the margin assembles once; the per-probe argmax breaks ties
+    * (margin desc, cand asc). Output per probe:
+    * (src_id, tgt_id, sim, margin, accept at margin > tau) —
+    * [[graft.queries.PipelineQueries.xBitext]]'s oracle replays it all.
+    */
+  def bitextMine(probes: DataFrame, src: DataFrame, tgt: DataFrame,
+                 dim: Int, k: Int, q: Long, tau: Double): DataFrame = {
+    val nnx = Scale.stage(bruteForceTopK(probes, tgt, dim, k)
+      .where(col("sim").isNotNull))
+    val dx = nnx.groupBy("probe_id")
+      .agg(sum(round(col("sim") * q).cast("long")).as("qx"),
+        count(lit(1)).as("kx"))
+    val ys = nnx.select(col("cand_id").as("vec_id")).distinct()
+    val nny = bruteForceTopK(tgt.join(broadcast(ys), "vec_id"), src, dim, k)
+      .where(col("sim").isNotNull)
+    val dy = nny.groupBy("probe_id")
+      .agg(sum(round(col("sim") * q).cast("long")).as("qy"),
+        count(lit(1)).as("ky"))
+    nnx.join(broadcast(dx), "probe_id")
+      .join(broadcast(dy.withColumnRenamed("probe_id", "cand_id")), "cand_id")
+      .withColumn("margin",
+        col("sim") - (col("qx").cast("double") / (col("kx") * q) +
+          col("qy").cast("double") / (col("ky") * q)) / lit(2.0))
+      .groupBy("probe_id")
+      .agg(max_by(struct(col("cand_id"), col("sim"), col("margin")),
+        struct(col("margin"), -col("cand_id"))).as("best"))
+      .select(col("probe_id").as("src_id"),
+        col("best.cand_id").as("tgt_id"),
+        col("best.sim").as("sim"),
+        col("best.margin").as("margin"),
+        (col("best.margin") > tau).cast("bigint").as("accept"))
+  }
+
   /** Index staleness gate — the lifecycle decision a stored IVF index
     * ([[ivfAssign]] + its training codebook) needs once a corpus keeps
     * growing: has the CURRENT corpus drifted far enough from the

@@ -1632,6 +1632,54 @@ object PipelineQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** Bitext-mining neighborhood size and quantizer. */
+  val BITEXT_K = 4
+  val BITEXT_Q = 1L << 40
+  val BITEXT_SRC = "en"
+  val BITEXT_TGT = "de"
+  /** Distance-margin acceptance threshold ([[xBitext]]). */
+  val BITEXT_TAU = 0.05
+
+  /** Cross-lingual pair mining — margin-based nearest-neighbor bitext
+    * retrieval (Artetxe & Schwenk 2019, arXiv:1811.01136, the
+    * DISTANCE-margin variant): for each source-language doc x, its best
+    * target-language neighbor y by
+    * margin(x,y) = cos(x,y) − (avgNNₖ(x) + avgNNₖ(y))/2 — the margin
+    * discounts hubs whose neighborhoods are uniformly close (the
+    * failure mode raw cosine retrieval has in multilingual spaces).
+    * The ratio-margin form divides by that average instead; on
+    * zero-centered cosine spaces (this fixture's random embeddings)
+    * the denominator crosses 0, so the distance form is the robust
+    * published choice.
+    *
+    * Scale shape: the forward k-NN runs on a FIXED probe cap
+    * ([[PROBE_CAP]] — probes broadcast, the target corpus streams);
+    * the reverse k-NN's probe side is the ≤ |probes|·k distinct
+    * forward candidates (bounded by construction), against the
+    * streaming source corpus. Exactness: each neighborhood average
+    * quantizes sims at 2^40 and sums exact longs (order-free), the
+    * margin assembles in one double expression, and the per-probe
+    * argmax breaks ties (margin desc, cand asc) — all replayed by the
+    * oracle. Output: every probe's best pair with sim, margin, and the
+    * accept verdict at margin > [[BITEXT_TAU]].
+    */
+  def xBitext(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val lg = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val withLang = emb.join(lg, "vec_id")
+    val aAll = withLang.where(col("lang") === BITEXT_SRC)
+      .select("vec_id", "embedding")
+    val bAll = withLang.where(col("lang") === BITEXT_TGT)
+      .select("vec_id", "embedding")
+    val probes = aAll.where(col("vec_id") < PROBE_CAP)
+    Knn.bitextMine(probes, aAll, bAll, DIM, BITEXT_K, BITEXT_Q, BITEXT_TAU)
+      .select(col("src_id"), col("tgt_id"),
+        detRound4(col("sim")).as("sim"),
+        detRound4(col("margin")).as("margin"), col("accept"))
+      .orderBy("src_id")
+  }
+
   /** The ONE multi-table LSH computation both ANN queries derive from —
     * x_lshknn takes the per-probe best neighbor, x_embdup filters the
     * same ranked pairs by threshold; each query's plan contains a single
@@ -4366,6 +4414,7 @@ object PipelineQueries {
     "x_semdedup_probe" -> xSemdedupProbe _,
     "x_semdedup_incremental" -> xSemdedupIncremental _,
     "x_index_health" -> xIndexHealth _,
+    "x_bitext"      -> xBitext _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -6667,6 +6716,47 @@ object PipelineQueries {
     // incremental's base-trained kmeans replay: gated delta vectors
     // probe the base assignment, any tau hit quarantines the doc, the
     // survivors chunk. No transitive closure anywhere.
+    "x_bitext" -> {
+      val Q = BITEXT_Q
+      s"""WITH lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+        |aa AS MATERIALIZED (SELECT e.vec_id, e.embedding FROM embeddings e
+        |      JOIN lg USING (vec_id) WHERE lang = '$BITEXT_SRC'),
+        |bb AS MATERIALIZED (SELECT e.vec_id, e.embedding FROM embeddings e
+        |      JOIN lg USING (vec_id) WHERE lang = '$BITEXT_TGT'),
+        |fp AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+        |         (${dotSql.replace("pe[", "a.embedding[").replace("ce[", "b.embedding[")})
+        |           / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+        |       FROM (SELECT * FROM aa WHERE vec_id < $PROBE_CAP) a CROSS JOIN bb b),
+        |fr AS (SELECT probe_id, cand_id, sim,
+        |         row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY sim DESC, cand_id) AS rk FROM fp),
+        |nnx AS MATERIALIZED (SELECT probe_id, cand_id, sim FROM fr WHERE rk <= $BITEXT_K),
+        |dx AS (SELECT probe_id, sum(CAST(round(sim * $Q) AS BIGINT)) AS qx,
+        |              CAST(count(*) AS BIGINT) AS kx FROM nnx GROUP BY 1),
+        |ys AS (SELECT DISTINCT cand_id AS vec_id FROM nnx),
+        |rp AS (SELECT b.vec_id AS probe_id, a.vec_id AS cand_id,
+        |         (${dotSql.replace("pe[", "b.embedding[").replace("ce[", "a.embedding[")})
+        |           / (${normSql("b.embedding")} * ${normSql("a.embedding")}) AS sim
+        |       FROM (SELECT bb.* FROM bb JOIN ys USING (vec_id)) b CROSS JOIN aa a),
+        |rr AS (SELECT probe_id, sim,
+        |         row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY sim DESC, cand_id) AS rk FROM rp),
+        |dy AS (SELECT probe_id AS cand_id,
+        |              sum(CAST(round(sim * $Q) AS BIGINT)) AS qy,
+        |              CAST(count(*) AS BIGINT) AS ky
+        |       FROM rr WHERE rk <= $BITEXT_K GROUP BY 1),
+        |sc AS (SELECT n.probe_id, n.cand_id, n.sim,
+        |         n.sim - (CAST(dx.qx AS DOUBLE) / (dx.kx * $Q)
+        |                + CAST(dy.qy AS DOUBLE) / (dy.ky * $Q)) / 2.0 AS margin
+        |       FROM nnx n JOIN dx USING (probe_id) JOIN dy USING (cand_id)),
+        |bst AS (SELECT probe_id, cand_id, sim, margin,
+        |          row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY margin DESC, cand_id) AS rk FROM sc)
+        |SELECT probe_id AS src_id, cand_id AS tgt_id,
+        |  ${detRound4Sql("sim")} AS sim, ${detRound4Sql("margin")} AS margin,
+        |  CAST(CASE WHEN margin > $BITEXT_TAU THEN 1 ELSE 0 END AS BIGINT) AS accept
+        |FROM bst WHERE rk = 1 ORDER BY src_id""".stripMargin
+    },
     "x_index_health" ->
       s"""WITH bse AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
         |cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec
