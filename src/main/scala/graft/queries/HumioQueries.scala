@@ -287,6 +287,38 @@ object HumioQueries {
     HumioQuery.run(ev(s, dir),
       "event_type = click | percentile(value, percentiles=[50, 90, 99], approx=true)")
 
+  /** Error-bound audit of [[hqPctileApprox]] — the DSL face of the
+    * l_pctile_approx_err rank bracket: the DSL's approx percentiles
+    * (Greenwald–Khanna at default accuracy) are unpivoted and each
+    * estimate's true rank interval in the click stream is asserted
+    * inside the documented ⌈p·n⌉ ± (⌊n/10000⌋ + 1) window, in integer
+    * arithmetic. The oracle pins within_bound = 1 over the exact
+    * (pct, n) frame, so a DSL-sketch regression fails the hash gate
+    * rather than hiding behind the rows-only twin.
+    */
+  def hqPctileApproxErr(s: SparkSession, dir: String): DataFrame = {
+    val approx = HumioQuery.run(ev(s, dir),
+      "event_type = click | percentile(value, percentiles=[50, 90, 99], approx=true)")
+    val ests = approx.select(explode(map(
+      lit(50L), col("_50").cast("double"),
+      lit(90L), col("_90").cast("double"),
+      lit(99L), col("_99").cast("double"))).as(Seq("pct", "est")))
+    Tables.events(s, dir).where(col("event_type") === "click")
+      .select(col("value"))
+      .crossJoin(broadcast(ests))
+      .groupBy("pct")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("est")).cast("long")).as("rlo"),
+        sum((col("value") <= col("est")).cast("long")).as("rhi"))
+      .withColumn("target", expr("(pct * n + 99) DIV 100"))
+      .withColumn("eps", expr("n DIV 10000"))
+      .select(col("pct"), col("n"),
+        (!(col("rhi") < col("target") - col("eps") - 1 ||
+          col("rlo") + 1 > col("target") + col("eps") + 1))
+          .cast("bigint").as("within_bound"))
+      .orderBy("pct")
+  }
+
   /** bucket(): timechart's generic sibling, named _bucket. */
   def hqBucket(s: SparkSession, dir: String): DataFrame =
     HumioQuery.run(ev(s, dir),
@@ -591,6 +623,7 @@ object HumioQueries {
     "hq_stats"     -> hqStats _,
     "hq_pctile"    -> hqPctile _,
     "hq_pctile_approx" -> hqPctileApprox _,
+    "hq_pctile_approx_err" -> hqPctileApproxErr _,
     "hq_bucket"    -> hqBucket _,
     "hq_sortlimit" -> hqSortlimit _,
     "hq_tail"      -> hqTail _,
@@ -991,6 +1024,12 @@ object HumioQueries {
     "hq_stats" ->
       """SELECT CAST(sum(user_id) AS BIGINT) AS total
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "hq_pctile_approx_err" ->
+      """SELECT CAST(p.pct AS BIGINT) AS pct, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(1 AS BIGINT) AS within_bound
+        |FROM events CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+        |WHERE event_type = 'click'
+        |GROUP BY p.pct ORDER BY pct""".stripMargin,
     "hq_pctile" ->
       """SELECT floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS "_50",
         |       floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS "_90",

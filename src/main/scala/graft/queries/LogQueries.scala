@@ -338,6 +338,45 @@ object LogQueries {
       .orderBy("event_type", "bucket_ms")
   }
 
+  /** Error-bound audit of [[lPercentileApprox]] — the rank-error
+    * bracket that makes the rows-only default-accuracy sketch
+    * auditable. Greenwald–Khanna guarantees the returned element's
+    * rank within ε·n of the target (ε = 1/accuracy, default 10000);
+    * Spark computes each estimate's true rank interval
+    * [count(value < est)+1, count(value ≤ est)] per group and asserts
+    * it intersects [⌈p·n⌉ − ⌊n/10000⌋ − 1, ⌈p·n⌉ + ⌊n/10000⌋ + 1]
+    * (±1 slack for the discrete pick) — all integer arithmetic. The
+    * oracle replays (event_type, pct, n) exactly and pins
+    * within_bound = 1: a sketch regression fails the hash gate instead
+    * of hiding behind the rows-only twin. Scale shape: one aggregate
+    * for the |types|·3 estimate relation (broadcast), one streaming
+    * corpus pass for the ranks.
+    */
+  def lPctileApproxErr(s: SparkSession, dir: String): DataFrame = {
+    val pcts = Seq(50, 90, 99)
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val ests = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(pcts.map(p => lit(p / 100.0)): _*), lit(10000)).as("ests"))
+      .select(col("event_type"), posexplode(col("ests")))
+      .select(col("event_type"),
+        element_at(array(pcts.map(p => lit(p.toLong)): _*), col("pos") + 1)
+          .as("pct"),
+        col("col").as("est"))
+    ev.join(broadcast(ests), "event_type")
+      .groupBy("event_type", "pct")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("est")).cast("long")).as("rlo"),
+        sum((col("value") <= col("est")).cast("long")).as("rhi"))
+      .withColumn("target", expr("(pct * n + 99) DIV 100"))
+      .withColumn("eps", expr("n DIV 10000"))
+      .select(col("event_type"), col("pct"), col("n"),
+        (!(col("rhi") < col("target") - col("eps") - 1 ||
+          col("rlo") + 1 > col("target") + col("eps") + 1))
+          .cast("bigint").as("within_bound"))
+      .orderBy("event_type", "pct")
+  }
+
   /** Drift-monitor window width: 1 day of events per score. */
   val DRIFT_WIN_MS = 86400000L
 
@@ -506,6 +545,7 @@ object LogQueries {
     "l_burn_rate"  -> lBurnRate _,
     "l_ewma"       -> lEwma _,
     "l_drift_window" -> lDriftWindow _,
+    "l_pctile_approx_err" -> lPctileApproxErr _,
     "l_apdex"      -> lApdex _,
     "l_debounce"   -> lDebounce _,
     "l_timechart"  -> lTimechart _,
@@ -550,6 +590,12 @@ object LogQueries {
       |      FROM events GROUP BY 1)""".stripMargin
 
   private val oracleBase: Map[String, String] = Map(
+    "l_pctile_approx_err" ->
+      """SELECT event_type, CAST(p.pct AS BIGINT) AS pct,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(1 AS BIGINT) AS within_bound
+        |FROM events CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+        |GROUP BY event_type, p.pct ORDER BY event_type, p.pct""".stripMargin,
     "l_drift_window" -> {
       val Q = graft.operators.Stats.LnQ
       val W = DRIFT_WIN_MS

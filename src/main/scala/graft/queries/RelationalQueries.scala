@@ -320,6 +320,27 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("user_id")).as("n_approx"))
       .orderBy("event_type")
 
+  /** Error-bound audit of [[qApprox]] — the measured bracket that makes
+    * the rows-only estimate auditable: ONE aggregate computes the exact
+    * distinct count and the HLL++ estimate side by side, and asserts
+    * the estimate inside the documented 3-standard-error band
+    * (relativeSD defaults to 0.05; +1 absolute slack covers integer
+    * rounding at tiny cardinalities). The oracle replays the exact
+    * count and pins within_3se = 1 — Spark MEASURES the claim, so a
+    * sketch regression fails the hash gate rather than hiding behind
+    * the rows-only twin.
+    */
+  def qApproxErr(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+          lit(0.15) * col("n_exact").cast("double") + lit(1.0))
+          .cast("bigint").as("within_3se"))
+      .orderBy("event_type")
+
   /** As-of join via the union+window pattern ([[Relational.asofJoin]]):
     * for each event, the value of the same user's most recent purchase
     * strictly before it.
@@ -381,9 +402,14 @@ object RelationalQueries {
     "q_pivot"      -> qPivot _,
     "q_cube"       -> qCube _,
     "q_approx"     -> qApprox _,
+    "q_approx_err" -> qApproxErr _,
     "q_asof"       -> qAsof _)
 
   val oracle: Map[String, String] = Map(
+    "q_approx_err" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       CAST(1 AS BIGINT) AS within_3se
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
