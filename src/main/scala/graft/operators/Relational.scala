@@ -132,8 +132,11 @@ object Relational {
     */
   def scalableNtile(df: DataFrame, partCol: String, valueCol: String,
                     keyCol: String, tiles: Int, buckets: Int = 64): DataFrame = {
-    val span = df.groupBy(partCol)
-      .agg(min(valueCol).as("__pmin"), max(valueCol).as("__pmax"))
+    // staged: bounded (|keys| rows) but corpus-lineage — it feeds both
+    // bucketed consumers (the tiny aggregate and the final rank pass),
+    // and unstaged each would re-scan the corpus for the min/max
+    val span = Scale.stage(df.groupBy(partCol)
+      .agg(min(valueCol).as("__pmin"), max(valueCol).as("__pmax")))
     val bucketed = df.join(broadcast(span), partCol)
       .withColumn("__bkt",
         when(col("__pmax") === col("__pmin"), lit(0)).otherwise(
