@@ -1632,6 +1632,89 @@ object PipelineQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** Closed-form 3×3 normal-equation solve shared VERBATIM by the
+    * Spark plan and the DuckDB oracle ([[xLinearProbe]]): Cramer's
+    * rule and the moment-form residual sums as SQL strings over the
+    * cast moment columns (d11..d33 = XᵀX, e1..e3 = Xᵀy, dyy = yᵀy),
+    * so the double arithmetic cannot diverge between engines — both
+    * evaluate the IDENTICAL expression tree on identical doubles.
+    */
+  private val lpDet =
+    "d11*(d22*d33 - d23*d23) - d12*(d12*d33 - d23*d13) + d13*(d12*d23 - d22*d13)"
+  private val lpDetX =
+    "e1*(d22*d33 - d23*d23) - d12*(e2*d33 - d23*e3) + d13*(e2*d23 - d22*e3)"
+  private val lpDetY =
+    "d11*(e2*d33 - d23*e3) - e1*(d12*d33 - d23*d13) + d13*(d12*e3 - e2*d13)"
+  private val lpDetZ =
+    "d11*(d22*e3 - e2*d23) - d12*(d12*e3 - e2*d13) + e1*(d12*d23 - d22*d13)"
+  private val lpQuad =
+    "w0*(d11*w0 + d12*w1 + d13*w2) + w1*(d12*w0 + d22*w1 + d23*w2)" +
+      " + w2*(d13*w0 + d23*w1 + d33*w2)"
+  private val lpSse = s"dyy - 2.0*(w0*e1 + w1*e2 + w2*e3) + ($lpQuad)"
+  private val lpSst = "dyy - e1*e1 / d11"
+
+  /** Distributed supervised LINEAR PROBE — ordinary least squares by
+    * the normal equations, the budget-planning regression a pipeline
+    * fits constantly (predict tokenizer cost from cheap byte-level
+    * features before paying for tokenization): y = est_tokens on
+    * x = (1, n_words, n_chars). ONE corpus pass accumulates the full
+    * XᵀX / Xᵀy / yᵀy moment set as EXACT integer sums (features and
+    * target are integers; decimal before every product — n_chars²
+    * sums pass 2^63 in the multi-TB regime), then the 3×3 solve and
+    * the moment-form R² (SSE = yᵀy − 2wᵀb + wᵀAw — no second corpus
+    * pass) assemble in shared closed-form double expressions
+    * ([[lpDet]]…): the same string is spliced into both engines, so
+    * the fit replays bit-for-bit. Degenerate design (det = 0) and
+    * zero-variance target guard to 0 under ANSI. StatsSpec replays
+    * the solve against a scalar reference on a known line.
+    */
+  def xLinearProbe(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    linearProbe3(Tables.documents(s, dir).select(
+      Text.nWords(toks).as("x1"),
+      length(col("text")).cast("long").as("x2"),
+      Text.tokenCountEstimate(col("text")).as("y")))
+  }
+
+  /** The moment build + solve of [[xLinearProbe]] over an integer
+    * (x1, x2, y) relation — factored so StatsSpec can fit a known
+    * exact line.
+    */
+  private[graft] def linearProbe3(m: DataFrame): DataFrame = {
+    def dprod(a: String, b: String) =
+      sum(col(a).cast("decimal(38,0)") * col(b))
+    val agg = m.agg(
+      count(lit(1)).as("a11"),
+      sum(col("x1").cast("decimal(38,0)")).as("a12"),
+      sum(col("x2").cast("decimal(38,0)")).as("a13"),
+      dprod("x1", "x1").as("a22"), dprod("x1", "x2").as("a23"),
+      dprod("x2", "x2").as("a33"),
+      sum(col("y").cast("decimal(38,0)")).as("e1b"),
+      dprod("x1", "y").as("e2b"), dprod("x2", "y").as("e3b"),
+      dprod("y", "y").as("syy"))
+    agg.selectExpr("CAST(a11 AS BIGINT) AS n_docs",
+        "CAST(a11 AS DOUBLE) AS d11", "CAST(a12 AS DOUBLE) AS d12",
+        "CAST(a13 AS DOUBLE) AS d13", "CAST(a22 AS DOUBLE) AS d22",
+        "CAST(a23 AS DOUBLE) AS d23", "CAST(a33 AS DOUBLE) AS d33",
+        "CAST(e1b AS DOUBLE) AS e1", "CAST(e2b AS DOUBLE) AS e2",
+        "CAST(e3b AS DOUBLE) AS e3", "CAST(syy AS DOUBLE) AS dyy")
+      .selectExpr("*", s"($lpDet) AS det", s"($lpDetX) AS detx",
+        s"($lpDetY) AS dety", s"($lpDetZ) AS detz")
+      .selectExpr("*",
+        "CASE WHEN det = 0.0 THEN 0.0 ELSE detx / det END AS w0",
+        "CASE WHEN det = 0.0 THEN 0.0 ELSE dety / det END AS w1",
+        "CASE WHEN det = 0.0 THEN 0.0 ELSE detz / det END AS w2")
+      .selectExpr("*", s"($lpSse) AS sse", s"($lpSst) AS sst")
+      // CAST AS DOUBLE: Spark parses the 10000.0 literal in the shared
+      // round4 SQL as DECIMAL, so the quotient would surface decimal
+      .selectExpr("n_docs",
+        s"CAST(${detRound4Sql("w0")} AS DOUBLE) AS w0",
+        s"CAST(${detRound4Sql("w1")} AS DOUBLE) AS w1",
+        s"CAST(${detRound4Sql("w2")} AS DOUBLE) AS w2",
+        s"CAST(${detRound4Sql(
+          "CASE WHEN sst <= 0.0 THEN 0.0 ELSE 1.0 - sse / sst END")} AS DOUBLE) AS r2")
+  }
+
   /** Bitext-mining neighborhood size and quantizer. */
   val BITEXT_K = 4
   val BITEXT_Q = 1L << 40
@@ -4415,6 +4498,7 @@ object PipelineQueries {
     "x_semdedup_incremental" -> xSemdedupIncremental _,
     "x_index_health" -> xIndexHealth _,
     "x_bitext"      -> xBitext _,
+    "x_linear_probe" -> xLinearProbe _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -6716,6 +6800,41 @@ object PipelineQueries {
     // incremental's base-trained kmeans replay: gated delta vectors
     // probe the base assignment, any tau hit quarantines the doc, the
     // survivors chunk. No transitive closure anywhere.
+    "x_linear_probe" ->
+      s"""WITH m AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS x1,
+        |             CAST(length(text) AS BIGINT) AS x2,
+        |             CAST(list_aggregate(list_transform(string_split(text,' '),
+        |               w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))), 'sum') AS BIGINT) AS y
+        |           FROM documents),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS a11,
+        |         sum(CAST(x1 AS HUGEINT)) AS a12, sum(CAST(x2 AS HUGEINT)) AS a13,
+        |         sum(CAST(x1 AS HUGEINT) * x1) AS a22,
+        |         sum(CAST(x1 AS HUGEINT) * x2) AS a23,
+        |         sum(CAST(x2 AS HUGEINT) * x2) AS a33,
+        |         sum(CAST(y AS HUGEINT)) AS e1b,
+        |         sum(CAST(x1 AS HUGEINT) * y) AS e2b,
+        |         sum(CAST(x2 AS HUGEINT) * y) AS e3b,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |       FROM m),
+        |c1 AS (SELECT CAST(a11 AS BIGINT) AS n_docs,
+        |         CAST(a11 AS DOUBLE) AS d11, CAST(a12 AS DOUBLE) AS d12,
+        |         CAST(a13 AS DOUBLE) AS d13, CAST(a22 AS DOUBLE) AS d22,
+        |         CAST(a23 AS DOUBLE) AS d23, CAST(a33 AS DOUBLE) AS d33,
+        |         CAST(e1b AS DOUBLE) AS e1, CAST(e2b AS DOUBLE) AS e2,
+        |         CAST(e3b AS DOUBLE) AS e3, CAST(syy AS DOUBLE) AS dyy
+        |       FROM ag),
+        |c2 AS (SELECT *, ($lpDet) AS det, ($lpDetX) AS detx,
+        |         ($lpDetY) AS dety, ($lpDetZ) AS detz FROM c1),
+        |c3 AS (SELECT *,
+        |         CASE WHEN det = 0.0 THEN 0.0 ELSE detx / det END AS w0,
+        |         CASE WHEN det = 0.0 THEN 0.0 ELSE dety / det END AS w1,
+        |         CASE WHEN det = 0.0 THEN 0.0 ELSE detz / det END AS w2
+        |       FROM c2),
+        |c4 AS (SELECT *, ($lpSse) AS sse, ($lpSst) AS sst FROM c3)
+        |SELECT n_docs, ${detRound4Sql("w0")} AS w0, ${detRound4Sql("w1")} AS w1,
+        |       ${detRound4Sql("w2")} AS w2,
+        |       ${detRound4Sql("CASE WHEN sst <= 0.0 THEN 0.0 ELSE 1.0 - sse / sst END")} AS r2
+        |FROM c4""".stripMargin,
     "x_bitext" -> {
       val Q = BITEXT_Q
       s"""WITH lg AS (SELECT doc_id AS vec_id, lang FROM documents),

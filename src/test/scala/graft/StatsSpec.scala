@@ -202,6 +202,26 @@ class StatsSpec extends SparkSpec {
     assert(nc >= 1L && p > 0.0 && f1 > 0.0)
   }
 
+  test("linear probe recovers an exact line and guards a degenerate design") {
+    // y = 3 + 2·x1 + 5·x2 exactly → weights recovered, r2 = 1
+    val line = (0 until 40).map { i =>
+      val (x1, x2) = (i.toLong % 7, (i.toLong * 3) % 11)
+      (x1, x2, 3L + 2L * x1 + 5L * x2)
+    }.toDF("x1", "x2", "y")
+    val (_, w0, w1, w2, r2) = queries.PipelineQueries.linearProbe3(line)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert((w0, w1, w2) == ((3.0, 2.0, 5.0)), s"exact line: ($w0, $w1, $w2)")
+    assert(r2 == 1.0)
+    // collinear design (x2 = 2·x1): det = 0 → zero weights, not a throw
+    val degen = (0 until 20).map { i =>
+      val x1 = i.toLong % 5
+      (x1, 2L * x1, x1 + 1L)
+    }.toDF("x1", "x2", "y")
+    val (_, d0, d1, d2, _) = queries.PipelineQueries.linearProbe3(degen)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert((d0, d1, d2) == ((0.0, 0.0, 0.0)), "singular normal matrix guards to 0")
+  }
+
   test("zipf fit survives degenerate heads: all-tied counts and a 1-row head") {
     // all counts equal: y-variance 0 -> r2 guard (Spark ANSI would
     // otherwise throw DIVIDE_BY_ZERO on the double division)
