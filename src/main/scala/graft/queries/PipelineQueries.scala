@@ -1715,6 +1715,92 @@ object PipelineQueries {
           "CASE WHEN sst <= 0.0 THEN 0.0 ELSE 1.0 - sse / sst END")} AS DOUBLE) AS r2")
   }
 
+  /** k-anonymity threshold for [[xKanon]]'s suppression accounting. */
+  val K_ANON = 10L
+
+  /** Privacy release audit — k-anonymity across a GENERALIZATION
+    * LATTICE of quasi-identifiers over the event log: for each level
+    * (event_type × day × value-bin → event_type × day → event_type),
+    * the k actually achieved (min equivalence-class size), the class
+    * count, and the row mass that would need suppression at
+    * k ≥ [[K_ANON]] — the table a release gate reads to pick the
+    * coarsest level that clears its k. ONE corpus aggregate: the
+    * finest level's class relation is bounded (types·days·bins) and
+    * staged; coarser levels re-aggregate it, never the corpus. All
+    * integer arithmetic.
+    */
+  def xKanon(s: SparkSession, dir: String): DataFrame = {
+    val l1 = graft.operators.Scale.stage(
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(col("ts")).cast("string").as("day"),
+          floor(col("value") / 100).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n")))
+    def summarize(name: String, classes: DataFrame) = classes
+      .agg(min("n").as("k_anon"), count(lit(1)).as("n_classes"),
+        sum(when(col("n") < K_ANON, col("n")).otherwise(0L)).as("n_suppressed"))
+      .select(lit(name).as("level"), col("k_anon"), col("n_classes"),
+        col("n_suppressed"))
+    summarize("1_type_day_bin", l1)
+      .unionByName(summarize("2_type_day",
+        l1.groupBy("event_type", "day").agg(sum("n").as("n"))))
+      .unionByName(summarize("3_type",
+        l1.groupBy("event_type").agg(sum("n").as("n"))))
+      .orderBy("level")
+  }
+
+  /** Retrieval-eval probe cap and lexical cut. */
+  val RETR_CAP = 50L
+  val RETR_K = 10
+
+  /** Retrieval-quality evaluation — does LEXICAL retrieval recover the
+    * EMBEDDING-space nearest neighbor? The harness every hybrid-search
+    * (RAG) pipeline runs before trusting cheap lexical recall as the
+    * ANN pre-filter: for each of [[RETR_CAP]] probe docs, the top-
+    * [[RETR_K]] candidates by distinct-word overlap are checked for
+    * the exact cosine top-1 ([[graft.operators.Knn.bruteForceTopK]]
+    * truth). Per probe: lexical best + overlap, embedding best, and
+    * the recall hit flag. Scale shape: the probe word set is bounded
+    * and broadcast, the corpus word stream joins once; per-probe
+    * top-K goes through [[graft.operators.Scale.saltedTopKPerKey]]
+    * (no full-corpus window partitions); the ranked relation is
+    * ≤ probes·K rows, staged for its two consumers. On this fixture
+    * text and embeddings are independent, so measured recall ≈ chance
+    * — the honest reading, and exactly what the harness exists to
+    * catch.
+    */
+  def xRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cw = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("word")).distinct()
+    val pw = graft.operators.Scale.stage(cw.where(col("doc_id") < RETR_CAP)
+      .select(col("doc_id").as("probe_id"), col("word")))
+    val overlap = cw.join(broadcast(pw), "word")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("overlap"))
+    val topk = graft.operators.Scale.saltedTopKPerKey(overlap, col("probe_id"),
+      Seq(col("overlap").desc, col("doc_id")), k = RETR_K, salts = 8,
+      tiebreak = col("doc_id"))
+    val wr = Window.partitionBy("probe_id")
+      .orderBy(col("overlap").desc, col("doc_id"))
+    val ranked = graft.operators.Scale.stage(
+      topk.withColumn("rk", row_number().over(wr)))
+    val emb = Tables.embeddings(s, dir)
+    val truth = Knn.bruteForceTopK(emb.where(col("vec_id") < RETR_CAP), emb, DIM, 1)
+      .select(col("probe_id"), col("cand_id").as("emb_best"))
+    truth
+      .join(broadcast(ranked.where(col("rk") === 1)
+        .select(col("probe_id"), col("doc_id").as("lex_best"),
+          col("overlap").as("lex_overlap"))), Seq("probe_id"), "left")
+      .join(broadcast(ranked.select(col("probe_id"),
+        col("doc_id").as("emb_best"), lit(1L).as("hit"))),
+        Seq("probe_id", "emb_best"), "left")
+      .select(col("probe_id"), coalesce(col("lex_best"), lit(-1L)).as("lex_best"),
+        coalesce(col("lex_overlap"), lit(0L)).as("lex_overlap"),
+        col("emb_best"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .orderBy("probe_id")
+  }
+
   /** Bitext-mining neighborhood size and quantizer. */
   val BITEXT_K = 4
   val BITEXT_Q = 1L << 40
@@ -4499,6 +4585,8 @@ object PipelineQueries {
     "x_index_health" -> xIndexHealth _,
     "x_bitext"      -> xBitext _,
     "x_linear_probe" -> xLinearProbe _,
+    "x_retrieval_eval" -> xRetrievalEval _,
+    "x_kanon"       -> xKanon _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -6800,6 +6888,59 @@ object PipelineQueries {
     // incremental's base-trained kmeans replay: gated delta vectors
     // probe the base assignment, any tau hit quarantines the doc, the
     // survivors chunk. No transitive closure anywhere.
+    "x_kanon" ->
+      s"""WITH l1 AS MATERIALIZED (
+        |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |         CAST(floor(value / 100) AS BIGINT) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |l2 AS (SELECT event_type, day, CAST(sum(n) AS BIGINT) AS n
+        |       FROM l1 GROUP BY 1, 2),
+        |l3 AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n
+        |       FROM l1 GROUP BY 1),
+        |s1 AS (SELECT '1_type_day_bin' AS level, min(n) AS k_anon,
+        |         CAST(count(*) AS BIGINT) AS n_classes,
+        |         CAST(sum(CASE WHEN n < $K_ANON THEN n ELSE 0 END) AS BIGINT) AS n_suppressed
+        |       FROM l1),
+        |s2 AS (SELECT '2_type_day', min(n), CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN n < $K_ANON THEN n ELSE 0 END) AS BIGINT)
+        |       FROM l2),
+        |s3 AS (SELECT '3_type', min(n), CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN n < $K_ANON THEN n ELSE 0 END) AS BIGINT)
+        |       FROM l3)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |ORDER BY level""".stripMargin,
+    "x_retrieval_eval" ->
+      s"""WITH cw AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, word FROM
+        |    (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)),
+        |ov AS MATERIALIZED (
+        |  SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+        |         CAST(count(*) AS BIGINT) AS overlap
+        |  FROM cw c JOIN (SELECT * FROM cw WHERE doc_id < $RETR_CAP) p USING (word)
+        |  WHERE c.doc_id <> p.doc_id GROUP BY 1, 2),
+        |rk AS MATERIALIZED (
+        |  SELECT probe_id, doc_id, overlap,
+        |         row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY overlap DESC, doc_id) AS rk FROM ov),
+        |pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+        |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < $RETR_CAP) a
+        |  JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |tr AS (SELECT probe_id, cand_id AS emb_best FROM
+        |         (SELECT probe_id, cand_id,
+        |            row_number() OVER (PARTITION BY probe_id
+        |              ORDER BY sim DESC, cand_id) AS r FROM pairs)
+        |       WHERE r = 1)
+        |SELECT t.probe_id, coalesce(l1.doc_id, -1) AS lex_best,
+        |       coalesce(l1.overlap, 0) AS lex_overlap, t.emb_best,
+        |       CAST(CASE WHEN EXISTS (SELECT 1 FROM rk
+        |              WHERE rk.rk <= $RETR_K AND rk.probe_id = t.probe_id
+        |                AND rk.doc_id = t.emb_best)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS hit
+        |FROM tr t LEFT JOIN (SELECT * FROM rk WHERE rk = 1) l1 USING (probe_id)
+        |ORDER BY probe_id""".stripMargin,
     "x_linear_probe" ->
       s"""WITH m AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS x1,
         |             CAST(length(text) AS BIGINT) AS x2,
