@@ -2975,8 +2975,8 @@ object PipelineQueries {
     * counts, so the comparison assembles in ONE double expression over
     * the exact integer operands (identical IEEE ops both engines).
     */
-  private def sourceOutlier(c: Column, n: Column,
-                            ctot: Column, ntot: Column): Column = {
+  private[graft] def sourceOutlier(c: Column, n: Column,
+                                   ctot: Column, ntot: Column): Column = {
     val d = c.cast("decimal(38,0)") * ntot - ctot.cast("decimal(38,0)") * n
     val dd = d.cast("double")
     d > 0 && dd * dd > lit(4.0) * ctot.cast("double") *

@@ -225,4 +225,58 @@ object Curation {
       .select("doc_id", "text")
     Sampling.chunked(kept, col("text"), chunkBudget)
   }
+
+  /** The STREAMING source-gate state — the online face of
+    * x_source_gate's per-source reputation: ONE stateful windowed
+    * aggregate keyed by (event-time window, doc_id), carrying the
+    * doc's source, weight, and per-class failure flags with
+    * idempotent merges (first/max — at-least-once redelivery re-hits
+    * the same key with identical values, the [[streamingCurateVerdicts]]
+    * discipline). The flags are caller-supplied STATELESS columns
+    * (quality predicate, stored-index dup verdict, broadcast eval-gram
+    * contamination), so the stream side never grows state beyond the
+    * in-flight docs under the watermark; the per-source decision is
+    * [[finishSourceGate]], stateless over this bounded state.
+    */
+  def streamingSourceState(stream: DataFrame, width: String, delay: String,
+                           qfail: Column, dup: Column, contam: Column,
+                           weight: Column): DataFrame =
+    stream.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width).as("win"), col("doc_id"))
+      .agg(first(col("source")).as("source"),
+        max(qfail.cast("long")).as("qfail"),
+        max(dup.cast("long")).as("dup"),
+        max(contam.cast("long")).as("contam"),
+        first(weight.cast("long")).as("w"))
+
+  /** Per-window source verdicts over [[streamingSourceState]] output
+    * (or its batch twin): aggregate to the bounded
+    * (window × source) stats relation, then apply the SAME 2σ binomial
+    * outlier rule as the batch gate
+    * ([[graft.queries.PipelineQueries.sourceOutlier]]) with per-window
+    * totals via windows over the bounded relation. Output:
+    * (wstart, source, n_docs, dup_cnt, contam_cnt, qfail_cnt, keep).
+    */
+  def finishSourceGate(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = state
+      .groupBy(unix_millis(col("win.start")).as("wstart"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("sum_w"),
+        sum("dup").as("dup_cnt"), sum("contam").as("contam_cnt"),
+        sum("qfail").as("qfail_cnt"))
+    val wW = Window.partitionBy("wstart")
+    val out = graft.queries.PipelineQueries.sourceOutlier _
+    stats
+      .withColumn("ntot", sum("n_docs").over(wW))
+      .withColumn("dtot", sum("dup_cnt").over(wW))
+      .withColumn("ctot", sum("contam_cnt").over(wW))
+      .withColumn("qtot", sum("qfail_cnt").over(wW))
+      .withColumn("keep",
+        (!out(col("dup_cnt"), col("n_docs"), col("dtot"), col("ntot")) &&
+          !out(col("contam_cnt"), col("n_docs"), col("ctot"), col("ntot")) &&
+          !out(col("qfail_cnt"), col("n_docs"), col("qtot"), col("ntot")))
+          .cast("bigint"))
+      .select("wstart", "source", "n_docs", "dup_cnt", "contam_cnt",
+        "qfail_cnt", "keep")
+  }
 }

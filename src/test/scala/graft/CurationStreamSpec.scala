@@ -256,4 +256,54 @@ class CurationStreamSpec extends SparkSpec {
     assert(all.toSet == expected,
       s"restarted stream must converge to the batch plan:\n got ${all.toSet}\n exp $expected")
   }
+
+  test("streaming source gate: batch agreement, redelivery no-op, poisoned source flips") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-04-01 08:$min%02d:00")
+    // window 1 (minutes 0-9): both sources clean; window 2 (10-19):
+    // source sB carries a contamination burst (15 of 20 docs)
+    def docs(winMin: Int, src: String, from: Long, nBad: Int) =
+      (0 until 20).map(i => (t(winMin + i % 10), from + i, src,
+        0L, 0L, if (i < nBad) 1L else 0L, 40L + i))
+    val w1 = docs(0, "sA", 100, 0) ++ docs(0, "sB", 200, 0)
+    val w2 = docs(10, "sA", 300, 0) ++ docs(10, "sB", 400, 15)
+    val cols = Seq("ts", "doc_id", "source", "qf", "dp", "cn", "w")
+    def state(df: DataFrame) = df
+      .groupBy(window(col("ts"), "10 minutes").as("win"), col("doc_id"))
+      .agg(first(col("source")).as("source"), max(col("qf")).as("qfail"),
+        max(col("dp")).as("dup"), max(col("cn")).as("contam"),
+        first(col("w")).as("w"))
+    def verdicts(st: DataFrame): Map[(Long, String), (Long, Long)] =
+      Curation.finishSourceGate(st)
+        .select("wstart", "source", "contam_cnt", "keep")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val mem = MemoryStream[
+      (java.sql.Timestamp, Long, String, Long, Long, Long, Long)]
+    val q = Curation.streamingSourceState(mem.toDF().toDF(cols: _*),
+        "10 minutes", "30 minutes", col("qf") === 1, col("dp") === 1,
+        col("cn") === 1, col("w"))
+      .writeStream.format("memory").queryName("src_gate_state")
+      .outputMode("complete").start()
+    try {
+      mem.addData(w1: _*)
+      q.processAllAvailable()
+      def drained() = verdicts(spark.table("src_gate_state"))
+      val batch1 = verdicts(state(w1.toDF(cols: _*)))
+      assert(drained() == batch1, "drained state must score like the batch twin")
+      assert(batch1.values.forall(_._2 == 1L), "clean window keeps both sources")
+      mem.addData(w1: _*) // at-least-once redelivery
+      q.processAllAvailable()
+      assert(drained() == batch1, "redelivery must not move the verdicts")
+      mem.addData(w2: _*)
+      q.processAllAvailable()
+      val all = drained()
+      assert(all == verdicts(state((w1 ++ w2).toDF(cols: _*))))
+      val w2start = all.keys.map(_._1).max
+      assert(all((w2start, "sB")) == ((15L, 0L)),
+        s"the poisoned source must be dropped in its window: $all")
+      assert(all((w2start, "sA"))._2 == 1L && all.keys.map(_._1).min != w2start,
+        "the clean source and the clean window are untouched")
+    } finally q.stop()
+  }
 }
