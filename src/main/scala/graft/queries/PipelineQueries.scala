@@ -1715,6 +1715,50 @@ object PipelineQueries {
           "CASE WHEN sst <= 0.0 THEN 0.0 ELSE 1.0 - sse / sst END")} AS DOUBLE) AS r2")
   }
 
+  /** Magnitude cap of [[xDpCounts]]' geometric noise (tail mass 2^-32). */
+  val DP_MAG_CAP = 32
+
+  /** Shared noise-magnitude CASE over the 63-bit uniform `u`:
+    * mag = k iff u ∈ [2^(62-k), 2^(63-k)) — a symmetric geometric with
+    * P(mag = k) = 2^-(k+1), entirely integer thresholds generated from
+    * the same Scala constants on both engines.
+    */
+  private[graft] val dpMagSql: String = {
+    val arms = (0 until DP_MAG_CAP)
+      .map(k => s"WHEN u >= ${1L << (62 - k)} THEN $k").mkString(" ")
+    s"CASE $arms ELSE $DP_MAG_CAP END"
+  }
+
+  /** Differentially private count release — per-source doc counts under
+    * the DISCRETE (two-sided geometric) mechanism: noise magnitude from
+    * the md5-seeded 63-bit uniform through [[dpMagSql]]'s exact integer
+    * thresholds (P(±k) = 2^-(k+2), P(0) = 1/2), sign from an
+    * independent md5 nibble. Worst-case likelihood ratio under a ±1
+    * neighbor is 4, so the release is ε = ln 4 ≈ 1.3863 pure DP — the
+    * geometric mechanism (Ghosh–Roughgarden–Sundararajan 2009) with
+    * α = 1/2, chosen over Laplace because its inverse CDF needs NO ln()
+    * (a libm cross-engine hazard): everything to the noisy count is
+    * integer arithmetic both engines replay bit-for-bit. The exact
+    * count rides along for the audit view (a production release would
+    * publish n_dp alone); seeding noise by source makes the release
+    * deterministic per key — re-publishing does not spend extra ε.
+    * Bounded |sources| relation after one corpus aggregate.
+    */
+  def xDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val eps = math.floor(2.0 * math.log(2.0) * 10000.0 + 0.5) / 10000.0
+    Tables.documents(s, dir).groupBy("source").agg(count(lit(1)).as("n_exact"))
+      .withColumn("m", md5(col("source").cast("binary")))
+      .withColumn("u",
+        Sketches.hex32(col("m"), 1).bitwiseAND(lit((1L << 31) - 1)) *
+          lit(1L << 32) + Sketches.hex32(col("m"), 9))
+      .withColumn("mag", expr(dpMagSql).cast("long"))
+      .withColumn("noise",
+        (lit(1L) - Sketches.hex32(col("m"), 17) % 2 * 2L) * col("mag"))
+      .select(col("source"), col("n_exact"), col("noise"),
+        (col("n_exact") + col("noise")).as("n_dp"), lit(eps).as("eps"))
+      .orderBy("source")
+  }
+
   /** k-anonymity threshold for [[xKanon]]'s suppression accounting. */
   val K_ANON = 10L
 
@@ -4587,6 +4631,7 @@ object PipelineQueries {
     "x_linear_probe" -> xLinearProbe _,
     "x_retrieval_eval" -> xRetrievalEval _,
     "x_kanon"       -> xKanon _,
+    "x_dp_counts"   -> xDpCounts _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -6888,6 +6933,21 @@ object PipelineQueries {
     // incremental's base-trained kmeans replay: gated delta vectors
     // probe the base assignment, any tau hit quarantines the doc, the
     // survivors chunk. No transitive closure anywhere.
+    "x_dp_counts" -> {
+      val eps = math.floor(2.0 * math.log(2.0) * 10000.0 + 0.5) / 10000.0
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+        |             md5(source) AS m
+        |           FROM documents GROUP BY source),
+        |h AS (SELECT source, n_exact,
+        |        (${Sketches.hex32Sql("m", 1)} & ${(1L << 31) - 1}) * ${1L << 32}
+        |          + ${Sketches.hex32Sql("m", 9)} AS u,
+        |        ${Sketches.hex32Sql("m", 17)} % 2 AS s FROM c),
+        |g AS (SELECT source, n_exact,
+        |        CAST((1 - s * 2) * ($dpMagSql) AS BIGINT) AS noise FROM h)
+        |SELECT source, n_exact, noise, n_exact + noise AS n_dp,
+        |       CAST($eps AS DOUBLE) AS eps
+        |FROM g ORDER BY source""".stripMargin
+    },
     "x_kanon" ->
       s"""WITH l1 AS MATERIALIZED (
         |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

@@ -202,6 +202,20 @@ class StatsSpec extends SparkSpec {
     assert(nc >= 1L && p > 0.0 && f1 > 0.0)
   }
 
+  test("dp noise magnitude follows the geometric law P(k) = 2^-(k+1)") {
+    // golden-ratio low-discrepancy walk over [0, 2^63) — deterministic,
+    // near-uniform, so empirical masses sit tight around the law
+    val phi = java.lang.Long.parseUnsignedLong("7046029254386353131")
+    val us = (1 to 20000).map(i => (i * phi) & ((1L << 63) - 1)).toDF("u")
+    val freq = us.selectExpr(s"(${queries.PipelineQueries.dpMagSql}) AS mag")
+      .groupBy("mag").count().as[(Int, Long)].collect().toMap
+    def share(k: Int) = freq.getOrElse(k, 0L).toDouble / 20000
+    assert(math.abs(share(0) - 0.5) < 0.02, s"P(0)=0.5: ${share(0)}")
+    assert(math.abs(share(1) - 0.25) < 0.02, s"P(1)=0.25: ${share(1)}")
+    assert(math.abs(share(2) - 0.125) < 0.02, s"P(2)=0.125: ${share(2)}")
+    assert(freq.keys.max <= queries.PipelineQueries.DP_MAG_CAP, "capped magnitude")
+  }
+
   test("linear probe recovers an exact line and guards a degenerate design") {
     // y = 3 + 2·x1 + 5·x2 exactly → weights recovered, r2 = 1
     val line = (0 until 40).map { i =>
