@@ -377,6 +377,46 @@ object LogQueries {
       .orderBy("event_type", "pct")
   }
 
+  /** Outlier-robust telemetry aggregates — winsorized and trimmed
+    * means per event type at the [p5, p95] fences: the robust-location
+    * numbers an SLO dashboard prefers when a handful of pathological
+    * values would drag a plain mean. Scale shape: one bounded
+    * per-group threshold aggregate (broadcast — NO per-group window
+    * over the corpus), then one streaming pass clamps/filters.
+    * Exactness: thresholds detRound4 on BOTH engines (Spark lerps
+    * (1−d)·lo + d·hi, DuckDB lo + d·(hi−lo) — algebraically equal,
+    * not bit-equal; round4 is the established x_lp_buckets
+    * discipline), then all comparisons and sums in round(·10⁴)
+    * integer space (2-decimal fixture values and 4-decimal fences are
+    * both exact there), one double division per output.
+    */
+  def lWinsor(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val th = ev.groupBy("event_type").agg(
+      ConnectorQueries.detRound4(percentile(col("value"), lit(0.05))).as("p5"),
+      ConnectorQueries.detRound4(percentile(col("value"), lit(0.95))).as("p95"))
+    ev.join(broadcast(th), "event_type")
+      .withColumn("q", round(col("value") * 10000).cast("long"))
+      .withColumn("lo", round(col("p5") * 10000).cast("long"))
+      .withColumn("hi", round(col("p95") * 10000).cast("long"))
+      .withColumn("wq", least(greatest(col("q"), col("lo")), col("hi")))
+      .withColumn("inq", (col("q") >= col("lo") && col("q") <= col("hi")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("p5").as("p5"), max("p95").as("p95"),
+        sum("q").as("sq"), sum("wq").as("swq"),
+        sum(col("q") * col("inq")).as("stq"), sum("inq").as("nt"))
+      .select(col("event_type"), col("n"), col("p5"), col("p95"),
+        ConnectorQueries.detRound4(col("sq").cast("double") / (col("n") * 10000.0))
+          .as("mean"),
+        ConnectorQueries.detRound4(col("swq").cast("double") / (col("n") * 10000.0))
+          .as("winsor_mean"),
+        ConnectorQueries.detRound4(when(col("nt") === 0, lit(0.0))
+          .otherwise(col("stq").cast("double") / (col("nt") * 10000.0)))
+          .as("trim_mean"),
+        col("nt").as("n_kept"))
+      .orderBy("event_type")
+  }
+
   /** Drift-monitor window width: 1 day of events per score. */
   val DRIFT_WIN_MS = 86400000L
 
@@ -546,6 +586,7 @@ object LogQueries {
     "l_ewma"       -> lEwma _,
     "l_drift_window" -> lDriftWindow _,
     "l_pctile_approx_err" -> lPctileApproxErr _,
+    "l_winsor"     -> lWinsor _,
     "l_apdex"      -> lApdex _,
     "l_debounce"   -> lDebounce _,
     "l_timechart"  -> lTimechart _,
@@ -596,6 +637,32 @@ object LogQueries {
         |       CAST(1 AS BIGINT) AS within_bound
         |FROM events CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
         |GROUP BY event_type, p.pct ORDER BY event_type, p.pct""".stripMargin,
+    "l_winsor" -> {
+      def r4(e: String) = ConnectorQueries.detRound4Sql(e)
+      s"""WITH th AS (SELECT event_type,
+        |         ${r4("quantile_cont(value, 0.05)")} AS p5,
+        |         ${r4("quantile_cont(value, 0.95)")} AS p95
+        |       FROM events GROUP BY event_type),
+        |j AS (SELECT e.event_type,
+        |        CAST(round(e.value * 10000) AS BIGINT) AS q,
+        |        CAST(round(t.p5 * 10000) AS BIGINT) AS lo,
+        |        CAST(round(t.p95 * 10000) AS BIGINT) AS hi,
+        |        t.p5, t.p95
+        |      FROM events e JOIN th t USING (event_type)),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        max(p5) AS p5, max(p95) AS p95,
+        |        CAST(sum(q) AS BIGINT) AS sq,
+        |        CAST(sum(least(greatest(q, lo), hi)) AS BIGINT) AS swq,
+        |        CAST(sum(CASE WHEN q >= lo AND q <= hi THEN q ELSE 0 END) AS BIGINT) AS stq,
+        |        CAST(sum(CASE WHEN q >= lo AND q <= hi THEN 1 ELSE 0 END) AS BIGINT) AS nt
+        |      FROM j GROUP BY event_type)
+        |SELECT event_type, n, p5, p95,
+        |  ${r4("CAST(sq AS DOUBLE) / (n * 10000.0)")} AS mean,
+        |  ${r4("CAST(swq AS DOUBLE) / (n * 10000.0)")} AS winsor_mean,
+        |  ${r4("CASE WHEN nt = 0 THEN 0.0 ELSE CAST(stq AS DOUBLE) / (nt * 10000.0) END")} AS trim_mean,
+        |  nt AS n_kept
+        |FROM g ORDER BY event_type""".stripMargin
+    },
     "l_drift_window" -> {
       val Q = graft.operators.Stats.LnQ
       val W = DRIFT_WIN_MS
