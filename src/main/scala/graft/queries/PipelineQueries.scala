@@ -1715,6 +1715,34 @@ object PipelineQueries {
           "CASE WHEN sst <= 0.0 THEN 0.0 ELSE 1.0 - sse / sst END")} AS DOUBLE) AS r2")
   }
 
+  /** Join-key skew audit — the shuffle-planning report a 100 TB job
+    * reads BEFORE picking join strategies: for each hot join key
+    * (orders.o_custkey, lineitem.l_orderkey, events.user_id), the key
+    * cardinality, the heaviest key and its count, and the skew ratio
+    * max/mean — the number that decides between a plain shuffle join,
+    * AQE skew splitting, and explicit salting
+    * ([[graft.operators.Scale.saltedTopKPerKey]]'s discipline). One
+    * map-side-combined aggregate per relation, then a 1-row summary
+    * (deterministic argmax: count desc, key asc); output is 3 rows at
+    * any scale.
+    */
+  def xSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame, key: Column) =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_cnt"),
+          max_by(col("k"), struct(col("c"), -col("k"))).as("top_key"))
+        .select(lit(name).as("rel"), col("n_keys"), col("n_rows"),
+          col("max_cnt"), col("top_key").cast("bigint").as("top_key"),
+          detRound4(col("max_cnt").cast("double") * col("n_keys") /
+            col("n_rows")).as("skew_ratio"))
+    one("events_user", Tables.events(s, dir), col("user_id"))
+      .unionByName(one("lineitem_order", Tables.table(s, dir, "lineitem"),
+        col("l_orderkey")))
+      .unionByName(one("orders_cust", Tables.orders(s, dir), col("o_custkey")))
+      .orderBy("rel")
+  }
+
   /** Magnitude cap of [[xDpCounts]]' geometric noise (tail mass 2^-32). */
   val DP_MAG_CAP = 32
 
@@ -4632,6 +4660,7 @@ object PipelineQueries {
     "x_retrieval_eval" -> xRetrievalEval _,
     "x_kanon"       -> xKanon _,
     "x_dp_counts"   -> xDpCounts _,
+    "x_skew_audit"  -> xSkewAudit _,
     "x_binary"      -> xBinary _)
 
   // ---- oracles -------------------------------------------------------
@@ -6933,6 +6962,21 @@ object PipelineQueries {
     // incremental's base-trained kmeans replay: gated delta vectors
     // probe the base assignment, any tau hit quarantines the doc, the
     // survivors chunk. No transitive closure anywhere.
+    "x_skew_audit" -> {
+      def arm(name: String, table: String, key: String) =
+        s"""SELECT '$name' AS rel, CAST(count(*) AS BIGINT) AS n_keys,
+          |  CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_cnt,
+          |  CAST((SELECT k FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1) q2
+          |        ORDER BY c DESC, k LIMIT 1) AS BIGINT) AS top_key,
+          |  ${detRound4Sql("CAST(max(c) AS DOUBLE) * count(*) / sum(c)")} AS skew_ratio
+          |FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1)""".stripMargin
+      s"""${arm("events_user", "events", "user_id")}
+        |UNION ALL
+        |${arm("lineitem_order", "lineitem", "l_orderkey")}
+        |UNION ALL
+        |${arm("orders_cust", "orders", "o_custkey")}
+        |ORDER BY rel""".stripMargin
+    },
     "x_dp_counts" -> {
       val eps = math.floor(2.0 * math.log(2.0) * 10000.0 + 0.5) / 10000.0
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
