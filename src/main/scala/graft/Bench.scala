@@ -141,22 +141,32 @@ object Bench {
     // re-measure structural cold (codegen compile + the session-memoized
     // training chains are already hot), so warm alone cannot tell a
     // kmeans-chain query's honest 5 s cold from a host spike.
+    def loadSection(path: String, key: String): Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+        val m = ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(m)
+          .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
     val refCold: Map[String, Double] = {
-      def load(path: String): Map[String, Double] =
-        try {
-          val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-          def section(key: String): Map[String, Double] = {
-            val m = ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r
-              .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-            "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(m)
-              .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-          }
-          val first = section("cold_first")
-          section("queries").map { case (k, v) => k -> first.getOrElse(k, v) }
-        } catch { case _: Exception => Map.empty }
+      def load(path: String): Map[String, Double] = {
+        val first = loadSection(path, "cold_first")
+        loadSection(path, "queries").map { case (k, v) => k -> first.getOrElse(k, v) }
+      }
       val own = load(benchFile)
       if (own.nonEmpty) own else load("/root/repo/BENCH_LOCAL_r10.json")
     }
+    // WARM-vs-reference adjudication (SPARK_GRAFT_REF_FILE = a prior
+    // committed record at the SAME sf): host bursts on this box roam
+    // across 20-minute suite runs — three full sf1 runs each inflated a
+    // DIFFERENT random subset 5-80x while isolated re-runs reproduced
+    // the prior round's values exactly. A query whose warm exceeds
+    // max(3x, +2s) its committed reference warm gets ONE extra timed
+    // run folded in by min; an honestly-slower query just re-measures
+    // to its honest time (no ratchet — the rerun cannot invent speed).
+    val refWarm: Map[String, Double] = sys.env.get("SPARK_GRAFT_REF_FILE")
+      .map(loadSection(_, "queries_warm")).getOrElse(Map.empty)
     val loadBefore = loadAvg()
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -191,10 +201,23 @@ object Bench {
             // spike never deflates the next run's ratchet guard.
             else (math.min(cold0, third), math.min(warm, third), 1)
           }
+        val warmSpiky = warm2 > 0 && refWarm.get(name)
+          .exists(rw => rw > 0 && warm2 > math.max(3 * rw, rw + 2.0))
+        val (cold2, warm3, reruns2) =
+          if (!warmSpiky) (cold, warm2, reruns)
+          else {
+            val extra = timedRun(name, fn)
+            System.err.println(f"[bench] $name warm-vs-ref rerun " +
+              f"(warm=$warm2%.2f ref=${refWarm(name)}%.2f): $extra%.2f")
+            // fold into BOTH (cold >= warm invariant); cold_first keeps
+            // the pre-fold cold, same as the cold-spike rerun above
+            if (extra < 0) (cold, warm2, reruns + 1)
+            else (math.min(cold, extra), math.min(warm2, extra), reruns + 1)
+          }
         // max of pre/post samples: a burst STARTING mid-run would be
         // invisible to a pre-run-only sample (the 1-minute decay means
         // the pre value mostly measures the previous query)
-        name -> ((cold, warm2, cold0, reruns, math.max(la0, loadAvg())))
+        name -> ((cold2, warm3, cold0, reruns2, math.max(la0, loadAvg())))
       }
     val loadAfter = loadAvg()
     def fmt(v: Double, scale: Int): String =
