@@ -102,6 +102,27 @@ class DriftStreamSpec extends SparkSpec {
       "a reference that knows the novel words must report less drift")
   }
 
+  test("edge inputs: OOV-only window and an empty reference never throw") {
+    // every stream word unknown to the reference → all mass in the OOV
+    // bin; smoothing keeps both KLs finite and TV sane
+    val oovOnly = Seq((ts(2), 9L, "zz yy xx ww"))
+    val s1 = batchScores(oovOnly)
+    assert(s1.size == 1 && s1.head._2 == 4L, s"4 grams, one window: $s1")
+    assert(s1.head._3 > 0 && s1.head._4 > 0 && s1.head._5 > 0 && s1.head._5 <= 1,
+      s"finite positive drift on an all-OOV window: $s1")
+    // an EMPTY reference corpus: head empty, OOV row carries 0 mass —
+    // v = 1, n1 = 0; add-one smoothing keeps every ln argument >= 1
+    // and the (n1 + v) denominators >= 1 (no ANSI divide-by-zero)
+    val emptyRef = Drift.refBinsFromCounts(
+      Seq.empty[(String, Long)].toDF("bin", "c"))
+    assert(emptyRef.as[(String, Long)].collect().toSeq == Seq((Drift.OOV, 0L)))
+    val state = oovOnly.toDF("ts", "doc_id", "text")
+      .groupBy(window(col("ts"), "10 minutes").as("win"), col("doc_id").as("id"))
+      .agg(first(split(col("text"), " ")).as("items"))
+    val out = collect(Drift.finishDrift(state, emptyRef))
+    assert(out.size == 1 && out.head._2 == 4L, s"scores exist: $out")
+  }
+
   test("refBinsFromCounts: head keeps exact counts, OOV lumps the tail mass") {
     val counts = Seq(("a", 50L), ("b", 30L), ("c", 2L)).toDF("bin", "c")
     val bins = Drift.refBinsFromCounts(counts)
