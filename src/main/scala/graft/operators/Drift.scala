@@ -100,6 +100,25 @@ object Drift {
           (col("n1") + col("v")).cast("double"))).as("tv"))
   }
 
+  /** Map a pre-counted (wstart, bin, c0) relation into the reference
+    * bin universe: head bins keep their identity, everything else lumps
+    * into [[OOV]] (re-aggregated, since several tail bins collapse onto
+    * one OOV row per window). [[windowDrift]]'s contract requires
+    * pre-mapped input — feeding it raw bins when distinct bins exceed
+    * [[REF_K]] would inflate n0 while the tail rows drop off the
+    * ref-universe grid, silently breaking the smoothed-KL identity
+    * Σ(c0+1) = n0+v. Broadcast join against the ≤[[REF_K]]-row head;
+    * output stays ≤ |windows|·([[REF_K]]+1) rows.
+    */
+  def mapCountsToRef(counts: DataFrame, ref: DataFrame): DataFrame =
+    counts
+      .join(broadcast(ref.where(col("bin") =!= OOV)
+        .select(col("bin"), lit(true).as("__hit"))), Seq("bin"), "left")
+      .select(col("wstart"),
+        when(col("__hit").isNull, lit(OOV)).otherwise(col("bin")).as("bin"),
+        col("c0"))
+      .groupBy("wstart", "bin").agg(sum("c0").as("c0"))
+
   /** The STREAMING drift state: ONE stateful windowed aggregate,
     * (event-time window, doc id) → first(items) — the
     * single-stateful-operator design of [[graft.streaming.Curation]].

@@ -923,6 +923,9 @@ object Knn {
         .select(col("j0"), col("pj"), posexplode(col("q")).as(Seq("k0", "pk")))
         .groupBy((col("j0") + 1).cast("bigint").as("j"),
           (col("k0") + 1).cast("bigint").as("k"))
+        // long product BEFORE the widening is provably bounded here:
+        // |pj|,|pk| ≤ ~2·PowerQ = 2^21 (unit-scale embedding coords),
+        // so |pj·pk| ≤ 2^42 ≪ 2^63 — no decimal-before-multiply needed
         .agg(sum((col("pj") * col("pk")).cast("decimal(38,0)")).as("m")))
     val (rF, mxF) = powerRounds(s, m, dim, iters)
     (rF, mxF, m)
@@ -984,6 +987,9 @@ object Knn {
     val s = vectors.sparkSession
     val P = PowerQ
     val (r1, mx1, m) = powerIterationState(vectors, dim, iters)
+    // bounded long arithmetic: |r| ≤ PowerQ = 2^20 (max-norm
+    // renormalized each round), so r² ≤ 2^40 and the dim-row sum
+    // ≤ dim·2^40 ≤ 2^51 — exact in long before the decimal cast
     val rr = r1.agg(sum(col("r") * col("r")).cast("decimal(38,0)").as("rr"))
     val rj = broadcast(r1.select(col("j"), col("r").as("rj")))
     val rk = broadcast(r1.select(col("j").as("k"), col("r").as("rk")))
@@ -994,6 +1000,8 @@ object Knn {
     val m2 = Scale.stage(m.join(rj, "j").join(rk, "k")
       .crossJoin(broadcast(qd))
       .select(col("j"), col("k"),
+        // |rj·rk| ≤ 2^40 (each ≤ PowerQ = 2^20) — the long product is
+        // exact; the decimal widening guards the × qd that follows
         (col("m") - divTrunc(
           (col("rj") * col("rk")).cast("decimal(38,0)") * col("qd"),
           col("rr"))).as("m")))

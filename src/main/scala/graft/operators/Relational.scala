@@ -144,10 +144,16 @@ object Relational {
             floor((col("__pmax") - col(valueCol)) /
               ((col("__pmax") - col("__pmin")) / buckets)).cast("int"))))
       .drop("__pmin", "__pmax")
+    // negate() keeps the value's exact type (decimal stays decimal,
+    // long stays long): a `* -1.0` here would coerce to DOUBLE and two
+    // distinct long/decimal values beyond 2^53 could collapse, letting
+    // the key tiebreak pick the wrong bucket-first row. Residual edge:
+    // Long.MinValue cannot negate (ANSI overflow) — no column in this
+    // repo carries it, and it fails loudly rather than silently.
     val bagg = bucketed.groupBy(partCol, "__bkt")
       .agg(count(lit(1)).as("__bc"),
         min_by(col(keyCol),
-          struct((lit(-1.0) * col(valueCol)).as("nv"),
+          struct(negate(col(valueCol)).as("nv"),
             col(keyCol).as("k"))).as("__first"))
     val wb = Window.partitionBy(partCol).orderBy("__bkt")
     val binfo = bagg

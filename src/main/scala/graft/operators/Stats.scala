@@ -101,6 +101,9 @@ object Stats {
     val xy = pairs.where(xv > 0 && yv > 0)
       .select(round(log(xv.cast("double")) * Q).cast("long").as("x"),
         round(log(yv.cast("double")) * Q).cast("long").as("y"))
+    // the long products are provably bounded: |x|,|y| ≤ ln(2^63)·2^20
+    // ≈ 4.6e7, so every pairwise product ≤ ~2.2e15 ≪ 2^63 — exact in
+    // long; the decimal cast protects only the corpus-sized SUM
     val sums = xy.agg(count(lit(1)).as("n"),
       sum(col("x").cast("decimal(38,0)")).as("sx"),
       sum(col("y").cast("decimal(38,0)")).as("sy"),

@@ -439,7 +439,13 @@ object LogQueries {
         .agg(count(lit(1)).as("c0")))
     val ref = graft.operators.Drift.refBinsFromCounts(
       cnt.groupBy("bin").agg(sum("c0").as("c")))
-    graft.operators.Drift.windowDrift(cnt, ref).orderBy("wstart")
+    // windowDrift's contract wants bins pre-mapped into the reference
+    // universe: event_type cardinality is ≪ REF_K today so the mapping
+    // is the identity, but an unmapped tail bin would inflate n0 while
+    // dropping off the ref grid — the score would silently stop being
+    // the documented smoothed KL
+    graft.operators.Drift.windowDrift(
+      graft.operators.Drift.mapCountsToRef(cnt, ref), ref).orderBy("wstart")
   }
 
   /** Fixed-width value histogram per event type — the latency-histogram

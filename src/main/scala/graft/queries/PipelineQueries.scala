@@ -981,9 +981,12 @@ object PipelineQueries {
     val lohi = ranked.agg(
       min(when(col("rn") === 1, col("mq"))).as("loq"),
       min(when(col("rn") === BOOT_B, col("mq"))).as("hiq"))
+    // decimal BEFORE the multiply (the repo-wide rule): mq is a
+    // mean×10⁴ long, and a long×long square overflows silently once
+    // mq ≳ 3e9 — widening after the product would be too late
     val se = reps.agg(count(lit(1)).as("bb"),
       sum(col("mq").cast("decimal(38,0)")).as("sq"),
-      sum((col("mq") * col("mq")).cast("decimal(38,0)")).as("sqq"))
+      sum(col("mq").cast("decimal(38,0)") * col("mq")).as("sqq"))
     val overall = docs.agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tw"))
     overall.crossJoin(broadcast(lohi)).crossJoin(broadcast(se))
       .select(col("n_docs"),
@@ -1757,20 +1760,31 @@ object PipelineQueries {
     s"CASE $arms ELSE $DP_MAG_CAP END"
   }
 
-  /** Differentially private count release — per-source doc counts under
-    * the DISCRETE (two-sided geometric) mechanism: noise magnitude from
-    * the md5-seeded 63-bit uniform through [[dpMagSql]]'s exact integer
-    * thresholds (P(±k) = 2^-(k+2), P(0) = 1/2), sign from an
-    * independent md5 nibble. Worst-case likelihood ratio under a ±1
-    * neighbor is 4, so the release is ε = ln 4 ≈ 1.3863 pure DP — the
-    * geometric mechanism (Ghosh–Roughgarden–Sundararajan 2009) with
-    * α = 1/2, chosen over Laplace because its inverse CDF needs NO ln()
-    * (a libm cross-engine hazard): everything to the noisy count is
-    * integer arithmetic both engines replay bit-for-bit. The exact
-    * count rides along for the audit view (a production release would
-    * publish n_dp alone); seeding noise by source makes the release
-    * deterministic per key — re-publishing does not spend extra ε.
-    * Bounded |sources| relation after one corpus aggregate.
+  /** Geometric-noise count release DEMO — per-source doc counts plus
+    * two-sided geometric noise: magnitude from the md5-seeded 63-bit
+    * uniform through [[dpMagSql]]'s exact integer thresholds
+    * (P(±k) = 2^-(k+2), P(0) = 1/2), sign from an independent md5
+    * nibble — the geometric mechanism of
+    * Ghosh–Roughgarden–Sundararajan 2009 with α = 1/2, chosen over
+    * Laplace because its inverse CDF needs NO ln() (a libm
+    * cross-engine hazard): everything to the noisy count is integer
+    * arithmetic both engines replay bit-for-bit.
+    *
+    * PRIVACY HONESTY (this is a mechanism demo, NOT a private release):
+    * the noise is a deterministic function of the PUBLIC source name
+    * (md5(source)) so any observer can recompute and subtract it —
+    * under a public-mechanism threat model the release provides no
+    * privacy; a production deployment would seed from a secret key,
+    * making republication free (same key → same noise → no extra ε
+    * spent). And even secretly seeded, the hard magnitude truncation at
+    * ±[[DP_MAG_CAP]] makes the mechanism (ε = ln 4, δ ≈ 2⁻³³)
+    * APPROXIMATELY DP, not pure DP: outputs beyond the cap would have
+    * infinite likelihood ratio between neighbors, so δ carries the
+    * 2·2⁻³⁴ tail mass the cap removes. The `eps` column records the
+    * un-truncated mechanism's ε = ln 4 ≈ 1.3863 for the audit view;
+    * the exact count rides along deliberately (this is the audit face,
+    * not the release). Bounded |sources| relation after one corpus
+    * aggregate.
     */
   def xDpCounts(s: SparkSession, dir: String): DataFrame = {
     val eps = math.floor(2.0 * math.log(2.0) * 10000.0 + 0.5) / 10000.0
