@@ -135,6 +135,59 @@ object Drift {
       .groupBy(window(col(tsCol), width).as("win"), col(idCol).as("id"))
       .agg(first(items).as("items"))
 
+  /** Per-window quarantine verdicts over a [[windowDrift]] output — the
+    * drift→ACTION composition: a window is quarantined when its
+    * KL(window‖ref) is a one-sided 2σ outlier against the window
+    * population. RELATIVE, not an absolute KL budget, for the
+    * [[graft.queries.PipelineQueries.sourceOutlier]] reason: absolute
+    * drift scores are corpus- and smoothing-dependent (small windows
+    * are noisier), while "which windows drifted anomalously vs their
+    * peers" is the question a quarantine gate actually asks.
+    *
+    * Exactness: with qk = round(kl_wr·10⁴) (already exact — kl_wr is
+    * detRound4'd), window count nw and moments S₁ = Σqk, S₂ = Σqk²,
+    * the test (qk − S₁/nw)² > 4·(S₂/nw − (S₁/nw)²) clears denominators
+    * to d = nw·qk − S₁ (exact DECIMAL, decimal before the multiply)
+    * and d > 0 ∧ d² > 4·(nw·S₂ − S₁²), the square comparison assembled
+    * in ONE double expression over exact integer operands (identical
+    * IEEE ops both engines). The stats relation is ONE global aggregate
+    * over the bounded |windows|-row drift relation, broadcast back.
+    * Degenerate cases stay sane: all-equal KLs ⇒ d = 0 ⇒ nothing
+    * quarantines; nw ≤ 2 can never trip (d² = nw·S₂ − S₁² exactly at
+    * nw = 2).
+    *
+    * Output: (wstart, n0, kl_wr, quarantined 0/1).
+    */
+  def driftVerdicts(drift: DataFrame): DataFrame = {
+    val qs = drift.select(col("wstart"), col("n0"), col("kl_wr"),
+      round(col("kl_wr") * 10000).cast("long").as("qk"))
+    val st = qs.agg(count(lit(1)).as("nw"),
+      sum(col("qk").cast("decimal(38,0)")).as("s1"),
+      sum(col("qk").cast("decimal(38,0)") * col("qk")).as("s2"))
+    qs.crossJoin(broadcast(st))
+      .withColumn("d", col("qk").cast("decimal(38,0)") * col("nw") - col("s1"))
+      .withColumn("quarantined",
+        (col("d") > 0 && col("d").cast("double") * col("d").cast("double") >
+          lit(4.0) * (col("nw").cast("decimal(38,0)") * col("s2") -
+            col("s1") * col("s1")).cast("double")).cast("bigint"))
+      .select("wstart", "n0", "kl_wr", "quarantined")
+  }
+
+  /** The drift GATE over drained [[streamingDriftState]] state (or its
+    * batch twin): score every closed window ([[finishDrift]]), flag
+    * outlier windows ([[driftVerdicts]]), and route each in-flight doc
+    * by its window's verdict — the whole-window quarantine a streaming
+    * ingest applies per drained batch (foreachBatch in production; the
+    * verdict join is STATELESS over the bounded |windows|-row drift
+    * relation, so the single-stateful-aggregate discipline holds).
+    * Output: (wstart, id, quarantined 0/1), one row per in-flight doc.
+    */
+  def gateDrained(state: DataFrame, ref: DataFrame): DataFrame = {
+    val v = driftVerdicts(finishDrift(state, ref))
+    state.select(unix_millis(col("win.start")).as("wstart"), col("id"))
+      .join(broadcast(v.select("wstart", "quarantined")), Seq("wstart"))
+  }
+
   /** Stateless KL/TV assembly over [[streamingDriftState]] output (or
     * its batch twin): explode item arrays, map each item into the
     * reference bin universe (head hit → itself, miss → [[OOV]]), count

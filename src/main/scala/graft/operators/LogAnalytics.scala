@@ -36,6 +36,38 @@ object LogAnalytics {
     * are 2-decimal) with one final division — float-summation order then
     * cannot perturb the result, engine to engine.
     */
+  /** Scale-safe [[slidingAvg]]: the trailing-range window without the
+    * single-task-per-key sort that `Window.partitionBy(lowCardKey)`
+    * plans (the q_ntile disease — PlanGuardSpec rejects the shape).
+    * OVERLAP REPLICATION: with time bucket b = t DIV windowMs, every
+    * row a trailing windowMs frame at time t can reach lives in bucket
+    * b(t) or b(t)−1 — so each row is replicated into its home bucket
+    * and the next one, the range window runs per (key, bucket) (task
+    * parallelism |keys|·|time-buckets|, growing with the data), and
+    * only home rows keep their result (a ghost's own frame is
+    * truncated; it exists to complete its successors' frames). 2× rows
+    * through one exchange buys unbounded parallelism; results are
+    * bit-identical to the plain window (value-based RANGE frame — tie
+    * handling identical), with [[graft.queries.LogQueries.lSliding]]'s
+    * plain-window DuckDB oracle the standing differential proof.
+    * Output: input columns + `avg_1h`-style `outName` (plain DOUBLE;
+    * caller rounds).
+    */
+  def slidingAvgScalable(events: DataFrame, part: Column, valueCol: Column,
+                         windowMs: Long, outName: String): DataFrame = {
+    val w = Window.partitionBy(part, col("__rb"))
+      .orderBy(col("__t")).rangeBetween(-windowMs, Window.currentRow)
+    events
+      .withColumn("__t", unix_millis(col("ts")))
+      .withColumn("__c", round(valueCol * 100).cast("bigint"))
+      .withColumn("__home", expr(s"__t DIV $windowMs"))
+      .withColumn("__rb", explode(array(col("__home"), col("__home") + 1)))
+      .withColumn(outName, sum(col("__c")).over(w) /
+        (count(lit(1)).over(w) * 100.0))
+      .where(col("__rb") === col("__home"))
+      .drop("__t", "__c", "__home", "__rb")
+  }
+
   def slidingAvg(events: DataFrame, part: Column, valueCol: Column, windowMs: Long): Column = {
     // order by epoch millis derived from ts directly — no hidden
     // precondition of a pre-computed ts_ms column

@@ -182,4 +182,60 @@ object Relational {
           .cast("bigint"))
       .drop("__bkt", "__off", "__nextf", "__n", "__r", "__base", "__rem")
   }
+
+  /** Running total (and per-key grand total) over a LOW-CARDINALITY
+    * partition key, without the single-task-per-key sort of
+    * `sum(v) OVER (PARTITION BY lowCardKey ORDER BY o)` — the
+    * [[scalableNtile]] skeleton applied to prefix sums:
+    *
+    *  1. broadcast per-key (min, max) of the UNIQUE integer order
+    *     column → each row's deterministic ascending range bucket
+    *     (pure integer arithmetic: ((o − min)·buckets) DIV
+    *     (max − min + 1));
+    *  2. ONE tiny aggregate (≤ |keys|·`buckets` rows) of per-bucket
+    *     value sums → cumulative bucket offsets and the per-key grand
+    *     total (windows over this bounded relation are free);
+    *  3. per (key, bucket) local running sum + broadcast offset = the
+    *     exact corpus-wide prefix sum.
+    *
+    * Max task sort ≈ n/(|keys|·`buckets`). Output: input columns +
+    * (`cumName` = inclusive running total, `totName` = per-key total),
+    * bit-identical to the plain window formulation — the callers'
+    * DuckDB oracles (plain windowed SQL) are standing differential
+    * proofs, and ScaleSpec pins bit-equality on adversarial shapes.
+    *
+    * `orderCol` must be integer-typed and unique per `partCol` group
+    * (a running total under ties has no deterministic definition);
+    * `valueCol` must be integer-typed (the exactness contract).
+    */
+  def scalablePrefixSum(df: DataFrame, partCol: String, orderCol: String,
+                        valueCol: String, cumName: String, totName: String,
+                        buckets: Int = 64): DataFrame = {
+    val span = Scale.stage(df.groupBy(partCol)
+      .agg(min(orderCol).as("__omin"), max(orderCol).as("__omax")))
+    val bucketed = df.join(broadcast(span), partCol)
+      // DIV (integer division): `/` on longs is DOUBLE division in
+      // Spark SQL and would put a float in the bucket id; the DIV form
+      // keeps the bucket derivation exact. Always lands in [0, buckets):
+      // o = max gives ((max−min)·B) DIV (max−min+1) ≤ B−1.
+      .withColumn("__bkt",
+        expr(s"((`$orderCol` - __omin) * $buckets) " +
+          "DIV (__omax - __omin + 1)").cast("int"))
+      .drop("__omin", "__omax")
+    val bagg = bucketed.groupBy(partCol, "__bkt")
+      .agg(sum(valueCol).as("__bsum"))
+    val wb = Window.partitionBy(partCol).orderBy("__bkt")
+    val binfo = bagg
+      .withColumn("__off", coalesce(
+        sum("__bsum").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__tot", sum("__bsum").over(Window.partitionBy(partCol)))
+      .select(col(partCol), col("__bkt"), col("__off"), col("__tot"))
+    val wloc = Window.partitionBy(partCol, "__bkt").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(binfo), Seq(partCol, "__bkt"))
+      .withColumn(cumName, col("__off") + sum(valueCol).over(wloc))
+      .withColumn(totName, col("__tot"))
+      .drop("__bkt", "__off", "__tot")
+  }
 }

@@ -47,19 +47,18 @@ object Sampling {
   /** Stratified deterministic sampling: exactly `n` rows per stratum
     * (fewer if the stratum is smaller), chosen by hash order so the
     * selection is reproducible and unbiased within each stratum — the
-    * balanced-corpus builder (e.g. N docs per language). One window
-    * shuffle on the stratum key.
+    * balanced-corpus builder (e.g. N docs per language). Two-phase
+    * SALTED top-k ([[Scale.saltedTopKPerKey]]): strata are
+    * low-cardinality by nature, so the direct
+    * `row_number() OVER (PARTITION BY stratum)` would sort each
+    * stratum's whole corpus share in one task forever (the q_ntile
+    * disease — PlanGuardSpec rejects the shape); the salted form
+    * spreads each stratum over 64 shard sorts and re-ranks only the
+    * ≤ 64·n survivors. Result rows are identical to the direct window.
     */
-  def stratifiedN(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame = {
-    // reserved rank column — refuse rather than clobber caller data
-    val rn = "__graft_stratified_rn"
-    require(!df.columns.contains(rn), s"input already has a $rn column")
-    df.withColumn(rn, row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(stratum).orderBy(hashBucket(key), key)))
-      .where(col(rn) <= n)
-      .drop(rn)
-  }
+  def stratifiedN(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame =
+    Scale.saltedTopKPerKey(df, stratum, Seq(hashBucket(key), key), n,
+      salts = 64, tiebreak = key)
 
   /** Fixed-budget context-window chunking: each document's token stream
     * is cut into ⌈n/budget⌉ contiguous chunks of ≤ `budget` tokens.

@@ -180,6 +180,40 @@ object Scale {
       p.subqueriesAll.forall(sub =>
         sub.collect { case n => n.expressions }.flatten.forall(_.deterministic))
 
+  /** Opt-in lineage capture for plan audits (PlanGuardSpec): a staged
+    * subtree plans as an opaque LogicalRDD leaf, hiding exactly the
+    * bounded shapes — limit heads, global aggregates — a structural
+    * audit needs to prove a nested-loop join's small side is genuinely
+    * small. With this conf on, stage() records each staged relation's
+    * PRE-stage analyzed plan keyed by the checkpoint RDD id, letting
+    * the audit see through the leaf while still inspecting the real
+    * production plan (a bypass that re-inlines lineage was tried and
+    * is exponential in the iterative training chains). Off by default:
+    * the map pins analyzed plans for the JVM's lifetime — audit
+    * sessions only.
+    */
+  val StageCaptureConf = "spark.graft.stage.captureLineage"
+  private val capturedLineages = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+
+  /** The pre-stage analyzed plan of the staged relation backed by RDD
+    * `rddId`, when [[StageCaptureConf]] was on at stage() time. */
+  def capturedLineage(rddId: Int)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Option(capturedLineages.get(rddId))
+
+  private def captureIfEnabled(s: SparkSession, staged: DataFrame,
+      pre: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame = {
+    if (s.conf.get(StageCaptureConf, "false").toBoolean) {
+      staged.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          capturedLineages.put(lr.rdd.id, pre)
+        case _ => ()
+      }
+    }
+    staged
+  }
+
   def stage(df: DataFrame, eager: Boolean = false): DataFrame = {
     val s = df.sparkSession
     val reliable = s.conf.get(ReliableCheckpointConf, "false").toBoolean
@@ -214,7 +248,7 @@ object Scale {
     val memoSafe = !df.isStreaming &&
       s.conf.get(StageMemoConf, "false").toBoolean &&
       planDeterministic(analyzed)
-    if (!memoSafe) doStage()
+    if (!memoSafe) captureIfEnabled(s, doStage(), analyzed)
     else {
       // sweep entries for stopped sessions: the memo must not pin a dead
       // session (and its checkpoint blocks) for the JVM's lifetime — a
@@ -228,9 +262,9 @@ object Scale {
       // session semantics they resolve under. Time zone moves every
       // zone-sensitive timestamp function; ANSI mode moves overflow and
       // cast behavior. (Contract in StageMemoConf covers the long tail.)
-      memo.computeIfAbsent(
+      captureIfEnabled(s, memo.computeIfAbsent(
         (s, reliable, eager, s"$schemaKey|${memoConfKey(s)}", analyzed.canonicalized),
-        _ => doStage())
+        _ => doStage()), analyzed)
     }
   }
 

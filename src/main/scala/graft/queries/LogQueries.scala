@@ -16,14 +16,12 @@ object LogQueries {
       .withColumnRenamed("dim", "event_type")
       .orderBy("bucket_ms", "event_type")
 
-  def lSliding(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    ev.select(col("event_id"),
-        ConnectorQueries.detRound4(
-          LogAnalytics.slidingAvg(ev, col("event_type"), col("value"), 3600000L))
-          .as("avg_1h"))
+  def lSliding(s: SparkSession, dir: String): DataFrame =
+    LogAnalytics.slidingAvgScalable(Tables.events(s, dir),
+        col("event_type"), col("value"), 3600000L, "raw_avg")
+      .select(col("event_id"),
+        ConnectorQueries.detRound4(col("raw_avg")).as("avg_1h"))
       .orderBy("event_id")
-  }
 
   def lSession(s: SparkSession, dir: String): DataFrame =
     LogAnalytics.sessionize(Tables.events(s, dir), col("user_id"), 1800000L)
@@ -448,6 +446,49 @@ object LogQueries {
       graft.operators.Drift.mapCountsToRef(cnt, ref), ref).orderBy("wstart")
   }
 
+  /** Drift→ACTION: the gate that [[lDriftWindow]]'s monitor only
+    * alarms on — per-window drift scores feed
+    * [[graft.operators.Drift.driftVerdicts]]' relative 2σ outlier
+    * test, and the verdict is APPLIED to the ingest: events in a
+    * quarantined window drop as a whole via ONE broadcast semi-join of
+    * the passing-window list (the whole-window analogue of
+    * [[graft.queries.PipelineQueries.xCurateSourced]]'s source drop;
+    * streaming twin [[graft.operators.Drift.gateDrained]], proven in
+    * DriftGateSpec). Output per window: score, verdict, and the kept
+    * ingest mass (row + distinct-user counts — 0 for quarantined
+    * windows). Scale: the drift relation is |windows|·(REF_K+1)
+    * bounded, the verdict stats are one global aggregate over it, and
+    * the kept-mass recount is one corpus aggregate behind a broadcast
+    * join — no new shuffle class. On the uniform fixture the verdict
+    * is honestly data-driven (sampling noise alone can trip the 2σ
+    * tail); DriftGateSpec proves a planted poisoned window trips it.
+    */
+  def xDriftGate(s: SparkSession, dir: String): DataFrame = {
+    val cnt = graft.operators.Scale.stage(
+      Tables.events(s, dir)
+        .groupBy((expr(s"unix_millis(ts) DIV $DRIFT_WIN_MS") * DRIFT_WIN_MS)
+          .as("wstart"), col("event_type").as("bin"))
+        .agg(count(lit(1)).as("c0")))
+    val ref = graft.operators.Drift.refBinsFromCounts(
+      cnt.groupBy("bin").agg(sum("c0").as("c")))
+    val v = graft.operators.Drift.driftVerdicts(
+      graft.operators.Drift.windowDrift(
+        graft.operators.Drift.mapCountsToRef(cnt, ref), ref))
+    val kept = Tables.events(s, dir)
+      .select((expr(s"unix_millis(ts) DIV $DRIFT_WIN_MS") * DRIFT_WIN_MS)
+        .as("wstart"), col("user_id"))
+      .join(broadcast(v.where(col("quarantined") === 0).select("wstart")),
+        Seq("wstart"), "left_semi")
+      .groupBy("wstart")
+      .agg(count(lit(1)).as("n_kept"),
+        count_distinct(col("user_id")).as("n_users_kept"))
+    v.join(kept, Seq("wstart"), "left")
+      .na.fill(0L, Seq("n_kept", "n_users_kept"))
+      .select(col("wstart"), col("n0"), col("kl_wr"), col("quarantined"),
+        col("n_kept"), col("n_users_kept"))
+      .orderBy("wstart")
+  }
+
   /** Fixed-width value histogram per event type — the latency-histogram
     * panel: one hash aggregate, bin = floor(value/100); integer binning
     * is exact on both engines (no percentile machinery, no sort until
@@ -591,6 +632,7 @@ object LogQueries {
     "l_burn_rate"  -> lBurnRate _,
     "l_ewma"       -> lEwma _,
     "l_drift_window" -> lDriftWindow _,
+    "x_drift_gate" -> xDriftGate _,
     "l_pctile_approx_err" -> lPctileApproxErr _,
     "l_winsor"     -> lWinsor _,
     "l_apdex"      -> lApdex _,
@@ -636,6 +678,71 @@ object LogQueries {
       |        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
       |      FROM events GROUP BY 1)""".stripMargin
 
+  /** Quantized-ln SQL (the [[graft.operators.Drift.windowDrift]]
+    * L(k) = round(ln k·2^20) core, DuckDB side). */
+  private def lnQSql(e: String): String = {
+    val Q = graft.operators.Stats.LnQ
+    s"CAST(round(ln(CAST($e AS DOUBLE)) * $Q) AS BIGINT)"
+  }
+
+  /** Shared drift-score CTE chain (cnt → reference → per-window grid →
+    * exact integer KL/TV sums in `sm`) — ONE copy spliced into BOTH
+    * l_drift_window and x_drift_gate, the funnelCtes discipline: a
+    * smoothing or binning edit cannot diverge the two oracles. The tail
+    * bins map into the reference universe before the grid (the
+    * [[graft.operators.Drift.mapCountsToRef]] contract — identity on
+    * this fixture, where event_type cardinality ≪ REF_K).
+    */
+  private def driftCtes: String = {
+    val W = DRIFT_WIN_MS
+    val K = graft.operators.Drift.REF_K
+    s"""cnt AS MATERIALIZED (
+      |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // $W) * $W AS wstart,
+      |         event_type AS bin, CAST(count(*) AS BIGINT) AS c0
+      |  FROM events GROUP BY 1, 2),
+      |bc AS MATERIALIZED (SELECT bin, CAST(sum(c0) AS BIGINT) AS c
+      |                    FROM cnt GROUP BY bin),
+      |hd AS MATERIALIZED (SELECT bin, c FROM bc ORDER BY c DESC, bin LIMIT $K),
+      |cntm AS MATERIALIZED (
+      |  SELECT wstart,
+      |         CASE WHEN c.bin IN (SELECT bin FROM hd) THEN c.bin
+      |              ELSE '__oov__' END AS bin,
+      |         CAST(sum(c0) AS BIGINT) AS c0
+      |  FROM cnt c GROUP BY 1, 2),
+      |ref AS MATERIALIZED (
+      |  SELECT bin, c AS c1 FROM hd
+      |  UNION ALL
+      |  SELECT '__oov__' AS bin,
+      |         (SELECT coalesce(sum(c), 0) FROM bc)
+      |           - (SELECT coalesce(sum(c), 0) FROM hd) AS c1),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS v,
+      |              CAST(sum(c1) AS BIGINT) AS n1 FROM ref),
+      |wins AS (SELECT wstart, CAST(sum(c0) AS BIGINT) AS n0
+      |         FROM cntm GROUP BY wstart),
+      |grid AS (SELECT w.wstart, w.n0, r.bin, r.c1,
+      |                coalesce(c2.c0, 0) AS c0, tt.v, tt.n1
+      |         FROM wins w CROSS JOIN ref r CROSS JOIN tt
+      |         LEFT JOIN cntm c2 ON c2.wstart = w.wstart AND c2.bin = r.bin),
+      |sm AS (SELECT wstart, max(n0) AS n0, max(v) AS v, max(n1) AS n1,
+      |         sum(CAST(c0 + 1 AS HUGEINT) * (${lnQSql("c0 + 1")} - ${lnQSql("c1 + 1")})) AS a01,
+      |         sum(CAST(c1 + 1 AS HUGEINT) * (${lnQSql("c1 + 1")} - ${lnQSql("c0 + 1")})) AS a10,
+      |         sum(abs(CAST(c0 + 1 AS HUGEINT) * (n1 + v)
+      |               - CAST(c1 + 1 AS HUGEINT) * (n0 + v))) AS tvnum
+      |       FROM grid GROUP BY wstart)""".stripMargin
+  }
+
+  /** The three drift-score output expressions over `sm` — shared so the
+    * assembly formula lives once. */
+  private def klWrSql: String = ConnectorQueries.detRound4Sql(
+    s"(CAST(a01 AS DOUBLE) / CAST(n0 + v AS DOUBLE)" +
+      s" + CAST(${lnQSql("n1 + v")} - ${lnQSql("n0 + v")} AS DOUBLE)) / ${graft.operators.Stats.LnQ}")
+  private def klRwSql: String = ConnectorQueries.detRound4Sql(
+    s"(CAST(a10 AS DOUBLE) / CAST(n1 + v AS DOUBLE)" +
+      s" + CAST(${lnQSql("n0 + v")} - ${lnQSql("n1 + v")} AS DOUBLE)) / ${graft.operators.Stats.LnQ}")
+  private def tvSql: String = ConnectorQueries.detRound4Sql(
+    "CAST(tvnum AS DOUBLE) / (2.0 * CAST(n0 + v AS DOUBLE)" +
+      " * CAST(n1 + v AS DOUBLE))")
+
   private val oracleBase: Map[String, String] = Map(
     "l_pctile_approx_err" ->
       """SELECT event_type, CAST(p.pct AS BIGINT) AS pct,
@@ -669,50 +776,39 @@ object LogQueries {
         |  nt AS n_kept
         |FROM g ORDER BY event_type""".stripMargin
     },
-    "l_drift_window" -> {
-      val Q = graft.operators.Stats.LnQ
-      val W = DRIFT_WIN_MS
-      val K = graft.operators.Drift.REF_K
-      def L(e: String) = s"CAST(round(ln(CAST($e AS DOUBLE)) * $Q) AS BIGINT)"
-      s"""WITH cnt AS MATERIALIZED (
-        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // $W) * $W AS wstart,
-        |         event_type AS bin, CAST(count(*) AS BIGINT) AS c0
-        |  FROM events GROUP BY 1, 2),
-        |bc AS MATERIALIZED (SELECT bin, CAST(sum(c0) AS BIGINT) AS c
-        |                    FROM cnt GROUP BY bin),
-        |hd AS MATERIALIZED (SELECT bin, c FROM bc ORDER BY c DESC, bin LIMIT $K),
-        |ref AS MATERIALIZED (
-        |  SELECT bin, c AS c1 FROM hd
-        |  UNION ALL
-        |  SELECT '__oov__' AS bin,
-        |         (SELECT coalesce(sum(c), 0) FROM bc)
-        |           - (SELECT coalesce(sum(c), 0) FROM hd) AS c1),
-        |tt AS (SELECT CAST(count(*) AS BIGINT) AS v,
-        |              CAST(sum(c1) AS BIGINT) AS n1 FROM ref),
-        |wins AS (SELECT wstart, CAST(sum(c0) AS BIGINT) AS n0
-        |         FROM cnt GROUP BY wstart),
-        |grid AS (SELECT w.wstart, w.n0, r.bin, r.c1,
-        |                coalesce(c2.c0, 0) AS c0, tt.v, tt.n1
-        |         FROM wins w CROSS JOIN ref r CROSS JOIN tt
-        |         LEFT JOIN cnt c2 ON c2.wstart = w.wstart AND c2.bin = r.bin),
-        |sm AS (SELECT wstart, max(n0) AS n0, max(v) AS v, max(n1) AS n1,
-        |         sum(CAST(c0 + 1 AS HUGEINT) * (${L("c0 + 1")} - ${L("c1 + 1")})) AS a01,
-        |         sum(CAST(c1 + 1 AS HUGEINT) * (${L("c1 + 1")} - ${L("c0 + 1")})) AS a10,
-        |         sum(abs(CAST(c0 + 1 AS HUGEINT) * (n1 + v)
-        |               - CAST(c1 + 1 AS HUGEINT) * (n0 + v))) AS tvnum
-        |       FROM grid GROUP BY wstart)
-        |SELECT wstart, n0,
-        |  ${ConnectorQueries.detRound4Sql(
-             s"(CAST(a01 AS DOUBLE) / CAST(n0 + v AS DOUBLE)" +
-               s" + CAST(${L("n1 + v")} - ${L("n0 + v")} AS DOUBLE)) / $Q")} AS kl_wr,
-        |  ${ConnectorQueries.detRound4Sql(
-             s"(CAST(a10 AS DOUBLE) / CAST(n1 + v AS DOUBLE)" +
-               s" + CAST(${L("n0 + v")} - ${L("n1 + v")} AS DOUBLE)) / $Q")} AS kl_rw,
-        |  ${ConnectorQueries.detRound4Sql(
-             "CAST(tvnum AS DOUBLE) / (2.0 * CAST(n0 + v AS DOUBLE)" +
-               " * CAST(n1 + v AS DOUBLE))")} AS tv
-        |FROM sm ORDER BY wstart""".stripMargin
-    },
+    "l_drift_window" ->
+      s"""WITH $driftCtes
+        |SELECT wstart, n0, $klWrSql AS kl_wr, $klRwSql AS kl_rw,
+        |  $tvSql AS tv
+        |FROM sm ORDER BY wstart""".stripMargin,
+    "x_drift_gate" ->
+      s"""WITH $driftCtes,
+        |kl AS (SELECT wstart, n0, $klWrSql AS kl_wr FROM sm),
+        |qs AS (SELECT wstart, n0, kl_wr,
+        |         CAST(round(kl_wr * 10000) AS BIGINT) AS qk FROM kl),
+        |st AS (SELECT CAST(count(*) AS HUGEINT) AS nw,
+        |              CAST(sum(CAST(qk AS HUGEINT)) AS HUGEINT) AS s1,
+        |              CAST(sum(CAST(qk AS HUGEINT) * qk) AS HUGEINT) AS s2
+        |       FROM qs),
+        |vd AS (SELECT q.wstart, q.n0, q.kl_wr,
+        |         CASE WHEN (CAST(q.qk AS HUGEINT) * st.nw - st.s1) > 0
+        |           AND CAST(CAST(q.qk AS HUGEINT) * st.nw - st.s1 AS DOUBLE)
+        |             * CAST(CAST(q.qk AS HUGEINT) * st.nw - st.s1 AS DOUBLE)
+        |             > 4.0 * CAST(st.nw * st.s2 - st.s1 * st.s1 AS DOUBLE)
+        |           THEN 1 ELSE 0 END AS quarantined
+        |       FROM qs q CROSS JOIN st),
+        |ke AS (SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // $DRIFT_WIN_MS)
+        |                * $DRIFT_WIN_MS AS wstart, user_id FROM events),
+        |ka AS (SELECT k.wstart, CAST(count(*) AS BIGINT) AS n_kept,
+        |              CAST(count(DISTINCT k.user_id) AS BIGINT) AS n_users_kept
+        |       FROM ke k
+        |       WHERE k.wstart IN (SELECT wstart FROM vd WHERE quarantined = 0)
+        |       GROUP BY k.wstart)
+        |SELECT v.wstart, v.n0, v.kl_wr,
+        |       CAST(v.quarantined AS BIGINT) AS quarantined,
+        |       coalesce(ka.n_kept, 0) AS n_kept,
+        |       coalesce(ka.n_users_kept, 0) AS n_users_kept
+        |FROM vd v LEFT JOIN ka USING (wstart) ORDER BY wstart""".stripMargin,
     "l_ewma" -> {
       val lags = (0 until EWMA_LAGS).map(j =>
         s"coalesce(lag(n_events, $j) OVER tw, 0) * ${1L << (31 - j)}")

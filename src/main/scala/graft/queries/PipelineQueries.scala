@@ -4255,23 +4255,24 @@ object PipelineQueries {
     * are concatenated per shard and cut into fixed `PACK_BUDGET`-token
     * bins (concat-then-split, the standard LLM pretraining packing;
     * docs may span a bin boundary). Each doc reports the bins it lands
-    * in via a running token total: one window shuffle keyed by the
-    * shard (lang here) — at 100 TB the shard key is whatever unit the
-    * loader packs independently (file, split, worker), so the window
-    * parallelizes across shards and never globally orders the corpus.
+    * in via a running token total — computed by
+    * [[graft.operators.Relational.scalablePrefixSum]], the bucketed
+    * two-phase running sum, because the shard key (lang) is
+    * low-cardinality: a plain `Window.partitionBy(lang)` caps
+    * parallelism at |langs| tasks forever (the q_ntile disease;
+    * PlanGuardSpec rejects that plan shape repo-wide).
     */
-  def xPack(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        Text.nWords(Text.tokens(col("text"))).as("n_words"))
-      .where(col("n_words") > 0)
-      .withColumn("cum", sum("n_words").over(w))
+  def xPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.scalablePrefixSum(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Text.nWords(Text.tokens(col("text"))).as("n_words"))
+        .where(col("n_words") > 0),
+      "lang", "doc_id", "n_words", "cum", "__ktot")
       .select(col("doc_id"), col("lang"), col("n_words"),
         expr(s"(cum - n_words) div $PACK_BUDGET").as("first_bin"),
         expr(s"(cum - 1) div $PACK_BUDGET").as("last_bin"))
       .orderBy("doc_id")
-  }
 
   /** Expected CDC chunk length in words (boundary when the word's
     * 32-bit md5 value ≡ 0 mod this). */
@@ -4437,23 +4438,25 @@ object PipelineQueries {
     * (inclusion probability = weight/stride, the textbook
     * probability-proportional-to-size scheme). ALL-INTEGER arithmetic
     * (running sum + `div`), so selection is bit-identical at any
-    * partitioning and in the DuckDB replay — no RNG, no floats; the
-    * same one-running-window-per-shard shape as [[xPack]].
+    * partitioning and in the DuckDB replay — no RNG, no floats. The
+    * running total AND the per-shard total both come from ONE
+    * [[graft.operators.Relational.scalablePrefixSum]] pass (the
+    * low-card shard key must not plan a corpus-wide window — the
+    * q_ntile disease, PlanGuardSpec-rejected; the per-key total rides
+    * the same bounded bucket relation for free).
     */
-  def xPpsSample(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        Text.nWords(Text.tokens(col("text"))).as("n_words"))
-      .where(col("n_words") > 0)
-      .withColumn("cum", sum("n_words").over(w))
-      .withColumn("step",
-        expr(s"sum(n_words) OVER (PARTITION BY lang) div $PPS_PER_SHARD"))
+  def xPpsSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.scalablePrefixSum(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Text.nWords(Text.tokens(col("text"))).as("n_words"))
+        .where(col("n_words") > 0),
+      "lang", "doc_id", "n_words", "cum", "ktot")
+      .withColumn("step", expr(s"ktot div $PPS_PER_SHARD"))
       .where(col("step") > 0 &&
         expr("(cum div step) > ((cum - n_words) div step)"))
       .select(col("doc_id"), col("lang"), col("n_words"))
       .orderBy("doc_id")
-  }
 
   /** Per-vector symmetric int8 QUANTIZATION of the embedding column —
     * the compression step before an ANN index ships: scale = max|x|/127,

@@ -238,4 +238,27 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(out.isEmpty,
       s"a gap must not manufacture a spike under row-lag semantics: ${out.toSeq}")
   }
+
+  test("slidingAvgScalable: bit-identical to the plain range window") {
+    import spark.implicits._
+    // seams the overlap replication must survive: rows exactly on a
+    // bucket boundary, a frame spanning the previous bucket, timestamp
+    // TIES (value-based range frame includes all tied rows), a key with
+    // one event, and events separated by > windowMs (frame of one)
+    val W = 60000L
+    def t(ms: Long) = new Timestamp(1700000000000L + ms)
+    val rows = Seq(
+      ("a", 1L, t(0), 10.0), ("a", 2L, t(30000), 20.0),
+      ("a", 3L, t(60000), 30.0),           // boundary: exactly W
+      ("a", 4L, t(90000), 40.0), ("a", 5L, t(90000), 50.0), // tie
+      ("a", 6L, t(300000), 60.0),          // isolated
+      ("b", 7L, t(45000), 7.5))
+    val df = rows.toDF("k", "event_id", "ts", "value").repartition(3)
+    val want = df.select(col("event_id"),
+        LogAnalytics.slidingAvg(df, col("k"), col("value"), W).as("avg"))
+      .orderBy("event_id").collect().toSeq
+    val got = LogAnalytics.slidingAvgScalable(df, col("k"), col("value"), W, "avg")
+      .select("event_id", "avg").orderBy("event_id").collect().toSeq
+    assert(got == want)
+  }
 }

@@ -110,4 +110,29 @@ class RelationalSpec extends SparkSpec {
         w.child.toString.contains("__bc") || w.toString.contains("__bc")),
       s"a full-width window partitions on p alone:\n${corpusWide.mkString}")
   }
+
+  test("scalablePrefixSum: bit-identical to the plain running window") {
+    import spark.implicits._
+    // seams: a 1-row key, a key whose order ids are sparse/clustered
+    // (all 37 rows land in few buckets), negative values, and a key
+    // with omin == omax
+    val rows = Seq.tabulate(37)(i => ("a", i.toLong * 97, (i % 7).toLong - 3)) ++
+      Seq(("b", 5L, 42L)) ++
+      Seq.tabulate(16)(i => ("c", 1000L + i, i.toLong)) ++
+      Seq(("d", 9L, 1L), ("d", 9000000L, 2L))
+    val df = rows.toDF("p", "o", "v").repartition(5)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p").orderBy("o")
+    val want = df
+      .withColumn("cum", sum("v").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("tot", sum("v").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("p")))
+      .orderBy("p", "o").collect().toSeq
+    for (buckets <- Seq(1, 3, 64)) {
+      val got = Relational.scalablePrefixSum(df, "p", "o", "v", "cum", "tot",
+        buckets).orderBy("p", "o").collect().toSeq
+      assert(got == want, s"buckets=$buckets")
+    }
+  }
 }

@@ -100,4 +100,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.chunkedOverlap(docs, col("text"), 32, 32)
     }
   }
+
+  test("stratifiedN (salted two-phase) equals the direct per-stratum window") {
+    import spark.implicits._
+    // strata smaller than, equal to, and larger than n; keys spread so
+    // the 64 salt shards are exercised
+    val rows = (1 to 500).map(i => (s"s${i % 3}", i.toLong)) ++
+      Seq(("tiny", 9999L))
+    val df = rows.toDF("stratum", "key").repartition(5)
+    val got = Sampling.stratifiedN(df, col("stratum"), col("key"), 7)
+      .orderBy("stratum", "key").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(Sampling.hashBucket(col("key")), col("key"))
+    val want = df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 7).drop("__rn")
+      .orderBy("stratum", "key").collect().toSeq
+    assert(got == want)
+    assert(got.groupBy(_.getString(0)).forall(_._2.size <= 7))
+    assert(got.count(_.getString(0) == "tiny") == 1)
+  }
 }
