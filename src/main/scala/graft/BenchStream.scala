@@ -1,0 +1,168 @@
+package graft
+
+import graft.sources.{FalconTableProvider, StreamDesc, StubFalconServer}
+import graft.streaming.ConnectorPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Streaming-throughput bench against the reference's ONLY published
+  * numbers (BASELINE.md: ≥20 events/s/partition ingest floor,
+  * 200-event / 10 s flush trigger — `app.py:139-144,485-499`): drain a
+  * seeded Falcon stub through the FULL connector pipeline — DSv2
+  * source scan (R1) → tolerant parse (R3) → projection (R4) → KV
+  * flatten (R5) → enrich (R6) → bulk sink chunks of 200 (R8/R10) with
+  * offset checkpointing (R11) — under Trigger.AvailableNow, in both
+  * the enriched and the raw pass-through (R7) wire modes.
+  *
+  * Events are realistic envelope lines (~220 bytes: metadata + a
+  * 4-entry AuditKeyValues array so the flatten does real work), seeded
+  * per partition into the in-JVM stub (the zero-egress stand-in for
+  * the HTTPS transport — the measured path excludes only the socket,
+  * exactly the part the reference's floor spends on network).
+  *
+  * Prints ONE JSON line and writes the complete record (per-batch
+  * trigger durations included) to SPARK_GRAFT_STREAM_BENCH_FILE
+  * (default BENCH_STREAM_r13.json). Events/s/partition divides by the
+  * SOURCE partition count (the reference's per-partition thread
+  * model), not the executor thread count.
+  */
+object BenchStream {
+
+  val shipped = new AtomicLong(0)
+  class CountingSink extends ConnectorPipeline.BulkSink {
+    override def post(events: Seq[String]): Boolean = {
+      BenchStream.shipped.addAndGet(events.size); true
+    }
+  }
+
+  private def line(offset: Long, part: Int): String = {
+    val t = 1700000000000L + offset * 13
+    s"""{"metadata": {"offset": $offset, "eventCreationTime": $t, """ +
+      s""""eventType": "AuthActivityAuditEvent"}, "event": {"UserId": """ +
+      s""""user-$part-${offset % 997}", "OperationName": "twoFactorAuthenticate", """ +
+      s""""Success": true, "AuditKeyValues": [""" +
+      s"""{"Key": "target", "ValueString": "host-${offset % 31}"}, """ +
+      s"""{"Key": "actor", "ValueString": "svc-${offset % 7}"}, """ +
+      s"""{"Key": "quota", "ValueString": "${offset % 100}"}, """ +
+      s"""{"Key": "actor", "ValueString": "svc-final"}]}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
+    val perPart = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "50000").toLong
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_FILE",
+      "/root/repo/BENCH_STREAM_r13.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // seed: `parts` stub partitions × `perPart` envelope lines
+    StubFalconServer.reset()
+    StubFalconServer.register("bench",
+      (0 until parts).map(p => StreamDesc(p, refreshIntervalSec = 1800)))
+    (0 until parts).foreach { p =>
+      (0L until perPart).foreach(o =>
+        StubFalconServer.push("bench", p, o, line(o, p)))
+    }
+    val total = parts * perPart
+
+    // per-batch trigger durations + engine-reported rates, per run
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) progress.add((p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+          p.processedRowsPerSecond))
+      }
+    })
+
+    def drain(enrich: Boolean, tag: String): (Double, Seq[(Long, Long, Double)]) = {
+      progress.clear(); shipped.set(0)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-bench-stream-$tag").toString
+      val lines = spark.readStream
+        .format(classOf[FalconTableProvider].getName)
+        .option("appId", "bench")
+        // ~10 batches: per-batch latency stats need more than one trigger
+        .option("maxRowsPerTrigger", (total / 10).max(1L).toString)
+        .load()
+      val t0 = System.nanoTime()
+      val q = ConnectorPipeline.run(lines, new CountingSink, ckpt,
+        host = "bench-host", streamId = "falcon", bulkMaxSize = 200,
+        enrich = enrich, availableNow = true)
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      require(shipped.get() == total,
+        s"$tag shipped ${shipped.get()} of $total events")
+      import scala.jdk.CollectionConverters._
+      (wall, progress.asScala.toSeq)
+    }
+
+    // JVM/codegen warm-up on a small slice so the measured runs aren't
+    // charged for compilation (the Bench discipline)
+    val warmParts = 1
+    StubFalconServer.register("bench-warm", Seq(StreamDesc(0, 1800)))
+    (0L until 2000L).foreach(o => StubFalconServer.push("bench-warm", 0, o, line(o, 0)))
+    val warmCkpt = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
+    ConnectorPipeline.run(
+      spark.readStream.format(classOf[FalconTableProvider].getName)
+        .option("appId", "bench-warm").load(),
+      new CountingSink, warmCkpt, "h", "s",
+      enrich = true, availableNow = true).awaitTermination()
+    val _ = warmParts
+
+    val (wallE, progE) = drain(enrich = true, "enriched")
+    val (wallR, progR) = drain(enrich = false, "raw")
+
+    def stats(wall: Double, prog: Seq[(Long, Long, Double)]): (Double, Double, Long, Long) = {
+      val eps = total / wall
+      val perPartRate = eps / parts
+      val durs = prog.map(_._2).sorted
+      val med = if (durs.isEmpty) 0L else durs(durs.size / 2)
+      val max = if (durs.isEmpty) 0L else durs.last
+      (eps, perPartRate, med, max)
+    }
+    val (epsE, ppE, medE, maxE) = stats(wallE, progE)
+    val (epsR, ppR, medR, maxR) = stats(wallR, progR)
+    def f(v: Double): String = BigDecimal(v)
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    // the reference's floor: ≥20 events/s/partition (app.py:485-499)
+    val vsFloor = ppE / 20.0
+    println(s"""{"metric":"stream_events_per_sec","value":${f(epsE)},""" +
+      s""""unit":"events/sec","events":$total,"partitions":$parts,""" +
+      s""""per_partition":${f(ppE)},"raw_events_per_sec":${f(epsR)},""" +
+      s""""raw_per_partition":${f(ppR)},"vs_reference_floor":${f(vsFloor)},""" +
+      s""""wall_sec":${f(wallE)},"raw_wall_sec":${f(wallR)}}""")
+    def batches(prog: Seq[(Long, Long, Double)]): String =
+      prog.map { case (n, ms, rps) =>
+        s"""    {"rows": $n, "trigger_ms": $ms, "rate": ${f(rps)}}"""
+      }.mkString("[\n", ",\n", "\n  ]")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile),
+      s"""{\n  "events": $total, "partitions": $parts,\n""" +
+        s"""  "reference_floor_events_per_sec_per_partition": 20,\n""" +
+        s"""  "reference_trigger": "200 events / 10 s",\n""" +
+        s"""  "enriched": {"wall_sec": ${f(wallE)}, "events_per_sec": ${f(epsE)},\n""" +
+        s"""    "events_per_sec_per_partition": ${f(ppE)},\n""" +
+        s"""    "vs_reference_floor": ${f(vsFloor)},\n""" +
+        s"""    "batch_trigger_ms_median": $medE, "batch_trigger_ms_max": $maxE,\n""" +
+        s"""    "batches": ${batches(progE)}},\n""" +
+        s"""  "raw": {"wall_sec": ${f(wallR)}, "events_per_sec": ${f(epsR)},\n""" +
+        s"""    "events_per_sec_per_partition": ${f(ppR)},\n""" +
+        s"""    "batch_trigger_ms_median": $medR, "batch_trigger_ms_max": $maxR,\n""" +
+        s"""    "batches": ${batches(progR)}}\n}\n""")
+    catch { case e: Exception =>
+      System.err.println(s"[bench-stream] could not write $benchFile: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}
