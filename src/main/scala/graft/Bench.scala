@@ -226,17 +226,27 @@ object Bench {
     // suite moves the re-measurement minutes away from the original
     // slot, and each retry additionally WAITS (bounded) for a quiet
     // 1-minute loadavg so the folded-in number is a quiet-host sample.
-    // Suspects: warm > max(3×, +2 s) its reference warm, OR the query's
-    // own loadavg sample showed external contention (≥ gate+0.5 — the
-    // suite's own local[32] ramp tops out near the gate) on a
-    // non-trivial (≥0.5 s) warm. Min-fold only (a retry cannot invent
-    // speed); honest slowdowns re-measure to their honest time.
+    // Suspects: warm > max(3×, +2 s) its reference warm; for queries
+    // WITHOUT a reference entry (new this round / no ref file), a
+    // loadavg sample ≥ gate+1.5 on a non-trivial (≥0.5 s) warm stands
+    // in. The la-only rule must not apply when a reference exists: at
+    // sf1 the suite's own 2-6 s full-width queries legitimately push
+    // the 1-minute average past 4.5 (measured 6.2 at suite end on a
+    // quiet host), and a self-load-triggered retry storm adds nothing
+    // but wall time — the warm-vs-ref comparison is the discriminating
+    // signal whenever it's available. Min-fold only (a retry cannot
+    // invent speed); honest slowdowns re-measure to their honest time.
     val laGate = sys.env.getOrElse("SPARK_GRAFT_LA_GATE", "4.0").toDouble
+    // shared quiet-wait budget across the WHOLE post-pass: a loaded
+    // host degrades to immediate retries rather than stalling the
+    // bench by minutes-per-suspect
+    var quietBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET", "300").toInt
     def awaitQuiet(maxWaitSec: Int): Double = {
       var waited = 0
       var la = loadAvg()
-      while (la > laGate && waited < maxWaitSec) {
-        Thread.sleep(5000); waited += 5; la = loadAvg()
+      while (la > laGate && waited < maxWaitSec && quietBudgetSec > 0) {
+        Thread.sleep(5000); waited += 5; quietBudgetSec -= 5; la = loadAvg()
       }
       la
     }
@@ -245,7 +255,8 @@ object Bench {
     val postRetried = scala.collection.mutable.LinkedHashMap[String, Double]()
     val adjusted = results.map { case (name, v0 @ (c0r, w0, cf, n0, la0)) =>
       val suspect = w0 > 0 &&
-        (refSuspect(name, w0) || (la0 >= laGate + 0.5 && w0 >= 0.5))
+        (refSuspect(name, w0) ||
+          (!refWarm.contains(name) && la0 >= laGate + 1.5 && w0 >= 0.5))
       if (!suspect) name -> v0
       else {
         postRetried(name) = w0
