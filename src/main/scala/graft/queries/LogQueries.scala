@@ -449,17 +449,17 @@ object LogQueries {
   /** Drift→ACTION: the gate that [[lDriftWindow]]'s monitor only
     * alarms on — per-window drift scores feed
     * [[graft.operators.Drift.driftVerdicts]]' relative 2σ outlier
-    * test, and the verdict is APPLIED to the ingest: events in a
-    * quarantined window drop as a whole via ONE broadcast semi-join of
-    * the passing-window list (the whole-window analogue of
+    * test, and the verdict is APPLIED to the ingest: a quarantined
+    * window's whole mass drops (the whole-window analogue of
     * [[graft.queries.PipelineQueries.xCurateSourced]]'s source drop;
-    * streaming twin [[graft.operators.Drift.gateDrained]], proven in
-    * DriftGateSpec). Output per window: score, verdict, and the kept
-    * ingest mass (row + distinct-user counts — 0 for quarantined
-    * windows). Scale: the drift relation is |windows|·(REF_K+1)
-    * bounded, the verdict stats are one global aggregate over it, and
-    * the kept-mass recount is one corpus aggregate behind a broadcast
-    * join — no new shuffle class. On the uniform fixture the verdict
+    * the per-doc physical drop is the streaming twin
+    * [[graft.operators.Drift.gateDrained]], proven in DriftGateSpec).
+    * Output per window: score, verdict, and the kept ingest mass
+    * (row + distinct-user counts — 0 for quarantined windows). Scale:
+    * the drift relation is |windows|·(REF_K+1) bounded, the verdict
+    * stats are one global aggregate over it, and the mass is one
+    * unconditional corpus aggregate zeroed by the verdict on the
+    * bounded relation — two corpus passes total, no corpus-row join. On the uniform fixture the verdict
     * is honestly data-driven (sampling noise alone can trip the 2σ
     * tail); DriftGateSpec proves a planted poisoned window trips it.
     */
@@ -474,18 +474,25 @@ object LogQueries {
     val v = graft.operators.Drift.driftVerdicts(
       graft.operators.Drift.windowDrift(
         graft.operators.Drift.mapCountsToRef(cnt, ref), ref))
-    val kept = Tables.events(s, dir)
+    // per-window ingest mass computed UNCONDITIONALLY (one corpus
+    // aggregate) and zeroed by the verdict on the bounded |windows|
+    // relation — same output as semi-joining the raw events against
+    // the passing-window list, without a third corpus pass (the
+    // physical per-doc drop is the STREAMING face's job,
+    // Drift.gateDrained)
+    val mass = Tables.events(s, dir)
       .select((expr(s"unix_millis(ts) DIV $DRIFT_WIN_MS") * DRIFT_WIN_MS)
         .as("wstart"), col("user_id"))
-      .join(broadcast(v.where(col("quarantined") === 0).select("wstart")),
-        Seq("wstart"), "left_semi")
       .groupBy("wstart")
-      .agg(count(lit(1)).as("n_kept"),
-        count_distinct(col("user_id")).as("n_users_kept"))
-    v.join(kept, Seq("wstart"), "left")
-      .na.fill(0L, Seq("n_kept", "n_users_kept"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_users"))
+    v.join(mass, Seq("wstart"), "left")
+      .na.fill(0L, Seq("n_rows", "n_users"))
       .select(col("wstart"), col("n0"), col("kl_wr"), col("quarantined"),
-        col("n_kept"), col("n_users_kept"))
+        when(col("quarantined") === 1, lit(0L)).otherwise(col("n_rows"))
+          .as("n_kept"),
+        when(col("quarantined") === 1, lit(0L)).otherwise(col("n_users"))
+          .as("n_users_kept"))
       .orderBy("wstart")
   }
 
