@@ -252,15 +252,34 @@ object Bench {
     }
     def refSuspect(name: String, w: Double): Boolean =
       refWarm.get(name).exists(rw => rw > 0 && w > math.max(3 * rw, rw + 2.0))
-    val postRetried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // the loadavg-only stand-in exists for queries a PROVIDED reference
+    // doesn't cover (new this round); with NO reference file at all the
+    // rule would apply to every query, and at sf1+ the suite's OWN
+    // 32-thread load exceeds the gate — a self-triggered second warm
+    // pass of the whole suite. Skip it and say so, with the count.
+    if (refWarm.isEmpty) {
+      val wouldQualify = results.count { case (_, (_, w0, _, _, la0)) =>
+        w0 >= 0.5 && la0 >= laGate + 1.5 }
+      if (wouldQualify > 0)
+        System.err.println(s"[bench] no SPARK_GRAFT_REF_FILE: loadavg-only " +
+          s"retry rule skipped ($wouldQualify queries would have qualified)")
+    }
+    val rerunsInline = results.map(_._2._4).sum
+    // FULL adjudication trail (before, every attempt with its quiet-wait
+    // loadavg, after) — a retry that CONFIRMS the original measurement
+    // must leave a trace too, or the committed record can't be replayed
+    // (r13's record said reruns: 6 but listed only the 4 verdict-changers)
+    val postRetried = scala.collection.mutable.LinkedHashMap[
+      String, (Double, List[(Double, Double)], Double)]()
     val adjusted = results.map { case (name, v0 @ (c0r, w0, cf, n0, la0)) =>
       val suspect = w0 > 0 &&
         (refSuspect(name, w0) ||
-          (!refWarm.contains(name) && la0 >= laGate + 1.5 && w0 >= 0.5))
+          (refWarm.nonEmpty && !refWarm.contains(name) &&
+            la0 >= laGate + 1.5 && w0 >= 0.5))
       if (!suspect) name -> v0
       else {
-        postRetried(name) = w0
         var c = c0r; var w = w0; var n = n0; var la = la0
+        var attempts = List.empty[(Double, Double)]
         var tries = 0
         // every suspect gets one quiet-gated retry; a second only if
         // the reference rule still trips (bounded: ≤2 per query)
@@ -269,9 +288,11 @@ object Bench {
           val t = timedRun(name, SparkEntry.queries(name))
           System.err.println(f"[bench] $name post-suite retry " +
             f"(warm=$w%.2f la=$laQ%.2f): $t%.2f")
+          attempts = attempts :+ ((t, laQ))
           if (t > 0 && t < w) { c = math.min(c, t); w = t; la = laQ }
           n += 1; tries += 1
         }
+        postRetried(name) = ((w0, attempts, w))
         name -> ((c, w, cf, n, la))
       }
     }
@@ -320,12 +341,24 @@ object Bench {
     // rerun-deflated best (no ratchet), and so a reader can see exactly
     // which numbers were adjudicated and from what
     val rerun = adjusted.collect { case (k, (_, _, c0, n, _)) if n > 0 => k -> c0 }
-    // post_retries: the PRE-adjudication warm of every end-of-suite
-    // retried query — the judge's audit trail for exactly which numbers
-    // the quiet-host pass replaced and from what
+    // post_retries: the COMPLETE end-of-suite adjudication trail — for
+    // every retried query: the pre-adjudication warm, every attempt as
+    // [measured seconds, 1-min loadavg after the quiet wait] (confirming
+    // attempts included), and the post-adjudication warm. Replayable:
+    // post_retry_attempts + reruns_inline == reruns, and warm_after is
+    // derivable from warm_before min-folded with the attempts.
     val postSection =
       if (postRetried.isEmpty) ""
-      else s""",\n  "post_retries": ${fileMap(postRetried)}"""
+      else {
+        val entries = postRetried.map { case (k, (before, attempts, after)) =>
+          val att = attempts.map { case (t, la) =>
+            s"[${fmt(t, 2)}, ${fmt(la, 2)}]" }.mkString("[", ", ", "]")
+          s"""    "$k": {"warm_before": ${fmt(before, 2)}, "attempts": $att, "warm_after": ${fmt(after, 2)}}"""
+        }.mkString("{\n", ",\n", "\n  }")
+        s""",\n  "reruns_inline": $rerunsInline,""" +
+          s"""\n  "post_retry_attempts": ${postRetried.valuesIterator.map(_._2.size).sum},""" +
+          s"""\n  "post_retries": $entries"""
+      }
     val rerunSection =
       (if (rerun.isEmpty) ""
        else s""",\n  "reruns": ${rerun.size},\n  "cold_first": ${fileMap(rerun)}""") +

@@ -52,12 +52,23 @@ object LogAnalytics {
     * plain-window DuckDB oracle the standing differential proof.
     * Output: input columns + `avg_1h`-style `outName` (plain DOUBLE;
     * caller rounds).
+    *
+    * Null-timestamp contract: rows with `ts IS NULL` are EXCLUDED,
+    * explicitly (the bucketing arithmetic has no home bucket for them;
+    * the plain window would instead order them first with a degenerate
+    * frame) — so the documented bit-identity holds over the non-null-ts
+    * rows, and null-ts rows are dropped loudly here rather than
+    * silently by a null-bucket equality.
     */
   def slidingAvgScalable(events: DataFrame, part: Column, valueCol: Column,
                          windowMs: Long, outName: String): DataFrame = {
+    val reserved = events.columns.toSet.intersect(Set("__t", "__c", "__home", "__rb"))
+    require(reserved.isEmpty,
+      s"slidingAvgScalable: input already has reserved column(s) ${reserved.mkString(", ")}")
     val w = Window.partitionBy(part, col("__rb"))
       .orderBy(col("__t")).rangeBetween(-windowMs, Window.currentRow)
     events
+      .where(col("ts").isNotNull)
       .withColumn("__t", unix_millis(col("ts")))
       .withColumn("__c", round(valueCol * 100).cast("bigint"))
       .withColumn("__home", expr(s"__t DIV $windowMs"))

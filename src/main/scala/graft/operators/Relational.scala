@@ -190,8 +190,9 @@ object Relational {
     *
     *  1. broadcast per-key (min, max) of the UNIQUE integer order
     *     column → each row's deterministic ascending range bucket
-    *     (pure integer arithmetic: ((o − min)·buckets) DIV
-    *     (max − min + 1));
+    *     (pure integer arithmetic: (o − min) DIV (span DIV buckets + 1)
+    *     — divide-first so the derivation cannot overflow Long even
+    *     when the key's order span approaches Long.MaxValue);
     *  2. ONE tiny aggregate (≤ |keys|·`buckets` rows) of per-bucket
     *     value sums → cumulative bucket offsets and the per-key grand
     *     total (windows over this bounded relation are free);
@@ -211,16 +212,35 @@ object Relational {
   def scalablePrefixSum(df: DataFrame, partCol: String, orderCol: String,
                         valueCol: String, cumName: String, totName: String,
                         buckets: Int = 64): DataFrame = {
+    // the documented preconditions are cheap to assert at the schema
+    // level — a violation must fail loudly, not produce silently wrong
+    // prefix sums (uniqueness per key is data-level and asserted in
+    // ScaleSpec's adversarial fixtures instead)
+    def integral(c: String) = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral(orderCol) && integral(valueCol),
+      s"scalablePrefixSum: `$orderCol` and `$valueCol` must be integer-typed, got " +
+        s"${df.schema(orderCol).dataType}/${df.schema(valueCol).dataType}")
+    val reserved = df.columns.toSet.intersect(Set("__omin", "__omax", "__bkt", "__off", "__tot"))
+    require(reserved.isEmpty,
+      s"scalablePrefixSum: input already has reserved column(s) ${reserved.mkString(", ")}")
     val span = Scale.stage(df.groupBy(partCol)
       .agg(min(orderCol).as("__omin"), max(orderCol).as("__omax")))
     val bucketed = df.join(broadcast(span), partCol)
       // DIV (integer division): `/` on longs is DOUBLE division in
       // Spark SQL and would put a float in the bucket id; the DIV form
-      // keeps the bucket derivation exact. Always lands in [0, buckets):
-      // o = max gives ((max−min)·B) DIV (max−min+1) ≤ B−1.
+      // keeps the bucket derivation exact. Divide-FIRST (bucket width
+      // w = span DIV B + 1, bucket = (o − min) DIV w): the multiply-first
+      // form ((o−min)·B) overflows Long once the key's order span
+      // exceeds Long.MaxValue/B. Still lands in [0, buckets): with
+      // span = kB + r (r < B), w = k+1 and span DIV w ≤ (B(k+1)−1) DIV
+      // (k+1) ≤ B−1; monotone in o, so bucket order = order order.
       .withColumn("__bkt",
-        expr(s"((`$orderCol` - __omin) * $buckets) " +
-          "DIV (__omax - __omin + 1)").cast("int"))
+        expr(s"(`$orderCol` - __omin) DIV ((__omax - __omin) DIV $buckets + 1)")
+          .cast("int"))
       .drop("__omin", "__omax")
     val bagg = bucketed.groupBy(partCol, "__bkt")
       .agg(sum(valueCol).as("__bsum"))

@@ -19,6 +19,12 @@ object Scale {
     */
   def saltedTopKPerKey(df: DataFrame, key: Column, order: Seq[Column],
                        k: Int, salts: Int, tiebreak: Column): DataFrame = {
+    // withColumn would silently OVERWRITE a caller column of the same
+    // name and then drop it — fail loudly instead (guards every caller:
+    // stratifiedN lost its own guard when it switched to this helper).
+    val reserved = df.columns.toSet.intersect(Set("__salt", "__rn"))
+    require(reserved.isEmpty,
+      s"saltedTopKPerKey: input already has reserved column(s) ${reserved.mkString(", ")}")
     val salted = df.withColumn("__salt", pmod(hash(tiebreak), lit(salts)))
     val w1 = Window.partitionBy(key, col("__salt")).orderBy(order: _*)
     val survivors = salted

@@ -134,5 +134,38 @@ class RelationalSpec extends SparkSpec {
         buckets).orderBy("p", "o").collect().toSeq
       assert(got == want, s"buckets=$buckets")
     }
+    // the fixtures above (and every production caller) also satisfy the
+    // documented uniqueness-per-key precondition — assert it so a future
+    // fixture edit that breaks it fails here, not as a silent wrong sum
+    assert(df.groupBy("p", "o").count().where(col("count") > 1).isEmpty,
+      "spec fixture must keep orderCol unique per key")
+  }
+
+  test("scalablePrefixSum: near-Long.MaxValue order span (divide-first bucket math)") {
+    import spark.implicits._
+    // a span this wide overflows the multiply-first bucket form
+    // ((o − min)·64 > Long.MaxValue); the divide-first form is exact
+    val big = Long.MaxValue - 3
+    val rows = Seq(("k", 0L, 1L), ("k", big / 2, 2L), ("k", big, 3L),
+      ("k", 17L, 5L), ("k", big - 17L, 7L))
+    val df = rows.toDF("p", "o", "v")
+    val got = Relational.scalablePrefixSum(df, "p", "o", "v", "cum", "tot", 64)
+      .orderBy("o").select("o", "cum", "tot").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 18L), (17L, 6L, 18L), (big / 2, 8L, 18L),
+      (big - 17L, 15L, 18L), (big, 18L, 18L)))
+  }
+
+  test("scalablePrefixSum: precondition violations fail loudly") {
+    import spark.implicits._
+    val nonInt = Seq(("a", 1.5, 1L)).toDF("p", "o", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Relational.scalablePrefixSum(nonInt, "p", "o", "v", "cum", "tot")
+    }
+    assert(ex.getMessage.contains("integer-typed"))
+    val clobber = Seq(("a", 1L, 1L, 0)).toDF("p", "o", "v", "__bkt")
+    val ex2 = intercept[IllegalArgumentException] {
+      Relational.scalablePrefixSum(clobber, "p", "o", "v", "cum", "tot")
+    }
+    assert(ex2.getMessage.contains("reserved"))
   }
 }
