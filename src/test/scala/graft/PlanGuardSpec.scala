@@ -359,12 +359,64 @@ class PlanGuardSpec extends AnyFunSuite {
   private def partitionColNames(spec: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Set[String] =
     spec.flatMap(_.references.map(_.name.toLowerCase)).toSet
 
+  // ---- alias resolution for rule (ii): LowCard is a NAME set, so a
+  // renamed or derived low-card column (alias(event_type), a CASE
+  // bucketing of it) would otherwise evade the window rule silently
+  // (r13 verdict ask #3). Collect every Alias definition in the audited
+  // plan — ProjectExec/aggregate/window result lists, plus the LOGICAL
+  // alias chains inside captured pre-stage lineages — and trace each
+  // partition expression's references through them to the ROOT fixture
+  // column names it derives from. A partition expression whose roots
+  // are all low-card has cardinality ≤ the product of their fixed
+  // domains: scale-invariant no matter what it is called. ----
+
+  private def aliasDefs(plan: SparkPlan): Map[Long, Expression] = {
+    val defs = collection.mutable.Map[Long, Expression]()
+    def fromExprs(es: Seq[Expression]): Unit = es.foreach {
+      case a: Alias => defs(a.exprId.id) = a.child
+      case _ => ()
+    }
+    def walkL(p: logical.LogicalPlan): Unit = p.foreach {
+      case rdd: LogicalRDD =>
+        graft.operators.Scale.capturedLineage(rdd.rdd.id).foreach(walkL)
+      case node => node.expressions.foreach(_.foreach {
+        case a: Alias => defs(a.exprId.id) = a.child
+        case _ => ()
+      })
+    }
+    plan.foreach {
+      case pr: ProjectExec => fromExprs(pr.projectList)
+      case w: WindowExecBase => fromExprs(w.windowExpression)
+      case a: BaseAggregateExec =>
+        fromExprs(a.groupingExpressions); fromExprs(a.resultExpressions)
+      case e: ExpandExec => e.projections.foreach(fromExprs)
+      case g: GenerateExec => fromExprs(Seq(g.generator))
+      case r: RDDScanExec =>
+        graft.operators.Scale.capturedLineage(r.rdd.id).foreach(walkL)
+      case _ => ()
+    }
+    defs.toMap
+  }
+
+  /** The root (pre-alias) column names `e` is derived from; cycles are
+    * impossible in a resolved plan but `seen` guards regardless. */
+  private def rootColNames(e: Expression, defs: Map[Long, Expression],
+                           seen: Set[Long] = Set.empty): Set[String] =
+    e.references.toSeq.flatMap { a =>
+      defs.get(a.exprId.id) match {
+        case Some(d) if !seen(a.exprId.id) =>
+          rootColNames(d, defs, seen + a.exprId.id)
+        case _ => Set(a.name.toLowerCase)
+      }
+    }.toSet
+
   private def audit(name: String, plan: SparkPlan,
                     out: collection.mutable.Builder[String, Seq[String]],
                     hits: collection.mutable.Set[(String, String)]): Unit = {
     def flag(rule: String, wl: Map[String, String], detail: String): Unit =
       if (wl.contains(name)) hits += ((rule, name))
       else out += s"$name [$rule] $detail"
+    val defs = aliasDefs(plan)
     plan.foreach {
       case j: BroadcastNestedLoopJoinExec =>
         val ok = boundedRows(j.left).exists(_ <= MaxBounded) ||
@@ -382,11 +434,16 @@ class PlanGuardSpec extends AnyFunSuite {
             flag("window", windowWhitelist,
               "empty-partition Window over an unbounded child")
         } else {
+          // raw names drive the barrier subset checks (inner salted
+          // windows carry the same raw names); ROOT names drive the
+          // low-card test, so alias(event_type) / CASE-of-event_type
+          // partition keys are seen for what they derive from
           val cols = partitionColNames(w.partitionSpec)
-          if (cols.nonEmpty && cols.subsetOf(LowCard) &&
+          val roots = w.partitionSpec.flatMap(rootColNames(_, defs)).toSet
+          if (roots.nonEmpty && roots.subsetOf(LowCard) &&
               unreducedCorpus(w.child, cols))
             flag("window", windowWhitelist,
-              s"Window partitioned only by low-card ${cols.mkString(",")} over corpus lineage")
+              s"Window partitioned only by (roots of) low-card ${roots.mkString(",")} over corpus lineage")
         }
       case w: WindowGroupLimitExec =>
         // a rank-filter pushdown paired with a WindowExec we audit; the
@@ -429,5 +486,54 @@ class PlanGuardSpec extends AnyFunSuite {
         exchangeWhitelist.keySet.map(("exchange", _)) --
         whitelistHits
     assert(stale.isEmpty, s"stale whitelist entries: $stale")
+  }
+
+  // ---- the guard guards itself: planted evasions the r13 audit was
+  // blind to (name-set LowCard) must now be caught ----
+
+  private def windowFlags(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val plan = df.queryExecution.executedPlan
+    val out = Seq.newBuilder[String]
+    val hits = collection.mutable.Set[(String, String)]()
+    (plan +: plan.subqueriesAll).foreach(audit("planted", _, out, hits))
+    out.result().filter(_.contains("[window]"))
+  }
+
+  test("a RENAMED low-card partition column cannot evade the window rule") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(session, "/root/testdata/sf0.001")
+      .withColumn("etype", col("event_type"))
+    val df = ev.withColumn("rn",
+      row_number().over(Window.partitionBy("etype").orderBy("event_id")))
+    val flags = windowFlags(df)
+    assert(flags.nonEmpty, "alias(event_type) window must be flagged")
+    assert(flags.exists(_.contains("event_type")),
+      s"flag must name the ROOT column: $flags")
+  }
+
+  test("a CASE bucketing of a low-card column cannot evade the window rule") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(session, "/root/testdata/sf0.001")
+      .withColumn("bucket",
+        when(col("event_type") === "click", lit("a")).otherwise(lit("b")))
+    val df = ev.withColumn("rn",
+      row_number().over(Window.partitionBy("bucket").orderBy("event_id")))
+    assert(windowFlags(df).nonEmpty,
+      "a derived column of only low-card roots must be flagged")
+  }
+
+  test("a partition key mixing in a corpus-scaling root stays unflagged") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // concat(event_type, user hash) has corpus-order cardinality — the
+    // root set includes user_id, so rule (ii) must NOT fire (precision:
+    // the hardened rule widens detection, not false positives)
+    val ev = Tables.events(session, "/root/testdata/sf0.001")
+      .withColumn("shard", concat(col("event_type"), pmod(hash(col("user_id")), lit(512))))
+    val df = ev.withColumn("rn",
+      row_number().over(Window.partitionBy("shard").orderBy("event_id")))
+    assert(windowFlags(df).isEmpty)
   }
 }
