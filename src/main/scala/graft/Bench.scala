@@ -355,13 +355,17 @@ object Bench {
             s"[${fmt(t, 2)}, ${fmt(la, 2)}]" }.mkString("[", ", ", "]")
           s"""    "$k": {"warm_before": ${fmt(before, 2)}, "attempts": $att, "warm_after": ${fmt(after, 2)}}"""
         }.mkString("{\n", ",\n", "\n  }")
-        s""",\n  "reruns_inline": $rerunsInline,""" +
-          s"""\n  "post_retry_attempts": ${postRetried.valuesIterator.map(_._2.size).sum},""" +
+        s""",\n  "post_retry_attempts": ${postRetried.valuesIterator.map(_._2.size).sum},""" +
           s"""\n  "post_retries": $entries"""
       }
+    // replayable-trail invariant: reruns == reruns_inline +
+    // post_retry_attempts, and every post attempt is listed in
+    // post_retries with its measurement and loadavg (r13 verdict ask #4:
+    // a record saying "reruns: 6" with 4 listed could not be replayed)
     val rerunSection =
-      (if (rerun.isEmpty) ""
-       else s""",\n  "reruns": ${rerun.size},\n  "cold_first": ${fileMap(rerun)}""") +
+      (if (rerun.isEmpty && postRetried.isEmpty) ""
+       else s""",\n  "reruns": $rerunCount,\n  "reruns_inline": $rerunsInline""" +
+         (if (rerun.isEmpty) "" else s""",\n  "cold_first": ${fileMap(rerun)}""")) +
         postSection
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile),
       s"""{\n  "sf": "$sfDir",\n  "unit": "sec",\n  "metric": "total",\n""" +
