@@ -2185,8 +2185,13 @@ object PipelineQueries {
     * edit — the [[graft.operators.Dedup.GramJoinModeConf]] discipline.
     */
   val SemdedupCellCapConf = "spark.graft.semdedup.cellCap"
+  /** The declared default, spliced into the family's oracles by
+    * [[capIdsSql]] — a conf override therefore moves the QUERY only and
+    * breaks the hash compare, exactly like the other conf-backed knobs.
+    */
+  val SemdedupCellCapDefault = 1024
   def semdedupCellCap(s: SparkSession): Int =
-    s.conf.get(SemdedupCellCapConf, "1024").toInt
+    s.conf.get(SemdedupCellCapConf, SemdedupCellCapDefault.toString).toInt
 
   /** SEMANTIC dedup end-to-end — the embedding-space sibling of
     * [[xCurateFuzzy]]'s text pipeline, composed from verified parts in
@@ -4878,6 +4883,26 @@ object PipelineQueries {
       |$outCte AS MATERIALIZED (SELECT vec_id, embedding, cent_id AS cell
       |            FROM ${outCte}_sc WHERE rk = 1)""".stripMargin
 
+  /** The md5-ordered per-cell cap id set — the exact replay of
+    * [[graft.operators.Knn]]'s `cappedCells` / `cellPairs` candidate
+    * flag (row_number per cell over (md5(vec_id), vec_id), kept while
+    * ≤ [[SemdedupCellCapDefault]]) over an assignment CTE exposing
+    * (vec_id, cell). Every semdedup-family oracle splices this so the
+    * declared cellCap binds identically in both engines: the cap first
+    * BINDS around sf1 (cells outgrow 1024), so the gate SFs alone can
+    * never witness a replay gap — round 14's sf1 correctness sweep
+    * found exactly that (Spark capped, oracle uncapped, 4276 vs 4835
+    * rows on x_semdedup_incremental) and this helper is the fix.
+    * Spark's md5(CAST(... AS STRING)) and DuckDB's
+    * md5(CAST(... AS VARCHAR)) agree: same decimal rendering of the
+    * integer id, same lowercase-hex digest, same binary collation.
+    */
+  private def capIdsSql(src: String, out: String): String =
+    s"""$out AS MATERIALIZED (SELECT vec_id FROM (
+      |  SELECT vec_id, row_number() OVER (PARTITION BY cell
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pos
+      |  FROM $src) WHERE pos <= $SemdedupCellCapDefault)""".stripMargin
+
   /** Shared WITH-prefix of the fixed-codebook IVF oracles. */
   private def ivfAsgnPrefix: String =
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
@@ -5479,9 +5504,12 @@ object PipelineQueries {
         |${refineSql("k1", "k2", 2)},
         |${refineSql("k2", "k3", 3)},
         |${asgnSql("k3", "af")},
+        |${capIdsSql("af", "cp")},
         |cand AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |  WHERE (a.vec_id IN (SELECT vec_id FROM cp)
+        |         OR b.vec_id IN (SELECT vec_id FROM cp))
+        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
         |        / (${normSql("a.embedding")} * ${normSql("b.embedding")}) > $SEMDEDUP_TAU),
         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
@@ -7193,12 +7221,14 @@ object PipelineQueries {
         |${refineSql("k1", "k2", 2, "bse")},
         |${refineSql("k2", "k3", 3, "bse")},
         |${asgnSql("k3", "bi", "bse")},
+        |${capIdsSql("bi", "cpb")},
         |${scoredSql("k3", "dp", "dlt")},
         |pr AS (SELECT vec_id, embedding, cent_id AS cell FROM dp
         |       WHERE rk <= $IVF_NPROBE),
         |hits AS (SELECT DISTINCT p.vec_id
         |  FROM pr p JOIN bi h USING (cell)
-        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |  WHERE h.vec_id IN (SELECT vec_id FROM cpb)
+        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
         |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU),
         |kept AS (SELECT doc_id, text FROM f
@@ -7225,9 +7255,12 @@ object PipelineQueries {
         |cent AS (SELECT vec_id AS cent_id, embedding AS cvec
         |         FROM embeddings WHERE vec_id < $IVF_K),
         |${asgnSql("cent", "sa", "ge")},
+        |${capIdsSql("sa", "cp")},
         |cand AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM sa a JOIN sa b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |  WHERE (a.vec_id IN (SELECT vec_id FROM cp)
+        |         OR b.vec_id IN (SELECT vec_id FROM cp))
+        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
         |        / (${normSql("a.embedding")} * ${normSql("b.embedding")}) > $SEMDEDUP_TAU),
         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
@@ -7575,10 +7608,12 @@ object PipelineQueries {
         |${scoredSql("k3", "sp")},
         |probes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk <= $IVF_NPROBE),
         |homes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk = 1),
+        |${capIdsSql("homes", "cph")},
         |cand AS MATERIALIZED (SELECT DISTINCT least(p.vec_id, h.vec_id) AS doc_a,
         |                greatest(p.vec_id, h.vec_id) AS doc_b
         |  FROM probes p JOIN homes h USING (cell)
         |  WHERE p.vec_id <> h.vec_id
+        |    AND h.vec_id IN (SELECT vec_id FROM cph)
         |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
         |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU),
@@ -7605,12 +7640,14 @@ object PipelineQueries {
         |${refineSql("k1", "k2", 2, "bse")},
         |${refineSql("k2", "k3", 3, "bse")},
         |${asgnSql("k3", "bi", "bse")},
+        |${capIdsSql("bi", "cpb")},
         |${scoredSql("k3", "dp", "dlt")},
         |pr AS (SELECT vec_id, embedding, cent_id AS cell FROM dp
         |       WHERE rk <= $IVF_NPROBE),
         |hits AS (SELECT p.vec_id, h.vec_id AS base_id
         |  FROM pr p JOIN bi h USING (cell)
-        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |  WHERE h.vec_id IN (SELECT vec_id FROM cpb)
+        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
         |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU)
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_base_matches,
