@@ -23,6 +23,10 @@ object Verify {
       .config("spark.graft.stage.memo", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail FAST if a session conf would diverge the engine from the
+    // static oracle SQL (the r14 cellCap lesson, generalized) — a loud
+    // named error here beats a hash mismatch at whatever SF the knob binds
+    CapAudit.assertOracleSafe(spark)
     new java.io.File(outDir).mkdirs()
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     SparkEntry.queries

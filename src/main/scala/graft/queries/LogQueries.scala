@@ -35,14 +35,23 @@ object LogQueries {
     LogAnalytics.topK(Tables.events(s, dir), col("event_type"), 3)
       .withColumnRenamed("dim", "event_type")
 
-  /** Sketch twin of [[lTopk]]: Misra-Gries with capacity 1024 ≫ the
-    * event-type cardinality, so counts are exact and the twin shares
-    * l_topk's oracle — while the PLAN is the one that survives a
-    * high-cardinality dim at 100 TB (bounded summary per partition on
-    * the wire, not one row per distinct key).
+  /** Misra-Gries capacity for [[lTopkSketch]] — the exactness-regime
+    * bound: counts are exact (and the shared l_topk oracle valid) only
+    * while distinct `event_type` stays under it. Audited in
+    * [[graft.CapAudit]]; CapAuditSpec asserts the gate fixtures sit
+    * inside the regime.
+    */
+  val TOPK_SKETCH_CAP = 1024
+
+  /** Sketch twin of [[lTopk]]: Misra-Gries with capacity
+    * [[TOPK_SKETCH_CAP]] ≫ the event-type cardinality, so counts are
+    * exact and the twin shares l_topk's oracle — while the PLAN is the
+    * one that survives a high-cardinality dim at 100 TB (bounded
+    * summary per partition on the wire, not one row per distinct key).
     */
   def lTopkSketch(s: SparkSession, dir: String): DataFrame =
-    LogAnalytics.topKSketch(Tables.events(s, dir), col("event_type"), 3, 1024)
+    LogAnalytics.topKSketch(Tables.events(s, dir), col("event_type"), 3,
+      TOPK_SKETCH_CAP)
       .withColumnRenamed("dim", "event_type")
 
   def lDistinct(s: SparkSession, dir: String): DataFrame =

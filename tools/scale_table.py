@@ -46,9 +46,12 @@ def ratio_table(lo_p, hi_p, scale):
     rows.sort(reverse=True)
     print(f"\ncommon queries: {len(common)}; sub-1s at both scales: {len(small)} "
           f"(aggregate lo {sum(a for _, a, _ in small):.1f}s -> hi {sum(b for _, _, b in small):.1f}s)")
-    tlo = sum(v for v in wlo.values() if v > 0)
-    thi = sum(v for v in whi.values() if v > 0)
-    print(f"warm totals: lo {tlo:.1f}s  hi {thi:.1f}s  "
+    # totals over the COMMON query set only, so the headline ratio and
+    # the per-query table describe the same inventory even when the two
+    # records disagree on membership (the NOTE case above)
+    tlo = sum(wlo[q] for q in common if wlo[q] > 0 and whi[q] > 0)
+    thi = sum(whi[q] for q in common if wlo[q] > 0 and whi[q] > 0)
+    print(f"warm totals (common set): lo {tlo:.1f}s  hi {thi:.1f}s  "
           f"ratio {thi / tlo:.2f}x at {scale:.0f}x data")
     print(f"queries with exponent > 1.2: {sum(1 for r in rows if r[0] > 1.2)}\n")
     print("| query | lo warm s | hi warm s | ratio | exponent |")
@@ -92,10 +95,27 @@ def fit(paths_scales):
         print(f"| ({len(out) - 40} more, all <= {out[40][0]:.2f}) | | |")
 
 
+def usage():
+    print(__doc__.strip())
+    sys.exit(1)
+
+
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        usage()
     if sys.argv[1] == "--fit":
         pairs = sys.argv[2:]
-        fit([(pairs[i], float(pairs[i + 1])) for i in range(0, len(pairs), 2)])
+        if len(pairs) < 4 or len(pairs) % 2 != 0:
+            usage()
+        try:
+            args = [(pairs[i], float(pairs[i + 1]))
+                    for i in range(0, len(pairs), 2)]
+        except ValueError:
+            usage()
+        fit(args)
     else:
-        ratio_table(sys.argv[1], sys.argv[2],
-                    float(sys.argv[3]) if len(sys.argv) > 3 else 10.0)
+        try:
+            scale = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+        except ValueError:
+            usage()
+        ratio_table(sys.argv[1], sys.argv[2], scale)
