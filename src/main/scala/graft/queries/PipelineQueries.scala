@@ -2342,7 +2342,19 @@ object PipelineQueries {
     * pairs (never the pair matrix), with the verified threshold matching
     * the banding's s-curve midpoint (≈(1/b)^(1/r)).
     */
-  def xNeardup(s: SparkSession, dir: String): DataFrame = {
+  def xNeardup(s: SparkSession, dir: String): DataFrame =
+    neardupVerifiedPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), detRound4(col("jac")).as("jac"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The VERIFIED near-dup pair relation (doc_a, doc_b, raw jac ≥ 0.35)
+    * shared by [[xNeardup]] and [[xTrianglesVerified]] — band candidates
+    * cut by the exact Jaccard verify, the graph every downstream dedup
+    * consumer should read at 100 TB (its edge volume scales with TRUE
+    * duplication, exponent 0.61 in the sf10 record, where the raw
+    * candidate graph densifies quadratically with band collisions).
+    */
+  private def neardupVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.WordShingles.register(s)
     val docs = Tables.documents(s, dir)
     val cands = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
@@ -2356,8 +2368,6 @@ object PipelineQueries {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("jac", Dedup.jaccardDistinct(col("sha"), col("shb")))
       .where(col("jac") >= 0.35)
-      .select(col("doc_a"), col("doc_b"), detRound4(col("jac")).as("jac"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Dedup-eval doc-id cap — FIXED (the ANN-probe discipline: a
@@ -2447,6 +2457,21 @@ object PipelineQueries {
     Dedup.triangleStats(
       Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND))
   }
+
+  /** Triangle census of the VERIFIED near-dup pair graph — the declared
+    * 100 TB face of [[xTriangles]]: same [[Dedup.triangleStats]]
+    * degree-oriented census, but over [[xNeardup]]'s Jaccard-verified
+    * cut instead of the raw band-candidate graph. The raw graph's edge
+    * volume is collision-bound and densifies quadratically with corpus
+    * growth (the sf10 record's 2.39 top-decade exponent is the INPUT,
+    * not the census); the verified graph scales with true duplication
+    * (0.61 in the same record), so this is the census a production
+    * dedup pipeline runs — x_triangles stays as the collision-noise
+    * diagnostic whose edge count against this one MEASURES the noise.
+    */
+  def xTrianglesVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.triangleStats(
+      neardupVerifiedPairs(s, dir).select("doc_a", "doc_b"))
 
   /** Keep-by-AUTHORITY — [[xKeepBest]] with the keeper chosen by
     * [[Dedup.pageRank]] instead of length: per near-dup cluster
@@ -4588,6 +4613,7 @@ object PipelineQueries {
     "x_kl"          -> xKl _,
     "x_keyness"     -> xKeyness _,
     "x_triangles"   -> xTriangles _,
+    "x_triangles_verified" -> xTrianglesVerified _,
     "x_bootstrap"   -> xBootstrap _,
     "x_llr"         -> xLlr _,
     "x_dedup_eval"  -> xDedupEval _,
@@ -6904,6 +6930,44 @@ object PipelineQueries {
         |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
         |        FROM w JOIN cand ON w.lo = cand.doc_a AND w.hi = cand.doc_b),
         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM cand),
+        |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |              CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+        |       ${detRound4Sql(
+                 "CASE WHEN n_wedges = 0 THEN 0.0 ELSE " +
+                 "3.0 * t / n_wedges END")} AS clustering
+        |FROM nw CROSS JOIN ne CROSS JOIN tri""".stripMargin,
+    // the x_neardup verify chain feeding the x_triangles census: the
+    // pair graph is the Jaccard-verified cut, not the raw candidates
+    "x_triangles_verified" ->
+      s"""WITH ${permSigsSql},
+        |bands AS MATERIALIZED (SELECT doc_id, CAST(perm // $ROWS_PER_BAND AS BIGINT) AS band,
+        |                 string_agg(sig, '|' ORDER BY perm) AS key
+        |          FROM sigs GROUP BY doc_id, perm // $ROWS_PER_BAND),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.doc_id < b.doc_id),
+        |vp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+        |        SELECT doc_a, doc_b,
+        |          CAST(len(list_distinct(list_intersect(sa.shingles, sb.shingles))) AS DOUBLE)
+        |          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jac
+        |        FROM cand
+        |        JOIN sh sa ON doc_a = sa.doc_id
+        |        JOIN sh sb ON doc_b = sb.doc_id) WHERE jac >= 0.35),
+        |und AS (SELECT doc_a AS u FROM vp UNION ALL SELECT doc_b AS u FROM vp),
+        |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |      FROM und GROUP BY u),
+        |ori AS MATERIALIZED (SELECT
+        |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND c.doc_a < c.doc_b)
+        |             THEN c.doc_a ELSE c.doc_b END AS src,
+        |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND c.doc_a < c.doc_b)
+        |             THEN c.doc_b ELSE c.doc_a END AS dst
+        |      FROM vp c JOIN deg d1 ON c.doc_a = d1.u JOIN deg d2 ON c.doc_b = d2.u),
+        |w AS (SELECT o1.dst AS lo, o2.dst AS hi FROM ori o1 JOIN ori o2
+        |      ON o1.src = o2.src AND o1.dst < o2.dst),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM w JOIN vp ON w.lo = vp.doc_a AND w.hi = vp.doc_b),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM vp),
         |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
         |              CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges FROM deg)
         |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
