@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.{FalconTableProvider, StreamDesc, StubFalconServer}
-import graft.streaming.ConnectorPipeline
+import graft.streaming.{ConnectorPipeline, Supervisor}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
@@ -24,9 +24,21 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * Prints ONE JSON line and writes the complete record (per-batch
   * trigger durations included) to SPARK_GRAFT_STREAM_BENCH_FILE
-  * (default BENCH_STREAM_r13.json). Events/s/partition divides by the
+  * (default BENCH_STREAM_r15.json). Events/s/partition divides by the
   * SOURCE partition count (the reference's per-partition thread
   * model), not the executor thread count.
+  *
+  * Besides the AvailableNow DRAIN (pre-seeded backlog), the bench runs
+  * a SUSTAINED-load section — the resident-service regime the
+  * reference actually lives in: a feeder thread offers events at a
+  * target rate for a fixed duration while the pipeline runs under a
+  * ProcessingTime trigger with SUPERVISION ([[Supervisor.run]], R15)
+  * and LIVE session refresh (R12: refreshIntervalSec = 20 s, so the
+  * 85% deadline fires repeatedly during the window; the record carries
+  * the observed refresh count). Recorded per partition point (the
+  * default 8 and the 32-wide run): achieved steady throughput, the
+  * backlog at feeder stop (keep-up evidence), drain time, and
+  * per-batch trigger p50/p99/max.
   */
 object BenchStream {
 
@@ -54,7 +66,7 @@ object BenchStream {
     val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
     val perPart = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "50000").toLong
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_FILE",
-      "/root/repo/BENCH_STREAM_r13.json")
+      "/root/repo/BENCH_STREAM_r15.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -124,6 +136,104 @@ object BenchStream {
     val (wallE, progE) = drain(enrich = true, "enriched")
     val (wallR, progR) = drain(enrich = false, "raw")
 
+    /** Sustained-rate run: feed `rateEps` events/s across `nParts`
+      * partitions for `secs` seconds while the enriched pipeline runs
+      * supervised under a 500 ms ProcessingTime trigger, then stop the
+      * feeder and measure the drain. Session refresh is LIVE: the 20 s
+      * server interval puts the 85% refresh deadline at 17 s, so a
+      * 60 s window exercises R12 several times per partition.
+      */
+    case class Sustained(parts: Int, offered: Long, secs: Int,
+                         pushed: Long, shipped: Long, wall: Double,
+                         backlogAtFeedEnd: Long, drainSec: Double,
+                         p50: Long, p99: Long, mx: Long, nBatches: Int,
+                         refreshes: Int, restarts: Int)
+
+    def sustained(nParts: Int, rateEps: Long, secs: Int): Sustained = {
+      val appId = s"bench-sus-$nParts"
+      StubFalconServer.reset()
+      StubFalconServer.register(appId,
+        (0 until nParts).map(p => StreamDesc(p, refreshIntervalSec = 20)))
+      val refresh0 = StubFalconServer.refreshCalls.get()
+      progress.clear(); shipped.set(0)
+      val pushed = new AtomicLong(0)
+      val feedDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // feeder: 100 ms ticks, rate/10 events per tick, round-robin
+      // across partitions with per-partition monotone offsets
+      val feeder = new Thread(() => {
+        val offsets = Array.fill(nParts)(0L)
+        val perTick = (rateEps / 10).max(1L)
+        val deadline = System.nanoTime() + secs * 1_000_000_000L
+        var tick = 0L
+        while (System.nanoTime() < deadline) {
+          val tickStart = System.nanoTime()
+          var i = 0L
+          while (i < perTick) {
+            val p = ((tick * perTick + i) % nParts).toInt
+            StubFalconServer.push(appId, p, offsets(p), line(offsets(p), p))
+            offsets(p) += 1
+            i += 1
+          }
+          pushed.addAndGet(perTick)
+          tick += 1
+          val sleepMs = (tickStart + 100_000_000L - System.nanoTime()) / 1_000_000L
+          if (sleepMs > 0) Thread.sleep(sleepMs)
+        }
+        feedDone.set(true)
+      }, s"bench-feeder-$nParts")
+      feeder.setDaemon(true)
+
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-bench-sustained-$nParts").toString
+      val t0 = System.nanoTime()
+      var backlogAtFeedEnd = -1L
+      var feedEndNs = 0L
+      feeder.start()
+      val res = Supervisor.run(
+        start = () => ConnectorPipeline.run(
+          spark.readStream.format(classOf[FalconTableProvider].getName)
+            .option("appId", appId)
+            .option("maxRowsPerTrigger", rateEps.toString)
+            .load(),
+          new CountingSink, ckpt, host = "bench-host", streamId = "falcon",
+          triggerMs = 500L, bulkMaxSize = 200, enrich = true),
+        drain = { q =>
+          val hardDeadline = System.nanoTime() + (secs + 120) * 1_000_000_000L
+          while ((!feedDone.get() || shipped.get() < pushed.get()) &&
+              System.nanoTime() < hardDeadline) {
+            if (feedDone.get() && backlogAtFeedEnd < 0) {
+              backlogAtFeedEnd = pushed.get() - shipped.get()
+              feedEndNs = System.nanoTime()
+            }
+            Thread.sleep(200)
+          }
+          q.stop(); q.awaitTermination()
+        },
+        maxRestarts = 3)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val drainSec =
+        if (feedEndNs == 0L) 0.0 else (System.nanoTime() - feedEndNs) / 1e9
+      // not a require: a pipeline that cannot keep up is a RESULT the
+      // record must show (shipped < pushed + a large backlog), not a crash
+      if (shipped.get() < pushed.get())
+        System.err.println(s"[bench-stream] sustained($nParts) did NOT " +
+          s"keep up: shipped ${shipped.get()} of ${pushed.get()}")
+      import scala.jdk.CollectionConverters._
+      val durs = progress.asScala.toSeq.map(_._2).sorted
+      def pct(p: Double): Long =
+        if (durs.isEmpty) 0L
+        else durs(((durs.size - 1) * p).toInt)
+      Sustained(nParts, rateEps, secs, pushed.get(), shipped.get(), wall,
+        backlogAtFeedEnd.max(0L), drainSec, pct(0.5), pct(0.99),
+        if (durs.isEmpty) 0L else durs.last, durs.size,
+        StubFalconServer.refreshCalls.get() - refresh0, res.restarts)
+    }
+
+    val susRate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "40000").toLong
+    val susSecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUSTAIN_SEC", "60").toInt
+    val sus8 = sustained(parts, susRate, susSecs)
+    val sus32 = sustained(32, susRate, susSecs)
+
     def stats(wall: Double, prog: Seq[(Long, Long, Double)]): (Double, Double, Long, Long) = {
       val eps = total / wall
       val perPartRate = eps / parts
@@ -138,11 +248,23 @@ object BenchStream {
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     // the reference's floor: ≥20 events/s/partition (app.py:485-499)
     val vsFloor = ppE / 20.0
+    def susJson(s: Sustained): String =
+      s"""{"partitions": ${s.parts}, "offered_events_per_sec": ${s.offered},
+         |    "feed_sec": ${s.secs}, "pushed": ${s.pushed}, "shipped": ${s.shipped},
+         |    "kept_up": ${s.shipped >= s.pushed},
+         |    "achieved_events_per_sec": ${f(s.shipped / s.wall)},
+         |    "backlog_at_feed_end": ${s.backlogAtFeedEnd},
+         |    "drain_sec": ${f(s.drainSec)}, "n_batches": ${s.nBatches},
+         |    "batch_trigger_ms_p50": ${s.p50}, "batch_trigger_ms_p99": ${s.p99},
+         |    "batch_trigger_ms_max": ${s.mx},
+         |    "session_refreshes": ${s.refreshes}, "restarts": ${s.restarts}}""".stripMargin
     println(s"""{"metric":"stream_events_per_sec","value":${f(epsE)},""" +
       s""""unit":"events/sec","events":$total,"partitions":$parts,""" +
       s""""per_partition":${f(ppE)},"raw_events_per_sec":${f(epsR)},""" +
       s""""raw_per_partition":${f(ppR)},"vs_reference_floor":${f(vsFloor)},""" +
-      s""""wall_sec":${f(wallE)},"raw_wall_sec":${f(wallR)}}""")
+      s""""wall_sec":${f(wallE)},"raw_wall_sec":${f(wallR)},""" +
+      s""""sustained_offered":${sus8.offered},"sustained_kept_up":${sus8.shipped >= sus8.pushed},""" +
+      s""""sustained_p99_ms":${sus8.p99},"sustained32_kept_up":${sus32.shipped >= sus32.pushed}}""")
     def batches(prog: Seq[(Long, Long, Double)]): String =
       prog.map { case (n, ms, rps) =>
         s"""    {"rows": $n, "trigger_ms": $ms, "rate": ${f(rps)}}"""
@@ -159,7 +281,9 @@ object BenchStream {
         s"""  "raw": {"wall_sec": ${f(wallR)}, "events_per_sec": ${f(epsR)},\n""" +
         s"""    "events_per_sec_per_partition": ${f(ppR)},\n""" +
         s"""    "batch_trigger_ms_median": $medR, "batch_trigger_ms_max": $maxR,\n""" +
-        s"""    "batches": ${batches(progR)}}\n}\n""")
+        s"""    "batches": ${batches(progR)}},\n""" +
+        s"""  "sustained": ${susJson(sus8)},\n""" +
+        s"""  "sustained_32": ${susJson(sus32)}\n}\n""")
     catch { case e: Exception =>
       System.err.println(s"[bench-stream] could not write $benchFile: ${e.getMessage}")
     }
