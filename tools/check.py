@@ -46,6 +46,15 @@ CLOSURE_RE = re.compile(
     r"least\(a,\s*min\(b\)\)\s+AS\s+cluster\s+"
     r"FROM\s+reach\s+GROUP\s+BY\s+a\)")
 
+# und's own definition (the symmetrized candidate edges): once the edge
+# list is cached, rewriting und to read the cache lets DuckDB dead-code
+# every prefix CTE that only fed the closure (sigs/bands/cand or the
+# kmeans chain) in the FINAL execution — the prefix then runs ONCE (for
+# edge collection) instead of twice.
+UND_RE = re.compile(
+    r"und\s+AS\s+MATERIALIZED\s+\(SELECT\s+doc_a\s+AS\s+a,\s*doc_b\s+AS\s+b"
+    r"\s+FROM\s+cand\s+UNION\s+SELECT\s+doc_b,\s*doc_a\s+FROM\s+cand\)")
+
 
 def materialize_closure(con, sql):
     """Rewrite the recursive-closure block to a union-find result table.
@@ -58,8 +67,14 @@ def materialize_closure(con, sql):
     m = CLOSURE_RE.search(sql)
     if not m:
         return None
+    import pyarrow as pa
     prefix = sql[:m.start()].rstrip().rstrip(",")
-    edges = con.execute(prefix + "\nSELECT a, b FROM und").fetchall()
+    # arrow end-to-end: fetchall/executemany at millions of edges cost
+    # MORE than the closure they replace (measured: 21 min for the two
+    # heaviest sf1 oracles on the row-at-a-time path)
+    und_tbl = con.execute(prefix + "\nSELECT a, b FROM und").fetch_arrow_table()
+    ea = und_tbl.column("a").to_pylist()
+    eb = und_tbl.column("b").to_pylist()
     parent = {}
 
     def find(x):
@@ -70,7 +85,7 @@ def materialize_closure(con, sql):
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in edges:
+    for a, b in zip(ea, eb):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -82,15 +97,22 @@ def materialize_closure(con, sql):
                 parent[ra] = rb
     nodes = sorted(parent)
     labels = [find(n) for n in nodes]
-    con.execute("DROP TABLE IF EXISTS minr_mat")
-    con.execute("CREATE TEMP TABLE minr_mat (doc_id BIGINT, cluster BIGINT)")
-    if nodes:
-        con.executemany("INSERT INTO minr_mat VALUES (?, ?)",
-                        list(zip(nodes, labels)))
+    try:
+        con.unregister("minr_mat"); con.unregister("und_mat")
+    except Exception:
+        pass
+    con.register("minr_mat", pa.table(
+        {"doc_id": pa.array(nodes, pa.int64()),
+         "cluster": pa.array(labels, pa.int64())}))
+    con.register("und_mat", und_tbl)
     id_col = m.group(1)  # doc_id (text family) or vec_id (semdedup family)
-    return (sql[:m.start()] +
-            f"minr AS (SELECT doc_id AS {id_col}, cluster FROM minr_mat)" +
-            sql[m.end():])
+    out = (sql[:m.start()] +
+           f"minr AS (SELECT doc_id AS {id_col}, cluster FROM minr_mat)" +
+           sql[m.end():])
+    # feed und from the cache too: prefix CTEs that only served the
+    # closure become dead code in the final execution (CTEs the tail
+    # still references — curation's `f`, the base tables — are unaffected)
+    return UND_RE.sub("und AS (SELECT a, b FROM und_mat)", out, count=1)
 
 def main():
     # --budget is recognized ANYWHERE; any other --flag is an error.
