@@ -94,7 +94,7 @@ object Bench {
     // measured, not asserted.
     val warmOn = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/BENCH_LOCAL_r14.json")
+      "/root/repo/BENCH_LOCAL_r15.json")
     // run_ordinal: nth Bench invocation against this sfDir since HOST
     // boot (a per-boot counter file — the JVM is fresh per run, so the
     // ordinal must persist outside it). A cold total from ordinal > 1
