@@ -5531,13 +5531,16 @@ object PipelineQueries {
         |${refineSql("k2", "k3", 3)},
         |${asgnSql("k3", "af")},
         |${capIdsSql("af", "cp")},
+        |afn AS MATERIALIZED (SELECT vec_id, cell, embedding,
+        |        ${normSql("embedding")} AS nrm,
+        |        vec_id IN (SELECT vec_id FROM cp) AS capped
+        |      FROM af),
         |cand AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE (a.vec_id IN (SELECT vec_id FROM cp)
-        |         OR b.vec_id IN (SELECT vec_id FROM cp))
+        |  FROM afn a JOIN afn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE (a.capped OR b.capped)
         |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (${normSql("a.embedding")} * ${normSql("b.embedding")}) > $SEMDEDUP_TAU),
+        |        / (a.nrm * b.nrm) > $SEMDEDUP_TAU),
         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
@@ -7289,12 +7292,16 @@ object PipelineQueries {
         |${scoredSql("k3", "dp", "dlt")},
         |pr AS (SELECT vec_id, embedding, cent_id AS cell FROM dp
         |       WHERE rk <= $IVF_NPROBE),
+        |prn AS MATERIALIZED (SELECT vec_id, cell, embedding,
+        |        ${normSql("embedding")} AS nrm FROM pr),
+        |bin AS MATERIALIZED (SELECT h.vec_id, h.cell, h.embedding,
+        |        ${normSql("h.embedding")} AS nrm
+        |      FROM bi h JOIN cpb USING (vec_id)),
         |hits AS (SELECT DISTINCT p.vec_id
-        |  FROM pr p JOIN bi h USING (cell)
-        |  WHERE h.vec_id IN (SELECT vec_id FROM cpb)
-        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |  FROM prn p JOIN bin h USING (cell)
+        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU),
+        |        / (p.nrm * h.nrm) > $SEMDEDUP_PROBE_TAU),
         |kept AS (SELECT doc_id, text FROM f
         |         WHERE doc_id NOT IN (SELECT vec_id FROM hits)),
         |ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
@@ -7320,13 +7327,16 @@ object PipelineQueries {
         |         FROM embeddings WHERE vec_id < $IVF_K),
         |${asgnSql("cent", "sa", "ge")},
         |${capIdsSql("sa", "cp")},
+        |san AS MATERIALIZED (SELECT vec_id, cell, embedding,
+        |        ${normSql("embedding")} AS nrm,
+        |        vec_id IN (SELECT vec_id FROM cp) AS capped
+        |      FROM sa),
         |cand AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |  FROM sa a JOIN sa b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE (a.vec_id IN (SELECT vec_id FROM cp)
-        |         OR b.vec_id IN (SELECT vec_id FROM cp))
+        |  FROM san a JOIN san b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE (a.capped OR b.capped)
         |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (${normSql("a.embedding")} * ${normSql("b.embedding")}) > $SEMDEDUP_TAU),
+        |        / (a.nrm * b.nrm) > $SEMDEDUP_TAU),
         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
@@ -7673,14 +7683,18 @@ object PipelineQueries {
         |probes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk <= $IVF_NPROBE),
         |homes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk = 1),
         |${capIdsSql("homes", "cph")},
+        |pn AS MATERIALIZED (SELECT vec_id, cell, embedding,
+        |        ${normSql("embedding")} AS nrm FROM probes),
+        |hn AS MATERIALIZED (SELECT h.vec_id, h.cell, h.embedding,
+        |        ${normSql("h.embedding")} AS nrm
+        |      FROM homes h JOIN cph USING (vec_id)),
         |cand AS MATERIALIZED (SELECT DISTINCT least(p.vec_id, h.vec_id) AS doc_a,
         |                greatest(p.vec_id, h.vec_id) AS doc_b
-        |  FROM probes p JOIN homes h USING (cell)
+        |  FROM pn p JOIN hn h USING (cell)
         |  WHERE p.vec_id <> h.vec_id
-        |    AND h.vec_id IN (SELECT vec_id FROM cph)
         |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU),
+        |        / (p.nrm * h.nrm) > $SEMDEDUP_PROBE_TAU),
         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
@@ -7708,12 +7722,16 @@ object PipelineQueries {
         |${scoredSql("k3", "dp", "dlt")},
         |pr AS (SELECT vec_id, embedding, cent_id AS cell FROM dp
         |       WHERE rk <= $IVF_NPROBE),
+        |prn AS MATERIALIZED (SELECT vec_id, cell, embedding,
+        |        ${normSql("embedding")} AS nrm FROM pr),
+        |bin AS MATERIALIZED (SELECT h.vec_id, h.cell, h.embedding,
+        |        ${normSql("h.embedding")} AS nrm
+        |      FROM bi h JOIN cpb USING (vec_id)),
         |hits AS (SELECT p.vec_id, h.vec_id AS base_id
-        |  FROM pr p JOIN bi h USING (cell)
-        |  WHERE h.vec_id IN (SELECT vec_id FROM cpb)
-        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
+        |  FROM prn p JOIN bin h USING (cell)
+        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
         |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (${normSql("p.embedding")} * ${normSql("h.embedding")}) > $SEMDEDUP_PROBE_TAU)
+        |        / (p.nrm * h.nrm) > $SEMDEDUP_PROBE_TAU)
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_base_matches,
         |       min(base_id) AS first_match
         |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin,
