@@ -53,15 +53,33 @@ class CapAuditSpec extends SparkSpec {
   // ── staleness gate 2: cap-named constants == registry ──
 
   test("every *_CAP / *_BUDGET / *_TIERS constant has an audit entry") {
-    val re = """val\s+([A-Z][A-Z0-9_]*(?:_CAP|_BUDGET|_TIERS))\s*[=:]""".r
-    val found = mainSources
-      .flatMap(src => re.findAllMatchIn(src).map(_.group(1))).toSet
-    val registered = CapAudit.entries.map(e => e.id.split('.').last).toSet
+    // SCOPE-QUALIFIED scan (round-16 fix): registering by the bare last
+    // id segment let a same-named constant in a DIFFERENT object (a
+    // second PROBE_CAP elsewhere) ride an existing entry unregistered —
+    // the exact gap class this audit exists to close. Each constant is
+    // qualified by its nearest preceding `object X` declaration, so two
+    // scopes each need their own `Object.CONST` entry.
+    val capRe = """val\s+([A-Z][A-Z0-9_]*(?:_CAP|_BUDGET|_TIERS))\s*[=:]""".r
+    val objRe = """object\s+([A-Za-z0-9_]+)""".r
+    val found = mainSources.flatMap { src =>
+      val objs = objRe.findAllMatchIn(src).map(m => (m.start, m.group(1))).toSeq
+      capRe.findAllMatchIn(src).map { m =>
+        val scope = objs.takeWhile(_._1 < m.start).lastOption.map(_._2)
+          .getOrElse("<no-enclosing-object>")
+        s"$scope.${m.group(1)}"
+      }
+    }.toSet
+    val qualRe = """^[A-Za-z0-9_]+\.[A-Z][A-Z0-9_]*(?:_CAP|_BUDGET|_TIERS)$""".r
+    val registered = CapAudit.entries.map(_.id)
+      .filter(id => qualRe.findFirstIn(id).isDefined).toSet
     val missing = found -- registered
+    val stale = registered -- found
     assert(missing.isEmpty,
-      s"cap constants WITHOUT a CapAudit entry: $missing — register each " +
-        "with an oracle-splice fragment, a binding test, or a written " +
-        "cannot-diverge argument")
+      s"cap constants WITHOUT a scope-qualified CapAudit entry: $missing — " +
+        "register each (as Object.CONST) with an oracle-splice fragment, a " +
+        "binding test, or a written cannot-diverge argument")
+    assert(stale.isEmpty,
+      s"CapAudit entries for cap constants no longer in source: $stale")
   }
 
   // ── retune pins: registry values must match these LITERALS, so a

@@ -150,7 +150,7 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_type_diff = 0
     # per-query record in the driver's CORRECTNESS_r{N}.json entry shape,
     # written by --json — the committed-artifact face of a local sweep
     results = {}
@@ -197,12 +197,19 @@ def main():
             print(f"FAIL {name}: first diff row {bad}:\n  exp={erows[bad]}\n  got={grows[bad]}")
             rec(name, rm=True, sm=True, hm=False, sr=len(grows),
                 orr=len(erows), err="hash_mismatch"); n_bad += 1; continue
-        # schema (arrow logical types) — driver also checks schema match
+        # schema (arrow logical types) — the driver's gate FAILS a
+        # type mismatch even when values hash equal, so a committed
+        # --json artifact must count it as a failure too (a green
+        # artifact the real gate would fail is worse than no artifact)
         etypes = {c: str(exp.schema.field(c).type) for c in ecols}
         gtypes = {c: str(got.schema.field(c).type) for c in ecols}
-        flag = "" if etypes == gtypes else f"  [type-diff exp={etypes} got={gtypes}]"
-        print(f"OK   {name}: {len(erows)} rows{flag}")
-        rec(name, rm=True, sm=etypes == gtypes, hm=True,
+        if etypes != gtypes:
+            print(f"FAIL {name}: type-diff exp={etypes} got={gtypes}")
+            rec(name, rm=True, sm=False, hm=True, sr=len(grows),
+                orr=len(erows), err="type_mismatch")
+            n_type_diff += 1; n_bad += 1; continue
+        print(f"OK   {name}: {len(erows)} rows")
+        rec(name, rm=True, sm=True, hm=True,
             sr=len(grows), orr=len(erows))
         n_ok += 1
     if only and n_ok + n_bad == 0:
@@ -221,6 +228,7 @@ def main():
     if json_out:
         meta = {"_meta": {"sf_dir": sf_dir, "out_dir": out_dir,
                           "n_ok": n_ok, "n_bad": n_bad,
+                          "n_type_diff": n_type_diff,
                           "closure_materialized": closure_mat,
                           "oracle_wall_sec": round(sum(oracle_secs.values()), 1),
                           "slowest": {k: round(v, 1) for k, v in sorted(
