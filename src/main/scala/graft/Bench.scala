@@ -51,6 +51,20 @@ object Bench {
     }
     try Tables.events(spark, sfDir).limit(1).collect()
     catch { case _: Throwable => () }
+    // CALIBRATION PROBE (recorded): a fixed CPU-only workload — no IO,
+    // no fixture, shape pinned (4e8 ids, 32 partitions) regardless of
+    // SF or CPUS — timed as the min of 3 runs after warm-up. Committed
+    // records from different host epochs self-normalize through it:
+    // r13/r14/r15 each spent a judge cycle adjudicating uniform
+    // 1.3-1.7x swings between same-jar runs; with the probe in every
+    // record, per-query ratios divide out the epoch instead of needing
+    // a worktree A/B.
+    val calibrationSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 400000000L, 1, 32)
+        .selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     // dev knob: run each query N extra times BEFORE the timed cold run —
     // for chasing a slow query interactively. Driver runs N=1.
@@ -94,7 +108,7 @@ object Bench {
     // measured, not asserted.
     val warmOn = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/BENCH_LOCAL_r15.json")
+      "/root/repo/BENCH_LOCAL_r16.json")
     // run_ordinal: nth Bench invocation against this sfDir since HOST
     // boot (a per-boot counter file — the JVM is fresh per run, so the
     // ordinal must persist outside it). A cold total from ordinal > 1
@@ -332,6 +346,7 @@ object Bench {
       s""""warm_total":${fmt(warm, 2)},"n_queries":${results.size},""" +
       s""""reruns":$rerunCount,"loadavg_before":${fmt(loadBefore, 2)},""" +
       s""""loadavg_after":${fmt(loadAfter, 2)},""" +
+      s""""calibration_sec":${fmt(calibrationSec, 3)},""" +
       s""""run_ordinal":$runOrdinal,"page_cache_hot":$pageCacheHot,""" +
       s""""bench_file":"$benchFile","sf":"$sfDir"}""")
     def fileMap(m: Iterable[(String, Double)]): String =
@@ -371,6 +386,7 @@ object Bench {
       s"""{\n  "sf": "$sfDir",\n  "unit": "sec",\n  "metric": "total",\n""" +
         s"""  "value": ${fmt(cold, 2)},\n  "warm_total": ${fmt(warm, 2)},\n""" +
         s"""  "n_queries": ${results.size},\n""" +
+        s"""  "calibration_sec": ${fmt(calibrationSec, 3)},\n""" +
         s"""  "run_ordinal": $runOrdinal, "page_cache_hot": $pageCacheHot,\n""" +
         s"""  "full_suite": ${only.isEmpty},\n""" +
         s"""  "queries": ${fileMap(adjusted.map { case (k, (c, _, _, _, _)) => k -> c })},\n""" +

@@ -24,28 +24,61 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * Prints ONE JSON line and writes the complete record (per-batch
   * trigger durations included) to SPARK_GRAFT_STREAM_BENCH_FILE
-  * (default BENCH_STREAM_r15.json). Events/s/partition divides by the
+  * (default BENCH_STREAM_r16.json). Events/s/partition divides by the
   * SOURCE partition count (the reference's per-partition thread
   * model), not the executor thread count.
   *
   * Besides the AvailableNow DRAIN (pre-seeded backlog), the bench runs
-  * a SUSTAINED-load section — the resident-service regime the
-  * reference actually lives in: a feeder thread offers events at a
-  * target rate for a fixed duration while the pipeline runs under a
-  * ProcessingTime trigger with SUPERVISION ([[Supervisor.run]], R15)
-  * and LIVE session refresh (R12: refreshIntervalSec = 20 s, so the
-  * 85% deadline fires repeatedly during the window; the record carries
-  * the observed refresh count). Recorded per partition point (the
-  * default 8 and the 32-wide run): achieved steady throughput, the
-  * backlog at feeder stop (keep-up evidence), drain time, and
-  * per-batch trigger p50/p99/max.
+  * a SUSTAINED-load RATE LADDER — the resident-service regime the
+  * reference actually lives in: per partition point (the configured
+  * count and 32, deduped), a feeder thread offers events at each
+  * ladder rate (SPARK_GRAFT_STREAM_RATES) for a fixed window while
+  * the pipeline runs under a ProcessingTime trigger with SUPERVISION
+  * ([[Supervisor.run]], R15) and LIVE session refresh (R12:
+  * refreshIntervalSec = 20 s, so the 85% deadline fires repeatedly
+  * during the window; each rung carries the observed refresh count).
+  * The ladder climbs until a rung records kept_up=false, so the
+  * committed record ends in one measured OVER-CAPACITY point (backlog
+  * at feeder stop + drain time, no crash) and the headline is a
+  * ceiling ("max sustained X ev/s"), not a floor. Delivered counts are
+  * deduped by micro-batch id ([[CountingSink]]), so a supervised
+  * restart's checkpoint replay cannot inflate throughput, and a rung
+  * whose restart budget was exhausted records its fatal error.
   */
 object BenchStream {
 
-  val shipped = new AtomicLong(0)
+  /** Delivered-row tally, DEDUPED BY BATCH ID: at-least-once delivery
+    * means a Supervisor restart replays the last uncommitted batch, and
+    * a blind counter would double-count the replay — recording
+    * kept_up=true with inflated throughput on exactly the runs where
+    * the pipeline fell over (the r15 advice finding). [[begin]] runs
+    * driver-side once per batch ATTEMPT; a re-seen id resets that
+    * batch's tally so the LAST attempt counts once. Micro-batches of
+    * one query are serial, so a single currentBatch cell suffices.
+    */
+  val perBatch =
+    new java.util.concurrent.ConcurrentHashMap[Long, AtomicLong]()
+  val currentBatch = new AtomicLong(-1L)
+  val replayedBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+  def resetCounts(): Unit = {
+    perBatch.clear(); currentBatch.set(-1L); replayedBatches.set(0)
+  }
+  def shippedTotal: Long = {
+    var s = 0L
+    val it = perBatch.values().iterator()
+    while (it.hasNext) s += it.next().get()
+    s
+  }
   class CountingSink extends ConnectorPipeline.BulkSink {
+    override def begin(batchId: Long): Unit = {
+      val prev = perBatch.putIfAbsent(batchId, new AtomicLong(0))
+      if (prev != null) { replayedBatches.incrementAndGet(); prev.set(0) }
+      currentBatch.set(batchId)
+    }
     override def post(events: Seq[String]): Boolean = {
-      BenchStream.shipped.addAndGet(events.size); true
+      perBatch.computeIfAbsent(currentBatch.get(),
+        _ => new AtomicLong(0)).addAndGet(events.size)
+      true
     }
   }
 
@@ -66,7 +99,7 @@ object BenchStream {
     val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
     val perPart = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "50000").toLong
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_FILE",
-      "/root/repo/BENCH_STREAM_r15.json")
+      "/root/repo/BENCH_STREAM_r16.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -99,7 +132,7 @@ object BenchStream {
     })
 
     def drain(enrich: Boolean, tag: String): (Double, Seq[(Long, Long, Double)]) = {
-      progress.clear(); shipped.set(0)
+      progress.clear(); resetCounts()
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft-bench-stream-$tag").toString
       val lines = spark.readStream
@@ -114,8 +147,8 @@ object BenchStream {
         enrich = enrich, availableNow = true)
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
-      require(shipped.get() == total,
-        s"$tag shipped ${shipped.get()} of $total events")
+      require(shippedTotal == total,
+        s"$tag shipped $shippedTotal of $total events")
       import scala.jdk.CollectionConverters._
       (wall, progress.asScala.toSeq)
     }
@@ -133,21 +166,42 @@ object BenchStream {
       enrich = true, availableNow = true).awaitTermination()
     val _ = warmParts
 
+    // fixed CPU-only calibration probe (same shape as graft.Bench's):
+    // cross-epoch records self-normalize through it
+    val calibrationSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 400000000L, 1, 32)
+        .selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     val (wallE, progE) = drain(enrich = true, "enriched")
     val (wallR, progR) = drain(enrich = false, "raw")
 
-    /** Sustained-rate run: feed `rateEps` events/s across `nParts`
+    /** Sustained-rate rung: feed `rateEps` events/s across `nParts`
       * partitions for `secs` seconds while the enriched pipeline runs
       * supervised under a 500 ms ProcessingTime trigger, then stop the
       * feeder and measure the drain. Session refresh is LIVE: the 20 s
       * server interval puts the 85% refresh deadline at 17 s, so a
       * 60 s window exercises R12 several times per partition.
+      *
+      * kept_up is a FEED-TIME property: at feeder stop at most one
+      * trigger admission (maxRowsPerTrigger = offered rate) may be
+      * pending — i.e. the pipeline was current, not merely able to
+      * drain the backlog inside the post-feed grace window. A rung
+      * that fell behind records kept_up=false WITH its backlog and
+      * drain time (never a crash); a rung whose supervisor exhausted
+      * restarts records the fatal error and can never claim kept_up.
       */
     case class Sustained(parts: Int, offered: Long, secs: Int,
                          pushed: Long, shipped: Long, wall: Double,
                          backlogAtFeedEnd: Long, drainSec: Double,
+                         drained: Boolean,
                          p50: Long, p99: Long, mx: Long, nBatches: Int,
-                         refreshes: Int, restarts: Int)
+                         refreshes: Int, restarts: Int, replayed: Int,
+                         fatal: Option[String]) {
+      def keptUp: Boolean = fatal.isEmpty && backlogAtFeedEnd <= offered
+    }
 
     def sustained(nParts: Int, rateEps: Long, secs: Int): Sustained = {
       val appId = s"bench-sus-$nParts"
@@ -155,11 +209,16 @@ object BenchStream {
       StubFalconServer.register(appId,
         (0 until nParts).map(p => StreamDesc(p, refreshIntervalSec = 20)))
       val refresh0 = StubFalconServer.refreshCalls.get()
-      progress.clear(); shipped.set(0)
+      progress.clear(); resetCounts()
       val pushed = new AtomicLong(0)
       val feedDone = new java.util.concurrent.atomic.AtomicBoolean(false)
       // feeder: 100 ms ticks, rate/10 events per tick, round-robin
-      // across partitions with per-partition monotone offsets
+      // across partitions with per-partition monotone offsets. Line
+      // bodies come from a pre-built 4096-entry pool: building a fresh
+      // ~220-byte JSON string per event caps a single feeder thread
+      // near the pipeline's own throughput — the ladder must measure
+      // the ENGINE's knee, not the feeder's
+      val pool = Array.tabulate(4096)(i => line(i.toLong, i % 31))
       val feeder = new Thread(() => {
         val offsets = Array.fill(nParts)(0L)
         val perTick = (rateEps / 10).max(1L)
@@ -170,7 +229,8 @@ object BenchStream {
           var i = 0L
           while (i < perTick) {
             val p = ((tick * perTick + i) % nParts).toInt
-            StubFalconServer.push(appId, p, offsets(p), line(offsets(p), p))
+            StubFalconServer.push(appId, p, offsets(p),
+              pool((offsets(p) % 4096).toInt))
             offsets(p) += 1
             i += 1
           }
@@ -199,10 +259,10 @@ object BenchStream {
           triggerMs = 500L, bulkMaxSize = 200, enrich = true),
         drain = { q =>
           val hardDeadline = System.nanoTime() + (secs + 120) * 1_000_000_000L
-          while ((!feedDone.get() || shipped.get() < pushed.get()) &&
+          while ((!feedDone.get() || shippedTotal < pushed.get()) &&
               System.nanoTime() < hardDeadline) {
             if (feedDone.get() && backlogAtFeedEnd < 0) {
-              backlogAtFeedEnd = pushed.get() - shipped.get()
+              backlogAtFeedEnd = pushed.get() - shippedTotal
               feedEndNs = System.nanoTime()
             }
             Thread.sleep(200)
@@ -213,26 +273,54 @@ object BenchStream {
       val wall = (System.nanoTime() - t0) / 1e9
       val drainSec =
         if (feedEndNs == 0L) 0.0 else (System.nanoTime() - feedEndNs) / 1e9
+      val shipped = shippedTotal
       // not a require: a pipeline that cannot keep up is a RESULT the
       // record must show (shipped < pushed + a large backlog), not a crash
-      if (shipped.get() < pushed.get())
-        System.err.println(s"[bench-stream] sustained($nParts) did NOT " +
-          s"keep up: shipped ${shipped.get()} of ${pushed.get()}")
+      if (shipped < pushed.get())
+        System.err.println(s"[bench-stream] sustained($nParts@$rateEps) did " +
+          s"NOT fully drain: shipped $shipped of ${pushed.get()}")
       import scala.jdk.CollectionConverters._
       val durs = progress.asScala.toSeq.map(_._2).sorted
       def pct(p: Double): Long =
         if (durs.isEmpty) 0L
         else durs(((durs.size - 1) * p).toInt)
-      Sustained(nParts, rateEps, secs, pushed.get(), shipped.get(), wall,
-        backlogAtFeedEnd.max(0L), drainSec, pct(0.5), pct(0.99),
+      Sustained(nParts, rateEps, secs, pushed.get(), shipped, wall,
+        backlogAtFeedEnd.max(0L), drainSec, shipped == pushed.get(),
+        pct(0.5), pct(0.99),
         if (durs.isEmpty) 0L else durs.last, durs.size,
-        StubFalconServer.refreshCalls.get() - refresh0, res.restarts)
+        StubFalconServer.refreshCalls.get() - refresh0, res.restarts,
+        replayedBatches.get(),
+        // a run that exhausted its restart budget must carry its error,
+        // not be recorded as if it merely ran slow (the r15 advice)
+        res.fatal.map(e => s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
 
-    val susRate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "40000").toLong
+    // RATE LADDER (per partition point): step the offered rate until a
+    // rung records kept_up=false — the committed record then ends in
+    // ONE over-capacity point (backlog + drain, no crash), making the
+    // headline a measured CEILING ("max sustained X ev/s"), not a
+    // floor. The second partition point is skipped when it equals the
+    // first (SPARK_GRAFT_STREAM_PARTS=32 used to record the same
+    // configuration twice under two labels).
     val susSecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUSTAIN_SEC", "60").toInt
-    val sus8 = sustained(parts, susRate, susSecs)
-    val sus32 = sustained(32, susRate, susSecs)
+    val rates: Seq[Long] = sys.env.get("SPARK_GRAFT_STREAM_RATES")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_RATE"))
+      .getOrElse("80000,120000,160000,240000,320000")
+      .split(',').map(_.trim.toLong).toSeq
+    val partPoints = Seq(parts, 32).distinct
+    val ladders: Seq[(Int, Seq[Sustained])] = partPoints.map { np =>
+      val rungs = scala.collection.mutable.ArrayBuffer[Sustained]()
+      var stop = false
+      for (r <- rates if !stop) {
+        val s0 = sustained(np, r, susSecs)
+        System.err.println(s"[bench-stream] rung parts=$np rate=$r: " +
+          s"kept_up=${s0.keptUp} backlog=${s0.backlogAtFeedEnd} " +
+          f"drain=${s0.drainSec}%.1fs restarts=${s0.restarts}")
+        rungs += s0
+        if (!s0.keptUp) stop = true
+      }
+      np -> rungs.toSeq
+    }
 
     def stats(wall: Double, prog: Seq[(Long, Long, Double)]): (Double, Double, Long, Long) = {
       val eps = total / wall
@@ -250,27 +338,44 @@ object BenchStream {
     val vsFloor = ppE / 20.0
     def susJson(s: Sustained): String =
       s"""{"partitions": ${s.parts}, "offered_events_per_sec": ${s.offered},
-         |    "feed_sec": ${s.secs}, "pushed": ${s.pushed}, "shipped": ${s.shipped},
-         |    "kept_up": ${s.shipped >= s.pushed},
-         |    "achieved_events_per_sec": ${f(s.shipped / s.wall)},
-         |    "backlog_at_feed_end": ${s.backlogAtFeedEnd},
-         |    "drain_sec": ${f(s.drainSec)}, "n_batches": ${s.nBatches},
-         |    "batch_trigger_ms_p50": ${s.p50}, "batch_trigger_ms_p99": ${s.p99},
-         |    "batch_trigger_ms_max": ${s.mx},
-         |    "session_refreshes": ${s.refreshes}, "restarts": ${s.restarts}}""".stripMargin
+         |      "feed_sec": ${s.secs}, "pushed": ${s.pushed}, "shipped": ${s.shipped},
+         |      "kept_up": ${s.keptUp}, "drained": ${s.drained},
+         |      "achieved_events_per_sec": ${f(s.shipped / s.wall)},
+         |      "backlog_at_feed_end": ${s.backlogAtFeedEnd},
+         |      "drain_sec": ${f(s.drainSec)}, "n_batches": ${s.nBatches},
+         |      "batch_trigger_ms_p50": ${s.p50}, "batch_trigger_ms_p99": ${s.p99},
+         |      "batch_trigger_ms_max": ${s.mx},
+         |      "session_refreshes": ${s.refreshes}, "restarts": ${s.restarts},
+         |      "replayed_batches": ${s.replayed},
+         |      "fatal": ${s.fatal.map(m =>
+               "\"" + m.replace("\\", "/").replace("\"", "'") + "\"")
+               .getOrElse("null")}}""".stripMargin
+    // per-partition-point headline: the highest kept-up rate (the
+    // measured ceiling) and the first over-capacity rung (the knee)
+    def maxKept(rungs: Seq[Sustained]): Long =
+      rungs.filter(_.keptUp).map(_.offered).foldLeft(0L)(math.max)
+    def knee(rungs: Seq[Sustained]): Option[Long] =
+      rungs.find(!_.keptUp).map(_.offered)
+    val headLadder = ladders.head._2
     println(s"""{"metric":"stream_events_per_sec","value":${f(epsE)},""" +
       s""""unit":"events/sec","events":$total,"partitions":$parts,""" +
       s""""per_partition":${f(ppE)},"raw_events_per_sec":${f(epsR)},""" +
       s""""raw_per_partition":${f(ppR)},"vs_reference_floor":${f(vsFloor)},""" +
       s""""wall_sec":${f(wallE)},"raw_wall_sec":${f(wallR)},""" +
-      s""""sustained_offered":${sus8.offered},"sustained_kept_up":${sus8.shipped >= sus8.pushed},""" +
-      s""""sustained_p99_ms":${sus8.p99},"sustained32_kept_up":${sus32.shipped >= sus32.pushed}}""")
+      s""""sustained_max_kept_up_eps":${maxKept(headLadder)},""" +
+      s""""sustained_knee_eps":${knee(headLadder).map(_.toString).getOrElse("null")},""" +
+      s""""ladders":${ladders.map { case (np, rs) =>
+        s""""$np":{"max_kept_up":${maxKept(rs)},"knee":${
+          knee(rs).map(_.toString).getOrElse("null")}}"""
+      }.mkString("{", ",", "}")}}""")
     def batches(prog: Seq[(Long, Long, Double)]): String =
       prog.map { case (n, ms, rps) =>
         s"""    {"rows": $n, "trigger_ms": $ms, "rate": ${f(rps)}}"""
       }.mkString("[\n", ",\n", "\n  ]")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile),
       s"""{\n  "events": $total, "partitions": $parts,\n""" +
+        s"""  "calibration_sec": ${BigDecimal(calibrationSec)
+               .setScale(3, BigDecimal.RoundingMode.HALF_UP)},\n""" +
         s"""  "reference_floor_events_per_sec_per_partition": 20,\n""" +
         s"""  "reference_trigger": "200 events / 10 s",\n""" +
         s"""  "enriched": {"wall_sec": ${f(wallE)}, "events_per_sec": ${f(epsE)},\n""" +
@@ -282,8 +387,12 @@ object BenchStream {
         s"""    "events_per_sec_per_partition": ${f(ppR)},\n""" +
         s"""    "batch_trigger_ms_median": $medR, "batch_trigger_ms_max": $maxR,\n""" +
         s"""    "batches": ${batches(progR)}},\n""" +
-        s"""  "sustained": ${susJson(sus8)},\n""" +
-        s"""  "sustained_32": ${susJson(sus32)}\n}\n""")
+        s"""  "sustained_ladder": ${ladders.map { case (np, rs) =>
+          s"""{\n    "partitions": $np,\n""" +
+            s"""    "max_kept_up_eps": ${maxKept(rs)},\n""" +
+            s"""    "knee_offered_eps": ${knee(rs).map(_.toString).getOrElse("null")},\n""" +
+            s"""    "rungs": [\n      ${rs.map(susJson).mkString(",\n      ")}\n    ]\n  }"""
+        }.mkString("[", ", ", "]")}\n}\n""")
     catch { case e: Exception =>
       System.err.println(s"[bench-stream] could not write $benchFile: ${e.getMessage}")
     }

@@ -115,6 +115,15 @@ object ConnectorPipeline {
     */
   trait BulkSink extends Serializable {
     def post(events: Seq[String]): Boolean
+    /** Called once per micro-batch ATTEMPT (driver-side, before any
+      * partition posts) with the batch id — the replay signal an
+      * at-least-once sink needs for idempotence: a restarted query
+      * re-delivers its last uncommitted batch under the SAME id, so a
+      * sink keyed by batch id can overwrite instead of double-count
+      * (the reference has no such signal; its sink double-ships on
+      * restart, app.py:151-176). Default: ignore.
+      */
+    def begin(batchId: Long): Unit = ()
   }
 
   /** The two Humio ingest wire shapes, selected by the enrich mode
@@ -180,7 +189,8 @@ object ConnectorPipeline {
       // resident service, resuming from the same WAL either way
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.begin(batchId)
         batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           rows.map(_.getString(0)).grouped(bulkMaxSize).foreach { chunk =>
             if (!sink.post(chunk))

@@ -35,6 +35,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_.contains("\"host\":\"testhost\"")))
   }
 
+  test("CountingSink dedupes replayed batch attempts by micro-batch id") {
+    // at-least-once delivery replays the last uncommitted batch under
+    // the SAME id after a supervised restart; a blind counter would
+    // record kept_up=true with inflated throughput on exactly the runs
+    // that fell over. begin(id) on a re-seen id resets that batch's
+    // tally, so the LAST attempt counts once.
+    BenchStream.resetCounts()
+    val s = new BenchStream.CountingSink
+    s.begin(0L); assert(s.post(Seq("a", "b")) && s.post(Seq("c")))
+    s.begin(1L); assert(s.post(Seq("d")))
+    assert(BenchStream.shippedTotal == 4L)
+    s.begin(1L); assert(s.post(Seq("d"))) // checkpoint replay of batch 1
+    assert(BenchStream.shippedTotal == 4L,
+      "a replayed batch must overwrite, not add, its delivered count")
+    assert(BenchStream.replayedBatches.get() == 1)
+    BenchStream.resetCounts()
+  }
+
   test("AvailableNow drains everything, terminates, and resumes from the same WAL") {
     RecordingSink.reset()
     implicit val sq = spark.sqlContext
