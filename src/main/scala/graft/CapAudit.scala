@@ -132,34 +132,44 @@ object CapAudit {
     Entry(Dedup.SimhashBandsConf, OraclePinned,
       "rule: 64 / simhashWidthFor(n) — 4x16-bit through n=16384, then 2x32",
       "any session override — the oracle replays the count-scaled RULE, " +
-        "not the conf",
+        "not the conf; the 2x32 TIER first binds at sf1 (50k docs > 16384)",
       "x_simhash_pairs oracle replays the integer tier rule from count(*) " +
-        "(SF-independent); assertOracleSafe fails on any session value",
+        "(SF-independent); assertOracleSafe fails on any session value; " +
+        "the committed sf1 sweep (CORRECTNESS_SF1) verifies the tier " +
+        "switch cross-engine at a scale where it BINDS",
       allowedValue = None),
     Entry(Sketches.BloomMConf, OraclePinned,
       "rule: smallest tier in BLOOM_TIERS with m >= 2*BLOOM_K*n",
       "any session override — x_bloom's oracle replays the tier rule " +
-        "from count(*) via bloomMCaseSql",
+        "from count(*) via bloomMCaseSql; tier selection MOVES across " +
+        "the committed SFs (sweeps bind different tiers)",
       "bloomMCaseSql splice (SF-independent tiering both sides); " +
-        "assertOracleSafe fails on any session value",
+        "assertOracleSafe fails on any session value; SketchesSpec's " +
+        "boundary test evaluates the CASE at every tier boundary " +
+        "INCLUDING the top-tier ELSE arm (the bound no fixture reaches)",
       fragments = Seq(s"ELSE ${Sketches.BLOOM_TIERS.last} END"),
       allowedValue = None),
     Entry(LogAnalytics.SketchExactAccuracyConf, OraclePinned,
       LogAnalytics.SketchExactAccuracyDefault.toString,
       "a group outgrows the accuracy (exact regime ends; default 2^20 " +
-        "covers the gate fixtures ~50x)",
+        "covers the gate fixtures ~50x, so no sweep can reach the end)",
       "LogAnalyticsSpec asserts max group < accuracy on BOTH gate SFs; " +
         "l_percentile_sketch shares the exact quantile_disc oracle only " +
-        "inside the regime",
+        "inside the regime; CapAuditSpec observes the bound BINDING at " +
+        "accuracy=100 over a 10k-row group (GK rank error within " +
+        "n/accuracy)",
       allowedValue = Some(LogAnalytics.SketchExactAccuracyDefault.toString)),
 
     // ── constants: spliced into both engines from one definition ──
     Entry("PipelineQueries.PROBE_CAP", SpliceCap, PQ.PROBE_CAP.toString,
-      "always at gate scale (embeddings count > 500 from sf0.001 up)",
+      "binds from sf0.1 up (2000 embeddings > 500; sf0.001/sf0.01 have " +
+        "exactly 500, fully covered) — every committed sf0.1/sf1 sweep " +
+        "exercises the binding regime",
       "oracle SQL interpolates the constant (vec_id < cap both sides)",
       fragments = Seq(s"vec_id < ${PQ.PROBE_CAP}")),
     Entry("PipelineQueries.PQ_PROBE_CAP", SpliceCap, PQ.PQ_PROBE_CAP.toString,
-      "binds when vector count exceeds 2000 (sf0.01 up)",
+      "binds when vector count exceeds 2000 — first at sf1 (20k); the " +
+        "committed sf1 sweep (CORRECTNESS_SF1) exercises the binding regime",
       "oracle SQL interpolates the constant",
       fragments = Seq(s"vec_id < ${PQ.PQ_PROBE_CAP}")),
     Entry("PipelineQueries.KNN_CAP", SpliceCap, PQ.KNN_CAP.toString,
@@ -190,8 +200,10 @@ object CapAudit {
       fragments = Seq(s"BETWEEN 2 AND ${PQ.CONT_DF_CAP}")),
     Entry("PipelineQueries.DP_MAG_CAP", SpliceCap, PQ.DP_MAG_CAP.toString,
       "noise magnitude truncation — binds with probability 2^-33 per row " +
-        "regardless of scale",
-      "dpMagSql is ONE generated CASE string executed by both engines",
+        "regardless of scale (no fixture can ever witness it)",
+      "dpMagSql is ONE generated CASE string executed by both engines; " +
+        "CapAuditSpec observes the ELSE arm BINDING at the exact u < 2^31 " +
+        "boundary",
       fragments = Seq(s"ELSE ${PQ.DP_MAG_CAP} END")),
     Entry("PipelineQueries.PACK_BUDGET", SpliceCap, PQ.PACK_BUDGET.toString,
       "always — every doc is cut into 512-token bins",
@@ -217,18 +229,23 @@ object CapAudit {
     Entry("Sketches.BLOOM_TIERS", SpliceCap,
       Sketches.BLOOM_TIERS.mkString(","),
       "tier selection moves with insert count; top tier saturates past " +
-        "n = 2^24/(2*BLOOM_K)",
+        "n = 2^24/(2*BLOOM_K) — beyond every fixture",
       "bloomMCaseSql replays the identical integer tiering from count(*) " +
-        "in the oracle — SF-independent by construction",
+        "in the oracle — SF-independent by construction; SketchesSpec's " +
+        "boundary test evaluates the CASE at every tier edge INCLUDING " +
+        "the top-tier ELSE arm, and CurationGateSpec's m=2^8 run observes " +
+        "a SATURATED bitmap degrading to zero-FN pass-through",
       fragments = Seq(s"ELSE ${Sketches.BLOOM_TIERS.last} END")),
 
     // ── exactness-regime bounds (fixture must sit inside the regime) ──
     Entry("LogQueries.TOPK_SKETCH_CAP", ExactnessRegime,
       LogQueries.TOPK_SKETCH_CAP.toString,
       "distinct event_type exceeds the Misra-Gries capacity (exact " +
-        "regime ends; gate cardinality is ~10)",
+        "regime ends; gate cardinality is ~10, so no sweep reaches it)",
       "l_topk_sketch shares l_topk's exact oracle only inside the " +
-        "regime; CapAuditSpec asserts gate-fixture cardinality < cap"),
+        "regime; CapAuditSpec asserts gate-fixture cardinality < cap; " +
+        "LogAnalyticsSpec's eviction test observes the capacity BINDING " +
+        "(201 keys at capacity 8, MG undercount bound n/(cap+1) held)"),
 
     // ── streaming-side limits (no batch oracle) ──
     Entry("FalconSource ReadMaxRows admission", NoOracleSurface,

@@ -257,6 +257,41 @@ class CapAuditSpec extends SparkSpec {
       s"tail bins must lump (re-aggregated) into OOV: $mapped")
   }
 
+  // ── binding test: DP_MAG_CAP's ELSE arm has per-row probability
+  //    2^-33 — no fixture SF can ever witness it. Evaluate the SHARED
+  //    CASE string (the same text the oracle executes verbatim) at the
+  //    exact arm boundary: u < 2^31 truncates to the cap, u = 2^31 is
+  //    the last un-truncated magnitude ──
+
+  test("DP_MAG_CAP binds: the truncation arm fires exactly below u = 2^31") {
+    val rows = Seq(0L, (1L << 31) - 1, 1L << 31, 1L << 62).toDF("u")
+    val got = rows.selectExpr("u",
+        s"(${graft.queries.PipelineQueries.dpMagSql}) AS mag")
+      .as[(Long, Int)].collect().toMap
+    assert(got(0L) == PQ.DP_MAG_CAP && got((1L << 31) - 1) == PQ.DP_MAG_CAP,
+      s"u below 2^31 must hit the ELSE truncation arm: $got")
+    assert(got(1L << 31) == 31 && got(1L << 62) == 0,
+      s"arm boundaries must replay the geometric thresholds: $got")
+  }
+
+  // ── binding test: the GK sketch accuracy beyond the exact regime —
+  //    the default 2^20 covers every committed fixture ~50x, so no
+  //    sweep can observe the regime END. Force it: one 10k-value group
+  //    at accuracy 100 compresses (n >> accuracy) and the estimate
+  //    must stay inside the documented rank bound n/accuracy ──
+
+  test("percentile sketch accuracy binds: 10k-row group at accuracy 100 stays in the GK rank bound") {
+    val n = 10000
+    val df = (1 to n).map(i => ("g", i.toDouble)).toDF("dim", "v")
+    val est = LogAnalytics.percentilesApprox(
+        df, col("dim"), col("v"), Seq(0.5), accuracy = 100)
+      .select("p50").as[Double].head()
+    // values ARE the ranks 1..n, so |est - exact| is the rank error;
+    // GK guarantees rank error <= n/accuracy (+1 for the pick)
+    assert(math.abs(est - 5000.0) <= n / 100 + 1,
+      s"GK rank bound violated at binding accuracy: p50 estimate $est")
+  }
+
   // ── exactness-regime fixture asserts: the gate corpus must sit
   //    strictly inside every regime whose oracle assumes exactness ──
 
