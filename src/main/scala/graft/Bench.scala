@@ -194,8 +194,16 @@ object Bench {
         })
       .getOrElse(Map.empty)
     val loadBefore = loadAvg()
+    // SORTED order (round 16): queries used to run in Map iteration
+    // order, which reshuffles whenever the inventory grows — and with
+    // the stage memo on, WHO RUNS FIRST decides who pays a shared
+    // stage's cold cost, so r14-vs-r16 sf10 records disagreed 6-27x on
+    // individual queries while both were "correct". Name order makes
+    // cold-cost attribution reproducible across rounds and records
+    // diffable line-by-line.
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
+      .toSeq.sortBy(_._1)
       .map { case (name, fn) =>
         for (_ <- 1 until repeat)
           try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

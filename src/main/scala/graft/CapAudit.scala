@@ -87,6 +87,13 @@ object CapAudit {
       "never — staging/memoization only changes WHERE a relation is computed",
       "ScaleSpec (memo on/off identity); Verify/Bench run memo=true against " +
         "the same oracles the memo-off suite passes"),
+    Entry(Scale.StageMemoBudgetConf, RowsInvariant, "auto",
+      "never — LRU retention bound on the memo's pinned checkpoint " +
+        "blocks; an evicted entry RECOMPUTES on next staging, rows " +
+        "identical (round-16 sf10 lesson: unbounded retention pinned " +
+        "~16 GB on a 16 GB heap and starved later queries' sorts)",
+      "ScaleSpec budget-eviction test (tiny budget forces re-staging, " +
+        "same rows); the r16 sf10 records before/after the bound"),
     Entry(Scale.StageCaptureConf, RowsInvariant, "false",
       "never — lineage capture writes side artifacts, not query rows",
       "ScaleSpec"),

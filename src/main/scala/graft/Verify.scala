@@ -31,6 +31,9 @@ object Verify {
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
+      // name order: deterministic memo-feeding and page-cache pattern,
+      // so two sweeps of the same build are comparable (see Bench)
+      .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
       // per-query timeout: one hung query must not wedge the whole
       // correctness round. The job group lets the timeout path cancel the

@@ -853,10 +853,25 @@ object Knn {
       .join(emb.select(col("vec_id").as("cand_id"),
         col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
       .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("probe_id", "cand_id", "rank", "sim")
+    // top-k per probe via the partial aggregate, NOT a row_number window:
+    // the window form sorts the WHOLE scored pair relation (collision
+    // volume — ~4x10^8 rows at the sf10 probe on the LSH-adversarial
+    // gaussian fixture; a measured 2 CPU-hour sort, SCALE_PROBE.md round
+    // 16) to keep k rows per probe. [[graft.functions.TopKByScore]]
+    // reduces each partition to <= k rows per probe BEFORE the exchange
+    // (the r9 ivfSearch discipline) — identical rows and ordering
+    // (score desc, id asc == the window's sim desc, cand_id asc; NULL
+    // sims ride as -Inf and restore, the bruteForceTopK contract).
+    val topk = udaf(graft.functions.TopKByScore(k))
+    scored
+      .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
+      .groupBy("probe_id")
+      .agg(topk(col("cand_id"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._1").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        when(col("col._2") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("col._2")).as("sim"))
   }
 
   /** 2^20 — [[powerIteration]]'s per-component quantum (the

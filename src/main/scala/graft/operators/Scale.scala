@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -95,6 +97,81 @@ object Scale {
     * always-restage behavior.
     */
   val StageMemoConf = "spark.graft.stage.memo"
+
+  /** Session conf: byte budget for the block-manager storage the stage
+    * memo keeps PINNED for the session's lifetime ("512m", "4g", or
+    * "auto" = half the block manager's max storage memory). Rows are
+    * never affected — an entry past the budget is simply forgotten
+    * (LRU-first), so its checkpoint blocks die with the queries that
+    * reference them and the NEXT identical staging recomputes instead
+    * of reusing. The bound exists because memo retention is a
+    * memory-for-time trade that INVERTS at scale: measured on the
+    * round-16 sf10 probe, unbounded retention pinned ~16 GB of
+    * localCheckpoint blocks on a 16 GB heap — the unified pool's
+    * protected storage region filled with dead entries' blocks and
+    * every later sort/join in the suite paid spill-and-refetch, turning
+    * 2-4 s queries into 15-60 s ones (SCALE_PROBE.md round 16). At
+    * 1000-executor scale the same failure mode is per-executor storage
+    * eviction thrash; a budget per block manager is the honest
+    * contract. Eviction only drops the MAP reference — localCheckpoint
+    * blocks must never be force-unpersisted while a consumer may hold
+    * the truncated-lineage relation (no recompute path); the
+    * ContextCleaner reclaims them once the last reference is gone.
+    */
+  val StageMemoBudgetConf = "spark.graft.stage.memoBudget"
+
+  // access-ordered view of the staged-subtree memo for LRU eviction —
+  // touched on every hit/insert under its own lock (the map itself
+  // stays the concurrent source of truth)
+  private val memoOrder = new java.util.LinkedHashMap[
+    (SparkSession, Boolean, Boolean, String,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    Unit](16, 0.75f, true)
+
+  private def memoBudgetBytes(s: SparkSession): Long =
+    s.conf.get(StageMemoBudgetConf, "auto") match {
+      case "auto" =>
+        // half the max storage memory: leaves the other half (plus the
+        // evictable region) for the RUNNING query's own caching needs
+        s.sparkContext.getExecutorMemoryStatus.values.map(_._1).sum / 2
+      case v =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+    }
+
+  // Drop LRU memo entries until the session's pinned checkpoint blocks
+  // fit the budget. Size is read from the block manager's live storage
+  // info (an eager=false entry that never ran reports 0 and cannot be
+  // charged). Entries of OTHER sessions are untouched — the budget is
+  // per session, like the memo's soundness contract.
+  private def sweepMemoBudget(s: SparkSession): Unit = memoOrder.synchronized {
+    val budget = memoBudgetBytes(s)
+    if (budget <= 0) return
+    val sizeByRdd = s.sparkContext.getRDDStorageInfo
+      .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+    def rddId(df: DataFrame): Option[Int] = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd.id)
+      case _ => None
+    }
+    def pinned: Long = memo.asScala.collect {
+      case (k, df) if k._1 eq s =>
+        rddId(df).flatMap(sizeByRdd.get).getOrElse(0L)
+    }.sum
+    if (pinned <= budget) return
+    val it = memoOrder.keySet.iterator
+    var total = pinned
+    while (total > budget && it.hasNext) {
+      val k = it.next()
+      if (k._1 eq s) {
+        val dropped = Option(memo.get(k))
+          .flatMap(rddId).flatMap(sizeByRdd.get).getOrElse(0L)
+        if (dropped > 0) {
+          memo.remove(k)
+          it.remove()
+          total -= dropped
+        }
+      }
+    }
+  }
 
   // session-scoped memo of staged subtrees, keyed by the CANONICALIZED
   // analyzed plan PLUS the output schema (canonicalization erases
@@ -260,6 +337,9 @@ object Scale {
       // session (and its checkpoint blocks) for the JVM's lifetime — a
       // test JVM runs many sessions back to back
       memo.keySet.removeIf(_._1.sparkContext.isStopped)
+      memoOrder.synchronized {
+        memoOrder.keySet.removeIf(_._1.sparkContext.isStopped)
+      }
       val schemaKey = analyzed.output
         .map(a => s"${a.name}:${a.dataType.catalogString}:${a.nullable}")
         .mkString(",")
@@ -268,9 +348,15 @@ object Scale {
       // session semantics they resolve under. Time zone moves every
       // zone-sensitive timestamp function; ANSI mode moves overflow and
       // cast behavior. (Contract in StageMemoConf covers the long tail.)
-      captureIfEnabled(s, memo.computeIfAbsent(
-        (s, reliable, eager, s"$schemaKey|${memoConfKey(s)}", analyzed.canonicalized),
-        _ => doStage()), analyzed)
+      val key = (s, reliable, eager,
+        s"$schemaKey|${memoConfKey(s)}", analyzed.canonicalized)
+      val staged = memo.computeIfAbsent(key, _ => doStage())
+      // LRU touch, then enforce the pinned-storage budget — AFTER the
+      // lookup so the entry just used is the freshest and a sweep can
+      // never evict the relation this very call returns
+      memoOrder.synchronized { memoOrder.put(key, ()) }
+      sweepMemoBudget(s)
+      captureIfEnabled(s, staged, analyzed)
     }
   }
 

@@ -115,6 +115,39 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset(Scale.StageMemoConf)
   }
 
+  test("stage memo budget: over-budget entries are forgotten LRU-first " +
+    "and re-stage with identical rows; a roomy budget keeps sharing") {
+    spark.conf.set(Scale.StageMemoConf, "true")
+    val mkA = () => spark.range(2000).toDF("id")
+      .withColumn("v", col("id") * 7 + 3).where(col("v") % 5 === 1)
+    val mkB = () => spark.range(3000).toDF("id")
+      .withColumn("v", col("id") * 11 + 2).where(col("v") % 3 === 0)
+    try {
+      // roomy budget (the auto default ≫ these tiny relations): the
+      // second staging of A shares the first's relation
+      val a1 = Scale.stage(mkA()); a1.count()
+      assert(Scale.stage(mkA()).queryExecution.logical
+        eq a1.queryExecution.logical)
+      // 1-byte budget: any MATERIALIZED entry is over budget, so the
+      // next stage() call sweeps it from the memo — the re-staging must
+      // be a fresh relation with the same rows (eviction is a
+      // memory-for-time trade, never a result change)
+      spark.conf.set(Scale.StageMemoBudgetConf, "1")
+      val b1 = Scale.stage(mkB()); b1.count()
+      // this call's sweep sees a1+b1 materialized and over budget
+      val a2 = Scale.stage(mkA())
+      assert(!(Scale.stage(mkA()).queryExecution.logical
+          eq a1.queryExecution.logical),
+        "an evicted entry must re-stage, not serve the dropped relation")
+      assert(a2.as[(Long, Long)].collect().toSet ==
+        mkA().as[(Long, Long)].collect().toSet,
+        "eviction must never change rows")
+    } finally {
+      spark.conf.unset(Scale.StageMemoBudgetConf)
+      spark.conf.unset(Scale.StageMemoConf)
+    }
+  }
+
   test("stage idempotence gates on materialization, not plan shape: a " +
     "staged relation is returned as-is; a caller-built RDD DataFrame is staged") {
     // a prior stage's output: LogicalRDD leaf backed by a persisted/
