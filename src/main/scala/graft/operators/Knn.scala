@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  /** ONE [[graft.functions.TopKByScore]] UDAF instance per k, shared by
+    * every plan build in the JVM. `udaf(...)` mints fresh
+    * ExpressionEncoders per call, and ScalaAggregator equality runs
+    * through them — so two canonically-IDENTICAL plans built from two
+    * `udaf(TopKByScore(k))` calls compare UNEQUAL, every staged ANN
+    * subtree missed the session memo, and each re-staging pinned
+    * another checkpoint copy of the same relation (the round-16 sf10
+    * probe's memory-poison mechanism, SCALE_PROBE.md). Sharing the
+    * instance restores plan equality; TopKByScore itself is a pure
+    * case class, so one instance per k is sound across sessions.
+    */
+  private val topkUdafs = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.sql.expressions.UserDefinedFunction]()
+  private def topkUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    topkUdafs.computeIfAbsent(k, kk => udaf(graft.functions.TopKByScore(kk)))
+
   /** Exact top-k cosine neighbors for each probe vector. `probes` MUST
     * be the bounded side (the caller caps it — a probe set, a recall
     * sample): probes are broadcast, CANDIDATES stream through a
@@ -41,7 +57,7 @@ object Knn {
       Vectors.norm(col("embedding"), dim).as("pn"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
       Vectors.norm(col("embedding"), dim).as("cn"))
-    val topk = udaf(graft.functions.TopKByScore(k))
+    val topk = topkUdaf(k)
     c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
       // try_divide: a zero-norm vector must yield a NULL sim, not an
       // ANSI DIVIDE_BY_ZERO job failure. The typed aggregate has a
@@ -163,7 +179,7 @@ object Knn {
     val c = corpus.select(col("vec_id").as("cand_id"),
       col("label").as("cand_label"), col("embedding").as("ce"),
       Vectors.norm(col("embedding"), dim).as("cn"))
-    val topk = udaf(graft.functions.TopKByScore(1))
+    val topk = topkUdaf(1)
     c.join(broadcast(p), col("probe_label") =!= col("cand_label"))
       .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
       .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
@@ -310,7 +326,7 @@ object Knn {
     val homes = Scale.stage(ivfAssign(corpus, centroids, dim)
       .select(col("cell"), col("vec_id").as("cand_id"),
         col("embedding").as("ce"), col("nrm").as("cn")))
-    val topk = udaf(graft.functions.TopKByScore(k))
+    val topk = topkUdaf(k)
     // NULL sim (zero-norm vector under try_divide) rides the primitive
     // aggregate buffer as -Inf and is restored after the merge — the
     // bruteForceTopK convention, NULLS-LAST like the window's sim desc
@@ -816,14 +832,28 @@ object Knn {
     * per (table, bucket). Vectors alone in their buckets get no row
     * (inner join) — the recall/cost trade of LSH.
     *
-    * Scale shape, deliberately in three joins:
-    *  1. bucket keys are exploded as (table, bucket, vec_id) ID rows —
-    *     embeddings are NOT duplicated L times through the shuffle;
-    *  2. the bucket equi-join pairs IDs only, candidate side capped by a
-    *     per-bucket row_number, then pairs dedup across tables BEFORE
-    *     any scoring — each surviving pair is scored exactly once;
-    *  3. embeddings rejoin by id for the one dot product per pair
-    *     (id-keyed joins co-locate under AQE / pre-bucketed storage).
+    * Scale shape (round 16 — the sf10 probe measured the old
+    * ids-first formulation shuffling the PAIR volume with embeddings
+    * attached, ~10^8 rows × two 64-float arrays ≈ tens of GB through
+    * two id-keyed joins; SCALE_PROBE.md):
+    *  1. bucket keys are exploded as (table, bucket, vec_id) ID rows;
+    *     the candidate side is capped per (table, bucket) by a
+    *     deterministic vec_id-ordered row_number (skew bound), the
+    *     probe side is uncapped so every vector still probes;
+    *  2. embeddings ride INTO the bucket join once per (table, vector)
+    *     — n·L wide rows through ONE exchange per side, bounded by
+    *     corpus size, never by collision volume;
+    *  3. the bucket equi-join scores each collision IMMEDIATELY in the
+    *     same codegen stage (one primitive dot per row) and emits only
+    *     narrow (probe_id, cand_id, sim) rows — the ONLY pair-volume-
+    *     sized relations are 24-byte triples: the cross-table dedup
+    *     (identical inputs give a bit-identical sim, so distinct on
+    *     the triple equals the old ids-only dedup) and the per-probe
+    *     top-k partial aggregate ([[graft.functions.TopKByScore]], the
+    *     r9 ivfSearch discipline: each partition reduces to ≤ k rows
+    *     per probe before the final exchange; score desc, id asc ==
+    *     the old window's sim desc, cand_id asc; NULL sims ride as
+    *     -Inf and restore, the bruteForceTopK contract).
     */
   def lshTopK(vectors: DataFrame, tables: Seq[Seq[Seq[Double]]], dim: Int,
               k: Int, bucketCap: Int): DataFrame = {
@@ -837,32 +867,24 @@ object Knn {
           Vectors.lshBucket(col("embedding"), planes, dim).as("bucket"))
       }: _*)).as("tb"))
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
-    // candidate side capped per (table, bucket): deterministic (vec_id
-    // order) skew bound; probe side uncapped so every vector still probes
     val wCap = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
     val capped = keyed.withColumn("pos", row_number().over(wCap))
       .where(col("pos") <= bucketCap).drop("pos")
-    val pairs = keyed.select(col("tbl"), col("bucket"), col("vec_id").as("probe_id"))
-      .join(capped.select(col("tbl"), col("bucket"), col("vec_id").as("cand_id")),
-        Seq("tbl", "bucket"))
+    val probeSide = keyed.join(emb, "vec_id")
+      .select(col("tbl"), col("bucket"), col("vec_id").as("probe_id"),
+        col("embedding").as("pe"), col("nrm").as("pn"))
+    val candSide = capped.join(emb, "vec_id")
+      .select(col("tbl"), col("bucket"), col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = probeSide.join(candSide, Seq("tbl", "bucket"))
       .where(col("probe_id") =!= col("cand_id"))
-      .select("probe_id", "cand_id").distinct()
-    val scored = pairs
-      .join(emb.select(col("vec_id").as("probe_id"),
-        col("embedding").as("pe"), col("nrm").as("pn")), "probe_id")
-      .join(emb.select(col("vec_id").as("cand_id"),
-        col("embedding").as("ce"), col("nrm").as("cn")), "cand_id")
-      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
-    // top-k per probe via the partial aggregate, NOT a row_number window:
-    // the window form sorts the WHOLE scored pair relation (collision
-    // volume — ~4x10^8 rows at the sf10 probe on the LSH-adversarial
-    // gaussian fixture; a measured 2 CPU-hour sort, SCALE_PROBE.md round
-    // 16) to keep k rows per probe. [[graft.functions.TopKByScore]]
-    // reduces each partition to <= k rows per probe BEFORE the exchange
-    // (the r9 ivfSearch discipline) — identical rows and ordering
-    // (score desc, id asc == the window's sim desc, cand_id asc; NULL
-    // sims ride as -Inf and restore, the bruteForceTopK contract).
-    val topk = udaf(graft.functions.TopKByScore(k))
+      .select(col("probe_id"), col("cand_id"),
+        expr("try_divide(graft_dot(pe, ce), pn * cn)").as("sim"))
+      // same pair colliding in two tables scores bit-identically (same
+      // expression, same arrays) — one narrow row survives, exactly the
+      // old ids-before-scoring dedup
+      .distinct()
+    val topk = topkUdaf(k)
     scored
       .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
       .groupBy("probe_id")

@@ -252,10 +252,37 @@ object Scale {
         .map(a => s"${a.name}:${a.dataType.catalogString}:${a.nullable}")
         .mkString(",")
       artifactMemo.computeIfAbsent(
-        (s, s"$tag;${memoConfKey(s)};$schemaKey", analyzed.canonicalized),
+        (s, s"$tag;${memoConfKey(s)};$schemaKey", memoCanonical(analyzed)),
         _ => compute).asInstanceOf[T]
     }
   }
+
+  /** Memo-key canonical form: Spark's `canonicalized` PLUS encoder
+    * normalization for typed-UDAF aggregates. A [[org.apache.spark.sql.
+    * execution.aggregate.ScalaAggregator]]'s equality runs through its
+    * resolved ExpressionEncoders, which mint fresh exprIds at every
+    * analysis — so two canonically-IDENTICAL plans containing the same
+    * typed aggregate (TopKByScore in the ANN tier) compared UNEQUAL,
+    * every staged ANN subtree missed the memo, and each re-staging
+    * pinned another checkpoint copy of the same relation (the round-16
+    * sf10 memory-poison mechanism, SCALE_PROBE.md). Nulling the two
+    * encoder fields in the KEY restores structural equality; the `agg`
+    * instance (a pure case class) still distinguishes genuinely
+    * different aggregates, and the memoized VALUE keeps its real,
+    * executable encoders.
+    */
+  private def neuterAgg[A, B, C](
+      sa: org.apache.spark.sql.execution.aggregate.ScalaAggregator[A, B, C])
+      : org.apache.spark.sql.execution.aggregate.ScalaAggregator[A, B, C] =
+    sa.copy(inputEncoder = null, bufferEncoder = null)
+
+  private[operators] def memoCanonical(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    analyzed.canonicalized.transformAllExpressions {
+      case sa: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _] =>
+        neuterAgg(sa)
+    }
 
   private[operators] def planDeterministic(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
@@ -349,7 +376,7 @@ object Scale {
       // zone-sensitive timestamp function; ANSI mode moves overflow and
       // cast behavior. (Contract in StageMemoConf covers the long tail.)
       val key = (s, reliable, eager,
-        s"$schemaKey|${memoConfKey(s)}", analyzed.canonicalized)
+        s"$schemaKey|${memoConfKey(s)}", memoCanonical(analyzed))
       val staged = memo.computeIfAbsent(key, _ => doStage())
       // LRU touch, then enforce the pinned-storage budget — AFTER the
       // lookup so the entry just used is the freshest and a sweep can

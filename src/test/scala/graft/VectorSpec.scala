@@ -291,10 +291,17 @@ class VectorSpec extends SparkSpec {
       val c = Knn.kmeansTrain(vecs.where(col("vec_id") % 4 =!= 0), seed(), 2, 3)
       assert(!(c._1.queryExecution.logical eq a._1.queryExecution.logical),
         "different training inputs must not share a codebook")
-      // ...nor may a different round cap
-      val d = Knn.kmeansTrain(vecs, seed(), 2, 2)
+      // ...nor may a round cap that changes the RESULT. (maxRounds=2
+      // would legitimately share here: this fixture converges at round
+      // 2, so the 3-round call's final relation IS the round-2 staged
+      // lineage, and the round-level stage memo returns the same object
+      // for the identical chain prefix — that sharing became reachable
+      // in round 16 when memo keys learned to equate typed-UDAF plans.)
+      val d = Knn.kmeansTrain(vecs, seed(), 2, 1)
+      assert(d._2 == 1)
       assert(!(d._1.queryExecution.logical eq a._1.queryExecution.logical),
-        "different maxRounds must not share a codebook")
+        "a round cap that stops training early must not share the " +
+          "converged codebook")
     } finally spark.conf.unset(graft.operators.Scale.StageMemoConf)
   }
 
