@@ -67,5 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       WordShingles.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[FloatL2sq].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => FloatL2sq(children(0), children(1))))
   }
 }

@@ -38,6 +38,50 @@ object Knn {
   private def topkUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     topkUdafs.computeIfAbsent(k, kk => udaf(graft.functions.TopKByScore(kk)))
 
+  /** The shared top-k-per-probe tail of every scored KNN join:
+    * `scored` is (probe_id, cand_id, sim) pair rows; output is
+    * (probe_id, cand_id, rank, sim) ordered sim DESC with cand_id ASC
+    * ties and NULL sims (zero-norm under try_divide) ranked last —
+    * carried through the aggregate as -Inf and restored after.
+    *
+    * k == 1 — the dominant call shape (every recall metric, the LSH/IVF
+    * ranked tiers) — runs as a DECLARATIVE min_by on (-sim, cand_id):
+    * a codegen'd partial aggregate instead of
+    * [[graft.functions.TopKByScore]]'s ObjectHashAggregate, whose
+    * per-row typed update (encoder decode + buffer alloc) was the
+    * measured floor of every brute-force-bound query (x_cosine 1.19 s
+    * warm isolated at sf0.1, nearly all in the UDAF stage). Ordering is
+    * identical: min over (-sim, cand_id) IS (sim desc, cand_id asc),
+    * and -Inf restores to NULL exactly as the k-row path does.
+    *
+    * k > 1 keeps the bounded typed buffer (top-k needs the sorted
+    * k-element state; mergeable, map-side combined).
+    */
+  private[graft] def topkTail(scored: DataFrame, k: Int): DataFrame = {
+    val filled = scored.withColumn("sim",
+      coalesce(col("sim"), lit(Double.NegativeInfinity)))
+    if (k == 1)
+      filled
+        .groupBy("probe_id")
+        .agg(min_by(struct(col("cand_id"), col("sim")),
+          struct(negate(col("sim")), col("cand_id"))).as("b"))
+        .select(col("probe_id"), col("b.cand_id").as("cand_id"),
+          lit(1).cast("int").as("rank"),
+          when(col("b.sim") === Double.NegativeInfinity, lit(null))
+            .otherwise(col("b.sim")).as("sim"))
+    else {
+      val topk = topkUdaf(k)
+      filled
+        .groupBy("probe_id")
+        .agg(topk(col("cand_id"), col("sim")).as("top"))
+        .select(col("probe_id"), posexplode(col("top")))
+        .select(col("probe_id"), col("col._1").as("cand_id"),
+          (col("pos") + 1).cast("int").as("rank"),
+          when(col("col._2") === Double.NegativeInfinity, lit(null))
+            .otherwise(col("col._2")).as("sim"))
+    }
+  }
+
   /** Exact top-k cosine neighbors for each probe vector. `probes` MUST
     * be the bounded side (the caller caps it — a probe set, a recall
     * sample): probes are broadcast, CANDIDATES stream through a
@@ -57,23 +101,17 @@ object Knn {
       Vectors.norm(col("embedding"), dim).as("pn"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
       Vectors.norm(col("embedding"), dim).as("cn"))
-    val topk = topkUdaf(k)
-    c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
-      // try_divide: a zero-norm vector must yield a NULL sim, not an
-      // ANSI DIVIDE_BY_ZERO job failure. The typed aggregate has a
-      // primitive buffer, so NULL rides through as -Inf (unreachable for
-      // a real cosine) and is restored after the merge — NULLS-LAST
-      // ranking, and a probe whose sims are ALL null still emits its k
-      // rows (it must not vanish from a recall denominator)
-      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
-      .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
-      .groupBy("probe_id")
-      .agg(topk(col("cand_id"), col("sim")).as("top"))
-      .select(col("probe_id"), posexplode(col("top")))
-      .select(col("probe_id"), col("col._1").as("cand_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        when(col("col._2") === Double.NegativeInfinity, lit(null))
-          .otherwise(col("col._2")).as("sim"))
+    // try_divide: a zero-norm vector must yield a NULL sim, not an
+    // ANSI DIVIDE_BY_ZERO job failure. The aggregate carries NULL as
+    // -Inf (unreachable for a real cosine) and restores it after the
+    // merge — NULLS-LAST ranking, and a probe whose sims are ALL null
+    // still emits its k rows (it must not vanish from a recall
+    // denominator). topkTail owns that convention for every tier.
+    topkTail(
+      c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+        .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+        .select("probe_id", "cand_id", "sim"),
+      k)
   }
 
   /** MMR (maximal marginal relevance) diversity re-ranking — the
@@ -179,15 +217,12 @@ object Knn {
     val c = corpus.select(col("vec_id").as("cand_id"),
       col("label").as("cand_label"), col("embedding").as("ce"),
       Vectors.norm(col("embedding"), dim).as("cn"))
-    val topk = topkUdaf(1)
-    c.join(broadcast(p), col("probe_label") =!= col("cand_label"))
-      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
-      .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
-      .groupBy("probe_id")
-      .agg(topk(col("cand_id"), col("sim")).as("top"))
-      .select(col("probe_id"), col("top")(0)("_1").as("cand_id"),
-        when(col("top")(0)("_2") === Double.NegativeInfinity, lit(null))
-          .otherwise(col("top")(0)("_2")).as("sim"))
+    topkTail(
+      c.join(broadcast(p), col("probe_label") =!= col("cand_label"))
+        .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+        .select("probe_id", "cand_id", "sim"),
+      k = 1)
+      .drop("rank")
   }
 
   /** IVF cell assignment: each vector goes to its nearest centroid by
@@ -326,21 +361,15 @@ object Knn {
     val homes = Scale.stage(ivfAssign(corpus, centroids, dim)
       .select(col("cell"), col("vec_id").as("cand_id"),
         col("embedding").as("ce"), col("nrm").as("cn")))
-    val topk = topkUdaf(k)
-    // NULL sim (zero-norm vector under try_divide) rides the primitive
-    // aggregate buffer as -Inf and is restored after the merge — the
-    // bruteForceTopK convention, NULLS-LAST like the window's sim desc
-    homes.join(broadcast(probeCells), Seq("cell"))
-      .where(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
-      .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
-      .groupBy("probe_id")
-      .agg(topk(col("cand_id"), col("sim")).as("top"))
-      .select(col("probe_id"), posexplode(col("top")))
-      .select(col("probe_id"), col("col._1").as("cand_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        when(col("col._2") === Double.NegativeInfinity, lit(null))
-          .otherwise(col("col._2")).as("sim"))
+    // NULL sim (zero-norm vector under try_divide) rides the aggregate
+    // as -Inf and is restored after the merge — the bruteForceTopK
+    // convention, NULLS-LAST like the window's sim desc (topkTail)
+    topkTail(
+      homes.join(broadcast(probeCells), Seq("cell"))
+        .where(col("probe_id") =!= col("cand_id"))
+        .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+        .select("probe_id", "cand_id", "sim"),
+      k)
   }
 
   /** One deterministic k-means (Lloyd) refinement of a centroid set:
@@ -884,16 +913,7 @@ object Knn {
       // expression, same arrays) — one narrow row survives, exactly the
       // old ids-before-scoring dedup
       .distinct()
-    val topk = topkUdaf(k)
-    scored
-      .withColumn("sim", coalesce(col("sim"), lit(Double.NegativeInfinity)))
-      .groupBy("probe_id")
-      .agg(topk(col("cand_id"), col("sim")).as("top"))
-      .select(col("probe_id"), posexplode(col("top")))
-      .select(col("probe_id"), col("col._1").as("cand_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        when(col("col._2") === Double.NegativeInfinity, lit(null))
-          .otherwise(col("col._2")).as("sim"))
+    topkTail(scored, k)
   }
 
   /** 2^20 — [[powerIteration]]'s per-component quantum (the

@@ -55,11 +55,20 @@ object Pq {
       .select(col("vec_id").as("c"), col("j"), col("sl").as("csl"))
 
   /** Squared L2 between two equal-length double arrays, summed in
-    * element order (the order a serial SQL replay sums in).
+    * element order (the order a serial SQL replay sums in) — the
+    * codegen'd [[graft.expressions.FloatL2sq]] native (bit-identical to
+    * the zip_with+aggregate HOF it replaces, whose per-pair array
+    * allocation was the recall joins' inner loop). Registration rides
+    * the active/default session: every caller builds plans on a thread
+    * with a live session, and an unregistered call fails loudly at
+    * analysis, never silently.
     */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+  def l2sq(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.expressions.FloatL2sq.register)
+    call_function("graft_l2sq", a, b)
+  }
 
   /** PQ encode against `cents` (a [[codebook]]): (vec_id, j, code, bd2)
     * — argmin codeword per (vector, subspace); codeword ids are unique
