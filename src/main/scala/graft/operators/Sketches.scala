@@ -225,13 +225,20 @@ object Sketches {
     * would need a coalesce-to-0 left join — callers here probe the
     * corpus itself.
     */
-  def cmsEstimate(items: DataFrame, itemCol: Column, sketch: DataFrame): DataFrame = {
-    val probes = items.select(itemCol.as("item"),
+  def cmsEstimate(items: DataFrame, itemCol: Column, sketch: DataFrame,
+                  carry: Seq[String] = Nil): DataFrame = {
+    val probes = items.select((itemCol.as("item") +:
       explode(array((0 until CMS_D).map(d =>
-        struct(lit(d).as("row"), cmsBucket(d, itemCol).as("bucket"))): _*)).as("e"))
-      .select(col("item"), col("e.row").as("row"), col("e.bucket").as("bucket"))
+        struct(lit(d).as("row"), cmsBucket(d, itemCol).as("bucket"))): _*)).as("e") +:
+      carry.map(col)): _*)
+      .select((col("item") +: col("e.row").as("row") +:
+        col("e.bucket").as("bucket") +: carry.map(col)): _*)
     probes.join(broadcast(sketch), Seq("row", "bucket"))
-      .groupBy("item").agg(min(col("c")).as("est"))
+      .groupBy("item")
+      // `carry` columns are constant per item (an exact count riding
+      // along), so max() reproduces the value — this saves the caller a
+      // second vocabulary-sized derivation + shuffle join to re-attach it
+      .agg(min(col("c")).as("est"), carry.map(c => max(col(c)).as(c)): _*)
   }
 
   /** Join-cardinality estimate from two CMS sketches (the planner use:

@@ -602,18 +602,23 @@ object PipelineQueries {
     */
   def xMinhashEst(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.WordShingles.register(s)
+    graft.expressions.ShinglePermMinHash.register(s)
     val docs = Tables.documents(s, dir)
-    val sigs = Dedup.withPermMinhashSigs(
-      docs.select("doc_id", "text"), col("text"), N_PERMS)
-    val sh = docs.select(col("doc_id"),
+    // ONE per-doc pass carries BOTH comparison inputs — the 64-perm
+    // signature and the distinct shingle set — so the adjacent-pair
+    // equi-join runs once; the before-plan derived sigs and shingles
+    // separately per join side (four text passes, eight scans, three
+    // joins for the same rows)
+    val per = docs.select(col("doc_id"),
+      call_function("graft_shingle_perm_minhash",
+        Text.tokens(col("text")), lit(3), lit(N_PERMS)).as("sigs"),
       array_distinct(Text.shinglesNative(Text.tokens(col("text")), 3)).as("sh"))
     val est = size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
       b => b)).cast("double") / N_PERMS
-    sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sa"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sigs").as("sb")),
-        col("doc_b") === col("doc_a") + 1)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+    per.select(col("doc_id").as("doc_a"), col("sigs").as("sa"),
+        col("sh").as("sha"))
+      .join(per.select(col("doc_id").as("doc_b"), col("sigs").as("sb"),
+        col("sh").as("shb")), col("doc_b") === col("doc_a") + 1)
       .withColumn("est", est)
       .withColumn("exact", Dedup.jaccardDistinct(col("sha"), col("shb")))
       .select(col("doc_a"), col("doc_b"),
@@ -643,13 +648,27 @@ object PipelineQueries {
     * groupBy; the sketch and the TakeOrdered(50) probe set are both
     * bounded and broadcast; nothing pairwise anywhere.
     */
+  /** The D×W gram-count CMS counter table — STAGED: ≤
+    * [[Sketches.CMS_D]]·[[Sketches.CMS_W]] rows (bounded) whose lineage
+    * is the corpus gram explode + vocabulary count; x_cms and x_cms_err
+    * each re-built it privately (x_cms_err's before-plan re-derived the
+    * gram counts FOUR times: sketch, probe set, total mass, final
+    * join). */
+  private def gramCms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.stage(
+      Sketches.cmsSketch(gramCounts(s, dir), col("gram"), col("cnt")))
+
   def xCms(s: SparkSession, dir: String): DataFrame = {
     val counts = gramCounts(s, dir)
-    val sk = Sketches.cmsSketch(counts, col("gram"), col("cnt"))
-    val top = counts.orderBy(col("cnt").desc, col("gram")).limit(50)
-    val est = Sketches.cmsEstimate(top.select("gram"), col("gram"), sk)
+    val sk = gramCms(s, dir)
+    // bounded (50 rows): staged so the probe pass reads it instead of
+    // re-running the vocabulary TakeOrdered a second time
+    val top = graft.operators.Scale.stage(
+      counts.orderBy(col("cnt").desc, col("gram")).limit(50))
+    // exact cnt rides the probe pass (constant per gram), replacing the
+    // join back to the top-50 relation
+    Sketches.cmsEstimate(top, col("gram"), sk, carry = Seq("cnt"))
       .withColumnRenamed("item", "gram")
-    top.join(est, "gram")
       .select(col("gram"), col("cnt").as("exact_cnt"), col("est").as("cms_est"),
         (col("est") - col("cnt")).as("overcount"))
       .orderBy("gram")
@@ -667,11 +686,17 @@ object PipelineQueries {
     */
   def xCmsErr(s: SparkSession, dir: String): DataFrame = {
     val counts = gramCounts(s, dir)
-    val sk = Sketches.cmsSketch(counts, col("gram"), col("cnt"))
-    val est = Sketches.cmsEstimate(counts.select("gram"), col("gram"), sk)
+    val sk = gramCms(s, dir)
+    // exact cnt rides the one probe pass (constant per gram) — the
+    // before-plan re-derived the vocabulary counts and shuffle-joined
+    // them back onto the estimates
+    val est = Sketches.cmsEstimate(counts, col("gram"), sk, carry = Seq("cnt"))
       .withColumnRenamed("item", "gram")
-    val nTot = counts.agg(sum(col("cnt")).as("n_total"))
-    counts.join(est, "gram").crossJoin(broadcast(nTot))
+    // N = Σ cnt — read off the staged sketch instead of a third corpus
+    // pass: every occurrence lands in exactly ONE bucket of each hash
+    // row, so row 0's counters sum to the exact total mass
+    val nTot = sk.where(col("row") === 0).agg(sum(col("c")).as("n_total"))
+    est.crossJoin(broadcast(nTot))
       .agg(count(lit(1)).as("n_grams"),
         max(col("n_total")).as("n_total"),
         // decimal accumulate: est/cnt are corpus-mass longs, and the
