@@ -13,19 +13,27 @@ import scala.util.Random
   */
 object Vectors {
 
-  /** Dot product with index-driven sequential accumulation (1-based). */
-  def dot(a: Column, b: Column, dim: Int): Column =
-    aggregate(
-      transform(sequence(lit(1), lit(dim)),
-        i => element_at(a, i).cast("double") * element_at(b, i).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  // the HOF (aggregate-over-transform) formulations these natives
+  // replaced were CodegenFallback expressions: ONE per-row norm or
+  // bucket dot dropped the whole enclosing projection stage out of
+  // whole-stage codegen. graft_dot is bit-identical (same index order,
+  // same element-wise double widening, acc += x*y — no FMA on either
+  // path); registration rides the active/default session, and an
+  // unregistered call fails loudly at analysis, never silently.
+  private def nativeDot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.expressions.FloatDot.register)
+    call_function("graft_dot", a, b)
+  }
+
+  /** Dot product with index-driven sequential accumulation (1-based).
+    * `dim` is the contract (both arrays are exactly dim-wide; every
+    * caller passes fixed-width embeddings or plane literals). */
+  def dot(a: Column, b: Column, dim: Int): Column = nativeDot(a, b)
 
   /** Squared L2 norm, same accumulation discipline. */
-  def normSq(a: Column, dim: Int): Column =
-    aggregate(
-      transform(sequence(lit(1), lit(dim)),
-        i => element_at(a, i).cast("double") * element_at(a, i).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def normSq(a: Column, dim: Int): Column = nativeDot(a, a)
 
   def norm(a: Column, dim: Int): Column = sqrt(normSq(a, dim))
 

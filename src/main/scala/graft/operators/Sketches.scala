@@ -324,10 +324,18 @@ object Sketches {
     * inside the scan projection with zero shuffles.
     */
   def srpProject(emb: Column, dim: Int): Column = {
-    val signs = typedlit(srpSigns(dim).map(_.toArray).toArray)
-    transform(sequence(lit(1), lit(SRP_K)), k =>
-      aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (acc, i) =>
-        acc + element_at(element_at(signs, k), i).cast("double") *
-          element_at(emb, i).cast("double")))
+    // one codegen'd graft_dot per plane against a per-plane double
+    // literal — bit-identical to the nested-HOF fold it replaces (same
+    // ascending-index order, sign[k][i]·emb[i] with the sign on the
+    // left, int signs cast exactly to double), but whole-stage-codegen
+    // friendly: the HOF form was CodegenFallback and its 16×dim
+    // per-element lambda walk dropped the projection stage out of
+    // codegen wherever SRP appears
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.expressions.FloatDot.register)
+    array(srpSigns(dim).map(row =>
+      call_function("graft_dot",
+        typedlit(row.map(_.toDouble).toArray), emb)): _*)
   }
 }
