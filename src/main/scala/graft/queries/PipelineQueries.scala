@@ -3200,7 +3200,17 @@ object PipelineQueries {
     * text hash, broadcast eval-overlap contamination ids, the standard
     * length/stopword quality predicate) → one groupBy(source).
     */
-  private def sourceStats(s: SparkSession, dir: String): DataFrame = {
+  private def sourceStats(s: SparkSession, dir: String): DataFrame =
+    // STAGED: |sources| rows (bounded) whose lineage is THREE corpus
+    // passes (eval grams, contamination probe, the flag pass with the
+    // exact-dup window) — sourceVerdicts consumes its stats twice
+    // (population totals + the per-source crossJoin), so unstaged the
+    // whole chain ran twice per query (x_source_gate's before-plan: 12
+    // scans / 30 Exchanges), and x_source_gate / x_curate_sourced each
+    // re-ran it privately; the session memo pays it once.
+    graft.operators.Scale.stage(sourceStatsRaw(s, dir))
+
+  private def sourceStatsRaw(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.WordShingles.register(s)
     val toks = Text.tokens(col("text"))
     val n = Text.nWords(toks)
