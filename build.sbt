@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout UNDECORATED: sbt's default logger
+// prefixes every program line with "[info] ", which broke the driver's
+// bench-JSON parser for 16 straight rounds (BENCH_r*.json parsed: null).
+// StdoutOutput pipes the forked JVM's stdout/stderr straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,6 +19,8 @@ object Bench {
       // fixture sources are read-only and the JVM exits after the run —
       // the regime the staged-subtree memo is sound in (see Scale.StageMemoConf)
       .config("spark.graft.stage.memo", "true")
+      // same contract for the hq compiled-pipeline memo (HumioQuery.PlanMemoConf)
+      .config("spark.graft.hq.memo", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // probe knob pass-through: SPARK_GRAFT_CONF="k=v;k=v" sets session
@@ -107,8 +109,12 @@ object Bench {
     // is amortized — recorded so round-over-round floor claims are
     // measured, not asserted.
     val warmOn = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
+    // default record file embeds the CORE COUNT when it isn't the
+    // driver's main 32: the r16 c8 run overwrote the 32-core per-query
+    // record (VERDICT r16 record-hygiene nit) — different core counts
+    // must never clobber each other's complete records
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/BENCH_LOCAL_r16.json")
+      s"/root/repo/BENCH_LOCAL_r17${if (cpus == "32") "" else s"_c$cpus"}.json")
     // run_ordinal: nth Bench invocation against this sfDir since HOST
     // boot (a per-boot counter file — the JVM is fresh per run, so the
     // ordinal must persist outside it). A cold total from ordinal > 1
@@ -357,6 +363,24 @@ object Bench {
       s""""calibration_sec":${fmt(calibrationSec, 3)},""" +
       s""""run_ordinal":$runOrdinal,"page_cache_hot":$pageCacheHot,""" +
       s""""bench_file":"$benchFile","sf":"$sfDir"}""")
+    // THE driver-contract line — the complete one-line JSON with the
+    // per-query map inline, printed LAST on stdout and mirrored to
+    // stderr. Sixteen rounds of BENCH_r*.json carried parsed: null
+    // because every stdout line wore sbt's "[info] " prefix (fixed in
+    // build.sbt via run/outputStrategy) and the totals line carried the
+    // map only by file reference. A parser that scans for a JSON line
+    // with metric/value/unit/queries/sf now finds one, byte-identical
+    // on both streams.
+    val contractLine =
+      s"""{"metric":"total","value":${fmt(cold, 2)},"unit":"sec",""" +
+        s""""queries":$qs,"queries_warm":$qw,""" +
+        s""""warm_total":${fmt(warm, 2)},"n_queries":${results.size},""" +
+        s""""reruns":$rerunCount,""" +
+        s""""calibration_sec":${fmt(calibrationSec, 3)},""" +
+        s""""run_ordinal":$runOrdinal,"page_cache_hot":$pageCacheHot,""" +
+        s""""bench_file":"$benchFile","sf":"$sfDir"}"""
+    println(contractLine)
+    System.err.println(contractLine)
     def fileMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"""    "$k": ${fmt(v, 2)}""" }.mkString("{\n", ",\n", "\n  }")
     // cold_first: the PRE-rerun cold of every re-run query — kept so the
