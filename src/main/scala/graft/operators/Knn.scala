@@ -280,13 +280,17 @@ object Knn {
       col("embedding").as("pe"), col("nrm").as("pn"))
     val b = assigned.select(col("cell"), col("vec_id").as("cand_id"),
       col("embedding").as("ce"), col("nrm").as("cn"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    a.join(b, Seq("cell"))
-      .where(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("probe_id", "cand_id", "rank", "sim")
+    // topkTail instead of a rank window: the window shuffled and sorted
+    // ALL n·|cell| scored pair rows by probe_id; the aggregate reduces
+    // each partition to ≤ k rows per probe map-side before the one
+    // |probes|·k exchange (same ordering contract: sim desc, cand_id
+    // asc, NULL sims last — topkTail owns the convention)
+    topkTail(
+      a.join(b, Seq("cell"))
+        .where(col("probe_id") =!= col("cand_id"))
+        .withColumn("sim", expr("try_divide(graft_dot(pe, ce), pn * cn)"))
+        .select("probe_id", "cand_id", "sim"),
+      k)
   }
 
   /** The nprobe-scored cell assignment [[cellPairsProbed]] and
@@ -387,18 +391,22 @@ object Knn {
     * standard Lloyd convention).
     */
   def kmeansRefine(vectors: DataFrame, centroids: DataFrame, dim: Int): DataFrame = {
-    import org.apache.spark.sql.functions.udaf
     val Q = 1L << 20
+    // dim DECLARATIVE long sums instead of the QVecSum typed UDAF: the
+    // aggregate runs over EVERY corpus vector (the training hot path of
+    // each Lloyd round), and the ObjectHashAggregate's per-row typed
+    // update (encoder decode + array buffer) was the same floor the
+    // k=1 topkTail removed from the ANN tier. Per-element expression is
+    // identical (round(x·2^20) cast long; long sums exact and order-
+    // independent), so the refined centroids are bit-identical; the
+    // transform HOF (CodegenFallback) leaves the scan stage too.
     val assigned = ivfAssign(vectors, centroids, dim)
-      .select(col("cell"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * Q).cast("long")).as("qvec"))
-    val sums = assigned.groupBy("cell")
-      .agg(udaf(graft.functions.QVecSum).apply(col("qvec")).as("qsum"),
-        count(lit(1)).as("n"))
-    val refined = sums.select(col("cell").as("cent_id"),
-      transform(col("qsum"),
-        s => s.cast("double") / (col("n").cast("double") * Q)).as("cvec"))
+    val refined = assigned.groupBy("cell")
+      .agg(array((0 until dim).map(i =>
+          sum(round(col("embedding")(i).cast("double") * Q).cast("long"))
+            .cast("double") / (count(lit(1)).cast("double") * Q)): _*)
+        .as("cvec"))
+      .select(col("cell").as("cent_id"), col("cvec"))
     // empty cells (no vectors assigned) retain their previous centroid
     centroids.join(refined, centroids("cent_id") === refined("cent_id"), "left_anti")
       .select(centroids("cent_id"), col("cvec"))
@@ -975,15 +983,31 @@ object Knn {
     val P = PowerQ
     val qv = vectors.select(transform(col("embedding"),
       x => round(x.cast("double") * P).cast("long")).as("q"))
+    // ONE posexplode (dim rows per vector) with dim codegen'd column
+    // sums per j, unpivoted to the bounded (j, k, m) relation — the
+    // former double posexplode generated dim² rows PER VECTOR (4096 at
+    // dim 64) into the partial aggregate; the row explosion, not the
+    // multiply count, was the scan-stage term at corpus scale. Addends
+    // are identical: pj·q[k] is the same long product (|pj·pk| ≤ 2^42 ≪
+    // 2^63, the bound proven below) cast to DECIMAL(38,0) before the
+    // order-independent exact sum. Row-set equivalence: group j exists
+    // iff some vector has index j (as before); sum(m$k) is NULL iff NO
+    // vector with index j also has index k, exactly the case where the
+    // double-explode form had no (j, k) group — the isNotNull filter
+    // restores that absence. (A mixed case — some vector has both j and
+    // k but every PRODUCT is null — needs NULL embedding ELEMENTS,
+    // which the quantization transform never emits from real floats.)
     val m = Scale.stage(
       qv.select(posexplode(col("q")).as(Seq("j0", "pj")), col("q"))
-        .select(col("j0"), col("pj"), posexplode(col("q")).as(Seq("k0", "pk")))
-        .groupBy((col("j0") + 1).cast("bigint").as("j"),
-          (col("k0") + 1).cast("bigint").as("k"))
-        // long product BEFORE the widening is provably bounded here:
-        // |pj|,|pk| ≤ ~2·PowerQ = 2^21 (unit-scale embedding coords),
-        // so |pj·pk| ≤ 2^42 ≪ 2^63 — no decimal-before-multiply needed
-        .agg(sum((col("pj") * col("pk")).cast("decimal(38,0)")).as("m")))
+        .groupBy((col("j0") + 1).cast("bigint").as("j"))
+        .agg(
+          sum((col("pj") * col("q")(0)).cast("decimal(38,0)")).as("m0"),
+          (1 until dim).map(k0 =>
+            sum((col("pj") * col("q")(k0)).cast("decimal(38,0)")).as(s"m$k0")): _*)
+        .select(col("j"), posexplode(array(
+          (0 until dim).map(k0 => col(s"m$k0")): _*)).as(Seq("k0", "m")))
+        .select(col("j"), (col("k0") + 1).cast("bigint").as("k"), col("m"))
+        .where(col("m").isNotNull))
     val (rF, mxF) = powerRounds(s, m, dim, iters)
     (rF, mxF, m)
   }
@@ -991,25 +1015,84 @@ object Knn {
   /** The max-norm integer power rounds over an arbitrary (j, k, m)
     * moment relation — shared by the top-1 chain and the deflated
     * second-component chain. Returns (final r(j, r), last max-|s|).
+    *
+    * The moment relation is BOUNDED (≤ dim² rows) by construction, so
+    * all `iters` rounds run in ONE task over a coalesce(1) of the
+    * matrix instead of `iters` staged join→aggregate→renormalize
+    * micro-plans. The per-round distributed form moved 64-row relations
+    * through 2·iters plan builds and localCheckpoint jobs — pure
+    * driver/scheduler overhead that dominated the family's COLD time
+    * (x_pca2 8.2 s cold vs 0.9 s warm, r17 BEFORE record) while the
+    * data never exceeded dim rows. BigInteger arithmetic replicates the
+    * SQL integer recurrence bit-for-bit (VectorSpec's scalar replay):
+    * exact decimal sums are order-independent, `div` on non-negative
+    * operands is BigInteger.divide's truncation, and the ±1 sign factor
+    * is applied to the absolute quotient exactly as the old expression
+    * did. The (j, k) row SET is also replicated: round i keeps the j
+    * values reachable through m from round i−1's j set (the old join
+    * semantics), so degenerate inputs (empty m) stay empty.
     */
+  private val powerRoundsFns = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), Iterator[(Long, Long, String)] => Iterator[(Long, Long, String)]]()
+
+  /** ONE function instance per (dim, iters): typed mapPartitions plans
+    * embed the closure by reference, and plan-memo equality (the
+    * [[Scale.StageMemoConf]] contract) needs two builds of the same
+    * rounds to compare EQUAL — the TopKByScore sharing lesson.
+    */
+  private def powerRoundsFn(dim: Int, iters: Int)
+      : Iterator[(Long, Long, String)] => Iterator[(Long, Long, String)] =
+    powerRoundsFns.computeIfAbsent((dim, iters), { case (d, it) =>
+      (rows: Iterator[(Long, Long, String)]) => {
+        import java.math.BigInteger
+        val entries = rows.map { case (j, k, mv) =>
+          (j, k, new BigInteger(mv)) }.toArray
+        val bigP = BigInteger.valueOf(PowerQ)
+        var r = scala.collection.mutable.HashMap[Long, BigInteger](
+          (1 to d).map(j => j.toLong -> bigP): _*)
+        var mx = BigInteger.ONE
+        for (_ <- 1 to it) {
+          val sv = scala.collection.mutable.HashMap.empty[Long, BigInteger]
+          entries.foreach { case (j, k, mv) =>
+            r.get(k) match {
+              case Some(rk) =>
+                val term = mv.multiply(rk)
+                sv.update(j, sv.get(j).map(_.add(term)).getOrElse(term))
+              case None => ()
+            }
+          }
+          // greatest(max(abs(s)), 1): the empty-relation max degrades to
+          // the literal 1 exactly as the SQL form's greatest(NULL, 1)
+          mx = sv.valuesIterator.map(_.abs)
+            .foldLeft(BigInteger.ONE)((a, b) => if (b.compareTo(a) > 0) b else a)
+          r = sv.map { case (j, sj) =>
+            val v = sj.abs.multiply(bigP).divide(mx)
+            j -> (if (sj.signum < 0) v.negate else v)
+          }
+        }
+        r.toSeq.sortBy(_._1).iterator
+          .map { case (j, rj) => (j, rj.longValueExact, mx.toString) }
+      }
+    })
+
   private def powerRounds(s: org.apache.spark.sql.SparkSession,
       m: DataFrame, dim: Int, iters: Int): (DataFrame, DataFrame) = {
     import s.implicits._
-    val P = PowerQ
-    val r0 = (1 to dim).map(j => (j.toLong, P)).toDF("j", "r")
-    (1 to iters).foldLeft((r0, null: DataFrame)) {
-      case ((r, _), _) =>
-        val sv = m
-          .join(broadcast(r.select(col("j").as("k"), col("r").as("rk"))), "k")
-          .groupBy("j").agg(sum(col("m") * col("rk")).as("s"))
-        val mx = sv.agg(greatest(max(abs(col("s"))),
-          lit(1).cast("decimal(38,0)")).as("mx"))
-        val rn = Scale.stage(sv.crossJoin(broadcast(mx))
-          .select(col("j"),
-            (when(col("s") < 0, -1L).otherwise(1L) *
-              expr(s"(abs(s) * $P) div mx")).as("r")))
-        (rn, mx)
-    }
+    // m values can pass 2^63 at corpus scale and mx passes 10^20 long
+    // before the last round — both cross the task boundary as STRINGS
+    // (exact for scale-0 decimals) because the tuple encoder's default
+    // BigDecimal type is decimal(38,18), which truncates above 10^20
+    val out = Scale.stage(
+      m.select(col("j").cast("long"), col("k").cast("long"),
+          col("m").cast("string"))
+        .as[(Long, Long, String)]
+        .coalesce(1)
+        .mapPartitions(powerRoundsFn(dim, iters))
+        .toDF("j", "r", "mx")
+        .select(col("j"), col("r"), col("mx").cast("decimal(38,0)").as("mx")))
+    (out.select("j", "r"),
+      out.agg(coalesce(max(col("mx")),
+        lit(1).cast("decimal(38,0)")).as("mx")))
   }
 
   /** Exact TRUNCATING (toward-zero) division on signed DECIMALs via
