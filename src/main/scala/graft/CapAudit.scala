@@ -97,6 +97,14 @@ object CapAudit {
     Entry(Scale.StageCaptureConf, RowsInvariant, "false",
       "never — lineage capture writes side artifacts, not query rows",
       "ScaleSpec"),
+    Entry(graft.query.HumioQuery.PlanMemoConf, RowsInvariant, "false",
+      "never — caches the COMPILED pipeline Dataset per (session, input " +
+        "plan, query text, tables, tz/ansi); every execution still " +
+        "computes from the sources, only parse/analysis/planning are " +
+        "shared (the stage-memo contract at the DSL layer)",
+      "HumioQuerySpec memo-identity test (memo on/off same rows, " +
+        "key-sensitivity on input/query/tables); Verify/Bench run " +
+        "hq.memo=true against the same oracles the memo-off suite passes"),
     Entry(Scale.ReliableCheckpointConf, RowsInvariant, "false",
       "never — checkpoint flavor, rows unchanged",
       "ScaleSpec"),

@@ -21,6 +21,8 @@ object Verify {
       // fixture sources are read-only and the JVM exits after the run —
       // the regime the staged-subtree memo is sound in (see Scale.StageMemoConf)
       .config("spark.graft.stage.memo", "true")
+      // same contract for the hq compiled-pipeline memo (HumioQuery.PlanMemoConf)
+      .config("spark.graft.hq.memo", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail FAST if a session conf would diverge the engine from the

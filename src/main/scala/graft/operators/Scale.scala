@@ -276,7 +276,7 @@ object Scale {
       : org.apache.spark.sql.execution.aggregate.ScalaAggregator[A, B, C] =
     sa.copy(inputEncoder = null, bufferEncoder = null)
 
-  private[operators] def memoCanonical(
+  private[graft] def memoCanonical(
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     analyzed.canonicalized.transformAllExpressions {
@@ -284,7 +284,7 @@ object Scale {
         neuterAgg(sa)
     }
 
-  private[operators] def planDeterministic(
+  private[graft] def planDeterministic(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     p.collect { case n => n.expressions }.flatten.forall(_.deterministic) &&
       p.subqueriesAll.forall(sub =>
@@ -390,7 +390,7 @@ object Scale {
   /** The execution-time confs folded into memo keys — shared with the
     * artifact-level memos built on the same contract
     * ([[Knn.kmeansTrain]]'s codebook memo). */
-  private[operators] def memoConfKey(s: SparkSession): String =
+  private[graft] def memoConfKey(s: SparkSession): String =
     s"tz=${s.conf.get("spark.sql.session.timeZone")};" +
       s"ansi=${s.conf.get("spark.sql.ansi.enabled")}"
 }

@@ -1121,4 +1121,33 @@ class HumioQuerySpec extends SparkSpec {
     assert(HumioQuery.run(t,
       "bitfield(n, flags=[b0]) | b0 = true").count() == 2)
   }
+
+  test("plan memo: identical rows memo-on vs memo-off, Dataset reused on hit") {
+    val q = "event_type != error | groupBy(event_type) | sort(event_type)"
+    val off = HumioQuery.run(df, q).collect().toSeq
+    spark.conf.set(HumioQuery.PlanMemoConf, "true")
+    try {
+      val a = HumioQuery.run(df, q)
+      val b = HumioQuery.run(df, q)
+      assert(a eq b, "second compile of the identical pipeline must memo-hit")
+      assert(a.collect().toSeq == off, "memo must not change results")
+      // key sensitivity: a different query, a different input plan, and
+      // different dimension tables must each MISS
+      val q2 = HumioQuery.run(df, "event_type != error | groupBy(event_type) | sort(event_type) | head(1)")
+      assert(!(q2 eq a))
+      val otherIn = HumioQuery.run(df.where(col("event_id") > 1), q)
+      assert(!(otherIn eq a))
+      val dimA = Seq((100L, "gold")).toDF("cust_id", "tier")
+      val dimB = Seq((100L, "lead")).toDF("cust_id", "tier")
+      val mq = "match(cust, field=user_id, column=cust_id, include=[tier]) | select(event_id, tier) | sort(event_id)"
+      val withA = HumioQuery.run(df, mq, Map("cust" -> dimA))
+      val withB = HumioQuery.run(df, mq, Map("cust" -> dimB))
+      assert(!(withA eq withB), "different dimension tables must not share")
+      assert(withA.as[(Long, String)].collect().toSeq == Seq((1L, "gold")))
+      assert(withB.as[(Long, String)].collect().toSeq == Seq((1L, "lead")))
+      // a memo-hit is a REUSED PLAN, not a cached result: the second
+      // Dataset still computes from source (same rows again)
+      assert(b.collect().toSeq == off)
+    } finally spark.conf.set(HumioQuery.PlanMemoConf, "false")
+  }
 }
