@@ -3078,47 +3078,46 @@ object PipelineQueries {
   def xContamSweep(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.WordShingles.register(s)
     val docs = Tables.documents(s, dir)
-    val widths = Seq(3, 4, 5)
-    // ONE width-tagged gram stream per side instead of an independent
-    // branch per width (the before-plan tokenized and exploded the
-    // corpus six times — 3 widths × eval/train). The tag derives from
-    // the POSITION in the concatenated shingle arrays — pure codegen'd
-    // arithmetic riding the one posexplode (a transform-lambda tagging
-    // variant was tried first: same warm, ~10% worse cold — the HOF is
-    // CodegenFallback and allocates a struct per gram; positional
-    // arithmetic keeps the stream inside whole-stage codegen)
-    def grams(d: DataFrame) = {
-      val toks = Text.tokens(col("text"))
-      d.select(col("doc_id"),
-          size(Text.shinglesNative(toks, 3)).as("n3"),
-          size(Text.shinglesNative(toks, 4)).as("n4"),
-          concat(Text.shinglesNative(toks, 3), Text.shinglesNative(toks, 4),
-            Text.shinglesNative(toks, 5)).as("gs"))
-        .select(col("doc_id"), col("n3"), col("n4"), posexplode(col("gs")))
-        .select(col("doc_id"),
+    // HYBRID shape, adjudicated at sf1 (r17): round 16 fused BOTH sides
+    // into one width-tagged stream (scans 12→4) but the single (w,gram)
+    // join + two-distinct Expand over the 3×-combined train stream
+    // measured SLOWER warm at sf1 than the branched form it replaced
+    // (isolated A/B: fused 2.3–3.0 s vs branched 1.6–2.0 s; an
+    // array_distinct pre-dedup variant measured the same) — the three
+    // independent branches overlap their stages and keep per-task
+    // aggregate state per width, which wins on wall clock even at 10×
+    // data. What DOES transfer from the fusion is the EVAL side: the
+    // 2%-slice pass is one scan building all three width gram sets
+    // (the bounded broadcast relation, staged and shared), so the
+    // corpus-side scan count stays 4 (3 train + 1 eval) instead of 6
+    // while the train side keeps the measured-faster branched plan.
+    val evToks = Text.tokens(col("text"))
+    val evAll = graft.operators.Scale.stage(
+      docs.where(col("doc_id") % 50 === 0)
+        .select(
+          size(Text.shinglesNative(evToks, 3)).as("n3"),
+          size(Text.shinglesNative(evToks, 4)).as("n4"),
+          concat(Text.shinglesNative(evToks, 3), Text.shinglesNative(evToks, 4),
+            Text.shinglesNative(evToks, 5)).as("gs"))
+        .select(col("n3"), col("n4"), posexplode(col("gs")))
+        .select(
           when(col("pos") < col("n3"), 3)
             .when(col("pos") < col("n3") + col("n4"), 4)
             .otherwise(5).as("w"),
           col("col").as("gram"))
+        .distinct())
+    def hit(n: Int): DataFrame = {
+      val ev = evAll.where(col("w") === n).select("gram")
+      docs.where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          explode(Text.shinglesNative(Text.tokens(col("text")), n)).as("gram"))
+        .join(broadcast(ev), "gram")
+        .agg(count_distinct(col("doc_id")).as("n_contam_docs"),
+          count_distinct(col("gram")).as("n_overlap_grams"))
+        .select(lit(n.toLong).as("gram_width"),
+          col("n_contam_docs"), col("n_overlap_grams"))
     }
-    val ev = grams(docs.where(col("doc_id") % 50 === 0))
-      .select("w", "gram").distinct()
-    val hits = grams(docs.where(col("doc_id") % 50 =!= 0))
-      .join(broadcast(ev), Seq("w", "gram"))
-      .groupBy("w")
-      .agg(count_distinct(col("doc_id")).as("n_contam_docs"),
-        count_distinct(col("gram")).as("n_overlap_grams"))
-    // width spine: a width whose overlap is EMPTY must still emit its
-    // zero row (the per-width global aggregate it replaces always did)
-    widths.map(n => lit(n).as("w")).foldLeft[DataFrame](null) {
-      case (null, c) => s.range(1).select(c)
-      case (acc, c)  => acc.unionByName(s.range(1).select(c))
-    }
-      .join(hits, Seq("w"), "left")
-      .na.fill(0L, Seq("n_contam_docs", "n_overlap_grams"))
-      .select(col("w").cast("bigint").as("gram_width"),
-        col("n_contam_docs"), col("n_overlap_grams"))
-      .orderBy("gram_width")
+    hit(3).unionByName(hit(4)).unionByName(hit(5)).orderBy("gram_width")
   }
 
   /** The shared quality→decontamination gate of the curate pipelines:
