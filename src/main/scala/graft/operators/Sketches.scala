@@ -227,6 +227,12 @@ object Sketches {
     */
   def cmsEstimate(items: DataFrame, itemCol: Column, sketch: DataFrame,
                   carry: Seq[String] = Nil): DataFrame = {
+    // a carry column named like an internal probe/aggregate column would
+    // collide silently (the saltedTopKPerKey guard, applied here —
+    // ADVICE r16)
+    val reserved = carry.toSet.intersect(Set("item", "row", "bucket", "e", "est"))
+    require(reserved.isEmpty,
+      s"cmsEstimate: carry column(s) ${reserved.mkString(", ")} collide with internal names")
     val probes = items.select((itemCol.as("item") +:
       explode(array((0 until CMS_D).map(d =>
         struct(lit(d).as("row"), cmsBucket(d, itemCol).as("bucket"))): _*)).as("e") +:

@@ -591,4 +591,24 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(comps(4)) == Knn.PowerQ.toDouble,
       "the max-norm peak sits on the planted axis at full scale")
   }
+
+  // ADVICE r16 pin: graft_dot's null/length semantics are INTENTIONAL
+  // and differ from graft_l2sq's strict propagation — a NULL element is
+  // SKIPPED (contributes 0) and mismatched lengths iterate the shorter
+  // prefix. Every production caller passes fixed-width, null-free
+  // embeddings (the fixtures and the oracle both guarantee it); this
+  // test freezes the edge behavior so a refactor that silently changes
+  // it fails here, not at oracle-hash time.
+  test("graft_dot edge semantics: null elements skipped, mismatched lengths truncate") {
+    graft.expressions.FloatDot.register(spark)
+    val row = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](2.0, 5.0, 4.0, 9.0)))
+      .toDF("a", "b")
+    val got = row.selectExpr("graft_dot(a, b) AS d").as[Double].collect()
+    // index 0: 1*2; index 1 skipped (null); index 2: 3*4; index 3 beyond min length
+    assert(got.toSeq == Seq(14.0))
+    val nullArr = Seq((Option.empty[Seq[Double]], Option(Seq(1.0))))
+      .toDF("a", "b")
+    assert(nullArr.selectExpr("graft_dot(a, b) AS d")
+      .collect().head.isNullAt(0), "NULL array input must yield NULL")
+  }
 }
