@@ -2424,13 +2424,20 @@ object PipelineQueries {
   def xDedupEval(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.WordShingles.register(s)
     val docs = Tables.documents(s, dir).where(col("doc_id") < DEDUP_EVAL_CAP)
-    val sh = docs.select(col("doc_id"),
-      array_distinct(Text.shinglesNative(Text.tokens(col("text")), 3)).as("sh"))
+    // both stagings are CAP-bounded (≤ DEDUP_EVAL_CAP rows / pairs among
+    // them): sh fed the truth BNLJ twice (broadcast build + stream side
+    // each re-ran the shingle pass), and cand fed two aggregate branches
+    // (n_cand + n_hit each re-ran the banded self-join) — the query's
+    // 7:1 cold:warm ratio was mostly these duplicated bounded chains
+    val sh = graft.operators.Scale.stage(
+      docs.select(col("doc_id"),
+        array_distinct(Text.shinglesNative(Text.tokens(col("text")), 3)).as("sh")))
     val truth = graft.operators.Scale.stage(
       sh.as("a").join(broadcast(sh.as("b")), col("a.doc_id") < col("b.doc_id"))
         .where(Dedup.jaccardDistinct(col("a.sh"), col("b.sh")) >= 0.35)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
-    val cand = Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND)
+    val cand = graft.operators.Scale.stage(
+      Dedup.bandedCandidates(docs, col("text"), N_PERMS, ROWS_PER_BAND))
     val nT = truth.agg(count(lit(1)).as("n_truth"))
     val nC = cand.agg(count(lit(1)).as("n_cand"))
     val nH = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
