@@ -2085,7 +2085,11 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
     val seed = emb.where(col("vec_id") < kmeansK(s))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val trained = Knn.kmeansRefine(emb, seed, DIM)
+    // the refined codebook is k-bounded and consumed twice (the
+    // re-assignment pass and the norm join) — unstaged, the whole
+    // refine chain ran once per consumer, and the declarative
+    // per-dimension sums' wider analysis cost doubled with it
+    val trained = graft.operators.Scale.stage(Knn.kmeansRefine(emb, seed, DIM))
     Knn.ivfAssign(emb, trained, DIM)
       .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
       .join(trained.select(col("cent_id").as("cell"),
